@@ -1,0 +1,407 @@
+"""Deterministic HTML main-content extraction (boilerplate removal).
+
+This is the engine's analogue of the reference's OCR extraction step
+(reference: src/services/extraction_service.py:26-114 — per-page markdown with
+tables rendered as pipe tables): a single-pass DOM tokenizer (stdlib
+``html.parser``) producing a block-feature stream, followed by
+Boilerpipe/trafilatura-style text-density / link-density block scoring. Pure
+and wall-clock-free so the same bytes produce byte-identical markdown at any
+parallelism level.
+
+Block model
+-----------
+- Text accumulates between block-level tag boundaries; whitespace runs
+  collapse to single spaces.
+- Blocks inside ``nav/header/footer/aside/form/button`` (or elements whose
+  class/id tokens look like navigation chrome) are boilerplate.
+- A block whose linked-character density exceeds ``max_link_density`` is
+  boilerplate (link lists, menus).
+- Short non-heading blocks (< ``min_block_text_len`` chars) are dropped.
+- ``<table>`` elements parse into :class:`..functions.tables.PageTable`;
+  header row = a leading ``<th>`` row.
+- ``<div class="page">`` marks a page boundary (the fixture analogue of a
+  PDF page); per-page markdowns are combined by
+  :func:`..functions.assemble.combine_pages` (page headers only for
+  multi-page documents, reference: src/core/utils.py:112-161).
+
+Two flavors mirror the reference's workflow routes
+(reference: src/workflows/workflow_router.py:15-46):
+- ``article`` (default / "mistral" analogue): headings + paragraphs +
+  inline tables.
+- ``table_merge`` ("azure_document_intelligence" analogue): tables only,
+  merged across pages with the header-match / continuation /
+  balance-continuity rules (reference: table_merger.py:102-186), rendered
+  with page-range captions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+import re
+
+from .assemble import EMPTY_CONTENT_MESSAGE, combine_pages
+from .tables import MergedTable, PageTable, merge_tables_across_pages
+
+_WS_RE = re.compile(r"\s+")
+
+IGNORED_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "head", "iframe"})
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "form", "button"})
+BOILERPLATE_CLASS_TOKENS = frozenset(
+    {
+        "nav", "navbar", "menu", "sidebar", "footer", "header", "banner",
+        "cookie", "consent", "ad", "ads", "advert", "breadcrumb", "comment",
+        "share", "social", "related", "widget", "promo", "subscribe",
+    }
+)
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "body", "li", "ul", "ol",
+        "h1", "h2", "h3", "h4", "h5", "h6", "pre", "blockquote", "tr",
+        "table", "figcaption", "dt", "dd",
+    }
+)
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+@dataclass
+class Block:
+    """One candidate content block with its scoring features."""
+
+    kind: str  # 'text' | 'heading' | 'table'
+    page: int
+    text: str = ""
+    text_len: int = 0
+    link_len: int = 0
+    boilerplate: bool = False
+    heading_level: int = 0
+    table: PageTable | None = None
+
+    @property
+    def link_density(self) -> float:
+        return self.link_len / self.text_len if self.text_len else 0.0
+
+
+class _Tokenizer(HTMLParser):
+    """Single-pass DOM walk producing the block stream."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self.page = 0
+        self.n_page_divs = 0
+        self._ignore_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._heading: str | None = None
+        self._parts: list[str] = []
+        self._link_chars = 0
+        # table state
+        self._table: PageTable | None = None
+        self._table_depth = 0
+        self._rows: list[list[str]] = []
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+        self._row_has_th = False
+        self._first_row_th = False
+        # Open block-element stack: (tag, is_boilerplate). Implicit end tags
+        # (messy HTML) are handled by popping to the nearest matching tag.
+        self._stack: list[tuple[str, bool]] = []
+
+    # -- block accumulation -------------------------------------------------
+    def _flush(self) -> None:
+        raw = _WS_RE.sub(" ", "".join(self._parts)).strip()
+        if raw:
+            kind = "heading" if self._heading else "text"
+            level = int(self._heading[1]) if self._heading else 0
+            self.blocks.append(
+                Block(
+                    kind=kind,
+                    page=self.page,
+                    text=raw,
+                    text_len=len(raw),
+                    link_len=min(self._link_chars, len(raw)),
+                    boilerplate=self._boiler_depth > 0,
+                    heading_level=level,
+                )
+            )
+        self._parts = []
+        self._link_chars = 0
+
+    @staticmethod
+    def _is_boiler_attrs(attrs: list[tuple[str, str | None]]) -> bool:
+        for key, value in attrs:
+            if key in ("class", "id", "role") and value:
+                tokens = re.split(r"[\s_\-]+", value.lower())
+                if any(tok in BOILERPLATE_CLASS_TOKENS for tok in tokens):
+                    return True
+        return False
+
+    @staticmethod
+    def _is_page_div(tag: str, attrs: list[tuple[str, str | None]]) -> bool:
+        if tag != "div":
+            return False
+        for key, value in attrs:
+            if key == "class" and value:
+                if "page" in re.split(r"[\s_\-]+", value.lower()):
+                    return True
+        return False
+
+    # -- HTMLParser hooks ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in IGNORED_TAGS:
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+            return
+        if tag == "table":
+            self._table_depth += 1
+            if self._table_depth == 1:
+                self._flush()
+                self._table = PageTable([], [], self.page)
+                self._rows = []
+                self._first_row_th = False
+            return
+        if self._table is not None:
+            if tag == "tr":
+                self._end_row()
+                self._row = []
+                self._row_has_th = False
+            elif tag in ("td", "th"):
+                self._end_cell()
+                self._cell = []
+                if tag == "th":
+                    self._row_has_th = True
+            return
+        if tag in BLOCK_TAGS or tag in BOILERPLATE_TAGS:
+            self._flush()
+            if self._is_page_div(tag, attrs):
+                self.n_page_divs += 1
+                self.page = self.n_page_divs
+            if tag in HEADING_TAGS:
+                self._heading = tag
+            is_boiler = tag in BOILERPLATE_TAGS or self._is_boiler_attrs(attrs)
+            if is_boiler:
+                self._boiler_depth += 1
+            self._stack.append((tag, is_boiler))
+        elif tag == "br":
+            self._parts.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in IGNORED_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+            return
+        if tag == "table":
+            if self._table_depth == 1 and self._table is not None:
+                self._end_row()
+                self._finish_table()
+            self._table_depth = max(0, self._table_depth - 1)
+            return
+        if self._table is not None:
+            if tag == "tr":
+                self._end_row()
+            elif tag in ("td", "th"):
+                self._end_cell()
+            return
+        if tag in BLOCK_TAGS or tag in BOILERPLATE_TAGS:
+            self._flush()
+            if tag in HEADING_TAGS and self._heading == tag:
+                self._heading = None
+            # Pop to the nearest matching open element (implicit end tags).
+            if any(t == tag for t, _ in self._stack):
+                while self._stack:
+                    popped_tag, popped_boiler = self._stack.pop()
+                    if popped_boiler:
+                        self._boiler_depth = max(0, self._boiler_depth - 1)
+                    if popped_tag == tag:
+                        break
+
+    def handle_data(self, data):
+        if self._ignore_depth or not data:
+            return
+        if self._cell is not None:
+            self._cell.append(data)
+            return
+        if self._table is not None:
+            return  # stray text between table cells is layout noise
+        self._parts.append(data)
+        if self._link_depth:
+            self._link_chars += len(_WS_RE.sub(" ", data).strip())
+
+    # -- table helpers ------------------------------------------------------
+    def _end_cell(self) -> None:
+        if self._cell is not None and self._row is not None:
+            self._row.append(_WS_RE.sub(" ", "".join(self._cell)).strip())
+        self._cell = None
+
+    def _end_row(self) -> None:
+        self._end_cell()
+        if self._row is not None and self._row:
+            if not self._rows:
+                self._first_row_th = self._row_has_th
+            self._rows.append(self._row)
+        self._row = None
+
+    def _finish_table(self) -> None:
+        table = self._table
+        self._table = None
+        if table is None or not self._rows:
+            return
+        if self._first_row_th:
+            table.headers = self._rows[0]
+            table.data_rows = self._rows[1:]
+            table.has_headers = True
+        else:
+            table.headers = []
+            table.data_rows = self._rows
+            table.has_headers = False
+        self.blocks.append(
+            Block(
+                kind="table",
+                page=table.page,
+                text_len=sum(len(c) for r in self._rows for c in r),
+                boilerplate=self._boiler_depth > 0,
+                table=table,
+            )
+        )
+        self._rows = []
+
+
+def tokenize_blocks(html: str) -> list[Block]:
+    """Tokenize HTML into the raw block-feature stream (pre-scoring)."""
+    parser = _Tokenizer()
+    parser.feed(html)
+    parser.close()
+    parser._flush()
+    return parser.blocks
+
+
+def score_blocks(
+    blocks: list[Block],
+    min_block_text_len: int = 8,
+    max_link_density: float = 0.35,
+) -> list[Block]:
+    """Keep content blocks, drop boilerplate.
+
+    Rules: ancestor-boilerplate blocks drop; blocks with link density above
+    the threshold drop; short non-heading, non-table blocks drop. Headings
+    with no following kept text block within the same page still survive —
+    section structure is part of main content.
+    """
+    kept: list[Block] = []
+    for block in blocks:
+        if block.boilerplate:
+            continue
+        if block.kind == "table":
+            kept.append(block)
+            continue
+        if block.link_density > max_link_density:
+            continue
+        if block.kind != "heading" and block.text_len < min_block_text_len:
+            continue
+        kept.append(block)
+    return kept
+
+
+def _render_inline_table(table: PageTable) -> str:
+    """Inline (article-flavor) pipe-table rendering: header + separator +
+    rows when the table has headers, bare pipe rows otherwise."""
+    lines: list[str] = []
+    if table.has_headers and table.headers:
+        width = len(table.headers)
+        lines.append("| " + " | ".join(table.headers) + " |")
+        lines.append("| " + " | ".join(["---"] * width) + " |")
+        for row in table.data_rows:
+            padded = (row + [""] * (width - len(row)))[:width]
+            lines.append("| " + " | ".join(padded) + " |")
+    else:
+        for row in table.data_rows:
+            lines.append("| " + " | ".join(row) + " |")
+    return "\n".join(lines)
+
+
+def article_pages(blocks: list[Block]) -> list[str]:
+    """Article flavor as per-page markdowns (non-empty pages only, in page
+    order). The chunked path concatenates these across chunks before the
+    final :func:`..functions.assemble.combine_pages`."""
+    pages: dict[int, list[str]] = {}
+    for block in blocks:
+        if block.kind == "heading":
+            md = "#" * block.heading_level + " " + block.text
+        elif block.kind == "table":
+            md = _render_inline_table(block.table)
+        else:
+            md = block.text
+        if md:
+            pages.setdefault(block.page, []).append(md)
+    return ["\n\n".join(pages[p]) for p in sorted(pages)]
+
+
+def render_article(blocks: list[Block]) -> str:
+    """Article flavor: headings/paragraphs/inline tables, per page, combined
+    with the canonical page layout."""
+    return combine_pages(article_pages(blocks))
+
+
+def render_merged_tables(blocks: list[Block]) -> str:
+    """Table-merge flavor: cross-page merged tables with captions
+    (reference: table_merger.py:102-186, 38-92), joined with blank lines."""
+    tables = [b.table for b in blocks if b.kind == "table" and b.table is not None]
+    if not tables:
+        return EMPTY_CONTENT_MESSAGE
+    merged: list[MergedTable] = merge_tables_across_pages(tables)
+    return "\n\n".join(t.to_markdown() for t in merged if t.to_markdown())
+
+
+def extract_html(
+    html: str,
+    flavor: str = "article",
+    min_block_text_len: int = 8,
+    max_link_density: float = 0.35,
+) -> tuple[str, dict]:
+    """Extract main content markdown from an HTML string.
+
+    Returns ``(markdown, stats)`` where stats carries per-document extraction
+    metrics (kept/dropped blocks, tables, pages) for the lineage aggregate.
+    """
+    blocks = tokenize_blocks(html)
+    kept = score_blocks(blocks, min_block_text_len, max_link_density)
+    if flavor == "table_merge":
+        text = render_merged_tables(kept)
+    else:
+        text = render_article(kept)
+    stats = {
+        "n_blocks_raw": len(blocks),
+        "n_blocks_kept": len(kept),
+        "n_tables": sum(1 for b in kept if b.kind == "table"),
+        "n_pages": len({b.page for b in kept}) or 1,
+    }
+    return text, stats
+
+
+def extract_html_pages(
+    html: str,
+    min_block_text_len: int = 8,
+    max_link_density: float = 0.35,
+) -> tuple[list[str], dict]:
+    """Article-flavor extraction returning per-page markdowns (the unit the
+    chunked skew path reassembles; ``combine_pages`` over the concatenation
+    across chunks is byte-identical to whole-document extraction)."""
+    blocks = tokenize_blocks(html)
+    kept = score_blocks(blocks, min_block_text_len, max_link_density)
+    pages = article_pages(kept)
+    stats = {
+        "n_blocks_raw": len(blocks),
+        "n_blocks_kept": len(kept),
+        "n_tables": sum(1 for b in kept if b.kind == "table"),
+        "n_pages": len(pages),
+    }
+    return pages, stats

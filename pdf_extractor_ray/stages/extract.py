@@ -1,0 +1,121 @@
+"""Document extraction stage: warm actor pool over Arrow batches.
+
+One callable class handles both payload branches per row (HTML boilerplate
+strip / toy-PDF layout analysis) so the stream never splits (a Ray Data
+``filter`` branch would re-execute the upstream DAG). State — config,
+compiled patterns, the workflow route table — is built once per actor in
+``__init__`` (the Ray analogue of the reference's process-wide singleton
+clients, reference: src/services/client_factory.py:19-135) and reused per
+batch in ``__call__``.
+
+Skew handling: rows flagged ``needs_split`` are cut into page-range chunks
+(reference: src/services/pdf_processor.py:29-68 semantics) and the chunks'
+per-page markdowns are reassembled *inside the UDF* — all chunks of a
+document originate from one input row, so they are already co-located and
+no shuffle is needed. See ``..stages.split`` for the explicit dataflow
+variant used when single documents exceed task memory.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..functions.assemble import combine_pages
+from ..functions.html_extract import extract_html, extract_html_pages
+from ..functions.pdf_extract import extract_pdf_pages
+from ..functions.routing import ROUTE_PDF, ROUTE_HTML, get_workflow_for_query
+from ..functions.split import split_payload
+
+EXTRACT_COLUMNS = ("extracted_text", "n_pages", "n_blocks", "n_tables", "n_chunks")
+
+
+class DocumentExtractor:
+    """``map_batches`` actor: ``(html, route, needs_split, ...)`` rows →
+    ``extracted_text`` + extraction metrics columns, payload column dropped
+    (the shuffle-heavy downstream stages must never carry raw payload
+    bytes)."""
+
+    def __init__(self, config: EngineConfig | None = None, query: str | None = None):
+        self.config = config or EngineConfig()
+        # Query → workflow routing decides the extraction flavor, mirroring
+        # the reference's handler dispatch (reference: workflow_router.py:15-46).
+        workflow = get_workflow_for_query(query)
+        self.flavor = (
+            "table_merge" if workflow == "azure_document_intelligence" else "article"
+        )
+
+    def _extract_one(self, payload: bytes | None, route: str, needs_split: bool):
+        if payload is None or route not in (ROUTE_PDF, ROUTE_HTML):
+            return "", 0, 0, 0, 0
+        cfg = self.config
+        if needs_split and self.flavor == "article":
+            chunks = split_payload(payload, route, cfg.max_pages_per_chunk)
+            all_pages: list[str] = []
+            n_blocks = n_tables = 0
+            for chunk in chunks:
+                if route == ROUTE_PDF:
+                    pages, stats = extract_pdf_pages(chunk)
+                else:
+                    pages, stats = extract_html_pages(
+                        chunk.decode("utf-8", errors="replace"),
+                        cfg.min_block_text_len,
+                        cfg.max_link_density,
+                    )
+                all_pages.extend(pages)
+                n_blocks += stats.get("n_blocks_kept", stats.get("n_blocks", 0))
+                n_tables += stats.get("n_tables", 0)
+            text = combine_pages(all_pages)
+            return text, len(all_pages), n_blocks, n_tables, len(chunks)
+        if route == ROUTE_PDF:
+            pages, stats = extract_pdf_pages(payload)
+            return (
+                combine_pages(pages),
+                stats["n_pages"],
+                stats["n_blocks"],
+                0,
+                1,
+            )
+        text, stats = extract_html(
+            payload.decode("utf-8", errors="replace"),
+            self.flavor,
+            cfg.min_block_text_len,
+            cfg.max_link_density,
+        )
+        return text, stats["n_pages"], stats["n_blocks_kept"], stats["n_tables"], 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["html"]
+        routes = batch["route"].to_pylist()
+        needs_split = batch["needs_split"].to_pylist()
+        texts, n_pages, n_blocks, n_tables, n_chunks = [], [], [], [], []
+        errors: list[str | None] = []
+        for i in range(len(batch)):
+            # Per-document error containment: a malformed payload yields an
+            # empty extraction (repaired downstream by the validate stage's
+            # substitution policy) — one bad document must never abort a
+            # corpus-scale job (the reference's per-request error taxonomy,
+            # reference: src/core/error_handling.py:31-59, becomes a
+            # per-row error column).
+            try:
+                text, pages, blocks, tables, chunks = self._extract_one(
+                    payloads[i].as_py(), routes[i], bool(needs_split[i])
+                )
+                errors.append(None)
+            except Exception as exc:  # noqa: BLE001 — containment boundary
+                text, pages, blocks, tables, chunks = "", 0, 0, 0, 0
+                errors.append(f"{type(exc).__name__}: {exc}"[:200])
+            texts.append(text)
+            n_pages.append(pages)
+            n_blocks.append(blocks)
+            n_tables.append(tables)
+            n_chunks.append(chunks)
+        out = batch.drop_columns(["html", "needs_split"])
+        return (
+            out.append_column("extracted_text", pa.array(texts, pa.string()))
+            .append_column("n_pages", pa.array(n_pages, pa.int32()))
+            .append_column("n_blocks", pa.array(n_blocks, pa.int32()))
+            .append_column("n_tables", pa.array(n_tables, pa.int32()))
+            .append_column("n_chunks", pa.array(n_chunks, pa.int32()))
+            .append_column("extract_error", pa.array(errors, pa.string()))
+        )

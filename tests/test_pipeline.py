@@ -1,0 +1,93 @@
+"""End-to-end pipeline tests: byte-identical extracted text per url versus
+the single-process golden oracle (FIXTURES.md §2), at parallelism > 1, for
+both the single-pass and the explicit-split pipeline variants."""
+
+import pyarrow as pa
+import pytest
+
+from pdf_extractor_ray.config import EngineConfig
+from pdf_extractor_ray.pipelines.extract import (
+    extraction_pipeline,
+    extraction_pipeline_explicit_split,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session, small_pages):
+    import ray.data as rd
+
+    # Many small blocks → rows of one document land in different tasks.
+    return rd.from_arrow(small_pages).repartition(16)
+
+
+def _collect_table(ds) -> pa.Table:
+    # iter_batches(batch_format="pyarrow") yields pa.Table chunks.
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=256))
+
+
+def _collect(ds) -> dict[str, str]:
+    table = _collect_table(ds)
+    return dict(
+        zip(table["url"].to_pylist(), table["extracted_text"].to_pylist())
+    )
+
+
+class TestFlagshipPipeline:
+    def test_byte_identical_to_golden(self, pages_ds, golden_small):
+        result = _collect(extraction_pipeline(pages_ds))
+        assert set(result) == set(golden_small)
+        mismatches = [u for u in golden_small if result[u] != golden_small[u]]
+        assert not mismatches, f"{len(mismatches)} mismatching urls, e.g. {mismatches[:3]}"
+
+    def test_schema(self, pages_ds):
+        ds = extraction_pipeline(pages_ds)
+        schema = ds.schema()
+        names = set(schema.names)
+        assert {
+            "url", "extracted_text", "route", "partition_id", "problems",
+            "similarity", "passed", "source", "n_pages", "n_tables",
+            "payload_bytes", "has_problem",
+        } <= names
+        # Raw payload must not survive past extraction.
+        assert "html" not in names
+
+    def test_deterministic_across_runs(self, pages_ds, golden_small):
+        a = _collect(extraction_pipeline(pages_ds))
+        b = _collect(extraction_pipeline(pages_ds.repartition(3)))
+        assert a == b
+
+    def test_oversized_rows_chunked(self, pages_ds):
+        ds = extraction_pipeline(pages_ds)
+        table = _collect_table(ds)
+        n_chunks = table["n_chunks"].to_pylist()
+        assert max(n_chunks) > 1, "fixture corpus should contain chunk-split docs"
+
+    def test_problem_rows_replaced(self, pages_ds):
+        ds = extraction_pipeline(pages_ds)
+        table = _collect_table(ds)
+        sources = table["source"].to_pylist()
+        assert "provided" in sources, "degenerate rows should be repaired"
+
+
+class TestExplicitSplitVariant:
+    def test_byte_identical_to_flagship(self, pages_ds, golden_small):
+        result = _collect(extraction_pipeline_explicit_split(pages_ds))
+        assert set(result) == set(golden_small)
+        mismatches = [u for u in golden_small if result[u] != golden_small[u]]
+        assert not mismatches, f"{len(mismatches)} mismatching urls, e.g. {mismatches[:3]}"
+
+
+class TestTableMergeFlavor:
+    def test_bank_statement_query_routes_to_table_merge(self, ray_session, small_pages):
+        import ray.data as rd
+
+        ds = rd.from_arrow(small_pages)
+        cfg = EngineConfig(validation_enabled=False)
+        out = extraction_pipeline(ds, config=cfg, query="02_Trial_Balance")
+        table = _collect_table(out)
+        texts = dict(zip(table["url"].to_pylist(), table["extracted_text"].to_pylist()))
+        urls = small_pages["url"].to_pylist()
+        # bucket 6 rows (doc_id % 10 == 6) are multi-page bank statements →
+        # their cross-page merged tables carry page-range captions.
+        bank_urls = [u for i, u in enumerate(urls) if i % 10 == 6]
+        assert any("**Table from Pages" in texts[u] for u in bank_urls)
