@@ -1,0 +1,167 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and each ``map_batches`` task does one numpy matmul against its
+batch (embarrassingly parallel scan; per-batch partial top-k, merged on the
+driver). Scale path: IVF — k-means-style coarse centroids (deterministic
+seeded init, a few Lloyd iterations over a sample), assign every vector to
+its nearest centroid in a vectorized stage, then probe only ``n_probe``
+inverted lists per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: list[int] | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k of each query against the dataset.
+
+    Returns ``(query_id, vec_id, score, rank)`` with rank 1..k, ties broken
+    by vec_id ascending (deterministic). Queries are broadcast via
+    ``ray.put`` ONCE; each batch task computes ``Q @ B.T`` and emits its
+    local top-k, so the driver merges tiny partials.
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(q)
+    if query_ids is None:
+        query_ids = list(range(len(q)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qmat = ray.get(qref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        sims = qmat @ mat.T  # (n_queries, n_batch)
+        kk = min(k, sims.shape[1])
+        # top-k per query with deterministic vec_id tiebreak
+        order = np.lexsort((ids[None, :].repeat(len(qmat), 0), -sims), axis=1)[:, :kk]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qmat)):
+            sel = order[qi]
+            out_q.extend([qi] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(sims[qi, sel].tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_v, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["qi", id_col, "score"],
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    # Final merge: global top-k per query from the per-batch partials.
+    partials = partials.sort_values(
+        ["qi", "score", id_col], ascending=[True, False, True]
+    )
+    top = partials.groupby("qi", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("qi").cumcount() + 1
+    top["query_id"] = [query_ids[int(i)] for i in top["qi"]]
+    return top[["query_id", id_col, "score", "rank"]]
+
+
+def build_ivf_centroids(
+    ds,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_limit: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse centroids: seeded pick of initial points from a
+    bounded sample, then a few Lloyd iterations (driver-side — the sample is
+    small; at 10^12 scale this becomes a minibatch k-means over partials)."""
+    sample = []
+    for batch in ds.select_columns([vec_col]).iter_batches(batch_format="pyarrow"):
+        sample.extend(batch[vec_col].to_pylist())
+        if len(sample) >= sample_limit:
+            break
+    mat = _normalize(np.array(sample[:sample_limit], dtype=np.float64))
+    rng = np.random.Generator(np.random.Philox(seed))
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: list[int] | None = None,
+) -> pd.DataFrame:
+    """IVF-bucketed ANN: vectors are assigned to their nearest centroid in a
+    vectorized stage; each query scans only its ``n_probe`` closest lists.
+    Same output shape as :func:`brute_force_topk` (approximate recall)."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cen = _normalize(np.asarray(centroids, dtype=np.float64))
+    if query_ids is None:
+        query_ids = list(range(len(q)))
+    # lists to probe per query
+    probe = np.argsort(-(q @ cen.T), axis=1)[:, :n_probe]
+    probe_sets = [set(row.tolist()) for row in probe]
+    qref = ray.put((q, cen, probe_sets))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qmat, cmat, probes = ray.get(qref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        assign = (mat @ cmat.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, pset in enumerate(probes):
+            mask = np.isin(assign, list(pset))
+            if not mask.any():
+                continue
+            sims = qmat[qi] @ mat[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            sel = np.lexsort((sub_ids, -sims))[:kk]
+            out_q.extend([qi] * kk)
+            out_v.extend(sub_ids[sel].tolist())
+            out_s.extend(sims[sel].tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_v, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["qi", id_col, "score"],
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(
+        ["qi", "score", id_col], ascending=[True, False, True]
+    )
+    top = partials.groupby("qi", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("qi").cumcount() + 1
+    top["query_id"] = [query_ids[int(i)] for i in top["qi"]]
+    return top[["query_id", id_col, "score", "rank"]]

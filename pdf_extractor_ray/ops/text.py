@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data curation.
+
+All are vectorized/stateful ``map_batches`` stages over a documents table
+``(doc_id, text, lang, ...)``: language-ID (stopword-hit heuristic),
+quality scoring (length/alnum/stopword ratios — the corpus generalization
+of the reference's density detectors, reference: problem_detector.py:67-82,
+213-228), token counting (whitespace + BPE-ish word/number/punct regex),
+and rolling-hash document fingerprints.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Tiny deterministic stopword lists per language (marker words only — this
+# is an n-gram/stopword heuristic, not a model).
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a and of to in is it for on with as at by an be this that".split()),
+    "de": frozenset("der die das und ist ein eine zu den von mit für auf im nicht".split()),
+    "fr": frozenset("le la les et de des un une du est pour dans que sur pas".split()),
+    "es": frozenset("el la los las y de un una es en para con por que no se".split()),
+    "he": frozenset("של על עם את זה הוא היא אני לא כי גם או אם אבל".split()),
+}
+
+# BPE-ish pre-tokenizer: words (with leading space), numbers, punctuation
+# runs — the standard GPT-2-style pre-split shape.
+_BPE_RE = re.compile(r"[A-Za-zÀ-ÿ֐-׿]+|\d+|[^\sA-Za-zÀ-ÿ֐-׿\d]+")
+_WORD_RE = re.compile(r"\S+")
+
+
+class LangIdScorer:
+    """Actor-pool callable: predict language by stopword-hit ratio argmax;
+    falls back to script detection (Hebrew block) then 'und'."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langs = sorted(STOPWORDS)
+        self.hebrew = re.compile(r"[֐-׿]")
+
+    def predict_one(self, text: str) -> str:
+        tokens = (text or "").lower().split()
+        if not tokens:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang in self.langs:
+            hits = sum(1 for t in tokens if t in STOPWORDS[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        if best_hits == 0:
+            if self.hebrew.search(text):
+                return "he"
+            return "und"
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict_one(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column("pred_lang", pa.array(preds, pa.string()))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality features per document: char count, token count, alnum count,
+    alnum ratio, mean token length, stopword ratio (en)."""
+    texts = batch[text_col].to_pylist()
+    n_chars = np.empty(len(texts), dtype=np.int64)
+    n_tokens = np.empty(len(texts), dtype=np.int64)
+    n_alnum = np.empty(len(texts), dtype=np.int64)
+    stop_ratio = np.empty(len(texts), dtype=np.float64)
+    en_stop = STOPWORDS["en"]
+    for i, raw in enumerate(texts):
+        text = raw or ""
+        toks = text.split()
+        n_chars[i] = len(text)
+        n_tokens[i] = len(toks)
+        n_alnum[i] = sum(1 for c in text if c.isalnum())
+        stop_ratio[i] = (
+            sum(1 for t in toks if t.lower() in en_stop) / len(toks) if toks else 0.0
+        )
+    alnum_ratio = np.where(n_chars > 0, n_alnum / np.maximum(n_chars, 1), 0.0)
+    mean_tok_len = np.where(n_tokens > 0, n_alnum / np.maximum(n_tokens, 1), 0.0)
+    return (
+        batch.append_column("n_chars_q", pa.array(n_chars, pa.int64()))
+        .append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+        .append_column("n_alnum", pa.array(n_alnum, pa.int64()))
+        .append_column("alnum_ratio", pa.array(alnum_ratio, pa.float64()))
+        .append_column("mean_token_len", pa.array(mean_tok_len, pa.float64()))
+        .append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
+    )
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token counts: whitespace tokens and BPE-ish pre-tokens."""
+    texts = batch[text_col].to_pylist()
+    ws = [len(_WORD_RE.findall(t or "")) for t in texts]
+    bpe = [len(_BPE_RE.findall(t or "")) for t in texts]
+    return batch.append_column(
+        "ws_tokens", pa.array(ws, pa.int64())
+    ).append_column("bpe_tokens", pa.array(bpe, pa.int64()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit polynomial rolling-hash fingerprint over the alnum-normalized
+    text (deterministic, content-derived — usable as an exact-dup key that
+    ignores formatting, like the reference's normalize-then-compare,
+    reference: content_normalizer.py:14-28)."""
+    texts = batch[text_col].to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for i, raw in enumerate(texts):
+        norm = "".join(ch.lower() for ch in (raw or "") if ch.isalnum())
+        h = np.uint64(14695981039346656037)
+        for ch in norm.encode():
+            h = np.uint64((int(h) * int(base)) & 0xFFFFFFFFFFFFFFFF) ^ np.uint64(ch)
+        out[i] = h
+    return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
+
+
+def lang_distribution(ds, text_col: str = "text"):
+    """Predicted-language histogram via actor-pool scoring + tiny groupby."""
+    from ray.data.aggregate import Count
+
+    scored = ds.map_batches(
+        LangIdScorer,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"text_col": text_col},
+        concurrency=(1, 8),
+    )
+    return scored.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))

@@ -1,0 +1,216 @@
+"""Tests for corpus-scale ops: dedup family, ANN, text analysis, multimodal
+plumbing. Duplicates/near-duplicates are injected deterministically so
+expected clusters are known."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf_extractor_ray.ops.ann import brute_force_topk, build_ivf_centroids, ivf_topk
+from pdf_extractor_ray.ops.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    jaccard_ngrams,
+    minhash_lsh_dedup,
+    simhash_dedup,
+    simhash64,
+)
+from pdf_extractor_ray.ops.multimodal import (
+    ImageFeatureExtractor,
+    decode_image,
+    encode_fake_image,
+    media_pipeline,
+)
+from pdf_extractor_ray.ops.text import (
+    LangIdScorer,
+    fingerprint_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+
+def _docs_table():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again in the field",
+        "a completely different document about ray data pipelines and arrow batches",
+        "numerical tables with balance 1,234.56 and totals for the quarterly report",
+        "der bericht zeigt den saldo und die zahlung für das konto im quartal",
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append({"doc_id": i, "text": text})
+    # exact duplicate of doc 0
+    rows.append({"doc_id": 100, "text": base[0]})
+    # near duplicate of doc 1 (one word changed)
+    rows.append({"doc_id": 101, "text": base[1].replace("arrow", "parquet")})
+    # exact duplicate of doc 2
+    rows.append({"doc_id": 102, "text": base[2]})
+    return pa.Table.from_pylist(rows)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table()).repartition(3)
+
+
+class TestExactDedup:
+    def test_min_id_survives(self, docs_ds):
+        out = exact_dedup(docs_ds).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == [0, 1, 2, 3, 101]
+
+
+class TestMinHash:
+    def test_jaccard_kernel(self):
+        assert jaccard_ngrams("abcdefg", "abcdefg") == 1.0
+        assert jaccard_ngrams("abcdefg", "zzzzzzz") == 0.0
+
+    def test_clusters(self, docs_ds):
+        out = minhash_lsh_dedup(docs_ds, threshold=0.6)
+        clusters = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert clusters[100] == 0  # exact dup of 0
+        assert clusters[102] == 2
+        assert clusters[101] == 1  # near dup of 1
+        assert clusters[3] == 3    # unique doc stays own cluster
+        dups = dict(zip(out["doc_id"], out["is_duplicate"]))
+        assert dups[100] and dups[102] and not dups[0]
+
+
+class TestSimHash:
+    def test_signature_deterministic(self):
+        assert simhash64("hello world") == simhash64("hello world")
+        assert simhash64("hello world") != simhash64("goodbye world")
+
+    def test_exact_dups_cluster(self, docs_ds):
+        out = simhash_dedup(docs_ds)
+        clusters = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert clusters[100] == 0
+        assert clusters[102] == 2
+
+
+class TestEmbeddingDedup:
+    def test_near_identical_vectors_cluster(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(3))
+        vecs = rng.normal(size=(20, 16))
+        rows = [
+            {"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)
+        ]
+        # 20+i := tiny perturbation of i for i in 0..2 → near-dup
+        for i in range(3):
+            rows.append(
+                {"vec_id": 20 + i, "embedding": (vecs[i] + 1e-4).tolist()}
+            )
+        ds = rd.from_items(rows)
+        out = embedding_dedup(ds, threshold=0.999)
+        clusters = dict(zip(out["vec_id"], out["cluster_id"]))
+        for i in range(3):
+            assert clusters[20 + i] == i
+        assert not out[out["vec_id"] < 20]["is_duplicate"].any()
+
+
+class TestANN:
+    def test_brute_force_self_query(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(5))
+        vecs = rng.normal(size=(100, 16))
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+        ).repartition(4)
+        out = brute_force_topk(ds, vecs[:3], k=5, query_ids=[0, 1, 2])
+        # each vector's nearest neighbor is itself
+        top1 = out[out["rank"] == 1]
+        assert top1["vec_id"].tolist() == [0, 1, 2]
+        assert np.allclose(top1["score"], 1.0)
+        assert (out.groupby("query_id").size() == 5).all()
+
+    def test_ivf_recall_of_self(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(6))
+        vecs = rng.normal(size=(200, 16))
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+        ).repartition(4)
+        centroids = build_ivf_centroids(ds, n_centroids=8)
+        out = ivf_topk(ds, vecs[:5], centroids, k=3, n_probe=3, query_ids=list(range(5)))
+        top1 = out[out["rank"] == 1]
+        assert top1["vec_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+class TestTextOps:
+    def test_langid(self):
+        scorer = LangIdScorer()
+        assert scorer.predict_one("the cat is on the mat and it is warm") == "en"
+        assert scorer.predict_one("der hund ist im haus und das ist gut") == "de"
+        assert scorer.predict_one("") == "und"
+
+    def test_quality_and_tokens(self):
+        batch = pa.Table.from_pylist([{"doc_id": 0, "text": "The cat sat. 42!"}])
+        q = quality_batch(batch)
+        assert q["n_tokens"][0].as_py() == 4
+        t = token_count_batch(batch)
+        assert t["ws_tokens"][0].as_py() == 4
+        # BPE-ish: The/ cat/ sat/ ./ 42/ !
+        assert t["bpe_tokens"][0].as_py() == 6
+
+    def test_fingerprint_format_invariant(self):
+        a = pa.Table.from_pylist([{"text": "Hello, World! 123"}])
+        b = pa.Table.from_pylist([{"text": "hello world  123"}])
+        fa = fingerprint_batch(a)["fingerprint"][0].as_py()
+        fb = fingerprint_batch(b)["fingerprint"][0].as_py()
+        assert fa == fb
+
+
+class TestMultimodal:
+    def test_fake_codec_roundtrip(self):
+        payload = encode_fake_image(16, 8, seed=1)
+        img = decode_image(payload)
+        assert img.shape == (8, 16)
+
+    def test_real_codec_is_stub(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n...")
+
+    def test_pipeline_plumbing(self, ray_session):
+        import ray.data as rd
+
+        rows = [
+            {
+                "media_id": i,
+                "url": f"u://{i}",
+                "kind": "image",
+                "payload": encode_fake_image(32, 16, seed=i),
+                "mime": "image/x-fake",
+                "width": 32,
+                "height": 16,
+                "duration_ms": 0,
+            }
+            for i in range(10)
+        ]
+        rows.append(
+            {
+                "media_id": 99,
+                "url": "u://99",
+                "kind": "image",
+                "payload": b"\xffJPEGish",
+                "mime": "image/jpeg",
+                "width": 0,
+                "height": 0,
+                "duration_ms": 0,
+            }
+        )
+        ds = rd.from_items(rows)
+        out = pa.concat_tables(
+            media_pipeline(ds, batch_size=4).iter_batches(batch_format="pyarrow")
+        )
+        assert len(out) == 11
+        ok = out.filter(pa.compute.is_null(out["decode_error"]))
+        assert len(ok) == 10
+        feats = ok["features"].to_pylist()
+        assert all(len(f) == 16 for f in feats)
+        assert "payload" not in out.schema.names
