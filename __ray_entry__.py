@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extract→merge→validate pipeline over pages
+synthesized from the sf0.001 documents table; ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 +
+corpus-scale ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible query (names and column names match exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,31 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents → boilerplate-wrapped pages
+    (every 3rd as toy-PDF binary) → normalize/route → actor-pool extraction
+    → validate/repair. Returns the result Dataset (lazy; driver consumes)."""
+    from pdf_extractor_ray.pipelines.extract import extraction_pipeline
+    from pdf_extractor_ray.queries import wrap_documents_as_pages
+
+    pages = wrap_documents_as_pages(SF_SMOKE, pdf_every=3)
+    return extraction_pipeline(pages)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented pipeline/operator; each callable takes
+    ``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table."""
+    from pdf_extractor_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for the non-SQL-expressible
+    sketch/ANN-approximate ops — driver records rows-only checks there)."""
+    from pdf_extractor_ray.queries import ORACLE_SQL
+
+    return {name: sql for name, sql in ORACLE_SQL.items() if sql is not None}

@@ -1,0 +1,772 @@
+"""Driver-contract query implementations + DuckDB oracle SQL.
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a Dataset /
+pandas DataFrame / pyarrow Table; ``ORACLE_SQL`` maps the same names to
+ANSI SQL DuckDB runs over the same parquet tables. Column names match
+exactly between both sides (the driver's compare is name-keyed).
+
+Float discipline: money aggregates are computed as integer cents
+(``round(x*100)`` per row, summed as int64) on BOTH sides so value hashes
+are exact, never float-sum-order-dependent. Rank outputs drop raw scores
+for the same reason.
+
+Nothing here calls ``ray.init`` — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions.pdf_extract import layout_text
+from .ops.text import STOPWORDS
+from .functions.problems import FINANCIAL_KEYWORDS
+from .pipelines.extract import extraction_pipeline
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x):
+    """Vectorized money→integer-cents (same per-row arithmetic AND rounding
+    mode as the SQL ``CAST(round(x*100, 0) AS BIGINT)`` — DuckDB rounds half
+    away from zero; Arrow's default is half-to-even)."""
+    return pc.cast(
+        pc.round(pc.multiply(x, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational engine queries (TPC-H-ish) — shuffle-minimal implementations
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """Pricing summary: per-batch partial aggregation (combiner) before the
+    tiny final groupby — the pre-aggregate pattern that keeps the all-to-all
+    exchange at O(groups), not O(rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
+        )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.Table.from_arrays(
+            [
+                batch["l_returnflag"],
+                batch["l_linestatus"],
+                _cents(batch["l_quantity"]),
+                _cents(batch["l_extendedprice"]),
+                _cents(disc_price),
+                pa.array(np.ones(len(batch), dtype=np.int64)),
+            ],
+            names=["l_returnflag", "l_linestatus", "qty_c", "base_c", "disc_c", "n"],
+        )
+        df = t.to_pandas()
+        agg = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=True)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_cents"),
+            Sum("base_c", alias_name="sum_base_cents"),
+            Sum("disc_c", alias_name="sum_disc_cents"),
+            Sum("n", alias_name="count_order"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return final
+
+
+def q_orders_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-10 orders by total price (deterministic orderkey tiebreak):
+    distributed sort + limit."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("total_cents", _cents(batch["o_totalprice"])).drop_columns(
+            ["o_totalprice"]
+        )
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out[["o_orderkey", "o_custkey", "total_cents"]]
+
+
+def q_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Revenue per market segment: broadcast hash join (customer is the
+    small side — ``ray.put`` once, dict lookup per batch; no shuffle join)
+    then pre-aggregated groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    customer = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    seg_map = dict(zip(customer["c_custkey"], customer["c_mktsegment"]))
+    ref = ray.put(seg_map)
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        segs = [lookup.get(k, "UNKNOWN") for k in batch["o_custkey"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": segs,
+                "revenue_cents": _cents(batch["o_totalprice"]).to_numpy(),
+                "n_orders": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+        agg = df.groupby("c_mktsegment", sort=True).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return (
+        orders.map_batches(join_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
+def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
+    """customer ⋈ nation ⋈ region (both dimension sides broadcast)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    nat_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+    ref = ray.put(nat_to_region)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = [lookup[k] for k in batch["c_nationkey"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "r_name": names,
+                "n_customers": np.ones(len(batch), dtype=np.int64),
+                "acctbal_cents": _cents(batch["c_acctbal"]).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("r_name", sort=True).sum().reset_index(), preserve_index=False
+        )
+
+    return (
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .to_pandas()
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling hourly window per event type (event-time bucketing as a
+    vectorized projection + pre-aggregated groupby)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.divide(epoch_us, pa.scalar(3_600_000_000))
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "hour": hour.to_numpy(),
+                "n_events": np.ones(len(batch), dtype=np.int64),
+                "value_cents": _cents(batch["value"]).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hour"], sort=True).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-minute inactivity gap) per user: the ordered
+    per-key window pattern — ``groupby(user).map_groups`` with an in-group
+    ts sort; no global ordering required."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("ts")
+        gaps = group["ts"].diff().dt.total_seconds().fillna(0)
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(group["user_id"].iloc[0])],
+                "n_events": [len(group)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_lineitem_filter(sf_dir: str) -> pd.DataFrame:
+    """Predicate + projection pushed to the read (column pruning at the
+    parquet scan), per-batch vectorized filter, pre-aggregated count."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(
+                batch["l_shipdate"], pa.scalar(np.datetime64("1995-01-01", "us"))
+            ),
+            pc.greater(batch["l_quantity"], pa.scalar(25.0)),
+        )
+        batch = batch.filter(mask)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pylist(),
+                "n": np.ones(len(batch), dtype=np.int64),
+                "qty_cents": _cents(batch["l_quantity"]).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", sort=True).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"), Sum("qty_cents", alias_name="qty_cents"))
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction queries over the documents table
+# ---------------------------------------------------------------------------
+
+_WRAP_PREFIX = (
+    "<html><head><title>doc</title><script>var boiler=1;</script></head><body>"
+    '<nav><a href="/home">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a> <a href="/terms">Terms</a></nav>'
+    '<div class="cookie-banner">We use cookies. <a href="/ok">Accept</a></div>'
+    "<aside class='sidebar'><a href='/x'>x</a><br><a href='/y'>y</a></aside>"
+    "<article><p>"
+)
+_WRAP_SUFFIX = (
+    "</p></article><footer>© 2026 Example Corp · legal · privacy</footer>"
+    "</body></html>"
+)
+
+
+def wrap_documents_as_pages(sf_dir: str, pdf_every: int = 0):
+    """documents table → pages table (the engine's input shape): text
+    wrapped in a deterministic boilerplate shell; every ``pdf_every``-th doc
+    becomes a toy-PDF payload instead (0 = never). Extraction must recover
+    ``text`` byte-exactly — the independent SQL oracle for the whole
+    extract stage."""
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        payloads = []
+        for i, text in zip(ids, texts):
+            if pdf_every and i % pdf_every == 0:
+                payloads.append(layout_text(text))
+            else:
+                payloads.append((_WRAP_PREFIX + text + _WRAP_SUFFIX).encode())
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(
+                    [1_767_225_600_000_000 + i * 1_000_000 for i in ids],
+                    pa.timestamp("us"),
+                ),
+                pa.array(payloads, pa.binary()),
+                pa.array(texts, pa.string()),
+                pa.array(langs, pa.string()),
+                pa.array(ids, pa.int64()),
+            ],
+            names=["url", "warc_ts", "html", "text", "lang", "doc_id"],
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+
+
+def _roundtrip(sf_dir: str, pdf_every: int) -> pd.DataFrame:
+    pages = wrap_documents_as_pages(sf_dir, pdf_every=pdf_every)
+    out = extraction_pipeline(pages)
+    df = out.select_columns(["doc_id", "extracted_text"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_extract_html(sf_dir: str) -> pd.DataFrame:
+    """Full pipeline over boilerplate-wrapped documents; extracted text must
+    equal the original text byte-for-byte (oracle: SELECT doc_id, text)."""
+    return _roundtrip(sf_dir, pdf_every=0)
+
+
+def q_extract_mixed(sf_dir: str) -> pd.DataFrame:
+    """Same, with every 3rd document as a toy-PDF payload — exercises the
+    routing + PDF layout-analysis branch under the same byte-identity oracle."""
+    return _roundtrip(sf_dir, pdf_every=3)
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Whitespace-token and alnum-char counts per document (vectorized
+    text-analysis stage)."""
+    from .ops.text import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: quality_batch(b).select(["doc_id", "n_tokens", "n_alnum"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
+    """Predicted-language histogram (stopword-hit argmax heuristic)."""
+    from .ops.text import lang_distribution
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = lang_distribution(ds).to_pandas()
+    return out.sort_values("pred_lang").reset_index(drop=True)
+
+
+def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup over documents ∪ an id-shifted copy: the survivor set is
+    the original ids (oracle: GROUP BY text / min(doc_id))."""
+    from .ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(batch["doc_id"], pa.scalar(100_000, pa.int64())),
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    out = exact_dedup(both).to_pandas()[["doc_id", "n_chars"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup over documents ∪ perturbed copies (every 5th doc
+    duplicated with its last word dropped). Rows-only driver check; the
+    expected clustering is asserted in tests/test_entry.py."""
+    import ray.data as rd
+
+    from .ops.dedup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = [i for i in batch["doc_id"].to_pylist() if i % 5 == 0]
+        texts = [
+            " ".join(t.split()[:-1])
+            for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+            if i % 5 == 0
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array([i + 100_000 for i in ids], pa.int64()),
+                pa.array(texts, pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+
+    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    out = minhash_lsh_dedup(both, threshold=0.7)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup clustering over documents ∪ exact copies."""
+    from .ops.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(batch["doc_id"], pa.scalar(100_000, pa.int64())),
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    out = simhash_dedup(both)[["doc_id", "cluster_id", "is_duplicate"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_embedding_dedup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup over embeddings ∪ id-shifted copies."""
+    from .ops.dedup import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(batch["vec_id"], pa.scalar(100_000, pa.int64())),
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    out = embedding_dedup(both, threshold=0.9999)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 of the first 5 vectors against the corpus
+    (broadcast query matrix; per-batch numpy matmul; rank-only output so the
+    oracle hash is float-free)."""
+    from .ops.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = (
+        ds.to_pandas().sort_values("vec_id").head(5)["embedding"].tolist()
+    )
+    out = brute_force_topk(ds, np.array(queries), k=10, query_ids=list(range(5)))
+    return (
+        out[["query_id", "vec_id", "rank"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN over the same queries (approximate — rows-only)."""
+    from .ops.ann import build_ivf_centroids, ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = ds.to_pandas().sort_values("vec_id").head(5)["embedding"].tolist()
+    centroids = build_ivf_centroids(ds, n_centroids=8)
+    out = ivf_topk(ds, np.array(queries), centroids, k=10, n_probe=4, query_ids=list(range(5)))
+    return (
+        out[["query_id", "vec_id", "rank"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def q_extraction_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-language lineage rollup of the HTML roundtrip pipeline (the G3
+    metrics aggregate keyed on a SQL-checkable column)."""
+    from ray.data.aggregate import Sum
+
+    pages = wrap_documents_as_pages(sf_dir)
+    out = extraction_pipeline(pages)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "docs": np.ones(len(batch), dtype=np.int64),
+                "bytes_out": [len(t) for t in batch["extracted_text"].to_pylist()],
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=True).sum().reset_index(), preserve_index=False
+        )
+
+    return (
+        out.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("docs", alias_name="docs"), Sum("bytes_out", alias_name="bytes_out"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+def _keyword_condition() -> str:
+    parts = " OR ".join(
+        "lower(text) LIKE '%" + kw.replace("'", "''") + "%'"
+        for kw in FINANCIAL_KEYWORDS
+    )
+    return "(" + parts + ")"
+
+
+def _langid_sql() -> str:
+    """SQL replica of LangIdScorer: per-language stopword token hits,
+    argmax with alphabetical tiebreak, Hebrew-script fallback, 'und'."""
+    hit_exprs = {
+        lang: (
+            "length(regexp_extract_all(lower(text), '\\b("
+            + "|".join(sorted(STOPWORDS[lang]))
+            + ")\\b'))"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    langs = sorted(STOPWORDS)
+    # strictly-greater argmax scanning langs alphabetically == python loop
+    case = "CASE\n"
+    for i, lang in enumerate(langs):
+        others = [
+            f"h_{lang} >= h_{o}" if o > lang else f"h_{lang} > h_{o}"
+            for o in langs
+            if o != lang
+        ]
+        case += (
+            f" WHEN h_{lang} > 0 AND " + " AND ".join(others) + f" THEN '{lang}'\n"
+        )
+    case += (
+        " WHEN regexp_matches(text, '[֐-׿]') THEN 'he'\n"
+        " ELSE 'und' END"
+    )
+    hits = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hit_exprs.items())
+    return (
+        f"WITH hits AS (SELECT doc_id, text, {hits} FROM documents),\n"
+        f"pred AS (SELECT doc_id, {case} AS pred_lang FROM hits)\n"
+        "SELECT pred_lang, count(*) AS n_docs FROM pred GROUP BY pred_lang "
+        "ORDER BY pred_lang"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "orders_topk": """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+        FROM orders
+        ORDER BY total_cents DESC, o_orderkey
+        LIMIT 10
+    """,
+    "revenue_by_segment": """
+        SELECT c.c_mktsegment,
+               CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    "customers_per_region": """
+        SELECT r.r_name,
+               count(*) AS n_customers,
+               CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY event_type, hour
+        ORDER BY event_type, hour
+    """,
+    "user_sessions": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+        FROM ordered
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "lineitem_filter": """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 25
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "extract_html": """
+        SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+    """,
+    "extract_mixed": """
+        SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+    """,
+    "token_stats": r"""
+        SELECT doc_id,
+               length(regexp_extract_all(text, '\S+')) AS n_tokens,
+               length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum
+        FROM documents ORDER BY doc_id
+    """,
+    "exact_dedup": """
+        SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+        FROM (
+            SELECT doc_id, text, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text, n_chars FROM documents
+        )
+        GROUP BY text
+        ORDER BY doc_id
+    """,
+    "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.qid AS query_id, e.vec_id,
+                   list_cosine_similarity(q.qe, e.embedding) AS score
+            FROM q CROSS JOIN embeddings e
+        ), ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    "extraction_metrics": """
+        SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS bytes_out
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "problem_flags": None,  # filled in below (built from the keyword list)
+}
+
+ORACLE_SQL["problem_flags"] = f"""
+    SELECT doc_id,
+           length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) < 100 AS low_content_density,
+           length(trim(text)) < 200 AS very_short_pages,
+           (length(text) >= 500 AND NOT {_keyword_condition()}) AS missing_keywords
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["lang_distribution"] = _langid_sql()
+
+
+def q_problem_flags(sf_dir: str) -> pd.DataFrame:
+    """Three SQL-expressible detectors over documents.text as boolean
+    columns (reference: problem_detector.py:67-82, 213-228, 230-259)."""
+    from .functions.problems import (
+        detect_low_content_density,
+        detect_missing_keywords,
+        detect_very_short_pages,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array([detect_low_content_density(t) for t in texts]),
+                pa.array([detect_very_short_pages(t) for t in texts]),
+                pa.array([detect_missing_keywords(t) for t in texts]),
+            ],
+            names=["doc_id", "low_content_density", "very_short_pages", "missing_keywords"],
+        )
+
+    out = ds.map_batches(flags, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "orders_topk": q_orders_topk,
+    "revenue_by_segment": q_revenue_by_segment,
+    "customers_per_region": q_customers_per_region,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "lineitem_filter": q_lineitem_filter,
+    "extract_html": q_extract_html,
+    "extract_mixed": q_extract_mixed,
+    "problem_flags": q_problem_flags,
+    "token_stats": q_token_stats,
+    "lang_distribution": q_lang_distribution,
+    "exact_dedup": q_exact_dedup,
+    "minhash_dedup": q_minhash_dedup,      # rows-only (non-SQL-expressible)
+    "simhash": q_simhash,                  # rows-only
+    "embedding_dedup": q_embedding_dedup,  # rows-only
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,                  # rows-only (approximate)
+    "extraction_metrics": q_extraction_metrics,
+}
