@@ -1,0 +1,178 @@
+"""Benchmark driver: headline extraction pipeline + representative queries.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...,
+"num_cpus": N, ...}``
+
+Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1), ``RAY_GRAFT_CPUS``
+(default 32). ``--scaling`` runs the headline pipeline at 8 and 32 CPUs in
+fresh processes on the same input and reports throughput + scaling
+efficiency (the sandbox stand-in for N-node vs 4N-node clusters).
+
+The synthetic pages corpus (FIXTURES.md mix, |documents|×20 rows) is
+generated ONCE per scale as a distributed Ray Data job and cached in /tmp;
+timed runs read the cached parquet so the measurement is
+read → extract → validate → write, not fixture generation. A warm-up read
+primes the page cache before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_corpus(sf_dir: str, n_pages: int, num_cpus: int) -> str:
+    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}"
+    marker = os.path.join(corpus_dir, "_DONE")
+    if os.path.exists(marker):
+        return corpus_dir
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    log(f"generating bench corpus: {n_pages} pages -> {corpus_dir}")
+    from pdf_extractor_ray.sources.pages import synthesize_pages_dataset
+
+    ds = synthesize_pages_dataset(n_pages, seed=42, parallelism=num_cpus * 4)
+    ds.write_parquet(corpus_dir)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return corpus_dir
+
+
+def run_headline(corpus_dir: str, out_dir: str):
+    import ray.data as rd
+
+    from pdf_extractor_ray.pipelines.extract import extraction_pipeline
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = rd.read_parquet(corpus_dir)
+    result = extraction_pipeline(ds)
+    result.write_parquet(out_dir)
+
+
+def corpus_stats(corpus_dir: str) -> tuple[int, int]:
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(corpus_dir, format="parquet")
+    n = dataset.count_rows()
+    nbytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(corpus_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return n, nbytes
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--scaling" in sys.argv:
+        # N vs 4N CPUs in fresh processes on the same input. Defaults are
+        # 2→8: this sandbox exposes only ~9-10 effective cores regardless of
+        # num_cpus (see BASELINE.md "host capacity"), so the pair must sit
+        # inside physical capacity for the efficiency number to be
+        # meaningful. Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI.
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+        results = {}
+        for ncpu in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling_{lo}_to_{hi}_cpus",
+                    f"sec_{lo}": round(t_lo, 2),
+                    f"sec_{hi}": round(t_hi, 2),
+                    f"docs_per_sec_{lo}": results[lo]["docs_per_sec"],
+                    f"docs_per_sec_{hi}": results[hi]["docs_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                    "sf": sf,
+                }
+            )
+        )
+        return
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n_pages = int(n_docs) * 20
+
+    corpus_dir = ensure_corpus(sf_dir, n_pages, num_cpus)
+    rows, in_bytes = corpus_stats(corpus_dir)
+
+    # Warm the page cache so we time compute, not first-touch disk reads.
+    import ray.data as rd
+
+    rd.read_parquet(corpus_dir).count()
+
+    log(f"headline: {rows} pages, {in_bytes/1e6:.0f} MB parquet, num_cpus={num_cpus}")
+    t0 = time.time()
+    run_headline(corpus_dir, "/tmp/graft_bench/out")
+    headline_sec = time.time() - t0
+
+    # Representative queries over the sf dir (driver-style).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pdf_extractor_ray.queries import QUERIES
+
+    query_times: dict[str, float] = {}
+    for name in (
+        "tpch_q1", "events_hourly", "extract_html", "exact_dedup",
+        "ann_topk", "token_stats",
+    ):
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res.to_pandas()
+        query_times[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_extract_pipeline",
+                "value": round(headline_sec, 3),
+                "unit": "sec",
+                "queries": query_times,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "pages": rows,
+                "docs_per_sec": round(rows / headline_sec, 1),
+                "input_mb_per_sec": round(in_bytes / 1e6 / headline_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

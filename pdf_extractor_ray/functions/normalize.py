@@ -17,6 +17,10 @@ _CURRENCY_RE = re.compile(r"[₪$€£¥₹₪]")
 # (reference: content_normalizer.py:56).
 _NUMBER_RE = re.compile(r"-?\d+(?:[,\.\s]\d{3})*(?:[,\.]\d+)?%?")
 _HEBREW_RE = re.compile(r"[֐-׿]")
+# Strip everything that is not a Unicode alphanumeric ([\W_] = non-word or
+# underscore; \w minus underscore == str.isalnum for practical purposes) —
+# a C-level replacement for a per-char isalnum scan.
+_NON_ALNUM_RE = re.compile(r"[\W_]+", re.UNICODE)
 
 
 def normalize_for_comparison(text: str) -> str:
@@ -27,7 +31,7 @@ def normalize_for_comparison(text: str) -> str:
     """
     if not text:
         return ""
-    return "".join(ch.lower() for ch in text if ch.isalnum())
+    return _NON_ALNUM_RE.sub("", text).lower()
 
 
 def _disambiguate_separators(num: str) -> str:

@@ -26,6 +26,15 @@ _TEXT_REPEAT_RE = re.compile(r"\b(\d+(?:[.,]\d+)?)\s+(?:\1\s+){2,}")
 _UNKNOWN_CHARS = ("□", "�", "☐", "▯", "▢", "▣")
 _STANDALONE_Q_RE = re.compile(r"\s\?\s")
 _IMAGE_RE = re.compile(r"!\[([^\]]*)\]\(([^\)]+)\)")
+# Alphanumeric runs ([^\W_] == unicode letters+digits, no underscore) — a
+# C-level replacement for per-char str.isalnum() scans (hot path: these
+# detectors run on every extracted document).
+_ALNUM_RUN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def count_alnum(text: str) -> int:
+    """Number of alphanumeric characters (vectorized regex scan)."""
+    return sum(map(len, _ALNUM_RUN_RE.findall(text)))
 
 # Finance keywords, English + Hebrew (reference: problem_detector.py:240-250).
 FINANCIAL_KEYWORDS = (
@@ -50,7 +59,7 @@ def detect_low_content_density(content: str) -> bool:
     (reference: problem_detector.py:67-82)."""
     if not content:
         return True
-    return sum(1 for c in content if c.isalnum()) < 100
+    return count_alnum(content) < 100
 
 
 def detect_missing_numbers(content: str) -> bool:
@@ -87,10 +96,14 @@ def detect_garbled_text(content: str) -> bool:
     all-special content is garbled (reference: problem_detector.py:158-182)."""
     if not content:
         return False
-    alnum = sum(1 for c in content if c.isalnum())
+    alnum = count_alnum(content)
     if alnum == 0:
         return True
-    special = sum(1 for c in content if not c.isalnum() and c not in _COMMON_CHARS)
+    # special = everything that is neither alnum nor common punctuation;
+    # counted with C-level str.count passes instead of a per-char scan
+    # (alnum and the common set are disjoint, underscore counts as special).
+    n_common = sum(content.count(c) for c in _COMMON_CHARS)
+    special = len(content) - alnum - n_common
     return special / alnum > 0.2
 
 
