@@ -382,6 +382,77 @@ def q_extract_mixed(sf_dir: str) -> pd.DataFrame:
     return _roundtrip(sf_dir, pdf_every=3)
 
 
+def q_extract_with_repair(sf_dir: str) -> pd.DataFrame:
+    """Every 7th document's payload is corrupted (truncated to <100 alnum
+    chars → ``low_content_density`` fires); the validate stage must repair
+    it from the provided ``text`` column, so the final output STILL equals
+    ``SELECT doc_id, text`` — the repair policy proven through the oracle
+    (reference substitution policy: mistral_client.py:237-244)."""
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads = []
+        for i, text in zip(ids, texts):
+            body = text[:40] if i % 7 == 0 else text  # corrupted minority
+            payloads.append((_WRAP_PREFIX + body + _WRAP_SUFFIX).encode())
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(payloads, pa.binary()),
+                pa.array(texts, pa.string()),
+                pa.array(["en"] * len(ids), pa.string()),
+                pa.array(ids, pa.int64()),
+            ],
+            names=["url", "html", "text", "lang", "doc_id"],
+        )
+
+    pages = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    out = extraction_pipeline(pages)
+    df = out.select_columns(["doc_id", "extracted_text"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_classify_transactions(sf_dir: str) -> pd.DataFrame:
+    """Running-balance DEBIT/CREDIT classification end-to-end: a synthetic
+    bank statement derived from lineitem → rendered as a markdown table
+    (reference: table_merger.py:38-92) → parsed back
+    (reference: classify_debit_credit.py:261-310) → classified by balance
+    continuity (reference: classify_debit_credit.py:161-258). The oracle
+    recomputes the expected classification with SQL window functions."""
+    from .functions.numbers import classify_transactions
+    from .functions.tables import parse_markdown_tables, render_table_markdown
+
+    rows = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
+        )
+        .sort(["l_orderkey", "l_linenumber"])
+        .limit(200)
+        .to_pandas()
+    )
+    amounts = (rows["l_extendedprice"] / 100).round(2)
+    signed = np.where(rows["l_linenumber"] % 2 == 0, amounts, -amounts)
+    balances = (10_000 + np.cumsum(signed)).round(2)
+    table_rows = [
+        [flag, f"{amt:,.2f}", f"{bal:,.2f}"]
+        for flag, amt, bal in zip(rows["l_returnflag"], amounts, balances)
+    ]
+    markdown = render_table_markdown(["Description", "Amount", "Balance"], table_rows, 1)
+    parsed = parse_markdown_tables(markdown)[0]
+    df = pd.DataFrame(parsed["rows"], columns=parsed["headers"])
+    classified = classify_transactions(df)
+    return pd.DataFrame(
+        {
+            "row_idx": np.arange(len(classified), dtype=np.int64),
+            "transaction_type": classified["transaction_type"].tolist(),
+        }
+    )
+
+
 def q_token_stats(sf_dir: str) -> pd.DataFrame:
     """Whitespace-token and alnum-char counts per document (vectorized
     text-analysis stage)."""
@@ -673,6 +744,34 @@ ORACLE_SQL: dict[str, str] = {
     "extract_mixed": """
         SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """,
+    "extract_with_repair": """
+        SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+    """,
+    "classify_transactions": """
+        WITH src AS (
+            SELECT l_linenumber,
+                   round(l_extendedprice / 100, 2) AS amt,
+                   row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber
+            LIMIT 200
+        ), bal AS (
+            SELECT rn, amt,
+                   round(10000 + sum(CASE WHEN l_linenumber % 2 = 0 THEN amt ELSE -amt END)
+                                 OVER (ORDER BY rn), 2) AS balance
+            FROM src
+        ), d AS (
+            SELECT rn, amt,
+                   balance - lag(balance) OVER (ORDER BY rn) AS diff
+            FROM bal
+        )
+        SELECT rn - 1 AS row_idx,
+               CASE WHEN rn = 1 THEN ''
+                    WHEN abs(diff - amt) < abs(diff) * 0.01 THEN 'CREDIT'
+                    WHEN abs(diff + amt) < abs(diff) * 0.01 THEN 'DEBIT'
+                    ELSE 'UNCLEAR' END AS transaction_type
+        FROM d ORDER BY row_idx
+    """,
     "token_stats": r"""
         SELECT doc_id,
                length(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -759,6 +858,8 @@ QUERIES = {
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,
+    "extract_with_repair": q_extract_with_repair,
+    "classify_transactions": q_classify_transactions,
     "problem_flags": q_problem_flags,
     "token_stats": q_token_stats,
     "lang_distribution": q_lang_distribution,
