@@ -453,6 +453,19 @@ def q_classify_transactions(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_sections(sf_dir: str) -> pd.DataFrame:
+    """Extraction → section-row explosion (the columnar form of the
+    reference's ZIP-of-sections sink, response_builder.py:143-189). Wrapped
+    documents have no headings, so each yields exactly one preamble section
+    whose content is the document text — fully SQL-checkable."""
+    from .stages.sections import sections_rows
+
+    pages = wrap_documents_as_pages(sf_dir)
+    out = sections_rows(extraction_pipeline(pages))
+    df = out.select_columns(["url", "section_idx", "title", "content"]).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_token_stats(sf_dir: str) -> pd.DataFrame:
     """Whitespace-token and alnum-char counts per document (vectorized
     text-analysis stage)."""
@@ -747,6 +760,13 @@ ORACLE_SQL: dict[str, str] = {
     "extract_with_repair": """
         SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """,
+    "sections": """
+        SELECT printf('doc://%08d', doc_id) AS url,
+               0 AS section_idx,
+               '' AS title,
+               text AS content
+        FROM documents ORDER BY url
+    """,
     "classify_transactions": """
         WITH src AS (
             SELECT l_linenumber,
@@ -860,6 +880,7 @@ QUERIES = {
     "extract_mixed": q_extract_mixed,
     "extract_with_repair": q_extract_with_repair,
     "classify_transactions": q_classify_transactions,
+    "sections": q_sections,
     "problem_flags": q_problem_flags,
     "token_stats": q_token_stats,
     "lang_distribution": q_lang_distribution,

@@ -1,0 +1,96 @@
+"""Section building: document markdown → per-section rows.
+
+Re-expresses the reference's outline→section flow
+(reference: src/services/workflows/default_handler.py:104-111,150-197 and
+the ZIP-of-sections sink, src/services/response_builder.py:143-189): instead
+of a ZIP of per-section files, sections become extra ROWS
+``(url, section_idx, title, content, filename)`` — the columnar equivalent
+of the multi-file download, written as ordinary Parquet.
+
+Section boundaries are top-level markdown headings (``# `` / ``## ``); the
+preamble before the first heading is section 0 with an empty title. The
+query filter applies the reference's outline-filter semantics including the
+return-all-on-no-match fallback (reference: src/core/utils.py:11-32).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.assemble import filter_outlines_by_query
+from ..functions.normalize import safe_filename
+
+_HEADING_RE = re.compile(r"^(#{1,2})\s+(.*)$")
+_MAX_SECTIONS = 4  # top-level outline cap (reference: pdf_processor.py:56-59)
+
+
+def build_sections(markdown: str, max_sections: int = _MAX_SECTIONS) -> list[dict]:
+    """Split document markdown into top-level sections.
+
+    Returns ``[{title, content}]`` in document order. At most
+    ``max_sections`` heading-delimited sections are kept distinct (the
+    reference caps top-level outlines at 4); further headings stay inside
+    the last section's content.
+    """
+    lines = markdown.split("\n")
+    sections: list[dict] = []
+    current_title = ""
+    current_lines: list[str] = []
+
+    def flush() -> None:
+        content = "\n".join(current_lines).strip()
+        if content or current_title:
+            sections.append({"title": current_title, "content": content})
+
+    for line in lines:
+        match = _HEADING_RE.match(line)
+        # The final flush adds one more section, so stop splitting once
+        # max_sections - 1 are already flushed.
+        if match and len(sections) < max_sections - 1:
+            flush()
+            current_title = match.group(2).strip()
+            current_lines = []
+        else:
+            current_lines.append(line)
+    flush()
+    return sections
+
+
+def sections_rows(ds, query: str | None = None):
+    """Dataset stage: explode extracted documents into section rows, with
+    the query filter (and its return-all fallback) applied per document."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["extracted_text"].to_pylist()
+        out_url, out_idx, out_title, out_content, out_fname = [], [], [], [], []
+        for url, text in zip(urls, texts):
+            sections = build_sections(text or "")
+            outline = [
+                {"title": s["title"], "index": i} for i, s in enumerate(sections)
+            ]
+            kept = filter_outlines_by_query(outline, query or "")
+            kept_indices = {o["index"] for o in kept}
+            base = url.rsplit("/", 1)[-1] or "doc"
+            for i, section in enumerate(sections):
+                if i not in kept_indices:
+                    continue
+                out_url.append(url)
+                out_idx.append(i)
+                out_title.append(section["title"])
+                out_content.append(section["content"])
+                out_fname.append(safe_filename(section["title"] or f"section{i}", base))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_url, pa.string()),
+                pa.array(out_idx, pa.int32()),
+                pa.array(out_title, pa.string()),
+                pa.array(out_content, pa.string()),
+                pa.array(out_fname, pa.string()),
+            ],
+            names=["url", "section_idx", "title", "content", "filename"],
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
