@@ -304,10 +304,8 @@ def golden_extract(pages: pa.Table, config=None) -> dict[str, str]:
     """
     from .config import EngineConfig
     from .functions.pdf_extract import extract_pdf
-    from .functions.problems import has_any_problem
     from .functions.routing import sniff_payload_route
-    from .stages.validate import should_validate
-    from .functions.similarity import calculate_similarity
+    from .functions.validate import validate_document
 
     config = config or EngineConfig()
     out: dict[str, str] = {}
@@ -322,9 +320,15 @@ def golden_extract(pages: pa.Table, config=None) -> dict[str, str]:
             extracted, _ = extract_html(payload.decode("utf-8", errors="replace"))
         else:
             extracted = ""
-        has_problem, _ = has_any_problem(extracted, config.problems_enabled)
-        if has_problem and provided:
-            out[url] = provided
-        else:
-            out[url] = extracted
+        result = validate_document(
+            extracted,
+            provided,
+            url,
+            config.problems_enabled,
+            sample_rate=config.validation_sample_rate,
+            similarity_threshold=config.validation_similarity_threshold,
+            similarity_method=config.validation_similarity_method,
+            skip_if_no_alternative=config.validation_skip_sample_if_clean,
+        )
+        out[url] = result.text
     return out

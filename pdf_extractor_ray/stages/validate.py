@@ -1,108 +1,73 @@
-"""Validation stage: problem detection, similarity, repair.
+"""Validation stage: per-page problem detection, similarity, repair.
 
-Per-document re-expression of the reference's per-page cross-validation
-(reference: src/services/validation/validation_orchestrator.py:156-421 and
-the substitution policy in src/services/mistral_client.py:237-251):
-
-- run the enabled problem detectors over the extracted markdown
-- if problems were detected → substitute the provided reference ``text``
-  column (the engine's "alternative extraction"), similarity = 0.0,
-  passed = False, source = "provided"
-- else, for the deterministic validation sample → compute similarity
-  against ``text``; below-threshold pages are kept but flagged
-  (reference keeps originals on low similarity, replacing only
-  problem pages)
-- unsampled clean rows skip similarity entirely (null score)
-
-Sampling is the reference's every-Nth-page rule with the ``random.randint``
-offset replaced by a stable url hash so reruns at any parallelism are
-byte-identical (reference: validation_orchestrator.py:156-180 uses a random
-offset; determinism is a hard requirement here, SURVEY.md §7.3).
+Thin ``map_batches`` wrapper over the pure per-page validator
+(..functions.validate — reference semantics citations there). Adds the
+validation columns and applies the repair policy to ``extracted_text``.
 """
 
 from __future__ import annotations
 
-import zlib
-
-import numpy as np
 import pyarrow as pa
 
 from ..config import EngineConfig
-from ..functions.problems import has_any_problem
-from ..functions.similarity import calculate_similarity
+from ..functions.validate import DocValidation, validate_document
 
-VALIDATE_COLUMNS = ("problems", "has_problem", "similarity", "passed", "source")
-
-
-def should_validate(url: str, sample_rate: int) -> bool:
-    """Deterministic sampling: validate every ``sample_rate``-th document by
-    stable url hash (replaces reference's random offset for reproducibility)."""
-    if sample_rate <= 1:
-        return True
-    return zlib.crc32(url.encode()) % sample_rate == 0
+VALIDATE_COLUMNS = (
+    "problems", "has_problem", "similarity", "passed", "source",
+    "n_pages_validated", "n_pages_replaced",
+)
 
 
 def validate_batch(batch: pa.Table, config: EngineConfig | None = None) -> pa.Table:
-    """Stateless ``map_batches`` UDF adding validation columns and applying
-    the repair policy to ``extracted_text``."""
+    """Stateless ``map_batches`` UDF: validate each document at page
+    granularity and emit the repaired text + validation columns."""
     config = config or EngineConfig()
-    enabled = config.problems_enabled
     urls = batch["url"].to_pylist()
     extracted = batch["extracted_text"].to_pylist()
     provided = batch["text"].to_pylist()
 
-    out_text: list[str] = []
-    problems_col: list[list[str]] = []
-    has_problem_col = np.zeros(len(urls), dtype=bool)
-    similarity_col: list[float | None] = []
-    passed_col: list[bool] = []
-    source_col: list[str] = []
-
-    for i, url in enumerate(urls):
-        content = extracted[i] or ""
-        alternative = provided[i] or ""
+    results: list[DocValidation] = []
+    for url, content, alternative in zip(urls, extracted, provided):
         if not config.validation_enabled:
-            out_text.append(content)
-            problems_col.append([])
-            similarity_col.append(None)
-            passed_col.append(True)
-            source_col.append("extracted")
+            results.append(DocValidation(text=content or ""))
             continue
-        has_problem, detected = has_any_problem(content, enabled)
-        problems_col.append(detected)
-        has_problem_col[i] = has_problem
-        if has_problem and alternative:
-            # Problem pages are replaced by the alternative extraction
-            # (reference: mistral_client.py:237-244).
-            out_text.append(alternative)
-            similarity_col.append(0.0)
-            passed_col.append(False)
-            source_col.append("provided")
-        elif should_validate(url, config.validation_sample_rate) and not (
-            config.validation_skip_sample_if_clean and not alternative
-        ):
-            score = calculate_similarity(
-                content, alternative, config.validation_similarity_method
+        results.append(
+            validate_document(
+                content,
+                alternative,
+                url,
+                config.problems_enabled,
+                sample_rate=config.validation_sample_rate,
+                similarity_threshold=config.validation_similarity_threshold,
+                similarity_method=config.validation_similarity_method,
+                skip_if_no_alternative=config.validation_skip_sample_if_clean,
             )
-            ok = score >= config.validation_similarity_threshold
-            # Low similarity: keep original, flag as warning
-            # (reference: mistral_client.py:246-251).
-            out_text.append(content)
-            similarity_col.append(score)
-            passed_col.append(ok)
-            source_col.append("extracted")
-        else:
-            out_text.append(content)
-            similarity_col.append(None)
-            passed_col.append(True)
-            source_col.append("extracted")
+        )
 
     out = batch.drop_columns(["extracted_text"])
     return (
-        out.append_column("extracted_text", pa.array(out_text, pa.string()))
-        .append_column("problems", pa.array(problems_col, pa.list_(pa.string())))
-        .append_column("has_problem", pa.array(has_problem_col))
-        .append_column("similarity", pa.array(similarity_col, pa.float64()))
-        .append_column("passed", pa.array(passed_col, pa.bool_()))
-        .append_column("source", pa.array(source_col, pa.string()))
+        out.append_column("extracted_text", pa.array([r.text for r in results], pa.string()))
+        .append_column("problems", pa.array([r.problems for r in results], pa.list_(pa.string())))
+        .append_column("has_problem", pa.array([r.has_problem for r in results], pa.bool_()))
+        .append_column("similarity", pa.array([r.similarity for r in results], pa.float64()))
+        .append_column("passed", pa.array([r.passed for r in results], pa.bool_()))
+        .append_column("source", pa.array([r.source for r in results], pa.string()))
+        .append_column(
+            "n_pages_validated",
+            pa.array([r.n_pages_validated for r in results], pa.int32()),
+        )
+        .append_column(
+            "n_pages_replaced",
+            pa.array([r.n_pages_replaced for r in results], pa.int32()),
+        )
     )
+
+
+def should_validate(url: str, sample_rate: int) -> bool:
+    """Document-level sampling helper (kept for compatibility; page-level
+    sampling lives in ..functions.validate.should_validate_page)."""
+    import zlib
+
+    if sample_rate <= 1:
+        return True
+    return zlib.crc32(url.encode()) % sample_rate == 0
