@@ -606,6 +606,68 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding stats (vector column handling + pre-aggregated
+    groupby; dims as int so the oracle hash is float-free)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dims = [len(v) for v in batch["embedding"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "label": batch["label"].to_pylist(),
+                "n_vecs": np.ones(len(batch), dtype=np.int64),
+                "total_dims": np.asarray(dims, dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("label", sort=True).sum().reset_index(), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("total_dims", alias_name="total_dims"),
+        )
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+
+
+def q_embed_ann(sf_dir: str) -> pd.DataFrame:
+    """Model-inference composition: embed documents.text with the hashed
+    n-gram embedder (actor pool) → brute-force ANN; each document's own
+    text must be its top-1 neighbor (self-recall). Rows-only."""
+    from .ops.ann import brute_force_topk
+    from .ops.embed import HashedNgramEmbedder, embed_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["vec_id", "text"])
+
+    embedded = embed_documents(ds.map_batches(rename, batch_format="pyarrow"), dim=64)
+    first = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .head(3)
+    )
+    embedder = HashedNgramEmbedder(dim=64)
+    queries = np.stack([embedder.embed_one(t) for t in first["text"]])
+    out = brute_force_topk(embedded, queries, k=3, query_ids=first["doc_id"].tolist())
+    return (
+        out[["query_id", "vec_id", "rank"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def q_extraction_metrics(sf_dir: str) -> pd.DataFrame:
     """Per-language lineage rollup of the HTML roundtrip pipeline (the G3
     metrics aggregate keyed on a SQL-checkable column)."""
@@ -823,6 +885,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank
     """,
+    "embedding_stats": """
+        SELECT label,
+               count(*) AS n_vecs,
+               CAST(sum(len(embedding)) AS BIGINT) AS total_dims
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
     "extraction_metrics": """
         SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS bytes_out
         FROM documents GROUP BY lang ORDER BY lang
@@ -890,5 +958,7 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,  # rows-only
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,                  # rows-only (approximate)
+    "embedding_stats": q_embedding_stats,
+    "embed_ann": q_embed_ann,              # rows-only (hash-model specific)
     "extraction_metrics": q_extraction_metrics,
 }
