@@ -208,6 +208,14 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """Distinct values of a column (``Dataset.unique`` — a shuffle; kept to
+    one small column)."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    values = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": values})
+
+
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling hourly window per event type (event-time bucketing as a
     vectorized projection + pre-aggregated groupby)."""
@@ -783,6 +791,9 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY r.r_name
         ORDER BY r.r_name
     """,
+    "distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
     "events_hourly": """
         SELECT event_type,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
@@ -941,6 +952,7 @@ QUERIES = {
     "orders_topk": q_orders_topk,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_per_region": q_customers_per_region,
+    "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "lineitem_filter": q_lineitem_filter,
