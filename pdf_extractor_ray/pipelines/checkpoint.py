@@ -150,6 +150,25 @@ def run_with_checkpoints(
     return read_metrics(out_dir)
 
 
+def run_direct(ds, out_dir: str):
+    """Shuffle-free alternative sink for the largest corpora.
+
+    ``write_parquet(partition_cols=["partition_id"])`` writes each task's
+    blocks straight into hive-partitioned directories — no exchange at all,
+    at the cost of coarser resume granularity: completion is all-or-nothing
+    per RUN (a `_SUCCESS` marker written after the write completes), not per
+    partition. Use :func:`run_with_checkpoints` when partition-granular
+    resume matters more than avoiding the output exchange; at 100 TB the
+    grouped mode's exchange moves extracted text only (payloads are dropped
+    before validation), which is why it remains the default.
+    """
+    ds.write_parquet(out_dir, partition_cols=["partition_id"])
+    marker_tmp = os.path.join(out_dir, "_SUCCESS.tmp")
+    with open(marker_tmp, "w") as fh:
+        fh.write("ok")
+    os.replace(marker_tmp, os.path.join(out_dir, "_SUCCESS"))
+
+
 def read_metrics(out_dir: str):
     """All committed partitions' metrics as a pandas DataFrame."""
     import glob

@@ -85,3 +85,22 @@ class TestResume:
         assert partial, "some partitions should have committed before the failure"
         metrics = _run(pages_path, out)
         assert metrics["docs"].sum() == 200
+
+
+class TestDirectMode:
+    def test_shuffle_free_direct_write(self, ray_session, pages_path, tmp_path):
+        import glob
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.pipelines.checkpoint import run_direct
+
+        out = str(tmp_path / "direct")
+        run_direct(extraction_pipeline(rd.read_parquet(pages_path)), out)
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        files = glob.glob(os.path.join(out, "partition_id=*", "*.parquet"))
+        assert files, "hive-partitioned output expected"
+        import pyarrow.parquet as pq
+
+        total = sum(pq.read_table(f).num_rows for f in files)
+        assert total == 200
