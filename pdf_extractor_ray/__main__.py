@@ -1,0 +1,138 @@
+"""CLI entry point — the engine's analogue of the reference's FastAPI
+service + folder batch driver (reference: main.py, scripts/process_folder.py).
+
+    python -m pdf_extractor_ray extract --input pages/*.parquet --output /out \
+        [--query "04_Bank_Statements"] [--mode grouped|direct] [--num-cpus N]
+    python -m pdf_extractor_ray sections --input ... --output ... [--query q]
+    python -m pdf_extractor_ray metrics --output /out
+
+The CLI owns the Ray session (guarded init; the library never calls
+ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _read_input(patterns: list[str]):
+    from .sources.jsonl import read_pages_jsonl
+    from .sources.pages import read_pages
+
+    paths: list[str] = []
+    for pattern in patterns:
+        paths.extend(sorted(glob.glob(pattern)) or [pattern])
+    if all(p.endswith((".jsonl", ".json")) for p in paths):
+        return read_pages_jsonl(paths)
+    return read_pages(paths)
+
+
+def cmd_extract(args) -> int:
+    _init_ray(args.num_cpus)
+    from .config import EngineConfig
+    from .pipelines.checkpoint import run_direct, run_with_checkpoints
+    from .pipelines.extract import extraction_pipeline
+
+    config = EngineConfig(validation_enabled=not args.no_validation)
+    ds = _read_input(args.input)
+    result = extraction_pipeline(ds, config=config, query=args.query)
+    if args.mode == "direct":
+        run_direct(result, args.output)
+        print(json.dumps({"output": args.output, "mode": "direct"}))
+    else:
+        metrics = run_with_checkpoints(result, args.output, config=config)
+        print(
+            json.dumps(
+                {
+                    "output": args.output,
+                    "mode": "grouped",
+                    "partitions": len(metrics),
+                    "docs": int(metrics["docs"].sum()),
+                    "bytes_in": int(metrics["bytes_in"].sum()),
+                    "bytes_out": int(metrics["bytes_out"].sum()),
+                    "problem_docs": int(metrics["n_problem_docs"].sum()),
+                    "replaced": int(metrics["n_replaced"].sum()),
+                }
+            )
+        )
+    return 0
+
+
+def cmd_sections(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.extract import extraction_pipeline
+    from .stages.sections import sections_rows
+
+    ds = _read_input(args.input)
+    out = sections_rows(extraction_pipeline(ds, query=args.query), query=args.query)
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "kind": "sections"}))
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    from .pipelines.checkpoint import read_metrics
+    from .stages.metrics import overall_status
+
+    metrics = read_metrics(args.output)
+    print(metrics.to_string(index=False))
+    print(json.dumps({"overall_status": overall_status(metrics)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="pdf_extractor_ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_extract = sub.add_parser("extract", help="run the flagship pipeline")
+    p_extract.add_argument("--input", nargs="+", required=True,
+                           help="parquet or jsonl shards (globs ok)")
+    p_extract.add_argument("--output", required=True)
+    p_extract.add_argument("--query", default=None,
+                           help="workflow routing query (reference semantics)")
+    p_extract.add_argument("--mode", choices=["grouped", "direct"], default="grouped")
+    p_extract.add_argument("--num-cpus", type=int, default=None)
+    p_extract.add_argument("--no-validation", action="store_true")
+    p_extract.set_defaults(fn=cmd_extract)
+
+    p_sections = sub.add_parser("sections", help="extract + explode into section rows")
+    p_sections.add_argument("--input", nargs="+", required=True)
+    p_sections.add_argument("--output", required=True)
+    p_sections.add_argument("--query", default=None)
+    p_sections.add_argument("--num-cpus", type=int, default=None)
+    p_sections.set_defaults(fn=cmd_sections)
+
+    p_metrics = sub.add_parser("metrics", help="show a run's partition metrics")
+    p_metrics.add_argument("--output", required=True)
+    p_metrics.set_defaults(fn=cmd_metrics)
+
+    args = parser.parse_args(argv)
+    code = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())
