@@ -279,6 +279,50 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """3-hour sliding window per event type over present hours (range
+    semantics, matching SQL RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    from .ops.windows import sliding_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = sliding_window_counts(ds, window_hours=3).to_pandas()
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (keyed co-group + in-group merge_asof; oracle:
+    DuckDB ASOF JOIN over the tie-deduplicated right side)."""
+    from .ops.joins import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def rename_orders(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], batch["o_orderdate"], batch["o_orderkey"]],
+            names=["user_id", "o_orderdate", "o_orderkey"],
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).map_batches(rename_orders, batch_format="pyarrow")
+    out = asof_join(
+        events, orders,
+        key_col="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_value_cols=["o_orderkey"], tiebreak_col="o_orderkey",
+    ).to_pandas()
+    # Unmatched → -1 (both sides COALESCE) so dtypes stay int64 and the
+    # value hash is null-representation-free.
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (
+        out[["event_id", "user_id", "o_orderkey"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_lineitem_filter(sf_dir: str) -> pd.DataFrame:
     """Predicate + projection pushed to the read (column pruning at the
     parquet scan), per-batch vectorized filter, pre-aggregated count."""
@@ -816,6 +860,37 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
         ORDER BY user_id
     """,
+    "events_sliding": """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY event_type, hour
+        )
+        SELECT event_type, hour,
+               CAST(sum(n) OVER w AS BIGINT) AS window_events,
+               CAST(sum(cents) OVER w AS BIGINT) AS window_value_cents
+        FROM hourly
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hour
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_type, hour
+    """,
+    "asof_join": """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(coalesce(r.o_orderkey, -1) AS BIGINT) AS o_orderkey
+        FROM events e
+        ASOF LEFT JOIN r
+            ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        ORDER BY e.event_id
+    """,
     "lineitem_filter": """
         SELECT l_returnflag, count(*) AS n,
                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
@@ -954,7 +1029,9 @@ QUERIES = {
     "customers_per_region": q_customers_per_region,
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "user_sessions": q_user_sessions,
+    "asof_join": q_asof_join,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,
