@@ -69,13 +69,15 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_tokens = np.empty(len(texts), dtype=np.int64)
     n_alnum = np.empty(len(texts), dtype=np.int64)
     stop_ratio = np.empty(len(texts), dtype=np.float64)
+    from ..functions.problems import count_alnum
+
     en_stop = STOPWORDS["en"]
     for i, raw in enumerate(texts):
         text = raw or ""
         toks = text.split()
         n_chars[i] = len(text)
         n_tokens[i] = len(toks)
-        n_alnum[i] = sum(1 for c in text if c.isalnum())
+        n_alnum[i] = count_alnum(text)
         stop_ratio[i] = (
             sum(1 for t in toks if t.lower() in en_stop) / len(toks) if toks else 0.0
         )

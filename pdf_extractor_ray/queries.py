@@ -531,6 +531,47 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Training-data curation shape: quality-score every document, keep
+    docs above thresholds, aggregate survivors per language (vectorized
+    score → per-batch filter → pre-aggregated groupby)."""
+    from ray.data.aggregate import Sum
+
+    from .ops.text import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def score_filter_partial(batch: pa.Table) -> pa.Table:
+        scored = quality_batch(batch)
+        mask = pc.and_(
+            pc.greater_equal(scored["n_tokens"], pa.scalar(20, pa.int64())),
+            pc.greater_equal(scored["alnum_ratio"], pa.scalar(0.7)),
+        )
+        kept = scored.filter(mask)
+        df = pd.DataFrame(
+            {
+                "lang": kept["lang"].to_pylist(),
+                "n_docs": np.ones(len(kept), dtype=np.int64),
+                "total_tokens": kept["n_tokens"].to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=True).sum().reset_index(), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(score_filter_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
 def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
     """Predicted-language histogram (stopword-hit argmax heuristic)."""
     from .ops.text import lang_distribution
@@ -946,6 +987,22 @@ ORACLE_SQL: dict[str, str] = {
                length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum
         FROM documents ORDER BY doc_id
     """,
+    "quality_filter": r"""
+        WITH scored AS (
+            SELECT lang,
+                   length(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0
+                             / length(text)
+                        ELSE 0.0 END AS alnum_ratio
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM scored
+        WHERE n_tokens >= 20 AND alnum_ratio >= 0.7
+        GROUP BY lang ORDER BY lang
+    """,
     "exact_dedup": """
         SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
         FROM (
@@ -1040,6 +1097,7 @@ QUERIES = {
     "sections": q_sections,
     "problem_flags": q_problem_flags,
     "token_stats": q_token_stats,
+    "quality_filter": q_quality_filter,
     "lang_distribution": q_lang_distribution,
     "exact_dedup": q_exact_dedup,
     "minhash_dedup": q_minhash_dedup,      # rows-only (non-SQL-expressible)

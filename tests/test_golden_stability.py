@@ -1,0 +1,26 @@
+"""Golden-output stability lock.
+
+The golden oracle is produced by the same pure functions the pipeline calls
+(FIXTURES.md §2), so a semantic regression in extraction/validation would
+silently update both sides. This checksum pins the exact bytes of the
+200-row golden corpus: any change to extraction semantics must consciously
+update the hash below (and the change should be explained in the commit).
+"""
+
+import hashlib
+
+# sha256 over sorted (url, extracted_text) pairs of generate_pages(200, 42).
+GOLDEN_SHA256 = "1b3e0f3282ff8ecb544ed2f41724f8eb8063005ccba8da29b7d5d66c4475aed8"
+
+
+def test_golden_corpus_checksum(small_pages, golden_small):
+    h = hashlib.sha256()
+    for url in sorted(golden_small):
+        h.update(url.encode())
+        h.update(b"\x00")
+        h.update(golden_small[url].encode())
+        h.update(b"\x01")
+    assert h.hexdigest() == GOLDEN_SHA256, (
+        "golden extraction output changed — if intentional, update "
+        "GOLDEN_SHA256 and document the semantic change"
+    )
