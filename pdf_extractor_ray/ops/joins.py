@@ -19,6 +19,29 @@ import pandas as pd
 import pyarrow as pa
 
 
+def broadcast_semi_join(ds, keys, key_col: str, anti: bool = False):
+    """Semi (or anti) join against a broadcast key set.
+
+    The small side's keys are ``ray.put`` once and each batch filters with a
+    vectorized ``is_in`` — no shuffle (the guide's semi/anti idiom; swap the
+    set for a Bloom filter at key-set sizes beyond broadcast reach — false
+    positives then only let extra rows through a later exact check, never
+    drop rows).
+    """
+    import ray
+
+    keys_ref = ray.put(pa.array(sorted(set(keys))))
+
+    def filter_batch(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(keys_ref)
+        mask = pa.compute.is_in(batch[key_col], value_set=value_set)
+        if anti:
+            mask = pa.compute.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
 def asof_join(
     left_ds,
     right_ds,

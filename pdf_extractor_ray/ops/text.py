@@ -13,7 +13,6 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 # Tiny deterministic stopword lists per language (marker words only — this
@@ -120,14 +119,27 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
 
 
+_LANGID_CACHE: dict[str, LangIdScorer] = {}
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stateless-task form of :class:`LangIdScorer` with per-worker warm
+    state (same pattern as stages/extract.py)."""
+    scorer = _LANGID_CACHE.get(text_col)
+    if scorer is None:
+        scorer = LangIdScorer(text_col)
+        _LANGID_CACHE[text_col] = scorer
+    return scorer(batch)
+
+
 def lang_distribution(ds, text_col: str = "text"):
-    """Predicted-language histogram via actor-pool scoring + tiny groupby."""
+    """Predicted-language histogram via warm-task scoring + tiny groupby."""
+    import functools
+
     from ray.data.aggregate import Count
 
     scored = ds.map_batches(
-        LangIdScorer,
+        functools.partial(langid_batch, text_col=text_col),
         batch_format="pyarrow",
-        fn_constructor_kwargs={"text_col": text_col},
-        concurrency=(1, 8),
     )
     return scored.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))

@@ -142,8 +142,6 @@ def run_with_checkpoints(
                 raise RuntimeError(
                     f"injected failure after {committed} partitions"
                 )
-        import pandas as pd
-
         return read_metrics(out_dir)
     result = ds.groupby("partition_id").map_groups(writer, batch_format="pyarrow")
     result.materialize()

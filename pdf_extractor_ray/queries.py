@@ -323,6 +323,43 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast semi join: events of high-balance customers only (key set
+    via ray.put + vectorized is_in; no shuffle), aggregated per event type."""
+    from ray.data.aggregate import Sum
+
+    from .ops.joins import broadcast_semi_join
+
+    rich = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+        .to_pandas()
+        .query("c_acctbal > 5000")["c_custkey"]
+        .tolist()
+    )
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    kept = broadcast_semi_join(events, rich, key_col="user_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "n_events": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", sort=True).sum().reset_index(), preserve_index=False
+        )
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def q_lineitem_filter(sf_dir: str) -> pd.DataFrame:
     """Predicate + projection pushed to the read (column pruning at the
     parquet scan), per-batch vectorized filter, pre-aggregated count."""
@@ -932,6 +969,12 @@ ORACLE_SQL: dict[str, str] = {
             ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
         ORDER BY e.event_id
     """,
+    "semi_join": """
+        SELECT event_type, count(*) AS n_events
+        FROM events
+        WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        GROUP BY event_type ORDER BY event_type
+    """,
     "lineitem_filter": """
         SELECT l_returnflag, count(*) AS n,
                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
@@ -1089,6 +1132,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,
+    "semi_join": q_semi_join,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,
