@@ -38,3 +38,25 @@ class TestFastTokenizer:
             if tokenize_blocks(html, "fast") != tokenize_blocks(html, "stdlib"):
                 mismatches.append(small_pages["url"][i].as_py())
         assert not mismatches, mismatches[:5]
+
+
+from hypothesis import given, settings, strategies as st
+
+HTML_CHARS = st.text(
+    alphabet="<>/ab c=\"'&;!-p#123\näצ", max_size=200
+)
+
+
+class TestFuzz:
+    @settings(max_examples=200, deadline=None)
+    @given(HTML_CHARS)
+    def test_arbitrary_input_no_crash_and_engines_agree(self, html):
+        from pdf_extractor_ray.functions.html_extract import extract_html
+
+        fast, _ = extract_html(html)
+        assert isinstance(fast, str)
+
+    @settings(max_examples=100, deadline=None)
+    @given(HTML_CHARS)
+    def test_engines_agree_on_fuzz(self, html):
+        assert tokenize_blocks(html, "fast") == tokenize_blocks(html, "stdlib")
