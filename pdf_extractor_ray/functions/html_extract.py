@@ -294,7 +294,9 @@ _FAST_TOKEN_RE = re.compile(
     r"|<![^>]*>"                          # doctype / declarations
     r"|<\?[^>]*>"                         # processing instructions
     r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"    # tag open: slash + name
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"  # attributes (quote-aware)
+    # Attributes: quoted strings may contain '>', otherwise any non-'>'
+    # char (lenient like html.parser — unpaired quotes are plain chars).
+    r"((?:\"[^\"]*\"|'[^']*'|[^>])*)"
     r">"
     r"|[^<]+"                             # text
     r"|<",                                # stray '<' → literal text
