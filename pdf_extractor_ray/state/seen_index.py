@@ -64,6 +64,10 @@ class _SeenShard:
     def dump(self) -> list[str]:
         return sorted(self._seen)
 
+    def restore(self, keys: list[str]) -> int:
+        self._seen = set(keys)
+        return len(self._seen)
+
 
 class ShardedSeenIndex:
     """Driver-side handle over N shard actors."""
@@ -137,6 +141,37 @@ class ShardedSeenIndex:
         for part in ray.get([s.dump.remote() for s in self.shards]):
             out.extend(part)
         return sorted(out)
+
+    def snapshot(self, out_dir: str) -> None:
+        """Persist shard contents as parquet (one file per shard, atomic
+        rename) so the index survives runs — the state-layer analogue of
+        the pipeline's partition checkpoints."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        for i, keys in enumerate(ray.get([s.dump.remote() for s in self.shards])):
+            tmp = os.path.join(out_dir, f"shard={i}.parquet.tmp")
+            pq.write_table(pa.table({"key": pa.array(keys, pa.string())}), tmp)
+            os.replace(tmp, os.path.join(out_dir, f"shard={i}.parquet"))
+
+    def restore(self, out_dir: str) -> int:
+        """Load a snapshot written with the SAME n_shards (sharding is
+        deterministic, so per-shard files restore 1:1)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        futures = []
+        for i in range(self.n_shards):
+            path = os.path.join(out_dir, f"shard={i}.parquet")
+            keys = (
+                pq.read_table(path)["key"].to_pylist() if os.path.exists(path) else []
+            )
+            futures.append(self.shards[i].restore.remote(keys))
+        return sum(ray.get(futures))
 
 
 def filter_unseen(ds, index: ShardedSeenIndex, key_col: str = "url"):

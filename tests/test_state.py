@@ -56,3 +56,50 @@ class TestShardedSeenIndex:
         )
         # exactly one admission per distinct key, regardless of block layout
         assert sorted(out["url"].to_pylist()) == sorted(f"u{i}" for i in range(10))
+
+
+class TestSnapshotRestore:
+    def test_snapshot_roundtrip(self, ray_session, tmp_path):
+        a = ShardedSeenIndex(n_shards=4)
+        a.add([f"k{i}" for i in range(200)])
+        a.snapshot(str(tmp_path / "snap"))
+
+        b = ShardedSeenIndex(n_shards=4)
+        restored = b.restore(str(tmp_path / "snap"))
+        assert restored == 200
+        assert b.contains(["k0", "k199", "nope"]) == [True, True, False]
+
+
+class TestBloomIndex:
+    def test_no_false_negatives_and_low_fp(self, ray_session):
+        from pdf_extractor_ray.state.bloom_index import BloomSeenIndex
+
+        idx = BloomSeenIndex(n_shards=2, m_bits_per_shard=1 << 16)
+        keys = [f"key-{i}" for i in range(2000)]
+        first = idx.check_and_add(keys)
+        assert not any(first[:100]) or sum(first) < 20  # near-zero FPs on empty filter
+        # no false negatives: everything added reports present
+        assert all(idx.contains(keys))
+        # false-positive rate on fresh keys stays low at this load factor
+        fresh = [f"other-{i}" for i in range(2000)]
+        fp = sum(idx.contains(fresh))
+        assert fp / len(fresh) < 0.05, fp
+
+    def test_filter_unseen_bloom(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.state.bloom_index import (
+            BloomSeenIndex,
+            filter_unseen_bloom,
+        )
+
+        idx = BloomSeenIndex(n_shards=2, m_bits_per_shard=1 << 16)
+        ds = rd.from_items([{"url": f"u{i % 20}"} for i in range(100)]).repartition(4)
+        out = pa.concat_tables(
+            filter_unseen_bloom(ds, idx).iter_batches(batch_format="pyarrow")
+        )
+        admitted = out["url"].to_pylist()
+        # never admits a key twice
+        assert len(admitted) == len(set(admitted))
+        assert len(admitted) <= 20
