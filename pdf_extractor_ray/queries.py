@@ -208,6 +208,37 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (the grouped-rank pattern): each customer's 2 most
+    expensive orders via ``groupby(custkey).map_groups`` with in-group sort;
+    oracle = SQL row_number window. Restricted to custkey < 100 to keep the
+    result compact."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["o_custkey"], pa.scalar(100)))
+        return batch.append_column("total_cents", _cents(batch["o_totalprice"])).drop_columns(
+            ["o_totalprice"]
+        )
+
+    def top2(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(
+            ["total_cents", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+        out = out.reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(top2, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["o_custkey", "rank"])
+        .reset_index(drop=True)[["o_custkey", "o_orderkey", "total_cents", "rank"]]
+    )
+
+
 def q_distinct_segments(sf_dir: str) -> pd.DataFrame:
     """Distinct values of a column (``Dataset.unique`` — a shuffle; kept to
     one small column)."""
@@ -913,6 +944,20 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY r.r_name
         ORDER BY r.r_name
     """,
+    "top_orders_per_customer": """
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY round(o_totalprice * 100, 0) DESC, o_orderkey
+                   ) AS rank
+            FROM orders WHERE o_custkey < 100
+        )
+        SELECT o_custkey, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 2
+        ORDER BY o_custkey, rank
+    """,
     "distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
     """,
@@ -1125,6 +1170,7 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "orders_topk": q_orders_topk,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_per_region": q_customers_per_region,
     "distinct_segments": q_distinct_segments,
