@@ -63,6 +63,13 @@ def _commit_partition(out_dir: str, partition_id: int, table: pa.Table) -> dict:
 
     bytes_out = sum(len(t) for t in table["extracted_text"].to_pylist())
     sims = table["similarity"].to_pylist()
+    # Reference cost model: ~500 tokens/page at $0.01/1K tokens per
+    # validated page (reference: validation_orchestrator.py:52-53, 432).
+    n_pages_validated = (
+        sum(table["n_pages_validated"].to_pylist())
+        if "n_pages_validated" in table.schema.names
+        else sum(1 for s in sims if s is not None)
+    )
     metrics = {
         "partition_id": partition_id,
         "docs": len(table),
@@ -75,6 +82,8 @@ def _commit_partition(out_dir: str, partition_id: int, table: pa.Table) -> dict:
             if sim is not None and not ok
         ),
         "n_validated": sum(1 for sim in sims if sim is not None),
+        "n_pages_validated": int(n_pages_validated),
+        "est_validation_cost_usd": round(n_pages_validated * 500 * 0.01 / 1000, 4),
     }
     metrics_tmp = os.path.join(metrics_dir, f"part={partition_id}.parquet.tmp")
     metrics_path = os.path.join(metrics_dir, f"part={partition_id}.parquet")
