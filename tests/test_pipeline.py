@@ -91,3 +91,42 @@ class TestTableMergeFlavor:
         # their cross-page merged tables carry page-range captions.
         bank_urls = [u for i, u in enumerate(urls) if i % 10 == 6]
         assert any("**Table from Pages" in texts[u] for u in bank_urls)
+
+
+class TestTableMergeExactOutput:
+    """Exact-markdown lock for the table-merge flavor (G1 rules 2-4 in one
+    document)."""
+
+    HTML = (
+        '<html><body>'
+        '<div class="page"><table>'
+        "<tr><th>Date</th><th>Amount</th><th>Balance</th></tr>"
+        "<tr><td>01/03</td><td>100.00</td><td>900.00</td></tr>"
+        "</table></div>"
+        '<div class="page"><table>'
+        "<tr><th>Date</th><th>Amount</th><th>Balance</th></tr>"  # same headers → merge
+        "<tr><td>02/03</td><td>50.00</td><td>850.00</td></tr>"
+        "</table><table>"
+        "<tr><td>03/03</td><td>10.00</td><td>840.00</td></tr>"   # headerless → merge
+        "</table></div>"
+        '<div class="page"><table>'
+        "<tr><th>X</th><th>Y</th></tr>"                          # balance continuity → merge
+        "<tr><td>04/03</td><td>835.00</td></tr>"
+        "</table></div>"
+        "</body></html>"
+    )
+
+    def test_exact_merged_markdown(self):
+        from pdf_extractor_ray.functions.html_extract import extract_html
+
+        text, stats = extract_html(self.HTML, flavor="table_merge")
+        assert text == (
+            "**Table from Pages 1-3**\n\n"
+            "| Date | Amount | Balance |\n"
+            "| --- | --- | --- |\n"
+            "| 01/03 | 100.00 | 900.00 |\n"
+            "| 02/03 | 50.00 | 850.00 |\n"
+            "| 03/03 | 10.00 | 840.00 |\n"
+            "| 04/03 | 835.00 |  |"
+        )
+        assert stats["n_tables"] == 4
