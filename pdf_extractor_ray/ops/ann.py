@@ -95,6 +95,10 @@ def build_ivf_centroids(
         if len(sample) >= sample_limit:
             break
     mat = _normalize(np.array(sample[:sample_limit], dtype=np.float64))
+    # iter_batches block order is not guaranteed — canonicalize the sample
+    # order so centroid init and float-sum order (and therefore the built
+    # index) are identical across runs.
+    mat = mat[np.lexsort(mat.T[::-1])]
     rng = np.random.Generator(np.random.Philox(seed))
     centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     for _ in range(iters):
