@@ -57,7 +57,7 @@ class EngineConfig:
     num_partitions: int = 64               # partition_id = stable_hash(url) % num_partitions
 
     # --- Ray stage sizing (single-node defaults; scale with cluster)
-    html_batch_size: int = 256
+    html_batch_size: int = 512             # ~8 MB/batch at the 16 KB/page corpus mix
     pdf_batch_size: int = 64               # binary payload rows: small batches
     pdf_pool_size: int = 4                 # actor pool size for the warm PDF parser stage
     # Extractor actor pool (min, max): autoscales with the cluster; leave
