@@ -106,10 +106,31 @@ def _shell(rng: random.Random, body: str) -> str:
 def _article_html(rng: random.Random, lang: str) -> str:
     words = _words_for(lang)
     title = " ".join(rng.choice(words) for _ in range(3)).title()
-    paras = "".join(
-        f"<p>{_paragraph(rng, words)}</p>" for _ in range(rng.randint(3, 8))
-    )
-    return _shell(rng, f"<article><h1>{title}</h1>{paras}</article>")
+    paras = []
+    for _ in range(rng.randint(3, 8)):
+        text = _paragraph(rng, words)
+        # Real-world HTML features: inline markup, entities, comments,
+        # wrapper divs — extraction must see through all of them.
+        style = rng.randint(0, 5)
+        if style == 0:
+            body = text.split()
+            mid = len(body) // 2
+            text = (
+                " ".join(body[:mid])
+                + f" <b>{body[mid]}</b> "
+                + " ".join(body[mid + 1 :])
+            )
+        elif style == 1:
+            text = text.replace(" ", " &amp; ", 1)
+        elif style == 2:
+            text = f"<!-- editorial note --> {text}"
+        elif style == 3:
+            text = f"<em>{text}</em>"
+        paras.append(f"<p>{text}</p>")
+    body = f"<article><h1>{title}</h1>{''.join(paras)}</article>"
+    if rng.random() < 0.3:
+        body = f"<div><div>{body}</div></div>"
+    return _shell(rng, body)
 
 
 def _statement_rows(rng: random.Random, n: int, start_balance: float) -> list[list[str]]:

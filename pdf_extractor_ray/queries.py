@@ -502,6 +502,18 @@ def q_extract_mixed(sf_dir: str) -> pd.DataFrame:
     return _roundtrip(sf_dir, pdf_every=3)
 
 
+def q_extract_explicit_split(sf_dir: str) -> pd.DataFrame:
+    """The explicit dataflow skew path (flat-map chunk explode →
+    groupby(url) reassembly) under the same byte-identity oracle — proves
+    the two execution strategies are interchangeable at the driver gate."""
+    from .pipelines.extract import extraction_pipeline_explicit_split
+
+    pages = wrap_documents_as_pages(sf_dir, pdf_every=3)
+    out = extraction_pipeline_explicit_split(pages)
+    df = out.select_columns(["doc_id", "extracted_text"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_extract_with_repair(sf_dir: str) -> pd.DataFrame:
     """Every 7th document's payload is corrupted (truncated to <100 alnum
     chars → ``low_content_density`` fires); the validate stage must repair
@@ -1037,6 +1049,9 @@ ORACLE_SQL: dict[str, str] = {
     "extract_with_repair": """
         SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """,
+    "extract_explicit_split": """
+        SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+    """,
     "sections": """
         SELECT printf('doc://%08d', doc_id) AS url,
                0 AS section_idx,
@@ -1182,6 +1197,7 @@ QUERIES = {
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,
+    "extract_explicit_split": q_extract_explicit_split,
     "extract_with_repair": q_extract_with_repair,
     "classify_transactions": q_classify_transactions,
     "sections": q_sections,

@@ -99,26 +99,16 @@ def extract_chunks(batch: pa.Table, config: EngineConfig | None = None) -> pa.Ta
 def reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
     """Per-url ordered reduce: sort chunks, concatenate page lists, combine
     (the in-group sort is the only ordering the engine ever needs —
-    SURVEY.md §2.9)."""
+    SURVEY.md §2.9). All non-chunk columns pass through from the first
+    chunk row, so extra caller columns (ids, routing metadata) survive."""
     group = group.sort_values("chunk_idx")
     all_pages: list[str] = []
     for pages in group["page_markdowns"]:
         all_pages.extend(list(pages))
-    first = group.iloc[0]
-    return pd.DataFrame(
-        {
-            "url": [first["url"]],
-            "warc_ts": [first["warc_ts"]],
-            "text": [first["text"]],
-            "lang": [first["lang"]],
-            "route": [first["route"]],
-            "partition_id": [first["partition_id"]],
-            "payload_bytes": [group["payload_bytes"].iloc[0]],
-            "extracted_text": [combine_pages(all_pages)],
-            "n_pages": [len(all_pages)],
-            "n_chunks": [int(first["n_chunks"])],
-        }
-    )
+    out = group.iloc[[0]].drop(columns=["chunk_idx", "page_markdowns"]).copy()
+    out["extracted_text"] = [combine_pages(all_pages)]
+    out["n_pages"] = [len(all_pages)]
+    return out
 
 
 def reassemble_chunks(ds, config: EngineConfig | None = None):

@@ -10,7 +10,12 @@ update the hash below (and the change should be explained in the commit).
 import hashlib
 
 # sha256 over sorted (url, extracted_text) pairs of generate_pages(200, 42).
-GOLDEN_SHA256 = "1b3e0f3282ff8ecb544ed2f41724f8eb8063005ccba8da29b7d5d66c4475aed8"
+# History:
+#   1b3e0f32… — initial corpus
+#   52cca7cf… — fixtures enriched with inline markup/entities/comments
+#               (semantic change: entity decoding now exercised; golden
+#               texts may contain '&' etc.)
+GOLDEN_SHA256 = "52cca7cfae072180aff3552718c3d6deafba2ab73aaa32e00836bfdb627ae3c5"
 
 
 def test_golden_corpus_checksum(small_pages, golden_small):

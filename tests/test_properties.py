@@ -82,3 +82,38 @@ class TestLayoutProperties:
             return
         # page contents with no separator/header collisions round-trip
         assert split_pages(combine_pages(pages)) == pages
+
+
+class TestTableMergeProperties:
+    @settings(max_examples=60)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1, 5),                                  # page
+                st.booleans(),                                      # has_headers
+                st.integers(0, 4),                                  # n data rows
+            ),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    def test_row_conservation(self, specs):
+        """Every input data row (and header row of headerless continuation
+        tables after the first table) appears in exactly one merged table."""
+        from pdf_extractor_ray.functions.tables import PageTable, merge_tables_across_pages
+
+        tables = []
+        for i, (page, has_headers, n_rows) in enumerate(sorted(specs)):
+            headers = [f"H{i}a", f"H{i}b"] if has_headers else [f"d{i}x", f"d{i}y"]
+            rows = [[f"r{i}-{j}", str(j)] for j in range(n_rows)]
+            tables.append(PageTable(headers, rows, page, has_headers=has_headers))
+        merged = merge_tables_across_pages(tables, use_numerical_validation=False)
+        out_rows = sum(len(m.data_rows) for m in merged)
+        expected = sum(len(t.data_rows) for t in tables)
+        # headerless tables merged into a predecessor contribute their
+        # pseudo-header row as data (reference: table_merger.py:145-154)
+        for idx, t in enumerate(tables):
+            if not t.has_headers and idx > 0 and t.headers:
+                expected += 1
+        assert out_rows == expected
+        assert sum(1 for m in merged) <= max(1, len(tables))
