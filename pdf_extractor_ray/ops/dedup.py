@@ -63,6 +63,52 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def exact_dedup_large(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup for corpora where text must never enter a shuffle.
+
+    Two passes over cheap columns: (1) signature scan emits only
+    ``(content_hash, id)`` (40 + 8 bytes/row) into the groupby; per group
+    everything except the min id is a LOSER; (2) the loser-id set — sized
+    by the duplicate count, not the corpus — is broadcast via ``ray.put``
+    and the full dataset is anti-joined against it with a vectorized
+    ``is_in``. The corpus text itself never moves. (At loser counts beyond
+    broadcast reach, swap the set for the state-layer Bloom index — false
+    positives would drop extra rows, so there the Bloom answers "certainly
+    kept" and candidates get an exact recheck.)
+    """
+    import ray
+    import pandas as pd  # noqa: F811 (local import keeps worker deps lazy)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pa.array(content_hash_batch(batch[text_col].to_pylist()), pa.string()),
+                batch[id_col],
+            ],
+            names=["content_hash", id_col],
+        )
+
+    def losers(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].sort_values()
+        return pd.DataFrame({id_col: ids.iloc[1:]})
+
+    loser_ids = (
+        ds.map_batches(signatures, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(losers, batch_format="pandas")
+        .to_pandas()[id_col]
+        .to_numpy()
+    )
+    loser_ref = ray.put(pa.array(sorted(int(i) for i in loser_ids)))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(loser_ref)
+        mask = pa.compute.invert(pa.compute.is_in(batch[id_col], value_set=value_set))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
+
+
 def _char_shingles(text: str, k: int = 5) -> np.ndarray:
     """Hashed k-char shingles as uint64 (vectorized via byte-view rolling
     windows)."""

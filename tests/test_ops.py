@@ -214,3 +214,13 @@ class TestMultimodal:
         feats = ok["features"].to_pylist()
         assert all(len(f) == 16 for f in feats)
         assert "payload" not in out.schema.names
+
+
+class TestExactDedupLarge:
+    def test_matches_grouped_variant(self, docs_ds):
+        from pdf_extractor_ray.ops.dedup import exact_dedup_large
+
+        out = exact_dedup_large(docs_ds).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == [0, 1, 2, 3, 101]
+        # survivors keep their full row (text never entered a shuffle)
+        assert "text" in out.columns
