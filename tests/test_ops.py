@@ -224,3 +224,27 @@ class TestExactDedupLarge:
         assert out["doc_id"].tolist() == [0, 1, 2, 3, 101]
         # survivors keep their full row (text never entered a shuffle)
         assert "text" in out.columns
+
+
+class TestIVFRecall:
+    def test_recall_at_10_vs_exact(self, ray_session):
+        """IVF with n_probe=4/16 lists must keep reasonable recall@10
+        against the exact scan (quality bound on the scale path)."""
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(11))
+        vecs = rng.normal(size=(500, 32))
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+        ).repartition(4)
+        queries = vecs[:10]
+        exact = brute_force_topk(ds, queries, k=10, query_ids=list(range(10)))
+        centroids = build_ivf_centroids(ds, n_centroids=16)
+        approx = ivf_topk(ds, queries, centroids, k=10, n_probe=4, query_ids=list(range(10)))
+        recalls = []
+        for q in range(10):
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= 0.5, f"recall@10 = {mean_recall:.2f}"
