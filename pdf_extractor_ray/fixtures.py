@@ -208,6 +208,12 @@ def _oversized_html(rng: random.Random, lang: str, doc_id: int) -> str:
 
 def _pdf_payload(rng: random.Random, lang: str, doc_id: int) -> bytes:
     words = _words_for("en")
+    if doc_id % 100 == 58:  # two-column layout (reading-order exercise)
+        from .functions.pdf_extract import layout_text_two_column
+
+        left = "\n\n".join(_paragraph(rng, words, 15, 25) for _ in range(2))
+        right = "\n\n".join(_paragraph(rng, words, 15, 25) for _ in range(2))
+        return layout_text_two_column(left, right)
     n_paras = rng.randint(2, 5) if doc_id % 100 != 8 else 60  # some multi-page
     text = "\n\n".join(_paragraph(rng, words, 25, 55) for _ in range(n_paras))
     return layout_text(text)

@@ -95,6 +95,49 @@ def layout_text(text: str, chars_per_line: int = CHARS_PER_LINE,
     return MAGIC + arr.tobytes()
 
 
+def layout_text_two_column(left_text: str, right_text: str,
+                           chars_per_line: int = 38) -> bytes:
+    """Lay two texts out as the columns of a single two-column page (left
+    column x ∈ [0, ~280], right column offset past the gutter at
+    ``PAGE_W/2``). :func:`extract_pdf` must read left column fully, then
+    right (column-major reading order)."""
+
+    def column_records(text: str, x_offset: float) -> list[tuple]:
+        records = []
+        row = 0
+        for para in text.split("\n\n"):
+            words = para.split()
+            if not words:
+                continue
+            if records:
+                row += 1
+            line = ""
+            lines = []
+            for word in words:
+                if not line:
+                    line = word
+                elif len(line) + 1 + len(word) <= chars_per_line:
+                    line += " " + word
+                else:
+                    lines.append(line)
+                    line = word
+            if line:
+                lines.append(line)
+            for text_line in lines:
+                y1 = PAGE_H - row * LINE_H
+                for col, ch in enumerate(text_line):
+                    if ch != " ":
+                        x0 = x_offset + col * CHAR_W
+                        records.append((0, x0, y1 - LINE_H, x0 + CHAR_W, y1, ord(ch)))
+                row += 1
+        return records
+
+    records = column_records(left_text, 0.0) + column_records(
+        right_text, PAGE_W / 2 + 2 * CHAR_W
+    )
+    return MAGIC + np.array(records, dtype=RECORD_DTYPE).tobytes()
+
+
 def _line_to_text(cps: np.ndarray, x0s: np.ndarray, x1s: np.ndarray) -> str:
     """Chars of one line (already x-sorted) → string, inserting a space at
     gaps wider than half a character cell (word-gap detection)."""
@@ -125,23 +168,83 @@ def extract_pdf(payload: bytes) -> tuple[str, dict]:
     return combine_pages(markdown_pages), stats
 
 
+def _cluster_blocks(sub: np.ndarray) -> list[list[str]]:
+    """Cluster one page-column's chars into blocks of line texts.
+
+    Lines: baseline (y0) within half a line-height after a (-y, x) sort;
+    words: horizontal gaps inside a line; blocks: vertical gap > 1.5 ×
+    line-height between consecutive lines (paragraph leading).
+    """
+    order = np.lexsort((sub["x0"], -sub["y0"]))
+    sub = sub[order]
+    y_change = np.abs(np.diff(sub["y0"])) > LINE_H * 0.5
+    line_starts = np.concatenate(([True], y_change))
+    line_first = np.flatnonzero(line_starts)
+    line_last = np.concatenate((line_first[1:], [len(sub)])) - 1
+    line_y0 = sub["y0"][line_first]
+
+    blocks: list[list[str]] = []
+    current: list[str] | None = None
+    prev_y = None
+    for li in range(len(line_first)):
+        lo, hi = line_first[li], line_last[li] + 1
+        text = _line_to_text(sub["cp"][lo:hi], sub["x0"][lo:hi], sub["x1"][lo:hi])
+        y = float(line_y0[li])
+        if current is None or (prev_y is not None and prev_y - y > LINE_H * 1.5):
+            current = []
+            blocks.append(current)
+        current.append(text)
+        prev_y = y
+    return blocks
+
+
+def _detect_columns(sub: np.ndarray) -> list[np.ndarray]:
+    """Column detection for one page: find a vertical gutter (a ≥3-char-wide
+    x-gap in the union of char intervals, within the middle half of the
+    page) that no character crosses; if found, return [left, right] char
+    subsets, else [whole page]. Deterministic; single-column pages are
+    untouched."""
+    if len(sub) < 4:
+        return [sub]
+    order = np.argsort(sub["x0"], kind="stable")
+    x0s = sub["x0"][order]
+    x1s = sub["x1"][order]
+    running_max = np.maximum.accumulate(x1s)
+    gaps = x0s[1:] - running_max[:-1]
+    lo_bound, hi_bound = PAGE_W * 0.25, PAGE_W * 0.75
+    candidates = np.flatnonzero(
+        (gaps >= CHAR_W * 3)
+        & (running_max[:-1] >= lo_bound)
+        & (x0s[1:] <= hi_bound)
+    )
+    if len(candidates) == 0:
+        return [sub]
+    # Widest qualifying gutter wins (ties: leftmost — argmax is first max).
+    best = candidates[np.argmax(gaps[candidates])]
+    gutter = (float(running_max[best]) + float(x0s[best + 1])) / 2
+    left = sub[sub["x1"] <= gutter]
+    right = sub[sub["x0"] >= gutter]
+    if len(left) == 0 or len(right) == 0 or len(left) + len(right) != len(sub):
+        return [sub]
+    return [left, right]
+
+
 def _extract_pages(payload: bytes) -> tuple[list[str], dict]:
     """Parse a toy-PDF payload into markdown via layout analysis.
 
     Pipeline (the pdfminer-style semantics from the north star):
     1. decode char boxes (vectorized ``np.frombuffer``)
-    2. cluster chars into lines: same page, baseline (y0) within half a
-       line-height (single lexsort — no Python loop over chars)
-    3. within a line, sort by x and split words at horizontal gaps
-    4. cluster lines into blocks: vertical gap > 1.5 × line-height starts a
-       new block (paragraph leading)
-    5. reading order: pages ascending, lines top-to-bottom (single-column
-       assumption — documented; multi-column would x-band first)
-    6. blocks join lines with spaces; blocks join with blank lines; pages
+    2. per page: detect columns (gutter that no char crosses —
+       :func:`_detect_columns`); reading order is column-major (left column
+       top-to-bottom, then right)
+    3. per column: cluster chars into lines by baseline, split words at
+       horizontal gaps, cluster lines into blocks by paragraph leading
+       (:func:`_cluster_blocks`)
+    4. blocks join lines with spaces; blocks join with blank lines; pages
        combine with the canonical page layout
        (reference: src/core/utils.py:112-161).
 
-    Returns ``(markdown, stats)``.
+    Returns ``(page_markdowns, stats)``.
     """
     if not payload.startswith(MAGIC):
         raise ValueError("not a GRAFT toy-PDF payload")
@@ -151,51 +254,17 @@ def _extract_pages(payload: bytes) -> tuple[list[str], dict]:
     if len(arr) == 0:
         return [], {"n_pages": 0, "n_blocks": 0, "n_chars": 0}
 
-    # Reading order: page asc, y desc (top first), x asc.
-    order = np.lexsort((arr["x0"], -arr["y0"], arr["page"]))
-    arr = arr[order]
-
-    # Line boundaries: page change or baseline drop > LINE_H/2.
-    page_change = np.diff(arr["page"]) != 0
-    y_change = np.abs(np.diff(arr["y0"])) > LINE_H * 0.5
-    line_starts = np.concatenate(([True], page_change | y_change))
-    line_ids = np.cumsum(line_starts) - 1
-    n_lines = line_ids[-1] + 1
-    line_first = np.flatnonzero(line_starts)
-    line_last = np.concatenate((line_first[1:], [len(arr)])) - 1
-
-    line_pages = arr["page"][line_first]
-    line_y0 = arr["y0"][line_first]
-
-    # Block boundaries: page change or vertical gap > 1.5 × LINE_H between
-    # consecutive lines (paragraph leading).
-    if n_lines > 1:
-        gap = line_y0[:-1] - line_y0[1:]
-        block_break = (np.diff(line_pages) != 0) | (gap > LINE_H * 1.5)
-        block_starts = np.concatenate(([True], block_break))
-    else:
-        block_starts = np.array([True])
-    block_ids = np.cumsum(block_starts) - 1
-
-    # Build text per line, group into blocks, group into pages.
-    pages: dict[int, list[list[str]]] = {}
-    current_block: list[str] | None = None
-    prev_block_id = -1
-    for li in range(n_lines):
-        lo, hi = line_first[li], line_last[li] + 1
-        text = _line_to_text(arr["cp"][lo:hi], arr["x0"][lo:hi], arr["x1"][lo:hi])
-        page = int(line_pages[li])
-        if block_ids[li] != prev_block_id:
-            current_block = []
-            pages.setdefault(page, []).append(current_block)
-            prev_block_id = block_ids[li]
-        current_block.append(text)
-
     page_markdowns = []
     n_blocks = 0
-    for page in sorted(pages):
-        block_texts = [" ".join(lines) for lines in pages[page]]
+    n_pages = 0
+    for page in np.unique(arr["page"]):
+        sub = arr[arr["page"] == page]
+        block_texts: list[str] = []
+        for column in _detect_columns(sub):
+            for lines in _cluster_blocks(column):
+                block_texts.append(" ".join(lines))
         n_blocks += len(block_texts)
+        n_pages += 1
         page_markdowns.append("\n\n".join(block_texts))
-    stats = {"n_pages": len(pages), "n_blocks": n_blocks, "n_chars": int(len(arr))}
+    stats = {"n_pages": n_pages, "n_blocks": n_blocks, "n_chars": int(len(arr))}
     return page_markdowns, stats

@@ -15,7 +15,9 @@ import hashlib
 #   52cca7cf… — fixtures enriched with inline markup/entities/comments
 #               (semantic change: entity decoding now exercised; golden
 #               texts may contain '&' etc.)
-GOLDEN_SHA256 = "52cca7cfae072180aff3552718c3d6deafba2ab73aaa32e00836bfdb627ae3c5"
+#   195b13cb… — doc 58/158 became a two-column PDF (column-major reading
+#               order now exercised)
+GOLDEN_SHA256 = "195b13cbb99e635eb83ececf49118fba1f61e6a9a3208fd7c85e05b15ea81d20"
 
 
 def test_golden_corpus_checksum(small_pages, golden_small):

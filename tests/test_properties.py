@@ -117,3 +117,25 @@ class TestTableMergeProperties:
                 expected += 1
         assert out_rows == expected
         assert sum(1 for m in merged) <= max(1, len(tables))
+
+
+class TestTwoColumnLayout:
+    def test_column_major_reading_order(self):
+        from pdf_extractor_ray.functions.pdf_extract import (
+            extract_pdf,
+            layout_text_two_column,
+        )
+
+        left = "alpha beta gamma delta words\n\nsecond left paragraph"
+        right = "one two three four five six\n\nsecond right paragraph"
+        out, stats = extract_pdf(layout_text_two_column(left, right))
+        assert out == left + "\n\n" + right
+        assert stats["n_blocks"] == 4
+
+    def test_single_column_not_misdetected(self, small_pages):
+        """No single-column fixture PDF may trigger column splitting."""
+        from pdf_extractor_ray.functions.pdf_extract import extract_pdf, layout_text
+
+        text = "word " * 200  # long single paragraph
+        out, _ = extract_pdf(layout_text(text.strip()))
+        assert out == text.strip()
