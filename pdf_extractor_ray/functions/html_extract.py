@@ -42,6 +42,7 @@ from html.parser import HTMLParser
 import re
 
 from .assemble import EMPTY_CONTENT_MESSAGE, combine_pages
+from .normalize import fix_bidi_text
 from .tables import MergedTable, PageTable, merge_tables_across_pages
 
 _WS_RE = re.compile(r"\s+")
@@ -415,24 +416,30 @@ def score_blocks(
     return kept
 
 
-def _render_inline_table(table: PageTable) -> str:
+def _render_inline_table(table: PageTable, bidi_cells: bool = False) -> str:
     """Inline (article-flavor) pipe-table rendering: header + separator +
-    rows when the table has headers, bare pipe rows otherwise."""
+    rows when the table has headers, bare pipe rows otherwise.
+
+    ``bidi_cells`` applies the RTL display-order fix per cell — the
+    text_extraction workflow's behavior (reference:
+    src/services/extraction_service.py:50-57 runs fix_bidi_text on every
+    pdfplumber cell)."""
+    fix = fix_bidi_text if bidi_cells else (lambda s: s)
     lines: list[str] = []
     if table.has_headers and table.headers:
         width = len(table.headers)
-        lines.append("| " + " | ".join(table.headers) + " |")
+        lines.append("| " + " | ".join(fix(h) for h in table.headers) + " |")
         lines.append("| " + " | ".join(["---"] * width) + " |")
         for row in table.data_rows:
             padded = (row + [""] * (width - len(row)))[:width]
-            lines.append("| " + " | ".join(padded) + " |")
+            lines.append("| " + " | ".join(fix(c) for c in padded) + " |")
     else:
         for row in table.data_rows:
-            lines.append("| " + " | ".join(row) + " |")
+            lines.append("| " + " | ".join(fix(c) for c in row) + " |")
     return "\n".join(lines)
 
 
-def article_pages(blocks: list[Block]) -> list[str]:
+def article_pages(blocks: list[Block], bidi_cells: bool = False) -> list[str]:
     """Article flavor as per-page markdowns (non-empty pages only, in page
     order). The chunked path concatenates these across chunks before the
     final :func:`..functions.assemble.combine_pages`."""
@@ -441,7 +448,7 @@ def article_pages(blocks: list[Block]) -> list[str]:
         if block.kind == "heading":
             md = "#" * block.heading_level + " " + block.text
         elif block.kind == "table":
-            md = _render_inline_table(block.table)
+            md = _render_inline_table(block.table, bidi_cells)
         else:
             md = block.text
         if md:
@@ -480,6 +487,10 @@ def extract_html(
     kept = score_blocks(blocks, min_block_text_len, max_link_density)
     if flavor == "table_merge":
         text = render_merged_tables(kept)
+    elif flavor == "text_extraction":
+        # pdfplumber-analogue route: article layout + per-cell bidi fix
+        # (reference: extraction_service.py:26-114).
+        text = combine_pages(article_pages(kept, bidi_cells=True))
     else:
         text = render_article(kept)
     stats = {

@@ -41,9 +41,12 @@ class DocumentExtractor:
         # Query → workflow routing decides the extraction flavor, mirroring
         # the reference's handler dispatch (reference: workflow_router.py:15-46).
         workflow = get_workflow_for_query(query)
-        self.flavor = (
-            "table_merge" if workflow == "azure_document_intelligence" else "article"
-        )
+        if workflow == "azure_document_intelligence":
+            self.flavor = "table_merge"
+        elif workflow == "text_extraction":
+            self.flavor = "text_extraction"  # article + per-cell bidi fix
+        else:
+            self.flavor = "article"
 
     def _extract_one(self, payload: bytes | None, route: str, needs_split: bool):
         if payload is None or route not in (ROUTE_PDF, ROUTE_HTML):

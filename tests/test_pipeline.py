@@ -130,3 +130,32 @@ class TestTableMergeExactOutput:
             "| 04/03 | 835.00 |  |"
         )
         assert stats["n_tables"] == 4
+
+
+class TestTextExtractionFlavor:
+    def test_bidi_fix_applied_to_hebrew_cells(self):
+        from pdf_extractor_ray.functions.html_extract import extract_html
+
+        html = (
+            "<table><tr><th>תאריך</th><th>Debit</th></tr>"
+            "<tr><td>שלום</td><td>100</td></tr>"
+            "<tr><td>plain</td><td>50</td></tr></table>"
+        )
+        plain, _ = extract_html(html, flavor="article")
+        bidi, _ = extract_html(html, flavor="text_extraction")
+        assert "תאריך" in plain and "שלום" in plain
+        # text_extraction flips visual-order Hebrew cells (reference:
+        # extraction_service.py:50-57); Latin cells untouched.
+        assert "תאריך"[::-1] in bidi and "שלום"[::-1] in bidi
+        assert "plain" in bidi and "| 100 |" in bidi
+
+    def test_router_selects_flavor(self, ray_session, small_pages):
+        import ray.data as rd
+
+        from pdf_extractor_ray.config import EngineConfig
+        from pdf_extractor_ray.pipelines.extract import extraction_pipeline
+
+        ds = rd.from_arrow(small_pages.slice(0, 30))
+        cfg = EngineConfig(validation_enabled=False)
+        out = _collect(extraction_pipeline(ds, config=cfg, query="04_Bank_Statements"))
+        assert len(out) == 30
