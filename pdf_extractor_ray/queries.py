@@ -283,6 +283,17 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_streaming_counts(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped ingestion: replay events as event-time-ordered
+    micro-batches through sharded incremental-aggregate actors; the final
+    state must equal the batch groupby (commutative-monoid aggregates), so
+    the oracle is exact."""
+    from .state.stream import run_streaming_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return run_streaming_counts(ds).reset_index(drop=True)
+
+
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-minute inactivity gap) per user: the ordered
     per-key window pattern — ``groupby(user).map_groups`` with an in-group
@@ -982,6 +993,11 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY event_type, hour
         ORDER BY event_type, hour
     """,
+    "streaming_counts": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "user_sessions": """
         WITH ordered AS (
             SELECT user_id, ts,
@@ -1191,6 +1207,7 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
+    "streaming_counts": q_streaming_counts,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,
     "semi_join": q_semi_join,

@@ -103,3 +103,32 @@ class TestBloomIndex:
         # never admits a key twice
         assert len(admitted) == len(set(admitted))
         assert len(admitted) <= 20
+
+
+class TestStreamingAggregation:
+    def test_incremental_equals_batch(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+
+        from pdf_extractor_ray.state.stream import run_streaming_counts
+
+        rows = [
+            {
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i * 37),
+                "event_type": f"t{i % 3}",
+                "value": float(i % 7) + 0.25,
+            }
+            for i in range(500)
+        ]
+        ds = rd.from_items(rows).repartition(6)
+        out = run_streaming_counts(ds, micro_batch_rows=64, n_shards=3)
+        batch = (
+            pd.DataFrame(rows)
+            .assign(cents=lambda d: (d["value"] * 100).round().astype(int))
+            .groupby("event_type")
+            .agg(n_events=("value", "size"), value_cents=("cents", "sum"))
+            .reset_index()
+        )
+        merged = out.merge(batch, on="event_type", suffixes=("", "_batch"))
+        assert (merged["n_events"] == merged["n_events_batch"]).all()
+        assert (merged["value_cents"] == merged["value_cents_batch"]).all()
