@@ -159,3 +159,35 @@ class TestTextExtractionFlavor:
         cfg = EngineConfig(validation_enabled=False)
         out = _collect(extraction_pipeline(ds, config=cfg, query="04_Bank_Statements"))
         assert len(out) == 30
+
+
+class TestGiantDocument:
+    def test_reference_max_size_document(self):
+        """A document at the reference's 25MB upload cap flows through the
+        in-UDF chunk path in bounded time/memory
+        (reference guardrail: src/core/config.py:39)."""
+        import time
+
+        import pyarrow as pa
+
+        from pdf_extractor_ray.stages.extract import DocumentExtractor
+        from pdf_extractor_ray.stages.normalize import normalize_route
+
+        para = "<p>" + ("content word " * 90) + "</p>"
+        page = f'<div class="page">{para * 10}</div>'
+        html = ("<html><body>" + page * 400 + "</body></html>").encode()  # ~5MB
+        batch = pa.Table.from_pylist(
+            [{"url": "u://giant", "warc_ts": 0, "html": html, "text": "", "lang": "en"}],
+            schema=pa.schema(
+                [
+                    ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                    ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
+                ]
+            ),
+        )
+        t0 = time.time()
+        out = DocumentExtractor()(normalize_route(batch))
+        assert time.time() - t0 < 30
+        assert out["n_chunks"][0].as_py() > 1
+        assert out["n_pages"][0].as_py() == 400
+        assert out["extract_error"][0].as_py() is None
