@@ -104,3 +104,19 @@ class TestDirectMode:
 
         total = sum(pq.read_table(f).num_rows for f in files)
         assert total == 200
+
+
+class TestMetricsRollup:
+    def test_partition_metrics_dataset_rollup(self, ray_session, pages_path):
+        import ray.data as rd
+
+        from pdf_extractor_ray.stages.metrics import overall_status, partition_metrics
+
+        out = extraction_pipeline(rd.read_parquet(pages_path))
+        metrics = partition_metrics(out).to_pandas().sort_values("partition_id")
+        assert metrics["docs"].sum() == 200
+        assert (metrics["bytes_in"] > 0).all()
+        assert metrics["n_problem_docs"].sum() > 0  # degenerate fixture rows
+        status = overall_status(metrics)
+        assert status in ("problems_fixed", "warnings", "passed")
+        assert status == "problems_fixed"  # repairs happen on this corpus
