@@ -116,7 +116,10 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         for ch in norm.encode():
             h = np.uint64((int(h) * int(base)) & 0xFFFFFFFFFFFFFFFF) ^ np.uint64(ch)
         out[i] = h
-    return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
+    # Signed view: uint64 values above int64-max trip Arrow/pandas
+    # conversions downstream (e.g. Dataset.unique) — the bit pattern is
+    # what matters, so expose it as int64.
+    return batch.append_column("fingerprint", pa.array(out.view(np.int64), pa.int64()))
 
 
 _LANGID_CACHE: dict[str, LangIdScorer] = {}

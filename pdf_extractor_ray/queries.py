@@ -691,6 +691,34 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_fingerprint_dedup(sf_dir: str) -> pd.DataFrame:
+    """Format-invariant fingerprint dedup: documents ∪ whitespace/punct-
+    perturbed copies must collapse to the original distinct count (the
+    rolling hash ignores formatting, reference: content_normalizer.py:14-28).
+    Oracle: count of distinct alnum-normalized texts — identical outcome
+    assuming no 64-bit collisions."""
+    from ray.data.aggregate import Count
+
+    from .ops.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        texts = [t.replace(" ", "  ") + " ." for t in batch["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                pc.add(batch["doc_id"], pa.scalar(100_000, pa.int64())),
+                pa.array(texts, pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+
+    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    fingerprinted = both.map_batches(fingerprint_batch, batch_format="pyarrow")
+    n_distinct = len(fingerprinted.unique("fingerprint"))
+    return pd.DataFrame({"n_distinct": [n_distinct]})
+
+
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup over documents ∪ perturbed copies (every 5th doc
     duplicated with its last word dropped). Rows-only driver check; the
@@ -1122,6 +1150,10 @@ ORACLE_SQL: dict[str, str] = {
         WHERE n_tokens >= 20 AND alnum_ratio >= 0.7
         GROUP BY lang ORDER BY lang
     """,
+    "fingerprint_dedup": r"""
+        SELECT count(DISTINCT lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS n_distinct
+        FROM documents
+    """,
     "exact_dedup": """
         SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
         FROM (
@@ -1223,6 +1255,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "lang_distribution": q_lang_distribution,
     "exact_dedup": q_exact_dedup,
+    "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,      # rows-only (non-SQL-expressible)
     "simhash": q_simhash,                  # rows-only
     "embedding_dedup": q_embedding_dedup,  # rows-only
