@@ -95,6 +95,8 @@ class _Tokenizer(HTMLParser):
         self._ignore_depth = 0
         self._boiler_depth = 0
         self._link_depth = 0
+        self._li_depth = 0
+        self._pre_depth = 0
         self._heading: str | None = None
         self._parts: list[str] = []
         self._link_chars = 0
@@ -112,9 +114,21 @@ class _Tokenizer(HTMLParser):
 
     # -- block accumulation -------------------------------------------------
     def _flush(self) -> None:
-        raw = _WS_RE.sub(" ", "".join(self._parts)).strip()
+        if self._pre_depth:
+            # Preformatted content keeps its whitespace verbatim
+            # (rendered as a fenced code block).
+            raw = "".join(self._parts).strip("\n")
+        else:
+            raw = _WS_RE.sub(" ", "".join(self._parts)).strip()
         if raw:
-            kind = "heading" if self._heading else "text"
+            if self._heading:
+                kind = "heading"
+            elif self._pre_depth:
+                kind = "pre"
+            elif self._li_depth:
+                kind = "list_item"
+            else:
+                kind = "text"
             level = int(self._heading[1]) if self._heading else 0
             self.blocks.append(
                 Block(
@@ -185,6 +199,10 @@ class _Tokenizer(HTMLParser):
                 self.page = self.n_page_divs
             if tag in HEADING_TAGS:
                 self._heading = tag
+            if tag == "li":
+                self._li_depth += 1
+            elif tag == "pre":
+                self._pre_depth += 1
             is_boiler = tag in BOILERPLATE_TAGS or self._is_boiler_attrs(attrs)
             if is_boiler:
                 self._boiler_depth += 1
@@ -223,6 +241,10 @@ class _Tokenizer(HTMLParser):
                     popped_tag, popped_boiler = self._stack.pop()
                     if popped_boiler:
                         self._boiler_depth = max(0, self._boiler_depth - 1)
+                    if popped_tag == "li":
+                        self._li_depth = max(0, self._li_depth - 1)
+                    elif popped_tag == "pre":
+                        self._pre_depth = max(0, self._pre_depth - 1)
                     if popped_tag == tag:
                         break
 
@@ -449,6 +471,10 @@ def article_pages(blocks: list[Block], bidi_cells: bool = False) -> list[str]:
             md = "#" * block.heading_level + " " + block.text
         elif block.kind == "table":
             md = _render_inline_table(block.table, bidi_cells)
+        elif block.kind == "list_item":
+            md = "- " + block.text
+        elif block.kind == "pre":
+            md = f"```\n{block.text}\n```"
         else:
             md = block.text
         if md:

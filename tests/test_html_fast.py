@@ -84,3 +84,29 @@ class TestFuzz:
     @given(well_formed_html())
     def test_engines_agree_on_well_formed(self, html):
         assert tokenize_blocks(html, "fast") == tokenize_blocks(html, "stdlib")
+
+
+class TestMarkdownStructure:
+    def test_list_items_and_pre_blocks(self):
+        from pdf_extractor_ray.functions.html_extract import extract_html
+
+        html = (
+            "<article><p>Intro paragraph with enough words here.</p>"
+            "<ul><li>first item with words</li><li>second item with words</li></ul>"
+            "<pre>def f(x):\n    return x * 2</pre>"
+            "</article>"
+        )
+        text, _ = extract_html(html)
+        assert "- first item with words" in text
+        assert "- second item with words" in text
+        assert "```\ndef f(x):\n    return x * 2\n```" in text
+
+    def test_linkheavy_list_still_dropped(self):
+        from pdf_extractor_ray.functions.html_extract import extract_html
+
+        nav_list = "<ul>" + "".join(
+            f'<li><a href="/{i}">navigation link {i}</a></li>' for i in range(6)
+        ) + "</ul>"
+        html = f"<article>{nav_list}<p>Real content paragraph with words.</p></article>"
+        text, _ = extract_html(html)
+        assert text == "Real content paragraph with words."
