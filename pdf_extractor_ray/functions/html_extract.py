@@ -97,6 +97,7 @@ class _Tokenizer(HTMLParser):
         self._link_depth = 0
         self._li_depth = 0
         self._pre_depth = 0
+        self._quote_depth = 0
         self._heading: str | None = None
         self._parts: list[str] = []
         self._link_chars = 0
@@ -127,6 +128,8 @@ class _Tokenizer(HTMLParser):
                 kind = "pre"
             elif self._li_depth:
                 kind = "list_item"
+            elif self._quote_depth:
+                kind = "blockquote"
             else:
                 kind = "text"
             level = int(self._heading[1]) if self._heading else 0
@@ -203,6 +206,8 @@ class _Tokenizer(HTMLParser):
                 self._li_depth += 1
             elif tag == "pre":
                 self._pre_depth += 1
+            elif tag == "blockquote":
+                self._quote_depth += 1
             is_boiler = tag in BOILERPLATE_TAGS or self._is_boiler_attrs(attrs)
             if is_boiler:
                 self._boiler_depth += 1
@@ -245,6 +250,8 @@ class _Tokenizer(HTMLParser):
                         self._li_depth = max(0, self._li_depth - 1)
                     elif popped_tag == "pre":
                         self._pre_depth = max(0, self._pre_depth - 1)
+                    elif popped_tag == "blockquote":
+                        self._quote_depth = max(0, self._quote_depth - 1)
                     if popped_tag == tag:
                         break
 
@@ -475,6 +482,8 @@ def article_pages(blocks: list[Block], bidi_cells: bool = False) -> list[str]:
             md = "- " + block.text
         elif block.kind == "pre":
             md = f"```\n{block.text}\n```"
+        elif block.kind == "blockquote":
+            md = "> " + block.text
         else:
             md = block.text
         if md:

@@ -110,3 +110,13 @@ class TestMarkdownStructure:
         html = f"<article>{nav_list}<p>Real content paragraph with words.</p></article>"
         text, _ = extract_html(html)
         assert text == "Real content paragraph with words."
+
+    def test_blockquote_rendering(self):
+        from pdf_extractor_ray.functions.html_extract import extract_html
+
+        html = (
+            "<article><p>Intro paragraph with many words.</p>"
+            "<blockquote>a quoted passage with enough words</blockquote></article>"
+        )
+        text, _ = extract_html(html)
+        assert "> a quoted passage with enough words" in text
