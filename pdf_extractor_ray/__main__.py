@@ -52,7 +52,19 @@ def cmd_extract(args) -> int:
     from .pipelines.checkpoint import run_direct, run_with_checkpoints
     from .pipelines.extract import extraction_pipeline
 
-    config = EngineConfig(validation_enabled=not args.no_validation)
+    from .config import ALL_PROBLEMS, DEFAULT_PROBLEMS_ENABLED
+
+    if args.problems == "all":
+        problems = ALL_PROBLEMS
+    elif args.problems:
+        problems = tuple(p.strip() for p in args.problems.split(",") if p.strip())
+    else:
+        problems = DEFAULT_PROBLEMS_ENABLED
+    config = EngineConfig(
+        validation_enabled=not args.no_validation,
+        problems_enabled=problems,
+        validation_similarity_method=args.similarity,
+    )
     ds = _read_input(args.input)
     result = extraction_pipeline(ds, config=config, query=args.query)
     if args.mode == "direct":
@@ -112,6 +124,16 @@ def main(argv: list[str] | None = None) -> int:
     p_extract.add_argument("--mode", choices=["grouped", "direct"], default="grouped")
     p_extract.add_argument("--num-cpus", type=int, default=None)
     p_extract.add_argument("--no-validation", action="store_true")
+    p_extract.add_argument(
+        "--problems", default=None,
+        help='detector enable list: "all" or csv of names '
+             "(reference: VALIDATION_PROBLEMS_ENABLED)",
+    )
+    p_extract.add_argument(
+        "--similarity", default="number_frequency",
+        choices=["number_frequency", "levenshtein"],
+        help="similarity method (reference: VALIDATION_SIMILARITY_METHOD)",
+    )
     p_extract.set_defaults(fn=cmd_extract)
 
     p_sections = sub.add_parser("sections", help="extract + explode into section rows")
