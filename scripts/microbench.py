@@ -1,0 +1,96 @@
+"""Operator-level microbenchmarks: per-document cost of each hot kernel
+(single-threaded — multiply by effective cores for pipeline throughput).
+
+Usage: python scripts/microbench.py [n_docs]
+Prints one JSON line per operator: {op, ms_per_doc, docs_per_sec_1core}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def bench(name: str, fn, items, repeat: int = 1) -> None:
+    t0 = time.time()
+    for _ in range(repeat):
+        for item in items:
+            fn(item)
+    dt = (time.time() - t0) / repeat
+    per_doc = dt / len(items) * 1000
+    print(
+        json.dumps(
+            {
+                "op": name,
+                "ms_per_doc": round(per_doc, 3),
+                "docs_per_sec_1core": round(1000 / per_doc, 1) if per_doc else None,
+            }
+        )
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+
+    from pdf_extractor_ray.fixtures import generate_pages
+    from pdf_extractor_ray.functions.html_extract import extract_html, tokenize_blocks
+    from pdf_extractor_ray.functions.pdf_extract import extract_pdf
+    from pdf_extractor_ray.functions.problems import detect_all_problems
+    from pdf_extractor_ray.functions.similarity import (
+        similarity_levenshtein,
+        similarity_number_frequency,
+    )
+    from pdf_extractor_ray.config import DEFAULT_PROBLEMS_ENABLED, ALL_PROBLEMS
+    from pdf_extractor_ray.ops.dedup import minhash_signature, _perm_params, simhash64
+    from pdf_extractor_ray.ops.embed import HashedNgramEmbedder
+
+    pages = generate_pages(n, seed=123)
+    htmls = [
+        pages["html"][i].as_py().decode()
+        for i in range(len(pages))
+        if pages["html"][i].as_py()[:4] != b"%PDF"
+    ]
+    pdfs = [
+        pages["html"][i].as_py()
+        for i in range(len(pages))
+        if pages["html"][i].as_py()[:4] == b"%PDF"
+    ]
+    texts = [pages["text"][i].as_py() for i in range(len(pages))]
+    short_texts = [t[:2000] for t in texts]
+
+    bench("tokenize_html_fast", lambda h: tokenize_blocks(h, "fast"), htmls)
+    bench("tokenize_html_stdlib", lambda h: tokenize_blocks(h, "stdlib"), htmls)
+    bench("extract_html_full", lambda h: extract_html(h), htmls)
+    bench("extract_pdf_layout", lambda p: extract_pdf(p), pdfs)
+    bench(
+        "detectors_default7",
+        lambda t: detect_all_problems(t, DEFAULT_PROBLEMS_ENABLED),
+        short_texts,
+    )
+    bench(
+        "detectors_all14",
+        lambda t: detect_all_problems(t, ALL_PROBLEMS),
+        short_texts,
+    )
+    bench(
+        "similarity_number_freq",
+        lambda t: similarity_number_frequency(t, t[:-5]),
+        short_texts,
+    )
+    bench(
+        "similarity_levenshtein_2k",
+        lambda t: similarity_levenshtein(t, t[:-5]),
+        short_texts[:50],
+    )
+    a, b = _perm_params(128)
+    bench("minhash_128perm", lambda t: minhash_signature(t, 128, a, b), short_texts)
+    bench("simhash64", lambda t: simhash64(t), short_texts)
+    embedder = HashedNgramEmbedder(dim=64)
+    bench("embed_hashed_ngram", lambda t: embedder.embed_one(t), short_texts)
+
+
+if __name__ == "__main__":
+    main()
