@@ -387,7 +387,15 @@ def _fast_feed(html: str, builder: "_Tokenizer") -> None:
             if raw_attrs and tag in _ATTR_TAGS
             else []
         )
-        self_closing = raw_attrs.rstrip().endswith("/") if raw_attrs else False
+        # Self-closing only when the trailing '/' is NOT part of an unquoted
+        # attribute value: html.parser's attrfind value pattern ([^>\s]*)
+        # swallows a '/' glued to an unquoted value (<div data-x=foo/> keeps
+        # the element open with value "foo/"), so the fast path must too —
+        # the '/' counts only after whitespace, a quote, or the bare tag name.
+        stripped = raw_attrs.rstrip() if raw_attrs else ""
+        self_closing = stripped.endswith("/") and (
+            len(stripped) == 1 or stripped[-2] in " \t\n\r\f\"'"
+        )
         builder.handle_starttag(tag, attrs)
         if self_closing:
             builder.handle_endtag(tag)

@@ -85,15 +85,145 @@ def extract_numbers(text: str) -> list[str]:
     return out
 
 
-def fix_bidi_text(text: str) -> str:
-    """Reverse Hebrew/RTL display-order text so it reads logically.
+def _bidi_class(ch: str) -> str:
+    """Bidirectional character class, restricted to the classes that occur in
+    the engine's inputs (Hebrew + Latin + digits + punctuation). Hebrew is
+    checked first — ``str.isalpha`` is true for it too."""
+    o = ord(ch)
+    if 0x0590 <= o <= 0x05FF or 0xFB1D <= o <= 0xFB4F:
+        return "R"
+    if ch.isalpha():
+        return "L"
+    if ch.isdigit():
+        return "EN"
+    if ch in "+-":
+        return "ES"
+    if ch in "#$%₪€£¥₹":
+        return "ET"
+    if ch in ",.:/":
+        return "CS"
+    if ch.isspace():
+        return "WS"
+    return "ON"
 
-    The reference flips cell text containing Hebrew codepoints when the PDF
-    layer stored it in visual order (reference: extraction_service.py:50-57).
-    Deterministic: flips iff any Hebrew character is present.
+
+def bidi_display(text: str) -> str:
+    """Logical → visual reordering per the Unicode BiDi algorithm (UAX #9),
+    restricted to the L/R/EN/ES/ET/CS/WS/ON classes above (no explicit
+    embedding codes, no Arabic classes). Matches ``bidi.get_display`` — the
+    call the reference makes per extracted cell
+    (reference: src/services/extraction_service.py:49-57) — on this class
+    subset: W4/W5/W7 number shaping, N1/N2 neutral resolution, I1/I2
+    implicit levels, L1 trailing-whitespace reset, L2 run reversal.
+    """
+    if not text:
+        return text
+    types = [_bidi_class(ch) for ch in text]
+    n = len(types)
+    # P2/P3: paragraph level from the first strong character.
+    base = next((1 if t == "R" else 0 for t in types if t in ("L", "R")), 0)
+    sor = "R" if base else "L"
+
+    # W4: a single ES/CS between two ENs becomes EN.
+    for i in range(1, n - 1):
+        if types[i] in ("ES", "CS") and types[i - 1] == "EN" and types[i + 1] == "EN":
+            types[i] = "EN"
+    # W5: a sequence of ETs adjacent to an EN becomes EN (either side).
+    i = 0
+    while i < n:
+        if types[i] == "ET":
+            j = i
+            while j < n and types[j] == "ET":
+                j += 1
+            if (j < n and types[j] == "EN") or (i > 0 and types[i - 1] == "EN"):
+                for k in range(i, j):
+                    types[k] = "EN"
+            i = j
+        else:
+            i += 1
+    # W6: remaining separators/terminators are neutral.
+    types = ["ON" if t in ("ES", "ET", "CS") else t for t in types]
+    # W7: EN with a preceding strong L (or L sor) becomes L.
+    strong = sor
+    for i in range(n):
+        if types[i] in ("L", "R"):
+            strong = types[i]
+        elif types[i] == "EN" and strong == "L":
+            types[i] = "L"
+
+    # N1/N2: neutrals take the surrounding direction if both sides agree
+    # (EN counts as R here), else the embedding direction.
+    def _dir(t: str) -> str:
+        return "R" if t in ("R", "EN") else "L"
+
+    resolved = list(types)
+    i = 0
+    while i < n:
+        if types[i] in ("WS", "ON"):
+            j = i
+            while j < n and types[j] in ("WS", "ON"):
+                j += 1
+            before = _dir(types[i - 1]) if i > 0 else sor
+            after = _dir(types[j]) if j < n else sor
+            fill = before if before == after else sor
+            for k in range(i, j):
+                resolved[k] = fill
+            i = j
+        else:
+            i += 1
+
+    # I1/I2: implicit levels from the base level.
+    levels = []
+    for t in resolved:
+        if base == 0:
+            levels.append(0 if t == "L" else (1 if t == "R" else 2))
+        else:
+            levels.append(1 if t == "R" else 2)
+    # L1: trailing whitespace resets to the paragraph level.
+    for i in range(n - 1, -1, -1):
+        if types[i] != "WS":
+            break
+        levels[i] = base
+    # L2: reverse contiguous runs at each level, from the highest level down
+    # to the lowest ODD level (no odd level → nothing reverses: "abc 123" at
+    # levels 0/2 stays put).
+    chars = list(text)
+    odd_levels = [lv for lv in levels if lv % 2]
+    if not odd_levels:
+        return text
+    # L4: mirror paired brackets on RTL (odd) levels.
+    _MIRROR = {"(": ")", ")": "(", "[": "]", "]": "[", "{": "}", "}": "{",
+               "<": ">", ">": "<"}
+    for i in range(n):
+        if levels[i] % 2 and chars[i] in _MIRROR:
+            chars[i] = _MIRROR[chars[i]]
+    for level in range(max(levels), min(odd_levels) - 1, -1):
+        i = 0
+        while i < n:
+            if levels[i] >= level:
+                j = i
+                while j < n and levels[j] >= level:
+                    j += 1
+                chars[i:j] = chars[i:j][::-1]
+                i = j
+            else:
+                i += 1
+    return "".join(chars)
+
+
+def fix_bidi_text(text: str) -> str:
+    """RTL display-order fix for extracted cell text.
+
+    The reference runs the Unicode BiDi algorithm on cells containing
+    Hebrew codepoints when the PDF layer stored them in visual order
+    (``bidi.get_display``, reference: extraction_service.py:50-57). This
+    applies the same reordering via :func:`bidi_display`; digit and Latin
+    runs inside RTL text keep their logical order ("1,234.56" stays
+    "1,234.56" — a naive full reverse would corrupt every number).
+    Pure-LTR text is returned unchanged (fast path).
     """
     if text and _HEBREW_RE.search(text):
-        return text[::-1]
+        return bidi_display(text)
     return text
 
 

@@ -77,7 +77,6 @@ def exact_dedup_large(ds, text_col: str = "text", id_col: str = "doc_id"):
     kept" and candidates get an exact recheck.)
     """
     import ray
-    import pandas as pd  # noqa: F811 (local import keeps worker deps lazy)
 
     def signatures(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -92,14 +91,22 @@ def exact_dedup_large(ds, text_col: str = "text", id_col: str = "doc_id"):
         ids = group[id_col].sort_values()
         return pd.DataFrame({id_col: ids.iloc[1:]})
 
-    loser_ids = (
-        ds.map_batches(signatures, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(losers, batch_format="pandas")
-        .to_pandas()[id_col]
-        .to_numpy()
-    )
-    loser_ref = ray.put(pa.array(sorted(int(i) for i in loser_ids)))
+    # Loser ids stay in their NATIVE Arrow type (string doc ids / urls work
+    # as well as ints — is_in needs no sort, no cast).
+    loser_chunks = [
+        chunk
+        for batch in (
+            ds.map_batches(signatures, batch_format="pyarrow")
+            .groupby("content_hash")
+            .map_groups(losers, batch_format="pandas")
+            .iter_batches(batch_format="pyarrow")
+        )
+        for chunk in batch.column(id_col).chunks
+        if len(chunk)
+    ]
+    if not loser_chunks:
+        return ds
+    loser_ref = ray.put(pa.concat_arrays(loser_chunks))
 
     def keep_winners(batch: pa.Table) -> pa.Table:
         value_set = ray.get(loser_ref)

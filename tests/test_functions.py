@@ -377,6 +377,32 @@ class TestMisc:
         assert fix_bidi_text("שלום") == "םולש"
         assert fix_bidi_text("hello") == "hello"
 
+    def test_bidi_mixed_runs_keep_numbers(self):
+        # The UBA keeps digit/Latin runs in logical order inside RTL text —
+        # a naive full reverse would turn 1,234.56 into 65.432,1
+        # (reference: extraction_service.py:49-57 uses bidi.get_display).
+        assert fix_bidi_text("שלום 1,234.56") == "1,234.56 םולש"
+        assert fix_bidi_text("123 שלום") == "םולש 123"
+        assert fix_bidi_text("שלום abc") == "abc םולש"
+        assert fix_bidi_text("abc שלום") == "abc םולש"
+        assert fix_bidi_text("א1ב") == "ב1א"
+
+    def test_bidi_financial_cells(self):
+        # Bank-statement-shaped cells: dates, currency, trailing minus.
+        assert (
+            fix_bidi_text("תאריך: 01/02/2026 יתרה 1,000.50-")
+            == "-1,000.50 הרתי 01/02/2026 :ךיראת"
+        )
+        assert fix_bidi_text("₪5,000 שולם") == "םלוש ₪5,000"
+        assert fix_bidi_text("50% הנחה") == "החנה 50%"
+
+    def test_bidi_ltr_text_with_numbers_unchanged(self):
+        from pdf_extractor_ray.functions.normalize import bidi_display
+
+        assert bidi_display("abc 123") == "abc 123"
+        assert bidi_display("1,234.56") == "1,234.56"
+        assert bidi_display("") == ""
+
     def test_sanitize_filename(self):
         assert sanitize_filename("../../etc/passwd") == "passwd"
 

@@ -20,6 +20,14 @@ EDGE_CASES = [
     "",
     "just plain text with no markup at all",
     "<p>unclosed paragraph <div>then a div</div>",
+    # Trailing '/' glued to an unquoted attribute value is part of the VALUE
+    # (element stays open), not a self-closing marker — html.parser keeps
+    # nav state alive here and the fast path must match (ADVICE r1).
+    "<div class=nav data-x=foo/>menu text</div><p>real body content</p>",
+    "<div class=nav/>menu link list</div><p>article text body</p>",
+    "<div class='nav'/>closed by slash</div><p>kept content</p>",
+    "<div class=nav />space before slash</div><p>kept too</p>",
+    "<p foo=/>value is just a slash</p>",
 ]
 
 

@@ -225,6 +225,30 @@ class TestExactDedupLarge:
         # survivors keep their full row (text never entered a shuffle)
         assert "text" in out.columns
 
+    def test_string_ids(self, ray_session):
+        """Loser ids stay in their native Arrow type — string doc ids / urls
+        must work (ADVICE r1: the old path int()-cast every id)."""
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import exact_dedup_large
+
+        ds = rd.from_items(
+            [
+                {"doc_id": "url://a", "text": "same text"},
+                {"doc_id": "url://b", "text": "same text"},
+                {"doc_id": "url://c", "text": "other text"},
+            ]
+        )
+        out = exact_dedup_large(ds, id_col="doc_id").to_pandas()
+        assert sorted(out["doc_id"]) == ["url://a", "url://c"]
+
+    def test_no_duplicates_passthrough(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import exact_dedup_large
+
+        ds = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(5)])
+        out = exact_dedup_large(ds).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(5))
+
 
 class TestIVFRecall:
     def test_recall_at_10_vs_exact(self, ray_session):
