@@ -745,7 +745,11 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         )
 
     both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
-    out = minhash_lsh_dedup(both, threshold=0.7)
+    out = (
+        minhash_lsh_dedup(both, threshold=0.7)
+        .select_columns(["doc_id", "cluster_id", "is_duplicate"])
+        .to_pandas()
+    )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -763,7 +767,11 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
         )
 
     both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
-    out = simhash_dedup(both)[["doc_id", "cluster_id", "is_duplicate"]]
+    out = (
+        simhash_dedup(both)
+        .select_columns(["doc_id", "cluster_id", "is_duplicate"])
+        .to_pandas()
+    )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -781,8 +789,26 @@ def q_embedding_dedup(sf_dir: str) -> pd.DataFrame:
         )
 
     both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
-    out = embedding_dedup(both, threshold=0.9999)
+    out = (
+        embedding_dedup(both, threshold=0.9999)
+        .select_columns(["vec_id", "cluster_id", "is_duplicate"])
+        .to_pandas()
+    )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _first_vectors(sf_dir: str, n: int) -> list:
+    """The query vectors (vec_id < n) via a pushed-down filter — never a
+    full-table driver pull."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
+    tbl = tbl.sort_by("vec_id")
+    return tbl["embedding"].to_pylist()
 
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
@@ -792,9 +818,7 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     from .ops.ann import brute_force_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    queries = (
-        ds.to_pandas().sort_values("vec_id").head(5)["embedding"].tolist()
-    )
+    queries = _first_vectors(sf_dir, 5)
     out = brute_force_topk(ds, np.array(queries), k=10, query_ids=list(range(5)))
     return (
         out[["query_id", "vec_id", "rank"]]
@@ -808,7 +832,7 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     from .ops.ann import build_ivf_centroids, ivf_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    queries = ds.to_pandas().sort_values("vec_id").head(5)["embedding"].tolist()
+    queries = _first_vectors(sf_dir, 5)
     centroids = build_ivf_centroids(ds, n_centroids=8)
     out = ivf_topk(ds, np.array(queries), centroids, k=10, n_probe=4, query_ids=list(range(5)))
     return (
@@ -864,11 +888,16 @@ def q_embed_ann(sf_dir: str) -> pd.DataFrame:
         return batch.rename_columns(["vec_id", "text"])
 
     embedded = embed_documents(ds.map_batches(rename, batch_format="pyarrow"), dim=64)
+    import pyarrow.parquet as pq
+
     first = (
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "<", 3)],
+        )
+        .sort_by("doc_id")
         .to_pandas()
-        .sort_values("doc_id")
-        .head(3)
     )
     embedder = HashedNgramEmbedder(dim=64)
     queries = np.stack([embedder.embed_one(t) for t in first["text"]])

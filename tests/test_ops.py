@@ -68,7 +68,7 @@ class TestMinHash:
         assert jaccard_ngrams("abcdefg", "zzzzzzz") == 0.0
 
     def test_clusters(self, docs_ds):
-        out = minhash_lsh_dedup(docs_ds, threshold=0.6)
+        out = minhash_lsh_dedup(docs_ds, threshold=0.6).to_pandas()
         clusters = dict(zip(out["doc_id"], out["cluster_id"]))
         assert clusters[100] == 0  # exact dup of 0
         assert clusters[102] == 2
@@ -84,10 +84,97 @@ class TestSimHash:
         assert simhash64("hello world") != simhash64("goodbye world")
 
     def test_exact_dups_cluster(self, docs_ds):
-        out = simhash_dedup(docs_ds)
+        out = simhash_dedup(docs_ds).to_pandas()
         clusters = dict(zip(out["doc_id"], out["cluster_id"]))
         assert clusters[100] == 0
         assert clusters[102] == 2
+
+
+class TestConnectedComponents:
+    def test_path_and_isolated_components(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import connected_components
+
+        pairs = rd.from_items(
+            [
+                {"id_a": 2, "id_b": 3},
+                {"id_a": 1, "id_b": 2},
+                {"id_a": 4, "id_b": 5},
+            ]
+        )
+        labels = connected_components(pairs)
+        got = dict(zip(labels["node"], labels["label"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    def test_long_chain_converges(self, ray_session):
+        """A 40-node path needs the label-shortcut acceleration — plain
+        min-propagation would need 40 rounds, over the 32-round cap."""
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import connected_components
+
+        pairs = rd.from_items(
+            [{"id_a": i, "id_b": i + 1} for i in range(40)]
+        ).repartition(4)
+        labels = connected_components(pairs)
+        assert set(labels["label"]) == {0}
+        assert len(labels) == 41
+
+    def test_empty_edges(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import connected_components
+
+        pairs = rd.from_items([{"id_a": 1, "id_b": 2}]).filter(lambda r: False)
+        assert len(connected_components(pairs)) == 0
+
+
+class TestBucketPairs:
+    def test_all_pairs_keeps_non_min_edges(self):
+        """Star-only candidate generation loses the x–y edge when both fail
+        verification against the bucket minimum (VERDICT r1 item 5); small
+        buckets must emit EVERY intra-bucket pair."""
+        from pdf_extractor_ray.ops.dedup import _bucket_pairs_frame
+
+        out = _bucket_pairs_frame(np.array([7, 3, 9]), pair_cap=64)
+        edges = set(zip(out["id_a"], out["id_b"]))
+        assert edges == {(3, 7), (3, 9), (7, 9)}
+
+    def test_degenerate_bucket_star_chain(self):
+        from pdf_extractor_ray.ops.dedup import _bucket_pairs_frame
+
+        ids = np.arange(100)
+        out = _bucket_pairs_frame(ids, pair_cap=10)
+        edges = set(zip(out["id_a"], out["id_b"]))
+        # star spans from the minimum, chain connects consecutive members
+        assert (0, 99) in edges and (50, 51) in edges
+        assert len(edges) < 300  # not O(n²)
+
+
+class TestDatasetNativeDedupScale:
+    def test_minhash_corpus_never_lands_on_driver(self, ray_session):
+        """900 docs × ~1 KB: exact triples (i, i+1000, i+2000) must cluster
+        to winner i through the fully dataset-native path (band shuffle →
+        distributed verify → groupby label propagation). The old driver
+        id→text dict would have held the whole corpus here."""
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(17))
+        vocab = [f"w{j:04d}" for j in range(5000)]
+        texts = [
+            " ".join(rng.choice(vocab, size=120).tolist()) for _ in range(300)
+        ]
+        rows = []
+        for copy in range(3):
+            for i, t in enumerate(texts):
+                rows.append({"doc_id": copy * 1000 + i, "text": t})
+        ds = rd.from_items(rows).repartition(8)
+        out = minhash_lsh_dedup(ds, threshold=0.8)
+        assert not isinstance(out, pd.DataFrame)  # stays a Dataset
+        res = out.select_columns(["doc_id", "cluster_id", "is_duplicate"]).to_pandas()
+        assert len(res) == 900
+        assert int(res["is_duplicate"].sum()) == 600
+        clusters = dict(zip(res["doc_id"], res["cluster_id"]))
+        for i in range(300):
+            assert clusters[i] == i == clusters[i + 1000] == clusters[i + 2000]
 
 
 class TestEmbeddingDedup:
@@ -105,7 +192,7 @@ class TestEmbeddingDedup:
                 {"vec_id": 20 + i, "embedding": (vecs[i] + 1e-4).tolist()}
             )
         ds = rd.from_items(rows)
-        out = embedding_dedup(ds, threshold=0.999)
+        out = embedding_dedup(ds, threshold=0.999).to_pandas()
         clusters = dict(zip(out["vec_id"], out["cluster_id"]))
         for i in range(3):
             assert clusters[20 + i] == i
