@@ -29,6 +29,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_ids: list[int] | None = None,
+    round_decimals: int | None = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k of each query against the dataset.
 
@@ -36,6 +37,11 @@ def brute_force_topk(
     by vec_id ascending (deterministic). Queries are broadcast via
     ``ray.put`` ONCE; each batch task computes ``Q @ B.T`` and emits its
     local top-k, so the driver merges tiny partials.
+
+    ``round_decimals`` quantizes scores BEFORE ranking — near-tie scores
+    become exact ties resolved by the vec_id tiebreak, making the ranking
+    reproducible across engines with different float-summation order (the
+    embed_ann SQL oracle relies on this).
     """
     import ray
 
@@ -49,6 +55,8 @@ def brute_force_topk(
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
         sims = qmat @ mat.T  # (n_queries, n_batch)
+        if round_decimals is not None:
+            sims = np.round(sims, round_decimals)
         kk = min(k, sims.shape[1])
         # top-k per query with deterministic vec_id tiebreak
         order = np.lexsort((ids[None, :].repeat(len(qmat), 0), -sims), axis=1)[:, :kk]

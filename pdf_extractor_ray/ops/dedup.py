@@ -184,6 +184,29 @@ def _bucket_pairs_frame(ids, pair_cap: int) -> pd.DataFrame:
     )
 
 
+def _local_component_edges(ids: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+    """Collapse a bucket's VERIFIED pair list to spanning edges (component
+    min-root → member): same global connected components, O(members) edges
+    instead of O(members²) — a big verified cluster would otherwise flood
+    the downstream shuffle with quadratic edges."""
+    n = len(ids)
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(ia.tolist(), ib.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    roots = np.array([find(i) for i in range(n)])
+    member = roots != np.arange(n)
+    return pd.DataFrame({"id_a": ids[roots[member]], "id_b": ids[member]})
+
+
 def _dedup_pairs(pairs_ds):
     """Distinct (id_a, id_b) rows (bands/tables emit the same pair many
     times; dedup BEFORE the expensive verification)."""
@@ -465,7 +488,7 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    pair_cap: int = 256,
+    pair_cap: int = 8192,
 ):
     """SimHash near-dup — dataset-native.
 
@@ -509,15 +532,26 @@ def simhash_dedup(
         if n < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
         if n <= pair_cap:
-            ia, ib = np.triu_indices(n, 1)
-        else:  # star + chain on degenerate buckets
+            # Exact in-bucket verification: blocked all-pairs Hamming
+            # (vectorized popcount LUT), then spanning edges only.
+            out_a, out_b = [], []
+            for lo in range(0, n, 512):
+                hi = min(lo + 512, n)
+                x = sigs[lo:hi, None] ^ sigs[None, :]
+                ham = _POPCOUNT8[x.view(np.uint8).reshape(hi - lo, n, 8)].sum(axis=2)
+                bi, bj = np.where(ham <= max_hamming)
+                keep = (bi + lo) < bj  # upper triangle, global indices
+                out_a.append(bi[keep] + lo)
+                out_b.append(bj[keep])
+            ia, ib = np.concatenate(out_a), np.concatenate(out_b)
+        else:  # degenerate mega-bucket: star + chain, verified directly
             ia = np.concatenate([np.zeros(n - 1, dtype=np.int64), np.arange(1, n - 1)])
             ib = np.concatenate([np.arange(1, n), np.arange(2, n)])
-        x = sigs[ia] ^ sigs[ib]
-        # vectorized popcount via 8-bit LUT over the xor bytes
-        ham = _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+            x = sigs[ia] ^ sigs[ib]
+            ham = _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+            keep = ham <= max_hamming
+            ia, ib = ia[keep], ib[keep]
+        return _local_component_edges(ids, ia, ib)
 
     pairs = _dedup_pairs(
         ds.map_batches(signatures, batch_format="pyarrow")
@@ -552,7 +586,7 @@ def embedding_dedup(
     n_tables: int = 8,
     n_planes: int = 16,
     seed: int = 7,
-    pair_cap: int = 512,
+    pair_cap: int = 4096,
 ):
     """Embedding-cosine near-dup with banded (multi-table) hyperplane LSH —
     dataset-native.
@@ -605,15 +639,23 @@ def embedding_dedup(
         mat = np.array(group["nvec"].tolist())
         n = len(ids)
         if n <= pair_cap:
-            sims = mat @ mat.T
-            ia, ib = np.where(np.triu(sims >= threshold, 1))
-        else:  # degenerate bucket: star + chain, verified directly
+            # Blocked exact pairwise cosine; spanning edges only.
+            out_a, out_b = [], []
+            for lo in range(0, n, 512):
+                hi = min(lo + 512, n)
+                sims = mat[lo:hi] @ mat.T
+                bi, bj = np.where(sims >= threshold)
+                keep = (bi + lo) < bj
+                out_a.append(bi[keep] + lo)
+                out_b.append(bj[keep])
+            ia, ib = np.concatenate(out_a), np.concatenate(out_b)
+        else:  # degenerate mega-bucket: star + chain, verified directly
             ia = np.concatenate([np.zeros(n - 1, dtype=np.int64), np.arange(1, n - 1)])
             ib = np.concatenate([np.arange(1, n), np.arange(2, n)])
             sims = (mat[ia] * mat[ib]).sum(axis=1)
             keep = sims >= threshold
             ia, ib = ia[keep], ib[keep]
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        return _local_component_edges(ids, ia, ib)
 
     pairs = _dedup_pairs(
         ds.map_batches(signatures, batch_format="pyarrow")

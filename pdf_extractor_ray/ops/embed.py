@@ -42,10 +42,18 @@ class HashedNgramEmbedder:
         ngram: int = 3,
         seed: int = 42,
         text_col: str = "text",
+        projection: str = "gaussian",
     ):
         # "Model load": the projection matrix, built once per actor.
-        rng = np.random.Generator(np.random.Philox(seed))
-        self.projection = rng.normal(size=(n_buckets, dim)) / np.sqrt(dim)
+        # ``projection="identity"`` (forces n_buckets == dim) keeps the
+        # embedding a plain normalized n-gram-bucket histogram — exactly
+        # replicable in ANSI SQL, which is what the embed_ann oracle needs.
+        if projection == "identity":
+            n_buckets = dim
+            self.projection = np.eye(dim)
+        else:
+            rng = np.random.Generator(np.random.Philox(seed))
+            self.projection = rng.normal(size=(n_buckets, dim)) / np.sqrt(dim)
         self.n_buckets = n_buckets
         self.ngram = ngram
         self.text_col = text_col
@@ -63,12 +71,14 @@ class HashedNgramEmbedder:
 
 
 def embed_documents(ds, dim: int = 64, concurrency=(1, 8), batch_size: int = 512,
-                    text_col: str = "text"):
+                    text_col: str = "text", projection: str = "gaussian"):
     """Embedding pipeline stage (actor pool — the model-inference shape)."""
     return ds.map_batches(
         HashedNgramEmbedder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        fn_constructor_kwargs={"dim": dim, "text_col": text_col},
+        fn_constructor_kwargs={
+            "dim": dim, "text_col": text_col, "projection": projection,
+        },
         concurrency=concurrency,
     )

@@ -721,8 +721,10 @@ def q_fingerprint_dedup(sf_dir: str) -> pd.DataFrame:
 
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup over documents ∪ perturbed copies (every 5th doc
-    duplicated with its last word dropped). Rows-only driver check; the
-    expected clustering is asserted in tests/test_entry.py."""
+    duplicated with its last word dropped). Oracle: exact all-pairs 5-char
+    shingle Jaccard in DuckDB (sparse shingle join) + recursive min-label
+    components — the LSH candidates must span every true cluster, so the
+    Ray clustering equals the exact ground truth."""
     import ray.data as rd
 
     from .ops.dedup import minhash_lsh_dedup
@@ -776,7 +778,14 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embedding_dedup(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup over embeddings ∪ id-shifted copies."""
+    """Embedding-cosine near-dup over embeddings ∪ exact copies (id+100k) ∪
+    ×2-scaled copies (id+200k; scaling by 2 is exact in IEEE floats, so the
+    scaled copy tests normalization with zero float-boundary risk — cosine
+    is exactly 1 on both engines). Oracle: all-pairs
+    ``list_cosine_similarity`` + recursive min-label components. The corpus
+    has a wide empty margin around the threshold (max non-copy cosine ≈0.6
+    vs threshold 0.9999), so Ray/DuckDB float differences cannot flip any
+    pair decision."""
     from .ops.dedup import embedding_dedup
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -788,7 +797,20 @@ def q_embedding_dedup(sf_dir: str) -> pd.DataFrame:
             pc.add(batch["vec_id"], pa.scalar(100_000, pa.int64())),
         )
 
-    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    def scale2(batch: pa.Table) -> pa.Table:
+        vecs = [[x * 2.0 for x in v] for v in batch["embedding"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                pc.add(batch["vec_id"], pa.scalar(200_000, pa.int64())),
+                pa.array(vecs, batch.schema.field("embedding").type),
+            ],
+            names=["vec_id", "embedding"],
+        )
+
+    both = ds.union(
+        ds.map_batches(shift, batch_format="pyarrow"),
+        ds.map_batches(scale2, batch_format="pyarrow"),
+    )
     out = (
         embedding_dedup(both, threshold=0.9999)
         .select_columns(["vec_id", "cluster_id", "is_duplicate"])
@@ -828,13 +850,20 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF-bucketed ANN over the same queries (approximate — rows-only)."""
+    """IVF ANN in full-probe validation mode (``n_probe == n_centroids``):
+    the result must EXACTLY equal the brute-force scan, which end-to-end
+    checks centroid build, vectorized assignment, per-list scans and the
+    partial-top-k merge (misrouting any vector breaks the oracle). The
+    testdata embeddings are isotropic gaussians — no cluster structure —
+    so pruned probing is inherently lossy on them; the approximation
+    quality at ``n_probe=4/16`` is pinned by tests/test_ops.py's recall@10
+    bound instead, and reported in BASELINE.md."""
     from .ops.ann import build_ivf_centroids, ivf_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = _first_vectors(sf_dir, 5)
     centroids = build_ivf_centroids(ds, n_centroids=8)
-    out = ivf_topk(ds, np.array(queries), centroids, k=10, n_probe=4, query_ids=list(range(5)))
+    out = ivf_topk(ds, np.array(queries), centroids, k=10, n_probe=8, query_ids=list(range(5)))
     return (
         out[["query_id", "vec_id", "rank"]]
         .sort_values(["query_id", "rank"])
@@ -877,8 +906,11 @@ def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
 
 def q_embed_ann(sf_dir: str) -> pd.DataFrame:
     """Model-inference composition: embed documents.text with the hashed
-    n-gram embedder (actor pool) → brute-force ANN; each document's own
-    text must be its top-1 neighbor (self-recall). Rows-only."""
+    n-gram embedder (actor pool, identity projection so the embedding is a
+    normalized trigram-bucket histogram the SQL oracle can replicate) →
+    brute-force ANN with 6-decimal score quantization (near-ties resolve by
+    vec_id on both engines, making ranks float-order-independent). Oracle:
+    the same FNV-1a trigram bucketing + sparse-dim cosine in DuckDB."""
     from .ops.ann import brute_force_topk
     from .ops.embed import HashedNgramEmbedder, embed_documents
 
@@ -887,7 +919,9 @@ def q_embed_ann(sf_dir: str) -> pd.DataFrame:
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["vec_id", "text"])
 
-    embedded = embed_documents(ds.map_batches(rename, batch_format="pyarrow"), dim=64)
+    embedded = embed_documents(
+        ds.map_batches(rename, batch_format="pyarrow"), dim=64, projection="identity"
+    )
     import pyarrow.parquet as pq
 
     first = (
@@ -899,9 +933,11 @@ def q_embed_ann(sf_dir: str) -> pd.DataFrame:
         .sort_by("doc_id")
         .to_pandas()
     )
-    embedder = HashedNgramEmbedder(dim=64)
+    embedder = HashedNgramEmbedder(dim=64, projection="identity")
     queries = np.stack([embedder.embed_one(t) for t in first["text"]])
-    out = brute_force_topk(embedded, queries, k=3, query_ids=first["doc_id"].tolist())
+    out = brute_force_topk(
+        embedded, queries, k=3, query_ids=first["doc_id"].tolist(), round_decimals=6
+    )
     return (
         out[["query_id", "vec_id", "rank"]]
         .sort_values(["query_id", "rank"])
@@ -1231,6 +1267,185 @@ ORACLE_SQL["problem_flags"] = f"""
 
 ORACLE_SQL["lang_distribution"] = _langid_sql()
 
+# --- sketch/ANN oracles (added in round 2) --------------------------------
+# Each replicates the Ray pipeline's EXACT semantics in DuckDB: shingle /
+# token / trigram hashing is reproduced bit-for-bit (polynomial + splitmix
+# finalizer and FNV-1a are plain HUGEINT modular arithmetic), clustering is
+# the transitive closure over exact-similarity pairs via a recursive CTE.
+# Cross-engine float risk is engineered out per query (see each q_*
+# docstring): wide empty score margins, exact-in-IEEE perturbations, or
+# 6-decimal score quantization before ranking.
+
+ORACLE_SQL["minhash_dedup"] = r"""
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, lower(text) AS t FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           lower(array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+                 len(regexp_extract_all(text, '\S+')) - 1), ' '))
+    FROM documents WHERE doc_id % 5 = 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, length(t) - 3),
+                                        i -> substring(t, i, 5))) AS s
+    FROM corpus
+),
+lens AS (SELECT doc_id, len(s) AS l FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT ia, ib FROM inter
+    JOIN lens la ON la.doc_id = ia
+    JOIN lens lb ON lb.doc_id = ib
+    WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.7
+),
+edges AS (SELECT ia, ib FROM cand UNION SELECT ib, ia FROM cand),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT r.src, e.ib FROM reach r JOIN edges e ON r.dst = e.ia
+),
+lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
+FROM lab ORDER BY doc_id
+"""
+
+ORACLE_SQL["simhash"] = r"""
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, lower(text) AS t FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, lower(text) FROM documents
+),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(t, '\S+')) AS tok FROM corpus),
+tok_hash AS (
+    SELECT tok, xor(m2, m2 >> 32) AS h
+    FROM (
+        SELECT tok,
+               CAST((CAST(xor(raw, raw >> 29) AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616 AS UBIGINT) AS m2
+        FROM (
+            SELECT tok,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT),
+                           list_transform(range(1, length(tok) + 1),
+                               i -> CAST(unicode(substring(tok, i, 1)) AS HUGEINT))),
+                       (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS raw
+            FROM (SELECT DISTINCT tok FROM toks)
+        )
+    )
+),
+bitsum AS (
+    SELECT t.doc_id, bits.j,
+           sum(CASE WHEN (th.h >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM toks t
+    JOIN tok_hash th USING (tok)
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT c.doc_id,
+           CAST(coalesce(sum(CASE WHEN b.s > 0
+                    THEN CAST(CAST(1 AS UBIGINT) << b.j AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END), 0) AS UBIGINT) AS sim
+    FROM corpus c LEFT JOIN bitsum b USING (doc_id)
+    GROUP BY 1
+),
+pairs AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+),
+edges AS (SELECT ia, ib FROM pairs UNION SELECT ib, ia FROM pairs),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT r.src, e.ib FROM reach r JOIN edges e ON r.dst = e.ia
+),
+lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
+FROM lab ORDER BY doc_id
+"""
+
+ORACLE_SQL["embedding_dedup"] = """
+WITH RECURSIVE corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 200000, list_transform(embedding, x -> x * 2) FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9999
+),
+edges AS (SELECT ia, ib FROM pairs UNION SELECT ib, ia FROM pairs),
+reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM corpus
+    UNION
+    SELECT r.src, e.ib FROM reach r JOIN edges e ON r.dst = e.ia
+),
+lab AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT vec_id, cluster_id, vec_id <> cluster_id AS is_duplicate
+FROM lab ORDER BY vec_id
+"""
+
+# Full-probe IVF must equal the exact scan — same oracle as ann_topk.
+ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
+
+ORACLE_SQL["embed_ann"] = """
+WITH corpus AS (SELECT doc_id, lower(text) AS t FROM documents),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(t) - 1),
+                                 i -> substring(t, i, 3))) AS g
+    FROM corpus
+),
+gh AS (
+    SELECT g,
+           CAST(list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                   list_transform(range(1, length(g) + 1),
+                       i -> CAST(unicode(substring(g, i, 1)) AS HUGEINT))),
+               (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                          * 1099511628211) % 18446744073709551616) AS UBIGINT)
+           % 64 AS dim
+    FROM (SELECT DISTINCT g FROM grams)
+),
+dims AS (
+    SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS c
+    FROM grams JOIN gh USING (g)
+    GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM dims GROUP BY 1),
+qd AS (SELECT * FROM dims WHERE doc_id < 3),
+dots AS (
+    SELECT q.doc_id AS query_id, d.doc_id AS vec_id, sum(q.c * d.c) AS dot
+    FROM qd q JOIN dims d ON q.dim = d.dim
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT query_id, vec_id, dot / (nq.nrm * nd.nrm) AS score
+    FROM dots
+    JOIN norms nq ON nq.doc_id = query_id
+    JOIN norms nd ON nd.doc_id = vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 
 def q_problem_flags(sf_dir: str) -> pd.DataFrame:
     """Three SQL-expressible detectors over documents.text as boolean
@@ -1285,12 +1500,12 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "exact_dedup": q_exact_dedup,
     "fingerprint_dedup": q_fingerprint_dedup,
-    "minhash_dedup": q_minhash_dedup,      # rows-only (non-SQL-expressible)
-    "simhash": q_simhash,                  # rows-only
-    "embedding_dedup": q_embedding_dedup,  # rows-only
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "embedding_dedup": q_embedding_dedup,
     "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,                  # rows-only (approximate)
+    "ann_ivf": q_ann_ivf,
     "embedding_stats": q_embedding_stats,
-    "embed_ann": q_embed_ann,              # rows-only (hash-model specific)
+    "embed_ann": q_embed_ann,
     "extraction_metrics": q_extraction_metrics,
 }
