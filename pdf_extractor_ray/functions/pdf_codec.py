@@ -1,0 +1,801 @@
+"""Minimal from-scratch PDF 1.x codec: a fixture WRITER that emits genuine
+``%PDF-1.4`` documents and a READER that parses them back to per-character
+layout records for the shared layout-analysis kernel.
+
+This replaces the round-1 toy ``%PDF-GRAFT1`` decode as the PDF branch's
+frontend (the reference's core competency is real PDFs —
+reference: src/services/extraction_service.py:26-114 extracts text/tables
+via pdfplumber; src/services/pdf_processor.py:105-221 walks the outline
+tree). Everything here is built from the public PDF 1.7 spec (ISO 32000):
+
+Reader support (documented subset):
+- classic cross-reference tables (``xref`` sections + ``trailer`` dicts,
+  ``/Prev`` chains for incremental updates), with a brute-force
+  ``N 0 obj`` scan fallback when the xref is damaged
+- object syntax: dictionaries, arrays, names, literal strings (nested
+  parens, all escapes, octal), hex strings, numbers, booleans, null,
+  indirect references, streams (``/Length`` direct or indirect)
+- ``/FlateDecode`` stream filter via stdlib zlib
+- page tree walking with attribute inheritance (``/Kids`` recursion)
+- content-stream text operators: BT ET Tf TL Td TD Tm T* Tj TJ ' "
+  (q/Q/cm and colour/path operators are skipped token-exactly)
+- outline tree (``/Outlines`` → ``/First``/``/Next``, ``/Title``,
+  ``/Dest`` or ``/A``→``/D`` page destinations)
+
+NOT supported (declared): cross-reference streams / object streams
+(PDF 1.5 ``/ObjStm``), encryption, CID/composite fonts, inline images.
+Payloads needing those fall through to the pipeline's error-containment
+path like any other undecodable input.
+
+Glyph metrics: the writer uses Courier (fixed 600/1000 advance), so the
+reader's char-box reconstruction (0.6 × font size per glyph) is exact and
+the records feed :func:`..functions.pdf_extract.records_to_markdown`
+unchanged — the layout kernel itself is decoder-agnostic.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+from .pdf_extract import LINE_H, PAGE_H, RECORD_DTYPE
+
+COURIER_ADVANCE = 0.6  # Courier glyph advance per unit font size
+FONT_SIZE = 10.0
+CHAR_W = COURIER_ADVANCE * FONT_SIZE  # 6.0 — same cell as the toy format
+
+
+# ---------------------------------------------------------------------------
+# Writer (fixture generator)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> bytes:
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if ch in "()\\":
+            out.append(b"\\" + ch.encode("latin-1"))
+        elif 32 <= o < 127:
+            out.append(ch.encode("latin-1"))
+        elif o < 256:
+            out.append(b"\\%03o" % o)
+        else:  # non-latin1: writer fixtures are ASCII; replace defensively
+            out.append(b"?")
+    return b"".join(out)
+
+
+def wrap_text_rows(
+    text: str, chars_per_line: int = 80, lines_per_page: int = 40
+) -> list[list[str | None]]:
+    """Word-wrap ``text`` into pages of rows (None = blank separator row) —
+    the same wrap contract as the toy writer, so real-PDF and toy payloads
+    of the same text produce identical layout records."""
+    rows: list[str | None] = []
+    for para in text.split("\n\n"):
+        words = para.split()
+        if not words:
+            continue
+        if rows:
+            rows.append(None)
+        line = ""
+        for word in words:
+            if not line:
+                line = word
+            elif len(line) + 1 + len(word) <= chars_per_line:
+                line += " " + word
+            else:
+                rows.append(line)
+                line = word
+        if line:
+            rows.append(line)
+
+    pages: list[list[str | None]] = []
+    current: list[str | None] = []
+    for row in rows:
+        if len(current) >= lines_per_page:
+            pages.append(current)
+            current = []
+        current.append(row)
+    if current:
+        pages.append(current)
+    return pages
+
+
+def _page_content(rows: list[str | None], style: str) -> bytes:
+    """One page's content stream. ``style`` varies the operator mix so the
+    reader's Td/TD/Tm/T*/TJ handling is all exercised by fixtures:
+    ``tm``   — absolute ``1 0 0 1 x y Tm`` per line
+    ``td``   — relative ``0 -dy Td`` line moves
+    ``tstar``— ``TL`` + ``T*`` line advances and TJ-array shows
+    """
+    out = [b"BT", b"/F1 10 Tf"]
+    if style == "tstar":
+        out.append(b"%g TL" % LINE_H)
+    prev_y: float | None = None
+    row_idx = 0
+    for row in rows:
+        if row is None:
+            row_idx += 1
+            continue
+        y0 = PAGE_H - row_idx * LINE_H - LINE_H
+        row_idx += 1
+        if style == "tm":
+            out.append(b"1 0 0 1 0 %g Tm" % y0)
+        elif prev_y is None:
+            out.append(b"0 %g Td" % y0)
+        else:
+            dy = prev_y - y0
+            if style == "tstar" and dy == LINE_H:
+                out.append(b"T*")
+            else:
+                out.append(b"0 %g Td" % -dy)
+        prev_y = y0
+        if style == "tstar" and "  " not in row and len(row) > 4:
+            # split the line into a kerning-free TJ array (two halves)
+            mid = len(row) // 2
+            out.append(
+                b"[(%s) (%s)] TJ" % (_pdf_escape(row[:mid]), _pdf_escape(row[mid:]))
+            )
+        else:
+            out.append(b"(%s) Tj" % _pdf_escape(row))
+    out.append(b"ET")
+    return b"\n".join(out)
+
+
+def build_pdf(
+    text: str,
+    compress: bool = False,
+    style: str = "tm",
+    outline: list[tuple[str, int]] | None = None,
+    chars_per_line: int = 80,
+    lines_per_page: int = 40,
+) -> bytes:
+    """Serialize ``text`` as a genuine single-font PDF.
+
+    ``outline`` is a list of ``(title, page_index)`` bookmarks written as a
+    flat top-level ``/Outlines`` tree (the shape the reference's outline
+    splitter consumes, reference: src/services/pdf_processor.py:105-142).
+    Round-trips byte-exactly through :func:`parse_pdf_records` +
+    ``records_to_markdown`` for single-space word text.
+    """
+    pages = wrap_text_rows(text, chars_per_line, lines_per_page) or [[]]
+    return _assemble_pdf(pages, outline, compress, style)
+
+
+def build_sectioned_pdf(
+    sections: list[tuple[str, str]],
+    compress: bool = False,
+    style: str = "tm",
+    chars_per_line: int = 80,
+    lines_per_page: int = 40,
+) -> bytes:
+    """PDF whose ``/Outlines`` bookmarks delimit sections: each
+    ``(title, text)`` section starts on a fresh page, with its outline entry
+    pointing at that page — the structure the reference's outline splitter
+    cuts documents by (reference: src/services/pdf_processor.py:105-221)."""
+    pages: list[list[str | None]] = []
+    outline: list[tuple[str, int]] = []
+    for title, text in sections:
+        outline.append((title, len(pages)))
+        pages.extend(wrap_text_rows(text, chars_per_line, lines_per_page) or [[]])
+    return _assemble_pdf(pages or [[]], outline, compress, style)
+
+
+def _assemble_pdf(
+    pages: list[list[str | None]],
+    outline: list[tuple[str, int]] | None,
+    compress: bool,
+    style: str,
+) -> bytes:
+    n_pages = len(pages)
+
+    # object numbering: 1 catalog, 2 pages-root, 3 font,
+    # 4..3+n page objects, then content streams, then outline objects
+    first_page_obj = 4
+    first_content_obj = first_page_obj + n_pages
+    first_outline_obj = first_content_obj + n_pages
+    n_outline = (1 + len(outline)) if outline else 0
+
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{first_page_obj + i} 0 R" for i in range(n_pages))
+    catalog = f"<< /Type /Catalog /Pages 2 0 R"
+    if outline:
+        catalog += f" /Outlines {first_outline_obj} 0 R"
+    catalog += " >>"
+    objs[1] = catalog.encode()
+    objs[2] = (
+        f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] "
+        f"/MediaBox [0 0 612 792] >>"
+    ).encode()
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
+
+    for i, rows in enumerate(pages):
+        objs[first_page_obj + i] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {first_content_obj + i} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >> >>"
+        ).encode()
+        content = _page_content(rows, style)
+        if compress:
+            data = zlib.compress(content)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            data = content
+            head = b"<< /Length %d >>" % len(data)
+        objs[first_content_obj + i] = head + b"\nstream\n" + data + b"\nendstream"
+
+    if outline:
+        root = first_outline_obj
+        item_ids = [root + 1 + k for k in range(len(outline))]
+        objs[root] = (
+            f"<< /Type /Outlines /First {item_ids[0]} 0 R "
+            f"/Last {item_ids[-1]} 0 R /Count {len(outline)} >>"
+        ).encode()
+        for k, (title, page_idx) in enumerate(outline):
+            entry = [
+                b"<< /Title (%s)" % _pdf_escape(title),
+                b"/Parent %d 0 R" % root,
+                b"/Dest [%d 0 R /XYZ 0 792 null]" % (first_page_obj + page_idx),
+            ]
+            if k > 0:
+                entry.append(b"/Prev %d 0 R" % item_ids[k - 1])
+            if k + 1 < len(item_ids):
+                entry.append(b"/Next %d 0 R" % item_ids[k + 1])
+            entry.append(b">>")
+            objs[item_ids[k]] = b" ".join(entry)
+
+    # serialize with a correct classic xref table
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num
+        buf += objs[num]
+        buf += b"\nendobj\n"
+    xref_pos = len(buf)
+    n_objs = max(objs) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_pos)
+    )
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# Reader: lexer + object parser
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Name(str):
+    """PDF name object (distinct from strings for dict keys)."""
+
+
+class _Kw(bytes):
+    """Bare keyword token (``obj``, ``R``, content-stream operators) —
+    distinct from string objects, which are plain ``bytes``."""
+
+
+class _Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+class PdfError(ValueError):
+    pass
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = self.data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and data[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek_bytes(self, k: int) -> bytes:
+        self._skip_ws()
+        return self.data[self.pos : self.pos + k]
+
+    def read_token(self):
+        """Next syntactic token: returns python object for atoms, or the
+        marker strings ``dict_open/dict_close/arr_open/arr_close``."""
+        self._skip_ws()
+        data, n = self.data, len(self.data)
+        if self.pos >= n:
+            raise PdfError("unexpected EOF")
+        c = data[self.pos]
+        if data.startswith(b"<<", self.pos):
+            self.pos += 2
+            return "dict_open"
+        if data.startswith(b">>", self.pos):
+            self.pos += 2
+            return "dict_close"
+        if c == 0x5B:  # [
+            self.pos += 1
+            return "arr_open"
+        if c == 0x5D:  # ]
+            self.pos += 1
+            return "arr_close"
+        if c == 0x2F:  # /name
+            self.pos += 1
+            start = self.pos
+            while self.pos < n and data[self.pos] not in _WS and data[self.pos] not in _DELIM:
+                self.pos += 1
+            raw = data[start : self.pos]
+            # #xx hex escapes in names
+            raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
+            return _Name(raw.decode("latin-1"))
+        if c == 0x28:  # ( literal string
+            return self._read_literal_string()
+        if c == 0x3C:  # < hex string
+            end = data.index(b">", self.pos)
+            hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data[self.pos + 1 : end])
+            if len(hexs) % 2:
+                hexs += b"0"
+            self.pos = end + 1
+            return bytes.fromhex(hexs.decode())
+        # number / keyword
+        start = self.pos
+        while self.pos < n and data[self.pos] not in _WS and data[self.pos] not in _DELIM:
+            self.pos += 1
+        word = data[start : self.pos]
+        if not word:
+            raise PdfError(f"bad token at {start}")
+        if word == b"true":
+            return True
+        if word == b"false":
+            return False
+        if word == b"null":
+            return None
+        try:
+            if b"." in word or b"e" in word or b"E" in word:
+                return float(word)
+            return int(word)
+        except ValueError:
+            return _Kw(word)  # keyword (obj/R/content operators)
+
+    def _read_literal_string(self) -> bytes:
+        data, n = self.data, len(self.data)
+        assert data[self.pos] == 0x28
+        self.pos += 1
+        depth = 1
+        out = bytearray()
+        while self.pos < n:
+            c = data[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                e = data[self.pos]
+                if e in b"nrtbf":
+                    out += {b"n"[0]: b"\n", b"r"[0]: b"\r", b"t"[0]: b"\t",
+                            b"b"[0]: b"\b", b"f"[0]: b"\f"}[e]
+                    self.pos += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                    oct_digits = bytearray()
+                    while len(oct_digits) < 3 and 0x30 <= data[self.pos] <= 0x37:
+                        oct_digits.append(data[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits.decode(), 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and data[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return bytes(out)
+                out.append(c)
+                self.pos += 1
+            else:
+                out.append(c)
+                self.pos += 1
+        raise PdfError("unterminated string")
+
+    _NOTOK = object()  # sentinel: PDF null parses to Python None
+
+    def read_object(self, first_token=_NOTOK):
+        """Full object (resolving composite syntax, detecting ``R`` refs)."""
+        tok = self.read_token() if first_token is self._NOTOK else first_token
+        if tok == "dict_open":
+            d = {}
+            while True:
+                key = self.read_token()
+                if key == "dict_close":
+                    return d
+                if not isinstance(key, _Name):
+                    raise PdfError(f"dict key {key!r}")
+                d[str(key)] = self.read_object()
+        if tok == "arr_open":
+            arr = []
+            while True:
+                t = self.read_token()
+                if t == "arr_close":
+                    return arr
+                arr.append(self.read_object(t))
+        if isinstance(tok, int):
+            # possible "num gen R" reference — lookahead
+            save = self.pos
+            try:
+                t2 = self.read_token()
+                if isinstance(t2, int):
+                    t3 = self.read_token()
+                    if isinstance(t3, _Kw) and t3 == b"R":
+                        return _Ref((tok, t2))
+            except PdfError:
+                pass
+            self.pos = save
+            return tok
+        return tok
+
+
+# ---------------------------------------------------------------------------
+# Document model
+# ---------------------------------------------------------------------------
+
+
+class PdfDocument:
+    """Parsed PDF: object map + resolver + page/outline walkers."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise PdfError("missing %PDF header")
+        self.data = data
+        self._cache: dict[int, object] = {}
+        self.xref: dict[int, int] = {}
+        self.trailer: dict = {}
+        try:
+            self._load_xref()
+        except (PdfError, ValueError, IndexError, KeyError):
+            self._scan_objects()
+        if "Root" not in self.trailer:
+            self._scan_objects()
+            if "Root" not in self.trailer:
+                raise PdfError("no document catalog")
+
+    # -- xref ---------------------------------------------------------------
+    def _load_xref(self):
+        tail = self.data[-2048:]
+        m = list(re.finditer(rb"startxref\s+(\d+)", tail))
+        if not m:
+            raise PdfError("no startxref")
+        pos = int(m[-1].group(1))
+        seen = set()
+        while pos and pos not in seen:
+            seen.add(pos)
+            lex = _Lexer(self.data, pos)
+            tok = lex.read_token()
+            if tok != b"xref":
+                raise PdfError("xref stream (PDF 1.5+) not supported")
+            entry_re = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])\s*")
+            while True:
+                tok = lex.read_token()
+                if tok == b"trailer":
+                    break
+                start = tok
+                count = lex.read_token()
+                if not isinstance(start, int) or not isinstance(count, int):
+                    raise PdfError("bad xref subsection")
+                lex._skip_ws()
+                for i in range(count):
+                    m = entry_re.match(self.data, lex.pos)
+                    if not m:
+                        raise PdfError("bad xref entry")
+                    num = start + i
+                    if m.group(3) == b"n" and num not in self.xref:
+                        self.xref[num] = int(m.group(1))
+                    lex.pos = m.end()
+            trailer = lex.read_object()
+            if not isinstance(trailer, dict):
+                raise PdfError("bad trailer")
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            pos = trailer.get("Prev", 0)
+
+    def _scan_objects(self):
+        """Damaged-xref fallback: brute-scan ``N G obj`` headers (last
+        occurrence of each object number wins — incremental-update order)."""
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.data):
+            self.xref[int(m.group(1))] = m.start()
+        m = re.search(rb"trailer\s*<<", self.data)
+        if m:
+            lex = _Lexer(self.data, m.end() - 2)
+            obj = lex.read_object()
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    self.trailer.setdefault(k, v)
+        if "Root" not in self.trailer:
+            # last resort: find the object whose dict is a /Catalog
+            for num in self.xref:
+                obj = self.get(num)
+                if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                    self.trailer["Root"] = _Ref((num, 0))
+                    break
+
+    # -- objects ------------------------------------------------------------
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.xref.get(num)
+        if off is None:
+            return None
+        lex = _Lexer(self.data, off)
+        n1 = lex.read_token()
+        gen = lex.read_token()
+        kw = lex.read_token()
+        if n1 != num or kw != b"obj":
+            raise PdfError(f"object {num} not at offset {off}")
+        del gen
+        obj = lex.read_object()
+        # stream?
+        lex._skip_ws()
+        if self.data.startswith(b"stream", lex.pos):
+            p = lex.pos + len(b"stream")
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] == b"\n":
+                p += 1
+            length = self.resolve(obj.get("Length", 0))
+            raw = self.data[p : p + int(length)]
+            filt = self.resolve(obj.get("Filter"))
+            filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+            for f in filters:
+                if str(f) == "FlateDecode":
+                    raw = zlib.decompress(raw)
+                else:
+                    raise PdfError(f"unsupported filter {f}")
+            obj = dict(obj)
+            obj["__stream__"] = raw
+        self._cache[num] = obj
+        return obj
+
+    def resolve(self, obj):
+        seen = 0
+        while isinstance(obj, _Ref):
+            obj = self.get(obj[0])
+            seen += 1
+            if seen > 32:
+                raise PdfError("reference loop")
+        return obj
+
+    # -- page tree ----------------------------------------------------------
+    def pages(self) -> list[dict]:
+        """Flattened page list with inherited attributes."""
+        root = self.resolve(self.trailer["Root"])
+        tree = self.resolve(root.get("Pages"))
+        out: list[dict] = []
+        inheritable = ("Resources", "MediaBox", "Rotate")
+
+        def walk(node, inherited, depth=0):
+            if node is None or depth > 64:
+                return
+            node = self.resolve(node)
+            merged = dict(inherited)
+            for k in inheritable:
+                if k in node:
+                    merged[k] = node[k]
+            if str(node.get("Type", "")) == "Page" or (
+                "Kids" not in node and "Contents" in node
+            ):
+                page = dict(node)
+                for k, v in merged.items():
+                    page.setdefault(k, v)
+                out.append(page)
+                return
+            for kid in self.resolve(node.get("Kids", [])) or []:
+                walk(kid, merged, depth + 1)
+
+        walk(tree, {})
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, dict):
+            return contents.get("__stream__", b"")
+        parts = []
+        for ref in contents:
+            obj = self.resolve(ref)
+            if isinstance(obj, dict):
+                parts.append(obj.get("__stream__", b""))
+        return b"\n".join(parts)
+
+    # -- outline ------------------------------------------------------------
+    def outline(self) -> list[tuple[str, int]]:
+        """Flat top-level outline: ``[(title, page_index), ...]`` — the
+        shape the reference's splitter walks
+        (reference: src/services/pdf_processor.py:105-142)."""
+        root = self.resolve(self.trailer["Root"])
+        ol = self.resolve(root.get("Outlines"))
+        if not isinstance(ol, dict):
+            return []
+        # page object number → page index (walk the tree by reference)
+        page_index: dict[int, int] = {}
+
+        def collect(node_ref, depth=0):
+            if depth > 64:
+                return
+            node = self.resolve(node_ref)
+            if node is None:
+                return
+            if str(node.get("Type", "")) == "Page" or (
+                "Kids" not in node and "Contents" in node
+            ):
+                if isinstance(node_ref, _Ref):
+                    page_index[node_ref[0]] = len(page_index)
+                return
+            for kid in self.resolve(node.get("Kids", [])) or []:
+                collect(kid, depth + 1)
+
+        collect(root.get("Pages"))
+
+        out: list[tuple[str, int]] = []
+        node = ol.get("First")
+        hops = 0
+        while node is not None and hops < 256:
+            hops += 1
+            item = self.resolve(node)
+            if not isinstance(item, dict):
+                break
+            title_b = item.get("Title", b"")
+            title = (
+                title_b.decode("latin-1", "replace")
+                if isinstance(title_b, (bytes, bytearray))
+                else str(title_b)
+            )
+            dest = item.get("Dest")
+            if dest is None:
+                action = self.resolve(item.get("A"))
+                if isinstance(action, dict):
+                    dest = action.get("D")
+            dest = self.resolve(dest) if not isinstance(dest, list) else dest
+            idx = 0
+            if isinstance(dest, list) and dest and isinstance(dest[0], _Ref):
+                idx = page_index.get(dest[0][0], 0)
+            elif isinstance(dest, list) and dest and isinstance(dest[0], int):
+                idx = int(dest[0])
+            out.append((title, idx))
+            node = item.get("Next")
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Content-stream interpreter → layout records
+# ---------------------------------------------------------------------------
+
+
+def _interpret_text(content: bytes, page_idx: int, records: list) -> None:
+    """Execute the text operators of one page's content stream, appending
+    ``(page, x0, y0, x1, y1, cp)`` records (space glyphs advance the pen but
+    emit no record — the layout kernel re-derives word gaps, exactly like
+    the toy decoder)."""
+    lex = _Lexer(content)
+    stack: list = []
+    size = 12.0
+    leading = 0.0
+    # text matrix (a b c d e f); we use e,f (+ a,d scale) — fixtures are
+    # unrotated, but the multiply below is the general one.
+    tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    tlm = list(tm)
+    in_text = False
+
+    def show(s: bytes):
+        nonlocal tm
+        if not in_text:
+            return
+        w = COURIER_ADVANCE * size * tm[0]
+        x = tm[4]
+        y = tm[5]
+        h = LINE_H
+        for b in s:
+            if b != 0x20:
+                records.append((page_idx, x, y, x + w, y + h, b))
+            x += w
+        tm[4] = x
+
+    def next_line(tx: float, ty: float):
+        nonlocal tm, tlm
+        # Tlm = [1 0 0 1 tx ty] × Tlm
+        tlm = [
+            tlm[0], tlm[1], tlm[2], tlm[3],
+            tx * tlm[0] + ty * tlm[2] + tlm[4],
+            tx * tlm[1] + ty * tlm[3] + tlm[5],
+        ]
+        tm = list(tlm)
+
+    n = len(content)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        try:
+            tok = lex.read_token()
+        except PdfError:
+            break
+        if tok in ("dict_open", "arr_open"):
+            stack.append(lex.read_object(tok))
+            continue
+        if not isinstance(tok, _Kw):
+            stack.append(tok)  # operand: number / string / name / bool
+            continue
+        op = bytes(tok)
+        if op == b"BT":
+            in_text = True
+            tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+            tlm = list(tm)
+        elif op == b"ET":
+            in_text = False
+        elif op == b"Tf" and len(stack) >= 2:
+            size = float(stack[-1])
+        elif op == b"TL" and stack:
+            leading = float(stack[-1])
+        elif op == b"Td" and len(stack) >= 2:
+            next_line(float(stack[-2]), float(stack[-1]))
+        elif op == b"TD" and len(stack) >= 2:
+            leading = -float(stack[-1])
+            next_line(float(stack[-2]), float(stack[-1]))
+        elif op == b"Tm" and len(stack) >= 6:
+            tlm = [float(v) for v in stack[-6:]]
+            tm = list(tlm)
+        elif op == b"T*":
+            next_line(0.0, -leading)
+        elif op == b"Tj" and stack:
+            show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+        elif op == b"TJ" and stack:
+            arr = stack[-1]
+            if isinstance(arr, list):
+                for el in arr:
+                    if isinstance(el, (bytes, bytearray)):
+                        show(bytes(el))
+                    elif isinstance(el, (int, float)):
+                        tm[4] -= float(el) / 1000.0 * size * tm[0]
+        elif op == b"'" and stack:
+            next_line(0.0, -leading)
+            show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+        elif op == b'"' and len(stack) >= 3:
+            next_line(0.0, -leading)
+            show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+        # any other operator: ignore
+        stack.clear()
+
+
+def parse_pdf_records(payload: bytes) -> np.ndarray:
+    """Real-PDF decode: parse structure, run the text interpreter over every
+    page, return the layout RECORD array the shared kernel consumes."""
+    doc = PdfDocument(payload)
+    records: list = []
+    for idx, page in enumerate(doc.pages()):
+        _interpret_text(doc.page_content(page), idx, records)
+    return np.array(records, dtype=RECORD_DTYPE)
+
+
+def parse_pdf_outline(payload: bytes) -> list[tuple[str, int]]:
+    """Outline bookmarks ``[(title, page_index), ...]`` of a real PDF."""
+    return PdfDocument(payload).outline()

@@ -229,31 +229,27 @@ def _detect_columns(sub: np.ndarray) -> list[np.ndarray]:
     return [left, right]
 
 
-def _extract_pages(payload: bytes) -> tuple[list[str], dict]:
-    """Parse a toy-PDF payload into markdown via layout analysis.
+def records_to_markdown(arr: np.ndarray) -> tuple[list[str], dict]:
+    """The decoder-agnostic layout-analysis kernel: char records → per-page
+    markdown.
 
     Pipeline (the pdfminer-style semantics from the north star):
-    1. decode char boxes (vectorized ``np.frombuffer``)
-    2. per page: detect columns (gutter that no char crosses —
+    1. per page: detect columns (gutter that no char crosses —
        :func:`_detect_columns`); reading order is column-major (left column
        top-to-bottom, then right)
-    3. per column: cluster chars into lines by baseline, split words at
+    2. per column: cluster chars into lines by baseline, split words at
        horizontal gaps, cluster lines into blocks by paragraph leading
        (:func:`_cluster_blocks`)
-    4. blocks join lines with spaces; blocks join with blank lines; pages
+    3. blocks join lines with spaces; blocks join with blank lines; pages
        combine with the canonical page layout
        (reference: src/core/utils.py:112-161).
 
-    Returns ``(page_markdowns, stats)``.
+    Both decode frontends feed this: the toy ``%PDF-GRAFT1`` record array
+    and the real ``%PDF-1.x`` content-stream interpreter
+    (:mod:`.pdf_codec`).
     """
-    if not payload.startswith(MAGIC):
-        raise ValueError("not a GRAFT toy-PDF payload")
-    body = payload[len(MAGIC):]
-    usable = len(body) - len(body) % RECORD_DTYPE.itemsize
-    arr = np.frombuffer(body[:usable], dtype=RECORD_DTYPE)
     if len(arr) == 0:
         return [], {"n_pages": 0, "n_blocks": 0, "n_chars": 0}
-
     page_markdowns = []
     n_blocks = 0
     n_pages = 0
@@ -268,3 +264,24 @@ def _extract_pages(payload: bytes) -> tuple[list[str], dict]:
         page_markdowns.append("\n\n".join(block_texts))
     stats = {"n_pages": n_pages, "n_blocks": n_blocks, "n_chars": int(len(arr))}
     return page_markdowns, stats
+
+
+def decode_records(payload: bytes) -> np.ndarray:
+    """Decode a PDF payload to char records: toy ``%PDF-GRAFT1`` arrays via
+    ``np.frombuffer``; genuine ``%PDF-1.x`` files via the from-scratch
+    structure parser + content-stream interpreter (:mod:`.pdf_codec` —
+    replaces the reference's pdfplumber frontend,
+    reference: src/services/extraction_service.py:26-114)."""
+    if payload.startswith(MAGIC):
+        body = payload[len(MAGIC):]
+        usable = len(body) - len(body) % RECORD_DTYPE.itemsize
+        return np.frombuffer(body[:usable], dtype=RECORD_DTYPE)
+    if payload.startswith(b"%PDF-"):
+        from .pdf_codec import parse_pdf_records
+
+        return parse_pdf_records(payload)
+    raise ValueError("not a PDF payload")
+
+
+def _extract_pages(payload: bytes) -> tuple[list[str], dict]:
+    return records_to_markdown(decode_records(payload))

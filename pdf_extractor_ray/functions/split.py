@@ -39,11 +39,22 @@ def split_html_payload(payload: bytes, max_pages_per_chunk: int = 15) -> list[by
 
 
 def split_pdf_payload(payload: bytes, max_pages_per_chunk: int = 15) -> list[bytes]:
-    """Split a toy-PDF payload by page-id ranges (records are page-sorted by
-    construction; re-sorted defensively here)."""
-    body = payload[len(MAGIC):]
-    usable = len(body) - len(body) % RECORD_DTYPE.itemsize
-    arr = np.frombuffer(body[:usable], dtype=RECORD_DTYPE)
+    """Split a PDF payload by page-id ranges. Toy payloads slice the record
+    array directly; a real ``%PDF-1.x`` payload is decoded ONCE here and its
+    chunks are re-emitted in the (internal) record format — each chunk is
+    independently extractable by the same layout kernel, and the decode cost
+    moves to the split stage instead of being paid per chunk."""
+    if payload.startswith(MAGIC):
+        body = payload[len(MAGIC):]
+        usable = len(body) - len(body) % RECORD_DTYPE.itemsize
+        arr = np.frombuffer(body[:usable], dtype=RECORD_DTYPE)
+    else:
+        from .pdf_extract import decode_records
+
+        try:
+            arr = decode_records(payload)
+        except Exception:
+            return [payload]  # undecodable: error containment downstream
     if len(arr) == 0:
         return [payload]
     pages = np.unique(arr["page"])

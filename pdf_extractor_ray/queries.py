@@ -457,12 +457,26 @@ _WRAP_SUFFIX = (
 )
 
 
-def wrap_documents_as_pages(sf_dir: str, pdf_every: int = 0):
+def _real_pdf_payload(i: int, text: str) -> bytes:
+    """Deterministic real-PDF payload: the doc id rotates the content-stream
+    operator style (Tm / Td / TL+T*+TJ) and FlateDecode compression so the
+    parser's whole operator/filter surface is continuously exercised."""
+    from .functions.pdf_codec import build_pdf
+
+    return build_pdf(
+        text,
+        compress=bool(i % 2),
+        style=("tm", "td", "tstar")[i % 3],
+    )
+
+
+def wrap_documents_as_pages(sf_dir: str, pdf_every: int = 0, pdf_kind: str = "real"):
     """documents table → pages table (the engine's input shape): text
     wrapped in a deterministic boilerplate shell; every ``pdf_every``-th doc
-    becomes a toy-PDF payload instead (0 = never). Extraction must recover
-    ``text`` byte-exactly — the independent SQL oracle for the whole
-    extract stage."""
+    becomes a PDF payload instead (0 = never) — ``pdf_kind="real"`` emits
+    genuine ``%PDF-1.4`` bytes (mixed operator styles + FlateDecode),
+    ``"toy"`` the GRAFT1 record format. Extraction must recover ``text``
+    byte-exactly — the independent SQL oracle for the whole extract stage."""
 
     def to_pages(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -471,7 +485,9 @@ def wrap_documents_as_pages(sf_dir: str, pdf_every: int = 0):
         payloads = []
         for i, text in zip(ids, texts):
             if pdf_every and i % pdf_every == 0:
-                payloads.append(layout_text(text))
+                payloads.append(
+                    _real_pdf_payload(i, text) if pdf_kind == "real" else layout_text(text)
+                )
             else:
                 payloads.append((_WRAP_PREFIX + text + _WRAP_SUFFIX).encode())
         return pa.Table.from_arrays(
@@ -494,8 +510,8 @@ def wrap_documents_as_pages(sf_dir: str, pdf_every: int = 0):
     )
 
 
-def _roundtrip(sf_dir: str, pdf_every: int) -> pd.DataFrame:
-    pages = wrap_documents_as_pages(sf_dir, pdf_every=pdf_every)
+def _roundtrip(sf_dir: str, pdf_every: int, pdf_kind: str = "real") -> pd.DataFrame:
+    pages = wrap_documents_as_pages(sf_dir, pdf_every=pdf_every, pdf_kind=pdf_kind)
     out = extraction_pipeline(pages)
     df = out.select_columns(["doc_id", "extracted_text"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -508,21 +524,76 @@ def q_extract_html(sf_dir: str) -> pd.DataFrame:
 
 
 def q_extract_mixed(sf_dir: str) -> pd.DataFrame:
-    """Same, with every 3rd document as a toy-PDF payload — exercises the
-    routing + PDF layout-analysis branch under the same byte-identity oracle."""
-    return _roundtrip(sf_dir, pdf_every=3)
+    """Same, with every 3rd document as a REAL ``%PDF-1.4`` payload —
+    exercises routing + the from-scratch PDF parser + the layout-analysis
+    kernel under the same byte-identity oracle."""
+    return _roundtrip(sf_dir, pdf_every=3, pdf_kind="real")
+
+
+def q_extract_real_pdf(sf_dir: str) -> pd.DataFrame:
+    """EVERY document as a genuine ``%PDF-1.4`` file (operator styles
+    Tm/Td/TL+T*+TJ and FlateDecode rotating by doc id): full-corpus
+    byte-identity through xref parse → object graph → content-stream
+    interpretation → layout analysis (the reference's core competency,
+    reference: src/services/extraction_service.py:26-114)."""
+    return _roundtrip(sf_dir, pdf_every=1, pdf_kind="real")
 
 
 def q_extract_explicit_split(sf_dir: str) -> pd.DataFrame:
     """The explicit dataflow skew path (flat-map chunk explode →
     groupby(url) reassembly) under the same byte-identity oracle — proves
-    the two execution strategies are interchangeable at the driver gate."""
+    the two execution strategies are interchangeable at the driver gate.
+    Keeps the toy-PDF payload kind so the GRAFT1 record path stays covered
+    by an oracle too."""
     from .pipelines.extract import extraction_pipeline_explicit_split
 
-    pages = wrap_documents_as_pages(sf_dir, pdf_every=3)
+    pages = wrap_documents_as_pages(sf_dir, pdf_every=3, pdf_kind="toy")
     out = extraction_pipeline_explicit_split(pages)
     df = out.select_columns(["doc_id", "extracted_text"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_sections_pdf(sf_dir: str) -> pd.DataFrame:
+    """PDF outline → titled sections: each document becomes a real PDF with
+    two outline bookmarks ('Part 1' at the first-half words, 'Part 2' at the
+    second half, each starting a fresh page); the PDF-branch section stage
+    must recover (title, page-range content) per bookmark
+    (reference: src/services/pdf_processor.py:105-221, top-4 cap :56-59).
+    Oracle: the same word-midpoint split computed in SQL."""
+    from .stages.sections import pdf_sections_rows
+    from .functions.pdf_codec import build_sectioned_pdf
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads = []
+        for i, text in zip(ids, texts):
+            words = text.split()
+            half = (len(words) + 1) // 2
+            payloads.append(
+                build_sectioned_pdf(
+                    [
+                        ("Part 1", " ".join(words[:half])),
+                        ("Part 2", " ".join(words[half:])),
+                    ],
+                    compress=bool(i % 2),
+                    style=("tm", "td", "tstar")[i % 3],
+                )
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["url", "html"],
+        )
+
+    pages = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    out = pdf_sections_rows(pages)
+    df = out.select_columns(["url", "section_idx", "title", "content"]).to_pandas()
+    return df.sort_values(["url", "section_idx"]).reset_index(drop=True)
 
 
 def q_extract_with_repair(sf_dir: str) -> pd.DataFrame:
@@ -1155,6 +1226,25 @@ ORACLE_SQL: dict[str, str] = {
     "extract_mixed": """
         SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """,
+    "extract_real_pdf": """
+        SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+    """,
+    "sections_pdf": r"""
+        WITH w AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+        ),
+        halves AS (
+            SELECT doc_id, 0 AS section_idx, 'Part 1' AS title,
+                   array_to_string(list_slice(ws, 1, (len(ws) + 1) // 2), ' ') AS content
+            FROM w
+            UNION ALL
+            SELECT doc_id, 1, 'Part 2',
+                   array_to_string(list_slice(ws, (len(ws) + 1) // 2 + 1, len(ws)), ' ')
+            FROM w
+        )
+        SELECT printf('doc://%08d', doc_id) AS url, section_idx, title, content
+        FROM halves ORDER BY url, section_idx
+    """,
     "extract_with_repair": """
         SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """,
@@ -1490,6 +1580,8 @@ QUERIES = {
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,
+    "extract_real_pdf": q_extract_real_pdf,
+    "sections_pdf": q_sections_pdf,
     "extract_explicit_split": q_extract_explicit_split,
     "extract_with_repair": q_extract_with_repair,
     "classify_transactions": q_classify_transactions,

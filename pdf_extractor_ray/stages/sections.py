@@ -94,3 +94,76 @@ def sections_rows(ds, query: str | None = None):
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def build_pdf_outline_sections(
+    payload: bytes, query: str | None = None, max_sections: int = _MAX_SECTIONS
+) -> list[dict]:
+    """Sections of one real PDF from its outline tree.
+
+    Mirrors the reference's outline splitter: top-level bookmarks delimit
+    page ranges, capped at ``max_sections`` (the 5th+ bookmark's pages fold
+    into the last kept section — reference: src/services/pdf_processor.py:
+    56-59,105-221), the query filter keeps matching titles with the
+    return-all fallback (reference: src/core/utils.py:11-32). Section
+    content is the layout-extracted markdown of the section's page range.
+    """
+    from ..functions.assemble import combine_pages
+    from ..functions.pdf_extract import decode_records, records_to_markdown
+
+    records = decode_records(payload)
+    page_markdowns, _ = records_to_markdown(records)
+    from ..functions.pdf_codec import parse_pdf_outline
+
+    outline = parse_pdf_outline(payload)
+    if not outline:
+        content = combine_pages(page_markdowns)
+        return [{"title": "", "index": 0, "content": content}]
+    kept_outline = outline[:max_sections]
+    sections = []
+    for i, (title, start) in enumerate(kept_outline):
+        end = (
+            outline[i + 1][1] if i + 1 < len(kept_outline) else len(page_markdowns)
+        )
+        sections.append(
+            {
+                "title": title,
+                "index": i,
+                "content": combine_pages(page_markdowns[start:end]),
+            }
+        )
+    filtered = filter_outlines_by_query(
+        [{"title": s["title"], "index": s["index"]} for s in sections], query or ""
+    )
+    kept = {o["index"] for o in filtered}
+    return [s for s in sections if s["index"] in kept]
+
+
+def pdf_sections_rows(ds, query: str | None = None):
+    """Dataset stage: real-PDF pages → outline-delimited section rows (the
+    PDF-branch counterpart of :func:`sections_rows`; same output schema)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        out_url, out_idx, out_title, out_content, out_fname = [], [], [], [], []
+        for url, payload in zip(urls, payloads):
+            base = url.rsplit("/", 1)[-1] or "doc"
+            for s in build_pdf_outline_sections(bytes(payload or b""), query):
+                out_url.append(url)
+                out_idx.append(s["index"])
+                out_title.append(s["title"])
+                out_content.append(s["content"])
+                out_fname.append(safe_filename(s["title"] or f"section{s['index']}", base))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_url, pa.string()),
+                pa.array(out_idx, pa.int32()),
+                pa.array(out_title, pa.string()),
+                pa.array(out_content, pa.string()),
+                pa.array(out_fname, pa.string()),
+            ],
+            names=["url", "section_idx", "title", "content", "filename"],
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

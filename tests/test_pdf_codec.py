@@ -1,0 +1,164 @@
+"""Tests for the from-scratch real-PDF codec: structure round-trips,
+operator styles, FlateDecode, escapes, outline tree, damaged-xref recovery,
+hostile inputs, and the page-range splitter on real payloads."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_ray.functions.pdf_codec import (
+    PdfDocument,
+    PdfError,
+    build_pdf,
+    build_sectioned_pdf,
+    parse_pdf_outline,
+    parse_pdf_records,
+    wrap_text_rows,
+)
+from pdf_extractor_ray.functions.pdf_extract import (
+    decode_records,
+    extract_pdf,
+    layout_text,
+)
+from pdf_extractor_ray.functions.split import split_pdf_payload
+from pdf_extractor_ray.stages.sections import build_pdf_outline_sections
+
+SIMPLE = "hello world this is a simple test document with some words"
+MULTIPAGE = " ".join(f"word{i}" for i in range(600))
+PARAS = "para one with several words here.\n\npara two follows with more text."
+SPECIAL = "special (parens) and back\\slash chars % percent [brackets] <angle>"
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("style", ["tm", "td", "tstar"])
+    @pytest.mark.parametrize("compress", [False, True])
+    @pytest.mark.parametrize("text", [SIMPLE, MULTIPAGE, PARAS, SPECIAL])
+    def test_matches_toy_extraction(self, text, style, compress):
+        """A real PDF of the same text must extract byte-identically to the
+        toy record format — both feed the shared layout kernel."""
+        toy_md, _ = extract_pdf(layout_text(text))
+        real_md, _ = extract_pdf(build_pdf(text, compress=compress, style=style))
+        assert real_md == toy_md
+
+    def test_record_parity_with_toy(self):
+        r_toy = decode_records(layout_text(SIMPLE))
+        r_real = decode_records(build_pdf(SIMPLE))
+        assert len(r_toy) == len(r_real)
+        assert (r_toy["cp"] == r_real["cp"]).all()
+        assert np.allclose(r_toy["x0"], r_real["x0"])
+        assert np.allclose(r_toy["y0"], r_real["y0"])
+
+    def test_header_version(self):
+        assert build_pdf(SIMPLE).startswith(b"%PDF-1.4")
+
+    def test_multipage_page_count(self):
+        n_pages = len(wrap_text_rows(MULTIPAGE))
+        assert n_pages > 1
+        recs = parse_pdf_records(build_pdf(MULTIPAGE))
+        assert len(np.unique(recs["page"])) == n_pages
+
+
+class TestStructureParser:
+    def test_object_graph(self):
+        doc = PdfDocument(build_pdf(SIMPLE))
+        root = doc.resolve(doc.trailer["Root"])
+        assert str(root["Type"]) == "Catalog"
+        assert len(doc.pages()) == 1
+        assert doc.pages()[0]["Resources"]["Font"]["F1"]
+
+    def test_damaged_xref_scan_fallback(self):
+        pdf = build_pdf(SIMPLE)
+        broken = pdf.replace(b"xref\n", b"xrEF\n", 1)
+        assert extract_pdf(broken)[0] == extract_pdf(pdf)[0]
+
+    def test_truncated_xref_offset(self):
+        pdf = build_pdf(SIMPLE)
+        # corrupt startxref to point into the void; scan fallback must save it
+        import re
+
+        broken = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", pdf)
+        assert extract_pdf(broken)[0] == extract_pdf(pdf)[0]
+
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            b"%PDF-1.4\ngarbage",
+            b"%PDF-",
+            b"%PDF-1.7\n" + b"\x00" * 64,
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj",  # no pages
+        ],
+    )
+    def test_hostile_inputs_contained(self, payload):
+        """Malformed PDFs either raise a clean error (caught by the
+        pipeline's containment boundary) or degrade to empty text — never
+        hang or crash the interpreter."""
+        from pdf_extractor_ray.functions.assemble import EMPTY_CONTENT_MESSAGE
+
+        try:
+            md, _ = extract_pdf(payload)
+        except (PdfError, ValueError, KeyError, TypeError, AttributeError):
+            return
+        assert md in ("", EMPTY_CONTENT_MESSAGE)
+
+    def test_literal_string_escapes(self):
+        md, _ = extract_pdf(build_pdf(SPECIAL))
+        toy_md, _ = extract_pdf(layout_text(SPECIAL))
+        assert md == toy_md
+
+
+class TestOutline:
+    def test_bookmarks_round_trip(self):
+        text = " ".join(f"w{i}" for i in range(2000))
+        pdf = build_pdf(text, outline=[("Intro", 0), ("Body", 1), ("End", 2)])
+        assert parse_pdf_outline(pdf) == [("Intro", 0), ("Body", 1), ("End", 2)]
+
+    def test_sectioned_pdf_sections(self):
+        pdf = build_sectioned_pdf([("Alpha", "one two three"), ("Beta", "four five")])
+        sections = build_pdf_outline_sections(pdf)
+        assert [(s["title"], s["content"]) for s in sections] == [
+            ("Alpha", "one two three"),
+            ("Beta", "four five"),
+        ]
+
+    def test_top4_cap_folds_tail_sections(self):
+        """The 5th+ bookmark's pages fold into the 4th section (reference
+        caps top-level outlines at 4, pdf_processor.py:56-59)."""
+        parts = [(f"S{k}", f"text of part {k}") for k in range(6)]
+        pdf = build_sectioned_pdf(parts)
+        sections = build_pdf_outline_sections(pdf)
+        assert len(sections) == 4
+        assert sections[3]["title"] == "S3"
+        # S3's content includes the folded S4 and S5 pages
+        assert "text of part 4" in sections[3]["content"]
+        assert "text of part 5" in sections[3]["content"]
+
+    def test_no_outline_single_section(self):
+        sections = build_pdf_outline_sections(build_pdf(SIMPLE))
+        assert len(sections) == 1 and sections[0]["title"] == ""
+        assert sections[0]["content"] == extract_pdf(build_pdf(SIMPLE))[0]
+
+    def test_query_filter_with_fallback(self):
+        pdf = build_sectioned_pdf([("Revenue", "aa bb"), ("Costs", "cc dd")])
+        kept = build_pdf_outline_sections(pdf, query="revenue")
+        assert [s["title"] for s in kept] == ["Revenue"]
+        # no match → return all (reference: utils.py:11-32)
+        kept = build_pdf_outline_sections(pdf, query="zzz")
+        assert [s["title"] for s in kept] == ["Revenue", "Costs"]
+
+
+class TestRealPdfSplit:
+    def test_split_real_pdf_into_record_chunks(self):
+        text = " ".join(f"w{i}" for i in range(20000))  # many pages
+        pdf = build_pdf(text)
+        n_pages = len(wrap_text_rows(text))
+        assert n_pages > 15
+        chunks = split_pdf_payload(pdf, max_pages_per_chunk=15)
+        assert len(chunks) > 1
+        # chunk-wise extraction concatenates to whole-doc extraction
+        from pdf_extractor_ray.functions.assemble import combine_pages
+        from pdf_extractor_ray.functions.pdf_extract import extract_pdf_pages
+
+        pages: list[str] = []
+        for chunk in chunks:
+            ps, _ = extract_pdf_pages(chunk)
+            pages.extend(ps)
+        assert combine_pages(pages) == extract_pdf(pdf)[0]
