@@ -216,6 +216,14 @@ def _pdf_payload(rng: random.Random, lang: str, doc_id: int) -> bytes:
         return layout_text_two_column(left, right)
     n_paras = rng.randint(2, 5) if doc_id % 100 != 8 else 60  # some multi-page
     text = "\n\n".join(_paragraph(rng, words, 25, 55) for _ in range(n_paras))
+    tail = doc_id % 100
+    if tail in (18, 38, 78):  # genuine %PDF-1.4 payloads (one per operator
+        # style, FlateDecode on two of three) — the real-parser share of the
+        # flagship corpus
+        from .functions.pdf_codec import build_pdf
+
+        style = {18: "tm", 38: "td", 78: "tstar"}[tail]
+        return build_pdf(text, compress=tail != 18, style=style)
     return layout_text(text)
 
 

@@ -33,9 +33,13 @@ def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def content_hash_batch(texts: list[str]) -> list[str]:
-    """sha1 content hashes (hex) — the exact-dedup signature."""
-    return [hashlib.sha1((t or "").encode()).hexdigest() for t in texts]
+def content_hash_batch(texts: list) -> list[str]:
+    """sha1 content hashes (hex) — the exact-dedup signature. Accepts str
+    or bytes values (binary payload columns dedup without a decode pass)."""
+    return [
+        hashlib.sha1(t if isinstance(t, bytes) else (t or "").encode()).hexdigest()
+        for t in texts
+    ]
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -745,8 +745,12 @@ def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
 
 def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup over documents ∪ an id-shifted copy: the survivor set is
-    the original ids (oracle: GROUP BY text / min(doc_id))."""
-    from .ops.dedup import exact_dedup
+    the original ids (oracle: GROUP BY text / min(doc_id)). Uses the
+    scale-default ``exact_dedup_large`` path — only ``(hash, id)`` enters
+    the shuffle, losers broadcast back as an anti-join set; the text column
+    never moves (the grouped variant stays available as ``exact_dedup`` for
+    corpora small enough that a second pass costs more than the shuffle)."""
+    from .ops.dedup import exact_dedup_large
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
@@ -758,7 +762,11 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
         )
 
     both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
-    out = exact_dedup(both).to_pandas()[["doc_id", "n_chars"]]
+    out = (
+        exact_dedup_large(both)
+        .select_columns(["doc_id", "n_chars"])
+        .to_pandas()
+    )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
