@@ -31,8 +31,9 @@ def log(msg: str) -> None:
 
 
 def ensure_corpus(sf_dir: str, n_pages: int, num_cpus: int) -> str:
-    # v2: bucket-8 fixtures now include genuine %PDF-1.4 payloads
-    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}_v2"
+    # v3: bucket-8 fixtures include genuine %PDF payloads across all three
+    # xref forms (table / xref-stream / ObjStm) + a real two-column PDF
+    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}_v3"
     marker = os.path.join(corpus_dir, "_DONE")
     if os.path.exists(marker):
         return corpus_dir

@@ -208,22 +208,30 @@ def _oversized_html(rng: random.Random, lang: str, doc_id: int) -> str:
 
 def _pdf_payload(rng: random.Random, lang: str, doc_id: int) -> bytes:
     words = _words_for("en")
-    if doc_id % 100 == 58:  # two-column layout (reading-order exercise)
+    if doc_id % 100 == 58:  # two-column layout (reading-order exercise);
+        # every other one is a genuine two-column %PDF-1.4 (same text → the
+        # golden corpus is unchanged, only the payload encoding differs)
         from .functions.pdf_extract import layout_text_two_column
 
         left = "\n\n".join(_paragraph(rng, words, 15, 25) for _ in range(2))
         right = "\n\n".join(_paragraph(rng, words, 15, 25) for _ in range(2))
+        if doc_id % 200 == 158:
+            from .functions.pdf_codec import build_two_column_pdf
+
+            return build_two_column_pdf(left, right, compress=True)
         return layout_text_two_column(left, right)
     n_paras = rng.randint(2, 5) if doc_id % 100 != 8 else 60  # some multi-page
     text = "\n\n".join(_paragraph(rng, words, 25, 55) for _ in range(n_paras))
     tail = doc_id % 100
-    if tail in (18, 38, 78):  # genuine %PDF-1.4 payloads (one per operator
-        # style, FlateDecode on two of three) — the real-parser share of the
-        # flagship corpus
+    if tail in (18, 38, 78):  # genuine %PDF payloads — one per operator
+        # style AND one per cross-reference form (classic table, PDF 1.5
+        # xref stream, /ObjStm), FlateDecode on two of three: the
+        # real-parser share of the flagship corpus
         from .functions.pdf_codec import build_pdf
 
         style = {18: "tm", 38: "td", 78: "tstar"}[tail]
-        return build_pdf(text, compress=tail != 18, style=style)
+        xref_kind = {18: "table", 38: "stream", 78: "objstm"}[tail]
+        return build_pdf(text, compress=tail != 18, style=style, xref_kind=xref_kind)
     return layout_text(text)
 
 

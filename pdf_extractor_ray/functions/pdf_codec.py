@@ -12,6 +12,10 @@ Reader support (documented subset):
 - classic cross-reference tables (``xref`` sections + ``trailer`` dicts,
   ``/Prev`` chains for incremental updates), with a brute-force
   ``N 0 obj`` scan fallback when the xref is damaged
+- PDF 1.5 cross-reference STREAMS (/Type /XRef: /W field widths, /Index
+  subsections, type-2 entries) including PNG row predictors 0-4
+  (ISO 32000 §7.5.8, §7.4.4.4), and compressed object streams
+  (/Type /ObjStm, §7.5.7)
 - object syntax: dictionaries, arrays, names, literal strings (nested
   parens, all escapes, octal), hex strings, numbers, booleans, null,
   indirect references, streams (``/Length`` direct or indirect)
@@ -22,10 +26,10 @@ Reader support (documented subset):
 - outline tree (``/Outlines`` → ``/First``/``/Next``, ``/Title``,
   ``/Dest`` or ``/A``→``/D`` page destinations)
 
-NOT supported (declared): cross-reference streams / object streams
-(PDF 1.5 ``/ObjStm``), encryption, CID/composite fonts, inline images.
-Payloads needing those fall through to the pipeline's error-containment
-path like any other undecodable input.
+NOT supported (declared): encryption, CID/composite fonts, inline
+images, non-Flate filters (LZW/DCT/CCITT). Payloads needing those fall
+through to the pipeline's error-containment path like any other
+undecodable input.
 
 Glyph metrics: the writer uses Courier (fixed 600/1000 advance), so the
 reader's char-box reconstruction (0.6 × font size per glyph) is exact and
@@ -152,6 +156,7 @@ def build_pdf(
     outline: list[tuple[str, int]] | None = None,
     chars_per_line: int = 80,
     lines_per_page: int = 40,
+    xref_kind: str = "table",
 ) -> bytes:
     """Serialize ``text`` as a genuine single-font PDF.
 
@@ -159,10 +164,13 @@ def build_pdf(
     flat top-level ``/Outlines`` tree (the shape the reference's outline
     splitter consumes, reference: src/services/pdf_processor.py:105-142).
     Round-trips byte-exactly through :func:`parse_pdf_records` +
-    ``records_to_markdown`` for single-space word text.
+    ``records_to_markdown`` for single-space word text. ``xref_kind``
+    selects the cross-reference form: ``"table"`` (classic PDF 1.4),
+    ``"stream"`` (PDF 1.5 xref stream with PNG up-predictor), or
+    ``"objstm"`` (dict objects additionally packed into an /ObjStm).
     """
     pages = wrap_text_rows(text, chars_per_line, lines_per_page) or [[]]
-    return _assemble_pdf(pages, outline, compress, style)
+    return _assemble_pdf(pages, outline, compress, style, xref_kind)
 
 
 def build_sectioned_pdf(
@@ -184,13 +192,60 @@ def build_sectioned_pdf(
     return _assemble_pdf(pages or [[]], outline, compress, style)
 
 
+def build_two_column_pdf(
+    left_text: str,
+    right_text: str,
+    chars_per_line: int = 38,
+    compress: bool = False,
+) -> bytes:
+    """Single-page two-column real PDF (left column at x=0, right past the
+    page-middle gutter) — the real-parser counterpart of the toy
+    ``layout_text_two_column`` fixture; the layout kernel must read it in
+    column-major order via gutter detection."""
+    from .pdf_extract import CHAR_W as TOY_CHAR_W, PAGE_W
+
+    def column_ops(text: str, x_off: float) -> list[bytes]:
+        rows = (wrap_text_rows(text, chars_per_line, 10**9) or [[]])[0]
+        ops: list[bytes] = []
+        row_idx = 0
+        for row in rows:
+            if row is None:
+                row_idx += 1
+                continue
+            y0 = PAGE_H - row_idx * LINE_H - LINE_H
+            row_idx += 1
+            ops.append(b"1 0 0 1 %g %g Tm" % (x_off, y0))
+            ops.append(b"(%s) Tj" % _pdf_escape(row))
+        return ops
+
+    content = b"\n".join(
+        [b"BT", b"/F1 10 Tf"]
+        + column_ops(left_text, 0.0)
+        + column_ops(right_text, PAGE_W / 2 + 2 * TOY_CHAR_W)
+        + [b"ET"]
+    )
+    return _serialize_pdf([content], None, compress)
+
+
 def _assemble_pdf(
     pages: list[list[str | None]],
     outline: list[tuple[str, int]] | None,
     compress: bool,
     style: str,
+    xref_kind: str = "table",
 ) -> bytes:
-    n_pages = len(pages)
+    return _serialize_pdf(
+        [_page_content(rows, style) for rows in pages], outline, compress, xref_kind
+    )
+
+
+def _serialize_pdf(
+    content_streams: list[bytes],
+    outline: list[tuple[str, int]] | None,
+    compress: bool,
+    xref_kind: str = "table",
+) -> bytes:
+    n_pages = len(content_streams)
 
     # object numbering: 1 catalog, 2 pages-root, 3 font,
     # 4..3+n page objects, then content streams, then outline objects
@@ -212,12 +267,11 @@ def _assemble_pdf(
     ).encode()
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
 
-    for i, rows in enumerate(pages):
+    for i, content in enumerate(content_streams):
         objs[first_page_obj + i] = (
             f"<< /Type /Page /Parent 2 0 R /Contents {first_content_obj + i} 0 R "
             f"/Resources << /Font << /F1 3 0 R >> >> >>"
         ).encode()
-        content = _page_content(rows, style)
         if compress:
             data = zlib.compress(content)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
@@ -246,24 +300,92 @@ def _assemble_pdf(
             entry.append(b">>")
             objs[item_ids[k]] = b" ".join(entry)
 
-    # serialize with a correct classic xref table
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
+    if xref_kind == "table":
+        # classic xref table (PDF 1.4)
+        buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(buf)
+            buf += b"%d 0 obj\n" % num
+            buf += objs[num]
+            buf += b"\nendobj\n"
+        xref_pos = len(buf)
+        n_objs = max(objs) + 1
+        buf += b"xref\n0 %d\n" % n_objs
+        buf += b"0000000000 65535 f \n"
+        for num in range(1, n_objs):
+            buf += b"%010d 00000 n \n" % offsets[num]
+        buf += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n_objs, xref_pos)
+        )
+        return bytes(buf)
+
+    # PDF 1.5 forms: optionally pack dict-only objects into an /ObjStm,
+    # always finish with a cross-reference STREAM (+PNG up-predictor).
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    in_objstm: dict[int, int] = {}  # obj num → index in the ObjStm
+    objstm_num = max(objs) + 1
+    xref_num = objstm_num + (1 if xref_kind == "objstm" else 0)
+
+    if xref_kind == "objstm":
+        packed = [num for num in sorted(objs) if b"\nstream\n" not in objs[num]]
+        for idx, num in enumerate(packed):
+            in_objstm[num] = idx
+        header_parts, body_parts, off = [], [], 0
+        for num in packed:
+            body = objs[num] + b"\n"
+            header_parts.append(b"%d %d" % (num, off))
+            body_parts.append(body)
+            off += len(body)
+        header = b" ".join(header_parts) + b"\n"
+        payload = zlib.compress(header + b"".join(body_parts))
+        objs[objstm_num] = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+            b"\nstream\n%s\nendstream" % (len(packed), len(header), len(payload), payload)
+        )
+
     for num in sorted(objs):
+        if num in in_objstm:
+            continue
         offsets[num] = len(buf)
         buf += b"%d 0 obj\n" % num
         buf += objs[num]
         buf += b"\nendobj\n"
+
+    # xref stream: W = [1 4 2]; rows for 0..xref_num
     xref_pos = len(buf)
-    n_objs = max(objs) + 1
-    buf += b"xref\n0 %d\n" % n_objs
-    buf += b"0000000000 65535 f \n"
-    for num in range(1, n_objs):
-        buf += b"%010d 00000 n \n" % offsets[num]
+    size = xref_num + 1
+    rows = []
+    for num in range(size):
+        if num == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big"))
+        elif num in in_objstm:
+            rows.append(
+                b"\x02" + objstm_num.to_bytes(4, "big") + in_objstm[num].to_bytes(2, "big")
+            )
+        elif num == xref_num:
+            rows.append(b"\x01" + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+        else:
+            rows.append(b"\x01" + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    # PNG "up" predictor (tag 2) row-wise, then deflate
+    columns = 7
+    pred = bytearray()
+    prev = bytes(columns)
+    for row in rows:
+        pred.append(2)
+        pred += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    payload = zlib.compress(bytes(pred))
+    buf += b"%d 0 obj\n" % xref_num
     buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (n_objs, xref_pos)
+        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] /Index [0 %d] "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (size, size, len(payload), payload)
     )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(buf)
 
 
@@ -273,6 +395,40 @@ def _assemble_pdf(
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row predictors (ISO 32000 §7.4.4.4 via RFC 2083): each
+    row is a tag byte + ``columns`` bytes; tags 0-4 = none/sub/up/avg/paeth
+    (xref streams almost always use 2 = up)."""
+    row_len = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data) - row_len + 1, row_len):
+        tag = data[r]
+        cur = bytearray(data[r + 1 : r + 1 + columns])
+        if tag == 1:
+            for i in range(1, columns):
+                cur[i] = (cur[i] + cur[i - 1]) & 0xFF
+        elif tag == 2:
+            for i in range(columns):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif tag == 3:
+            for i in range(columns):
+                left = cur[i - 1] if i else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:
+            for i in range(columns):
+                a = cur[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        out += cur
+        prev = cur
+    return bytes(out)
 
 
 class _Name(str):
@@ -469,6 +625,7 @@ class PdfDocument:
         self.data = data
         self._cache: dict[int, object] = {}
         self.xref: dict[int, int] = {}
+        self._in_objstm: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         try:
             self._load_xref()
@@ -491,8 +648,12 @@ class PdfDocument:
             seen.add(pos)
             lex = _Lexer(self.data, pos)
             tok = lex.read_token()
+            if isinstance(tok, int):
+                # PDF 1.5+ cross-reference STREAM ("N 0 obj << /Type /XRef …")
+                pos = self._load_xref_stream(pos)
+                continue
             if tok != b"xref":
-                raise PdfError("xref stream (PDF 1.5+) not supported")
+                raise PdfError("unrecognized xref section")
             entry_re = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])\s*")
             while True:
                 tok = lex.read_token()
@@ -518,6 +679,79 @@ class PdfDocument:
                 self.trailer.setdefault(k, v)
             pos = trailer.get("Prev", 0)
 
+    def _read_object_at(self, pos: int):
+        """Read ``num gen obj <object> [stream]`` directly at a byte offset
+        (used before/while the xref map exists). Returns (num, obj)."""
+        lex = _Lexer(self.data, pos)
+        num = lex.read_token()
+        gen = lex.read_token()
+        kw = lex.read_token()
+        if not isinstance(num, int) or not isinstance(gen, int) or kw != b"obj":
+            raise PdfError(f"no object at offset {pos}")
+        obj = lex.read_object()
+        lex._skip_ws()
+        if isinstance(obj, dict) and self.data.startswith(b"stream", lex.pos):
+            p = lex.pos + len(b"stream")
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] == b"\n":
+                p += 1
+            length = obj.get("Length", 0)
+            if isinstance(length, _Ref):
+                length = self.resolve(length)
+            raw = self.data[p : p + int(length)]
+            filt = obj.get("Filter")
+            filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+            for f in filters:
+                if str(f) == "FlateDecode":
+                    raw = zlib.decompress(raw)
+                else:
+                    raise PdfError(f"unsupported filter {f}")
+            parms = obj.get("DecodeParms") or {}
+            if isinstance(parms, dict) and int(parms.get("Predictor", 1) or 1) >= 10:
+                raw = _png_unpredict(raw, int(parms.get("Columns", 1)))
+            obj = dict(obj)
+            obj["__stream__"] = raw
+        return num, obj
+
+    def _load_xref_stream(self, pos: int) -> int:
+        """One cross-reference stream section (PDF 1.5, ISO 32000 §7.5.8):
+        /W field widths, /Index subsections, type-1 offsets and type-2
+        (object-stream, index) entries; trailer fields live in the same
+        dict. Returns /Prev (0 = done)."""
+        _, obj = self._read_object_at(pos)
+        if not isinstance(obj, dict) or "__stream__" not in obj:
+            raise PdfError("bad xref stream object")
+        w = [int(x) for x in obj.get("W", [1, 1, 1])]
+        size = int(obj.get("Size", 0))
+        index = [int(x) for x in obj.get("Index", [0, size])]
+        data = obj["__stream__"]
+        row_len = sum(w)
+        rownum = 0
+
+        def field(row: bytes, k: int) -> int:
+            lo = sum(w[:k])
+            chunk = row[lo : lo + w[k]]
+            return int.from_bytes(chunk, "big") if chunk else (1 if k == 0 else 0)
+
+        for si in range(0, len(index), 2):
+            start, count = index[si], index[si + 1]
+            for i in range(count):
+                row = data[rownum * row_len : (rownum + 1) * row_len]
+                rownum += 1
+                if len(row) < row_len:
+                    break
+                num = start + i
+                typ = field(row, 0)
+                if typ == 1 and num not in self.xref and num not in self._in_objstm:
+                    self.xref[num] = field(row, 1)
+                elif typ == 2 and num not in self.xref and num not in self._in_objstm:
+                    self._in_objstm[num] = (field(row, 1), field(row, 2))
+        for k, v in obj.items():
+            if k not in ("__stream__",):
+                self.trailer.setdefault(k, v)
+        return int(obj.get("Prev", 0) or 0)
+
     def _scan_objects(self):
         """Damaged-xref fallback: brute-scan ``N G obj`` headers (last
         occurrence of each object number wins — incremental-update order)."""
@@ -542,38 +776,39 @@ class PdfDocument:
     def get(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num in self._in_objstm:
+            obj = self._get_from_objstm(*self._in_objstm[num])
+            self._cache[num] = obj
+            return obj
         off = self.xref.get(num)
         if off is None:
             return None
-        lex = _Lexer(self.data, off)
-        n1 = lex.read_token()
-        gen = lex.read_token()
-        kw = lex.read_token()
-        if n1 != num or kw != b"obj":
+        n1, obj = self._read_object_at(off)
+        if n1 != num:
             raise PdfError(f"object {num} not at offset {off}")
-        del gen
-        obj = lex.read_object()
-        # stream?
-        lex._skip_ws()
-        if self.data.startswith(b"stream", lex.pos):
-            p = lex.pos + len(b"stream")
-            if self.data[p : p + 2] == b"\r\n":
-                p += 2
-            elif self.data[p : p + 1] == b"\n":
-                p += 1
-            length = self.resolve(obj.get("Length", 0))
-            raw = self.data[p : p + int(length)]
-            filt = self.resolve(obj.get("Filter"))
-            filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-            for f in filters:
-                if str(f) == "FlateDecode":
-                    raw = zlib.decompress(raw)
-                else:
-                    raise PdfError(f"unsupported filter {f}")
-            obj = dict(obj)
-            obj["__stream__"] = raw
         self._cache[num] = obj
         return obj
+
+    def _get_from_objstm(self, stm_num: int, idx: int):
+        """Object ``idx`` of compressed object stream ``stm_num`` (PDF 1.5
+        /ObjStm, ISO 32000 §7.5.7: ``/N`` pair-count, ``/First`` data
+        offset, 'num off' header pairs)."""
+        stm = self.get(stm_num)
+        if not isinstance(stm, dict) or "__stream__" not in stm:
+            raise PdfError(f"object stream {stm_num} missing")
+        data = stm["__stream__"]
+        n = int(stm.get("N", 0))
+        first = int(stm.get("First", 0))
+        header = _Lexer(data[:first])
+        pairs = []
+        for _ in range(n):
+            onum = header.read_token()
+            ooff = header.read_token()
+            pairs.append((onum, ooff))
+        if idx >= len(pairs):
+            raise PdfError(f"objstm index {idx} out of range")
+        _, off = pairs[idx]
+        return _Lexer(data, first + int(off)).read_object()
 
     def resolve(self, obj):
         seen = 0

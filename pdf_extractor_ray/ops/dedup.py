@@ -145,6 +145,44 @@ def minhash_signature(text: str, n_perm: int, a: np.ndarray, b: np.ndarray, k: i
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(
+    texts: list[str], n_perm: int, a: np.ndarray, b: np.ndarray, k: int = 5,
+    chunk_shingles: int = 65536,
+) -> np.ndarray:
+    """Batch minhash: one ``(n_docs, n_perm)`` uint64 matrix via concatenated
+    shingle arrays + ``np.minimum.reduceat`` per doc — identical values to
+    :func:`minhash_signature`, but the permute-multiply runs once per slice
+    instead of once per document. ``chunk_shingles`` bounds the working set
+    (n_perm × chunk × 8 bytes ≈ 67 MB at the defaults)."""
+    sh = [_char_shingles(t, k) for t in texts]
+    out = np.zeros((len(texts), n_perm), dtype=np.uint64)
+    lo = 0
+    while lo < len(texts):
+        hi, total = lo, 0
+        while hi < len(texts) and (total == 0 or total + len(sh[hi]) <= chunk_shingles):
+            total += len(sh[hi])
+            hi += 1
+        lens = [len(s) for s in sh[lo:hi]]
+        offsets = np.cumsum([0] + lens[:-1])
+        all_sh = np.concatenate(sh[lo:hi])
+        vals = (a[:, None] * all_sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        out[lo:hi] = np.minimum.reduceat(vals, offsets, axis=1).T
+        lo = hi
+    return out
+
+
+def _band_hashes(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n_docs, n_perm) signatures → (n_docs, bands) uint64 band keys:
+    FNV-1a folded over each band's minhash values (vectorized — replaces 32
+    sha1 calls per document; collisions only add candidate pairs, which the
+    exact-Jaccard verification rejects)."""
+    chunks = sigs.reshape(len(sigs), bands, rows_per_band)
+    h = np.full(chunks.shape[:2], 0xCBF29CE484222325, dtype=np.uint64)
+    for r in range(rows_per_band):
+        h = (h ^ chunks[:, :, r]) * np.uint64(0x100000001B3)
+    return h
+
+
 def jaccard_ngrams(text1: str, text2: str, k: int = 5) -> float:
     """Exact n-gram (k-char shingle) Jaccard similarity — the verification
     kernel behind MinHash candidates, and the corpus-level generalization of
@@ -376,22 +414,16 @@ def minhash_lsh_dedup(
     a, b = _perm_params(n_perm, seed)
 
     def signatures(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         texts = batch[text_col].to_pylist()
-        out_ids, band_ids, band_hashes = [], [], []
-        for i, text in enumerate(texts):
-            sig = minhash_signature(text, n_perm, a, b, shingle_k)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                digest = hashlib.sha1(chunk.tobytes()).hexdigest()[:16]
-                out_ids.append(ids[i])
-                band_ids.append(band)
-                band_hashes.append(digest)
+        sigs = minhash_signatures_batch(texts, n_perm, a, b, shingle_k)
+        bh = _band_hashes(sigs, bands, rows_per_band)  # (n_docs, bands)
+        n = len(ids)
         return pa.Table.from_arrays(
             [
-                pa.array(out_ids, pa.int64()),
-                pa.array(band_ids, pa.int32()),
-                pa.array(band_hashes, pa.string()),
+                pa.array(np.repeat(ids, bands)),
+                pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                pa.array(bh.ravel()),
             ],
             names=[id_col, "band_id", "band_hash"],
         )

@@ -239,6 +239,80 @@ def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q3-shaped LARGE×LARGE join: lineitem ⋈ orders on the order key
+    via the NATIVE Ray Data hash join (``Dataset.join`` — both sides
+    hash-partitioned; neither is broadcast), then revenue per order
+    priority. Lineitem is pre-aggregated per (batch, orderkey) BEFORE the
+    join so the exchange carries one row per distinct orderkey per batch
+    instead of every line item — the combiner-before-shuffle pattern
+    applied to a join input."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(np.datetime64("1995-03-15", "us")))
+        )
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "rev_c": _cents(disc).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", sort=True).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less(batch["o_orderdate"], pa.scalar(np.datetime64("1995-03-15", "us")))
+        )
+        return batch.select(["o_orderkey", "o_orderpriority"])
+
+    li = ds.map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_filter, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=32,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    from ray.data.aggregate import Sum
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_pylist(),
+                "revenue_cents": batch["rev_c"].to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_orderpriority", sort=True).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    return (
+        joined.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
 def q_distinct_segments(sf_dir: str) -> pd.DataFrame:
     """Distinct values of a column (``Dataset.unique`` — a shuffle; kept to
     one small column)."""
@@ -459,14 +533,17 @@ _WRAP_SUFFIX = (
 
 def _real_pdf_payload(i: int, text: str) -> bytes:
     """Deterministic real-PDF payload: the doc id rotates the content-stream
-    operator style (Tm / Td / TL+T*+TJ) and FlateDecode compression so the
-    parser's whole operator/filter surface is continuously exercised."""
+    operator style (Tm / Td / TL+T*+TJ), FlateDecode compression, AND the
+    cross-reference form (classic table / PDF 1.5 xref stream / ObjStm) so
+    the parser's whole operator/filter/xref surface is continuously
+    exercised under the byte-identity oracle."""
     from .functions.pdf_codec import build_pdf
 
     return build_pdf(
         text,
         compress=bool(i % 2),
         style=("tm", "td", "tstar")[i % 3],
+        xref_kind=("table", "stream", "objstm")[(i // 3) % 3],
     )
 
 
@@ -1153,6 +1230,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked WHERE rank <= 2
         ORDER BY o_custkey, rank
     """,
+    "order_priority_revenue": """
+        SELECT o.o_orderpriority,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > TIMESTAMP '1995-03-15'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
     "distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
     """,
@@ -1578,6 +1665,7 @@ QUERIES = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_per_region": q_customers_per_region,
+    "order_priority_revenue": q_order_priority_revenue,
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,

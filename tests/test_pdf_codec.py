@@ -145,6 +145,54 @@ class TestOutline:
         assert [s["title"] for s in kept] == ["Revenue", "Costs"]
 
 
+class TestXrefStreamForms:
+    @pytest.mark.parametrize("kind", ["stream", "objstm"])
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_pdf15_round_trip(self, kind, compress):
+        """PDF 1.5 cross-reference streams (PNG up-predictor) and compressed
+        object streams must extract identically to the classic-table form."""
+        classic, _ = extract_pdf(build_pdf(MULTIPAGE, compress=compress))
+        pdf15 = build_pdf(MULTIPAGE, compress=compress, xref_kind=kind)
+        assert pdf15.startswith(b"%PDF-1.5")
+        got, _ = extract_pdf(pdf15)
+        assert got == classic
+
+    def test_objstm_outline(self):
+        text = " ".join(f"w{i}" for i in range(2000))
+        pdf = build_pdf(text, outline=[("A", 0), ("B", 1)], xref_kind="objstm")
+        assert parse_pdf_outline(pdf) == [("A", 0), ("B", 1)]
+
+    def test_png_predictors(self):
+        from pdf_extractor_ray.functions.pdf_codec import _png_unpredict
+
+        cols = 4
+        rows = [bytes([10, 20, 30, 40]), bytes([12, 22, 32, 42])]
+        # tag 2 (up): second row stored as delta from first
+        enc = bytes([0]) + rows[0] + bytes([2]) + bytes(
+            (rows[1][i] - rows[0][i]) & 0xFF for i in range(cols)
+        )
+        assert _png_unpredict(enc, cols) == rows[0] + rows[1]
+        # tag 1 (sub): horizontal deltas
+        enc = bytes([1]) + bytes([10, 10, 10, 10])
+        assert _png_unpredict(enc, cols) == bytes([10, 20, 30, 40])
+
+
+class TestTwoColumn:
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_matches_toy_two_column(self, compress):
+        """Real two-column PDFs must read column-major via gutter detection,
+        identically to the toy two-column records."""
+        from pdf_extractor_ray.functions.pdf_codec import build_two_column_pdf
+        from pdf_extractor_ray.functions.pdf_extract import layout_text_two_column
+
+        left = "left column words flow here with several more tokens to wrap lines"
+        right = "right column has different content entirely with its own words"
+        toy, _ = extract_pdf(layout_text_two_column(left, right))
+        real, _ = extract_pdf(build_two_column_pdf(left, right, compress=compress))
+        assert real == toy
+        assert real.index("left column") < real.index("right column")
+
+
 class TestRealPdfSplit:
     def test_split_real_pdf_into_record_chunks(self):
         text = " ".join(f"w{i}" for i in range(20000))  # many pages
