@@ -146,3 +146,97 @@ def lang_distribution(ds, text_col: str = "text"):
         batch_format="pyarrow",
     )
     return scored.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (test-set n-gram overlap removal)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def _fnv1a(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def word_ngram_hashes(text: str, n: int = 8) -> set[int]:
+    """FNV-1a hashes of the lowercased word n-grams of ``text`` (the
+    standard decontamination unit: a 64-bit hash per n-gram keeps the
+    benchmark set broadcastable; collisions are 2^-64-rare and only ever
+    drop an extra document, never keep a contaminated one)."""
+    tokens = (text or "").lower().split()
+    if len(tokens) < n:
+        return set()
+    return {
+        _fnv1a(" ".join(tokens[i : i + n]).encode())
+        for i in range(len(tokens) - n + 1)
+    }
+
+
+def decontaminate(ds, benchmark_texts: list[str], n: int = 8,
+                  text_col: str = "text"):
+    """Drop every document sharing ANY word ``n``-gram with the benchmark
+    set — the train/test decontamination pass of an LLM data pipeline
+    (the n-gram-overlap rule popularized by the GPT-3/PaLM dataset reports).
+
+    The benchmark's n-gram hash set is built once on the driver (benchmarks
+    are small — test sets, not corpora), ``ray.put`` ONCE, and every batch
+    filters with a vectorized ``np.isin`` against it; the corpus streams
+    through a single ``map_batches`` with no shuffle. At benchmark sizes
+    beyond broadcast reach, swap the set for the state-layer Bloom index —
+    its false positives only drop extra documents, which is the safe
+    direction for decontamination.
+    """
+    import ray
+
+    bench: set[int] = set()
+    for t in benchmark_texts:
+        bench.update(word_ngram_hashes(t, n))
+    bench_arr = np.array(sorted(bench), dtype=np.uint64)
+    ref = ray.put(bench_arr)
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        texts = batch[text_col].to_pylist()
+        keep = []
+        for t in texts:
+            doc_grams = word_ngram_hashes(t, n)
+            if not doc_grams:
+                keep.append(True)
+                continue
+            arr = np.fromiter(doc_grams, dtype=np.uint64, count=len(doc_grams))
+            keep.append(not np.isin(arr, grams, assume_unique=True).any())
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction pass of a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+# Simple leftmost-greedy patterns chosen for exact Python-re / RE2 parity
+# (no backtracking-dependent constructs) so the SQL oracle can replicate
+# the redaction byte-for-byte.
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_LONG_ID_RE = re.compile(r"\b\d{9,}\b")
+
+
+def scrub_pii(text: str) -> str:
+    """Redact emails and long digit identifiers with typed placeholders —
+    the standard pre-training scrub pass."""
+    text = _EMAIL_RE.sub("<EMAIL>", text or "")
+    return _LONG_ID_RE.sub("<ID>", text)
+
+
+def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized-enough scrub stage (compiled module-level regexes; one C
+    call per pattern per doc): ``text`` column replaced in place."""
+    scrubbed = [scrub_pii(t) for t in batch[text_col].to_pylist()]
+    idx = batch.schema.get_field_index(text_col)
+    return batch.set_column(idx, text_col, pa.array(scrubbed, pa.string()))

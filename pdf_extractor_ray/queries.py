@@ -820,6 +820,56 @@ def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("pred_lang").reset_index(drop=True)
 
 
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Train/test decontamination: documents sharing ANY word 8-gram with a
+    benchmark set (every 50th doc plays the held-out test set) are dropped;
+    the benchmark's n-gram hashes are broadcast once and the corpus streams
+    through one shuffle-free ``map_batches``. Oracle: the same exact
+    8-gram-overlap rule via an n-gram join in SQL (hashes vs strings —
+    identical outcome absent 2^-64 FNV collisions, like fingerprint_dedup).
+    """
+    from .ops.text import decontaminate
+
+    import pyarrow.parquet as pq
+
+    # benchmark = every 50th document (a small held-out set)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_numpy()
+    bench = tbl.filter(pa.array(ids % 50 == 0))["text"].to_pylist()
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = decontaminate(ds, bench, n=8).select_columns(["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_scrub_pii(sf_dir: str) -> pd.DataFrame:
+    """PII redaction pass: every 7th document gets a deterministic planted
+    email + account number appended; the scrub stage must redact them to
+    typed placeholders (<EMAIL>, <ID>) byte-exactly. Oracle: identical
+    concat + regexp_replace in SQL (patterns chosen for exact Python-re /
+    RE2 semantics parity — no backtracking-dependent constructs)."""
+    from .ops.text import scrub_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [
+            t + f" contact user{i}@example.com ref 1234567{i:04d} end"
+            if i % 7 == 0 else t
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        idx = batch.schema.get_field_index("text")
+        return batch.set_column(idx, "text", pa.array(texts, pa.string()))
+
+    out = (
+        ds.map_batches(plant, batch_format="pyarrow")
+        .map_batches(scrub_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup over documents ∪ an id-shifted copy: the survivor set is
     the original ids (oracle: GROUP BY text / min(doc_id)). Uses the
@@ -1404,6 +1454,42 @@ ORACLE_SQL: dict[str, str] = {
         SELECT count(DISTINCT lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS n_distinct
         FROM documents
     """,
+    "scrub_pii": r"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact user' || doc_id ||
+                                 '@example.com ref 1234567' ||
+                                 lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' end'
+                            ELSE text END,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b\d{9,}\b', '<ID>', 'g') AS text
+        FROM documents ORDER BY doc_id
+    """,
+    "decontaminate": r"""
+        WITH alldocs AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+            FROM documents
+        ),
+        bgrams AS (
+            SELECT DISTINCT
+                unnest(list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+            FROM alldocs WHERE doc_id % 50 = 0
+        ),
+        dgrams AS (
+            SELECT doc_id,
+                unnest(list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+            FROM alldocs
+        ),
+        contaminated AS (SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams USING (g))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id
+    """,
     "exact_dedup": """
         SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
         FROM (
@@ -1686,6 +1772,8 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_distribution": q_lang_distribution,
+    "decontaminate": q_decontaminate,
+    "scrub_pii": q_scrub_pii,
     "exact_dedup": q_exact_dedup,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,

@@ -253,6 +253,42 @@ class TestTextOps:
         assert fa == fb
 
 
+class TestDecontaminate:
+    def test_benchmark_overlap_dropped(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.text import decontaminate
+
+        bench = ["the held out benchmark question about quick brown foxes jumping over dogs"]
+        rows = [
+            # shares the 8-gram "the held out benchmark question about quick brown"
+            {"doc_id": 0, "text": "prefix words the held out benchmark question about quick brown something"},
+            {"doc_id": 1, "text": "a completely unrelated clean training document with plenty of words inside"},
+            {"doc_id": 2, "text": "short doc"},  # < 8 words → kept
+        ]
+        out = decontaminate(rd.from_items(rows), bench, n=8).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]
+
+    def test_empty_benchmark_keeps_all(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.text import decontaminate
+
+        ds = rd.from_items([{"doc_id": i, "text": "w " * 20} for i in range(4)])
+        assert decontaminate(ds, [], n=8).count() == 4
+
+
+class TestScrubPII:
+    def test_email_and_id_redacted(self):
+        from pdf_extractor_ray.ops.text import scrub_pii
+
+        assert (
+            scrub_pii("mail me at john.doe+x@sub.example.co.uk ok")
+            == "mail me at <EMAIL> ok"
+        )
+        assert scrub_pii("acct 123456789012 end") == "acct <ID> end"
+        assert scrub_pii("short 12345678 stays") == "short 12345678 stays"
+        assert scrub_pii("") == ""
+
+
 class TestMultimodal:
     def test_fake_codec_roundtrip(self):
         payload = encode_fake_image(16, 8, seed=1)
