@@ -227,6 +227,53 @@ def build_two_column_pdf(
     return _serialize_pdf([content], None, compress)
 
 
+def build_table_pdf(
+    headers: list[str],
+    rows: list[list[str]],
+    title: str | None = None,
+    compress: bool = False,
+    col_pad: int = 3,
+) -> bytes:
+    """Bank-statement-shaped real PDF: a character-grid table (columns
+    left-aligned at fixed x offsets, ≥``col_pad`` char cells between
+    columns) with an optional title paragraph above — the input shape the
+    reference's pdfplumber ``extract_table`` path consumes
+    (reference: src/services/extraction_service.py:26-114). The table-aware
+    reader (``extract_pdf_pages_tables``) must recover headers/rows
+    cell-exactly."""
+    from .pdf_extract import CHAR_W as TOY_CHAR_W
+
+    table_rows = [headers] + [list(r) for r in rows]
+    n_cols = max(len(r) for r in table_rows)
+    widths = [
+        max((len(r[j]) if j < len(r) else 0) for r in table_rows)
+        for j in range(n_cols)
+    ]
+    x_offsets = []
+    x = 0
+    for w in widths:
+        x_offsets.append(x * TOY_CHAR_W)
+        x += w + col_pad
+
+    ops = [b"BT", b"/F1 10 Tf"]
+    row_idx = 0
+    if title:
+        y0 = PAGE_H - row_idx * LINE_H - LINE_H
+        ops.append(b"1 0 0 1 0 %g Tm" % y0)
+        ops.append(b"(%s) Tj" % _pdf_escape(title))
+        row_idx += 2  # blank separator row below the title
+    for r in table_rows:
+        y0 = PAGE_H - row_idx * LINE_H - LINE_H
+        row_idx += 1
+        for j, cell in enumerate(r):
+            if not cell:
+                continue
+            ops.append(b"1 0 0 1 %g %g Tm" % (x_offsets[j], y0))
+            ops.append(b"(%s) Tj" % _pdf_escape(cell))
+    ops.append(b"ET")
+    return _serialize_pdf([b"\n".join(ops)], None, compress)
+
+
 def _assemble_pdf(
     pages: list[list[str | None]],
     outline: list[tuple[str, int]] | None,

@@ -285,3 +285,127 @@ def decode_records(payload: bytes) -> np.ndarray:
 
 def _extract_pages(payload: bytes) -> tuple[list[str], dict]:
     return records_to_markdown(decode_records(payload))
+
+
+# ---------------------------------------------------------------------------
+# Table-aware PDF extraction (the text_extraction / bank-statement flavor)
+# ---------------------------------------------------------------------------
+
+_CELL_GAP = CHAR_W * 3  # ≥3 char-cells of whitespace separates table columns
+
+
+def _line_cells(cps: np.ndarray, x0s: np.ndarray, x1s: np.ndarray) -> list[tuple[float, str]]:
+    """One x-sorted line's chars → ``(start_x, text)`` cell segments, split
+    at gaps ≥ 3 character cells (the column separator); within a cell,
+    ordinary word-gap detection applies."""
+    if len(cps) == 0:
+        return []
+    gaps = x0s[1:] - x1s[:-1]
+    breaks = np.flatnonzero(gaps >= _CELL_GAP) + 1
+    cells = []
+    for lo, hi in zip(np.concatenate(([0], breaks)), np.concatenate((breaks, [len(cps)]))):
+        cells.append((float(x0s[lo]), _line_to_text(cps[lo:hi], x0s[lo:hi], x1s[lo:hi])))
+    return cells
+
+
+def _starts_align(a: list[float], b: list[float]) -> bool:
+    return len(a) == len(b) and all(abs(x - y) <= CHAR_W for x, y in zip(a, b))
+
+
+def extract_pdf_pages_tables(payload: bytes) -> tuple[list[str], dict]:
+    """Table-aware layout analysis — the PDF counterpart of the reference's
+    pdfplumber ``extract_table`` path used by the text_extraction
+    (bank-statement) workflow (reference: src/services/
+    extraction_service.py:26-114 + per-cell ``fix_bidi_text`` :49-57).
+
+    Per page: lines whose cells (≥2, split at 3-char column gaps) start at
+    matching x positions across consecutive lines form a TABLE (first line
+    = headers, rendered as a markdown pipe table with the per-cell BiDi
+    fix); remaining lines are paragraph text, clustered by leading as in
+    :func:`records_to_markdown`. Column (gutter) detection is intentionally
+    OFF here — a table's column gaps ARE gutters.
+    """
+    from .normalize import fix_bidi_text
+
+    arr = decode_records(payload)
+    if len(arr) == 0:
+        return [], {"n_pages": 0, "n_blocks": 0, "n_chars": 0, "n_tables": 0}
+
+    page_markdowns = []
+    n_blocks = n_tables = 0
+    for page in np.unique(arr["page"]):
+        sub = arr[arr["page"] == page]
+        order = np.lexsort((sub["x0"], -sub["y0"]))
+        sub = sub[order]
+        y_change = np.abs(np.diff(sub["y0"])) > LINE_H * 0.5
+        line_first = np.flatnonzero(np.concatenate(([True], y_change)))
+        line_last = np.concatenate((line_first[1:], [len(sub)])) - 1
+        lines: list[tuple[float, list[tuple[float, str]]]] = []
+        for li in range(len(line_first)):
+            lo, hi = line_first[li], line_last[li] + 1
+            lines.append(
+                (
+                    float(sub["y0"][lo]),
+                    _line_cells(sub["cp"][lo:hi], sub["x0"][lo:hi], sub["x1"][lo:hi]),
+                )
+            )
+
+        blocks: list[str] = []
+        text_run: list[str] = []
+        prev_text_y: float | None = None
+        i = 0
+
+        def flush_text():
+            nonlocal text_run
+            if text_run:
+                blocks.append(" ".join(text_run))
+                text_run = []
+
+        while i < len(lines):
+            y, cells = lines[i]
+            starts = [c[0] for c in cells]
+            if len(cells) >= 2:
+                # try to grow a table run with aligned starts
+                run = [cells]
+                j = i + 1
+                while j < len(lines):
+                    nxt = lines[j][1]
+                    if len(nxt) >= 2 and _starts_align(starts, [c[0] for c in nxt]):
+                        run.append(nxt)
+                        j += 1
+                    else:
+                        break
+                if len(run) >= 2:
+                    flush_text()
+                    headers = [c[1] for c in run[0]]
+                    width = len(headers)
+                    md = ["| " + " | ".join(fix_bidi_text(h) for h in headers) + " |"]
+                    md.append("| " + " | ".join(["---"] * width) + " |")
+                    for row_cells in run[1:]:
+                        vals = [c[1] for c in row_cells]
+                        padded = (vals + [""] * (width - len(vals)))[:width]
+                        md.append(
+                            "| " + " | ".join(fix_bidi_text(c) for c in padded) + " |"
+                        )
+                    blocks.append("\n".join(md))
+                    n_tables += 1
+                    prev_text_y = None
+                    i = j
+                    continue
+            # plain text line: paragraph-leading clustering
+            line_text = " ".join(c[1] for c in cells)
+            if prev_text_y is not None and prev_text_y - y > LINE_H * 1.5:
+                flush_text()
+            text_run.append(line_text)
+            prev_text_y = y
+            i += 1
+        flush_text()
+        n_blocks += len(blocks)
+        page_markdowns.append("\n\n".join(blocks))
+    stats = {
+        "n_pages": len(page_markdowns),
+        "n_blocks": n_blocks,
+        "n_chars": int(len(arr)),
+        "n_tables": n_tables,
+    }
+    return page_markdowns, stats

@@ -744,6 +744,52 @@ def q_classify_transactions(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_classify_transactions_pdf(sf_dir: str) -> pd.DataFrame:
+    """The classify_transactions flow with a REAL PDF in the middle: the
+    bank statement is laid out as a character-grid table PDF
+    (build_table_pdf), recovered by the table-aware PDF layout analysis
+    (extract_pdf_pages_tables — the pdfplumber path, reference:
+    extraction_service.py:26-114), parsed back from markdown, and
+    classified by balance continuity. Same SQL oracle as
+    classify_transactions — the PDF round trip must be semantically
+    invisible."""
+    from .functions.numbers import classify_transactions
+    from .functions.pdf_codec import build_table_pdf
+    from .functions.pdf_extract import extract_pdf_pages_tables
+    from .functions.tables import parse_markdown_tables
+
+    rows = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
+        )
+        .sort(["l_orderkey", "l_linenumber"])
+        .limit(200)
+        .to_pandas()
+    )
+    amounts = (rows["l_extendedprice"] / 100).round(2)
+    signed = np.where(rows["l_linenumber"] % 2 == 0, amounts, -amounts)
+    balances = (10_000 + np.cumsum(signed)).round(2)
+    table_rows = [
+        [flag, f"{amt:,.2f}", f"{bal:,.2f}"]
+        for flag, amt, bal in zip(rows["l_returnflag"], amounts, balances)
+    ]
+    pdf = build_table_pdf(
+        ["Description", "Amount", "Balance"], table_rows,
+        title="Account statement", compress=True,
+    )
+    pages, _ = extract_pdf_pages_tables(pdf)
+    parsed = parse_markdown_tables("\n\n".join(pages))[0]
+    df = pd.DataFrame(parsed["rows"], columns=parsed["headers"])
+    classified = classify_transactions(df)
+    return pd.DataFrame(
+        {
+            "row_idx": np.arange(len(classified), dtype=np.int64),
+            "transaction_type": classified["transaction_type"].tolist(),
+        }
+    )
+
+
 def q_sections(sf_dir: str) -> pd.DataFrame:
     """Extraction → section-row explosion (the columnar form of the
     reference's ZIP-of-sections sink, response_builder.py:143-189). Wrapped
@@ -1538,6 +1584,9 @@ ORACLE_SQL["problem_flags"] = f"""
 
 ORACLE_SQL["lang_distribution"] = _langid_sql()
 
+# The PDF statement round trip must be semantically invisible.
+ORACLE_SQL["classify_transactions_pdf"] = ORACLE_SQL["classify_transactions"]
+
 # --- sketch/ANN oracles (added in round 2) --------------------------------
 # Each replicates the Ray pipeline's EXACT semantics in DuckDB: shingle /
 # token / trigram hashing is reproduced bit-for-bit (polynomial + splitmix
@@ -1767,6 +1816,7 @@ QUERIES = {
     "extract_explicit_split": q_extract_explicit_split,
     "extract_with_repair": q_extract_with_repair,
     "classify_transactions": q_classify_transactions,
+    "classify_transactions_pdf": q_classify_transactions_pdf,
     "sections": q_sections,
     "problem_flags": q_problem_flags,
     "token_stats": q_token_stats,

@@ -71,6 +71,20 @@ class DocumentExtractor:
             text = combine_pages(all_pages)
             return text, len(all_pages), n_blocks, n_tables, len(chunks)
         if route == ROUTE_PDF:
+            if self.flavor == "text_extraction":
+                # table-aware PDF layout analysis + per-cell BiDi — the
+                # pdfplumber bank-statement path
+                # (reference: extraction_service.py:26-114)
+                from ..functions.pdf_extract import extract_pdf_pages_tables
+
+                pages, stats = extract_pdf_pages_tables(payload)
+                return (
+                    combine_pages(pages),
+                    stats["n_pages"],
+                    stats["n_blocks"],
+                    stats["n_tables"],
+                    1,
+                )
             pages, stats = extract_pdf_pages(payload)
             return (
                 combine_pages(pages),

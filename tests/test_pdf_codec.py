@@ -193,6 +193,78 @@ class TestTwoColumn:
         assert real.index("left column") < real.index("right column")
 
 
+class TestTablePdf:
+    HEADERS = ["Description", "Amount", "Balance"]
+    ROWS = [
+        ["opening deposit", "1,234.56", "11,234.56"],
+        ["wire fee", "-25.00", "11,209.56"],
+    ]
+
+    def test_grid_table_round_trip(self):
+        from pdf_extractor_ray.functions.pdf_codec import build_table_pdf
+        from pdf_extractor_ray.functions.pdf_extract import extract_pdf_pages_tables
+
+        pdf = build_table_pdf(self.HEADERS, self.ROWS, title="Statement March")
+        pages, stats = extract_pdf_pages_tables(pdf)
+        assert stats["n_tables"] == 1
+        md = pages[0]
+        assert md.startswith("Statement March\n\n| Description | Amount | Balance |")
+        assert "| wire fee | -25.00 | 11,209.56 |" in md
+
+    def test_parse_back_and_cells_exact(self):
+        from pdf_extractor_ray.functions.pdf_codec import build_table_pdf
+        from pdf_extractor_ray.functions.pdf_extract import extract_pdf_pages_tables
+        from pdf_extractor_ray.functions.tables import parse_markdown_tables
+
+        pdf = build_table_pdf(self.HEADERS, self.ROWS, compress=True)
+        pages, _ = extract_pdf_pages_tables(pdf)
+        parsed = parse_markdown_tables(pages[0])[0]
+        assert parsed["headers"] == self.HEADERS
+        assert parsed["rows"] == self.ROWS
+
+    def test_bidi_cells(self):
+        """Hebrew cells get the per-cell BiDi display fix, digits intact —
+        the reference's per-cell fix_bidi_text behavior
+        (extraction_service.py:49-57)."""
+        from pdf_extractor_ray.functions.pdf_codec import build_table_pdf
+        from pdf_extractor_ray.functions.pdf_extract import (
+            decode_records,
+            extract_pdf_pages_tables,
+        )
+        from pdf_extractor_ray.functions.pdf_extract import RECORD_DTYPE, MAGIC
+        import numpy as np
+
+        # Build via the toy record format (the PDF writer is ASCII-only);
+        # the table path is decoder-agnostic.
+        cells = [["תאור", "סכום"], ["שלום 1,234.56", "42.00"]]
+        widths = [max(len(row[j]) for row in cells) for j in range(2)]
+        records = []
+        for r, row in enumerate(cells):
+            x = 0.0
+            for j, cell in enumerate(row):
+                for k, ch in enumerate(cell):
+                    if ch != " ":
+                        records.append(
+                            (0, x + k * 6.0, 780 - r * 12, x + (k + 1) * 6.0, 792 - r * 12, ord(ch))
+                        )
+                x += (widths[j] + 3) * 6.0
+        payload = MAGIC + np.array(records, dtype=RECORD_DTYPE).tobytes()
+        pages, stats = extract_pdf_pages_tables(payload)
+        assert stats["n_tables"] == 1
+        # cell 'שלום 1,234.56' displays as '1,234.56 םולש' — digits unreversed
+        assert "1,234.56 םולש" in pages[0]
+
+    def test_text_only_page_has_no_table(self):
+        from pdf_extractor_ray.functions.pdf_extract import (
+            extract_pdf_pages_tables,
+            layout_text,
+        )
+
+        pages, stats = extract_pdf_pages_tables(layout_text(SIMPLE))
+        assert stats["n_tables"] == 0
+        assert pages[0] == SIMPLE
+
+
 class TestRealPdfSplit:
     def test_split_real_pdf_into_record_chunks(self):
         text = " ".join(f"w{i}" for i in range(20000))  # many pages
