@@ -251,31 +251,77 @@ def _local_component_edges(ids: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> p
 
 def _dedup_pairs(pairs_ds):
     """Distinct (id_a, id_b) rows (bands/tables emit the same pair many
-    times; dedup BEFORE the expensive verification)."""
+    times; dedup BEFORE the expensive verification). A Count aggregate —
+    not ``map_groups`` — so the reduction is fully vectorized (no per-pair
+    Python call)."""
+    from ray.data.aggregate import Count
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
-        first_row, batch_format="pandas"
+    return (
+        pairs_ds.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n"))
+        .drop_columns(["n"])
     )
 
 
-def connected_components(pairs_ds, max_rounds: int = 32):
-    """Connected components over an edge Dataset by iterated min-label
-    propagation — ``groupby`` rounds, never a driver union-find.
+def connected_components(
+    pairs_ds,
+    max_rounds: int = 32,
+    num_partitions: int | None = None,
+    driver_edge_cap: int = 2_000_000,
+):
+    """Connected components over an edge Dataset by min-label propagation.
 
-    Each round co-groups the (static) edge set with the current label table
-    by node and emits min-label messages to every neighbor; the current
-    label table is ALSO fed back in as edges (label shortcuts), giving the
-    pointer-jumping-style contraction that converges in O(log diameter)
-    rounds rather than O(diameter). Convergence = the label-sum fixpoint
-    (labels are monotonically non-increasing under min).
+    The edge list is O(duplicate pairs) by construction — never
+    corpus-sized — so two regimes apply:
+
+    * ``≤ driver_edge_cap`` edges (default 2M ≈ 32 MB): a bounded driver
+      union-find over the streamed edge batches. This is NOT the round-1
+      anti-pattern (that one pulled the whole corpus's id→text map); the
+      input here is already the deduplicated candidate-pair minority, and
+      the cap makes the bound explicit.
+    * above the cap: fully distributed iterated rounds — native hash joins
+      + Min aggregates, no per-group Python calls:
+      (1) keep:      (v, label(v))
+      (2) neighbor:  edges ⋈ labels on the source endpoint → (nbr, label(v))
+      (3) shortcut:  labels ⋈ labels on label(v)=node → (v, label(label(v)))
+          — pointer jumping, so chains contract in O(log diameter) rounds
+      folded by ``groupby(node).Min``; convergence = the label-sum fixpoint
+      (labels are monotonically non-increasing under min).
 
     Returns a small pandas frame ``(node, label)`` for nodes that appear in
-    at least one edge — O(duplicates), not O(corpus).
+    at least one edge.
     """
+    import ray
     from ray.data.aggregate import Min, Sum
+
+    pairs_mat = pairs_ds.materialize()
+    n_pairs = pairs_mat.count()
+    if n_pairs == 0:
+        return pd.DataFrame({"node": [], "label": []})
+
+    if n_pairs <= driver_edge_cap:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for batch in pairs_mat.iter_batches(batch_format="pyarrow"):
+            for u, v in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+        nodes = sorted(parent)
+        return pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
+
+    if num_partitions is None:
+        # The hash-join operator schedules `num_partitions` aggregators;
+        # oversubscribing the cluster CPU count deadlocks the round, so
+        # size to half the CPUs (scale this up with real cluster size).
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").combine_chunks()
@@ -285,9 +331,7 @@ def connected_components(pairs_ds, max_rounds: int = 32):
             names=["node", "nbr"],
         )
 
-    edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        return pd.DataFrame({"node": [], "label": []})
+    edges = pairs_mat.map_batches(explode, batch_format="pyarrow").materialize()
 
     # Round 0 folded in: label(v) = min(v, min neighbor).
     labels = (
@@ -305,46 +349,36 @@ def connected_components(pairs_ds, max_rounds: int = 32):
     )
     prev_total = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
-    def label_rows(t: pa.Table) -> pa.Table:
-        # kind 1 = "this node's current label" (also fed back as a shortcut
-        # edge label→node so long paths contract exponentially).
-        n = len(t)
+    def nbr_msgs(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
-            [
-                pa.concat_arrays([t.column("node").combine_chunks(),
-                                  t.column("label").combine_chunks()]),
-                pa.concat_arrays([t.column("label").combine_chunks(),
-                                  t.column("node").combine_chunks()]),
-                pa.array([1] * n + [0] * n, pa.int8()),
-            ],
-            names=["node", "other", "kind"],
+            [t.column("nbr"), t.column("label")], names=["node", "cand"]
         )
 
-    def edge_rows(t: pa.Table) -> pa.Table:
+    def jump_msgs(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
-            [
-                t.column("node").combine_chunks(),
-                t.column("nbr").combine_chunks(),
-                pa.array(np.zeros(len(t), dtype=np.int8)),
-            ],
-            names=["node", "other", "kind"],
+            [t.column("src"), t.column("label")], names=["node", "cand"]
         )
 
-    def propagate(group: pd.DataFrame) -> pd.DataFrame:
-        node = group["node"].iloc[0]
-        own = group.loc[group["kind"] == 1, "other"]
-        lbl = min(own.min(), node) if len(own) else node
-        nbrs = group.loc[group["kind"] == 0, "other"]
-        out_nodes = np.concatenate([nbrs.to_numpy(), [node]])
-        return pd.DataFrame({"node": out_nodes, "cand": np.full(len(out_nodes), lbl)})
+    def keep_msgs(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "cand"])
 
     for _ in range(max_rounds):
-        union_ds = edges.map_batches(edge_rows, batch_format="pyarrow").union(
-            labels.map_batches(label_rows, batch_format="pyarrow")
+        nbr = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
+        ).map_batches(nbr_msgs, batch_format="pyarrow")
+        as_src = labels.map_batches(
+            lambda t: t.rename_columns(["src", "lbl"]), batch_format="pyarrow"
         )
+        jump = as_src.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("lbl",),
+            right_on=("node",),
+        ).map_batches(jump_msgs, batch_format="pyarrow")
         labels = (
-            union_ds.groupby("node")
-            .map_groups(propagate, batch_format="pandas")
+            labels.map_batches(keep_msgs, batch_format="pyarrow")
+            .union(nbr, jump)
             .groupby("node")
             .aggregate(Min("cand", alias_name="label"))
             .materialize()

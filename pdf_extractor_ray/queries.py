@@ -281,10 +281,15 @@ def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
         sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(o_filter, batch_format="pyarrow")
 
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=32,
+        # one hash partition per CPU, capped (the join schedules this many
+        # aggregators — oversubscribing small clusters starves them)
+        num_partitions=max(2, min(32, cpus)),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -106,18 +106,40 @@ class TestConnectedComponents:
         got = dict(zip(labels["node"], labels["label"]))
         assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
 
-    def test_long_chain_converges(self, ray_session):
-        """A 40-node path needs the label-shortcut acceleration — plain
-        min-propagation would need 40 rounds, over the 32-round cap."""
+    def test_long_chain_converges_distributed(self, ray_session):
+        """A 40-node path through the DISTRIBUTED join-based rounds
+        (driver_edge_cap=0 forces the scale path): pointer jumping must
+        converge well under the round cap — plain min-propagation would
+        need 40 rounds."""
         import ray.data as rd
         from pdf_extractor_ray.ops.dedup import connected_components
 
         pairs = rd.from_items(
             [{"id_a": i, "id_b": i + 1} for i in range(40)]
         ).repartition(4)
-        labels = connected_components(pairs)
+        labels = connected_components(pairs, driver_edge_cap=0)
         assert set(labels["label"]) == {0}
         assert len(labels) == 41
+
+    def test_regimes_agree(self, ray_session):
+        """Driver union-find (small regime) and distributed propagation
+        (scale regime) must produce identical labels."""
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import connected_components
+
+        rng = np.random.Generator(np.random.Philox(23))
+        pairs = rd.from_items(
+            [
+                {"id_a": int(a), "id_b": int(b)}
+                for a, b in rng.integers(0, 60, size=(80, 2))
+                if a != b
+            ]
+        ).repartition(3)
+        small = connected_components(pairs)
+        big = connected_components(pairs, driver_edge_cap=0)
+        assert dict(zip(small["node"], small["label"])) == dict(
+            zip(big["node"], big["label"])
+        )
 
     def test_empty_edges(self, ray_session):
         import ray.data as rd
