@@ -101,6 +101,35 @@ def cmd_sections(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    _init_ray(args.num_cpus)
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .ops import dedup as D
+
+    ds = rd.read_parquet(args.input)
+    if args.method == "exact":
+        out = D.exact_dedup_large(ds, text_col=args.text_col, id_col=args.id_col)
+    elif args.method == "minhash":
+        out = D.minhash_lsh_dedup(
+            ds, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+        )
+    elif args.method == "simhash":
+        out = D.simhash_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+    else:  # embedding
+        out = D.embedding_dedup(
+            ds, vec_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+        )
+    if args.drop and args.method != "exact":
+        out = out.map_batches(
+            lambda t: t.filter(pc.invert(t["is_duplicate"])), batch_format="pyarrow"
+        )
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "method": args.method, "rows": out.count()}))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     from .pipelines.checkpoint import read_metrics
     from .stages.metrics import overall_status
@@ -142,6 +171,24 @@ def main(argv: list[str] | None = None) -> int:
     p_sections.add_argument("--query", default=None)
     p_sections.add_argument("--num-cpus", type=int, default=None)
     p_sections.set_defaults(fn=cmd_sections)
+
+    p_dedup = sub.add_parser(
+        "dedup", help="corpus deduplication (exact / minhash / simhash / embedding)"
+    )
+    p_dedup.add_argument("--input", nargs="+", required=True)
+    p_dedup.add_argument("--output", required=True)
+    p_dedup.add_argument(
+        "--method", default="exact",
+        choices=["exact", "minhash", "simhash", "embedding"],
+    )
+    p_dedup.add_argument("--threshold", type=float, default=0.8)
+    p_dedup.add_argument("--text-col", default="text",
+                         help="text column (or vector column for embedding)")
+    p_dedup.add_argument("--id-col", default="doc_id")
+    p_dedup.add_argument("--drop", action="store_true",
+                         help="write survivors only (default: annotate)")
+    p_dedup.add_argument("--num-cpus", type=int, default=None)
+    p_dedup.set_defaults(fn=cmd_dedup)
 
     p_metrics = sub.add_parser("metrics", help="show a run's partition metrics")
     p_metrics.add_argument("--output", required=True)

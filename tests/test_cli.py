@@ -29,3 +29,32 @@ def test_cli_extract_and_metrics(tmp_path, small_pages):
     )
     assert metrics.returncode == 0
     assert "overall_status" in metrics.stdout
+
+
+def test_cli_dedup_drop(tmp_path):
+    """dedup subcommand: minhash near-dup removal over a parquet corpus,
+    survivors-only output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog again today"},
+        {"doc_id": 1, "text": "a completely different document about ray data pipelines"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog again today"},
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = tmp_path / "out"
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "pdf_extractor_ray", "dedup",
+            "--input", str(src), "--output", str(out),
+            "--method", "minhash", "--threshold", "0.8", "--drop",
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[-800:]
+    tbl = pads.dataset(str(out)).to_table()
+    assert sorted(tbl["doc_id"].to_pylist()) == [0, 1]
