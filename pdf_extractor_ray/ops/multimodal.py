@@ -3,19 +3,27 @@
 Binary media ride as opaque ``binary`` columns with typed metadata, exactly
 like the PDF payloads in the main pipeline. The Ray-side plumbing — schema,
 actor-pool stage shape, batch sizing for wide binary rows, output layout —
-is real and tested; only the decode kernels are stubbed (this container has
-no image/audio libraries) behind ``NotImplementedError`` or a clearly
-marked deterministic fake.
+is real and tested. Decode kernels, round 2:
 
-Media payload convention for the deterministic fake codec:
-``b"IMGv1" + width:uint16 + height:uint16 + channel bytes`` — enough to
-exercise resize/feature plumbing end-to-end without a real codec.
+* REAL, from scratch on stdlib: PNG (8-bit gray/RGB/RGBA, filters 0-4,
+  zlib IDAT — the PNG spec / RFC 2083), BMP (24-bit uncompressed), WAV
+  (PCM via the stdlib ``wave`` module).
+* STUBBED, declared: JPEG/WebP (DCT/VP8 codecs need native libs), MP3,
+  video containers — ``NotImplementedError`` with the production swap
+  noted; a deterministic fake format keeps the plumbing testable
+  without any codec.
+
+Fake payload convention: ``b"IMGv1" + width:uint16 + height:uint16 +
+channel bytes``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -43,19 +51,177 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     return FAKE_MAGIC + struct.pack("<HH", width, height) + pixels.tobytes()
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to an (H, W) array.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Real codecs (JPEG/PNG via Pillow or turbojpeg) are NOT available in this
-    container — only the deterministic fake format decodes; anything else
-    raises ``NotImplementedError`` (STUB, by design)."""
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse PNG row filters 0-4 (None/Sub/Up/Average/Paeth) with proper
+    ``bpp``-offset left neighbors (PNG spec §9 / RFC 2083)."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        tag = raw[pos]
+        pos += 1
+        cur = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if tag == 1:
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif tag == 2:
+            cur = bytearray(
+                (np.frombuffer(bytes(cur), np.uint8) + np.frombuffer(bytes(prev), np.uint8)).astype(np.uint8).tobytes()
+            )
+        elif tag == 3:
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """From-scratch PNG decode (8-bit depth, color types 0/2/6,
+    non-interlaced): chunk walk → concatenated-IDAT inflate → row
+    unfilter → grayscale via integer luma."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG variant unsupported (depth={depth}, color={color_type}, "
+                    f"interlace={interlace}) — 8-bit gray/RGB/RGBA only"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px = np.frombuffer(_png_unfilter(raw, width, height, bpp), np.uint8)
+    px = px.reshape(height, width, bpp)
+    if bpp == 1:
+        return px[:, :, 0].copy()
+    r, g, b = px[:, :, 0].astype(np.uint32), px[:, :, 1].astype(np.uint32), px[:, :, 2].astype(np.uint32)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, color_type: int = 0, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder for fixtures: 8-bit grayscale (``color_type=0``,
+    from an (H, W) array) or RGB (``color_type=2``, (H, W, 3)); per-row
+    filter 0 (None) or 2 (Up) to exercise the unfilter path."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    if color_type == 0:
+        h, w = img.shape
+        rows = img.reshape(h, w)
+    else:
+        h, w, _ = img.shape
+        rows = img.reshape(h, w * 3)
+    raw = bytearray()
+    prev = np.zeros(rows.shape[1], dtype=np.uint8)
+    for r in range(h):
+        raw.append(filter_type)
+        if filter_type == 2:
+            raw += ((rows[r].astype(np.int16) - prev) % 256).astype(np.uint8).tobytes()
+        else:
+            raw += rows[r].astype(np.uint8).tobytes()
+        prev = rows[r].astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP decode (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) → grayscale luma."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("BMP variant unsupported — 24-bit uncompressed only")
+    flip = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    out = np.empty((height, width), dtype=np.uint8)
+    for r in range(height):
+        row = np.frombuffer(
+            payload[pixel_off + r * stride : pixel_off + r * stride + width * 3],
+            np.uint8,
+        ).reshape(width, 3)
+        b, g, rr = row[:, 0].astype(np.uint32), row[:, 1].astype(np.uint32), row[:, 2].astype(np.uint32)
+        out[height - 1 - r if flip else r] = ((rr * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    return out
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit BMP encoder for fixtures ((H, W) grayscale input)."""
+    h, w = img.shape
+    stride = (w * 3 + 3) & ~3
+    pixel_data = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = np.repeat(img[r].astype(np.uint8), 3).tobytes()  # B=G=R=gray
+        pixel_data += row + b"\x00" * (stride - w * 3)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + info + bytes(pixel_data)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W) grayscale array.
+
+    PNG and BMP decode for real (from-scratch stdlib kernels above); the
+    deterministic fake format decodes for plumbing tests; JPEG/WebP remain
+    declared stubs (DCT/VP8 need native codecs — swap in a
+    Pillow/turbojpeg kernel in production)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if payload[:5] == FAKE_MAGIC:
         width, height = struct.unpack("<HH", payload[5:9])
         return np.frombuffer(payload[9 : 9 + width * height], dtype=np.uint8).reshape(
             height, width
         )
     raise NotImplementedError(
-        "real image codecs unavailable in this environment (STUB); "
+        "JPEG/WebP codecs unavailable in this environment (STUB); "
         "swap decode_image for a Pillow/turbojpeg kernel in production"
     )
 
@@ -123,13 +289,57 @@ def media_pipeline(ds, target: int = 8, batch_size: int = 32, concurrency=(1, 4)
     )
 
 
-def audio_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
-    """STUB: audio/video frame sampling needs ffmpeg — unavailable here."""
-    raise NotImplementedError(
-        "audio/video decoding unavailable in this environment (STUB); "
-        "production kernel: ffmpeg frame extraction inside the same "
-        "actor-pool stage shape as ImageFeatureExtractor"
-    )
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV/PCM decode via the stdlib ``wave`` module → (mono int16 samples,
+    sample_rate). 16-bit PCM only; stereo is mean-downmixed."""
+    with wave.open(io.BytesIO(payload)) as wav:
+        if wav.getsampwidth() != 2:
+            raise NotImplementedError("16-bit PCM WAV only")
+        rate = wav.getframerate()
+        frames = wav.readframes(wav.getnframes())
+        samples = np.frombuffer(frames, dtype="<i2")
+        if wav.getnchannels() > 1:
+            samples = (
+                samples.reshape(-1, wav.getnchannels()).mean(axis=1).astype(np.int16)
+            )
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Minimal mono 16-bit PCM WAV encoder for fixtures."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wav:
+        wav.setnchannels(1)
+        wav.setsampwidth(2)
+        wav.setframerate(rate)
+        wav.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def audio_frame_sample(payload: bytes, n_frames: int = 4, frame_ms: int = 100) -> list[bytes]:
+    """Evenly spaced raw-PCM windows from a WAV payload — the frame-sample
+    stage of an audio pipeline (each window is ``frame_ms`` of mono int16).
+    MP3/AAC/video remain declared stubs (ffmpeg territory); they would run
+    inside the same actor-pool stage shape."""
+    samples, rate = decode_audio(payload)
+    win = max(1, rate * frame_ms // 1000)
+    if len(samples) == 0:
+        return []
+    starts = np.linspace(0, max(0, len(samples) - win), num=n_frames).astype(int)
+    return [samples[s : s + win].tobytes() for s in starts]
+
+
+def audio_features(payload: bytes, n_bins: int = 8) -> list[float]:
+    """Tiny spectral-free audio feature vector: per-window RMS energy over
+    ``n_bins`` equal slices of the clip (normalized) — deterministic, and
+    the stage shape a real fbank/wav2vec kernel drops into."""
+    samples, _ = decode_audio(payload)
+    if len(samples) == 0:
+        return [0.0] * n_bins
+    parts = np.array_split(samples.astype(np.float64), n_bins)
+    rms = np.array([np.sqrt((p**2).mean()) if len(p) else 0.0 for p in parts])
+    total = rms.sum() or 1.0
+    return (rms / total).tolist()
 
 
 def media_content_hash(batch: pa.Table) -> pa.Table:

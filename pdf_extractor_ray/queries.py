@@ -1202,6 +1202,63 @@ def q_embed_ann(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal image pipeline with an exact oracle: each document yields
+    a REAL 16×16 grayscale PNG whose pixels follow the deterministic
+    formula ``(doc_id*31 + i) % 256``; the media stage must decode the PNG
+    (from-scratch stdlib codec), compute the 16-bin intensity histogram,
+    and emit normalized weights. The SQL oracle recomputes the histogram
+    directly from the pixel formula — so decode + unfilter + binning are
+    all verified, not just plumbing. Weights are exact dyadic rationals
+    (count/256), hash-safe across engines."""
+    from .ops.multimodal import encode_png, media_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            pixels = ((i * 31 + np.arange(256)) % 256).astype(np.uint8).reshape(16, 16)
+            payloads.append(encode_png(pixels, 0, 2))
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array([f"img://{i}" for i in ids], pa.string()),
+                pa.array(["image"] * n, pa.string()),
+                pa.array(payloads, pa.binary()),
+                pa.array(["image/png"] * n, pa.string()),
+                pa.array([16] * n, pa.int32()),
+                pa.array([16] * n, pa.int32()),
+                pa.array([0] * n, pa.int32()),
+            ],
+            names=["media_id", "url", "kind", "payload", "mime",
+                   "width", "height", "duration_ms"],
+        )
+
+    out = media_pipeline(ds.map_batches(to_media, batch_format="pyarrow"))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, bins, weights = [], [], []
+        for mid, feats in zip(batch["media_id"].to_pylist(), batch["features"].to_pylist()):
+            for b, wgt in enumerate(feats):
+                ids.append(mid)
+                bins.append(b)
+                weights.append(wgt)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(bins, pa.int32()),
+                pa.array(weights, pa.float64()),
+            ],
+            names=["media_id", "bin", "weight"],
+        )
+
+    df = out.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["media_id", "bin"]).reset_index(drop=True)
+
+
 def q_extraction_metrics(sf_dir: str) -> pd.DataFrame:
     """Per-language lineage rollup of the HTML roundtrip pipeline (the G3
     metrics aggregate keyed on a SQL-checkable column)."""
@@ -1572,6 +1629,26 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(len(embedding)) AS BIGINT) AS total_dims
         FROM embeddings GROUP BY label ORDER BY label
     """,
+    "media_features": """
+        WITH px AS (
+            SELECT d.doc_id AS media_id, (d.doc_id * 31 + i.i) % 256 AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
+        ),
+        hist AS (
+            SELECT media_id, CAST(v // 16 AS INTEGER) AS bin, count(*) AS c
+            FROM px GROUP BY 1, 2
+        ),
+        bins AS (SELECT unnest(range(0, 16)) AS bin),
+        grid AS (
+            SELECT d.doc_id AS media_id, CAST(b.bin AS INTEGER) AS bin
+            FROM documents d CROSS JOIN bins b
+        )
+        SELECT g.media_id, g.bin,
+               coalesce(h.c, 0) / 256.0 AS weight
+        FROM grid g LEFT JOIN hist h ON g.media_id = h.media_id AND g.bin = h.bin
+        ORDER BY g.media_id, g.bin
+    """,
     "extraction_metrics": """
         SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS bytes_out
         FROM documents GROUP BY lang ORDER BY lang
@@ -1838,5 +1915,6 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embedding_stats": q_embedding_stats,
     "embed_ann": q_embed_ann,
+    "media_features": q_media_features,
     "extraction_metrics": q_extraction_metrics,
 }

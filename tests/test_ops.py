@@ -317,9 +317,48 @@ class TestMultimodal:
         img = decode_image(payload)
         assert img.shape == (8, 16)
 
-    def test_real_codec_is_stub(self):
+    def test_png_round_trip_all_filters(self):
+        from pdf_extractor_ray.ops.multimodal import decode_png, encode_png
+
+        rng = np.random.Generator(np.random.Philox(9))
+        img = rng.integers(0, 256, size=(12, 15), dtype=np.uint8)
+        for ft in (0, 2):
+            assert (decode_png(encode_png(img, 0, ft)) == img).all()
+        rgb = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+        luma = (
+            (rgb[:, :, 0].astype(np.uint32) * 299
+             + rgb[:, :, 1].astype(np.uint32) * 587
+             + rgb[:, :, 2].astype(np.uint32) * 114) // 1000
+        ).astype(np.uint8)
+        assert (decode_png(encode_png(rgb, 2, 2)) == luma).all()
+
+    def test_bmp_round_trip(self):
+        from pdf_extractor_ray.ops.multimodal import decode_bmp, encode_bmp
+
+        rng = np.random.Generator(np.random.Philox(10))
+        img = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    def test_wav_decode_and_frames(self):
+        from pdf_extractor_ray.ops.multimodal import (
+            audio_features,
+            audio_frame_sample,
+            decode_audio,
+            encode_wav,
+        )
+
+        t = np.arange(16000)
+        sig = (3000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+        samples, rate = decode_audio(encode_wav(sig))
+        assert rate == 16000 and (samples == sig).all()
+        frames = audio_frame_sample(encode_wav(sig), n_frames=4)
+        assert len(frames) == 4 and len(frames[0]) == 3200  # 100ms int16
+        feats = audio_features(encode_wav(sig))
+        assert len(feats) == 8 and abs(sum(feats) - 1.0) < 1e-9
+
+    def test_jpeg_still_declared_stub(self):
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n...")
+            decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
 
     def test_pipeline_plumbing(self, ray_session):
         import ray.data as rd
