@@ -152,7 +152,7 @@ def main() -> None:
     query_times: dict[str, float] = {}
     query_names = () if os.environ.get("GRAFT_HEADLINE_ONLY") else (
         "tpch_q1", "events_hourly", "extract_html", "exact_dedup",
-        "ann_topk", "token_stats",
+        "ann_topk", "token_stats", "minhash_dedup", "order_priority_revenue",
     )
     for name in query_names:
         t0 = time.time()

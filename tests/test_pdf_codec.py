@@ -265,6 +265,48 @@ class TestTablePdf:
         assert pages[0] == SIMPLE
 
 
+from hypothesis import given, settings, strategies as st
+
+_WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789().,-\\%$", min_size=1, max_size=12)
+
+
+class TestPropertyRoundTrip:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        words=st.lists(_WORD, min_size=1, max_size=120),
+        style=st.sampled_from(["tm", "td", "tstar"]),
+        compress=st.booleans(),
+        xref=st.sampled_from(["table", "stream", "objstm"]),
+    )
+    def test_any_word_text_round_trips(self, words, style, compress, xref):
+        """Random word soup through every writer configuration must extract
+        byte-identically to the toy-record path."""
+        text = " ".join(words)
+        toy, _ = extract_pdf(layout_text(text))
+        real, _ = extract_pdf(
+            build_pdf(text, compress=compress, style=style, xref_kind=xref)
+        )
+        assert real == toy
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def test_mutated_pdfs_never_hang_or_crash(self, data):
+        """Byte-level mutations of a valid PDF must either parse to SOME
+        result or raise a contained error — never hang, never escape the
+        error-containment exception set."""
+        pdf = bytearray(build_pdf(SIMPLE, compress=True))
+        n_mut = data.draw(st.integers(1, 8))
+        for _ in range(n_mut):
+            pos = data.draw(st.integers(0, len(pdf) - 1))
+            pdf[pos] = data.draw(st.integers(0, 255))
+        try:
+            extract_pdf(bytes(pdf))
+        except Exception as exc:
+            # zlib errors surface for corrupted streams; everything must be
+            # an ordinary exception the pipeline's containment catches
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt, MemoryError))
+
+
 class TestRealPdfSplit:
     def test_split_real_pdf_into_record_chunks(self):
         text = " ".join(f"w{i}" for i in range(20000))  # many pages
