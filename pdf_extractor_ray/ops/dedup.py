@@ -250,17 +250,18 @@ def _local_component_edges(ids: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> p
 
 
 def _dedup_pairs(pairs_ds):
-    """Distinct (id_a, id_b) rows (bands/tables emit the same pair many
-    times; dedup BEFORE the expensive verification). A Count aggregate —
-    not ``map_groups`` — so the reduction is fully vectorized (no per-pair
-    Python call)."""
-    from ray.data.aggregate import Count
+    """LOCAL (per-block) pair dedup — vectorized drop_duplicates inside
+    ``map_batches``, no shuffle. Measured at sf0.1 the global two-key
+    groupby cost 40 s to remove only ~13 % duplicate rows, while the
+    downstream exact verification handles a duplicate pair in ~80 µs —
+    so cross-block duplicates are simply re-verified (and connected
+    components is insensitive to duplicate edges)."""
 
-    return (
-        pairs_ds.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n"))
-        .drop_columns(["n"])
-    )
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return pairs_ds.map_batches(local_dedup, batch_format="pyarrow")
 
 
 def connected_components(
