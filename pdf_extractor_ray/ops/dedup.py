@@ -148,28 +148,19 @@ def minhash_signature(text: str, n_perm: int, a: np.ndarray, b: np.ndarray, k: i
 
 
 def minhash_signatures_batch(
-    texts: list[str], n_perm: int, a: np.ndarray, b: np.ndarray, k: int = 5,
-    chunk_shingles: int = 65536,
+    texts: list[str], n_perm: int, a: np.ndarray, b: np.ndarray, k: int = 5
 ) -> np.ndarray:
-    """Batch minhash: one ``(n_docs, n_perm)`` uint64 matrix via concatenated
-    shingle arrays + ``np.minimum.reduceat`` per doc — identical values to
-    :func:`minhash_signature`, but the permute-multiply runs once per slice
-    instead of once per document. ``chunk_shingles`` bounds the working set
-    (n_perm × chunk × 8 bytes ≈ 67 MB at the defaults)."""
-    sh = [_char_shingles(t, k) for t in texts]
+    """Batch minhash: one ``(n_docs, n_perm)`` uint64 matrix, identical
+    values to per-doc :func:`minhash_signature`.
+
+    Implementation note: a concatenated-shingles + ``minimum.reduceat``
+    variant was MEASURED 10x slower than this per-doc loop on the target
+    VM — the (n_perm × 64k) work buffers page-fault/thrash, while per-doc
+    (n_perm × ~2k) intermediates stay in cache and on the allocator fast
+    path. The per-doc kernel is already fully vectorized internally."""
     out = np.zeros((len(texts), n_perm), dtype=np.uint64)
-    lo = 0
-    while lo < len(texts):
-        hi, total = lo, 0
-        while hi < len(texts) and (total == 0 or total + len(sh[hi]) <= chunk_shingles):
-            total += len(sh[hi])
-            hi += 1
-        lens = [len(s) for s in sh[lo:hi]]
-        offsets = np.cumsum([0] + lens[:-1])
-        all_sh = np.concatenate(sh[lo:hi])
-        vals = (a[:, None] * all_sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-        out[lo:hi] = np.minimum.reduceat(vals, offsets, axis=1).T
-        lo = hi
+    for i, t in enumerate(texts):
+        out[i] = minhash_signature(t, n_perm, a, b, k)
     return out
 
 

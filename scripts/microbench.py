@@ -87,9 +87,39 @@ def main() -> None:
     )
     a, b = _perm_params(128)
     bench("minhash_128perm", lambda t: minhash_signature(t, 128, a, b), short_texts)
+    from pdf_extractor_ray.ops.dedup import minhash_signatures_batch
+
+    t0 = time.time()
+    minhash_signatures_batch(short_texts, 128, a, b)
+    dt = time.time() - t0
+    print(json.dumps({"op": "minhash_128perm_batched", "ms_per_doc": round(dt / len(short_texts) * 1000, 3), "docs_per_sec_1core": round(len(short_texts) / dt, 1)}))
     bench("simhash64", lambda t: simhash64(t), short_texts)
     embedder = HashedNgramEmbedder(dim=64)
     bench("embed_hashed_ngram", lambda t: embedder.embed_one(t), short_texts)
+
+    # round-2 kernels: real-PDF codec, table layout, media codecs, scrub
+    from pdf_extractor_ray.functions.pdf_codec import build_pdf, build_table_pdf
+    from pdf_extractor_ray.functions.pdf_extract import extract_pdf_pages_tables
+    from pdf_extractor_ray.ops.text import scrub_pii, word_ngram_hashes
+    from pdf_extractor_ray.ops.multimodal import decode_png, encode_png
+    import numpy as np
+
+    real_pdfs = [build_pdf(t[:2000], compress=i % 2 == 1, style=("tm", "td", "tstar")[i % 3])
+                 for i, t in enumerate(texts[:100])]
+    bench("extract_real_pdf", lambda p: extract_pdf(p), real_pdfs)
+    table_pdfs = [
+        build_table_pdf(
+            ["Description", "Amount", "Balance"],
+            [[f"row {j}", f"{j}.00", f"{1000 + j}.00"] for j in range(30)],
+        )
+        for _ in range(50)
+    ]
+    bench("extract_pdf_tables", lambda p: extract_pdf_pages_tables(p), table_pdfs)
+    rng = np.random.Generator(np.random.Philox(3))
+    pngs = [encode_png(rng.integers(0, 256, size=(64, 64), dtype=np.uint8), 0, 2) for _ in range(30)]
+    bench("decode_png_64x64", lambda p: decode_png(p), pngs)
+    bench("scrub_pii", lambda t: scrub_pii(t), short_texts)
+    bench("word_8gram_hashes", lambda t: word_ngram_hashes(t, 8), short_texts)
 
 
 if __name__ == "__main__":
