@@ -318,6 +318,97 @@ def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q5-shaped multi-join chain mixing BOTH join strategies where
+    each belongs: customer→nation→region resolved by broadcast lookup
+    (dimension sides, ray.put once), orders⋈lineitem through the native
+    hash join (both large), revenue per nation of ASIA-region customers.
+    The lineitem side is pre-aggregated per (batch, orderkey) before the
+    exchange."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    region_of = dict(zip(region["r_regionkey"], region["r_name"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nation_region = {
+        k: region_of[r] for k, r in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nation = {
+        c: n for c, n in zip(customer["c_custkey"], customer["c_nationkey"])
+        if nation_region.get(n) == "ASIA"
+    }
+    ref = ray.put(cust_nation)
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        keys = batch["o_custkey"].to_pylist()
+        mask = pa.array([k in lookup for k in keys])
+        batch = batch.filter(mask)
+        nations = [lookup[k] for k in batch["o_custkey"].to_pylist()]
+        return pa.Table.from_arrays(
+            [batch["o_orderkey"], pa.array(nations, pa.int64())],
+            names=["o_orderkey", "nationkey"],
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        o_filter, batch_format="pyarrow"
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "rev_c": _cents(disc).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", sort=True).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=max(2, min(32, cpus)),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    nref = ray.put(nation_name)
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        names = ray.get(nref)
+        df = pd.DataFrame(
+            {
+                "n_name": [names[k] for k in batch["nationkey"].to_pylist()],
+                "revenue_cents": batch["rev_c"].to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("n_name", sort=True).sum().reset_index(), preserve_index=False
+        )
+
+    return (
+        joined.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
 def q_distinct_segments(sf_dir: str) -> pd.DataFrame:
     """Distinct values of a column (``Dataset.unique`` — a shuffle; kept to
     one small column)."""
@@ -1398,6 +1489,19 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority
     """,
+    "revenue_by_nation": """
+        SELECT n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
     "distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
     """,
@@ -1883,6 +1987,7 @@ QUERIES = {
     "revenue_by_segment": q_revenue_by_segment,
     "customers_per_region": q_customers_per_region,
     "order_priority_revenue": q_order_priority_revenue,
+    "revenue_by_nation": q_revenue_by_nation,
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
