@@ -178,8 +178,35 @@ def word_ngram_hashes(text: str, n: int = 8) -> set[int]:
     }
 
 
+def _bloom_build(hashes, m_bits: int, k: int = 4) -> np.ndarray:
+    """Bitmap Bloom filter over 64-bit gram hashes (double hashing:
+    pos_i = (h + i*(h>>32)) mod m, m a power of two)."""
+    bits = np.zeros(m_bits, dtype=bool)
+    arr = np.fromiter(hashes, dtype=np.uint64)
+    if len(arr) == 0:
+        return bits
+    h2 = arr >> np.uint64(32)
+    mask = np.uint64(m_bits - 1)
+    for i in range(k):
+        bits[((arr + np.uint64(i) * h2) & mask).astype(np.int64)] = True
+    return bits
+
+
+def _bloom_any_hit(bits: np.ndarray, arr: np.ndarray, k: int = 4) -> bool:
+    if len(arr) == 0:
+        return False
+    h2 = arr >> np.uint64(32)
+    mask = np.uint64(len(bits) - 1)
+    hit = np.ones(len(arr), dtype=bool)
+    for i in range(k):
+        hit &= bits[((arr + np.uint64(i) * h2) & mask).astype(np.int64)]
+        if not hit.any():
+            return False
+    return bool(hit.any())
+
+
 def decontaminate(ds, benchmark_texts: list[str], n: int = 8,
-                  text_col: str = "text"):
+                  text_col: str = "text", bloom_bits: int | None = None):
     """Drop every document sharing ANY word ``n``-gram with the benchmark
     set — the train/test decontamination pass of an LLM data pipeline
     (the n-gram-overlap rule popularized by the GPT-3/PaLM dataset reports).
@@ -187,18 +214,24 @@ def decontaminate(ds, benchmark_texts: list[str], n: int = 8,
     The benchmark's n-gram hash set is built once on the driver (benchmarks
     are small — test sets, not corpora), ``ray.put`` ONCE, and every batch
     filters with a vectorized ``np.isin`` against it; the corpus streams
-    through a single ``map_batches`` with no shuffle. At benchmark sizes
-    beyond broadcast reach, swap the set for the state-layer Bloom index —
-    its false positives only drop extra documents, which is the safe
-    direction for decontamination.
+    through a single ``map_batches`` with no shuffle.
+
+    ``bloom_bits`` (a power of two) switches the broadcast to a fixed-size
+    Bloom BITMAP — the scale path for benchmark sets beyond exact-set
+    broadcast reach. Bloom false positives only drop EXTRA documents,
+    which is the safe direction for decontamination (never keeps a
+    contaminated one); the dropped set is a superset of the exact mode's.
     """
     import ray
 
     bench: set[int] = set()
     for t in benchmark_texts:
         bench.update(word_ngram_hashes(t, n))
-    bench_arr = np.array(sorted(bench), dtype=np.uint64)
-    ref = ray.put(bench_arr)
+    if bloom_bits is not None:
+        assert bloom_bits & (bloom_bits - 1) == 0, "bloom_bits must be a power of 2"
+        ref = ray.put(_bloom_build(bench, bloom_bits))
+    else:
+        ref = ray.put(np.array(sorted(bench), dtype=np.uint64))
 
     def keep_clean(batch: pa.Table) -> pa.Table:
         grams = ray.get(ref)
@@ -210,7 +243,10 @@ def decontaminate(ds, benchmark_texts: list[str], n: int = 8,
                 keep.append(True)
                 continue
             arr = np.fromiter(doc_grams, dtype=np.uint64, count=len(doc_grams))
-            keep.append(not np.isin(arr, grams, assume_unique=True).any())
+            if bloom_bits is not None:
+                keep.append(not _bloom_any_hit(grams, arr))
+            else:
+                keep.append(not np.isin(arr, grams, assume_unique=True).any())
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(keep_clean, batch_format="pyarrow")

@@ -297,6 +297,26 @@ class TestDecontaminate:
         ds = rd.from_items([{"doc_id": i, "text": "w " * 20} for i in range(4)])
         assert decontaminate(ds, [], n=8).count() == 4
 
+    def test_bloom_mode_drops_superset(self, ray_session):
+        """Bloom scale path: false positives only drop EXTRA docs — the
+        bloom-dropped set must contain every exactly-dropped doc."""
+        import ray.data as rd
+        from pdf_extractor_ray.ops.text import decontaminate
+
+        rng = np.random.Generator(np.random.Philox(31))
+        vocab = [f"v{j}" for j in range(500)]
+        texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+        bench = texts[:5]
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        exact = set(decontaminate(ds, bench, n=8).to_pandas()["doc_id"])
+        bloom = set(
+            decontaminate(ds, bench, n=8, bloom_bits=1 << 16).to_pandas()["doc_id"]
+        )
+        assert bloom <= exact  # bloom keeps a subset (drops a superset)
+        assert not (set(range(5)) & bloom)  # benchmark docs always dropped
+
 
 class TestScrubPII:
     def test_email_and_id_redacted(self):
