@@ -1350,6 +1350,20 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "bin"]).reset_index(drop=True)
 
 
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing for pretraining: documents tokenized with the
+    hash vocabulary (FNV-1a → [2, 32768), EOS=1 after each doc), packed
+    into 128-token sequences within 100-doc shards (sharded packing —
+    embarrassingly parallel, no global prefix sum). Output is the exploded
+    (shard, seq_idx, pos, token_id) form; the oracle recomputes every
+    token id and position with window functions."""
+    from .ops.pack import pack_tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_tokens(ds, seq_len=128, vocab_size=32_768, shard_size=100).to_pandas()
+    return out.sort_values(["shard", "seq_idx", "pos"]).reset_index(drop=True)
+
+
 def q_extraction_metrics(sf_dir: str) -> pd.DataFrame:
     """Per-language lineage rollup of the HTML roundtrip pipeline (the G3
     metrics aggregate keyed on a SQL-checkable column)."""
@@ -1733,6 +1747,36 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(len(embedding)) AS BIGINT) AS total_dims
         FROM embeddings GROUP BY label ORDER BY label
     """,
+    "pack_sequences": """
+        WITH toks AS (
+            SELECT doc_id, doc_id // 100 AS shard,
+                   regexp_extract_all(lower(text), '\\S+') AS w
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, shard, unnest(range(1, len(w) + 2)) AS ti FROM toks
+        ),
+        tk AS (
+            SELECT i.doc_id, i.shard, i.ti,
+                   CASE WHEN i.ti = len(t.w) + 1 THEN 1
+                        ELSE CAST(
+                            CAST(list_reduce(
+                                list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                    list_transform(range(1, length(t.w[i.ti]) + 1),
+                                        j -> CAST(unicode(substring(t.w[i.ti], j, 1)) AS HUGEINT))),
+                                (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                                           * 1099511628211) % 18446744073709551616) AS UBIGINT)
+                            % 32766 + 2 AS INTEGER) END AS token_id
+            FROM idx i JOIN toks t USING (doc_id)
+        ),
+        seq AS (
+            SELECT shard, token_id,
+                   row_number() OVER (PARTITION BY shard ORDER BY doc_id, ti) - 1 AS gpos
+            FROM tk
+        )
+        SELECT shard, gpos // 128 AS seq_idx, gpos % 128 AS pos, token_id
+        FROM seq ORDER BY shard, seq_idx, pos
+    """,
     "media_features": """
         WITH px AS (
             SELECT d.doc_id AS media_id, (d.doc_id * 31 + i.i) % 256 AS v
@@ -2021,5 +2065,6 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "embed_ann": q_embed_ann,
     "media_features": q_media_features,
+    "pack_sequences": q_pack_sequences,
     "extraction_metrics": q_extraction_metrics,
 }

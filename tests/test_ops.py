@@ -318,6 +318,45 @@ class TestDecontaminate:
         assert not (set(range(5)) & bloom)  # benchmark docs always dropped
 
 
+class TestSequencePacking:
+    def test_pack_layout_and_eos(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.pack import EOS_ID, pack_tokens, tokenize_ids
+
+        rows = [
+            {"doc_id": 0, "text": "alpha beta gamma"},
+            {"doc_id": 1, "text": "delta epsilon"},
+            {"doc_id": 100, "text": "zeta eta"},  # second shard
+        ]
+        out = (
+            pack_tokens(rd.from_items(rows), seq_len=4, vocab_size=1024, shard_size=100)
+            .to_pandas()
+            .sort_values(["shard", "seq_idx", "pos"])
+        )
+        shard0 = out[out["shard"] == 0]["token_id"].tolist()
+        expected = tokenize_ids("alpha beta gamma", 1024) + tokenize_ids("delta epsilon", 1024)
+        assert shard0 == expected
+        assert shard0.count(EOS_ID) == 2
+        # seq boundaries: 7 tokens at seq_len=4 → seqs 0 (4) and 1 (3)
+        s0 = out[(out["shard"] == 0) & (out["seq_idx"] == 0)]
+        assert s0["pos"].tolist() == [0, 1, 2, 3]
+        # shard 1 packs independently from pos 0
+        s1 = out[out["shard"] == 1]
+        assert s1["pos"].tolist()[0] == 0 and s1["seq_idx"].tolist()[0] == 0
+
+    def test_list_variant_reassembles(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.pack import pack_tokens_sequences
+
+        rows = [{"doc_id": i, "text": "one two three four five"} for i in range(3)]
+        out = pack_tokens_sequences(
+            rd.from_items(rows), seq_len=8, vocab_size=512, shard_size=100
+        ).to_pandas()
+        assert all(len(t) <= 8 for t in out["token_ids"])
+        total = sum(len(t) for t in out["token_ids"])
+        assert total == 3 * 6  # 5 tokens + EOS per doc
+
+
 class TestScrubPII:
     def test_email_and_id_redacted(self):
         from pdf_extractor_ray.ops.text import scrub_pii
