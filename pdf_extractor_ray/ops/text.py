@@ -276,3 +276,47 @@ def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     scrubbed = [scrub_pii(t) for t in batch[text_col].to_pylist()]
     idx = batch.schema.get_field_index(text_col)
     return batch.set_column(idx, text_col, pa.array(scrubbed, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality (Gopher-style top-n-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(text: str) -> tuple[int, int]:
+    """(count of the most frequent word bigram, total bigram count) — the
+    Gopher/MassiveText "top-2-gram fraction" repetition signal computed in
+    exact integers (so the quality threshold compares integer products,
+    never floats, across engines)."""
+    tokens = (text or "").lower().split()
+    if len(tokens) < 2:
+        return 0, 0
+    counts: dict[tuple[str, str], int] = {}
+    best = 0
+    for pair in zip(tokens, tokens[1:]):
+        c = counts.get(pair, 0) + 1
+        counts[pair] = c
+        if c > best:
+            best = c
+    return best, len(tokens) - 1
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     threshold_pct: int = 18) -> pa.Table:
+    """Per-doc repetition columns: ``top_bigram_count``, ``n_bigrams``, and
+    ``repetitive`` (top fraction > threshold_pct% — integer comparison
+    ``count*100 > total*threshold``)."""
+    tops, totals = [], []
+    for t in batch[text_col].to_pylist():
+        top, total = repetition_stats(t)
+        tops.append(top)
+        totals.append(total)
+    flags = [
+        (top * 100 > total * threshold_pct) if total else False
+        for top, total in zip(tops, totals)
+    ]
+    return (
+        batch.append_column("top_bigram_count", pa.array(tops, pa.int64()))
+        .append_column("n_bigrams", pa.array(totals, pa.int64()))
+        .append_column("repetitive", pa.array(flags))
+    )

@@ -1350,6 +1350,26 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "bin"]).reset_index(drop=True)
 
 
+def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signal per document: most-frequent word
+    bigram count, total bigrams, and the repetitive flag (top fraction >
+    18%, compared in exact integers on both engines — no float
+    thresholds)."""
+    from .ops.text import repetition_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(
+            lambda b: repetition_batch(b).select(
+                ["doc_id", "top_bigram_count", "n_bigrams", "repetitive"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Sequence packing for pretraining: documents tokenized with the
     hash vocabulary (FNV-1a → [2, 32768), EOS=1 after each doc), packed
@@ -1747,6 +1767,31 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(len(embedding)) AS BIGINT) AS total_dims
         FROM embeddings GROUP BY label ORDER BY label
     """,
+    "repetition_filter": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM toks
+        ),
+        counts AS (
+            SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+        ),
+        agg AS (
+            SELECT doc_id, max(c) AS top_bigram_count, CAST(sum(c) AS BIGINT) AS n_bigrams
+            FROM counts GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+               CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               coalesce(a.top_bigram_count * 100 > a.n_bigrams * 18, FALSE) AS repetitive
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "pack_sequences": """
         WITH toks AS (
             SELECT doc_id, doc_id // 100 AS shard,
@@ -2066,5 +2111,6 @@ QUERIES = {
     "embed_ann": q_embed_ann,
     "media_features": q_media_features,
     "pack_sequences": q_pack_sequences,
+    "repetition_filter": q_repetition_filter,
     "extraction_metrics": q_extraction_metrics,
 }

@@ -515,3 +515,27 @@ class TestIVFRecall:
             recalls.append(len(e & a) / len(e))
         mean_recall = sum(recalls) / len(recalls)
         assert mean_recall >= 0.5, f"recall@10 = {mean_recall:.2f}"
+
+
+class TestRepetition:
+    def test_top_bigram_stats(self):
+        from pdf_extractor_ray.ops.text import repetition_stats
+
+        assert repetition_stats("a b a b a b") == (3, 5)  # "a b" x3 of 5
+        assert repetition_stats("all unique words here") == (1, 3)
+        assert repetition_stats("one") == (0, 0)
+        assert repetition_stats("") == (0, 0)
+
+    def test_repetitive_flag_integer_threshold(self):
+        import pyarrow as pa
+        from pdf_extractor_ray.ops.text import repetition_batch
+
+        batch = pa.Table.from_pylist(
+            [
+                {"doc_id": 0, "text": "spam spam spam spam spam spam"},
+                # 9 distinct bigrams: top fraction 1/9 ≈ 11% < 18%
+                {"doc_id": 1, "text": "a perfectly normal sentence with plenty of room and variety"},
+            ]
+        )
+        out = repetition_batch(batch)
+        assert out["repetitive"].to_pylist() == [True, False]
