@@ -108,16 +108,35 @@ def build_pdf_outline_sections(
     return-all fallback (reference: src/core/utils.py:11-32). Section
     content is the layout-extracted markdown of the section's page range.
     """
+    import numpy as np
+
     from ..functions.assemble import combine_pages
     from ..functions.pdf_extract import decode_records, records_to_markdown
 
     records = decode_records(payload)
-    page_markdowns, _ = records_to_markdown(records)
-    from ..functions.pdf_codec import parse_pdf_outline
+    from ..functions.pdf_codec import PdfError, parse_pdf_outline
 
-    outline = parse_pdf_outline(payload)
+    try:
+        outline = parse_pdf_outline(payload)
+    except (PdfError, ValueError):  # toy records / outline-less PDFs
+        outline = []
+
+    # Page markdowns indexed by ACTUAL page id — a glyph-less page (e.g. an
+    # empty section) must keep its slot or every later outline index would
+    # shift onto the wrong content.
+    per_page: dict[int, str] = {}
+    if len(records):
+        for page in np.unique(records["page"]):
+            md, _ = records_to_markdown(records[records["page"] == page])
+            per_page[int(page)] = md[0] if md else ""
+    n_pages = max(
+        [int(records["page"].max()) + 1 if len(records) else 0]
+        + [idx + 1 for _, idx in outline]
+    )
+    page_markdowns = [per_page.get(i, "") for i in range(n_pages)]
+
     if not outline:
-        content = combine_pages(page_markdowns)
+        content = combine_pages([m for m in page_markdowns if m])
         return [{"title": "", "index": 0, "content": content}]
     kept_outline = outline[:max_sections]
     sections = []
@@ -125,11 +144,12 @@ def build_pdf_outline_sections(
         end = (
             outline[i + 1][1] if i + 1 < len(kept_outline) else len(page_markdowns)
         )
+        span = [m for m in page_markdowns[start:end] if m]
         sections.append(
             {
                 "title": title,
                 "index": i,
-                "content": combine_pages(page_markdowns[start:end]),
+                "content": combine_pages(span) if span else "",
             }
         )
     filtered = filter_outlines_by_query(

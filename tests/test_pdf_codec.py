@@ -324,3 +324,26 @@ class TestRealPdfSplit:
             ps, _ = extract_pdf_pages(chunk)
             pages.extend(ps)
         assert combine_pages(pages) == extract_pdf(pdf)[0]
+
+
+class TestSectionEdgeCases:
+    def test_empty_middle_section_keeps_alignment(self):
+        """A glyph-less page (empty section) must not shift later outline
+        indices onto the wrong content."""
+        from pdf_extractor_ray.functions.pdf_codec import build_sectioned_pdf
+
+        pdf = build_sectioned_pdf(
+            [("A", "first part text"), ("B", ""), ("C", "third part text")]
+        )
+        sections = build_pdf_outline_sections(pdf)
+        by_title = {s["title"]: s["content"] for s in sections}
+        assert by_title["A"] == "first part text"
+        assert by_title["B"] == ""
+        assert by_title["C"] == "third part text"
+
+    def test_toy_payload_contained(self):
+        """Toy record payloads (no PDF object structure) degrade to a single
+        untitled section instead of raising."""
+        sections = build_pdf_outline_sections(layout_text(SIMPLE))
+        assert len(sections) == 1 and sections[0]["title"] == ""
+        assert sections[0]["content"] == SIMPLE
