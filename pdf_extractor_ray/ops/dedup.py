@@ -310,6 +310,15 @@ def connected_components(
         nodes = sorted(parent)
         return pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
 
+    # The distributed rounds track convergence by label SUM — numeric ids
+    # only (the driver regime above handles any orderable id type).
+    id_type = pairs_mat.schema().types[0]
+    if not pa.types.is_integer(id_type) and not pa.types.is_floating(id_type):
+        raise TypeError(
+            f"distributed connected_components needs numeric ids, got {id_type}; "
+            "raise driver_edge_cap or map ids to integers first"
+        )
+
     if num_partitions is None:
         # The hash-join operator schedules `num_partitions` aggregators;
         # oversubscribing the cluster CPU count deadlocks the round, so

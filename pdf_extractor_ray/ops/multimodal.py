@@ -264,10 +264,12 @@ class ImageFeatureExtractor:
                     + thumb.tobytes()
                 )
                 errors.append(None)
-            except NotImplementedError as exc:
+            except Exception as exc:  # noqa: BLE001 — containment boundary:
+                # corrupt payloads (zlib errors, truncated headers) must
+                # yield an error row, never abort a corpus-scale job
                 feats.append(None)
                 thumbs.append(None)
-                errors.append(str(exc)[:120])
+                errors.append(f"{type(exc).__name__}: {exc}"[:120])
         return (
             batch.drop_columns(["payload"])
             .append_column("features", pa.array(feats, pa.list_(pa.float64())))

@@ -539,3 +539,22 @@ class TestRepetition:
         )
         out = repetition_batch(batch)
         assert out["repetitive"].to_pylist() == [True, False]
+
+
+class TestMediaContainment:
+    def test_corrupt_png_yields_error_row(self, ray_session):
+        """A corrupt PNG (bad zlib stream) must produce a decode_error row,
+        not abort the stage."""
+        import ray.data as rd
+        from pdf_extractor_ray.ops.multimodal import _PNG_SIG, media_pipeline
+
+        rows = [
+            {
+                "media_id": 0, "url": "u://0", "kind": "image",
+                "payload": _PNG_SIG + b"\x00\x00\x00\x0dIHDRgarbage-----",
+                "mime": "image/png", "width": 0, "height": 0, "duration_ms": 0,
+            }
+        ]
+        out = media_pipeline(rd.from_items(rows)).to_pandas()
+        assert len(out) == 1
+        assert out["decode_error"][0] is not None
