@@ -130,6 +130,48 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation chain: [decontaminate] → [scrub] →
+    quality/repetition filter → optional sequence packing."""
+    _init_ray(args.num_cpus)
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .ops.text import decontaminate, repetition_batch, scrub_batch
+
+    ds = rd.read_parquet(args.input)
+    if args.benchmark:
+        import pyarrow.parquet as pq
+
+        bench_texts = []
+        for path in args.benchmark:
+            bench_texts.extend(
+                pq.read_table(path, columns=[args.text_col])[args.text_col].to_pylist()
+            )
+        ds = decontaminate(ds, bench_texts, n=args.ngram, text_col=args.text_col)
+    if args.scrub:
+        ds = ds.map_batches(
+            lambda b: scrub_batch(b, text_col=args.text_col), batch_format="pyarrow"
+        )
+    ds = ds.map_batches(
+        lambda b: repetition_batch(b, text_col=args.text_col), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.filter(pc.invert(b["repetitive"])).drop_columns(
+            ["top_bigram_count", "n_bigrams", "repetitive"]
+        ),
+        batch_format="pyarrow",
+    )
+    if args.pack:
+        from .ops.pack import pack_tokens_sequences
+
+        ds = pack_tokens_sequences(
+            ds, seq_len=args.seq_len, text_col=args.text_col, id_col=args.id_col
+        )
+    ds.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "rows": ds.count(), "packed": bool(args.pack)}))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     from .pipelines.checkpoint import read_metrics
     from .stages.metrics import overall_status
@@ -189,6 +231,24 @@ def main(argv: list[str] | None = None) -> int:
                          help="write survivors only (default: annotate)")
     p_dedup.add_argument("--num-cpus", type=int, default=None)
     p_dedup.set_defaults(fn=cmd_dedup)
+
+    p_curate = sub.add_parser(
+        "curate",
+        help="training-data curation: decontaminate → scrub → quality filter → pack",
+    )
+    p_curate.add_argument("--input", nargs="+", required=True)
+    p_curate.add_argument("--output", required=True)
+    p_curate.add_argument("--benchmark", nargs="*", default=None,
+                          help="parquet files of held-out texts to decontaminate against")
+    p_curate.add_argument("--ngram", type=int, default=8)
+    p_curate.add_argument("--scrub", action="store_true", help="redact PII")
+    p_curate.add_argument("--pack", action="store_true",
+                          help="emit fixed-length token sequences")
+    p_curate.add_argument("--seq-len", type=int, default=128)
+    p_curate.add_argument("--text-col", default="text")
+    p_curate.add_argument("--id-col", default="doc_id")
+    p_curate.add_argument("--num-cpus", type=int, default=None)
+    p_curate.set_defaults(fn=cmd_curate)
 
     p_metrics = sub.add_parser("metrics", help="show a run's partition metrics")
     p_metrics.add_argument("--output", required=True)

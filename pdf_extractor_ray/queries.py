@@ -1039,6 +1039,38 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_streaming_dedup(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped exact dedup: documents ∪ copies replayed as
+    doc_id-ordered micro-batches through the sharded seen-key index
+    (content-hash keys, exactly-once admission per key). Ordered replay
+    makes the admitted winner the MIN doc id, so the batch exact-dedup
+    oracle applies unchanged — the streaming state machine must agree
+    with the batch groupby."""
+    from .ops.dedup import content_hash_batch
+    from .state.seen_index import ShardedSeenIndex
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(batch["doc_id"], pa.scalar(100_000, pa.int64())),
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    index = ShardedSeenIndex(n_shards=4)
+    kept_parts = []
+    for batch in both.sort("doc_id").iter_batches(
+        batch_format="pyarrow", batch_size=512
+    ):
+        seen = index.check_and_add(content_hash_batch(batch["text"].to_pylist()))
+        kept = batch.filter(pa.array([not s for s in seen]))
+        kept_parts.append(kept.select(["doc_id", "n_chars"]).to_pandas())
+    out = pd.concat(kept_parts, ignore_index=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fingerprint_dedup(sf_dir: str) -> pd.DataFrame:
     """Format-invariant fingerprint dedup: documents ∪ whitespace/punct-
     perturbed copies must collapse to the original distinct count (the
@@ -1859,6 +1891,10 @@ ORACLE_SQL["problem_flags"] = f"""
 
 ORACLE_SQL["lang_distribution"] = _langid_sql()
 
+# Ordered streaming replay admits the min-id row per distinct text —
+# exactly the batch exact-dedup semantics.
+ORACLE_SQL["streaming_dedup"] = ORACLE_SQL["exact_dedup"]
+
 # The PDF statement round trip must be semantically invisible.
 ORACLE_SQL["classify_transactions_pdf"] = ORACLE_SQL["classify_transactions"]
 
@@ -2101,6 +2137,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "scrub_pii": q_scrub_pii,
     "exact_dedup": q_exact_dedup,
+    "streaming_dedup": q_streaming_dedup,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,

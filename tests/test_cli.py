@@ -58,3 +58,34 @@ def test_cli_dedup_drop(tmp_path):
     assert result.returncode == 0, result.stderr[-800:]
     tbl = pads.dataset(str(out)).to_table()
     assert sorted(tbl["doc_id"].to_pylist()) == [0, 1]
+
+
+def test_cli_curate_pack(tmp_path):
+    """curate subcommand: quality filter + scrub + sequence packing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    rows = [
+        {"doc_id": i,
+         "text": f"document {i} with mail u{i}@example.com and plenty of distinct words "
+                 f"alpha beta gamma delta epsilon zeta eta theta"}
+        for i in range(6)
+    ]
+    rows.append({"doc_id": 99, "text": "spam spam spam spam spam spam spam"})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = tmp_path / "out"
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "pdf_extractor_ray", "curate",
+            "--input", str(src), "--output", str(out),
+            "--scrub", "--pack", "--seq-len", "32", "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[-800:]
+    tbl = pads.dataset(str(out)).to_table()
+    # the repetitive spam doc is filtered; remaining docs packed
+    assert tbl.num_rows > 0
+    assert set(tbl.schema.names) == {"shard", "seq_idx", "token_ids"}
