@@ -436,9 +436,10 @@ def minhash_lsh_dedup(
     beyond); (3) pairs deduped by groupby, then verified with exact n-gram
     Jaccard ≥ threshold INSIDE ``map_batches`` — the texts for the candidate
     minority (O(duplicates), not O(corpus)) are broadcast once via
-    ``ray.put``; (4) connected components by distributed min-label
-    propagation (:func:`connected_components`); (5) the winner map is
-    broadcast back over the corpus stream.
+    ``ray.put``; (4) connected components over the verified edges
+    (size-gated: bounded union-find under the edge cap, join-based
+    distributed min-label propagation above — :func:`connected_components`);
+    (5) the winner map is broadcast back over the corpus stream.
 
     Returns a Dataset: the input columns + ``cluster_id`` +
     ``is_duplicate``. The only driver-resident state is the candidate-pair

@@ -802,6 +802,42 @@ def q_extract_with_repair(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_extract_pdf_with_repair(sf_dir: str) -> pd.DataFrame:
+    """Error containment + repair through the REAL PDF parser: every 7th
+    document's payload is a real PDF TRUNCATED to its first 200 bytes
+    (valid header, destroyed xref/objects) — decode must fail cleanly
+    inside the per-row containment boundary, the empty extraction trips
+    ``low_content_density``, and the validate stage repairs from the
+    provided ``text`` column, so the output STILL equals
+    ``SELECT doc_id, text`` (the reference substitution policy,
+    mistral_client.py:237-244, driven by real-parser failures)."""
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads = []
+        for i, text in zip(ids, texts):
+            pdf = _real_pdf_payload(i, text)
+            payloads.append(pdf[:200] if i % 7 == 0 else pdf)
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(payloads, pa.binary()),
+                pa.array(texts, pa.string()),
+                pa.array(["en"] * len(ids), pa.string()),
+                pa.array(ids, pa.int64()),
+            ],
+            names=["url", "html", "text", "lang", "doc_id"],
+        )
+
+    pages = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    out = extraction_pipeline(pages)
+    df = out.select_columns(["doc_id", "extracted_text"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_classify_transactions(sf_dir: str) -> pd.DataFrame:
     """Running-balance DEBIT/CREDIT classification end-to-end: a synthetic
     bank statement derived from lineitem → rendered as a markdown table
@@ -1671,6 +1707,9 @@ ORACLE_SQL: dict[str, str] = {
     "extract_with_repair": """
         SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """,
+    "extract_pdf_with_repair": """
+        SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+    """,
     "extract_explicit_split": """
         SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """,
@@ -2127,6 +2166,7 @@ QUERIES = {
     "sections_pdf": q_sections_pdf,
     "extract_explicit_split": q_extract_explicit_split,
     "extract_with_repair": q_extract_with_repair,
+    "extract_pdf_with_repair": q_extract_pdf_with_repair,
     "classify_transactions": q_classify_transactions,
     "classify_transactions_pdf": q_classify_transactions_pdf,
     "sections": q_sections,
