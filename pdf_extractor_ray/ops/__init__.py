@@ -4,10 +4,17 @@ The reference processes one document per request and has no corpus-level
 operators (SURVEY.md §2.7); a 100 TB training-data pipeline needs them.
 Modules:
 
-- ``dedup``      exact hash dedup, MinHash+LSH, SimHash, n-gram Jaccard,
-                 embedding-cosine near-dup
-- ``ann``        brute-force cosine top-k + LSH-bucketed variant
-- ``text``       language-ID, quality scoring, token counting, fingerprints
-- ``multimodal`` binary-column decode/feature plumbing (decode kernels
-                 stubbed — no image/audio libs in this container)
+- ``dedup``      exact hash dedup (grouped + (hash,id)-shuffle variants),
+                 MinHash+LSH, SimHash, embedding-cosine near-dup —
+                 dataset-native with size-gated connected components
+- ``ann``        brute-force cosine top-k + IVF (full-probe exact mode)
+- ``text``       language-ID, quality scoring, token counting,
+                 fingerprints, benchmark decontamination (exact + Bloom),
+                 PII scrubbing, Gopher-style repetition quality
+- ``pack``       sharded fixed-length sequence packing for pretraining
+- ``joins``      as-of join, broadcast semi/anti join
+- ``windows``    tumbling/sliding event-time windows
+- ``embed``      hashed-ngram embedding actor stage (gaussian/identity)
+- ``multimodal`` image/audio columns with REAL stdlib codecs (PNG, BMP,
+                 PCM WAV); JPEG/MP3/video declared stubs
 """
