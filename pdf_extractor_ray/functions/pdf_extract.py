@@ -308,8 +308,24 @@ def _line_cells(cps: np.ndarray, x0s: np.ndarray, x1s: np.ndarray) -> list[tuple
     return cells
 
 
-def _starts_align(a: list[float], b: list[float]) -> bool:
-    return len(a) == len(b) and all(abs(x - y) <= CHAR_W for x, y in zip(a, b))
+def _map_to_columns(
+    ref_starts: list[float], cells: list[tuple[float, str]]
+) -> list[str] | None:
+    """Place a line's cells into the reference column slots by x position
+    (±1 char tolerance). Sparse rows — EMPTY interior cells — map their
+    present cells and leave the rest blank; any cell that matches no
+    column (or doubles up) disqualifies the line from the table run."""
+    out = [""] * len(ref_starts)
+    for x, text in cells:
+        col = None
+        for j, rx in enumerate(ref_starts):
+            if abs(x - rx) <= CHAR_W:
+                col = j
+                break
+        if col is None or out[col]:
+            return None
+        out[col] = text
+    return out
 
 
 def extract_pdf_pages_tables(payload: bytes) -> tuple[list[str], dict]:
@@ -365,27 +381,28 @@ def extract_pdf_pages_tables(payload: bytes) -> tuple[list[str], dict]:
             y, cells = lines[i]
             starts = [c[0] for c in cells]
             if len(cells) >= 2:
-                # try to grow a table run with aligned starts
-                run = [cells]
+                # grow a table run: the first line's starts define the
+                # column grid; later lines may be SPARSE (empty interior
+                # cells) as long as every present cell sits on the grid
+                rows_mapped = []
                 j = i + 1
                 while j < len(lines):
                     nxt = lines[j][1]
-                    if len(nxt) >= 2 and _starts_align(starts, [c[0] for c in nxt]):
-                        run.append(nxt)
+                    mapped = _map_to_columns(starts, nxt) if len(nxt) >= 2 else None
+                    if mapped is not None:
+                        rows_mapped.append(mapped)
                         j += 1
                     else:
                         break
-                if len(run) >= 2:
+                if rows_mapped:
                     flush_text()
-                    headers = [c[1] for c in run[0]]
+                    headers = [c[1] for c in cells]
                     width = len(headers)
                     md = ["| " + " | ".join(fix_bidi_text(h) for h in headers) + " |"]
                     md.append("| " + " | ".join(["---"] * width) + " |")
-                    for row_cells in run[1:]:
-                        vals = [c[1] for c in row_cells]
-                        padded = (vals + [""] * (width - len(vals)))[:width]
+                    for vals in rows_mapped:
                         md.append(
-                            "| " + " | ".join(fix_bidi_text(c) for c in padded) + " |"
+                            "| " + " | ".join(fix_bidi_text(c) for c in vals) + " |"
                         )
                     blocks.append("\n".join(md))
                     n_tables += 1

@@ -326,6 +326,38 @@ class TestRealPdfSplit:
         assert combine_pages(pages) == extract_pdf(pdf)[0]
 
 
+_CELL = st.from_regex(r"[a-z0-9][a-z0-9 .,%-]{0,14}[a-z0-9]", fullmatch=True).filter(
+    lambda c: "  " not in c  # a 3-char gap is the column separator
+)
+
+
+class TestTablePdfProperty:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        rows=st.lists(st.lists(_CELL, min_size=2, max_size=4), min_size=2, max_size=10),
+        compress=st.booleans(),
+    )
+    def test_random_grid_tables_round_trip(self, rows, compress):
+        """Random cell grids (uniform width per table) must come back
+        cell-exact through build → layout analysis → markdown parse."""
+        from pdf_extractor_ray.functions.pdf_codec import build_table_pdf
+        from pdf_extractor_ray.functions.pdf_extract import extract_pdf_pages_tables
+        from pdf_extractor_ray.functions.tables import parse_markdown_tables
+
+        width = len(rows[0])
+        rows = [((r + [""] * width)[:width]) for r in rows]
+        # empty trailing cells are indistinguishable from absent ones;
+        # normalize: final column must be non-empty for exact compare
+        rows = [r[:-1] + [r[-1] or "x"] for r in rows]
+        headers = [f"h{j}" for j in range(width)]
+        pdf = build_table_pdf(headers, rows, compress=compress)
+        pages, stats = extract_pdf_pages_tables(pdf)
+        assert stats["n_tables"] == 1
+        parsed = parse_markdown_tables(pages[0])[0]
+        assert parsed["headers"] == headers
+        assert parsed["rows"] == rows
+
+
 class TestSectionEdgeCases:
     def test_empty_middle_section_keeps_alignment(self):
         """A glyph-less page (empty section) must not shift later outline
