@@ -42,6 +42,136 @@ def broadcast_semi_join(ds, keys, key_col: str, anti: bool = False):
     return ds.map_batches(filter_batch, batch_format="pyarrow")
 
 
+def asof_join_salted(
+    left_ds,
+    right_ds,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    tiebreak_col: str | None = None,
+    bucket: str = "365D",
+):
+    """Hot-key-safe as-of join: co-groups on ``(key, time-bucket)`` instead
+    of the bare key, so one key's entire history never lands in a single
+    task — the salting strategy :func:`asof_join`'s docstring promises.
+
+    Boundary handling (a left row whose match lives in an earlier bucket):
+    per ``(key, bucket)`` the right side's LAST row becomes a summary
+    (groups bounded by the bucket span), then ONE per-key pass over the
+    summaries + the left side's bucket inventory (groups = #buckets per
+    key — bounded by time-range/bucket, never by row count) injects "the
+    latest right row before this bucket" as a carry row into every bucket
+    the left side touches. Row-identical to :func:`asof_join` (tested).
+    """
+    import pyarrow.compute as pc
+
+    bucket_us = int(pd.Timedelta(bucket).value) // 1000
+    tb = tiebreak_col or right_value_cols[0]
+
+    def add_ckey(ts_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+            b = pc.divide(ts_us, pa.scalar(bucket_us, pa.int64()))
+            ck = pc.binary_join_element_wise(
+                pc.cast(batch[key_col], pa.string()),
+                pc.cast(b, pa.string()),
+                "|",
+            )
+            return batch.append_column("__bucket", b).append_column("__ckey", ck)
+
+        return fn
+
+    left = left_ds.map_batches(add_ckey(left_ts), batch_format="pyarrow")
+    right = right_ds.map_batches(add_ckey(right_ts), batch_format="pyarrow")
+
+    # Last right row per (key, bucket) — the bucket summary.
+    def last_row(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values([right_ts, tb]).tail(1)
+
+    sum_cols = [key_col, "__bucket", right_ts, *right_value_cols]
+    summaries = (
+        right.groupby("__ckey")
+        .map_groups(last_row, batch_format="pandas")
+        .map_batches(lambda t: t.select(sum_cols), batch_format="pyarrow")
+    )
+
+    # Distinct (key, bucket) pairs the LEFT side touches (vectorized Count
+    # aggregate — no per-group Python).
+    from ray.data.aggregate import Count
+
+    lb = (
+        left.map_batches(
+            lambda t: t.select([key_col, "__bucket"]), batch_format="pyarrow"
+        )
+        .groupby([key_col, "__bucket"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+    right_schema = right_ds.schema()
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    right_types["__bucket"] = pa.int64()
+
+    def tag(is_sum: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch
+            for c in sum_cols:
+                if c not in t.schema.names:
+                    t = t.append_column(c, pa.nulls(len(t), right_types[c]))
+            return t.select(sum_cols).append_column(
+                "__is_sum", pa.array([is_sum] * len(t), pa.int8())
+            )
+
+        return fn
+
+    # Per-key prefix pass: for every left bucket, carry in the latest
+    # summary from any strictly earlier bucket.
+    def carries_for(group: pd.DataFrame) -> pd.DataFrame:
+        sums = group[group["__is_sum"] == 1].sort_values("__bucket")
+        wanted = sorted(group.loc[group["__is_sum"] == 0, "__bucket"].unique())
+        out = []
+        for b in wanted:
+            prev = sums[sums["__bucket"] < b]
+            if len(prev):
+                carry = prev.tail(1).copy()
+                carry["__bucket"] = b
+                out.append(carry)
+        base = sums.head(0)
+        result = pd.concat(out, ignore_index=True) if out else base
+        return result.drop(columns=["__is_sum"])
+
+    carry_rows = (
+        summaries.map_batches(tag(1), batch_format="pyarrow")
+        .union(lb.map_batches(tag(0), batch_format="pyarrow"))
+        .groupby(key_col)
+        .map_groups(carries_for, batch_format="pandas")
+    )
+
+    def with_ckey(batch: pa.Table) -> pa.Table:
+        ck = pc.binary_join_element_wise(
+            pc.cast(batch[key_col], pa.string()),
+            pc.cast(batch["__bucket"], pa.string()),
+            "|",
+        )
+        return batch.append_column("__ckey", ck)
+
+    right_aug = right.map_batches(
+        lambda t: t.select(sum_cols + ["__ckey"]), batch_format="pyarrow"
+    ).union(carry_rows.map_batches(with_ckey, batch_format="pyarrow"))
+
+    out = asof_join(
+        left,
+        right_aug,
+        key_col="__ckey",
+        left_ts=left_ts,
+        right_ts=right_ts,
+        right_value_cols=right_value_cols,
+        tiebreak_col=tiebreak_col,
+    )
+    return out.drop_columns(["__bucket", "__ckey"])
+
+
 def asof_join(
     left_ds,
     right_ds,

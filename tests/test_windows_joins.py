@@ -78,3 +78,61 @@ class TestAsofJoin:
         assert pd.isna(out.loc[1, "okey"])
         # event 3: user with no orders at all → null
         assert pd.isna(out.loc[2, "okey"])
+
+
+class TestSaltedAsofJoin:
+    def test_row_identical_to_unsalted(self, ray_session):
+        """The hot-key-safe (key, time-bucket) co-group with carry rows must
+        reproduce the plain keyed as-of join row-for-row, including matches
+        that live in EARLIER buckets than the probing row."""
+        import ray.data as rd
+        from pdf_extractor_ray.ops.joins import asof_join, asof_join_salted
+
+        rows_l, rows_r = [], []
+        base = 1_700_000_000_000_000  # us epoch
+        day = 86_400_000_000
+        for user in (1, 2, 3):
+            for k in range(40):
+                rows_l.append(
+                    {"event_id": user * 1000 + k, "user_id": user,
+                     "ts": base + k * 30 * day}  # spans ~3 years
+                )
+            # sparse right side: one order every ~200 days, none for user 3
+            if user != 3:
+                for k in range(6):
+                    rows_r.append(
+                        {"user_id": user, "ots": base + k * 200 * day + user,
+                         "order_id": user * 100 + k}
+                    )
+        import pyarrow as pa
+
+        left = rd.from_items(rows_l).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("ts"), "ts",
+                pa.compute.cast(t["ts"], pa.timestamp("us"))),
+            batch_format="pyarrow",
+        )
+        right = rd.from_items(rows_r).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("ots"), "ots",
+                pa.compute.cast(t["ots"], pa.timestamp("us"))),
+            batch_format="pyarrow",
+        )
+        kw = dict(key_col="user_id", left_ts="ts", right_ts="ots",
+                  right_value_cols=["order_id"], tiebreak_col="order_id")
+        base_df = asof_join(left, right, **kw).to_pandas()
+        salted_df = asof_join_salted(left, right, bucket="90D", **kw).to_pandas()
+
+        def norm(df):
+            df = df[["event_id", "user_id", "order_id"]].copy()
+            for c in df.columns:
+                df[c] = df[c].fillna(-1).astype("int64")
+            return df.sort_values("event_id").reset_index(drop=True)
+
+        assert norm(base_df).equals(norm(salted_df))
+        # cross-bucket carries actually fired: with 90D buckets and 200D
+        # order spacing, most matches live outside the probing bucket (the
+        # k=0 event of each user legitimately precedes the first order)
+        s = norm(salted_df).query("user_id != 3")
+        later_events = s[s["event_id"] % 1000 != 0]["order_id"]
+        assert (later_events >= 0).all()
