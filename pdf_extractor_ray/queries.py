@@ -535,6 +535,49 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_asof_join_salted(sf_dir: str) -> pd.DataFrame:
+    """The as-of join through the hot-key-safe (key, time-bucket) co-group
+    (asof_join_salted, 365-day buckets + carry summaries) — must equal the
+    plain keyed join, so the same DuckDB ASOF JOIN oracle applies
+    (restricted to user_id < 30 to keep the gate fast: the salted plan has
+    ~4 extra exchanges whose FIXED per-stage cost dominates at test scale;
+    tests/test_windows_joins.py proves full-data equality separately)."""
+    from .ops.joins import asof_join_salted
+
+    def keep_users(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["user_id"], pa.scalar(30, pa.int64())))
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        keep_users, batch_format="pyarrow"
+    )
+
+    def rename_orders(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], batch["o_orderdate"], batch["o_orderkey"]],
+            names=["user_id", "o_orderdate", "o_orderkey"],
+        )
+
+    orders = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        .map_batches(rename_orders, batch_format="pyarrow")
+        .map_batches(keep_users, batch_format="pyarrow")
+    )
+    out = asof_join_salted(
+        events, orders,
+        key_col="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_value_cols=["o_orderkey"], tiebreak_col="o_orderkey",
+        bucket="365D",
+    ).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (
+        out[["event_id", "user_id", "o_orderkey"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_semi_join(sf_dir: str) -> pd.DataFrame:
     """Broadcast semi join: events of high-balance customers only (key set
     via ray.put + vectorized is_in; no shuffle), aggregated per event type."""
@@ -1930,6 +1973,23 @@ ORACLE_SQL["problem_flags"] = f"""
 
 ORACLE_SQL["lang_distribution"] = _langid_sql()
 
+# Salting must be semantically invisible — the plain-join oracle with the
+# same user subset.
+ORACLE_SQL["asof_join_salted"] = """
+    WITH r AS (
+        SELECT o_custkey AS user_id, o_orderdate,
+               max(o_orderkey) AS o_orderkey
+        FROM orders WHERE o_custkey < 30 GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(coalesce(r.o_orderkey, -1) AS BIGINT) AS o_orderkey
+    FROM events e
+    ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    WHERE e.user_id < 30
+    ORDER BY e.event_id
+"""
+
 # Ordered streaming replay admits the min-id row per distinct text —
 # exactly the batch exact-dedup semantics.
 ORACLE_SQL["streaming_dedup"] = ORACLE_SQL["exact_dedup"]
@@ -2158,6 +2218,7 @@ QUERIES = {
     "streaming_counts": q_streaming_counts,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,
+    "asof_join_salted": q_asof_join_salted,
     "semi_join": q_semi_join,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
