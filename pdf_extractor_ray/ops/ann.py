@@ -119,6 +119,74 @@ def build_ivf_centroids(
     return centroids
 
 
+def build_ivf_centroids_distributed(
+    ds,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+    init_sample: int = 2_000,
+) -> np.ndarray:
+    """Full-data distributed Lloyd iterations — the scale path the
+    sample-based :func:`build_ivf_centroids` docstring points to.
+
+    Init: seeded pick from a bounded sample (same as the driver variant).
+    Each iteration is ONE pass over the dataset: every batch assigns its
+    vectors to the nearest centroid (centroids broadcast via ``ray.put``)
+    and emits per-(centroid, dim) partial sums — ``n_centroids × dim``
+    rows per batch, a tiny fixed-size table regardless of corpus size —
+    folded by a Sum aggregate; the driver only reshapes the
+    (n_centroids × dim) result and renormalizes. Nothing corpus-sized
+    moves or lands anywhere.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    centroids = build_ivf_centroids(
+        ds, n_centroids=n_centroids, vec_col=vec_col, iters=0,
+        sample_limit=init_sample, seed=seed,
+    )
+    dim = centroids.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cen = ray.get(cref)
+            mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            assign = (mat @ cen.T).argmax(axis=1)
+            sums = np.zeros((len(cen), dim))
+            counts = np.zeros(len(cen))
+            np.add.at(sums, assign, mat)
+            np.add.at(counts, assign, 1.0)
+            cid = np.repeat(np.arange(len(cen), dtype=np.int64), dim)
+            d = np.tile(np.arange(dim, dtype=np.int64), len(cen))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(cid),
+                    pa.array(d),
+                    pa.array(sums.ravel()),
+                    pa.array(np.repeat(counts, dim)),
+                ],
+                names=["cid", "dim", "s", "n"],
+            )
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values(["cid", "dim"])
+        )
+        sums = agg["s"].to_numpy().reshape(n_centroids, dim)
+        counts = agg["n"].to_numpy().reshape(n_centroids, dim)[:, 0]
+        mask = counts > 0
+        centroids = centroids.copy()
+        centroids[mask] = sums[mask] / counts[mask, None]
+        centroids = _normalize(centroids)
+    return centroids
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,
