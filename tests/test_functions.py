@@ -403,6 +403,43 @@ class TestMisc:
         assert bidi_display("1,234.56") == "1,234.56"
         assert bidi_display("") == ""
 
+    def test_bidi_properties(self):
+        """Property sweep: display is a character permutation (no bracket
+        chars → L4 mirroring can't substitute), pure-LTR input is a fixed
+        point, and number tokens survive intact."""
+        import random
+
+        from hypothesis import given, settings, strategies as st
+
+        from pdf_extractor_ray.functions.normalize import bidi_display
+
+        alphabet = "אבגדהוז abcdefg 0123456789.,-%"
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=40))
+        def check(s):
+            out = bidi_display(s)
+            assert sorted(out) == sorted(s)  # permutation
+            if not any("֐" <= ch <= "׿" for ch in s):
+                # no RTL chars → at most EN levels → identity
+                assert out == s
+            # a space-delimited numeric token (digits at both ends) stays
+            # contiguous and unreversed
+            for tok in s.split():
+                if len(tok) >= 2 and tok[0].isdigit() and tok[-1].isdigit() and all(
+                    c.isdigit() or c in ".," for c in tok
+                ):
+                    assert tok in out
+
+        check()
+
+        # deterministic spot checks with seeds (regression net)
+        rng = random.Random(7)
+        for _ in range(50):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(30)))
+            out = bidi_display(s)
+            assert sorted(out) == sorted(s)
+
     def test_sanitize_filename(self):
         assert sanitize_filename("../../etc/passwd") == "passwd"
 
