@@ -195,35 +195,40 @@ def jaccard_ngrams(text1: str, text2: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _bucket_pairs_frame(ids, pair_cap: int) -> pd.DataFrame:
-    """Candidate edges for one LSH bucket.
+def _bucket_pairs_arrays(ids, pair_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate edges for one LSH bucket, as ``(id_a, id_b)`` arrays.
 
     All intra-bucket pairs when the bucket is small (exact — no cluster can
     split); star+chain fallback for degenerate buckets (a huge bucket is a
     mass of near-identical members, where the star/chain edges already span
-    the component)."""
+    the component). Ids stay in their NATIVE dtype (ints or strings)."""
     ids = np.sort(np.unique(np.asarray(ids)))
     n = len(ids)
     if n < 2:
-        return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        return ids[:0], ids[:0]
     if n <= pair_cap:
         ia, ib = np.triu_indices(n, 1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        return ids[ia], ids[ib]
     star_a = np.full(n - 1, ids[0])
     chain_a, chain_b = ids[1:-1], ids[2:]
-    return pd.DataFrame(
-        {
-            "id_a": np.concatenate([star_a, chain_a]),
-            "id_b": np.concatenate([ids[1:], chain_b]),
-        }
+    return (
+        np.concatenate([star_a, chain_a]),
+        np.concatenate([ids[1:], chain_b]),
     )
 
 
-def _local_component_edges(ids: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+def _bucket_pairs_frame(ids, pair_cap: int) -> pd.DataFrame:
+    a, b = _bucket_pairs_arrays(ids, pair_cap)
+    return pd.DataFrame({"id_a": a, "id_b": b})
+
+
+def _local_component_edges(
+    ids: np.ndarray, ia: np.ndarray, ib: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
     """Collapse a bucket's VERIFIED pair list to spanning edges (component
     min-root → member): same global connected components, O(members) edges
     instead of O(members²) — a big verified cluster would otherwise flood
-    the downstream shuffle with quadratic edges."""
+    the downstream shuffle with quadratic edges. Returns (id_a, id_b)."""
     n = len(ids)
     parent = np.arange(n)
 
@@ -239,7 +244,221 @@ def _local_component_edges(ids: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> p
             parent[max(ru, rv)] = min(ru, rv)
     roots = np.array([find(i) for i in range(n)])
     member = roots != np.arange(n)
-    return pd.DataFrame({"id_a": ids[roots[member]], "id_b": ids[member]})
+    return ids[roots[member]], ids[member]
+
+
+def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Starts/ends of equal-key runs in a SORTED key array (vectorized)."""
+    n = len(keys)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    return (
+        np.concatenate(([0], bounds)),
+        np.concatenate((bounds, [n])),
+    )
+
+
+def _pairs_table(a, b, id_type: pa.DataType) -> pa.Table:
+    """Typed (id_a, id_b) table — explicit schema even when empty, so Ray's
+    size estimator never sees an untyped zero-row batch."""
+    a, b = np.asarray(a), np.asarray(b)
+    if len(a) == 0:
+        empty = pa.array([], type=id_type)
+        return pa.Table.from_arrays([empty, empty], names=["id_a", "id_b"])
+    return pa.Table.from_arrays(
+        [pa.array(a, type=id_type), pa.array(b, type=id_type)],
+        names=["id_a", "id_b"],
+    )
+
+
+def _sorted_bucket_pairs(
+    sig_ds,
+    extract,
+    kernel,
+    id_col: str,
+    frag_cap: int = 200_000,
+    collect_cap: int = 2_000_000,
+):
+    """LSH bucket→candidate-pair stage WITHOUT per-group Python calls.
+
+    ``sig_ds`` rows are ``(id, bkey, *sketch)`` with non-null ids. One
+    ``sort("bkey")`` co-locates buckets into key-contiguous sorted blocks
+    (the same all-to-all exchange a groupby would pay); pair emission then
+    happens inside ONE streaming ``map_batches`` over the sorted blocks:
+    equal-key segments are found vectorized (``np.flatnonzero`` over the
+    sorted key column) and Python touches only multi-member segments —
+    O(duplicate clusters), not O(buckets). Mostly-singleton bucket tables
+    (the common case: n_docs × bands rows, almost all unique keys)
+    therefore cost one numpy pass per block instead of one Python call per
+    bucket — and sort → emit is a single streaming job; the sorted
+    signature table is never separately materialized.
+
+    Buckets touching a block edge may straddle blocks, so the same pass
+    DEFERS them: each block's first and last segment rows ride along in the
+    combined output (pair rows have null sketch columns, fragment rows have
+    null ``id_a``/``id_b``) — fragments are O(num_blocks × bucket size),
+    independent of corpus size. The combined output is materialized once
+    and iterated on the driver under two size gates: fragments (resolved
+    with the same kernel) under ``frag_cap`` rows and pairs (globally
+    deduplicated — a cross-band duplicate pair would otherwise be verified
+    once per band) under ``collect_cap`` rows; both are O(duplicate
+    minority), the same driver bound the downstream connected-components
+    union-find already accepts. The common-case result therefore needs NO
+    further Ray jobs and is returned as a multi-block ``from_arrow``
+    dataset (parallel downstream verification). Past either gate the
+    streaming dataset path takes over: per-block pair dedup only, and
+    fragment resolution via per-bucket ``map_groups`` (few, huge groups —
+    exactly the regime where per-group calls are fine).
+
+    ``extract(batch: pa.Table) -> (keys, ids, extras)`` pulls numpy views;
+    ``kernel(ids, extras) -> (id_a, id_b)`` emits candidate edges for one
+    bucket. Returns a pairs Dataset with ids in their native Arrow type.
+    """
+    import ray
+
+    def emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        in_names = list(batch.schema.names)
+        in_types = list(batch.schema.types)
+        id_type = batch.schema.field(id_col).type
+        if n == 0:
+            cols = [pa.array([], type=id_type)] * 2 + [
+                pa.array([], type=t) for t in in_types
+            ]
+            return pa.Table.from_arrays(cols, names=["id_a", "id_b"] + in_names)
+        keys, ids, extras = extract(batch)
+        starts, ends = _segments(keys)
+        out_a: list = []
+        out_b: list = []
+        # Interior segments only — the first and last segment touch a block
+        # edge and are deferred as fragment rows.
+        for s, e in zip(starts[1:-1].tolist(), ends[1:-1].tolist()):
+            if e - s < 2:
+                continue
+            a, b = kernel(ids[s:e], {k: v[s:e] for k, v in extras.items()})
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+        pa_a = (
+            pa.array(np.concatenate(out_a)).cast(id_type)
+            if out_a
+            else pa.array([], type=id_type)
+        )
+        pa_b = (
+            pa.array(np.concatenate(out_b)).cast(id_type)
+            if out_b
+            else pa.array([], type=id_type)
+        )
+        first_end = int(ends[0])
+        last_start = int(starts[-1])
+        if first_end >= last_start:  # single segment: defer the whole block
+            idx = np.arange(n)
+        else:
+            idx = np.concatenate([np.arange(first_end), np.arange(last_start, n)])
+        frag = batch.take(pa.array(idx))
+        npairs, nfrag = len(pa_a), len(idx)
+        cols = [
+            pa.concat_arrays([pa_a, pa.nulls(nfrag, id_type)]),
+            pa.concat_arrays([pa_b, pa.nulls(nfrag, id_type)]),
+        ]
+        for name, typ in zip(in_names, in_types):
+            cols.append(
+                pa.concat_arrays(
+                    [pa.nulls(npairs, typ), frag[name].combine_chunks().cast(typ)]
+                )
+            )
+        return pa.Table.from_arrays(cols, names=["id_a", "id_b"] + in_names)
+
+    combined = (
+        sig_ds.sort("bkey")
+        .map_batches(emit, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def only_pairs(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.is_valid(t["id_a"])).select(["id_a", "id_b"])
+
+    def only_frags(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.schema.names if c not in ("id_a", "id_b")]
+        return t.filter(pa.compute.is_null(t["id_a"])).select(keep)
+
+    # Driver collection under the size gates — pairs and fragments are both
+    # O(duplicate minority), NOT O(corpus).
+    pair_tables: list = []
+    frag_tables: list = []
+    n_pairs = n_frag = 0
+    overflow = False
+    for t in combined.iter_batches(batch_format="pyarrow"):
+        pt, ft = only_pairs(t), only_frags(t)
+        if pt.num_rows:
+            pair_tables.append(pt)
+            n_pairs += pt.num_rows
+        if ft.num_rows:
+            frag_tables.append(ft)
+            n_frag += ft.num_rows
+        if n_pairs > collect_cap or n_frag > frag_cap:
+            overflow = True
+            break
+
+    if overflow:
+        # Rare regime: stay fully dataset-native. Per-block pair dedup only
+        # (downstream verification and connected components both tolerate
+        # duplicate edges); fragments resolved per bucket via map_groups.
+        interior_pairs = _dedup_pairs(
+            combined.map_batches(only_pairs, batch_size=None, batch_format="pyarrow")
+        )
+        frag_ds = combined.map_batches(
+            only_frags, batch_size=None, batch_format="pyarrow"
+        )
+
+        def group_pairs(group: pd.DataFrame) -> pd.DataFrame:
+            t = pa.Table.from_pandas(group, preserve_index=False)
+            _, ids, extras = extract(t)
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+            a, b = kernel(ids, extras)
+            return pd.DataFrame({"id_a": a, "id_b": b})
+
+        frag_pairs = frag_ds.groupby("bkey").map_groups(
+            group_pairs, batch_format="pandas"
+        )
+        return interior_pairs.union(frag_pairs)
+
+    # Common regime: resolve fragments and dedupe pairs on the driver.
+    out_a: list = []
+    out_b: list = []
+    if frag_tables:
+        tbl = pa.concat_tables(frag_tables)
+        keys, ids, extras = extract(tbl)
+        order = np.argsort(keys, kind="stable")
+        keys, ids = keys[order], ids[order]
+        extras = {k: v[order] for k, v in extras.items()}
+        starts, ends = _segments(keys)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            a, b = kernel(ids[s:e], {k: v[s:e] for k, v in extras.items()})
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+
+    id_type = combined.schema().types[0]
+    if pair_tables:
+        base = pa.concat_tables(pair_tables)
+    else:
+        base = _pairs_table((), (), id_type)
+    if out_a:
+        base = pa.concat_tables(
+            [base, _pairs_table(np.concatenate(out_a), np.concatenate(out_b), id_type)]
+        )
+    df = base.to_pandas().drop_duplicates()
+    final = pa.Table.from_pandas(df, schema=base.schema, preserve_index=False)
+    # Chunked blocks so downstream per-pair verification parallelizes.
+    chunk = 8192
+    tables = [final.slice(i, chunk) for i in range(0, max(final.num_rows, 1), chunk)]
+    return ray.data.from_arrow(tables)
 
 
 def _dedup_pairs(pairs_ds):
@@ -252,7 +471,11 @@ def _dedup_pairs(pairs_ds):
 
     def local_dedup(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Explicit schema: an empty pandas frame would otherwise infer
+        # null-typed columns and break downstream schema unification.
+        return pa.Table.from_pandas(
+            df, schema=batch.schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return pairs_ds.map_batches(local_dedup, batch_format="pyarrow")
 
@@ -430,54 +653,67 @@ def minhash_lsh_dedup(
     """MinHash + LSH near-duplicate clustering — fully dataset-native.
 
     Stages: (1) ``map_batches``: signature per doc, exploded to one row per
-    band ``(band_id, band_hash, doc_id)`` — only ~24-byte rows enter the
-    shuffle; (2) ``groupby(band_id, band_hash)``: bucket members become
-    candidate pairs (all intra-bucket pairs under ``pair_cap``, star+chain
-    beyond); (3) pairs deduped by groupby, then verified with exact n-gram
-    Jaccard ≥ threshold INSIDE ``map_batches`` — the texts for the candidate
-    minority (O(duplicates), not O(corpus)) are broadcast once via
-    ``ray.put``; (4) connected components over the verified edges
-    (size-gated: bounded union-find under the edge cap, join-based
-    distributed min-label propagation above — :func:`connected_components`);
-    (5) the winner map is broadcast back over the corpus stream.
+    band ``(doc_id, bkey)`` where ``bkey`` folds the band index into the
+    band hash (ONE uint64 sort key; a cross-band key collision only adds a
+    candidate pair, which the exact-Jaccard verification rejects) — only
+    ~16-byte rows enter the exchange; (2) ``sort(bkey)`` + vectorized
+    in-block segment detection emits candidate pairs (all intra-bucket
+    pairs under ``pair_cap``, star+chain beyond) with NO per-group Python —
+    :func:`_sorted_bucket_pairs`; (3) pairs deduped per block, then
+    verified with exact n-gram Jaccard ≥ threshold INSIDE ``map_batches`` —
+    the texts for the candidate minority (O(duplicates), not O(corpus)) are
+    broadcast once via ``ray.put``; (4) connected components over the
+    verified edges (size-gated: bounded union-find under the edge cap,
+    join-based distributed min-label propagation above —
+    :func:`connected_components`); (5) the winner map is broadcast back
+    over the corpus stream.
 
-    Returns a Dataset: the input columns + ``cluster_id`` +
-    ``is_duplicate``. The only driver-resident state is the candidate-pair
-    edge list and its texts — at 10^12 docs both are sized by the duplicate
-    count; the corpus text never aggregates anywhere.
+    Ids flow through in their NATIVE Arrow type — string doc ids / urls
+    work as well as ints. Returns a Dataset: the input columns +
+    ``cluster_id`` + ``is_duplicate``. The only driver-resident state is
+    the candidate-pair edge list and its texts — at 10^12 docs both are
+    sized by the duplicate count; the corpus text never aggregates
+    anywhere.
     """
     import ray
 
     rows_per_band = n_perm // bands
     a, b = _perm_params(n_perm, seed)
+    band_salt = (
+        (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(_MIX)
+    )[None, :]
 
     def signatures(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        n = batch.num_rows
+        ids = batch[id_col].combine_chunks()
         texts = batch[text_col].to_pylist()
         sigs = minhash_signatures_batch(texts, n_perm, a, b, shingle_k)
         bh = _band_hashes(sigs, bands, rows_per_band)  # (n_docs, bands)
-        n = len(ids)
+        bkey = bh ^ band_salt
+        rep = ids.take(pa.array(np.repeat(np.arange(n), bands)))
         return pa.Table.from_arrays(
-            [
-                pa.array(np.repeat(ids, bands)),
-                pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                pa.array(bh.ravel()),
-            ],
-            names=[id_col, "band_id", "band_hash"],
+            [rep, pa.array(bkey.ravel())], names=[id_col, "bkey"]
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pairs_frame(group[id_col].to_numpy(), pair_cap)
+    def extract(batch: pa.Table):
+        return (
+            batch["bkey"].to_numpy(),
+            batch[id_col].to_numpy(zero_copy_only=False),
+            {},
+        )
 
-    pairs = _dedup_pairs(
-        ds.map_batches(signatures, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    ).materialize()
+    def kernel(ids, extras):
+        return _bucket_pairs_arrays(ids, pair_cap)
 
-    # Texts for the candidate MINORITY only: collect the candidate-id set
-    # (O(duplicates)), fetch just those texts from the corpus stream, and
-    # broadcast the small id→text map to the verifiers.
+    # Pairs arrive globally deduplicated (cross-band duplicates would
+    # otherwise be exact-verified up to `bands` times — measured 324k raw
+    # vs ~40k unique pairs at sf0.1) and chunked for parallel verification.
+    pairs = _sorted_bucket_pairs(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        extract,
+        kernel,
+        id_col,
+    )
     cand_ids: set = set()
     for batch in pairs.iter_batches(batch_format="pyarrow"):
         cand_ids.update(batch["id_a"].to_pylist())
@@ -501,10 +737,20 @@ def minhash_lsh_dedup(
         lookup = ray.get(text_ref)
         ia = batch["id_a"].to_pylist()
         ib = batch["id_b"].to_pylist()
-        keep = [
-            jaccard_ngrams(lookup[u], lookup[v], shingle_k) >= threshold
-            for u, v in zip(ia, ib)
-        ]
+        # Shingle each doc ONCE per batch (a candidate doc appears in many
+        # pairs), then exact set-intersection Jaccard per pair.
+        sh = {
+            d: _char_shingles(lookup[d], shingle_k) for d in set(ia) | set(ib)
+        }
+        keep = []
+        for u, v in zip(ia, ib):
+            s1, s2 = sh[u], sh[v]
+            if len(s1) == 0 and len(s2) == 0:
+                keep.append(True)
+                continue
+            inter = len(np.intersect1d(s1, s2, assume_unique=True))
+            union = len(s1) + len(s2) - inter
+            keep.append(union > 0 and inter / union >= threshold)
         return batch.filter(pa.array(keep))
 
     verified = pairs.map_batches(verify, batch_format="pyarrow")
@@ -566,45 +812,49 @@ def simhash_dedup(
 ):
     """SimHash near-dup — dataset-native.
 
-    Signature ``map_batches`` (one dataset, materialized once) → bucket by
-    each of four 16-bit bands (a ≤3-bit-different pair shares at least one
-    exact band by pigeonhole, so candidate recall is EXACT) → verify Hamming
-    distance on all intra-bucket pairs (vectorized; ``pair_cap`` star+chain
-    fallback for degenerate buckets) → pair dedup → distributed
+    Signature ``map_batches`` → one row per 16-bit band with the EXACT
+    bucket key ``bkey = (band_id << 16) | band_val`` (a ≤3-bit-different
+    pair shares at least one exact band by pigeonhole, so candidate recall
+    is EXACT) → ``sort(bkey)`` + vectorized in-block segment detection
+    (:func:`_sorted_bucket_pairs` — no per-group Python) verifying Hamming
+    distance on all intra-bucket pairs (blocked popcount; ``pair_cap``
+    star+chain fallback for degenerate buckets) → pair dedup → size-gated
     connected components → winner map broadcast over the corpus stream.
 
+    Ids flow through in their native Arrow type (string ids work).
     Returns a Dataset: input columns + ``cluster_id`` + ``is_duplicate``.
     """
+    shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]
+    band_tag = (np.arange(4, dtype=np.uint64) << np.uint64(16))[None, :]
 
     def signatures(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        n = batch.num_rows
+        ids = batch[id_col].combine_chunks()
         sigs = np.fromiter(
             (simhash64(t) for t in batch[text_col].to_pylist()),
             dtype=np.uint64,
-            count=len(ids),
+            count=n,
         )
-        n = len(ids)
-        out_ids = np.repeat(np.asarray(ids, dtype=np.int64), 4)
-        band_ids = np.tile(np.arange(4, dtype=np.int32), n)
-        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]
-        band_vals = ((sigs[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        band_vals = (sigs[:, None] >> shifts) & np.uint64(0xFFFF)
+        bkey = band_vals | band_tag  # exact (band, value) key in 18 bits
+        rep = ids.take(pa.array(np.repeat(np.arange(n), 4)))
         return pa.Table.from_arrays(
-            [
-                pa.array(out_ids),
-                pa.array(band_ids),
-                pa.array(band_vals.ravel()),
-                pa.array(np.repeat(sigs, 4)),
-            ],
-            names=[id_col, "band_id", "band_val", "simhash"],
+            [rep, pa.array(bkey.ravel()), pa.array(np.repeat(sigs, 4))],
+            names=[id_col, "bkey", "simhash"],
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(id_col)
-        ids = group[id_col].to_numpy()
-        sigs = group["simhash"].to_numpy().astype(np.uint64)
+    def extract(batch: pa.Table):
+        return (
+            batch["bkey"].to_numpy(),
+            batch[id_col].to_numpy(zero_copy_only=False),
+            {"sig": batch["simhash"].to_numpy().astype(np.uint64)},
+        )
+
+    def kernel(ids, extras):
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sigs = extras["sig"][order]
         n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
         if n <= pair_cap:
             # Exact in-bucket verification: blocked all-pairs Hamming
             # (vectorized popcount LUT), then spanning edges only.
@@ -627,10 +877,11 @@ def simhash_dedup(
             ia, ib = ia[keep], ib[keep]
         return _local_component_edges(ids, ia, ib)
 
-    pairs = _dedup_pairs(
-        ds.map_batches(signatures, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _sorted_bucket_pairs(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        extract,
+        kernel,
+        id_col,
     )
     labels = connected_components(pairs)
     return _annotate_clusters(ds, labels, id_col)
@@ -674,43 +925,64 @@ def embedding_dedup(
     ``n_planes`` up with corpus size so per-bucket pairwise stays bounded).
 
     Stages: signature ``map_batches`` (one row per table, normalized vector
-    rides along) → ``groupby(table, bucket)`` with exact pairwise cosine ≥
-    threshold inside each bucket (vectorized matmul; star+chain above
-    ``pair_cap``) → pair dedup → distributed connected components →
-    winner-map broadcast. Returns a Dataset: input columns + ``cluster_id``
-    + ``is_duplicate``.
+    rides along as a fixed-size-list column; the EXACT bucket key is
+    ``bkey = (table_id << n_planes) | bucket``) → ``sort(bkey)`` +
+    vectorized in-block segment detection (:func:`_sorted_bucket_pairs` —
+    no per-group Python) with exact pairwise cosine ≥ threshold inside each
+    bucket (vectorized matmul; star+chain above ``pair_cap``) → pair dedup
+    → size-gated connected components → winner-map broadcast. Ids flow
+    through in their native Arrow type (string ids work). Returns a
+    Dataset: input columns + ``cluster_id`` + ``is_duplicate``.
     """
+    table_tag = (np.arange(n_tables, dtype=np.uint64) << np.uint64(n_planes))[None, :]
 
     def signatures(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        n = batch.num_rows
+        ids = batch[id_col].combine_chunks()
+        vcol = batch[vec_col].combine_chunks()
+        vecs = (
+            vcol.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, -1)
+            .astype(np.float64)
+        )
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vecs = vecs / norms
         planes = _hyperplanes(vecs.shape[1], n_tables, n_planes, seed)
-        bits = (vecs @ planes > 0).reshape(len(ids), n_tables, n_planes)
-        weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
-        buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, tables)
-        n = len(ids)
+        bits = (vecs @ planes > 0).reshape(n, n_tables, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.uint64))[None, None, :]
+        buckets = (bits * weights).sum(axis=2).astype(np.uint64)  # (n, tables)
+        bkey = buckets | table_tag
+        rep_idx = np.repeat(np.arange(n), n_tables)
+        rep = ids.take(pa.array(rep_idx))
+        nvec = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs[rep_idx].ravel()), vecs.shape[1]
+        )
         return pa.Table.from_arrays(
-            [
-                pa.array(np.repeat(ids, n_tables)),
-                pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
-                pa.array(buckets.ravel()),
-                pa.array(
-                    np.repeat(vecs, n_tables, axis=0).tolist(),
-                    pa.list_(pa.float64()),
-                ),
-            ],
-            names=[id_col, "table_id", "bucket", "nvec"],
+            [rep, pa.array(bkey.ravel()), nvec],
+            names=[id_col, "bkey", "nvec"],
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(id_col)
-        ids = group[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
-        mat = np.array(group["nvec"].tolist())
+    def extract(batch: pa.Table):
+        n = batch.num_rows
+        vcol = batch["nvec"].combine_chunks()
+        mat = (
+            vcol.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, -1)
+            .astype(np.float64, copy=False)
+        )
+        return (
+            batch["bkey"].to_numpy(),
+            batch[id_col].to_numpy(zero_copy_only=False),
+            {"vec": mat},
+        )
+
+    def kernel(ids, extras):
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = extras["vec"][order]
         n = len(ids)
         if n <= pair_cap:
             # Blocked exact pairwise cosine; spanning edges only.
@@ -731,10 +1003,11 @@ def embedding_dedup(
             ia, ib = ia[keep], ib[keep]
         return _local_component_edges(ids, ia, ib)
 
-    pairs = _dedup_pairs(
-        ds.map_batches(signatures, batch_format="pyarrow")
-        .groupby(["table_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _sorted_bucket_pairs(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        extract,
+        kernel,
+        id_col,
     )
     labels = connected_components(pairs)
     return _annotate_clusters(ds, labels, id_col)

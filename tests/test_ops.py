@@ -199,6 +199,135 @@ class TestDatasetNativeDedupScale:
             assert clusters[i] == i == clusters[i + 1000] == clusters[i + 2000]
 
 
+class TestStringIdSketchDedup:
+    """Round-2 verdict item 2: the engine's identity column is `url`
+    (string) — minhash/simhash/embedding dedup must accept native string
+    ids, with min-STRING winners (no int64 cast anywhere)."""
+
+    def _docs(self):
+        import random
+
+        rnd = random.Random(42)
+        vocab = [f"word{i}" for i in range(500)]
+        rows = []
+        for i in range(120):
+            rows.append(
+                {
+                    "doc_id": f"url://site/{i:05d}",
+                    "text": " ".join(rnd.choices(vocab, k=60)),
+                }
+            )
+        for i in range(8):  # near-dup: one word dropped
+            rows.append(
+                {
+                    "doc_id": f"url://zz/{i:05d}",
+                    "text": " ".join(rows[i]["text"].split()[:-1]),
+                }
+            )
+        return rows
+
+    def test_minhash_string_ids(self, ray_session):
+        import ray.data as rd
+
+        out = minhash_lsh_dedup(
+            rd.from_items(self._docs()).repartition(4), threshold=0.7
+        ).to_pandas()
+        dups = out[out["is_duplicate"]]
+        assert set(dups["doc_id"]) == {f"url://zz/{i:05d}" for i in range(8)}
+        # winner is the min string id of each cluster
+        assert (dups["cluster_id"] == [f"url://site/{i:05d}" for i in range(8)]).all()
+
+    def test_simhash_string_ids(self, ray_session):
+        import ray.data as rd
+
+        rows = self._docs()[:120]
+        rows += [
+            {"doc_id": "url://zz/" + r["doc_id"][-5:], "text": r["text"]}
+            for r in rows[:5]
+        ]  # exact copies → hamming 0
+        out = simhash_dedup(rd.from_items(rows).repartition(4)).to_pandas()
+        dups = out[out["is_duplicate"]]
+        assert set(dups["doc_id"]) == {f"url://zz/{i:05d}" for i in range(5)}
+
+    def test_embedding_string_ids(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(11))
+        vecs = rng.normal(size=(60, 16))
+        rows = [
+            {"vec_id": f"v/{i:04d}", "embedding": v.tolist()}
+            for i, v in enumerate(vecs)
+        ]
+        for i in range(4):  # ×2-scaled copies: cosine exactly 1
+            rows.append(
+                {"vec_id": f"z/{i:04d}", "embedding": (vecs[i] * 2.0).tolist()}
+            )
+        out = embedding_dedup(
+            rd.from_items(rows).repartition(4), threshold=0.9999
+        ).to_pandas()
+        dups = out[out["is_duplicate"]]
+        assert set(dups["vec_id"]) == {f"z/{i:04d}" for i in range(4)}
+
+
+class TestSortedBucketPairs:
+    """The vectorized sort-based bucket-pair stage (round-2 verdict item 1):
+    segment detection over key-sorted blocks must emit exactly the per-bucket
+    pairs, including buckets that STRADDLE block boundaries (deferred
+    fragments), in both the driver and the map_groups fallback regimes."""
+
+    @staticmethod
+    def _run(frag_cap, collect_cap, ray_session=None):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import (
+            _bucket_pairs_arrays,
+            _sorted_bucket_pairs,
+        )
+
+        # 40 buckets × 3 members each, plus 200 singletons, shuffled across
+        # 16 tiny blocks so most buckets straddle block edges.
+        rows = []
+        for b in range(40):
+            for m in range(3):
+                rows.append({"doc_id": b * 10 + m, "bkey": 1000 + b})
+        for i in range(200):
+            rows.append({"doc_id": 100_000 + i, "bkey": 500_000 + i})
+        rng = np.random.Generator(np.random.Philox(5))
+        rng.shuffle(rows)
+        sig = rd.from_items(rows).repartition(16)
+
+        def extract(batch):
+            return (
+                batch["bkey"].to_numpy(),
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+                {},
+            )
+
+        def kernel(ids, extras):
+            return _bucket_pairs_arrays(ids, 64)
+
+        out = _sorted_bucket_pairs(
+            sig, extract, kernel, "doc_id",
+            frag_cap=frag_cap, collect_cap=collect_cap,
+        ).to_pandas()
+        return set(zip(out["id_a"], out["id_b"]))
+
+    def _expected(self):
+        exp = set()
+        for b in range(40):
+            ids = [b * 10 + m for m in range(3)]
+            exp |= {(ids[0], ids[1]), (ids[0], ids[2]), (ids[1], ids[2])}
+        return exp
+
+    def test_driver_regime(self, ray_session):
+        assert self._run(200_000, 2_000_000) == self._expected()
+
+    def test_fallback_regime(self, ray_session):
+        # Force the overflow path: tiny caps → per-bucket map_groups.
+        pairs = self._run(1, 1)
+        assert pairs == self._expected()
+
+
 class TestEmbeddingDedup:
     def test_near_identical_vectors_cluster(self, ray_session):
         import ray.data as rd
