@@ -34,6 +34,21 @@ def _init_ray(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+def _written_rows(output_dir: str) -> int:
+    """Row count of a written parquet directory from file METADATA — the
+    pipeline must not be re-executed just to print a count (a Ray Dataset
+    is lazy; calling .count() after .write_parquet() would run the whole
+    job twice)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in glob.glob(os.path.join(output_dir, "**", "*.parquet"), recursive=True):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 def _read_input(patterns: list[str]):
     from .sources.jsonl import read_pages_jsonl
     from .sources.pages import read_pages
@@ -126,7 +141,15 @@ def cmd_dedup(args) -> int:
             lambda t: t.filter(pc.invert(t["is_duplicate"])), batch_format="pyarrow"
         )
     out.write_parquet(args.output)
-    print(json.dumps({"output": args.output, "method": args.method, "rows": out.count()}))
+    print(
+        json.dumps(
+            {
+                "output": args.output,
+                "method": args.method,
+                "rows": _written_rows(args.output),
+            }
+        )
+    )
     return 0
 
 
@@ -168,7 +191,15 @@ def cmd_curate(args) -> int:
             ds, seq_len=args.seq_len, text_col=args.text_col, id_col=args.id_col
         )
     ds.write_parquet(args.output)
-    print(json.dumps({"output": args.output, "rows": ds.count(), "packed": bool(args.pack)}))
+    print(
+        json.dumps(
+            {
+                "output": args.output,
+                "rows": _written_rows(args.output),
+                "packed": bool(args.pack),
+            }
+        )
+    )
     return 0
 
 

@@ -913,7 +913,12 @@ class PdfDocument:
     def outline(self) -> list[tuple[str, int]]:
         """Flat top-level outline: ``[(title, page_index), ...]`` — the
         shape the reference's splitter walks
-        (reference: src/services/pdf_processor.py:105-142)."""
+        (reference: src/services/pdf_processor.py:105-142).
+
+        Bounded at 256 entries (a declared limit for hostile inputs — long
+        real outlines past 256 bookmarks are truncated); a malformed
+        ``/Next`` cycle terminates at the first revisited node reference
+        instead of emitting duplicates up to the cap."""
         root = self.resolve(self.trailer["Root"])
         ol = self.resolve(root.get("Outlines"))
         if not isinstance(ol, dict):
@@ -941,8 +946,13 @@ class PdfDocument:
         out: list[tuple[str, int]] = []
         node = ol.get("First")
         hops = 0
+        seen_refs: set = set()
         while node is not None and hops < 256:
             hops += 1
+            if isinstance(node, _Ref):
+                if node[0] in seen_refs:  # /Next self-loop / cycle
+                    break
+                seen_refs.add(node[0])
             item = self.resolve(node)
             if not isinstance(item, dict):
                 break

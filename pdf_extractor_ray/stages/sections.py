@@ -169,7 +169,15 @@ def pdf_sections_rows(ds, query: str | None = None):
         out_url, out_idx, out_title, out_content, out_fname = [], [], [], [], []
         for url, payload in zip(urls, payloads):
             base = url.rsplit("/", 1)[-1] or "doc"
-            for s in build_pdf_outline_sections(bytes(payload or b""), query):
+            try:
+                sections = build_pdf_outline_sections(bytes(payload or b""), query)
+            except Exception:  # noqa: BLE001 — containment boundary: one
+                # corrupt/truncated payload (PdfError, zlib.error, slicing
+                # errors from hostile bytes) must degrade to a single empty
+                # error section, not abort the corpus-scale job — mirroring
+                # the extract stage's per-row `extract_error` containment.
+                sections = [{"title": "extract_error", "index": 0, "content": ""}]
+            for s in sections:
                 out_url.append(url)
                 out_idx.append(s["index"])
                 out_title.append(s["title"])

@@ -131,6 +131,32 @@ class TestOutline:
         assert "text of part 4" in sections[3]["content"]
         assert "text of part 5" in sections[3]["content"]
 
+    def test_next_cycle_terminates_without_duplicates(self):
+        """A malformed /Next self-loop in the outline chain must yield each
+        bookmark once (cycle break on the first revisited node ref), not
+        256 duplicate entries (round-2 advice)."""
+        from pdf_extractor_ray.functions.pdf_codec import PdfDocument, _Ref
+
+        pdf = build_pdf(
+            " ".join(f"w{i}" for i in range(2000)),
+            outline=[("Intro", 0), ("Body", 1), ("End", 2)],
+        )
+        doc = PdfDocument(pdf)
+        root = doc.resolve(doc.trailer["Root"])
+        ol = doc.resolve(root["Outlines"])
+        first_ref = ol["First"]
+        # walk to the last item and point its /Next back at the first
+        ref = first_ref
+        while True:
+            item = doc.resolve(ref)
+            nxt = item.get("Next")
+            if nxt is None:
+                break
+            ref = nxt
+        doc.resolve(ref)["Next"] = _Ref(first_ref)
+        out = doc.outline()
+        assert [t for t, _ in out] == ["Intro", "Body", "End"]
+
     def test_no_outline_single_section(self):
         sections = build_pdf_outline_sections(build_pdf(SIMPLE))
         assert len(sections) == 1 and sections[0]["title"] == ""

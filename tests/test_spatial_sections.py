@@ -99,3 +99,34 @@ class TestSections:
             sections_rows(ds, query="zzz").iter_batches(batch_format="pyarrow")
         )
         assert out["title"].to_pylist() == ["Intro", "Results", "Sub"]
+
+
+class TestPdfSectionsContainment:
+    def test_hostile_payload_degrades_per_row(self, ray_session):
+        """One corrupt PDF payload must yield a single empty error section,
+        not abort the whole sections stage (round-2 advice: decode_records
+        ran outside the containment boundary)."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.functions.pdf_codec import build_sectioned_pdf
+        from pdf_extractor_ray.stages.sections import pdf_sections_rows
+
+        good = build_sectioned_pdf([("Alpha", "one two three"), ("Beta", "four")])
+        # Truncate mid-stream: decode_records raises (damaged Flate data).
+        hostile = good[: len(good) // 3]
+        rows = [
+            {"url": "https://x/good.pdf", "html": good},
+            {"url": "https://x/bad.pdf", "html": hostile},
+            {"url": "https://x/junk.pdf", "html": b"%PDF-1.4 garbage \xff\xfe"},
+        ]
+        out = pa.concat_tables(
+            pdf_sections_rows(rd.from_items(rows)).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        by_url = {}
+        for u, t in zip(out["url"].to_pylist(), out["title"].to_pylist()):
+            by_url.setdefault(u, []).append(t)
+        assert by_url["https://x/good.pdf"] == ["Alpha", "Beta"]
+        for bad in ("https://x/bad.pdf", "https://x/junk.pdf"):
+            assert by_url[bad] == ["extract_error"]
