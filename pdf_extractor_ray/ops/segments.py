@@ -1,0 +1,173 @@
+"""Ordered per-key aggregation WITHOUT per-group Python calls.
+
+``groupby(key).map_groups(fn)`` invokes Python once per group — a
+scale-killer when key cardinality is corpus-proportional (users, customers,
+urls). This module factors the sort-based alternative shared with the
+sketch-dedup bucket-pair stage (``ops.dedup._sorted_bucket_pairs``):
+
+1. ONE global ``sort`` on ``[key] + within_cols`` — the same all-to-all
+   exchange a groupby would pay — yields key-contiguous, in-key-ordered
+   blocks.
+2. One streaming ``map_batches`` finds equal-key segments vectorized
+   (``np.flatnonzero`` over the sorted key column) and hands ALL interior
+   segments of a block to one vectorized ``block_fn`` call — numpy
+   ``reduceat``/gather kernels, zero per-group Python.
+3. Segments touching a block edge may straddle blocks; their rows are
+   deferred (they ride along as marker rows) and resolved once on the
+   driver with the same ``block_fn`` — O(num_blocks × group size), not
+   O(corpus). A ``frag_cap`` gate falls back to per-group ``map_groups``
+   for degenerate edge-pinned mega-groups (few, huge groups — the regime
+   where per-group calls are fine).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _segment_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Starts/ends of equal-key runs in a SORTED key array (vectorized)."""
+    n = len(keys)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    return (
+        np.concatenate(([0], bounds)),
+        np.concatenate((bounds, [n])),
+    )
+
+
+def sorted_segment_apply(
+    ds,
+    key_col: str,
+    block_fn: Callable[[pa.Table, np.ndarray, np.ndarray], pa.Table],
+    within_cols: list | None = None,
+    descending: list | None = None,
+    frag_cap: int = 200_000,
+):
+    """Apply a VECTORIZED per-block kernel over complete key groups.
+
+    ``block_fn(batch, starts, ends) -> pa.Table`` receives a sorted block
+    and the segment bounds of the COMPLETE key groups it must aggregate
+    (each group's rows are contiguous and ordered by ``within_cols``); it
+    returns output rows with a fixed schema of its own. It must be
+    vectorized across segments (``np.add.reduceat``, gathers at
+    ``starts``/``ends``), never loop per group in the hot path.
+
+    Returns a Dataset of ``block_fn`` outputs covering every key exactly
+    once. See the module docstring for the straddle/deferral mechanics.
+    """
+    sort_cols = [key_col] + list(within_cols or [])
+    if descending is None:
+        sorted_ds = ds.sort(sort_cols)
+    else:
+        sorted_ds = ds.sort(sort_cols, descending=[False] + list(descending))
+
+    MARK = "__frag__"
+
+    def emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            out = block_fn(batch, np.zeros(0, np.int64), np.zeros(0, np.int64))
+            return out.append_column(MARK, pa.array([], pa.bool_())).append_column(
+                "__rows__", pa.nulls(0, pa.binary())
+            )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        starts, ends = _segment_bounds(keys)
+        first_end = int(ends[0])
+        last_start = int(starts[-1])
+        if first_end >= last_start:  # single segment: defer whole block
+            interior_s = np.zeros(0, np.int64)
+            interior_e = np.zeros(0, np.int64)
+            frag_idx = np.arange(n)
+        else:
+            interior_s, interior_e = starts[1:-1], ends[1:-1]
+            frag_idx = np.concatenate(
+                [np.arange(first_end), np.arange(last_start, n)]
+            )
+        out = block_fn(batch, interior_s, interior_e)
+        # Fragment rows ride along IPC-serialized in a binary column (one
+        # cell per deferred block edge) so the combined table keeps the
+        # block_fn output schema regardless of the input schema.
+        frag_tbl = batch.take(pa.array(frag_idx))
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, frag_tbl.schema) as w:
+            w.write_table(frag_tbl)
+        blob = sink.getvalue().to_pybytes()
+        out = out.append_column(MARK, pa.array([False] * out.num_rows))
+        out = out.append_column("__rows__", pa.nulls(out.num_rows, pa.binary()))
+        frag_row = pa.Table.from_arrays(
+            [
+                *[
+                    pa.nulls(1, f.type)
+                    for f in out.schema
+                    if f.name not in (MARK, "__rows__")
+                ],
+                pa.array([True]),
+                pa.array([blob], pa.binary()),
+            ],
+            schema=out.schema,
+        )
+        return pa.concat_tables([out, frag_row])
+
+    combined = sorted_ds.map_batches(
+        emit, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+
+    def only_out(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.schema.names if c not in (MARK, "__rows__")]
+        return t.filter(pa.compute.invert(t[MARK].combine_chunks())).select(keep)
+
+    interior_out = combined.map_batches(
+        only_out, batch_size=None, batch_format="pyarrow"
+    )
+
+    # Driver-side fragment resolution (bounded: 2 edge segments per block).
+    frag_tables = []
+    n_frag = 0
+    for t in combined.iter_batches(batch_format="pyarrow"):
+        for blob in t.filter(t[MARK].combine_chunks())["__rows__"].to_pylist():
+            ft = pa.ipc.open_stream(blob).read_all()
+            frag_tables.append(ft)
+            n_frag += ft.num_rows
+    if not frag_tables:
+        return interior_out
+
+    if n_frag > frag_cap:  # degenerate edge-pinned mega-groups
+        import ray
+
+        frag_ds = ray.data.from_arrow(frag_tables)
+
+        def group_apply(group: pd.DataFrame) -> pd.DataFrame:
+            t = pa.Table.from_pandas(group, preserve_index=False)
+            starts = np.array([0], dtype=np.int64)
+            ends = np.array([t.num_rows], dtype=np.int64)
+            return block_fn(t, starts, ends).to_pandas()
+
+        frag_out = frag_ds.groupby(key_col).map_groups(
+            group_apply, batch_format="pandas"
+        )
+        return interior_out.union(frag_out)
+
+    import ray
+
+    tbl = pa.concat_tables(frag_tables).combine_chunks()
+    # Re-sort the collected fragments so a group split across blocks is
+    # contiguous again, preserving the within-group order.
+    order_cols = sort_cols
+    sort_keys = [
+        (c, "descending" if descending and i > 0 and descending[i - 1] else "ascending")
+        for i, c in enumerate(order_cols)
+    ]
+    tbl = tbl.sort_by(sort_keys)
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    starts, ends = _segment_bounds(keys)
+    frag_out_tbl = block_fn(tbl, starts, ends)
+    if frag_out_tbl.num_rows == 0:
+        return interior_out
+    return interior_out.union(ray.data.from_arrow(frag_out_tbl))

@@ -210,9 +210,15 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
 
 def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     """Per-group top-k (the grouped-rank pattern): each customer's 2 most
-    expensive orders via ``groupby(custkey).map_groups`` with in-group sort;
-    oracle = SQL row_number window. Restricted to custkey < 100 to keep the
-    result compact."""
+    expensive orders, VECTORIZED — sort by (custkey, -total_cents, orderkey)
+    puts each group's top rows at its segment start, so the per-group top-2
+    is a pure gather at the segment bounds (``ops.segments`` — no per-group
+    Python; key cardinality is corpus-proportional, the regime where
+    ``map_groups`` would be one Python call per customer). Oracle = SQL
+    row_number window. Restricted to custkey < 100 to keep the result
+    compact."""
+    from .ops.segments import sorted_segment_apply
+
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def prune(batch: pa.Table) -> pa.Table:
@@ -221,18 +227,26 @@ def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
             ["o_totalprice"]
         )
 
-    def top2(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(
-            ["total_cents", "o_orderkey"], ascending=[False, True]
-        ).head(2)
-        out = out.reset_index(drop=True)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+    def top2_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        lens = ends - starts
+        second = (starts + 1)[lens >= 2]
+        idx = np.concatenate([starts, second]).astype(np.int64)
+        ranks = np.concatenate(
+            [np.ones(len(starts), np.int64), np.full(len(second), 2, np.int64)]
+        )
+        out = batch.select(["o_custkey", "o_orderkey", "total_cents"]).take(
+            pa.array(idx)
+        )
+        return out.append_column("rank", pa.array(ranks))
 
     return (
-        ds.map_batches(prune, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(top2, batch_format="pandas")
+        sorted_segment_apply(
+            ds.map_batches(prune, batch_format="pyarrow"),
+            key_col="o_custkey",
+            block_fn=top2_block,
+            within_cols=["total_cents", "o_orderkey"],
+            descending=[True, False],
+        )
         .to_pandas()
         .sort_values(["o_custkey", "rank"])
         .reset_index(drop=True)[["o_custkey", "o_orderkey", "total_cents", "rank"]]
@@ -466,25 +480,37 @@ def q_streaming_counts(sf_dir: str) -> pd.DataFrame:
 
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-minute inactivity gap) per user: the ordered
-    per-key window pattern — ``groupby(user).map_groups`` with an in-group
-    ts sort; no global ordering required."""
+    per-key window pattern, VECTORIZED — one sort by (user_id, ts), then
+    session breaks and per-user counts fall out of a cumulative-sum gather
+    at the segment bounds (``ops.segments`` — no per-group Python; user
+    cardinality is corpus-proportional)."""
+    from .ops.segments import sorted_segment_apply
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("ts")
-        gaps = group["ts"].diff().dt.total_seconds().fillna(0)
-        n_sessions = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [int(group["user_id"].iloc[0])],
-                "n_events": [len(group)],
-                "n_sessions": [n_sessions],
-            }
+    def sessions_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        brk = np.zeros(len(uid), dtype=np.int64)
+        if len(uid) > 1:
+            gaps = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+            brk[1:] = ((uid[1:] == uid[:-1]) & (gaps > 1800)).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(brk)))
+        # brk[start] is always 0 (segment start = new user), so the
+        # [start, end) prefix-sum difference counts in-group breaks only.
+        n_sessions = csum[ends] - csum[starts] + 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(uid[starts].astype(np.int64)),
+                pa.array((ends - starts).astype(np.int64)),
+                pa.array(n_sessions.astype(np.int64)),
+            ],
+            names=["user_id", "n_events", "n_sessions"],
         )
 
     return (
-        ds.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        sorted_segment_apply(ds, key_col="user_id", block_fn=sessions_block,
+                             within_cols=["ts"])
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
@@ -1124,7 +1150,13 @@ def q_streaming_dedup(sf_dir: str) -> pd.DataFrame:
     (content-hash keys, exactly-once admission per key). Ordered replay
     makes the admitted winner the MIN doc id, so the batch exact-dedup
     oracle applies unchanged — the streaming state machine must agree
-    with the batch groupby."""
+    with the batch groupby.
+
+    SEMANTICS HARNESS, not a scale path: the driver-side ordered replay
+    exists only to pin a deterministic winner for the oracle. The
+    production admission stage is ``state.seen_index.filter_unseen`` —
+    fully dataset-native ``map_batches`` against the sharded actors —
+    exercised at scale shape by Q ``incremental_admission``."""
     from .ops.dedup import content_hash_batch
     from .state.seen_index import ShardedSeenIndex
 
@@ -1148,6 +1180,64 @@ def q_streaming_dedup(sf_dir: str) -> pd.DataFrame:
         kept_parts.append(kept.select(["doc_id", "n_chars"]).to_pandas())
     out = pd.concat(kept_parts, ignore_index=True)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_incremental_admission(sf_dir: str) -> pd.DataFrame:
+    """Dataset-native incremental admission through the sharded seen-key
+    index (the 100-TB streaming-dedup path): run 1 streams the documents
+    table through ``filter_unseen`` (content-hash keys, exactly-once per
+    key across blocks via the sharded actors); run 2 replays the same
+    corpus PLUS a modified third (text + " v2") — only the genuinely new
+    keys may be admitted. Output per run: admitted row count + total
+    admitted characters. Both aggregates are arrival-order-independent
+    (duplicate keys carry byte-identical text), so the exact SQL oracle
+    applies even though block arrival order is nondeterministic — no
+    driver-side replay loop anywhere."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops.dedup import content_hash_batch
+    from .state.seen_index import ShardedSeenIndex, filter_unseen
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "content_hash",
+            pa.array(content_hash_batch(batch["text"].to_pylist()), pa.string()),
+        ).append_column("n_chars_live", pc.utf8_length(batch["text"]))
+
+    def modify(batch: pa.Table) -> pa.Table:
+        keep = pa.array(batch["doc_id"].to_numpy() % 3 == 0)
+        t = batch.filter(keep)
+        return t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pc.binary_join_element_wise(t["text"], pa.scalar(" v2"), ""),
+        )
+
+    index = ShardedSeenIndex(n_shards=4)
+    rows = []
+    for run, stream in (
+        (1, ds),
+        (2, ds.union(ds.map_batches(modify, batch_format="pyarrow"))),
+    ):
+        admitted = filter_unseen(
+            stream.map_batches(hashed, batch_format="pyarrow"),
+            index,
+            key_col="content_hash",
+        )
+        agg = admitted.aggregate(
+            Count(alias_name="admitted"),
+            Sum("n_chars_live", alias_name="total_chars"),
+        )
+        rows.append(
+            {
+                "run": run,
+                "admitted": int(agg["admitted"]),
+                "total_chars": int(agg["total_chars"] or 0),
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def q_fingerprint_dedup(sf_dir: str) -> pd.DataFrame:
@@ -1994,6 +2084,17 @@ ORACLE_SQL["asof_join_salted"] = """
 # exactly the batch exact-dedup semantics.
 ORACLE_SQL["streaming_dedup"] = ORACLE_SQL["exact_dedup"]
 
+ORACLE_SQL["incremental_admission"] = """
+WITH d AS (SELECT DISTINCT text FROM documents),
+m AS (SELECT DISTINCT text || ' v2' AS text FROM documents WHERE doc_id % 3 = 0),
+new2 AS (SELECT text FROM m WHERE text NOT IN (SELECT text FROM d))
+SELECT 1 AS run, COUNT(*) AS admitted,
+       CAST(COALESCE(SUM(LENGTH(text)), 0) AS BIGINT) AS total_chars FROM d
+UNION ALL
+SELECT 2, COUNT(*), CAST(COALESCE(SUM(LENGTH(text)), 0) AS BIGINT) FROM new2
+ORDER BY run
+"""
+
 # The PDF statement round trip must be semantically invisible.
 ORACLE_SQL["classify_transactions_pdf"] = ORACLE_SQL["classify_transactions"]
 
@@ -2239,6 +2340,7 @@ QUERIES = {
     "scrub_pii": q_scrub_pii,
     "exact_dedup": q_exact_dedup,
     "streaming_dedup": q_streaming_dedup,
+    "incremental_admission": q_incremental_admission,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,

@@ -1,0 +1,105 @@
+"""Tests for ops.segments.sorted_segment_apply — the ordered per-key
+aggregation primitive that replaces corpus-proportional map_groups."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_extractor_ray.ops.segments import _segment_bounds, sorted_segment_apply
+
+
+class TestSegmentBounds:
+    def test_runs(self):
+        s, e = _segment_bounds(np.array([1, 1, 2, 3, 3, 3]))
+        assert s.tolist() == [0, 2, 3] and e.tolist() == [2, 3, 6]
+
+    def test_empty(self):
+        s, e = _segment_bounds(np.array([]))
+        assert len(s) == 0 and len(e) == 0
+
+
+def _make_count_block():
+    # Nested so cloudpickle serializes it by VALUE (the tests/ dir is not
+    # importable from Ray workers).
+    def count_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        keys = batch["k"].to_numpy(zero_copy_only=False)
+        vals = batch["v"].to_numpy(zero_copy_only=False)
+        csum = np.concatenate(([0], np.cumsum(vals)))
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys[starts].astype(np.int64)),
+                pa.array((ends - starts).astype(np.int64)),
+                pa.array((csum[ends] - csum[starts]).astype(np.int64)),
+            ],
+            names=["k", "n", "total"],
+        )
+
+    return count_block
+
+
+def _make_ds(n_keys=50, rows_per_key=7, blocks=16):
+    import random
+
+    import ray.data as rd
+
+    rnd = random.Random(9)
+    rows = []
+    for k in range(n_keys):
+        for j in range(rows_per_key):
+            rows.append({"k": k, "v": k * 100 + j})
+    rnd.shuffle(rows)
+    return rd.from_items(rows).repartition(blocks)
+
+
+EXPECTED = {
+    k: (7, sum(k * 100 + j for j in range(7))) for k in range(50)
+}
+
+
+class TestSortedSegmentApply:
+    def test_every_key_exactly_once(self, ray_session):
+        """Groups straddling block edges (tiny blocks force many) must be
+        deferred and aggregated exactly once, in sorted order."""
+        out = sorted_segment_apply(
+            _make_ds(), key_col="k", block_fn=_make_count_block(), within_cols=["v"]
+        ).to_pandas()
+        assert len(out) == 50
+        got = {r.k: (r.n, r.total) for r in out.itertuples()}
+        assert got == EXPECTED
+
+    def test_fallback_regime(self, ray_session):
+        """frag_cap=1 forces the per-group map_groups fallback — results
+        must be identical."""
+        out = sorted_segment_apply(
+            _make_ds(),
+            key_col="k",
+            block_fn=_make_count_block(),
+            within_cols=["v"],
+            frag_cap=1,
+        ).to_pandas()
+        got = {r.k: (r.n, r.total) for r in out.itertuples()}
+        assert got == EXPECTED
+
+    def test_within_order_descending(self, ray_session):
+        """within_cols order must hold inside each segment (top-1 gather)."""
+
+        def top1(batch, starts, ends):
+            keys = batch["k"].to_numpy(zero_copy_only=False)
+            vals = batch["v"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(keys[starts].astype(np.int64)),
+                    pa.array(vals[starts].astype(np.int64)),
+                ],
+                names=["k", "top_v"],
+            )
+
+        out = sorted_segment_apply(
+            _make_ds(),
+            key_col="k",
+            block_fn=top1,
+            within_cols=["v"],
+            descending=[True],
+        ).to_pandas()
+        got = dict(zip(out["k"], out["top_v"]))
+        assert got == {k: k * 100 + 6 for k in range(50)}
