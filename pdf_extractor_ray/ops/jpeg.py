@@ -1,0 +1,474 @@
+"""From-scratch baseline JPEG codec (pure Python + numpy, stdlib only).
+
+Decoder: baseline sequential DCT (SOF0), 8-bit samples, grayscale or
+3-component YCbCr with arbitrary h/v sampling factors (4:4:4, 4:2:2,
+4:2:0), restart markers, 0xFF00 byte unstuffing. Output is the LUMA (Y)
+plane as an (H, W) uint8 array — chroma blocks are entropy-decoded (the
+bitstream is serial, they cannot be skipped) but not IDCT'd, since every
+downstream feature kernel in this engine consumes grayscale. Construction
+follows the public JPEG spec (ITU-T T.81): canonical Huffman from DHT
+BITS/HUFFVAL, zigzag order, type-II DCT basis.
+
+Declared unsupported (typed ``NotImplementedError``): progressive (SOF2),
+arithmetic coding, 12-bit precision, 16-bit quant tables, CMYK (4
+components). Corrupt payloads raise ``ValueError`` — the media stage's
+per-row containment turns either into a ``decode_error`` row.
+
+Encoder: fixture-grade baseline encoder (grayscale, optional 4:2:0 color
+wrapping with neutral chroma) with a configurable flat quantization table.
+With a flat quant value of 8, a constant 8×8 block round-trips EXACTLY
+(DC = (v-128)*8 quantizes losslessly and the DC-only IDCT is constant),
+which is what gives Q ``media_features`` an exact SQL oracle over real
+JPEG bytes.
+
+Performance shape: Huffman decoding is inherently bit-serial, so the
+per-image loop is Python; corpus-scale parallelism comes from the
+actor-pool ``map_batches`` stage it runs in (one image per iteration,
+images per batch × actors in flight). The IDCT is a vectorized numpy
+matmul over all of an image's Y blocks at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Type-II orthonormal DCT basis: row k, column n.
+_DCT_T = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT_T[_k, _n] = 0.5 * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+_DCT_T[0, :] = 1.0 / np.sqrt(8.0)
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Standard Huffman tables (JPEG Annex K) — (BITS counts per code length
+# 1..16, HUFFVAL symbol list).
+_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol — the decoder-side view of the same codes."""
+    return {
+        (length, code): sym for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            self._acc = (self._acc << (8 - self._n)) | ((1 << (8 - self._n)) - 1)
+            self.out.append(self._acc)
+            if self._acc == 0xFF:
+                self.out.append(0x00)
+            self._acc = 0
+            self._n = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    non-stuffing marker (the caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise ValueError("marker inside entropy data")
+            else:
+                self.pos += 1
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Byte-align and consume an RSTn marker if present; returns the
+        marker byte (0xD0..0xD7) or None."""
+        self._n = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            marker = self.data[self.pos + 1]
+            self.pos += 2
+            return marker
+        return None
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` raw bits to a signed coefficient."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W) uint8 LUMA plane. See module docstring."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan_comps = None
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables unsupported")
+                quant[tq] = np.frombuffer(
+                    seg[p + 1 : p + 65], np.uint8
+                ).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError("12-bit precision unsupported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError("CMYK/4-component JPEG unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/extended/arithmetic JPEG unsupported (baseline only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + c * 2 : 3 + c * 2]
+                scan_comps.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            pos += 2 + seg_len
+            break
+        pos += 2 + seg_len
+
+    if frame is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan_comps:
+        if sc["cs"] not in by_id:
+            raise ValueError("scan references unknown component")
+        by_id[sc["cs"]]["td"] = sc["td"]
+        by_id[sc["cs"]]["ta"] = sc["ta"]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+
+    y_comp = comps[0]
+    yq = quant.get(y_comp["tq"])
+    if yq is None:
+        raise ValueError("missing quantization table")
+    y_blocks_x = mcus_x * y_comp["h"]
+    y_blocks_y = mcus_y * y_comp["v"]
+    y_coeffs = np.zeros((y_blocks_y * y_blocks_x, 64), dtype=np.int32)
+
+    reader = _BitReader(payload, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if reader.align_to_marker() is None:
+                    raise ValueError("expected restart marker")
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dct = dc_tables.get(c.get("td"))
+                act = ac_tables.get(c.get("ta"))
+                if dct is None or act is None:
+                    raise ValueError("missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        # DC
+                        s = reader.decode_symbol(dct)
+                        diff = _extend(reader.read_bits(s), s)
+                        pred[c["id"]] += diff
+                        coeffs = None
+                        if c is y_comp:
+                            bi = (my * c["v"] + by) * y_blocks_x + (mx * c["h"] + bx)
+                            coeffs = y_coeffs[bi]
+                            coeffs[0] = pred[c["id"]]
+                        # AC (must be entropy-decoded even for chroma to
+                        # advance the serial bitstream)
+                        k = 1
+                        while k < 64:
+                            sym = reader.decode_symbol(act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC coefficient overrun")
+                            val = _extend(reader.read_bits(size), size)
+                            if coeffs is not None:
+                                coeffs[k] = val
+                            k += 1
+            mcu_count += 1
+
+    # Vectorized dequant + dezigzag + IDCT over ALL Y blocks at once.
+    deq = (y_coeffs * yq[None, :]).astype(np.float64)
+    mats = np.zeros((len(deq), 64))
+    mats[:, _ZIGZAG] = deq
+    mats = mats.reshape(-1, 8, 8)
+    spatial = np.einsum("ki,nkl,lj->nij", _DCT_T, mats, _DCT_T)
+    px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+
+    out = np.zeros((y_blocks_y * 8, y_blocks_x * 8), dtype=np.uint8)
+    for by in range(y_blocks_y):
+        for bx in range(y_blocks_x):
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px[by * y_blocks_x + bx]
+    # Y is subsampled relative to the frame when hmax/vmax > Y's factors.
+    ys = frame["h"] * y_comp["v"] // vmax
+    xs = frame["w"] * y_comp["h"] // hmax
+    return out[:ys, :xs]
+
+
+def _encode_block(
+    writer: _BitWriter,
+    coeffs: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Huffman-encode one quantized zigzag block; returns the new DC pred."""
+    dc = int(coeffs[0])
+    diff = dc - pred
+    mag = abs(diff)
+    size = int(mag).bit_length()
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    last_nz = int(np.max(np.nonzero(coeffs)[0])) if np.any(coeffs[1:]) else 0
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(coeffs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        size = abs(v).bit_length()
+        code, length = ac_codes[run * 16 + size]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+    return dc
+
+
+def encode_jpeg_gray(
+    img: np.ndarray, quant_value: int = 8, color: bool = False
+) -> bytes:
+    """Fixture-grade baseline JPEG encoder.
+
+    ``img`` is (H, W) uint8. A FLAT quantization table of ``quant_value``
+    is used (value 8 makes constant 8×8 blocks round-trip exactly; value 1
+    bounds arbitrary-content round-trip error to DCT rounding).
+    ``color=True`` wraps the gray image as a 3-component 4:2:0 YCbCr frame
+    with neutral chroma (all-zero coefficient blocks) — same decoded luma,
+    but it exercises the decoder's full MCU/sampling-factor interleave.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    qtab = np.full(64, int(quant_value), dtype=np.int32)
+    dc_codes = _canonical_codes(*_STD_DC_LUM)
+    ac_codes = _canonical_codes(*_STD_AC_LUM)
+
+    def segment(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += segment(0xDB, bytes([0]) + bytes(qtab.tolist()))
+    if color:
+        comps = bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+        out += segment(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) + comps)
+    else:
+        out += segment(
+            0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+        )
+    bits_dc, vals_dc = _STD_DC_LUM
+    bits_ac, vals_ac = _STD_AC_LUM
+    out += segment(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc))
+    out += segment(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(vals_ac))
+    if color:
+        sos_body = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    else:
+        sos_body = bytes([1, 1, 0x00, 0, 63, 0])
+    out += segment(0xDA, sos_body)
+
+    # Pad to full MCUs by edge replication.
+    unit = 16 if color else 8
+    ph = (h + unit - 1) // unit * unit
+    pw = (w + unit - 1) // unit * unit
+    padded = np.zeros((ph, pw), dtype=np.uint8)
+    padded[:h, :w] = img
+    if ph > h:
+        padded[h:, :w] = img[-1:, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+
+    writer = _BitWriter()
+    pred_y = 0
+    pred_cb = 0
+    pred_cr = 0
+    zero_block = np.zeros(64, dtype=np.int32)
+    mcus_y = ph // unit
+    mcus_x = pw // unit
+    yb_per = 4 if color else 1
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for b in range(yb_per):
+                if color:
+                    by, bx = divmod(b, 2)
+                    y0 = my * 16 + by * 8
+                    x0 = mx * 16 + bx * 8
+                else:
+                    y0, x0 = my * 8, mx * 8
+                block = padded[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 128.0
+                coef = _DCT_T @ block @ _DCT_T.T
+                # FLAT quant table: quantize in natural order, then reorder
+                # to the zigzag transmission order.
+                nat = np.round(coef / float(quant_value)).astype(np.int32)
+                zz = nat.reshape(64)[_ZIGZAG]
+                pred_y = _encode_block(writer, zz, pred_y, dc_codes, ac_codes)
+            if color:
+                pred_cb = _encode_block(writer, zero_block, pred_cb, dc_codes, ac_codes)
+                pred_cr = _encode_block(writer, zero_block, pred_cr, dc_codes, ac_codes)
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

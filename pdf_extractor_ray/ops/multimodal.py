@@ -5,13 +5,15 @@ like the PDF payloads in the main pipeline. The Ray-side plumbing — schema,
 actor-pool stage shape, batch sizing for wide binary rows, output layout —
 is real and tested. Decode kernels, round 2:
 
-* REAL, from scratch on stdlib: PNG (8-bit gray/RGB/RGBA, filters 0-4,
-  zlib IDAT — the PNG spec / RFC 2083), BMP (24-bit uncompressed), WAV
-  (PCM via the stdlib ``wave`` module).
-* STUBBED, declared: JPEG/WebP (DCT/VP8 codecs need native libs), MP3,
-  video containers — ``NotImplementedError`` with the production swap
-  noted; a deterministic fake format keeps the plumbing testable
-  without any codec.
+* REAL, from scratch on stdlib/numpy: PNG (8-bit gray/RGB/RGBA, filters
+  0-4, zlib IDAT — the PNG spec / RFC 2083), BMP (24-bit uncompressed),
+  baseline JPEG (round 3 — :mod:`.jpeg`: Huffman + dequant + IDCT, gray
+  and subsampled YCbCr, restart markers), WAV (PCM via the stdlib
+  ``wave`` module).
+* STUBBED, declared: WebP (VP8 needs native libs), MP3, video containers
+  — ``NotImplementedError`` with the production swap noted; a
+  deterministic fake format keeps the plumbing testable without any
+  codec.
 
 Fake payload convention: ``b"IMGv1" + width:uint16 + height:uint16 +
 channel bytes``.
@@ -207,22 +209,29 @@ def encode_bmp(img: np.ndarray) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W) grayscale array.
 
-    PNG and BMP decode for real (from-scratch stdlib kernels above); the
-    deterministic fake format decodes for plumbing tests; JPEG/WebP remain
-    declared stubs (DCT/VP8 need native codecs — swap in a
-    Pillow/turbojpeg kernel in production)."""
+    PNG, BMP and baseline JPEG decode for real (from-scratch stdlib/numpy
+    kernels — JPEG in :mod:`.jpeg`, added round 3: full marker parse,
+    canonical Huffman, dequant + vectorized IDCT, gray + YCbCr subsampled,
+    restart markers; luma plane out). The deterministic fake format decodes
+    for plumbing tests; WebP remains a declared stub (VP8 needs a native
+    codec — swap in a Pillow kernel in production). JPEG's luma IS the Y
+    channel; PNG/BMP use the integer (299r+587g+114b)/1000 luma."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:5] == FAKE_MAGIC:
         width, height = struct.unpack("<HH", payload[5:9])
         return np.frombuffer(payload[9 : 9 + width * height], dtype=np.uint8).reshape(
             height, width
         )
     raise NotImplementedError(
-        "JPEG/WebP codecs unavailable in this environment (STUB); "
-        "swap decode_image for a Pillow/turbojpeg kernel in production"
+        "WebP codec unavailable in this environment (STUB); "
+        "swap decode_image for a Pillow kernel in production"
     )
 
 

@@ -1495,24 +1495,40 @@ def q_embed_ann(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal image pipeline with an exact oracle: each document yields
-    a REAL 16×16 grayscale PNG whose pixels follow the deterministic
-    formula ``(doc_id*31 + i) % 256``; the media stage must decode the PNG
-    (from-scratch stdlib codec), compute the 16-bin intensity histogram,
-    and emit normalized weights. The SQL oracle recomputes the histogram
-    directly from the pixel formula — so decode + unfilter + binning are
-    all verified, not just plumbing. Weights are exact dyadic rationals
-    (count/256), hash-safe across engines."""
+    """Multimodal image pipeline with an exact oracle: even doc_ids yield a
+    REAL 16×16 grayscale PNG whose pixels follow the deterministic formula
+    ``(doc_id*31 + i) % 256``; odd doc_ids yield a REAL baseline JPEG of
+    four constant 8×8 blocks valued ``(doc_id*31 + b*17) % 256`` encoded
+    with a flat quant table of 8 — constant blocks round-trip EXACTLY
+    through the real DCT path (DC=(v-128)*8 quantizes losslessly), so the
+    from-scratch Huffman/dequant/IDCT decode is value-verified, not just
+    plumbing. The media stage must decode both formats, compute the 16-bin
+    intensity histogram, and emit normalized weights; the SQL oracle
+    recomputes the histograms directly from the pixel formulas. Weights
+    are exact dyadic rationals (count/256), hash-safe across engines."""
+    from .ops.jpeg import encode_jpeg_gray
     from .ops.multimodal import encode_png, media_pipeline
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def to_media(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        payloads = []
+        payloads, mimes = [], []
         for i in ids:
-            pixels = ((i * 31 + np.arange(256)) % 256).astype(np.uint8).reshape(16, 16)
-            payloads.append(encode_png(pixels, 0, 2))
+            if i % 2 == 0:
+                pixels = (
+                    ((i * 31 + np.arange(256)) % 256).astype(np.uint8).reshape(16, 16)
+                )
+                payloads.append(encode_png(pixels, 0, 2))
+                mimes.append("image/png")
+            else:
+                img = np.zeros((16, 16), np.uint8)
+                for b, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        i * 31 + b * 17
+                    ) % 256
+                payloads.append(encode_jpeg_gray(img, quant_value=8))
+                mimes.append("image/jpeg")
         n = len(ids)
         return pa.Table.from_arrays(
             [
@@ -1520,7 +1536,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
                 pa.array([f"img://{i}" for i in ids], pa.string()),
                 pa.array(["image"] * n, pa.string()),
                 pa.array(payloads, pa.binary()),
-                pa.array(["image/png"] * n, pa.string()),
+                pa.array(mimes, pa.string()),
                 pa.array([16] * n, pa.int32()),
                 pa.array([16] * n, pa.int32()),
                 pa.array([0] * n, pa.int32()),
@@ -2031,6 +2047,12 @@ ORACLE_SQL: dict[str, str] = {
             SELECT d.doc_id AS media_id, (d.doc_id * 31 + i.i) % 256 AS v
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
+            WHERE d.doc_id % 2 = 0
+            UNION ALL
+            SELECT d.doc_id, (d.doc_id * 31 + (i.i // 64) * 17) % 256
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
+            WHERE d.doc_id % 2 = 1
         ),
         hist AS (
             SELECT media_id, CAST(v // 16 AS INTEGER) AS bin, count(*) AS c

@@ -1,0 +1,170 @@
+"""Tests for the from-scratch baseline JPEG codec (ops/jpeg.py)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extractor_ray.ops.jpeg import decode_jpeg, encode_jpeg_gray
+from pdf_extractor_ray.ops.multimodal import decode_image
+
+
+class TestRoundTrip:
+    def test_constant_blocks_exact_with_quant8(self):
+        """Constant 8x8 blocks survive the real DCT path EXACTLY at flat
+        quant 8 (DC=(v-128)*8 quantizes losslessly) — the property the
+        media_features oracle relies on."""
+        img = np.zeros((16, 16), np.uint8)
+        for b, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (b * 87 + 3) % 256
+        assert np.array_equal(decode_jpeg(encode_jpeg_gray(img, 8)), img)
+
+    def test_arbitrary_content_quant1_bounded_error(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg_gray(img, 1))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_non_multiple_of_8_dims(self):
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg_gray(img, 1))
+        assert dec.shape == (13, 21)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_color_420_interleave(self):
+        """3-component 4:2:0 frame (neutral chroma): the decoder must walk
+        the full MCU/sampling-factor interleave and still recover the luma."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(24, 33), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg_gray(img, 1, color=True))
+        assert dec.shape == (24, 33)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_decode_image_dispatch(self):
+        img = np.full((8, 8), 77, np.uint8)
+        assert np.array_equal(decode_image(encode_jpeg_gray(img, 8)), img)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(4, 24),
+        w=st.integers(4, 24),
+        seed=st.integers(0, 10_000),
+    )
+    def test_roundtrip_property(self, h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg_gray(img, 1))
+        assert dec.shape == (h, w)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _headers(h: int, w: int, dri: int | None = None) -> bytes:
+    """Minimal grayscale baseline headers with flat quant 1 and the
+    STANDARD Annex-K luminance tables — written by hand, independent of the
+    encoder under test."""
+    import struct
+
+    from pdf_extractor_ray.ops.jpeg import _STD_AC_LUM, _STD_DC_LUM
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUM[0]) + bytes(_STD_DC_LUM[1]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUM[0]) + bytes(_STD_AC_LUM[1]))
+    if dri is not None:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return bytes(out)
+
+
+class TestHandBuiltBitstream:
+    """Bitstreams assembled by hand from the public spec — they validate
+    the DECODER's Huffman/EXTEND/padding/restart conventions independently
+    of the sibling encoder (a symmetrical encoder+decoder bug would pass
+    round-trip tests but fail these)."""
+
+    def test_dc_only_block(self):
+        # One 8x8 block, constant 128: DC diff 0 -> DC code '00' (category
+        # 0), EOB '1010'; padded with 1s -> 0b00101011 = 0x2B.
+        data = _headers(8, 8) + bytes([0x2B]) + b"\xff\xd9"
+        out = decode_jpeg(data)
+        assert np.array_equal(out, np.full((8, 8), 128, np.uint8))
+
+    def test_restart_marker_resets_predictor(self):
+        # Two MCUs, DRI=1, RST0 between them. Block 1: constant 128 (DC
+        # diff 0 -> 0x2B as above). Block 2 after restart: predictor reset,
+        # constant 140 -> DC = (140-128)*8 = 96, category 7, DC code
+        # '11110' + 7 value bits '1100000', EOB '1010' -> 0xF6 0x0A.
+        data = (
+            _headers(8, 16, dri=1)
+            + bytes([0x2B])
+            + b"\xff\xd0"
+            + bytes([0xF6, 0x0A])
+            + b"\xff\xd9"
+        )
+        out = decode_jpeg(data)
+        assert np.array_equal(out[:, :8], np.full((8, 8), 128, np.uint8))
+        assert np.array_equal(out[:, 8:], np.full((8, 8), 140, np.uint8))
+
+    def test_ac_coefficient(self):
+        # One block: DC diff 0 ('00'), then AC symbol 0x04 (run 0, size 4,
+        # code '1011') + 4 value bits '1111' (coefficient +15 at zigzag
+        # index 1 = natural (0,1)), EOB '1010' -> bits
+        # 00 1011 1111 1010 + pad '11' = 0x2F 0xEB.
+        data = _headers(8, 8) + bytes([0x2F, 0xEB]) + b"\xff\xd9"
+        out = decode_jpeg(data).astype(float)
+        # natural (0,1) = column half-cosine on top of the flat 128:
+        # columns vary, rows constant
+        assert (out.std(axis=0) < 1e-9).all()
+        assert out[0, 0] > 128 > out[0, 7]
+
+
+class TestContainment:
+    def test_not_jpeg(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"plainly not a jpeg")
+
+    def test_truncated_entropy(self):
+        img = np.full((16, 16), 50, np.uint8)
+        full = encode_jpeg_gray(img, 1)
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:60])
+
+    def test_progressive_declared_unsupported(self):
+        import struct
+
+        data = bytearray(b"\xff\xd8")
+        data += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+        data += _seg(
+            0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        )
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
+
+    def test_media_stage_contains_corrupt_jpeg(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.multimodal import media_pipeline
+
+        img = np.full((16, 16), 90, np.uint8)
+        good = encode_jpeg_gray(img, 8)
+        rows = [
+            {"media_id": 1, "payload": good},
+            {"media_id": 2, "payload": good[:50]},
+        ]
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(
+            media_pipeline(rd.from_items(rows)).iter_batches(batch_format="pyarrow")
+        )
+        err = dict(zip(tbl["media_id"].to_pylist(), tbl["decode_error"].to_pylist()))
+        assert err[1] is None
+        assert err[2] is not None

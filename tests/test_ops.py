@@ -544,9 +544,14 @@ class TestMultimodal:
         feats = audio_features(encode_wav(sig))
         assert len(feats) == 8 and abs(sum(feats) - 1.0) < 1e-9
 
-    def test_jpeg_still_declared_stub(self):
+    def test_jpeg_now_real_webp_still_stub(self):
+        # JPEG decodes for real since round 3 — a corrupt JPEG is a
+        # ValueError (contained per-row), while WebP remains the declared
+        # NotImplementedError stub.
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff\xe0JFIF-ish-but-truncated")
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
+            decode_image(b"RIFF0000WEBPVP8 ")
 
     def test_pipeline_plumbing(self, ray_session):
         import ray.data as rd
