@@ -31,9 +31,10 @@ def log(msg: str) -> None:
 
 
 def ensure_corpus(sf_dir: str, n_pages: int, num_cpus: int) -> str:
+    # v4: bucket-38 real PDFs switch to LZWDecode content streams (round 3)
     # v3: bucket-8 fixtures include genuine %PDF payloads across all three
     # xref forms (table / xref-stream / ObjStm) + a real two-column PDF
-    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}_v3"
+    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}_v4"
     marker = os.path.join(corpus_dir, "_DONE")
     if os.path.exists(marker):
         return corpus_dir

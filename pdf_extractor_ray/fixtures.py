@@ -225,13 +225,16 @@ def _pdf_payload(rng: random.Random, lang: str, doc_id: int) -> bytes:
     tail = doc_id % 100
     if tail in (18, 38, 78):  # genuine %PDF payloads — one per operator
         # style AND one per cross-reference form (classic table, PDF 1.5
-        # xref stream, /ObjStm), FlateDecode on two of three: the
-        # real-parser share of the flagship corpus
+        # xref stream, /ObjStm), and one per content-stream filter (none /
+        # LZWDecode / FlateDecode): the real-parser share of the flagship
+        # corpus. Filters are transport, not semantics — the golden text is
+        # unchanged.
         from .functions.pdf_codec import build_pdf
 
         style = {18: "tm", 38: "td", 78: "tstar"}[tail]
         xref_kind = {18: "table", 38: "stream", 78: "objstm"}[tail]
-        return build_pdf(text, compress=tail != 18, style=style, xref_kind=xref_kind)
+        compress = {18: False, 38: "lzw", 78: True}[tail]
+        return build_pdf(text, compress=compress, style=style, xref_kind=xref_kind)
     return layout_text(text)
 
 

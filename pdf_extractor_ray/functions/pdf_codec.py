@@ -19,17 +19,20 @@ Reader support (documented subset):
 - object syntax: dictionaries, arrays, names, literal strings (nested
   parens, all escapes, octal), hex strings, numbers, booleans, null,
   indirect references, streams (``/Length`` direct or indirect)
-- ``/FlateDecode`` stream filter via stdlib zlib
+- stream filters: ``/FlateDecode`` (stdlib zlib), ``/LZWDecode``
+  (from-scratch, EarlyChange handled, spec example vector in tests) and
+  ``/RunLengthDecode``; per-filter ``/DecodeParms`` chains
 - page tree walking with attribute inheritance (``/Kids`` recursion)
 - content-stream text operators: BT ET Tf TL Td TD Tm T* Tj TJ ' "
   (q/Q/cm and colour/path operators are skipped token-exactly)
 - outline tree (``/Outlines`` → ``/First``/``/Next``, ``/Title``,
   ``/Dest`` or ``/A``→``/D`` page destinations)
 
-NOT supported (declared): encryption, CID/composite fonts, inline
-images, non-Flate filters (LZW/DCT/CCITT). Payloads needing those fall
-through to the pipeline's error-containment path like any other
-undecodable input.
+NOT supported (declared): encryption (a typed ``PdfError`` at open —
+even the empty-password RC4/AES case needs the standard security
+handler), CID/composite fonts, inline images, DCT/CCITT/JBIG2 filters.
+Payloads needing those fall through to the pipeline's error-containment
+path like any other undecodable input.
 
 Glyph metrics: the writer uses Courier (fixed 600/1000 advance), so the
 reader's char-box reconstruction (0.6 × font size per glyph) is exact and
@@ -151,7 +154,7 @@ def _page_content(rows: list[str | None], style: str) -> bytes:
 
 def build_pdf(
     text: str,
-    compress: bool = False,
+    compress: bool | str = False,
     style: str = "tm",
     outline: list[tuple[str, int]] | None = None,
     chars_per_line: int = 80,
@@ -319,7 +322,13 @@ def _serialize_pdf(
             f"<< /Type /Page /Parent 2 0 R /Contents {first_content_obj + i} 0 R "
             f"/Resources << /Font << /F1 3 0 R >> >> >>"
         ).encode()
-        if compress:
+        if compress == "lzw":
+            data = _lzw_encode(content)
+            head = b"<< /Length %d /Filter /LZWDecode >>" % len(data)
+        elif compress == "rle":
+            data = _rle_encode(content)
+            head = b"<< /Length %d /Filter /RunLengthDecode >>" % len(data)
+        elif compress:
             data = zlib.compress(content)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
         else:
@@ -475,6 +484,148 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
                 cur[i] = (cur[i] + pred) & 0xFF
         out += cur
         prev = cur
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (ISO 32000 §7.4.4 / TIFF variant): 9→12-bit MSB-first
+    codes, clear=256, EOD=257, ``EarlyChange`` widens the code one entry
+    early (the PDF default). Validated against the spec's published
+    example vector in tests."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    bits = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (acc >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == 257:  # EOD
+                return bytes(out)
+            if code == 256:  # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                bits = 9
+                prev = None
+                continue
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfError("LZW: bad first code")
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise PdfError("LZW: code out of range")
+            out += entry
+            prev = entry
+            if next_code + early_change - 1 >= (1 << bits) and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Fixture-grade LZW encoder, symmetric with :func:`_lzw_decode`."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bits = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # clear
+    seq = b""
+    for byte in data:
+        cand = seq + bytes([byte])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        if next_code + early_change - 1 > (1 << bits) and bits < 12:
+            bits += 1
+        if next_code > 4095:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            bits = 9
+        seq = bytes([byte])
+    if seq:
+        emit(table[seq])
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte 0-127 = copy n+1
+    literal bytes; 129-255 = repeat next byte 257-n times; 128 = EOD."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n == 128:
+            break
+        if n < 128:
+            chunk = data[pos : pos + n + 1]
+            if len(chunk) != n + 1:
+                raise PdfError("RunLength: truncated literal run")
+            out += chunk
+            pos += n + 1
+        else:
+            if pos >= len(data):
+                raise PdfError("RunLength: truncated repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Fixture-grade RunLength encoder (repeat runs ≥3, literals else)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    out.append(128)
     return bytes(out)
 
 
@@ -682,6 +833,11 @@ class PdfDocument:
             self._scan_objects()
             if "Root" not in self.trailer:
                 raise PdfError("no document catalog")
+        if "Encrypt" in self.trailer:
+            # DECLARED UNSUPPORTED: encrypted PDFs (even empty-password
+            # RC4/AES) need the standard security handler — per-row
+            # containment upstream turns this into a typed extract_error.
+            raise PdfError("encrypted PDF unsupported")
 
     # -- xref ---------------------------------------------------------------
     def _load_xref(self):
@@ -749,14 +905,26 @@ class PdfDocument:
             raw = self.data[p : p + int(length)]
             filt = obj.get("Filter")
             filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-            for f in filters:
-                if str(f) == "FlateDecode":
+            parms_raw = obj.get("DecodeParms")
+            parms_list = (
+                parms_raw
+                if isinstance(parms_raw, list)
+                else [parms_raw] * len(filters)
+            )
+            for fi, f in enumerate(filters):
+                fp = parms_list[fi] if fi < len(parms_list) else None
+                fp = fp if isinstance(fp, dict) else {}
+                name = str(f)
+                if name == "FlateDecode":
                     raw = zlib.decompress(raw)
+                elif name == "LZWDecode":
+                    raw = _lzw_decode(raw, int(fp.get("EarlyChange", 1) or 0))
+                elif name == "RunLengthDecode":
+                    raw = _rle_decode(raw)
                 else:
                     raise PdfError(f"unsupported filter {f}")
-            parms = obj.get("DecodeParms") or {}
-            if isinstance(parms, dict) and int(parms.get("Predictor", 1) or 1) >= 10:
-                raw = _png_unpredict(raw, int(parms.get("Columns", 1)))
+                if int(fp.get("Predictor", 1) or 1) >= 10:
+                    raw = _png_unpredict(raw, int(fp.get("Columns", 1)))
             obj = dict(obj)
             obj["__stream__"] = raw
         return num, obj

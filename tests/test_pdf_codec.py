@@ -105,6 +105,78 @@ class TestStructureParser:
         assert md == toy_md
 
 
+class TestStreamFilters:
+    """LZW / RunLength filters (round-3 verdict item 5) — the first
+    real-corpus failure modes beyond FlateDecode."""
+
+    def test_lzw_spec_example_vector(self):
+        # ISO 32000 §7.4.4.2 published example (decimal byte values):
+        # encoded 80 0B 60 50 22 0C 0C 85 01 → 45×5, 65, 45×3, 66.
+        from pdf_extractor_ray.functions.pdf_codec import _lzw_decode
+
+        assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) == bytes(
+            [45] * 5 + [65] + [45] * 3 + [66]
+        )
+
+    def test_lzw_rle_round_trip(self):
+        import os
+
+        from pdf_extractor_ray.functions.pdf_codec import (
+            _lzw_decode,
+            _lzw_encode,
+            _rle_decode,
+            _rle_encode,
+        )
+
+        rng = np.random.default_rng(4)
+        big = rng.integers(0, 256, size=8000, dtype=np.uint8).tobytes()
+        for data in (b"", b"a", b"ab" * 3000, big, bytes(range(256)) * 16):
+            assert _lzw_decode(_lzw_encode(data)) == data
+            assert _rle_decode(_rle_encode(data)) == data
+
+    def test_extract_parity_across_filters(self):
+        """The same text through Flate/LZW/RunLength content streams must
+        extract byte-identically (filters are transport, not semantics)."""
+        text = " ".join(f"word{i}" for i in range(600))
+        base = extract_pdf(build_pdf(text))
+        for f in ("lzw", "rle", True):
+            assert extract_pdf(build_pdf(text, compress=f)) == base
+
+    def test_truncated_lzw_contained(self):
+        from pdf_extractor_ray.functions.pdf_codec import PdfError, _lzw_decode
+
+        # mid-stream garbage code (out-of-range) must be a typed PdfError
+        with pytest.raises(PdfError):
+            _lzw_decode(b"\x80\x5f\xff\xff\xff\xff")
+
+
+class TestEncryptionDeclared:
+    def test_encrypted_pdf_typed_error(self):
+        from pdf_extractor_ray.functions.pdf_codec import PdfDocument, PdfError
+
+        pdf = build_pdf("some secret words here")
+        # splice an /Encrypt entry into the classic trailer dict
+        patched = pdf.replace(b"trailer\n<<", b"trailer\n<< /Encrypt 99 0 R ", 1)
+        assert patched != pdf
+        with pytest.raises(PdfError, match="encrypted"):
+            PdfDocument(patched)
+
+    def test_encrypted_pdf_contained_in_sections_stage(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.stages.sections import pdf_sections_rows
+
+        pdf = build_pdf("visible words", outline=[("A", 0)])
+        patched = pdf.replace(b"trailer\n<<", b"trailer\n<< /Encrypt 99 0 R ", 1)
+        out = pa.concat_tables(
+            pdf_sections_rows(
+                rd.from_items([{"url": "https://x/enc.pdf", "html": patched}])
+            ).iter_batches(batch_format="pyarrow")
+        )
+        assert out["title"].to_pylist() == ["extract_error"]
+
+
 class TestOutline:
     def test_bookmarks_round_trip(self):
         text = " ".join(f"w{i}" for i in range(2000))
