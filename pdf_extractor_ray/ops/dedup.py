@@ -82,29 +82,42 @@ def exact_dedup_large(ds, text_col: str = "text", id_col: str = "doc_id"):
     """
     import ray
 
+    from .segments import sorted_segment_apply
+
     def signatures(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [
                 pa.array(content_hash_batch(batch[text_col].to_pylist()), pa.string()),
-                batch[id_col],
+                batch[id_col].combine_chunks(),
             ],
             names=["content_hash", id_col],
         )
 
-    def losers(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].sort_values()
-        return pd.DataFrame({id_col: ids.iloc[1:]})
+    def losers_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        # Everything in a hash segment except its min-id first row is a
+        # loser — pure index arithmetic (coverage diff + start mask), no
+        # per-group Python. Distinct-text groups are CORPUS-proportional,
+        # exactly the regime where map_groups was the wrong shape.
+        n = batch.num_rows
+        cover = np.zeros(n + 1, np.int64)
+        np.add.at(cover, starts, 1)
+        np.add.at(cover, ends, -1)
+        inseg = np.cumsum(cover[:-1]) > 0
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        idx = np.flatnonzero(inseg & ~is_start)
+        return batch.select([id_col]).take(pa.array(idx))
 
     # Loser ids stay in their NATIVE Arrow type (string doc ids / urls work
     # as well as ints — is_in needs no sort, no cast).
     loser_chunks = [
         chunk
-        for batch in (
-            ds.map_batches(signatures, batch_format="pyarrow")
-            .groupby("content_hash")
-            .map_groups(losers, batch_format="pandas")
-            .iter_batches(batch_format="pyarrow")
-        )
+        for batch in sorted_segment_apply(
+            ds.map_batches(signatures, batch_format="pyarrow"),
+            key_col="content_hash",
+            block_fn=losers_block,
+            within_cols=[id_col],
+        ).iter_batches(batch_format="pyarrow")
         for chunk in batch.column(id_col).chunks
         if len(chunk)
     ]

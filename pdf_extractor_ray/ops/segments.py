@@ -99,7 +99,9 @@ def sorted_segment_apply(
         with pa.ipc.new_stream(sink, frag_tbl.schema) as w:
             w.write_table(frag_tbl)
         blob = sink.getvalue().to_pybytes()
-        out = out.append_column(MARK, pa.array([False] * out.num_rows))
+        out = out.append_column(
+            MARK, pa.array([False] * out.num_rows, type=pa.bool_())
+        )
         out = out.append_column("__rows__", pa.nulls(out.num_rows, pa.binary()))
         frag_row = pa.Table.from_arrays(
             [
