@@ -234,7 +234,16 @@ def _pdf_payload(rng: random.Random, lang: str, doc_id: int) -> bytes:
         style = {18: "tm", 38: "td", 78: "tstar"}[tail]
         xref_kind = {18: "table", 38: "stream", 78: "objstm"}[tail]
         compress = {18: False, 38: "lzw", 78: True}[tail]
-        return build_pdf(text, compress=compress, style=style, xref_kind=xref_kind)
+        # bucket 18 additionally uses a /Differences custom encoding
+        # (codes shifted by one) — font decode in the flagship path
+        font_encoding = {18: "differences", 38: "builtin", 78: "tounicode"}[tail]
+        return build_pdf(
+            text,
+            compress=compress,
+            style=style,
+            xref_kind=xref_kind,
+            font_encoding=font_encoding,
+        )
     return layout_text(text)
 
 

@@ -27,10 +27,14 @@ Reader support (documented subset):
   (q/Q/cm and colour/path operators are skipped token-exactly)
 - outline tree (``/Outlines`` → ``/First``/``/Next``, ``/Title``,
   ``/Dest`` or ``/A``→``/D`` page destinations)
+- simple-font code→Unicode mapping: ``/ToUnicode`` CMaps (bfchar/bfrange)
+  and ``/Encoding /Differences`` via a glyph-name list (AGL subset +
+  ``uniXXXX``); unmapped codes read as their own codepoint
 
 NOT supported (declared): encryption (a typed ``PdfError`` at open —
 even the empty-password RC4/AES case needs the standard security
-handler), CID/composite fonts, inline images, DCT/CCITT/JBIG2 filters.
+handler), CID/composite fonts (2-byte codes), inline images,
+DCT/CCITT/JBIG2 filters.
 Payloads needing those fall through to the pipeline's error-containment
 path like any other undecodable input.
 
@@ -160,6 +164,7 @@ def build_pdf(
     chars_per_line: int = 80,
     lines_per_page: int = 40,
     xref_kind: str = "table",
+    font_encoding: str = "builtin",
 ) -> bytes:
     """Serialize ``text`` as a genuine single-font PDF.
 
@@ -173,7 +178,7 @@ def build_pdf(
     ``"objstm"`` (dict objects additionally packed into an /ObjStm).
     """
     pages = wrap_text_rows(text, chars_per_line, lines_per_page) or [[]]
-    return _assemble_pdf(pages, outline, compress, style, xref_kind)
+    return _assemble_pdf(pages, outline, compress, style, xref_kind, font_encoding)
 
 
 def build_sectioned_pdf(
@@ -283,9 +288,25 @@ def _assemble_pdf(
     compress: bool,
     style: str,
     xref_kind: str = "table",
+    font_encoding: str = "builtin",
 ) -> bytes:
+    if font_encoding == "builtin":
+        enc_pages = pages
+    else:
+        # shift-by-one custom encoding: code c shows character chr(c-1);
+        # the font object declares the inverse via /Differences or a
+        # /ToUnicode CMap (readers without font handling would extract
+        # visibly garbled text — the point of the fixture).
+        enc_pages = [
+            [None if r is None else "".join(chr(ord(c) + 1) for c in r) for r in rows]
+            for rows in pages
+        ]
     return _serialize_pdf(
-        [_page_content(rows, style) for rows in pages], outline, compress, xref_kind
+        [_page_content(rows, style) for rows in enc_pages],
+        outline,
+        compress,
+        xref_kind,
+        font_encoding,
     )
 
 
@@ -294,15 +315,18 @@ def _serialize_pdf(
     outline: list[tuple[str, int]] | None,
     compress: bool,
     xref_kind: str = "table",
+    font_encoding: str = "builtin",
 ) -> bytes:
     n_pages = len(content_streams)
 
     # object numbering: 1 catalog, 2 pages-root, 3 font,
-    # 4..3+n page objects, then content streams, then outline objects
+    # 4..3+n page objects, then content streams, then outline objects,
+    # then (custom font encodings only) the /ToUnicode CMap stream
     first_page_obj = 4
     first_content_obj = first_page_obj + n_pages
     first_outline_obj = first_content_obj + n_pages
     n_outline = (1 + len(outline)) if outline else 0
+    tounicode_obj = first_outline_obj + n_outline
 
     objs: dict[int, bytes] = {}
     kids = " ".join(f"{first_page_obj + i} 0 R" for i in range(n_pages))
@@ -315,7 +339,28 @@ def _serialize_pdf(
         f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] "
         f"/MediaBox [0 0 612 792] >>"
     ).encode()
-    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
+    if font_encoding == "differences":
+        names = " ".join("/uni%04X" % (c - 1) for c in range(33, 127))
+        objs[3] = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+            f"/Encoding << /Type /Encoding /Differences [33 {names}] >> >>"
+        ).encode()
+    elif font_encoding == "tounicode":
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+            b"/ToUnicode %d 0 R >>" % tounicode_obj
+        )
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 beginbfrange <21> <7F> <0020> endbfrange\n"
+            b"end"
+        )
+        objs[tounicode_obj] = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+    else:
+        objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
 
     for i, content in enumerate(content_streams):
         objs[first_page_obj + i] = (
@@ -1077,6 +1122,39 @@ class PdfDocument:
                 parts.append(obj.get("__stream__", b""))
         return b"\n".join(parts)
 
+    def page_font_maps(self, page: dict) -> dict[str, dict[int, int]]:
+        """Per-font code→codepoint maps for one page: /ToUnicode CMap wins,
+        else /Encoding /Differences via the glyph-name list; unmapped codes
+        fall through to identity (builtin encoding)."""
+        res = self.resolve(page.get("Resources")) or {}
+        fonts = self.resolve(res.get("Font")) if isinstance(res, dict) else None
+        out: dict[str, dict[int, int]] = {}
+        if not isinstance(fonts, dict):
+            return out
+        for fname, fref in fonts.items():
+            font = self.resolve(fref)
+            if not isinstance(font, dict):
+                continue
+            cmap: dict[int, int] = {}
+            enc = self.resolve(font.get("Encoding"))
+            if isinstance(enc, dict):
+                diffs = self.resolve(enc.get("Differences")) or []
+                code = 0
+                for item in diffs:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    else:
+                        cp = _glyph_to_cp(str(item))
+                        if cp is not None:
+                            cmap[code] = cp
+                        code += 1
+            tu = self.resolve(font.get("ToUnicode"))
+            if isinstance(tu, dict) and "__stream__" in tu:
+                cmap.update(_parse_tounicode(tu["__stream__"]))
+            if cmap:
+                out[str(fname)] = cmap
+        return out
+
     # -- outline ------------------------------------------------------------
     def outline(self) -> list[tuple[str, int]]:
         """Flat top-level outline: ``[(title, page_index), ...]`` — the
@@ -1151,15 +1229,75 @@ class PdfDocument:
 # ---------------------------------------------------------------------------
 
 
-def _interpret_text(content: bytes, page_idx: int, records: list) -> None:
+# Adobe Glyph List subset: the names simple-font /Differences arrays use
+# for ASCII text (letters map to themselves; uniXXXX handled generically).
+_AGL = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26, "quotesingle": 0x27,
+    "parenleft": 0x28, "parenright": 0x29, "asterisk": 0x2A, "plus": 0x2B,
+    "comma": 0x2C, "hyphen": 0x2D, "period": 0x2E, "slash": 0x2F,
+    "zero": 0x30, "one": 0x31, "two": 0x32, "three": 0x33, "four": 0x34,
+    "five": 0x35, "six": 0x36, "seven": 0x37, "eight": 0x38, "nine": 0x39,
+    "colon": 0x3A, "semicolon": 0x3B, "less": 0x3C, "equal": 0x3D,
+    "greater": 0x3E, "question": 0x3F, "at": 0x40, "bracketleft": 0x5B,
+    "backslash": 0x5C, "bracketright": 0x5D, "asciicircum": 0x5E,
+    "underscore": 0x5F, "grave": 0x60, "braceleft": 0x7B, "bar": 0x7C,
+    "braceright": 0x7D, "asciitilde": 0x7E,
+}
+
+
+def _glyph_to_cp(name: str) -> int | None:
+    """Glyph name → Unicode codepoint: single-char names map to
+    themselves, ``uniXXXX`` decodes hex, else the AGL subset above."""
+    if len(name) == 1:
+        return ord(name)
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return int(name[3:], 16)
+        except ValueError:
+            return None
+    return _AGL.get(name)
+
+
+def _parse_tounicode(data: bytes) -> dict[int, int]:
+    """code → codepoint map from a /ToUnicode CMap stream (bfchar +
+    bfrange sections, single-byte codes — the simple-font case; CID/2-byte
+    source codes stay declared-unsupported with the rest of CID)."""
+    out: dict[int, int] = {}
+    for block in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block):
+            code = int(src, 16)
+            if code <= 0xFF and dst:
+                out[code] = int(dst[:4], 16)
+    for block in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block
+        ):
+            lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst[:4], 16)
+            if lo_i <= 0xFF:
+                for c in range(lo_i, min(hi_i, 0xFF) + 1):
+                    out[c] = base + (c - lo_i)
+    return out
+
+
+def _interpret_text(
+    content: bytes,
+    page_idx: int,
+    records: list,
+    font_maps: dict | None = None,
+) -> None:
     """Execute the text operators of one page's content stream, appending
     ``(page, x0, y0, x1, y1, cp)`` records (space glyphs advance the pen but
     emit no record — the layout kernel re-derives word gaps, exactly like
-    the toy decoder)."""
+    the toy decoder). ``font_maps`` is ``{font_resource_name: {code: cp}}``
+    from /ToUnicode CMaps and /Encoding /Differences — codes without a map
+    entry read as their own codepoint (the builtin-encoding identity)."""
     lex = _Lexer(content)
     stack: list = []
     size = 12.0
     leading = 0.0
+    font_maps = font_maps or {}
+    cur_map: dict = {}
     # text matrix (a b c d e f); we use e,f (+ a,d scale) — fixtures are
     # unrotated, but the multiply below is the general one.
     tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
@@ -1175,8 +1313,9 @@ def _interpret_text(content: bytes, page_idx: int, records: list) -> None:
         y = tm[5]
         h = LINE_H
         for b in s:
-            if b != 0x20:
-                records.append((page_idx, x, y, x + w, y + h, b))
+            cp = cur_map.get(b, b)
+            if cp != 0x20:
+                records.append((page_idx, x, y, x + w, y + h, cp))
             x += w
         tm[4] = x
 
@@ -1214,6 +1353,7 @@ def _interpret_text(content: bytes, page_idx: int, records: list) -> None:
             in_text = False
         elif op == b"Tf" and len(stack) >= 2:
             size = float(stack[-1])
+            cur_map = font_maps.get(str(stack[-2]), {})
         elif op == b"TL" and stack:
             leading = float(stack[-1])
         elif op == b"Td" and len(stack) >= 2:
@@ -1252,7 +1392,9 @@ def parse_pdf_records(payload: bytes) -> np.ndarray:
     doc = PdfDocument(payload)
     records: list = []
     for idx, page in enumerate(doc.pages()):
-        _interpret_text(doc.page_content(page), idx, records)
+        _interpret_text(
+            doc.page_content(page), idx, records, doc.page_font_maps(page)
+        )
     return np.array(records, dtype=RECORD_DTYPE)
 
 

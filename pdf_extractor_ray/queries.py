@@ -85,7 +85,7 @@ def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
             .sum()
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     final = (
@@ -147,7 +147,7 @@ def q_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
             }
         )
         agg = df.groupby("c_mktsegment", sort=True).sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     return (
@@ -192,7 +192,7 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(
             df.groupby("r_name", sort=True).sum().reset_index(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return (
         _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
@@ -282,7 +282,7 @@ def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(
             df.groupby("l_orderkey", sort=True).sum().reset_index(),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     def o_filter(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
@@ -320,7 +320,7 @@ def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(
             df.groupby("o_orderpriority", sort=True).sum().reset_index(),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return (
         joined.map_batches(agg_partial, batch_format="pyarrow")
@@ -384,7 +384,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(
             df.groupby("l_orderkey", sort=True).sum().reset_index(),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -411,7 +411,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(
             df.groupby("n_name", sort=True).sum().reset_index(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return (
         joined.map_batches(agg_partial, batch_format="pyarrow")
@@ -452,7 +452,7 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(
             df.groupby(["event_type", "hour"], sort=True).sum().reset_index(),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -629,7 +629,7 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(
             df.groupby("event_type", sort=True).sum().reset_index(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return (
         kept.map_batches(partial, batch_format="pyarrow")
@@ -666,7 +666,7 @@ def q_lineitem_filter(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(
             df.groupby("l_returnflag", sort=True).sum().reset_index(),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1043,7 +1043,7 @@ def q_quality_filter(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(
             df.groupby("lang", sort=True).sum().reset_index(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(score_filter_partial, batch_format="pyarrow")
@@ -1438,7 +1438,7 @@ def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(
             df.groupby("label", sort=True).sum().reset_index(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1619,7 +1619,7 @@ def q_extraction_metrics(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(
             df.groupby("lang", sort=True).sum().reset_index(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return (
         out.map_batches(partial, batch_format="pyarrow")

@@ -150,6 +150,54 @@ class TestStreamFilters:
             _lzw_decode(b"\x80\x5f\xff\xff\xff\xff")
 
 
+class TestFontEncodings:
+    """Simple-font /Encoding /Differences and /ToUnicode CMap decode
+    (round 3): codes are shifted by one in the content stream and mapped
+    back by the font — extraction must be byte-identical to the plain
+    builtin-encoding PDF, across all xref forms."""
+
+    TEXT = " ".join(f"word{i}" for i in range(250)) + " punct: a,b.c-d (e) [f]"
+
+    def test_differences_and_tounicode_parity(self):
+        base = extract_pdf(build_pdf(self.TEXT))
+        for xk in ("table", "stream", "objstm"):
+            for enc in ("differences", "tounicode"):
+                got = extract_pdf(
+                    build_pdf(
+                        self.TEXT, xref_kind=xk, font_encoding=enc, compress=True
+                    )
+                )
+                assert got == base, (xk, enc)
+
+    def test_maps_do_real_work(self):
+        """Interpreting the shifted content WITHOUT font maps must yield
+        garbled text — proves the fixture actually exercises the mapping."""
+        import pdf_extractor_ray.functions.pdf_codec as C
+
+        pdf = build_pdf("hello world", font_encoding="differences")
+        doc = C.PdfDocument(pdf)
+        page = list(doc.pages())[0]
+        recs: list = []
+        C._interpret_text(doc.page_content(page), 0, recs, None)
+        assert "".join(chr(r[5]) for r in recs[:5]) == "ifmmp"
+
+    def test_tounicode_bfchar_and_agl_names(self):
+        from pdf_extractor_ray.functions.pdf_codec import (
+            _glyph_to_cp,
+            _parse_tounicode,
+        )
+
+        m = _parse_tounicode(
+            b"2 beginbfchar <41> <0061> <42> <0062> endbfchar\n"
+            b"1 beginbfrange <50> <52> <0070> endbfrange"
+        )
+        assert m == {0x41: 0x61, 0x42: 0x62, 0x50: 0x70, 0x51: 0x71, 0x52: 0x72}
+        assert _glyph_to_cp("comma") == 0x2C
+        assert _glyph_to_cp("uni00E9") == 0xE9
+        assert _glyph_to_cp("A") == 0x41
+        assert _glyph_to_cp("nosuchglyphname") is None
+
+
 class TestEncryptionDeclared:
     def test_encrypted_pdf_typed_error(self):
         from pdf_extractor_ray.functions.pdf_codec import PdfDocument, PdfError
