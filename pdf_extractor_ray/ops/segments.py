@@ -173,3 +173,37 @@ def sorted_segment_apply(
     if frag_out_tbl.num_rows == 0:
         return interior_out
     return interior_out.union(ray.data.from_arrow(frag_out_tbl))
+
+
+def cap_per_key(
+    ds,
+    key_col: str,
+    k: int,
+    order_cols: list | None = None,
+    descending: list | None = None,
+):
+    """Keep at most ``k`` rows per key, by ``order_cols`` rank (RefinedWeb-
+    style per-domain document caps). Vectorized: after the sort each key's
+    winners sit at its segment start, so the cap is a pure gather of
+    ``starts + 0..k-1`` — no per-group Python at corpus-proportional key
+    counts."""
+
+    def cap_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        lens = ends - starts
+        idx_parts = [
+            (starts + j)[lens > j] for j in range(k)
+        ]
+        idx = (
+            np.sort(np.concatenate(idx_parts))
+            if idx_parts
+            else np.zeros(0, np.int64)
+        )
+        return batch.take(pa.array(idx))
+
+    return sorted_segment_apply(
+        ds,
+        key_col=key_col,
+        block_fn=cap_block,
+        within_cols=order_cols,
+        descending=descending,
+    )

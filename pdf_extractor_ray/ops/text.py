@@ -320,3 +320,104 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
         .append_column("n_bigrams", pa.array(totals, pa.int64()))
         .append_column("repetitive", pa.array(flags))
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level boilerplate dedup (CCNet/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def _para_hashes(text: str, sep: str = "\n\n") -> tuple[list[str], np.ndarray]:
+    """Paragraphs and their 64-bit FNV-1a hashes (uint64, one per para)."""
+    paras = (text or "").split(sep)
+    hs = np.fromiter(
+        (_fnv1a(p.encode("utf-8", "ignore")) for p in paras),
+        dtype=np.uint64,
+        count=len(paras),
+    )
+    return paras, hs
+
+
+def paragraph_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n\n",
+):
+    """Cross-document paragraph (boilerplate) removal: a paragraph that
+    occurs in ≥ ``min_docs`` DISTINCT documents is dropped from every
+    document (nav bars, cookie banners, footers — the CCNet/RefinedWeb
+    paragraph-dedup step).
+
+    Scale shape: pass 1 emits per-doc-unique ``(phash, id)`` 16-byte rows;
+    the distinct-document count per paragraph is EXACT via one sort on
+    ``(phash, id)`` + vectorized segment counting (``ops.segments`` — no
+    per-group Python, and cross-block duplicate rows cannot inflate the
+    count the way a naive groupby-Count would). The common-paragraph hash
+    set — sized by the repeated-boilerplate population, not the corpus —
+    is broadcast once via ``ray.put``; the corpus then streams through one
+    rebuild pass (``np.isin`` per doc). At boilerplate sets beyond
+    broadcast reach, swap the set for the state-layer Bloom index (false
+    positives would drop extra paragraphs — gate with an exact recheck,
+    same direction as exact_dedup_large's note).
+    """
+    import ray
+
+    from .segments import sorted_segment_apply
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        out_h: list[np.ndarray] = []
+        take_idx: list[int] = []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            _, hs = _para_hashes(t, sep)
+            hs = np.unique(hs)  # per-doc distinct
+            out_h.append(hs)
+            take_idx.extend([i] * len(hs))
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_h) if out_h else np.zeros(0, np.uint64)),
+                ids.take(pa.array(take_idx, pa.int64())),
+            ],
+            names=["phash", id_col],
+        )
+
+    def common_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        # rows are per-doc-unique, so distinct-doc count per phash segment
+        # is just the segment length.
+        lens = ends - starts
+        keep = lens >= min_docs
+        hashes = batch["phash"].to_numpy()
+        return pa.Table.from_arrays(
+            [pa.array(hashes[starts[keep]])], names=["phash"]
+        )
+
+    common_chunks = [
+        b["phash"].combine_chunks()
+        for b in sorted_segment_apply(
+            ds.map_batches(explode, batch_format="pyarrow"),
+            key_col="phash",
+            block_fn=common_block,
+            within_cols=[id_col],
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    common = (
+        np.unique(pa.concat_arrays(common_chunks).to_numpy())
+        if common_chunks
+        else np.zeros(0, np.uint64)
+    )
+    common_ref = ray.put(common)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        bad = ray.get(common_ref)
+        texts = []
+        for t in batch[text_col].to_pylist():
+            paras, hs = _para_hashes(t, sep)
+            mask = ~np.isin(hs, bad)
+            texts.append(sep.join(p for p, m in zip(paras, mask) if m))
+        idx = batch.schema.get_field_index(text_col)
+        return batch.set_column(idx, text_col, pa.array(texts, pa.string()))
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

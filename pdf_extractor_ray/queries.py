@@ -1240,6 +1240,70 @@ def q_incremental_admission(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-document paragraph (boilerplate) removal: documents are recast
+    as multi-paragraph pages (10-word chunks) with a fixed boilerplate
+    paragraph injected into every even doc; ``paragraph_dedup(min_docs=3)``
+    must strip exactly the paragraphs occurring in ≥3 distinct documents
+    (the boilerplate — plus any chance-repeated chunk, which the oracle
+    counts identically). Exact string compare of the rebuilt text."""
+    from .ops.text import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    BP = "subscribe to our newsletter for updates"
+
+    def to_paras(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            words = t.split()
+            chunks = [
+                " ".join(words[j : j + 10]) for j in range(0, len(words), 10)
+            ]
+            paras = ([BP] if i % 2 == 0 else []) + chunks
+            texts.append("\n\n".join(paras))
+        return pa.Table.from_arrays(
+            [batch["doc_id"].combine_chunks(), pa.array(texts, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    out = (
+        paragraph_dedup(
+            ds.map_batches(to_paras, batch_format="pyarrow"), min_docs=3
+        )
+        .to_pandas()
+        .rename(columns={"text": "clean_text"})
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_domain_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-domain document cap (RefinedWeb-style curation): documents get
+    deterministic hosts (``site{doc_id %% 37}.example.com``); at most 5
+    docs per host survive, lowest doc_id first — ``ops.segments.cap_per_key``
+    (sort + segment-start gather, no per-group Python). Oracle: SQL
+    row_number window."""
+    from .ops.segments import cap_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        hosts = [
+            f"site{i % 37}.example.com" for i in batch["doc_id"].to_pylist()
+        ]
+        return batch.append_column("host", pa.array(hosts, pa.string()))
+
+    out = cap_per_key(
+        ds.map_batches(add_host, batch_format="pyarrow"),
+        key_col="host",
+        k=5,
+        order_cols=["doc_id"],
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "host", "n_chars"]
+    ]
+
+
 def q_fingerprint_dedup(sf_dir: str) -> pd.DataFrame:
     """Format-invariant fingerprint dedup: documents ∪ whitespace/punct-
     perturbed copies must collapse to the original distinct count (the
@@ -2106,6 +2170,47 @@ ORACLE_SQL["asof_join_salted"] = """
 # exactly the batch exact-dedup semantics.
 ORACLE_SQL["streaming_dedup"] = ORACLE_SQL["exact_dedup"]
 
+ORACLE_SQL["domain_cap"] = """
+WITH hosted AS (
+    SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+           n_chars
+    FROM documents
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+    FROM hosted
+)
+SELECT doc_id, host, n_chars FROM ranked WHERE rn <= 5 ORDER BY doc_id
+"""
+
+ORACLE_SQL["paragraph_dedup"] = r"""
+WITH words AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+chunks AS (
+    SELECT doc_id, i.i AS ord2,
+           array_to_string(list_slice(w, i.i*10+1, i.i*10+10), ' ') AS para
+    FROM words, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(w)/10.0) AS INT))) AS i
+    ) i
+),
+all_paras AS (
+    SELECT doc_id, ord2*2+2 AS ord, para FROM chunks
+    UNION ALL
+    SELECT doc_id, 1, 'subscribe to our newsletter for updates'
+    FROM documents WHERE doc_id % 2 = 0
+),
+counts AS (SELECT para, count(DISTINCT doc_id) AS nd FROM all_paras GROUP BY para),
+kept AS (
+    SELECT a.doc_id, a.ord, a.para
+    FROM all_paras a JOIN counts c USING (para) WHERE c.nd < 3
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.para, chr(10)||chr(10) ORDER BY k.ord), '') AS clean_text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
 ORACLE_SQL["incremental_admission"] = """
 WITH d AS (SELECT DISTINCT text FROM documents),
 m AS (SELECT DISTINCT text || ' v2' AS text FROM documents WHERE doc_id % 3 = 0),
@@ -2363,6 +2468,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
+    "paragraph_dedup": q_paragraph_dedup,
+    "domain_cap": q_domain_cap,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,

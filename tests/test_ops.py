@@ -199,6 +199,30 @@ class TestDatasetNativeDedupScale:
             assert clusters[i] == i == clusters[i + 1000] == clusters[i + 2000]
 
 
+class TestParagraphDedup:
+    def test_boilerplate_stripped_content_kept(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import paragraph_dedup
+
+        bp = "cookie banner accept all"
+        rows = [
+            {"doc_id": f"u{i}", "text": f"unique paragraph {i} content\n\n{bp}"}
+            for i in range(6)
+        ]
+        rows.append({"doc_id": "u9", "text": bp})  # all-boilerplate doc
+        rows.append({"doc_id": "u8", "text": "one off\n\none off"})  # intra-doc dup only
+        out = paragraph_dedup(
+            rd.from_items(rows).repartition(3), min_docs=2
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["text"]))
+        for i in range(6):
+            assert got[f"u{i}"] == f"unique paragraph {i} content"
+        assert got["u9"] == ""  # boilerplate-only doc empties out
+        # duplicated only WITHIN one doc: distinct-doc count is 1 — kept
+        assert got["u8"] == "one off\n\none off"
+
+
 class TestStringIdSketchDedup:
     """Round-2 verdict item 2: the engine's identity column is `url`
     (string) — minhash/simhash/embedding dedup must accept native string

@@ -103,3 +103,41 @@ class TestSortedSegmentApply:
         ).to_pandas()
         got = dict(zip(out["k"], out["top_v"]))
         assert got == {k: k * 100 + 6 for k in range(50)}
+
+
+class TestCapPerKey:
+    def test_cap_keeps_top_k_by_order(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import cap_per_key
+
+        rows = [
+            {"host": f"h{i % 4}", "doc_id": i, "score": i % 10}
+            for i in range(80)
+        ]
+        out = cap_per_key(
+            rd.from_items(rows).repartition(8),
+            key_col="host",
+            k=3,
+            order_cols=["doc_id"],
+        ).to_pandas()
+        assert len(out) == 12
+        for h in range(4):
+            got = sorted(out[out["host"] == f"h{h}"]["doc_id"])
+            assert got == [h, h + 4, h + 8]  # lowest 3 doc_ids per host
+
+    def test_cap_descending(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import cap_per_key
+
+        rows = [{"k": i % 2, "v": i} for i in range(20)]
+        out = cap_per_key(
+            rd.from_items(rows).repartition(4),
+            key_col="k",
+            k=2,
+            order_cols=["v"],
+            descending=[True],
+        ).to_pandas()
+        got = {k: sorted(g["v"]) for k, g in out.groupby("k")}
+        assert got == {0: [16, 18], 1: [17, 19]}
