@@ -472,3 +472,192 @@ def encode_jpeg_gray(
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — first frame, from scratch on the public spec
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes, clear/EOI at
+    ``2^min_code_size`` / ``+1``, width grows AFTER the table fills (no
+    early change — unlike the PDF/TIFF variant in functions.pdf_codec)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF LZW: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> "np.ndarray":
+    """GIF87a/89a first image frame → (H, W) uint8 grayscale (integer
+    (299r+587g+114b)/1000 luma over the palette). Supports global and
+    local color tables, interlaced frames, extension-block skipping.
+    Animated GIFs decode their FIRST frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    pos = 6
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[pos : pos + 7])
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError("GIF: bad block introducer")
+        _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF: no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_gif_lzw_decode(bytes(data), min_code), np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF: pixel data truncated")
+        idx = idx[: w * h].reshape(h, w)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            order = np.concatenate(
+                [
+                    np.arange(0, h, 8),
+                    np.arange(4, h, 8),
+                    np.arange(2, h, 4),
+                    np.arange(1, h, 2),
+                ]
+            )
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        rgb = table[np.clip(idx, 0, len(table) - 1)].astype(np.uint32)
+        return (
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+        ).astype(np.uint8)
+    raise ValueError("GIF: no image descriptor")
+
+
+def encode_gif_gray(img: "np.ndarray", interlaced: bool = False) -> bytes:
+    """Fixture-grade GIF89a encoder: 256-entry grayscale palette (index ==
+    intensity), LSB-first LZW with the mandatory initial clear code."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    iflags = 0x40 if interlaced else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    rows = img
+    if interlaced:
+        order = np.concatenate(
+            [
+                np.arange(0, h, 8),
+                np.arange(4, h, 8),
+                np.arange(2, h, 4),
+                np.arange(1, h, 2),
+            ]
+        )
+        rows = img[order]
+    pixels = rows.reshape(-1)
+    min_code = 8
+    clear, eoi = 256, 257
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = b""
+    for px in pixels.tobytes():
+        cand = seq + bytes([px])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        seq = bytes([px])
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        body.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -8,8 +8,9 @@ is real and tested. Decode kernels, round 2:
 * REAL, from scratch on stdlib/numpy: PNG (8-bit gray/RGB/RGBA, filters
   0-4, zlib IDAT — the PNG spec / RFC 2083), BMP (24-bit uncompressed),
   baseline JPEG (round 3 — :mod:`.jpeg`: Huffman + dequant + IDCT, gray
-  and subsampled YCbCr, restart markers), WAV (PCM via the stdlib
-  ``wave`` module).
+  and subsampled YCbCr, restart markers), GIF 87a/89a (round 3 —
+  LSB-first LZW, global/local palettes, interlace; first frame), WAV
+  (PCM via the stdlib ``wave`` module).
 * STUBBED, declared: WebP (VP8 needs native libs), MP3, video containers
   — ``NotImplementedError`` with the production swap noted; a
   deterministic fake format keeps the plumbing testable without any
@@ -224,6 +225,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .jpeg import decode_gif
+
+        return decode_gif(payload)
     if payload[:5] == FAKE_MAGIC:
         width, height = struct.unpack("<HH", payload[5:9])
         return np.frombuffer(payload[9 : 9 + width * height], dtype=np.uint8).reshape(

@@ -1559,18 +1559,19 @@ def q_embed_ann(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal image pipeline with an exact oracle: even doc_ids yield a
-    REAL 16×16 grayscale PNG whose pixels follow the deterministic formula
-    ``(doc_id*31 + i) % 256``; odd doc_ids yield a REAL baseline JPEG of
-    four constant 8×8 blocks valued ``(doc_id*31 + b*17) % 256`` encoded
-    with a flat quant table of 8 — constant blocks round-trip EXACTLY
-    through the real DCT path (DC=(v-128)*8 quantizes losslessly), so the
-    from-scratch Huffman/dequant/IDCT decode is value-verified, not just
-    plumbing. The media stage must decode both formats, compute the 16-bin
-    intensity histogram, and emit normalized weights; the SQL oracle
-    recomputes the histograms directly from the pixel formulas. Weights
-    are exact dyadic rationals (count/256), hash-safe across engines."""
-    from .ops.jpeg import encode_jpeg_gray
+    """Multimodal image pipeline with an exact oracle across THREE real
+    formats: doc_id%3==0 yields a 16×16 grayscale PNG and %3==2 a GIF89a
+    (lossless; identity grayscale palette), both with the per-pixel
+    formula ``(doc_id*31 + i) % 256``; %3==1 yields a REAL baseline JPEG
+    of four constant 8×8 blocks valued ``(doc_id*31 + b*17) % 256``
+    encoded with a flat quant table of 8 — constant blocks round-trip
+    EXACTLY through the real DCT path (DC=(v-128)*8 quantizes
+    losslessly). The media stage must decode all three formats, compute
+    the 16-bin intensity histogram, and emit normalized weights; the SQL
+    oracle recomputes the histograms directly from the pixel formulas.
+    Weights are exact dyadic rationals (count/256), hash-safe across
+    engines."""
+    from .ops.jpeg import encode_gif_gray, encode_jpeg_gray
     from .ops.multimodal import encode_png, media_pipeline
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
@@ -1579,13 +1580,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
         ids = batch["doc_id"].to_pylist()
         payloads, mimes = [], []
         for i in ids:
-            if i % 2 == 0:
-                pixels = (
-                    ((i * 31 + np.arange(256)) % 256).astype(np.uint8).reshape(16, 16)
-                )
-                payloads.append(encode_png(pixels, 0, 2))
-                mimes.append("image/png")
-            else:
+            if i % 3 == 1:
                 img = np.zeros((16, 16), np.uint8)
                 for b, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
                     img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
@@ -1593,6 +1588,16 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
                     ) % 256
                 payloads.append(encode_jpeg_gray(img, quant_value=8))
                 mimes.append("image/jpeg")
+            else:
+                pixels = (
+                    ((i * 31 + np.arange(256)) % 256).astype(np.uint8).reshape(16, 16)
+                )
+                if i % 3 == 0:
+                    payloads.append(encode_png(pixels, 0, 2))
+                    mimes.append("image/png")
+                else:
+                    payloads.append(encode_gif_gray(pixels, interlaced=i % 6 == 5))
+                    mimes.append("image/gif")
         n = len(ids)
         return pa.Table.from_arrays(
             [
@@ -2111,12 +2116,12 @@ ORACLE_SQL: dict[str, str] = {
             SELECT d.doc_id AS media_id, (d.doc_id * 31 + i.i) % 256 AS v
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
-            WHERE d.doc_id % 2 = 0
+            WHERE d.doc_id % 3 <> 1
             UNION ALL
             SELECT d.doc_id, (d.doc_id * 31 + (i.i // 64) * 17) % 256
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
-            WHERE d.doc_id % 2 = 1
+            WHERE d.doc_id % 3 = 1
         ),
         hist AS (
             SELECT media_id, CAST(v // 16 AS INTEGER) AS bin, count(*) AS c

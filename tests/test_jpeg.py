@@ -168,3 +168,37 @@ class TestContainment:
         err = dict(zip(tbl["media_id"].to_pylist(), tbl["decode_error"].to_pylist()))
         assert err[1] is None
         assert err[2] is not None
+
+
+class TestGif:
+    def test_round_trip(self):
+        from pdf_extractor_ray.ops.jpeg import decode_gif, encode_gif_gray
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+        assert np.array_equal(decode_gif(encode_gif_gray(img)), img)
+
+    def test_interlaced(self):
+        from pdf_extractor_ray.ops.jpeg import decode_gif, encode_gif_gray
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(17, 9), dtype=np.uint8)
+        assert np.array_equal(
+            decode_gif(encode_gif_gray(img, interlaced=True)), img
+        )
+
+    def test_table_reset(self):
+        # >3837 new sequences forces the 12-bit LZW table reset path
+        from pdf_extractor_ray.ops.jpeg import decode_gif, encode_gif_gray
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, size=(90, 90), dtype=np.uint8)
+        assert np.array_equal(decode_gif(encode_gif_gray(img)), img)
+
+    def test_decode_image_dispatch_and_containment(self):
+        from pdf_extractor_ray.ops.jpeg import encode_gif_gray
+
+        img = np.full((8, 8), 42, np.uint8)
+        assert np.array_equal(decode_image(encode_gif_gray(img)), img)
+        with pytest.raises(ValueError):
+            decode_image(encode_gif_gray(img)[:20])
