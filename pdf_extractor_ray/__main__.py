@@ -154,8 +154,9 @@ def cmd_dedup(args) -> int:
 
 
 def cmd_curate(args) -> int:
-    """Training-data curation chain: [decontaminate] → [scrub] →
-    quality/repetition filter → optional sequence packing."""
+    """Training-data curation chain: [decontaminate] → [paragraph
+    boilerplate dedup] → [per-domain cap] → [scrub] → quality/repetition
+    filter → optional sequence packing."""
     _init_ray(args.num_cpus)
     import pyarrow.compute as pc
     import ray.data as rd
@@ -172,6 +173,20 @@ def cmd_curate(args) -> int:
                 pq.read_table(path, columns=[args.text_col])[args.text_col].to_pylist()
             )
         ds = decontaminate(ds, bench_texts, n=args.ngram, text_col=args.text_col)
+    if args.para_dedup:
+        from .ops.text import paragraph_dedup
+
+        ds = paragraph_dedup(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            min_docs=args.para_dedup,
+        )
+    if args.domain_cap and args.domain_col:
+        from .ops.segments import cap_per_key
+
+        ds = cap_per_key(
+            ds, key_col=args.domain_col, k=args.domain_cap,
+            order_cols=[args.id_col],
+        )
     if args.scrub:
         ds = ds.map_batches(
             lambda b: scrub_batch(b, text_col=args.text_col), batch_format="pyarrow"
@@ -273,6 +288,12 @@ def main(argv: list[str] | None = None) -> int:
                           help="parquet files of held-out texts to decontaminate against")
     p_curate.add_argument("--ngram", type=int, default=8)
     p_curate.add_argument("--scrub", action="store_true", help="redact PII")
+    p_curate.add_argument("--para-dedup", type=int, default=0, metavar="MIN_DOCS",
+                          help="strip paragraphs occurring in >= MIN_DOCS distinct docs")
+    p_curate.add_argument("--domain-cap", type=int, default=0, metavar="K",
+                          help="keep at most K docs per --domain-col value")
+    p_curate.add_argument("--domain-col", default=None,
+                          help="column holding the domain/host key for --domain-cap")
     p_curate.add_argument("--pack", action="store_true",
                           help="emit fixed-length token sequences")
     p_curate.add_argument("--seq-len", type=int, default=128)

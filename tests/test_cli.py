@@ -89,3 +89,42 @@ def test_cli_curate_pack(tmp_path):
     # the repetitive spam doc is filtered; remaining docs packed
     assert tbl.num_rows > 0
     assert set(tbl.schema.names) == {"shard", "seq_idx", "token_ids"}
+
+
+def test_curate_para_dedup_and_domain_cap(tmp_path):
+    import random
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    rnd = random.Random(1)
+    words = [f"w{j}" for j in range(200)]
+    rows = []
+    for i in range(40):
+        body = " ".join(rnd.choices(words, k=60))
+        rows.append(
+            {
+                "doc_id": i,
+                "host": f"h{i % 4}",
+                "text": f"{body}\n\ncookie banner accept all choices",
+            }
+        )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = tmp_path / "out"
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "pdf_extractor_ray", "curate",
+            "--input", str(src), "--output", str(out),
+            "--para-dedup", "2", "--domain-cap", "3", "--domain-col", "host",
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[-800:]
+    tbl = pads.dataset(str(out)).to_table()
+    assert tbl.num_rows == 12  # 4 hosts x cap 3
+    assert all("cookie banner" not in t for t in tbl["text"].to_pylist())
