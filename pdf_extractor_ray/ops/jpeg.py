@@ -661,3 +661,205 @@ def encode_gif_gray(img: "np.ndarray", interlaced: bool = False) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline 8-bit) — from scratch on the public TIFF 6.0 spec
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits: n in 0..127 = copy n+1 literals, 129..255 = repeat
+    next byte 257-n times, 128 = no-op (NOT EOD — unlike PDF RunLength)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n == 128:
+            continue
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        else:
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> "np.ndarray":
+    """Baseline TIFF → (H, W) uint8 grayscale luma.
+
+    Supported: both byte orders, first IFD, 8 bits/sample, gray
+    (photometric 0/1) and RGB (2), Compression 1 (none) / 5 (TIFF-LZW,
+    via the shared PDF-variant decoder) / 32773 (PackBits), strip layout,
+    Predictor 2 (horizontal differencing). Declared unsupported: tiles,
+    16-bit, CCITT/JPEG-in-TIFF, planar configuration 2."""
+    from ..functions.pdf_codec import _lzw_decode
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    try:
+        return _decode_tiff_body(payload, bo)
+    except struct.error as exc:  # truncated header/IFD
+        raise ValueError(f"TIFF structure truncated: {exc}") from exc
+
+
+def _decode_tiff_body(payload: bytes, bo: str) -> "np.ndarray":
+    from ..functions.pdf_codec import _lzw_decode
+
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    for e in range(n_entries):
+        off = ifd_off + 2 + e * 12
+        tag, typ = struct.unpack(bo + "HH", payload[off : off + 4])
+        (count,) = struct.unpack(bo + "I", payload[off + 4 : off + 8])
+        if typ not in type_size:
+            continue
+        sz = type_size[typ] * count
+        if sz <= 4:
+            raw = payload[off + 8 : off + 8 + sz]
+        else:
+            (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+            raw = payload[voff : voff + sz]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError("TIFF: 8 bits/sample only")
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    predictor = one(317, 1)
+    if one(284, 1) != 1:
+        raise NotImplementedError("TIFF: planar configuration 2 unsupported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("TIFF: tiled layout unsupported")
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError("TIFF: palette/CMYK photometric unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts:
+        raise ValueError("TIFF: missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+
+    raw = bytearray()
+    for soff, scnt in zip(offsets, counts):
+        chunk = payload[soff : soff + scnt]
+        if len(chunk) != scnt:
+            raise ValueError("TIFF: strip data truncated")
+        if compression == 1:
+            raw += chunk
+        elif compression == 5:
+            raw += _lzw_decode(chunk, early_change=1)
+        elif compression == 32773:
+            raw += _packbits_decode(chunk)
+        else:
+            raise NotImplementedError(f"TIFF: compression {compression} unsupported")
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError("TIFF: pixel data truncated")
+    px = np.frombuffer(bytes(raw[:need]), np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        px = np.cumsum(px.astype(np.uint64), axis=1).astype(np.uint8)
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("TIFF: RGB with <3 samples")
+        r = px[:, :, 0].astype(np.uint32)
+        g = px[:, :, 1].astype(np.uint32)
+        b = px[:, :, 2].astype(np.uint32)
+        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    gray = px[:, :, 0]
+    if photometric == 0:  # WhiteIsZero
+        gray = (255 - gray.astype(np.int16)).astype(np.uint8)
+    return gray.copy()
+
+
+def encode_tiff_gray(
+    img: "np.ndarray",
+    compression: int = 1,
+    rows_per_strip: int = 8,
+    predictor: int = 1,
+) -> bytes:
+    """Fixture-grade little-endian grayscale TIFF encoder (compression 1 =
+    none, 5 = TIFF-LZW, 32773 = PackBits; optional Predictor 2)."""
+    from ..functions.pdf_codec import _lzw_encode
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        rows = img[r0 : r0 + rows_per_strip]
+        if predictor == 2:
+            rows = np.diff(
+                rows.astype(np.int16), axis=1, prepend=np.zeros((len(rows), 1))
+            ).astype(np.uint8)
+        data = rows.tobytes()
+        if compression == 5:
+            data = _lzw_encode(data, early_change=1)
+        elif compression == 32773:
+            out = bytearray()
+            for row in rows:
+                rb = row.tobytes()
+                i = 0
+                while i < len(rb):
+                    lit = rb[i : i + 128]
+                    out.append(len(lit) - 1)
+                    out += lit
+                    i += len(lit)
+            data = bytes(out)
+        strips.append(data)
+
+    n_strips = len(strips)
+    header = bytearray(b"II*\x00")
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, compression), (262, 3, 1, 1),
+        (273, 4, n_strips, None),  # offsets filled later
+        (277, 3, 1, 1), (278, 3, 1, rows_per_strip),
+        (279, 4, n_strips, None),  # counts filled later
+        (284, 3, 1, 1), (317, 3, 1, predictor),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + len(entries) * 12 + 4
+    arrays_off = ifd_off + ifd_size
+    # external arrays: strip offsets + counts when n_strips > 1
+    ext = bytearray()
+    data_off = arrays_off + (8 * n_strips if n_strips > 1 else 0)
+    offsets = []
+    pos = data_off
+    for sdata in strips:
+        offsets.append(pos)
+        pos += len(sdata)
+    counts = [len(sd) for sd in strips]
+
+    header += struct.pack("<I", ifd_off)
+    ifd = bytearray(struct.pack("<H", len(entries)))
+    for tag, typ, count, val in entries:
+        if tag == 273:
+            v = offsets[0] if n_strips == 1 else arrays_off
+        elif tag == 279:
+            v = counts[0] if n_strips == 1 else arrays_off + 4 * n_strips
+        else:
+            v = val
+        ifd += struct.pack("<HHII", tag, typ, count, v)
+    ifd += struct.pack("<I", 0)  # next IFD
+    if n_strips > 1:
+        ext += struct.pack("<" + "I" * n_strips, *offsets)
+        ext += struct.pack("<" + "I" * n_strips, *counts)
+    return bytes(header) + bytes(ifd) + bytes(ext) + b"".join(strips)

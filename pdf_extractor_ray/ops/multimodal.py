@@ -9,8 +9,9 @@ is real and tested. Decode kernels, round 2:
   0-4, zlib IDAT — the PNG spec / RFC 2083), BMP (24-bit uncompressed),
   baseline JPEG (round 3 — :mod:`.jpeg`: Huffman + dequant + IDCT, gray
   and subsampled YCbCr, restart markers), GIF 87a/89a (round 3 —
-  LSB-first LZW, global/local palettes, interlace; first frame), WAV
-  (PCM via the stdlib ``wave`` module).
+  LSB-first LZW, global/local palettes, interlace; first frame),
+  baseline TIFF (round 3 — both byte orders, none/LZW/PackBits strips,
+  predictor 2, gray + RGB), WAV (PCM via the stdlib ``wave`` module).
 * STUBBED, declared: WebP (VP8 needs native libs), MP3, video containers
   — ``NotImplementedError`` with the production swap noted; a
   deterministic fake format keeps the plumbing testable without any
@@ -229,6 +230,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .jpeg import decode_tiff
+
+        return decode_tiff(payload)
     if payload[:5] == FAKE_MAGIC:
         width, height = struct.unpack("<HH", payload[5:9])
         return np.frombuffer(payload[9 : 9 + width * height], dtype=np.uint8).reshape(

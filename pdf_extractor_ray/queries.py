@@ -1559,10 +1559,11 @@ def q_embed_ann(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal image pipeline with an exact oracle across THREE real
-    formats: doc_id%3==0 yields a 16×16 grayscale PNG and %3==2 a GIF89a
-    (lossless; identity grayscale palette), both with the per-pixel
-    formula ``(doc_id*31 + i) % 256``; %3==1 yields a REAL baseline JPEG
+    """Multimodal image pipeline with an exact oracle across FOUR real
+    formats: doc_id%4==0 yields a 16×16 grayscale PNG, %4==2 a GIF89a
+    (lossless; identity grayscale palette), %4==3 a TIFF (LZW strips,
+    predictor 2), all with the per-pixel formula
+    ``(doc_id*31 + i) % 256``; %4==1 yields a REAL baseline JPEG
     of four constant 8×8 blocks valued ``(doc_id*31 + b*17) % 256``
     encoded with a flat quant table of 8 — constant blocks round-trip
     EXACTLY through the real DCT path (DC=(v-128)*8 quantizes
@@ -1571,7 +1572,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     oracle recomputes the histograms directly from the pixel formulas.
     Weights are exact dyadic rationals (count/256), hash-safe across
     engines."""
-    from .ops.jpeg import encode_gif_gray, encode_jpeg_gray
+    from .ops.jpeg import encode_gif_gray, encode_jpeg_gray, encode_tiff_gray
     from .ops.multimodal import encode_png, media_pipeline
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
@@ -1580,7 +1581,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
         ids = batch["doc_id"].to_pylist()
         payloads, mimes = [], []
         for i in ids:
-            if i % 3 == 1:
+            if i % 4 == 1:
                 img = np.zeros((16, 16), np.uint8)
                 for b, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
                     img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
@@ -1592,12 +1593,17 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
                 pixels = (
                     ((i * 31 + np.arange(256)) % 256).astype(np.uint8).reshape(16, 16)
                 )
-                if i % 3 == 0:
+                if i % 4 == 0:
                     payloads.append(encode_png(pixels, 0, 2))
                     mimes.append("image/png")
-                else:
-                    payloads.append(encode_gif_gray(pixels, interlaced=i % 6 == 5))
+                elif i % 4 == 2:
+                    payloads.append(encode_gif_gray(pixels, interlaced=i % 8 == 6))
                     mimes.append("image/gif")
+                else:
+                    payloads.append(
+                        encode_tiff_gray(pixels, compression=5, predictor=2)
+                    )
+                    mimes.append("image/tiff")
         n = len(ids)
         return pa.Table.from_arrays(
             [
@@ -2116,12 +2122,12 @@ ORACLE_SQL: dict[str, str] = {
             SELECT d.doc_id AS media_id, (d.doc_id * 31 + i.i) % 256 AS v
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
-            WHERE d.doc_id % 3 <> 1
+            WHERE d.doc_id % 4 <> 1
             UNION ALL
             SELECT d.doc_id, (d.doc_id * 31 + (i.i // 64) * 17) % 256
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
-            WHERE d.doc_id % 3 = 1
+            WHERE d.doc_id % 4 = 1
         ),
         hist AS (
             SELECT media_id, CAST(v // 16 AS INTEGER) AS bin, count(*) AS c

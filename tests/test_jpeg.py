@@ -202,3 +202,39 @@ class TestGif:
         assert np.array_equal(decode_image(encode_gif_gray(img)), img)
         with pytest.raises(ValueError):
             decode_image(encode_gif_gray(img)[:20])
+
+
+class TestTiff:
+    def test_round_trip_all_compressions(self):
+        from pdf_extractor_ray.ops.jpeg import decode_tiff, encode_tiff_gray
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, size=(37, 29), dtype=np.uint8)
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                got = decode_tiff(
+                    encode_tiff_gray(img, compression=comp, predictor=pred)
+                )
+                assert np.array_equal(got, img), (comp, pred)
+
+    def test_dispatch_and_containment(self):
+        from pdf_extractor_ray.ops.jpeg import encode_tiff_gray
+
+        img = np.full((9, 9), 13, np.uint8)
+        assert np.array_equal(decode_image(encode_tiff_gray(img)), img)
+        with pytest.raises(ValueError):
+            decode_image(encode_tiff_gray(img)[:30])
+
+    def test_declared_unsupported_forms(self):
+        import struct
+
+        from pdf_extractor_ray.ops.jpeg import decode_tiff, encode_tiff_gray
+
+        img = np.full((8, 8), 5, np.uint8)
+        good = bytearray(encode_tiff_gray(img))
+        # flip bits/sample to 16 in the IFD (tag 258, 3rd entry value)
+        idx = good.find(struct.pack("<HHII", 258, 3, 1, 8))
+        assert idx > 0
+        good[idx : idx + 12] = struct.pack("<HHII", 258, 3, 1, 16)
+        with pytest.raises(NotImplementedError):
+            decode_tiff(bytes(good))
