@@ -156,6 +156,7 @@ def main() -> None:
     query_names = () if os.environ.get("GRAFT_HEADLINE_ONLY") else (
         "tpch_q1", "events_hourly", "extract_html", "exact_dedup",
         "ann_topk", "token_stats", "minhash_dedup", "order_priority_revenue",
+        "user_sessions", "paragraph_dedup", "media_features",
     )
     for name in query_names:
         t0 = time.time()
