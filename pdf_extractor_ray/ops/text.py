@@ -421,3 +421,72 @@ def paragraph_dedup(
         return batch.set_column(idx, text_col, pa.array(texts, pa.string()))
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (stratified) hash sampling
+# ---------------------------------------------------------------------------
+
+_SM_C0 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants) —
+    deterministic, seed-free, and expressible in ANSI SQL (HUGEINT modular
+    arithmetic + xor/shift), so sampling decisions are oracle-checkable."""
+    x = np.asarray(x, dtype=np.uint64) + _SM_C0
+    x = (x ^ (x >> np.uint64(30))) * _SM_C1
+    x = (x ^ (x >> np.uint64(27))) * _SM_C2
+    return x ^ (x >> np.uint64(31))
+
+
+def hash_sample(
+    ds,
+    rates: float | dict,
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    salt: int = 0,
+):
+    """Deterministic stratified sampling, shuffle-free.
+
+    A row is kept iff ``splitmix64(id + salt) < rate * 2^64`` where
+    ``rate`` is either a global float or, with ``key_col``, looked up per
+    stratum from the ``rates`` dict (``rates.get(key, rates[None])``).
+    Per-row and streaming: no shuffle, no driver state, identical result
+    at every parallelism level — the sampling analogue of the reference's
+    seeded every-Nth validation sampling (validation_orchestrator.py), and
+    the quota knob a training-data mixture pipeline needs (per-language /
+    per-source rates). Dyadic rates (k/2^n) compare EXACTLY in both
+    engines; the SQL oracle replicates the mix bit-for-bit.
+    """
+    if isinstance(rates, dict):
+        thresholds = {
+            k: int(v * (1 << 64)) for k, v in rates.items() if k is not None
+        }
+        default_thr = int(rates.get(None, 0.0) * (1 << 64))
+    else:
+        thresholds = {}
+        default_thr = int(float(rates) * (1 << 64))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = splitmix64_np(ids + np.uint64(salt))
+        if key_col is None:
+            thr = np.uint64(min(default_thr, (1 << 64) - 1))
+            mask = hv < thr
+        else:
+            keys = batch[key_col].to_pylist()
+            thr = np.fromiter(
+                (
+                    min(thresholds.get(k, default_thr), (1 << 64) - 1)
+                    for k in keys
+                ),
+                dtype=np.uint64,
+                count=len(keys),
+            )
+            mask = hv < thr
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(sample, batch_format="pyarrow")

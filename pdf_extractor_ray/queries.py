@@ -1304,6 +1304,25 @@ def q_domain_cap(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling by language: keep-rate 1/2 for
+    en, 1/4 for de, 1/8 otherwise, decided per row by
+    ``splitmix64(doc_id + 7) < rate·2^64`` — shuffle-free, driver-free,
+    byte-stable at any parallelism. The SQL oracle replicates the
+    splitmix64 mix bit-for-bit (HUGEINT modular arithmetic), so the
+    sampled id SET matches exactly, not just approximately."""
+    from .ops.text import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = hash_sample(
+        ds,
+        rates={"en": 0.5, "de": 0.25, None: 0.125},
+        key_col="lang",
+        salt=7,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fingerprint_dedup(sf_dir: str) -> pd.DataFrame:
     """Format-invariant fingerprint dedup: documents ∪ whitespace/punct-
     perturbed copies must collapse to the original distinct count (the
@@ -2181,6 +2200,40 @@ ORACLE_SQL["asof_join_salted"] = """
 # exactly the batch exact-dedup semantics.
 ORACLE_SQL["streaming_dedup"] = ORACLE_SQL["exact_dedup"]
 
+# 64-bit mulmod without INT128 overflow: a*B mod 2^64 =
+# (a_lo*B + ((a_hi * B_lo mod 2^32) << 32)) mod 2^64 — every partial fits.
+ORACLE_SQL["stratified_sample"] = """
+WITH m1 AS (
+    SELECT doc_id, lang,
+        CAST((CAST(doc_id AS HUGEINT) + 7 + 11400714819323198485)
+             % 18446744073709551616 AS UBIGINT) AS x
+    FROM documents
+),
+m1x AS (SELECT doc_id, lang, xor(x, x >> 30) AS a FROM m1),
+m2 AS (
+    SELECT doc_id, lang,
+        CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
+              + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296)
+             % 18446744073709551616 AS UBIGINT) AS x
+    FROM m1x
+),
+m2x AS (SELECT doc_id, lang, xor(x, x >> 27) AS a FROM m2),
+m3 AS (
+    SELECT doc_id, lang,
+        CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
+              + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296)
+             % 18446744073709551616 AS UBIGINT) AS x
+    FROM m2x
+),
+h AS (SELECT doc_id, lang, xor(x, x >> 31) AS hv FROM m3)
+SELECT doc_id, lang FROM h
+WHERE hv < CASE lang
+    WHEN 'en' THEN CAST(9223372036854775808 AS UBIGINT)
+    WHEN 'de' THEN CAST(4611686018427387904 AS UBIGINT)
+    ELSE CAST(2305843009213693952 AS UBIGINT) END
+ORDER BY doc_id
+"""
+
 ORACLE_SQL["domain_cap"] = """
 WITH hosted AS (
     SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
@@ -2481,6 +2534,7 @@ QUERIES = {
     "incremental_admission": q_incremental_admission,
     "paragraph_dedup": q_paragraph_dedup,
     "domain_cap": q_domain_cap,
+    "stratified_sample": q_stratified_sample,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,

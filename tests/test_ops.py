@@ -199,6 +199,49 @@ class TestDatasetNativeDedupScale:
             assert clusters[i] == i == clusters[i + 1000] == clusters[i + 2000]
 
 
+class TestHashSample:
+    def test_deterministic_and_stratified(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import hash_sample, splitmix64_np
+
+        rows = [
+            {"doc_id": i, "lang": ("en" if i % 2 == 0 else "de")}
+            for i in range(4000)
+        ]
+        ds = rd.from_items(rows).repartition(8)
+        out = hash_sample(
+            ds, rates={"en": 0.5, "de": 0.125}, key_col="lang", salt=7
+        ).to_pandas()
+        # exact per-row recomputation
+        ids = np.arange(4000, dtype=np.uint64)
+        hv = splitmix64_np(ids + np.uint64(7))
+        keep = np.where(
+            ids % 2 == 0, hv < np.uint64(1 << 63), hv < np.uint64(1 << 61)
+        )
+        assert sorted(out["doc_id"]) == list(np.flatnonzero(keep))
+        # layout-independent: different block count, same sample
+        out2 = hash_sample(
+            rd.from_items(rows).repartition(3),
+            rates={"en": 0.5, "de": 0.125},
+            key_col="lang",
+            salt=7,
+        ).to_pandas()
+        assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+        # rates are approximately honored
+        en = out[out["lang"] == "en"]
+        assert 800 < len(en) < 1200  # ~1000 of 2000
+
+    def test_global_rate(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import hash_sample
+
+        ds = rd.range(10_000)
+        out = hash_sample(ds, 0.25, id_col="id").count()
+        assert 2100 < out < 2900
+
+
 class TestParagraphDedup:
     def test_boilerplate_stripped_content_kept(self, ray_session):
         import ray.data as rd
