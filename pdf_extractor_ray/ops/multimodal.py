@@ -215,9 +215,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     kernels — JPEG in :mod:`.jpeg`, added round 3: full marker parse,
     canonical Huffman, dequant + vectorized IDCT, gray + YCbCr subsampled,
     restart markers; luma plane out). The deterministic fake format decodes
-    for plumbing tests; WebP remains a declared stub (VP8 needs a native
-    codec — swap in a Pillow kernel in production). JPEG's luma IS the Y
-    channel; PNG/BMP use the integer (299r+587g+114b)/1000 luma."""
+    for plumbing tests; WebP decodes VP8L (lossless) for real — lossy VP8
+    remains the declared stub (a full DCT video codec; swap in a Pillow
+    kernel in production). JPEG's luma IS the Y channel; the others use
+    the integer (299r+587g+114b)/1000 luma."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
@@ -234,14 +235,18 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     if payload[:5] == FAKE_MAGIC:
         width, height = struct.unpack("<HH", payload[5:9])
         return np.frombuffer(payload[9 : 9 + width * height], dtype=np.uint8).reshape(
             height, width
         )
     raise NotImplementedError(
-        "WebP codec unavailable in this environment (STUB); "
-        "swap decode_image for a Pillow kernel in production"
+        "unrecognized image format; lossy-VP8 WebP / AVIF / HEIC need "
+        "native codecs — swap decode_image for a Pillow kernel in production"
     )
 
 

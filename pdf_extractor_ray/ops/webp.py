@@ -1,0 +1,602 @@
+"""From-scratch VP8L (lossless WebP) decoder + fixture encoder.
+
+Built from the public WebP Lossless Bitstream Specification (RFC 9649 /
+Google's VP8L spec). Decoder support:
+
+- RIFF container walk (``VP8L`` chunk; ``VP8X`` extended files are scanned
+  for an inner ``VP8L``), 14-bit dimensions, version 0
+- prefix (Huffman) codes exactly as in DEFLATE: canonical construction
+  from code lengths, code-length-code with repeat symbols 16/17/18 and
+  the optional max-symbol short circuit; "simple" 1/2-symbol codes;
+  degenerate single-symbol codes costing zero bits
+- meta prefix codes (entropy image selecting per-tile code groups)
+- color cache (hash ``0x1e35a7bd``) interleaved with LZ77 emission
+- LZ77 backward references with the prefix-coded length/distance scheme
+- all four transforms, inverted in reverse order: PREDICTOR (14 modes),
+  COLOR (signed 3.5 fixed-point cross-channel deltas), SUBTRACT_GREEN,
+  COLOR_INDEXING (palette, including sub-byte pixel packing)
+
+DECLARED UNSUPPORTED (typed errors, per-row contained upstream): lossy
+``VP8 `` bitstreams (DCT codec — different format entirely), animation,
+and NEAR-DISTANCE codes (LZ77 ``dist_code ≤ 120``, which index the spec's
+120-entry 2-D neighborhood table: the exact table cannot be re-derived
+from a formula and an unverifiable transcription would decode real files
+silently wrong — so it raises instead; fixtures and tests use direct
+distances, which the spec carries as ``dist_code - 120``).
+
+The fixture encoder emits SUBTRACT_GREEN + a flat 8-bit green code with
+degenerate red/blue/alpha/distance codes — a fully standard stream that a
+conforming decoder must read — so gray images round-trip losslessly and
+the oracle story matches PNG/GIF/TIFF.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# DEFLATE-style code-length-code symbol order (VP8L spec §6.2.2).
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+
+class _LsbReader:
+    """LSB-first bit reader over the VP8L payload."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.bitpos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i, bit_i = divmod(self.bitpos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("VP8L bitstream truncated")
+            v |= ((self.data[byte_i] >> bit_i) & 1) << i
+            self.bitpos += 1
+        return v
+
+    def read_bit(self) -> int:
+        byte_i, bit_i = divmod(self.bitpos, 8)
+        if byte_i >= len(self.data):
+            raise ValueError("VP8L bitstream truncated")
+        self.bitpos += 1
+        return (self.data[byte_i] >> bit_i) & 1
+
+
+class _Code:
+    """A canonical prefix code: either a DEFLATE-style (len, code)→symbol
+    table or a degenerate single symbol read with zero bits."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if len(nz) == 0:
+            raise ValueError("VP8L: empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = None
+            return
+        self.single = None
+        # RFC1951 canonical assignment: codes in symbol order per length.
+        max_len = max(l for l, _ in nz)
+        bl_count = [0] * (max_len + 1)
+        for l, _ in nz:
+            bl_count[l] += 1
+        code = 0
+        next_code = [0] * (max_len + 1)
+        for l in range(1, max_len + 1):
+            code = (code + bl_count[l - 1]) << 1
+            next_code[l] = code
+        table: dict[tuple[int, int], int] = {}
+        for sym, l in enumerate(lengths):
+            if l > 0:
+                table[(l, next_code[l])] = sym
+                next_code[l] += 1
+        self.table = table
+
+    def decode(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | br.read_bit()
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("VP8L: invalid prefix code")
+
+
+def _read_code(br: _LsbReader, alphabet_size: int) -> _Code:
+    """One prefix code (spec §6.2): simple (1-2 symbols) or normal (coded
+    code lengths)."""
+    if br.read_bit():  # simple
+        num_symbols = br.read_bit() + 1
+        if br.read_bit():
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            if sym0 >= alphabet_size:
+                raise ValueError("VP8L: simple code symbol out of range")
+            lengths[sym0] = 1
+            code = _Code.__new__(_Code)
+            code.single = sym0
+            code.table = None
+            return code
+        sym1 = br.read(8)
+        if sym0 >= alphabet_size or sym1 >= alphabet_size or sym0 == sym1:
+            raise ValueError("VP8L: bad simple code symbols")
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _Code(lengths)
+    # normal: code-length code first
+    num_clc = br.read(4) + 4
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _Code(clc_lengths)
+    # optional max-symbol limit
+    if br.read_bit():
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = clc.decode(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len != 0:
+                prev_len = code_len
+        elif code_len == 16:
+            repeat = 3 + br.read(2)
+            for _ in range(repeat):
+                if symbol >= alphabet_size:
+                    raise ValueError("VP8L: code length repeat overflow")
+                lengths[symbol] = prev_len
+                symbol += 1
+        elif code_len == 17:
+            symbol += 3 + br.read(3)
+        else:  # 18
+            symbol += 11 + br.read(7)
+        if symbol > alphabet_size:
+            raise ValueError("VP8L: code length overflow")
+    return _Code(lengths)
+
+
+def _prefix_value(code: int, br: _LsbReader) -> int:
+    """LZ77 length/distance prefix decoding (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+_GROUP_SIZES = [0, 256, 512, 768, 1024]  # offsets of the 5 codes (green first)
+
+
+def _decode_image(br: _LsbReader, w: int, h: int, is_level0: bool) -> np.ndarray:
+    """Decode one entropy-coded ARGB image (uint32 array of w*h). Level-0
+    images may carry transforms; sub-images (palettes, predictor tiles,
+    entropy images) may not."""
+    transforms: list[tuple] = []
+    xbits = 0
+    if is_level0:
+        seen = set()
+        while br.read_bit():
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("VP8L: duplicate transform")
+            seen.add(ttype)
+            if ttype in (0, 1):  # predictor / color
+                size_bits = br.read(3) + 2
+                bs = 1 << size_bits
+                tw = (w + bs - 1) >> size_bits
+                th = (h + bs - 1) >> size_bits
+                sub = _decode_image(br, tw, th, False)
+                transforms.append((ttype, size_bits, tw, sub))
+            elif ttype == 2:  # subtract green
+                transforms.append((2,))
+            else:  # color indexing
+                psize = br.read(8) + 1
+                palette = _decode_image(br, psize, 1, False)
+                # delta-coded palette: each entry adds to the previous
+                pal = palette.astype(np.uint32)
+                for i in range(1, len(pal)):
+                    pal[i] = _add_pixels(pal[i], pal[i - 1])
+                if psize <= 2:
+                    xbits = 3
+                elif psize <= 4:
+                    xbits = 2
+                elif psize <= 16:
+                    xbits = 1
+                else:
+                    xbits = 0
+                transforms.append((3, xbits, pal))
+                if xbits:
+                    w = (w + (1 << xbits) - 1) >> xbits
+
+    # color cache
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L: bad color cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    # meta prefix codes
+    meta = None
+    meta_bits = 0
+    meta_w = 0
+    n_groups = 1
+    if is_level0 and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_image(br, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        meta_w = mw
+        n_groups = int(meta.max()) + 1
+
+    green_alpha = 256 + 24 + cache_size
+    alphabets = [green_alpha, 256, 256, 256, 40]
+    groups = []
+    for _ in range(n_groups):
+        groups.append([_read_code(br, a) for a in alphabets])
+
+    pix = np.zeros(w * h, dtype=np.uint32)
+    cache = np.zeros(cache_size, dtype=np.uint32) if cache_size else None
+    pos = 0
+    total = w * h
+    cur_group = groups[0]
+    cur_tile = -1
+
+    def emit(argb: int) -> None:
+        nonlocal pos
+        pix[pos] = argb
+        pos += 1
+        if cache is not None:
+            cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+
+    while pos < total:
+        if meta is not None:
+            x = pos % w
+            y = pos // w
+            tile = (y >> meta_bits) * meta_w + (x >> meta_bits)
+            if tile != cur_tile:
+                cur_tile = tile
+                cur_group = groups[int(meta[tile])]
+        g = cur_group[0].decode(br)
+        if g < 256:
+            red = cur_group[1].decode(br)
+            blue = cur_group[2].decode(br)
+            alpha = cur_group[3].decode(br)
+            emit((alpha << 24) | (red << 16) | (g << 8) | blue)
+        elif g < 280:
+            length = _prefix_value(g - 256, br)
+            dist_sym = cur_group[4].decode(br)
+            dist_code = _prefix_value(dist_sym, br)
+            if dist_code <= 120:
+                raise NotImplementedError(
+                    "VP8L near-distance codes (dist_code <= 120) unsupported — "
+                    "the spec's 120-entry neighborhood table is not re-derivable "
+                    "and an unverified transcription would decode silently wrong"
+                )
+            distance = dist_code - 120
+            if distance < 1 or distance > pos:
+                raise ValueError("VP8L: backward reference out of range")
+            for _ in range(length):
+                if pos >= total:
+                    raise ValueError("VP8L: backward reference overflows image")
+                emit(int(pix[pos - distance]))
+        else:
+            if cache is None:
+                raise ValueError("VP8L: cache symbol without color cache")
+            emit(int(cache[g - 280]))
+
+    # inverse transforms, reverse order
+    img = pix.reshape(h, w)
+    for t in reversed(transforms):
+        if t[0] == 2:
+            img = _inv_subtract_green(img)
+        elif t[0] == 1:
+            img = _inv_color_transform(img, t[1], t[2], t[3])
+        elif t[0] == 0:
+            img = _inv_predictor(img, t[1], t[2], t[3])
+        else:
+            img = _inv_color_index(img, t[1], t[2])
+    return img.reshape(-1)
+
+
+def _add_pixels(a: int, b: int) -> int:
+    """Per-channel modular addition of two ARGB pixels."""
+    out = 0
+    for shift in (0, 8, 16, 24):
+        out |= (((a >> shift) + (b >> shift)) & 0xFF) << shift
+    return out
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) + g) & 0xFF
+    b = ((img & 0xFF) + g) & 0xFF
+    return (img & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_color_index(img: np.ndarray, xbits: int, pal: np.ndarray) -> np.ndarray:
+    h, pw = img.shape
+    if xbits == 0:
+        idx = (img >> 8) & 0xFF
+    else:
+        bpp = 8 >> xbits
+        per = 1 << xbits
+        w = pw * per
+        green = ((img >> 8) & 0xFF).astype(np.uint32)
+        idx = np.zeros((h, w), dtype=np.uint32)
+        for sub in range(per):
+            idx[:, sub::per] = (green >> (sub * bpp)) & ((1 << bpp) - 1)
+    out = np.zeros(idx.shape, dtype=np.uint32)
+    valid = idx < len(pal)
+    out[valid] = pal[idx[valid].astype(np.int64)]
+    return out
+
+
+def _sub_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: signed 3.5 fixed point (int8 t) × (int8 c) >> 5."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inv_color_transform(
+    img: np.ndarray, size_bits: int, tw: int, sub: np.ndarray
+) -> np.ndarray:
+    h, w = img.shape
+    out = img.copy()
+    for y in range(h):
+        for x in range(w):
+            cte = int(sub[(y >> size_bits) * tw + (x >> size_bits)])
+            g2r = cte & 0xFF          # blue channel
+            g2b = (cte >> 8) & 0xFF   # green channel
+            r2b = (cte >> 16) & 0xFF  # red channel
+            p = int(out[y, x])
+            green = (p >> 8) & 0xFF
+            red = ((p >> 16) & 0xFF) + _sub_delta(g2r, green) & 0xFF
+            blue = ((p & 0xFF) + _sub_delta(g2b, green) + _sub_delta(r2b, red)) & 0xFF
+            out[y, x] = (p & 0xFF00FF00) | (red << 16) | blue
+    return out
+
+
+def _avg2(a: int, b: int) -> int:
+    out = 0
+    for shift in (0, 8, 16, 24):
+        out |= ((((a >> shift) & 0xFF) + ((b >> shift) & 0xFF)) >> 1) << shift
+    return out
+
+
+def _channel_dist(p: int, q: int) -> int:
+    d = 0
+    for shift in (0, 8, 16, 24):
+        d += abs(((p >> shift) & 0xFF) - ((q >> shift) & 0xFF))
+    return d
+
+
+def _inv_predictor(
+    img: np.ndarray, size_bits: int, tw: int, sub: np.ndarray
+) -> np.ndarray:
+    h, w = img.shape
+    flat = img.reshape(-1).astype(np.uint32)
+
+    def px(i: int) -> int:
+        return int(flat[i])
+
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px(i - 1)  # left
+            elif x == 0:
+                pred = px(i - w)  # top
+            else:
+                mode = (int(sub[(y >> size_bits) * tw + (x >> size_bits)]) >> 8) & 0xFF
+                L = px(i - 1)
+                T = px(i - w)
+                TL = px(i - w - 1)
+                TR = px(i - w + 1)  # at x == w-1 this is row y's first pixel
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    p = 0
+                    for shift in (0, 8, 16, 24):
+                        c = (
+                            ((T >> shift) & 0xFF)
+                            + ((L >> shift) & 0xFF)
+                            - ((TL >> shift) & 0xFF)
+                        )
+                        p |= (max(0, min(255, c))) << shift
+                    pred = T if _channel_dist(p, T) <= _channel_dist(p, L) else L
+                elif mode == 12:
+                    pred = 0
+                    for shift in (0, 8, 16, 24):
+                        c = (
+                            ((L >> shift) & 0xFF)
+                            + ((T >> shift) & 0xFF)
+                            - ((TL >> shift) & 0xFF)
+                        )
+                        pred |= max(0, min(255, c)) << shift
+                elif mode == 13:
+                    pred = 0
+                    for shift in (0, 8, 16, 24):
+                        a = (((L >> shift) & 0xFF) + ((T >> shift) & 0xFF)) >> 1
+                        b = (TL >> shift) & 0xFF
+                        c = a + int((a - b) / 2)
+                        pred |= max(0, min(255, c)) << shift
+                else:
+                    raise ValueError(f"VP8L: bad predictor mode {mode}")
+            flat[i] = np.uint32(_add_pixels(px(i), pred))
+    return flat.reshape(h, w)
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """WebP → (H, W) uint8 grayscale luma. VP8L (lossless) only; lossy
+    ``VP8 `` and animation are typed ``NotImplementedError``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP unsupported (DCT codec) — VP8L lossless only"
+            )
+        if tag == b"ANIM" or tag == b"ANMF":
+            raise NotImplementedError("animated WebP unsupported")
+        pos += 8 + size + (size & 1)
+    if vp8l is None:
+        raise ValueError("WebP: no VP8L chunk")
+    if not vp8l or vp8l[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _LsbReader(vp8l[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise NotImplementedError("VP8L: version != 0")
+    argb = _decode_image(br, w, h, True).reshape(h, w)
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder
+# ---------------------------------------------------------------------------
+
+
+class _LsbWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            self._acc |= ((value >> i) & 1) << self._n
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def write_code(self, code: int, length: int) -> None:
+        """Huffman codes are walked MSB-first by the decoder."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def finish(self) -> bytes:
+        if self._n:
+            self.out.append(self._acc)
+            self._acc = 0
+            self._n = 0
+        return bytes(self.out)
+
+
+def _write_simple1(bw: _LsbWriter, symbol: int) -> None:
+    """Simple prefix code with one symbol (degenerate, zero bits/read)."""
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # num_symbols - 1 = 0
+    bw.write(1, 1)  # 8-bit first symbol
+    bw.write(symbol, 8)
+
+
+def _write_flat8_green(bw: _LsbWriter) -> None:
+    """Normal code: green symbols 0..255 at length 8 (Kraft-complete),
+    symbols 256..279 absent — written via the code-length code
+    {8:1, 17:2, 18:2}."""
+    bw.write(0, 1)  # not simple
+    bw.write(11 - 4, 4)  # num_code_lengths = 11 (covers CLC order up to '8')
+    clc = {17: 2, 18: 2, 8: 1}
+    for i in range(11):
+        bw.write(clc.get(_CLC_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max-symbol shortcut
+    # canonical CLC codes: 8→'0', 17→'10', 18→'11'
+    for _ in range(256):
+        bw.write_code(0b0, 1)  # length 8 literal
+    bw.write_code(0b11, 2)  # 18: repeat zero 11+bits(7)
+    bw.write(24 - 11, 7)  # 24 zeros → symbols 256..279
+
+
+def encode_webp_gray(img: np.ndarray) -> bytes:
+    """Gray image → standard VP8L stream: SUBTRACT_GREEN + flat-8 green
+    code + degenerate red/blue/alpha/distance codes (gray minus green is
+    zero in red and blue). Lossless by construction."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if w > 16384 or h > 16384:
+        raise ValueError("VP8L: dimension > 16384")
+    bw = _LsbWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    # transforms: subtract green
+    bw.write(1, 1)
+    bw.write(2, 2)
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    _write_flat8_green(bw)       # green
+    _write_simple1(bw, 0)        # red residual (always 0)
+    _write_simple1(bw, 0)        # blue residual
+    _write_simple1(bw, 255)      # alpha
+    _write_simple1(bw, 0)        # distance (never used)
+    for v in img.reshape(-1):
+        bw.write_code(int(v), 8)  # flat code: code == symbol
+    body = b"\x2f" + bw.finish()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return riff

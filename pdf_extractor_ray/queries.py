@@ -1578,21 +1578,23 @@ def q_embed_ann(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal image pipeline with an exact oracle across FOUR real
-    formats: doc_id%4==0 yields a 16×16 grayscale PNG, %4==2 a GIF89a
-    (lossless; identity grayscale palette), %4==3 a TIFF (LZW strips,
-    predictor 2), all with the per-pixel formula
-    ``(doc_id*31 + i) % 256``; %4==1 yields a REAL baseline JPEG
+    """Multimodal image pipeline with an exact oracle across FIVE real
+    formats: doc_id%5==0 yields a 16×16 grayscale PNG, %5==2 a GIF89a
+    (lossless; identity grayscale palette), %5==3 a TIFF (LZW strips,
+    predictor 2), %5==4 a lossless WebP (VP8L, SUBTRACT_GREEN + flat
+    prefix codes), all with the per-pixel formula
+    ``(doc_id*31 + i) % 256``; %5==1 yields a REAL baseline JPEG
     of four constant 8×8 blocks valued ``(doc_id*31 + b*17) % 256``
     encoded with a flat quant table of 8 — constant blocks round-trip
     EXACTLY through the real DCT path (DC=(v-128)*8 quantizes
-    losslessly). The media stage must decode all three formats, compute
+    losslessly). The media stage must decode all five formats, compute
     the 16-bin intensity histogram, and emit normalized weights; the SQL
     oracle recomputes the histograms directly from the pixel formulas.
     Weights are exact dyadic rationals (count/256), hash-safe across
     engines."""
     from .ops.jpeg import encode_gif_gray, encode_jpeg_gray, encode_tiff_gray
     from .ops.multimodal import encode_png, media_pipeline
+    from .ops.webp import encode_webp_gray
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
@@ -1600,7 +1602,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
         ids = batch["doc_id"].to_pylist()
         payloads, mimes = [], []
         for i in ids:
-            if i % 4 == 1:
+            if i % 5 == 1:
                 img = np.zeros((16, 16), np.uint8)
                 for b, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
                     img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
@@ -1612,17 +1614,20 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
                 pixels = (
                     ((i * 31 + np.arange(256)) % 256).astype(np.uint8).reshape(16, 16)
                 )
-                if i % 4 == 0:
+                if i % 5 == 0:
                     payloads.append(encode_png(pixels, 0, 2))
                     mimes.append("image/png")
-                elif i % 4 == 2:
-                    payloads.append(encode_gif_gray(pixels, interlaced=i % 8 == 6))
+                elif i % 5 == 2:
+                    payloads.append(encode_gif_gray(pixels, interlaced=i % 10 == 7))
                     mimes.append("image/gif")
-                else:
+                elif i % 5 == 3:
                     payloads.append(
                         encode_tiff_gray(pixels, compression=5, predictor=2)
                     )
                     mimes.append("image/tiff")
+                else:
+                    payloads.append(encode_webp_gray(pixels))
+                    mimes.append("image/webp")
         n = len(ids)
         return pa.Table.from_arrays(
             [
@@ -2141,12 +2146,12 @@ ORACLE_SQL: dict[str, str] = {
             SELECT d.doc_id AS media_id, (d.doc_id * 31 + i.i) % 256 AS v
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
-            WHERE d.doc_id % 4 <> 1
+            WHERE d.doc_id % 5 <> 1
             UNION ALL
             SELECT d.doc_id, (d.doc_id * 31 + (i.i // 64) * 17) % 256
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
-            WHERE d.doc_id % 4 = 1
+            WHERE d.doc_id % 5 = 1
         ),
         hist AS (
             SELECT media_id, CAST(v // 16 AS INTEGER) AS bin, count(*) AS c
