@@ -132,6 +132,10 @@ def cmd_dedup(args) -> int:
         )
     elif args.method == "simhash":
         out = D.simhash_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+    elif args.method == "jaccard":
+        out = D.ngram_jaccard_dedup(
+            ds, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+        )
     else:  # embedding
         out = D.embedding_dedup(
             ds, vec_col=args.text_col, id_col=args.id_col, threshold=args.threshold
@@ -261,13 +265,14 @@ def main(argv: list[str] | None = None) -> int:
     p_sections.set_defaults(fn=cmd_sections)
 
     p_dedup = sub.add_parser(
-        "dedup", help="corpus deduplication (exact / minhash / simhash / embedding)"
+        "dedup",
+        help="corpus deduplication (exact / minhash / simhash / jaccard / embedding)",
     )
     p_dedup.add_argument("--input", nargs="+", required=True)
     p_dedup.add_argument("--output", required=True)
     p_dedup.add_argument(
         "--method", default="exact",
-        choices=["exact", "minhash", "simhash", "embedding"],
+        choices=["exact", "minhash", "simhash", "jaccard", "embedding"],
     )
     p_dedup.add_argument("--threshold", type=float, default=0.8)
     p_dedup.add_argument("--text-col", default="text",

@@ -457,7 +457,13 @@ def _sorted_bucket_pairs(
                 out_a.append(a)
                 out_b.append(b)
 
-    id_type = combined.schema().types[0]
+    schema = combined.schema()
+    if schema is None:
+        # Zero signature rows at all (e.g. every doc was too short to emit
+        # a prefix): no candidates by definition. The placeholder id type
+        # never matters — downstream sees zero pairs.
+        return ray.data.from_arrow([_pairs_table((), (), pa.int64())])
+    id_type = schema.types[0]
     if pair_tables:
         base = pa.concat_tables(pair_tables)
     else:
@@ -727,6 +733,26 @@ def minhash_lsh_dedup(
         kernel,
         id_col,
     )
+    return _verify_cluster_annotate(
+        ds,
+        pairs,
+        text_col,
+        id_col,
+        threshold,
+        lambda t: _char_shingles(t, shingle_k),
+    )
+
+
+def _verify_cluster_annotate(ds, pairs, text_col, id_col, threshold, set_fn):
+    """Shared tail of the Jaccard-verified dedup ops: broadcast the
+    candidate minority's texts, exact-Jaccard-verify the candidate pairs
+    inside ``map_batches`` (``set_fn(text) -> sorted unique uint64`` is the
+    set kernel — char shingles for minhash, word n-grams for the AllPairs
+    join), then connected components + cluster annotation. The only
+    driver-resident state is the candidate id/text minority — O(duplicate
+    count), never O(corpus)."""
+    import ray
+
     cand_ids: set = set()
     for batch in pairs.iter_batches(batch_format="pyarrow"):
         cand_ids.update(batch["id_a"].to_pylist())
@@ -750,11 +776,9 @@ def minhash_lsh_dedup(
         lookup = ray.get(text_ref)
         ia = batch["id_a"].to_pylist()
         ib = batch["id_b"].to_pylist()
-        # Shingle each doc ONCE per batch (a candidate doc appears in many
-        # pairs), then exact set-intersection Jaccard per pair.
-        sh = {
-            d: _char_shingles(lookup[d], shingle_k) for d in set(ia) | set(ib)
-        }
+        # Build each doc's set ONCE per batch (a candidate doc appears in
+        # many pairs), then exact set-intersection Jaccard per pair.
+        sh = {d: set_fn(lookup[d]) for d in set(ia) | set(ib)}
         keep = []
         for u, v in zip(ia, ib):
             s1, s2 = sh[u], sh[v]
@@ -1024,3 +1048,176 @@ def embedding_dedup(
     )
     labels = connected_components(pairs)
     return _annotate_clusters(ds, labels, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (AllPairs / PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Sorted unique uint64 hashes of the text's word n-grams. Token hashes
+    come from :func:`_token_hash64` (memoized per worker); the n-gram hash
+    is an FNV-1a fold over the window of token hashes, vectorized with a
+    sliding window — the word-level analogue of :func:`_char_shingles`.
+    Fewer than ``n`` tokens → empty set (matching the SQL oracle's
+    ``range`` construction)."""
+    tokens = (text or "").lower().split()
+    if len(tokens) < n:
+        return np.zeros(0, dtype=np.uint64)
+    hs = np.fromiter(
+        (_token_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    win = np.lib.stride_tricks.sliding_window_view(hs, n)
+    h = np.full(len(win), 0xCBF29CE484222325, dtype=np.uint64)
+    for col in range(n):
+        h = (h ^ win[:, col]) * np.uint64(0x100000001B3)
+    return np.unique(h)
+
+
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    n: int = 3,
+    pair_cap: int = 65536,
+    demote_frequent: int = 0,
+):
+    """EXACT word-n-gram Jaccard near-dup clustering via prefix filtering
+    (AllPairs, Bayardo et al. 2007; length filter from PPJoin, Xiao et al.
+    2008) — the deterministic-recall sibling of :func:`minhash_lsh_dedup`:
+    every pair with Jaccard ≥ ``threshold`` is guaranteed to surface as a
+    candidate (no probabilistic recall), so the output equals a brute-force
+    all-pairs join.
+
+    Prefix filter: order each doc's gram set by a fixed total order (the
+    uint64 gram hash — any consistent order is correct); a doc with ``L``
+    grams emits only its first ``p = L - ceil(t*L) + 1`` grams as
+    ``(id, bkey=gram, L)`` rows (for J(A,B) ≥ t the required overlap is
+    ≥ ceil(t*L), so two qualifying docs MUST share a prefix gram). The
+    bucket stage is the shared :func:`_sorted_bucket_pairs` sort+segment
+    pass; inside a bucket the PPJoin length filter drops pairs with
+    ``min(La,Lb) < t*max(La,Lb)`` (provably below threshold) before the
+    exact verification.
+
+    ``demote_frequent=K`` adds an AllPairs-style frequency ordering on the
+    cheap: a distributed partial-count pass finds the K globally most
+    frequent grams, and those sort LAST (top bit of the order key), so hot
+    grams drop out of prefixes — the Zipf head is where quadratic buckets
+    come from. K is a knob bounded by driver memory (the K-set broadcasts);
+    correctness is ordering-invariant, only candidate counts change.
+
+    Scale: prefix rows are ~(1-t)*L per doc of 20 bytes; buckets are
+    per-gram document lists already thinned by the prefix filter; the
+    verification minority and edge list are O(duplicates). Beyond
+    ``pair_cap`` a bucket degrades to star+chain candidates (documented
+    non-exact regime — a gram shared by >64k PREFIXES after demotion means
+    a pathological corpus). Ids flow in their native Arrow type."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    topk_ref = None
+    if demote_frequent > 0:
+
+        def gram_counts(batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            all_g = [g for t in texts for g in (_word_ngram_hashes(t, n),) if len(g)]
+            if not all_g:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.uint64()), pa.array([], pa.int64())],
+                    names=["g", "c"],
+                )
+            g, c = np.unique(np.concatenate(all_g), return_counts=True)
+            return pa.Table.from_arrays(
+                [pa.array(g), pa.array(c.astype(np.int64))], names=["g", "c"]
+            )
+
+        top = (
+            ds.map_batches(gram_counts, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(Sum("c", alias_name="df"))
+            .sort("df", descending=True)
+            .limit(demote_frequent)
+            .to_pandas()
+        )
+        topk_ref = ray.put(np.sort(top["g"].to_numpy().astype(np.uint64)))
+
+    topbit = np.uint64(1) << np.uint64(63)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        texts = batch[text_col].to_pylist()
+        topk = ray.get(topk_ref) if topk_ref is not None else None
+        rep_idx: list = []
+        key_chunks: list = []
+        size_chunks: list = []
+        for i, t in enumerate(texts):
+            g = _word_ngram_hashes(t, n)
+            length = len(g)
+            if length == 0:
+                continue
+            if topk is not None:
+                hot = np.isin(g, topk)
+                okey = (g >> np.uint64(1)) | np.where(hot, topbit, np.uint64(0))
+                okey = np.sort(okey)
+            else:
+                okey = g  # already sorted unique
+            p = length - math.ceil(threshold * length - 1e-9) + 1
+            rep_idx.extend([i] * p)
+            key_chunks.append(okey[:p])
+            size_chunks.append(np.full(p, length, dtype=np.int32))
+        if not rep_idx:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], batch.schema.field(id_col).type),
+                    pa.array([], pa.uint64()),
+                    pa.array([], pa.int32()),
+                ],
+                names=[id_col, "bkey", "L"],
+            )
+        return pa.Table.from_arrays(
+            [
+                ids.take(pa.array(rep_idx)),
+                pa.array(np.concatenate(key_chunks)),
+                pa.array(np.concatenate(size_chunks)),
+            ],
+            names=[id_col, "bkey", "L"],
+        )
+
+    def extract(batch: pa.Table):
+        return (
+            batch["bkey"].to_numpy(),
+            batch[id_col].to_numpy(zero_copy_only=False),
+            {"L": batch["L"].to_numpy()},
+        )
+
+    def kernel(ids, extras):
+        sizes = extras["L"]
+        order = np.argsort(ids, kind="stable")
+        ids, sizes = ids[order], sizes[order]
+        m = len(ids)
+        if m < 2:
+            return ids[:0], ids[:0]
+        if m <= pair_cap:
+            ia, ib = np.triu_indices(m, 1)
+            la, lb = sizes[ia].astype(np.float64), sizes[ib].astype(np.float64)
+            keep = np.minimum(la, lb) >= threshold * np.maximum(la, lb) - 1e-9
+            return ids[ia[keep]], ids[ib[keep]]
+        star_a = np.full(m - 1, ids[0])
+        return (
+            np.concatenate([star_a, ids[1:-1]]),
+            np.concatenate([ids[1:], ids[2:]]),
+        )
+
+    pairs = _sorted_bucket_pairs(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        extract,
+        kernel,
+        id_col,
+    )
+    return _verify_cluster_annotate(
+        ds, pairs, text_col, id_col, threshold, lambda t: _word_ngram_hashes(t, n)
+    )

@@ -1387,6 +1387,42 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
+    """EXACT word-trigram Jaccard near-dup clustering (AllPairs prefix
+    filtering + PPJoin length filter — ops/dedup.py:ngram_jaccard_dedup)
+    over documents ∪ perturbed copies (every 7th doc duplicated with its
+    last TWO words dropped, ids +200000). Unlike minhash, candidate recall
+    is deterministic (every pair ≥ threshold provably shares a prefix
+    gram), so the clustering equals the brute-force all-pairs join the
+    DuckDB oracle computes."""
+    from .ops.dedup import ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = [i for i in batch["doc_id"].to_pylist() if i % 7 == 0]
+        texts = [
+            " ".join(t.split()[:-2])
+            for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+            if i % 7 == 0
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array([i + 200_000 for i in ids], pa.int64()),
+                pa.array(texts, pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+
+    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    out = (
+        ngram_jaccard_dedup(both, threshold=0.6, n=3)
+        .select_columns(["doc_id", "cluster_id", "is_duplicate"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup clustering over documents ∪ exact copies."""
     from .ops.dedup import simhash_dedup
@@ -2342,6 +2378,46 @@ SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
 FROM lab ORDER BY doc_id
 """
 
+ORACLE_SQL["ngram_jaccard_dedup"] = r"""
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, lower(text) AS t FROM documents
+    UNION ALL
+    SELECT doc_id + 200000,
+           lower(array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+                 len(regexp_extract_all(text, '\S+')) - 2), ' '))
+    FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (SELECT doc_id, regexp_extract_all(t, '\S+') AS w FROM corpus),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+    FROM toks
+),
+lens AS (SELECT doc_id, len(s) AS l FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT ia, ib FROM inter
+    JOIN lens la ON la.doc_id = ia
+    JOIN lens lb ON lb.doc_id = ib
+    WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.6
+),
+edges AS (SELECT ia, ib FROM cand UNION SELECT ib, ia FROM cand),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT r.src, e.ib FROM reach r JOIN edges e ON r.dst = e.ia
+),
+lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
+FROM lab ORDER BY doc_id
+"""
+
 ORACLE_SQL["simhash"] = r"""
 WITH RECURSIVE corpus AS (
     SELECT doc_id, lower(text) AS t FROM documents
@@ -2542,6 +2618,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "simhash": q_simhash,
     "embedding_dedup": q_embedding_dedup,
     "ann_topk": q_ann_topk,

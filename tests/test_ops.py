@@ -90,6 +90,89 @@ class TestSimHash:
         assert clusters[102] == 2
 
 
+class TestNgramJaccard:
+    """Exact AllPairs/PPJoin word-n-gram Jaccard join vs brute force."""
+
+    def _fixture(self):
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(40)]
+        docs, ids = [], []
+        for i in range(80):
+            docs.append(" ".join(rng.choice(vocab, size=rng.integers(8, 30))))
+            ids.append(i)
+        for i in range(0, 80, 4):  # near-dups: last word dropped
+            docs.append(" ".join(docs[i].split()[:-1]))
+            ids.append(1000 + i)
+        return ids, docs
+
+    def _brute(self, ids, docs, t):
+        from pdf_extractor_ray.ops.dedup import _word_ngram_hashes
+
+        sets = [_word_ngram_hashes(d, 3) for d in docs]
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                s1, s2 = sets[a], sets[b]
+                inter = len(np.intersect1d(s1, s2, assume_unique=True))
+                union = len(s1) + len(s2) - inter
+                if union and inter / union >= t:
+                    ru, rv = find(ids[a]), find(ids[b])
+                    if ru != rv:
+                        parent[max(ru, rv)] = min(ru, rv)
+        return {i: find(i) for i in ids}
+
+    def test_equals_brute_force_and_ordering_invariant(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import ngram_jaccard_dedup
+
+        ids, docs = self._fixture()
+        expected = self._brute(ids, docs, 0.6)
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
+        )
+        # demote_frequent changes only the prefix ORDER, never the output.
+        for demote in (0, 5):
+            out = ngram_jaccard_dedup(
+                ds, threshold=0.6, n=3, demote_frequent=demote
+            ).to_pandas()
+            assert dict(zip(out["doc_id"], out["cluster_id"])) == expected
+
+    def test_string_ids_native(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import ngram_jaccard_dedup
+
+        docs = ["a b c d e f", "a b c d e f", "q r s t u v"]
+        ds = rd.from_arrow(
+            pa.table({"doc_id": ["url://b", "url://a", "url://c"], "text": docs})
+        )
+        out = ngram_jaccard_dedup(ds, threshold=0.9).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == {"url://a": "url://a", "url://b": "url://a", "url://c": "url://c"}
+
+    def test_short_docs_empty_sets_never_pair(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import ngram_jaccard_dedup
+
+        # two-word docs have NO trigrams: each stays its own cluster even
+        # when identical (no shared gram -> never candidates), matching the
+        # SQL oracle's sparse-join semantics.
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["x y", "x y"]})
+        )
+        out = ngram_jaccard_dedup(ds, threshold=0.5).to_pandas()
+        assert not out["is_duplicate"].any()
+
+
 class TestConnectedComponents:
     def test_path_and_isolated_components(self, ray_session):
         import ray.data as rd
@@ -611,14 +694,20 @@ class TestMultimodal:
         feats = audio_features(encode_wav(sig))
         assert len(feats) == 8 and abs(sum(feats) - 1.0) < 1e-9
 
-    def test_jpeg_now_real_webp_still_stub(self):
+    def test_jpeg_and_vp8l_real_lossy_vp8_declared(self):
         # JPEG decodes for real since round 3 — a corrupt JPEG is a
-        # ValueError (contained per-row), while WebP remains the declared
-        # NotImplementedError stub.
+        # ValueError (contained per-row). Lossless WebP (VP8L) decodes for
+        # real too; only lossy VP8 remains the declared stub.
+        import struct
+
         with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0JFIF-ish-but-truncated")
+        lossy = (
+            b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+        )
         with pytest.raises(NotImplementedError):
-            decode_image(b"RIFF0000WEBPVP8 ")
+            decode_image(lossy)
 
     def test_pipeline_plumbing(self, ray_session):
         import ray.data as rd
