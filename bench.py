@@ -31,12 +31,14 @@ def log(msg: str) -> None:
 
 
 def ensure_corpus(sf_dir: str, n_pages: int, num_cpus: int) -> str:
+    # v6: bucket-38 real PDFs switch to a composite Type0/Identity-H font
+    # (2-byte CID codes, round 3)
     # v5: buckets 18/78 real PDFs use /Differences and /ToUnicode custom
     # font encodings (round 3)
     # v4: bucket-38 real PDFs switch to LZWDecode content streams (round 3)
     # v3: bucket-8 fixtures include genuine %PDF payloads across all three
     # xref forms (table / xref-stream / ObjStm) + a real two-column PDF
-    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}_v5"
+    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}_v6"
     marker = os.path.join(corpus_dir, "_DONE")
     if os.path.exists(marker):
         return corpus_dir

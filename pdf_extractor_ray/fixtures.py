@@ -235,8 +235,11 @@ def _pdf_payload(rng: random.Random, lang: str, doc_id: int) -> bytes:
         xref_kind = {18: "table", 38: "stream", 78: "objstm"}[tail]
         compress = {18: False, 38: "lzw", 78: True}[tail]
         # bucket 18 additionally uses a /Differences custom encoding
-        # (codes shifted by one) — font decode in the flagship path
-        font_encoding = {18: "differences", 38: "builtin", 78: "tounicode"}[tail]
+        # (codes shifted by one), bucket 38 a composite Type0/Identity-H
+        # font (2-byte CID codes + 2-byte /ToUnicode — the modern
+        # real-corpus default), bucket 78 a 1-byte /ToUnicode — font
+        # decode of all three families in the flagship path
+        font_encoding = {18: "differences", 38: "cid", 78: "tounicode"}[tail]
         return build_pdf(
             text,
             compress=compress,

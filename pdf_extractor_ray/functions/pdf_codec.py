@@ -30,11 +30,17 @@ Reader support (documented subset):
 - simple-font code→Unicode mapping: ``/ToUnicode`` CMaps (bfchar/bfrange)
   and ``/Encoding /Differences`` via a glyph-name list (AGL subset +
   ``uniXXXX``); unmapped codes read as their own codepoint
+- composite (``/Subtype /Type0``, CID) fonts: Identity-H 2-byte show
+  strings, 2-byte-source ``/ToUnicode`` CMaps; without a /ToUnicode the
+  CID reads as its own codepoint (the Identity fallback — same behavior
+  pdfminer exhibits on such files); non-identity encoding CMaps are read
+  with the 2-byte codespace (their /ToUnicode is code-keyed, so text
+  extraction stays correct)
 
 NOT supported (declared): encryption (a typed ``PdfError`` at open —
 even the empty-password RC4/AES case needs the standard security
-handler), CID/composite fonts (2-byte codes), inline images,
-DCT/CCITT/JBIG2 filters.
+handler), 1-byte or mixed-width CID encoding CMaps, vertical writing
+(Identity-V), inline images, DCT/CCITT/JBIG2 filters.
 Payloads needing those fall through to the pipeline's error-containment
 path like any other undecodable input.
 
@@ -115,13 +121,22 @@ def wrap_text_rows(
     return pages
 
 
-def _page_content(rows: list[str | None], style: str) -> bytes:
+def _page_content(rows: list[str | None], style: str, cid: bool = False) -> bytes:
     """One page's content stream. ``style`` varies the operator mix so the
     reader's Td/TD/Tm/T*/TJ handling is all exercised by fixtures:
     ``tm``   — absolute ``1 0 0 1 x y Tm`` per line
     ``td``   — relative ``0 -dy Td`` line moves
     ``tstar``— ``TL`` + ``T*`` line advances and TJ-array shows
-    """
+
+    ``cid=True`` writes show strings as HEX strings of big-endian 2-byte
+    codes (``code = codepoint + 0x0100`` — the composite-font fixture the
+    Identity-H + /ToUnicode reader path decodes)."""
+
+    def sstr(text: str) -> bytes:
+        if cid:
+            return b"<%s>" % "".join("%04X" % (ord(c) + 0x0100) for c in text).encode()
+        return b"(%s)" % _pdf_escape(text)
+
     out = [b"BT", b"/F1 10 Tf"]
     if style == "tstar":
         out.append(b"%g TL" % LINE_H)
@@ -147,11 +162,9 @@ def _page_content(rows: list[str | None], style: str) -> bytes:
         if style == "tstar" and "  " not in row and len(row) > 4:
             # split the line into a kerning-free TJ array (two halves)
             mid = len(row) // 2
-            out.append(
-                b"[(%s) (%s)] TJ" % (_pdf_escape(row[:mid]), _pdf_escape(row[mid:]))
-            )
+            out.append(b"[%s %s] TJ" % (sstr(row[:mid]), sstr(row[mid:])))
         else:
-            out.append(b"(%s) Tj" % _pdf_escape(row))
+            out.append(b"%s Tj" % sstr(row))
     out.append(b"ET")
     return b"\n".join(out)
 
@@ -187,6 +200,7 @@ def build_sectioned_pdf(
     style: str = "tm",
     chars_per_line: int = 80,
     lines_per_page: int = 40,
+    font_encoding: str = "builtin",
 ) -> bytes:
     """PDF whose ``/Outlines`` bookmarks delimit sections: each
     ``(title, text)`` section starts on a fresh page, with its outline entry
@@ -197,7 +211,9 @@ def build_sectioned_pdf(
     for title, text in sections:
         outline.append((title, len(pages)))
         pages.extend(wrap_text_rows(text, chars_per_line, lines_per_page) or [[]])
-    return _assemble_pdf(pages or [[]], outline, compress, style)
+    return _assemble_pdf(
+        pages or [[]], outline, compress, style, font_encoding=font_encoding
+    )
 
 
 def build_two_column_pdf(
@@ -290,7 +306,9 @@ def _assemble_pdf(
     xref_kind: str = "table",
     font_encoding: str = "builtin",
 ) -> bytes:
-    if font_encoding == "builtin":
+    if font_encoding in ("builtin", "cid"):
+        # cid: the code shift (+0x0100) happens inside _page_content's
+        # 2-byte hex writer; the /ToUnicode CMap declares the inverse.
         enc_pages = pages
     else:
         # shift-by-one custom encoding: code c shows character chr(c-1);
@@ -302,7 +320,7 @@ def _assemble_pdf(
             for rows in pages
         ]
     return _serialize_pdf(
-        [_page_content(rows, style) for rows in enc_pages],
+        [_page_content(rows, style, cid=font_encoding == "cid") for rows in enc_pages],
         outline,
         compress,
         xref_kind,
@@ -321,12 +339,14 @@ def _serialize_pdf(
 
     # object numbering: 1 catalog, 2 pages-root, 3 font,
     # 4..3+n page objects, then content streams, then outline objects,
-    # then (custom font encodings only) the /ToUnicode CMap stream
+    # then (custom font encodings only) the /ToUnicode CMap stream, then
+    # (cid only) the descendant CIDFontType2 dict
     first_page_obj = 4
     first_content_obj = first_page_obj + n_pages
     first_outline_obj = first_content_obj + n_pages
     n_outline = (1 + len(outline)) if outline else 0
     tounicode_obj = first_outline_obj + n_outline
+    descendant_obj = tounicode_obj + 1
 
     objs: dict[int, bytes] = {}
     kids = " ".join(f"{first_page_obj + i} 0 R" for i in range(n_pages))
@@ -354,6 +374,28 @@ def _serialize_pdf(
             b"/CIDInit /ProcSet findresource begin\n"
             b"1 begincodespacerange <00> <FF> endcodespacerange\n"
             b"1 beginbfrange <21> <7F> <0020> endbfrange\n"
+            b"end"
+        )
+        objs[tounicode_obj] = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+    elif font_encoding == "cid":
+        # Composite font: Identity-H 2-byte codes, code = cp + 0x0100,
+        # inverted by a 2-byte-source /ToUnicode bfrange.
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Courier "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (descendant_obj, tounicode_obj)
+        )
+        objs[descendant_obj] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Courier "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+        )
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0120> <01FF> <0020> endbfrange\n"
             b"end"
         )
         objs[tounicode_obj] = (
@@ -1122,19 +1164,27 @@ class PdfDocument:
                 parts.append(obj.get("__stream__", b""))
         return b"\n".join(parts)
 
-    def page_font_maps(self, page: dict) -> dict[str, dict[int, int]]:
-        """Per-font code→codepoint maps for one page: /ToUnicode CMap wins,
-        else /Encoding /Differences via the glyph-name list; unmapped codes
-        fall through to identity (builtin encoding)."""
+    def page_font_maps(self, page: dict) -> dict[str, tuple[int, dict[int, int]]]:
+        """Per-font ``(code_bytes, code→codepoint map)`` for one page.
+
+        ``code_bytes`` is 2 for composite (``/Subtype /Type0``) fonts —
+        the Identity-H codespace, which covers essentially all real-world
+        CID usage (non-identity encoding CMaps are read with the same
+        2-byte codespace; their /ToUnicode is keyed by CODE, so extraction
+        is still correct) — else 1. The map: /ToUnicode CMap wins, else
+        /Encoding /Differences via the glyph-name list; unmapped codes
+        fall through to identity (builtin encoding, or CID==codepoint for
+        a Type0 font without /ToUnicode)."""
         res = self.resolve(page.get("Resources")) or {}
         fonts = self.resolve(res.get("Font")) if isinstance(res, dict) else None
-        out: dict[str, dict[int, int]] = {}
+        out: dict[str, tuple[int, dict[int, int]]] = {}
         if not isinstance(fonts, dict):
             return out
         for fname, fref in fonts.items():
             font = self.resolve(fref)
             if not isinstance(font, dict):
                 continue
+            width = 2 if str(font.get("Subtype", "")) == "Type0" else 1
             cmap: dict[int, int] = {}
             enc = self.resolve(font.get("Encoding"))
             if isinstance(enc, dict):
@@ -1151,8 +1201,8 @@ class PdfDocument:
             tu = self.resolve(font.get("ToUnicode"))
             if isinstance(tu, dict) and "__stream__" in tu:
                 cmap.update(_parse_tounicode(tu["__stream__"]))
-            if cmap:
-                out[str(fname)] = cmap
+            if cmap or width == 2:
+                out[str(fname)] = (width, cmap)
         return out
 
     # -- outline ------------------------------------------------------------
@@ -1261,22 +1311,23 @@ def _glyph_to_cp(name: str) -> int | None:
 
 def _parse_tounicode(data: bytes) -> dict[int, int]:
     """code → codepoint map from a /ToUnicode CMap stream (bfchar +
-    bfrange sections, single-byte codes — the simple-font case; CID/2-byte
-    source codes stay declared-unsupported with the rest of CID)."""
+    bfrange sections). Source codes may be 1-byte (simple fonts) or
+    2-byte (composite/CID fonts — ``<0121>``-style); the code value is
+    the integer either way, and the interpreter chooses how many bytes
+    each show-string code consumes from the font's ``code_bytes``. A
+    bfrange is capped at 2^16 codes (hostile-input bound)."""
     out: dict[int, int] = {}
     for block in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
         for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block):
-            code = int(src, 16)
-            if code <= 0xFF and dst:
-                out[code] = int(dst[:4], 16)
+            if dst:
+                out[int(src, 16)] = int(dst[:4], 16)
     for block in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
         for lo, hi, dst in re.findall(
             rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block
         ):
             lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst[:4], 16)
-            if lo_i <= 0xFF:
-                for c in range(lo_i, min(hi_i, 0xFF) + 1):
-                    out[c] = base + (c - lo_i)
+            for c in range(lo_i, min(hi_i, lo_i + 0xFFFF) + 1):
+                out[c] = base + (c - lo_i)
     return out
 
 
@@ -1289,15 +1340,18 @@ def _interpret_text(
     """Execute the text operators of one page's content stream, appending
     ``(page, x0, y0, x1, y1, cp)`` records (space glyphs advance the pen but
     emit no record — the layout kernel re-derives word gaps, exactly like
-    the toy decoder). ``font_maps`` is ``{font_resource_name: {code: cp}}``
-    from /ToUnicode CMaps and /Encoding /Differences — codes without a map
-    entry read as their own codepoint (the builtin-encoding identity)."""
+    the toy decoder). ``font_maps`` is ``{font_resource_name: (code_bytes,
+    {code: cp})}`` from :meth:`PdfDocument.page_font_maps` — codes without
+    a map entry read as their own codepoint (the builtin-encoding identity,
+    or CID==codepoint for Identity-H without /ToUnicode); ``code_bytes=2``
+    consumes show-string bytes in big-endian pairs (composite fonts)."""
     lex = _Lexer(content)
     stack: list = []
     size = 12.0
     leading = 0.0
     font_maps = font_maps or {}
     cur_map: dict = {}
+    cur_width = 1
     # text matrix (a b c d e f); we use e,f (+ a,d scale) — fixtures are
     # unrotated, but the multiply below is the general one.
     tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
@@ -1312,7 +1366,13 @@ def _interpret_text(
         x = tm[4]
         y = tm[5]
         h = LINE_H
-        for b in s:
+        if cur_width == 2:
+            codes = [(s[i] << 8) | s[i + 1] for i in range(0, len(s) - 1, 2)]
+            if len(s) % 2:  # malformed odd tail: tolerate as 1-byte code
+                codes.append(s[-1])
+        else:
+            codes = list(s)
+        for b in codes:
             cp = cur_map.get(b, b)
             if cp != 0x20:
                 records.append((page_idx, x, y, x + w, y + h, cp))
@@ -1353,7 +1413,7 @@ def _interpret_text(
             in_text = False
         elif op == b"Tf" and len(stack) >= 2:
             size = float(stack[-1])
-            cur_map = font_maps.get(str(stack[-2]), {})
+            cur_width, cur_map = font_maps.get(str(stack[-2]), (1, {}))
         elif op == b"TL" and stack:
             leading = float(stack[-1])
         elif op == b"Td" and len(stack) >= 2:

@@ -4,7 +4,7 @@ batch compositions) and compare a content hash of every (url,
 extracted_text) pair.
 
 Usage: python scripts/determinism_check.py [corpus_dir] [n_pages]
-Defaults to the cached bench corpus (/tmp/graft_bench/pages_100000_v5),
+Defaults to the cached bench corpus (/tmp/graft_bench/pages_100000_v6),
 generating it if missing.
 """
 
@@ -35,7 +35,7 @@ def main() -> int:
     sys.path.insert(0, ".")
     from pdf_extractor_ray.pipelines.extract import extraction_pipeline
 
-    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_bench/pages_100000_v5"
+    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_bench/pages_100000_v6"
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
 
     ray.init(

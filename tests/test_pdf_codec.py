@@ -198,6 +198,103 @@ class TestFontEncodings:
         assert _glyph_to_cp("nosuchglyphname") is None
 
 
+class TestCidFonts:
+    """Composite (Type0/Identity-H) font decode (round 3): show strings
+    are big-endian 2-byte hex codes (code = codepoint + 0x0100) mapped
+    back by a 2-byte-source /ToUnicode bfrange — extraction must be
+    byte-identical to the plain builtin-encoding PDF."""
+
+    TEXT = " ".join(f"word{i}" for i in range(250)) + " punct: a,b.c-d (e) [f]"
+
+    def test_cid_parity_across_xref_forms(self):
+        base = extract_pdf(build_pdf(self.TEXT))
+        for xk in ("table", "stream", "objstm"):
+            for compress in (False, "lzw", True):
+                got = extract_pdf(
+                    build_pdf(
+                        self.TEXT,
+                        xref_kind=xk,
+                        font_encoding="cid",
+                        compress=compress,
+                    )
+                )
+                assert got == base, (xk, compress)
+
+    def test_two_byte_codes_do_real_work(self):
+        """Interpreting the 2-byte show strings WITHOUT the font map (so
+        codes read 1 byte at a time) must garble the text — proves the
+        fixture exercises the composite-font width switch."""
+        import pdf_extractor_ray.functions.pdf_codec as C
+
+        pdf = build_pdf("hi", font_encoding="cid")
+        doc = C.PdfDocument(pdf)
+        page = list(doc.pages())[0]
+        recs: list = []
+        C._interpret_text(doc.page_content(page), 0, recs, None)
+        # 'h'=0x68 -> code 0x0168 -> bytes 01 68: read as two 1-byte codes
+        assert [r[5] for r in recs[:2]] == [0x01, 0x68]
+
+    def test_two_byte_bfrange_parse(self):
+        from pdf_extractor_ray.functions.pdf_codec import _parse_tounicode
+
+        m = _parse_tounicode(
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0120> <0122> <0020> endbfrange\n"
+            b"1 beginbfchar <4E2D> <4E2D> endbfchar"
+        )
+        assert m == {0x120: 0x20, 0x121: 0x21, 0x122: 0x22, 0x4E2D: 0x4E2D}
+
+    def test_hostile_bfrange_capped(self):
+        """A bfrange spanning the whole 2^16+ space must stop at 2^16
+        entries instead of allocating unboundedly."""
+        from pdf_extractor_ray.functions.pdf_codec import _parse_tounicode
+
+        m = _parse_tounicode(b"1 beginbfrange <0000> <FFFFFF> <0041> endbfrange")
+        assert len(m) == 0x10000
+
+    def test_identity_fallback_without_tounicode(self):
+        """A Type0 font with no /ToUnicode reads each CID as its own
+        codepoint (the pdfminer-style Identity fallback)."""
+        import pdf_extractor_ray.functions.pdf_codec as C
+
+        pdf = build_pdf("AB", font_encoding="cid")
+        # strip the /ToUnicode entry from the Type0 font dict
+        patched = pdf.replace(b"/ToUnicode", b"/IgnoredXX", 1)
+        assert patched != pdf
+        doc = C.PdfDocument(patched)
+        page = list(doc.pages())[0]
+        recs: list = []
+        C._interpret_text(
+            doc.page_content(page), 0, recs, doc.page_font_maps(page)
+        )
+        # codes are cp+0x0100 and pass through unmapped
+        assert [r[5] for r in recs] == [ord("A") + 0x100, ord("B") + 0x100]
+
+    def test_odd_tail_tolerated(self):
+        """A malformed odd-length 2-byte show string reads its last byte
+        as a 1-byte code instead of raising."""
+        import pdf_extractor_ray.functions.pdf_codec as C
+
+        content = b"BT /F1 10 Tf 1 0 0 1 0 700 Tm <016801> Tj ET"
+        recs: list = []
+        C._interpret_text(content, 0, recs, {"F1": (2, {0x168: ord("h")})})
+        assert [r[5] for r in recs] == [ord("h"), 0x01]
+
+    def test_record_chunks_and_outline_survive_cid(self):
+        """The record-chunk splitter and outline walk are font-agnostic —
+        a CID-font sectioned PDF still splits and extracts correctly."""
+        pdf = build_sectioned_pdf(
+            [("Intro", "alpha beta gamma"), ("Body", "delta epsilon")],
+            font_encoding="cid",
+        )
+        titles = [t for t, _ in parse_pdf_outline(pdf)]
+        assert titles == ["Intro", "Body"]
+        base = build_sectioned_pdf(
+            [("Intro", "alpha beta gamma"), ("Body", "delta epsilon")]
+        )
+        assert extract_pdf(pdf) == extract_pdf(base)
+
+
 class TestEncryptionDeclared:
     def test_encrypted_pdf_typed_error(self):
         from pdf_extractor_ray.functions.pdf_codec import PdfDocument, PdfError
