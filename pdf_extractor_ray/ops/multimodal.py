@@ -11,11 +11,15 @@ is real and tested. Decode kernels, round 2:
   and subsampled YCbCr, restart markers), GIF 87a/89a (round 3 —
   LSB-first LZW, global/local palettes, interlace; first frame),
   baseline TIFF (round 3 — both byte orders, none/LZW/PackBits strips,
-  predictor 2, gray + RGB), WAV (PCM via the stdlib ``wave`` module).
-* STUBBED, declared: WebP (VP8 needs native libs), MP3, video containers
-  — ``NotImplementedError`` with the production swap noted; a
+  predictor 2, gray + RGB), lossless WebP (round 3 — :mod:`.webp`,
+  VP8L), WAV (PCM via the stdlib ``wave`` module), FLAC (round 3 —
+  :mod:`.flac`: Rice residuals, fixed + LPC predictors, stereo
+  decorrelation).
+* STUBBED, declared: lossy-VP8 WebP / AVIF / HEIC images and MP3/AAC
+  audio — ``NotImplementedError`` with the production swap noted; a
   deterministic fake format keeps the plumbing testable without any
-  codec.
+  codec. Video containers decode for real in the uncompressed cases
+  (see :mod:`.video`); DCT video codecs stay declared stubs.
 
 Fake payload convention: ``b"IMGv1" + width:uint16 + height:uint16 +
 channel bytes``.
@@ -315,9 +319,112 @@ def media_pipeline(ds, target: int = 8, batch_size: int = 32, concurrency=(1, 4)
     )
 
 
+class AudioFeatureExtractor:
+    """Actor-pool ``map_batches`` stage for audio columns: decode
+    (WAV/FLAC) → fixed window grid → per-window INTEGER abs-energy
+    (``sum(|s|)``) — integers so the ``audio_features`` SQL oracle is
+    hash-exact. Same actor shape as :class:`ImageFeatureExtractor`; a
+    real fbank/wav2vec kernel drops into ``__call__`` with its model
+    loaded here in ``__init__``."""
+
+    def __init__(self, n_windows: int = 8):
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, wins, energies = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            samples, _ = decode_audio(payload)
+            w = len(samples) // self.n_windows
+            trimmed = samples[: w * self.n_windows].astype(np.int64)
+            per_win = np.abs(trimmed).reshape(self.n_windows, w).sum(axis=1)
+            ids.extend([mid] * self.n_windows)
+            wins.extend(range(self.n_windows))
+            energies.extend(int(x) for x in per_win)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(wins, pa.int32()),
+                pa.array(energies, pa.int64()),
+            ],
+            names=["media_id", "win", "energy"],
+        )
+
+
+def audio_pipeline(ds, n_windows: int = 8, batch_size: int = 64, concurrency=(1, 4)):
+    """Audio feature pipeline: actor pool for warm decoder state, small
+    batches (binary payload rows), payload dropped at the stage output."""
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"n_windows": n_windows},
+        concurrency=concurrency,
+    )
+
+
+class VideoFeatureExtractor:
+    """Actor-pool ``map_batches`` stage for video columns: container
+    decode (Y4M / uncompressed AVI via :mod:`.video`) → uniform frame
+    sampling → per-sampled-frame INTEGER luma sum (exact-oracle-safe).
+    A real CLIP/VideoMAE kernel drops into ``__call__`` with its model
+    loaded in ``__init__``."""
+
+    def __init__(self, n_frames: int = 3):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .video import decode_video
+
+        ids, fnos, sums = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames, _ = decode_video(payload)
+            n = len(frames)
+            if n <= self.n_frames:
+                idx = np.arange(n)
+            else:
+                idx = (np.arange(self.n_frames) * n) // self.n_frames
+            for i in idx:
+                ids.append(mid)
+                fnos.append(int(i))
+                sums.append(int(frames[i].astype(np.int64).sum()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(fnos, pa.int32()),
+                pa.array(sums, pa.int64()),
+            ],
+            names=["media_id", "frame_no", "luma_sum"],
+        )
+
+
+def video_pipeline(ds, n_frames: int = 3, batch_size: int = 32, concurrency=(1, 4)):
+    """Video feature pipeline: actor pool, SMALL batches (frames are the
+    widest rows in the engine), payload dropped at the stage output."""
+    return ds.map_batches(
+        VideoFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        concurrency=concurrency,
+    )
+
+
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """WAV/PCM decode via the stdlib ``wave`` module → (mono int16 samples,
-    sample_rate). 16-bit PCM only; stereo is mean-downmixed."""
+    """WAV (stdlib ``wave`` module) or FLAC (from-scratch :mod:`.flac`
+    decoder, round 3) → (mono int16 samples, sample_rate). 16-bit only;
+    multi-channel audio is mean-downmixed (identical truncation semantics
+    on both paths). MP3/AAC stay declared stubs (see module docstring)."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        chans, rate = decode_flac(payload)
+        if chans.shape[1] > 1:
+            return chans.mean(axis=1).astype(np.int16), rate
+        return chans[:, 0].astype(np.int16), rate
     with wave.open(io.BytesIO(payload)) as wav:
         if wav.getsampwidth() != 2:
             raise NotImplementedError("16-bit PCM WAV only")

@@ -1702,6 +1702,83 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "bin"]).reset_index(drop=True)
 
 
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Audio pipeline with an exact oracle across REAL codecs: each
+    document becomes a 1024-sample int16 signal
+    ``s[t] = (doc_id*37 + t*13) % 2048 - 1024`` encoded as
+    ``doc_id%4==0`` → WAV, ``%4 in (1,2)`` → mono FLAC (real fixed-
+    predictor + Rice coding via the from-scratch :mod:`ops.flac` codec),
+    ``%4==3`` → stereo mid/side FLAC with L=R (mean-mix is exact). The
+    actor-pool stage decodes and emits per-window INTEGER abs-energy over
+    8 windows of 128 samples; FLAC is lossless, so the SQL oracle
+    recomputes the energies straight from the closed form — hash-exact."""
+    from .ops.flac import encode_flac
+    from .ops.multimodal import audio_pipeline, encode_wav
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            sig = ((i * 37 + np.arange(1024) * 13) % 2048 - 1024).astype(np.int16)
+            if i % 4 == 0:
+                payloads.append(encode_wav(sig))
+            elif i % 4 == 3:
+                payloads.append(
+                    encode_flac(np.stack([sig, sig], axis=1), mid_side=True)
+                )
+            else:
+                payloads.append(encode_flac(sig, blocksize=256))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = audio_pipeline(ds.map_batches(to_audio, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values(["media_id", "win"]).reset_index(drop=True)
+
+
+def q_video_features(sf_dir: str) -> pd.DataFrame:
+    """Video pipeline with an exact oracle over REAL containers: each
+    document becomes a 6-frame 16×16 clip with per-pixel formula
+    ``(doc_id*31 + f*7 + i) % 256`` (frame ``f``, raster position ``i``),
+    written as Y4M (``doc_id%2==0``; ``%4==2`` uses the mono colourspace)
+    or an uncompressed-DIB AVI (odd ids — B=G=R, so integer luma is the
+    gray value on both paths). The actor-pool stage decodes, samples 3
+    evenly-spaced frames (0, 2, 4), and emits per-frame INTEGER luma
+    sums; the SQL oracle recomputes them from the closed form."""
+    from .ops.multimodal import video_pipeline
+    from .ops.video import encode_avi, encode_y4m
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            frames = [
+                ((i * 31 + f * 7 + np.arange(256)) % 256)
+                .astype(np.uint8)
+                .reshape(16, 16)
+                for f in range(6)
+            ]
+            if i % 2 == 0:
+                cs = "mono" if i % 4 == 2 else "420jpeg"
+                payloads.append(encode_y4m(frames, colorspace=cs))
+            else:
+                payloads.append(encode_avi(frames))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = video_pipeline(ds.map_batches(to_video, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+
+
 def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signal per document: most-frequent word
     bigram count, total bigrams, and the repetitive flag (top fraction >
@@ -2203,6 +2280,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM grid g LEFT JOIN hist h ON g.media_id = h.media_id AND g.bin = h.bin
         ORDER BY g.media_id, g.bin
     """,
+    "audio_features": """
+        WITH s AS (
+            SELECT d.doc_id AS media_id,
+                   CAST(t.t // 128 AS INTEGER) AS win,
+                   abs((d.doc_id * 37 + t.t * 13) % 2048 - 1024) AS a
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 1024)) AS t) t
+        )
+        SELECT media_id, win, CAST(sum(a) AS BIGINT) AS energy
+        FROM s GROUP BY 1, 2 ORDER BY media_id, win
+    """,
+    "video_features": """
+        WITH px AS (
+            SELECT d.doc_id AS media_id,
+                   CAST(f.f AS INTEGER) AS frame_no,
+                   (d.doc_id * 31 + f.f * 7 + i.i) % 256 AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) f
+            CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
+        )
+        SELECT media_id, frame_no, CAST(sum(v) AS BIGINT) AS luma_sum
+        FROM px GROUP BY 1, 2 ORDER BY media_id, frame_no
+    """,
     "extraction_metrics": """
         SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS bytes_out
         FROM documents GROUP BY lang ORDER BY lang
@@ -2626,6 +2726,8 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "embed_ann": q_embed_ann,
     "media_features": q_media_features,
+    "audio_features": q_audio_features,
+    "video_features": q_video_features,
     "pack_sequences": q_pack_sequences,
     "repetition_filter": q_repetition_filter,
     "extraction_metrics": q_extraction_metrics,
