@@ -15,6 +15,12 @@ Modules:
 - ``joins``      as-of join, broadcast semi/anti join
 - ``windows``    tumbling/sliding event-time windows
 - ``embed``      hashed-ngram embedding actor stage (gaussian/identity)
-- ``multimodal`` image/audio columns with REAL stdlib codecs (PNG, BMP,
-                 PCM WAV); JPEG/MP3/video declared stubs
+- ``multimodal`` image/audio/video columns with REAL from-scratch codecs
+                 (PNG, BMP, JPEG, GIF, TIFF, VP8L WebP, PCM WAV, FLAC,
+                 Y4M/AVI); MP3/lossy-VP8/DCT-video declared stubs
+- ``quantiles``  exact distributed order statistics (iterative histogram
+                 refinement — counting passes, zero data shuffles)
+- ``sketch``     HyperLogLog cardinality (fixed 2^p registers, per-block
+                 max partials, bit-exact SQL oracle)
+- ``segments``   ordered per-key aggregation over sorted blocks
 """

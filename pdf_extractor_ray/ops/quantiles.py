@@ -1,0 +1,213 @@
+"""Exact distributed order statistics via iterative histogram refinement.
+
+The reference has no corpus-level statistics at all (its only numbers are
+per-document, SURVEY.md §2.7); a curation pipeline constantly needs exact
+percentiles (length caps, quality-score cut lines, price bands) over
+columns far too large to sort.  A global ``ds.sort`` is an all-to-all
+shuffle of the full column; this operator instead finds the exact value at
+any set of ranks with a handful of **counting passes**:
+
+1. One ``aggregate(Min, Max, Count)`` pass fixes the global interval and
+   turns each quantile ``q`` into a target rank ``ceil(q*n)``.
+2. Each refinement pass runs one vectorized ``map_batches`` partial
+   (whole-block ``np.bincount`` histograms over the active intervals,
+   plus per-bucket min/max) and combines the pre-aggregated
+   ``(interval, bucket)`` rows with one tiny ``groupby`` — the classic
+   partial→combine shape used throughout this engine.  Only
+   ``blocks × nonzero-buckets`` 40-byte rows enter the exchange; the
+   column itself never moves.
+3. A bucket whose observed ``min == max`` resolves its ranks immediately;
+   otherwise the rank recurses into the *observed* ``[min, max]`` of its
+   bucket, so every pass shrinks the value range by ~``num_buckets``×.
+   Integer columns terminate exactly; float columns terminate when the
+   interval collapses to one representable value or the remaining rows
+   fit under ``collect_cap`` (then one filtered, pre-aggregated
+   value-count pass finishes the job — bounded, documented driver state).
+
+For ``num_buckets=4096`` this is ≤3 passes for any int64 column and for
+doubles of ordinary spread — O(passes) full scans, zero shuffles of data
+rows, O(num_buckets × intervals) driver state.  At 100 TB each pass
+streams; the combine exchange carries ~``num_blocks × 4096`` tiny rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["exact_quantiles"]
+
+
+def _rank_targets(qs: list[float], n: int) -> list[int]:
+    """Rank (1-based) of each quantile: smallest r with r >= q*n, min 1."""
+    return [max(1, math.ceil(q * n)) for q in qs]
+
+
+def _hist_partial(intervals: list[tuple[float, float]], col: str, nb: int):
+    """Whole-block partial: for each active interval emit nonzero-bucket
+    rows (iv, bucket, cnt, bmin, bmax). Runs with batch_size=None so one
+    call sees one block — the per-block pre-combine that keeps the
+    downstream groupby tiny."""
+    los = np.array([iv[0] for iv in intervals], dtype=np.float64)
+    his = np.array([iv[1] for iv in intervals], dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ivs, bks, cnts, mins, maxs = [], [], [], [], []
+        for i in range(len(los)):
+            lo, hi = los[i], his[i]
+            sel = x[(x >= lo) & (x <= hi)]
+            if len(sel) == 0:
+                continue
+            width = (hi - lo) / nb
+            if width <= 0 or not np.isfinite(width):
+                b = np.zeros(len(sel), dtype=np.int64)
+            else:
+                b = np.minimum(((sel - lo) / width).astype(np.int64), nb - 1)
+            order = np.argsort(b, kind="stable")
+            bs, ss = b[order], sel[order]
+            ub, start = np.unique(bs, return_index=True)
+            end = np.r_[start[1:], len(bs)]
+            ivs.extend([i] * len(ub))
+            bks.extend(ub.tolist())
+            cnts.extend((end - start).tolist())
+            mins.extend(np.minimum.reduceat(ss, start).tolist())
+            maxs.extend(np.maximum.reduceat(ss, start).tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(ivs, pa.int32()),
+                pa.array(bks, pa.int32()),
+                pa.array(cnts, pa.int64()),
+                pa.array(mins, pa.float64()),
+                pa.array(maxs, pa.float64()),
+            ],
+            names=["iv", "bucket", "cnt", "bmin", "bmax"],
+        )
+
+    return partial
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    qs: list[float],
+    num_buckets: int = 4096,
+    collect_cap: int = 200_000,
+    max_passes: int = 12,
+) -> list[tuple[float, float]]:
+    """Exact value at rank ``ceil(q*n)`` for each q in ``qs`` (the
+    "smallest value whose <=-count reaches the rank" definition — matches
+    ``min(x) FILTER (row_number >= ceil(q*n))`` in SQL).
+
+    Returns ``[(q, value), ...]`` in the input order of ``qs``. Runs
+    O(passes) streaming counting passes; see module docstring for the
+    scale story. Raises ``ValueError`` on an empty column."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    n = stats["count()"]
+    if not n:
+        raise ValueError("exact_quantiles: empty column")
+    glo, ghi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+
+    targets = _rank_targets(qs, n)
+    results: dict[int, float] = {}
+    # Active work: interval -> (lo, hi, {qi: rank_within_interval}) where
+    # rank is 1-based among rows with value in [lo, hi].
+    work: list[tuple[float, float, dict[int, int]]] = [
+        (glo, ghi, {i: t for i, t in enumerate(targets)})
+    ]
+
+    from ray.data.aggregate import Sum
+
+    passes = 0
+    while work:
+        passes += 1
+        if passes > max_passes:
+            raise RuntimeError(
+                f"exact_quantiles: no convergence after {max_passes} passes "
+                f"(pathological float distribution?); raise collect_cap"
+            )
+        # Resolve degenerate intervals without a pass.
+        still = []
+        for lo, hi, ranks in work:
+            if lo == hi:
+                for qi in ranks:
+                    results[qi] = lo
+            else:
+                still.append((lo, hi, ranks))
+        if not still:
+            break
+        intervals = [(lo, hi) for lo, hi, _ in still]
+        part = _hist_partial(intervals, col, num_buckets)
+        rows = (
+            ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+            .groupby(["iv", "bucket"])
+            .aggregate(Sum("cnt"), Min("bmin"), Max("bmax"))
+            .take_all()  # ≤ intervals × num_buckets tiny rows — driver-safe
+        )
+        # Per interval: sorted bucket table → cumulative counts → locate
+        # each rank's bucket; recurse into the bucket's OBSERVED [min,max].
+        per_iv: dict[int, list[tuple[int, int, float, float]]] = {}
+        for r in rows:
+            per_iv.setdefault(r["iv"], []).append(
+                (r["bucket"], r["sum(cnt)"], r["min(bmin)"], r["max(bmax)"])
+            )
+        next_work: dict[tuple[float, float], dict[int, int]] = {}
+        for i, (lo, hi, ranks) in enumerate(still):
+            buckets = sorted(per_iv.get(i, []))
+            cum = np.cumsum([b[1] for b in buckets])
+            for qi, rank in ranks.items():
+                j = int(np.searchsorted(cum, rank, side="left"))
+                _, cnt, bmin, bmax = buckets[j]
+                rank_in_bucket = rank - (int(cum[j - 1]) if j else 0)
+                if bmin == bmax:
+                    results[qi] = bmin
+                elif (bmin, bmax) == (lo, hi) and cnt <= collect_cap:
+                    # Histogram made no progress (interval width at float
+                    # resolution) but the cluster is small — count exactly.
+                    results[qi] = _collect_rank(ds, col, bmin, bmax, rank_in_bucket)
+                elif (bmin, bmax) == (lo, hi):
+                    raise RuntimeError(
+                        "exact_quantiles: dense float cluster beyond "
+                        f"collect_cap={collect_cap} at [{lo}, {hi}]"
+                    )
+                else:
+                    key = (bmin, bmax)
+                    next_work.setdefault(key, {})[qi] = rank_in_bucket
+        work = [(lo, hi, ranks) for (lo, hi), ranks in next_work.items()]
+
+    return [(q, results[i]) for i, q in enumerate(qs)]
+
+
+def _collect_rank(ds, col: str, lo: float, hi: float, rank: int) -> float:
+    """Finisher for pathological float clusters: one filtered pass emits
+    pre-aggregated per-block (value, count) rows for values in [lo, hi];
+    the groupby result is ≤ collect_cap distinct values — pick the rank
+    from its cumulative counts on the driver."""
+    from ray.data.aggregate import Sum
+
+    def vals(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        sel = x[(x >= lo) & (x <= hi)]
+        u, c = np.unique(sel, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u, pa.float64()), pa.array(c, pa.int64())],
+            names=["value", "cnt"],
+        )
+
+    rows = (
+        ds.map_batches(vals, batch_format="pyarrow", batch_size=None)
+        .groupby("value")
+        .aggregate(Sum("cnt"))
+        .sort("value")
+        .take_all()
+    )
+    cum = 0
+    for r in rows:
+        cum += r["sum(cnt)"]
+        if cum >= rank:
+            return r["value"]
+    raise RuntimeError("exact_quantiles: rank beyond interval count")

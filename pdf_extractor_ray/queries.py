@@ -1779,6 +1779,40 @@ def q_video_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
 
 
+def q_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles of ``l_extendedprice`` (60k rows at
+    sf0.01) via iterative histogram refinement (:mod:`ops.quantiles`):
+    O(passes) counting scans, zero data shuffles — the column itself
+    never moves, only per-block 4096-bucket partials.  Definition is
+    rank = ``ceil(q*n)`` computed in IEEE double on BOTH sides, so the
+    DuckDB ``row_number`` oracle is value-exact including ties."""
+    from .ops.quantiles import exact_quantiles
+
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    pairs = exact_quantiles(ds, "l_extendedprice", qs)
+    return pd.DataFrame({"q": [p[0] for p in pairs], "value": [p[1] for p in pairs]})
+
+
+def q_distinct_sketch(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-customer sketch over ``orders.o_custkey``
+    (p=12, splitmix64 hash).  The query returns the ENTIRE register table
+    ``(register, max_rho)`` — fixed 2^p-bounded state combined by
+    element-wise max — and the oracle recomputes every register
+    bit-for-bit in SQL (same HUGEINT splitmix64 as ``stratified_sample``
+    plus a bit-scan for the leading-zero count), so the sketch itself is
+    hash-exact, not just its estimate.  Estimate accuracy is pinned
+    separately in tests/test_sketch.py."""
+    from .ops.sketch import hll_sketch
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    df = hll_sketch(ds, "o_custkey", p=12).to_pandas()
+    df = df.rename(columns={"max(rho)": "max_rho"})
+    df["register"] = df["register"].astype("int32")
+    df["max_rho"] = df["max_rho"].astype("int32")
+    return df.sort_values("register").reset_index(drop=True)
+
+
 def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signal per document: most-frequent word
     bigram count, total bigrams, and the repetitive flag (top fraction >
@@ -2375,6 +2409,52 @@ WHERE hv < CASE lang
 ORDER BY doc_id
 """
 
+ORACLE_SQL["quantiles"] = """
+WITH o AS (
+    SELECT l_extendedprice AS x,
+           row_number() OVER (ORDER BY l_extendedprice) AS rn,
+           count(*) OVER () AS n
+    FROM lineitem
+),
+qs AS (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qd)
+SELECT CAST(qd AS DOUBLE) AS q, min(x) AS value
+FROM o JOIN qs ON rn >= greatest(1, ceil(CAST(qd AS DOUBLE) * n))
+GROUP BY 1 ORDER BY 1
+"""
+
+# Same HUGEINT splitmix64 chain as stratified_sample (salt 0 here), then
+# HLL register = top 12 hash bits, rho = 1 + leading zeros of the low 52
+# bits (bit-scan via list_min over set-bit positions).
+ORACLE_SQL["distinct_sketch"] = """
+WITH m1 AS (
+    SELECT CAST((CAST(o_custkey AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS x
+    FROM orders
+),
+m1x AS (SELECT xor(x, x >> 30) AS a FROM m1),
+m2 AS (
+    SELECT CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
+          + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296)
+         % 18446744073709551616 AS UBIGINT) AS x
+    FROM m1x
+),
+m2x AS (SELECT xor(x, x >> 27) AS a FROM m2),
+m3 AS (
+    SELECT CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
+          + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296)
+         % 18446744073709551616 AS UBIGINT) AS x
+    FROM m2x
+),
+h AS (SELECT xor(x, x >> 31) AS hv FROM m3),
+reg AS (SELECT CAST(hv >> 52 AS INTEGER) AS register,
+               hv % 4503599627370496 AS rest FROM h),
+rho AS (SELECT register,
+    CAST(coalesce(list_min(list_filter(range(1, 53),
+        i -> ((rest >> (52 - i)) & 1) = 1)), 53) AS INTEGER) AS r
+    FROM reg)
+SELECT register, max(r) AS max_rho FROM rho GROUP BY register ORDER BY register
+"""
+
 ORACLE_SQL["domain_cap"] = """
 WITH hosted AS (
     SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
@@ -2729,6 +2809,8 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_features": q_video_features,
     "pack_sequences": q_pack_sequences,
+    "quantiles": q_quantiles,
+    "distinct_sketch": q_distinct_sketch,
     "repetition_filter": q_repetition_filter,
     "extraction_metrics": q_extraction_metrics,
 }

@@ -1,0 +1,134 @@
+"""Unit tests for ops/quantiles.py (exact order statistics) and
+ops/sketch.py (HyperLogLog) — brute-force parity, merge laws, accuracy."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _expected_quantiles(vals, qs):
+    s = np.sort(np.asarray(vals, dtype=np.float64))
+    return [(q, float(s[max(1, math.ceil(q * len(s))) - 1])) for q in qs]
+
+
+QS = [0.01, 0.1, 0.5, 0.9, 0.99, 1.0]
+
+
+class TestExactQuantiles:
+    @pytest.mark.parametrize(
+        "name,maker",
+        [
+            ("uniform_int", lambda r: r.integers(0, 10_000, 20_000)),
+            ("skewed_int", lambda r: (r.pareto(1.2, 20_000) * 100).astype(np.int64)),
+            ("normal_float", lambda r: r.normal(1000.0, 50.0, 20_000)),
+            ("negatives", lambda r: r.normal(-5.0, 100.0, 5_000)),
+            ("all_equal", lambda r: np.full(777, 42.0)),
+            ("tiny", lambda r: np.array([3.0, 1.0, 2.0])),
+            (
+                "dense_float_cluster",
+                lambda r: np.r_[np.full(5_000, 1.0), 1.0 + np.arange(50) * 1e-15],
+            ),
+        ],
+    )
+    def test_matches_sort(self, ray_session, name, maker):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+        vals = maker(np.random.default_rng(7))
+        typ = pa.float64() if vals.dtype == np.float64 else pa.int64()
+        ds = rd.from_arrow(pa.table({"x": pa.array(vals, typ)})).repartition(5)
+        got = exact_quantiles(ds, "x", QS)
+        assert got == _expected_quantiles(vals, QS)
+
+    def test_empty_raises(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+        ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+        with pytest.raises(ValueError):
+            exact_quantiles(ds, "x", [0.5])
+
+    def test_block_layout_invariance(self, ray_session):
+        """Same values, different partitioning → identical answers (the
+        partial/combine must be layout-free)."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+        vals = np.random.default_rng(1).normal(0, 1, 9_999)
+        tbl = pa.table({"x": pa.array(vals, pa.float64())})
+        answers = [
+            exact_quantiles(rd.from_arrow(tbl).repartition(k), "x", QS)
+            for k in (1, 3, 16)
+        ]
+        assert answers[0] == answers[1] == answers[2]
+
+
+class TestHLL:
+    def test_registers_match_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import hll_rho, hll_sketch
+        from pdf_extractor_ray.ops.text import splitmix64_np
+
+        keys = np.random.default_rng(3).integers(0, 10**6, 50_000, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})).repartition(6)
+        got = {r["register"]: r["max(rho)"] for r in hll_sketch(ds, "k", 12).take_all()}
+        reg, rho = hll_rho(splitmix64_np(keys.astype(np.uint64)), 12)
+        dense = np.zeros(4096, dtype=np.int32)
+        np.maximum.at(dense, reg, rho)
+        assert got == {int(i): int(dense[i]) for i in np.flatnonzero(dense)}
+
+    def test_merge_associative(self, ray_session):
+        """Sketch of the union == element-wise max of the two sketches —
+        the property that makes HLL shuffle-free at any scale."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import hll_sketch
+
+        keys = np.random.default_rng(5).integers(0, 10**7, 40_000, dtype=np.int64)
+
+        def sk(arr):
+            ds = rd.from_arrow(pa.table({"k": pa.array(arr, pa.int64())}))
+            return {r["register"]: r["max(rho)"] for r in hll_sketch(ds, "k", 12).take_all()}
+
+        whole = sk(keys)
+        merged: dict[int, int] = {}
+        for part in (sk(keys[:15_000]), sk(keys[15_000:])):
+            for r, v in part.items():
+                merged[r] = max(merged.get(r, 0), v)
+        assert merged == whole
+
+    @pytest.mark.parametrize("n_distinct", [100, 5_000, 200_000])
+    def test_estimate_accuracy(self, ray_session, n_distinct):
+        """Relative error within 5·(1.04/√m) at p=12 across three orders
+        of magnitude, including the linear-counting small range."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import hll_estimate, hll_sketch
+
+        keys = np.arange(n_distinct, dtype=np.int64)
+        keys = np.r_[keys, keys[: n_distinct // 2]]  # duplicates change nothing
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})).repartition(4)
+        dense = np.zeros(4096)
+        for r in hll_sketch(ds, "k", 12).take_all():
+            dense[r["register"]] = r["max(rho)"]
+        est = hll_estimate(dense, 12)
+        assert abs(est - n_distinct) / n_distinct < 5 * 1.04 / math.sqrt(4096)
+
+    def test_rho_bounds_and_p_guard(self):
+        from pdf_extractor_ray.ops.sketch import hll_rho
+
+        reg, rho = hll_rho(np.array([0, 2**63, 2**52 - 1, 1], dtype=np.uint64), 12)
+        assert list(reg) == [0, 2048, 0, 0]
+        # 2^52-1: all 52 rest bits set -> rho 1 (float log2 would say 0);
+        # hv=1: 51 leading zeros -> rho 52.
+        assert list(rho) == [53, 53, 1, 52]
+        with pytest.raises(ValueError):
+            hll_rho(np.array([1], dtype=np.uint64), 3)
