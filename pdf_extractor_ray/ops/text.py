@@ -14,6 +14,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # Tiny deterministic stopword lists per language (marker words only — this
 # is an n-gram/stopword heuristic, not a model).
@@ -490,3 +491,97 @@ def hash_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def word_topk(ds, k: int = 10, text_col: str = "text", group_col: str = "lang"):
+    """Exact corpus heavy hitters: the ``k`` most frequent words per group
+    (tiebreak: word ascending), as a Dataset of
+    ``(group, word, cnt, rank)`` rows.
+
+    Words are the classic skewed shuffle key, so nothing row-level ever
+    enters an exchange: per-BLOCK vectorized word counts (RE2 ``\\s+``
+    split → flatten → ``np.unique`` over group⊕word pairs) pre-combine
+    before one ``groupby(group, word)`` sum over vocabulary-sized rows;
+    the final top-k is a per-block partial top-k (exact once counts are
+    global) merged on the driver from ``blocks × groups × k`` rows.
+    Assumes bounded group cardinality (languages, sources — document if
+    used otherwise); vocabulary cardinality may be corpus-scale."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern=r"\s+"
+        )
+        if isinstance(words_list, pa.ChunkedArray):
+            words_list = words_list.combine_chunks()
+        words = words_list.flatten()
+        reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        groups = np.repeat(
+            np.asarray(batch[group_col].to_pylist(), dtype=object), reps
+        )
+        w = words.to_numpy(zero_copy_only=False)
+        keep = w != ""
+        w, groups = w[keep], groups[keep]
+        out_g, out_w, out_c = [], [], []
+        for gval in np.unique(groups.astype(str)):  # bounded cardinality
+            u, c = np.unique(w[groups == gval].astype(str), return_counts=True)
+            out_g.append(np.full(len(u), gval, dtype=object))
+            out_w.append(u.astype(object))
+            out_c.append(c)
+        empty = np.array([], dtype=object)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_g) if out_g else empty, pa.string()),
+                pa.array(np.concatenate(out_w) if out_w else empty, pa.string()),
+                pa.array(
+                    np.concatenate(out_c) if out_c else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            ],
+            names=[group_col, "word", "cnt"],
+        )
+
+    totals = (
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby([group_col, "word"])
+        .aggregate(Sum("cnt"))
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        w = np.asarray(batch["word"].to_pylist(), dtype=object)
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        # Per group: order by (cnt desc, word asc), keep first k.
+        order = np.lexsort((w, -c, g))
+        gs = g[order]
+        starts = np.r_[0, 1 + np.flatnonzero(gs[1:] != gs[:-1])]
+        pos = np.arange(len(gs)) - np.repeat(starts, np.diff(np.r_[starts, len(gs)]))
+        keep = order[pos < k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(g[keep].astype(str), pa.string()),
+                pa.array(w[keep].astype(str), pa.string()),
+                pa.array(c[keep], pa.int64()),
+            ],
+            names=[group_col, "word", "cnt"],
+        )
+
+    partials = totals.map_batches(
+        topk_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # ≤ blocks × groups × k tiny rows
+
+    best: dict[str, list[tuple[int, str]]] = {}
+    for r in partials:
+        best.setdefault(r[group_col], []).append((-r["cnt"], r["word"]))
+    out_g, out_w, out_c, out_r = [], [], [], []
+    for grp in sorted(best):
+        for rank, (negc, word) in enumerate(sorted(set(best[grp]))[:k], 1):
+            out_g.append(grp)
+            out_w.append(word)
+            out_c.append(-negc)
+            out_r.append(rank)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {group_col: out_g, "word": out_w, "cnt": out_c, "rank": out_r}
+    ).astype({"cnt": "int64", "rank": "int32"})

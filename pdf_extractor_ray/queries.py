@@ -1813,6 +1813,20 @@ def q_distinct_sketch(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("register").reset_index(drop=True)
 
 
+def q_word_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact heavy hitters: 10 most frequent lowercased words per
+    language (tiebreak word asc). Words are the canonical skewed shuffle
+    key — the op pre-combines counts per BLOCK before the vocabulary
+    groupby and finishes with per-block partial top-ks merged on the
+    driver (exact once counts are global), so no row-level data ever
+    enters an exchange (:func:`ops.text.word_topk`). RE2 ``\\s+`` split
+    semantics on both sides."""
+    from .ops.text import word_topk
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    return word_topk(ds, k=10).sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signal per document: most-frequent word
     bigram count, total bigrams, and the repetitive flag (top fraction >
@@ -2455,6 +2469,21 @@ rho AS (SELECT register,
 SELECT register, max(r) AS max_rho FROM rho GROUP BY register ORDER BY register
 """
 
+ORACLE_SQL["word_topk"] = r"""
+WITH words AS (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+    FROM documents
+),
+counts AS (SELECT lang, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+ranked AS (
+    SELECT lang, word, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS r
+    FROM counts
+)
+SELECT lang, word, CAST(cnt AS BIGINT) AS cnt, CAST(r AS INTEGER) AS rank
+FROM ranked WHERE r <= 10 ORDER BY lang, rank
+"""
+
 ORACLE_SQL["domain_cap"] = """
 WITH hosted AS (
     SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
@@ -2811,6 +2840,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "quantiles": q_quantiles,
     "distinct_sketch": q_distinct_sketch,
+    "word_topk": q_word_topk,
     "repetition_filter": q_repetition_filter,
     "extraction_metrics": q_extraction_metrics,
 }

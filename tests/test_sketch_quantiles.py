@@ -132,3 +132,44 @@ class TestHLL:
         assert list(rho) == [53, 53, 1, 52]
         with pytest.raises(ValueError):
             hll_rho(np.array([1], dtype=np.uint64), 3)
+
+
+class TestWordTopk:
+    def test_exact_vs_bruteforce(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import word_topk
+
+        docs = [
+            ("en", "the cat the dog The THE tie tie"),
+            ("en", "dog dog bird"),
+            ("de", "der die das der"),
+            ("de", ""),
+            ("de", "   "),
+        ]
+        tbl = pa.table(
+            {"lang": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+        got = word_topk(rd.from_arrow(tbl).repartition(3), k=2)
+        counts: dict[str, collections.Counter] = {}
+        for lang, text in docs:
+            counts.setdefault(lang, collections.Counter()).update(
+                text.lower().split()
+            )
+        rows = []
+        for lang in sorted(counts):
+            best = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+            rows += [(lang, w, c, r) for r, (w, c) in enumerate(best, 1)]
+        exp = [tuple(r) for r in rows]
+        assert list(map(tuple, got.itertuples(index=False))) == exp
+
+    def test_tie_break_is_word_ascending(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import word_topk
+
+        tbl = pa.table({"lang": ["en"], "text": ["b a c b a c"]})
+        got = word_topk(rd.from_arrow(tbl), k=2)
+        assert list(got["word"]) == ["a", "b"]
