@@ -222,6 +222,47 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Corpus statistics: exact quantiles of a numeric column, HLL
+    distinct count of a key column, and/or top-k words per group — the
+    shuffle-free analytics layer (ops/quantiles.py, ops/sketch.py,
+    ops/text.py::word_topk)."""
+    _init_ray(args.num_cpus)
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.input)
+    report: dict = {"input": args.input}
+    if args.quantiles:
+        from .ops.quantiles import exact_quantiles
+
+        qs = [float(x) for x in args.q.split(",")]
+        report["quantiles"] = {
+            args.quantiles: dict(exact_quantiles(ds, args.quantiles, qs))
+        }
+    if args.distinct:
+        from .ops.sketch import hll_estimate, hll_sketch
+
+        dense = np.zeros(1 << args.hll_p)
+        for r in hll_sketch(ds, args.distinct, args.hll_p).take_all():
+            dense[r["register"]] = r["max(rho)"]
+        report["distinct"] = {
+            args.distinct: round(hll_estimate(dense, args.hll_p))
+        }
+    if args.top_words:
+        from .ops.text import word_topk
+
+        df = word_topk(
+            ds, k=args.k, text_col=args.text_col, group_col=args.top_words
+        )
+        report["top_words"] = {
+            g: grp[["word", "cnt"]].values.tolist()
+            for g, grp in df.groupby(args.top_words)
+        }
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     from .pipelines.checkpoint import read_metrics
     from .stages.metrics import overall_status
@@ -306,6 +347,24 @@ def main(argv: list[str] | None = None) -> int:
     p_curate.add_argument("--id-col", default="doc_id")
     p_curate.add_argument("--num-cpus", type=int, default=None)
     p_curate.set_defaults(fn=cmd_curate)
+
+    p_stats = sub.add_parser(
+        "stats", help="corpus statistics: quantiles / distinct / top words"
+    )
+    p_stats.add_argument("--input", required=True, help="parquet path/glob")
+    p_stats.add_argument("--quantiles", default=None, metavar="COL",
+                         help="numeric column for exact quantiles")
+    p_stats.add_argument("--q", default="0.25,0.5,0.75,0.9,0.99",
+                         help="comma-separated quantile levels")
+    p_stats.add_argument("--distinct", default=None, metavar="COL",
+                         help="integer key column for HLL distinct count")
+    p_stats.add_argument("--hll-p", type=int, default=12)
+    p_stats.add_argument("--top-words", default=None, metavar="GROUP_COL",
+                         help="emit top-k words per value of this column")
+    p_stats.add_argument("--text-col", default="text")
+    p_stats.add_argument("--k", type=int, default=10)
+    p_stats.add_argument("--num-cpus", type=int, default=None)
+    p_stats.set_defaults(fn=cmd_stats)
 
     p_metrics = sub.add_parser("metrics", help="show a run's partition metrics")
     p_metrics.add_argument("--output", required=True)

@@ -128,3 +128,43 @@ def test_curate_para_dedup_and_domain_cap(tmp_path):
     tbl = pads.dataset(str(out)).to_table()
     assert tbl.num_rows == 12  # 4 hosts x cap 3
     assert all("cookie banner" not in t for t in tbl["text"].to_pylist())
+
+
+def test_stats_quantiles_distinct_topwords(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "size": pa.array(np.arange(n, dtype=np.int64) * 3),
+            "lang": pa.array(["en" if i % 2 else "de" for i in range(n)]),
+            "text": pa.array(
+                ["alpha beta alpha" if i % 2 else "gamma gamma delta" for i in range(n)]
+            ),
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(tbl, src)
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "pdf_extractor_ray", "stats",
+            "--input", str(src), "--quantiles", "size", "--q", "0.5,1.0",
+            "--distinct", "doc_id", "--top-words", "lang", "--k", "1",
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[-800:]
+    report = json.loads(result.stdout.strip().splitlines()[-1])
+    # rank ceil(0.5*1000)=500 -> value (500-1)*3; max = 999*3
+    assert report["quantiles"]["size"] == {"0.5": 499 * 3.0, "1.0": 999 * 3.0}
+    assert abs(report["distinct"]["doc_id"] - n) / n < 0.1
+    assert report["top_words"]["en"] == [["alpha", 1000]]
+    assert report["top_words"]["de"] == [["gamma", 1000]]
