@@ -23,4 +23,6 @@ Modules:
 - ``sketch``     HyperLogLog cardinality (fixed 2^p registers, per-block
                  max partials, bit-exact SQL oracle)
 - ``segments``   ordered per-key aggregation over sorted blocks
+- ``urls``       URL canonicalization (RFC-3986 normalization, tracking
+                 params, registered-domain heuristic)
 """

@@ -7,15 +7,16 @@ columns far too large to sort.  A global ``ds.sort`` is an all-to-all
 shuffle of the full column; this operator instead finds the exact value at
 any set of ranks with a handful of **counting passes**:
 
-1. One ``aggregate(Min, Max, Count)`` pass fixes the global interval and
+1. One per-block (count, min, max) pass fixes the global interval and
    turns each quantile ``q`` into a target rank ``ceil(q*n)``.
 2. Each refinement pass runs one vectorized ``map_batches`` partial
-   (whole-block ``np.bincount`` histograms over the active intervals,
-   plus per-bucket min/max) and combines the pre-aggregated
-   ``(interval, bucket)`` rows with one tiny ``groupby`` — the classic
-   partial→combine shape used throughout this engine.  Only
-   ``blocks × nonzero-buckets`` 40-byte rows enter the exchange; the
-   column itself never moves.
+   (whole-block histograms over the active intervals, plus per-bucket
+   min/max).  The pre-aggregated ``(interval, bucket)`` rows merge
+   either by STREAMING into a dense driver array (default — zero
+   exchanges, constant driver state, driver traffic
+   O(blocks × buckets × 40 B)) or via one tiny ``groupby`` exchange
+   (``combine="shuffle"``, for 10^5+-block inputs).  Either way the
+   data column itself never moves.
 3. A bucket whose observed ``min == max`` resolves its ranks immediately;
    otherwise the rank recurses into the *observed* ``[min, max]`` of its
    bucket, so every pass shrinks the value range by ~``num_buckets``×.
@@ -36,6 +37,9 @@ import math
 
 import numpy as np
 import pyarrow as pa
+from pyarrow.compute import max as pc_max
+from pyarrow.compute import min as pc_min
+from pyarrow.compute import sum as pc_sum
 
 __all__ = ["exact_quantiles"]
 
@@ -96,6 +100,7 @@ def exact_quantiles(
     num_buckets: int = 4096,
     collect_cap: int = 200_000,
     max_passes: int = 12,
+    combine: str = "stream",
 ) -> list[tuple[float, float]]:
     """Exact value at rank ``ceil(q*n)`` for each q in ``qs`` (the
     "smallest value whose <=-count reaches the rank" definition — matches
@@ -103,14 +108,44 @@ def exact_quantiles(
 
     Returns ``[(q, value), ...]`` in the input order of ``qs``. Runs
     O(passes) streaming counting passes; see module docstring for the
-    scale story. Raises ``ValueError`` on an empty column."""
-    from ray.data.aggregate import Count, Max, Min
+    scale story. Raises ``ValueError`` on an empty column.
 
-    stats = ds.aggregate(Min(col), Max(col), Count())
-    n = stats["count()"]
+    ``combine``: how per-block histogram partials merge. ``"stream"``
+    (default) pulls the tiny partial rows straight into a dense driver
+    array via ``iter_batches`` — zero exchanges end-to-end; driver
+    STATE stays O(buckets × intervals) but driver TRAFFIC is
+    O(blocks × nonzero-buckets × 40 B), fine up to ~10^4 blocks.
+    ``"shuffle"`` combines via ``groupby(iv, bucket)`` first — one
+    exchange per pass but driver traffic independent of block count;
+    use it at 10^5+-block scale (SCALE.md)."""
+    if combine not in ("stream", "shuffle"):
+        raise ValueError("combine must be 'stream' or 'shuffle'")
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(x) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64()),
+                 pa.array([], pa.float64())],
+                names=["cnt", "mn", "mx"],
+            )
+        return pa.Table.from_arrays(
+            [pa.array([len(x)], pa.int64()),
+             pa.array([float(x.min())], pa.float64()),
+             pa.array([float(x.max())], pa.float64())],
+            names=["cnt", "mn", "mx"],
+        )
+
+    n, glo, ghi = 0, np.inf, -np.inf
+    for tbl in ds.map_batches(
+        stats_partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        if tbl.num_rows:
+            n += pc_sum(tbl["cnt"]).as_py()
+            glo = min(glo, pc_min(tbl["mn"]).as_py())
+            ghi = max(ghi, pc_max(tbl["mx"]).as_py())
     if not n:
         raise ValueError("exact_quantiles: empty column")
-    glo, ghi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
 
     targets = _rank_targets(qs, n)
     results: dict[int, float] = {}
@@ -120,7 +155,7 @@ def exact_quantiles(
         (glo, ghi, {i: t for i, t in enumerate(targets)})
     ]
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     passes = 0
     while work:
@@ -142,19 +177,42 @@ def exact_quantiles(
             break
         intervals = [(lo, hi) for lo, hi, _ in still]
         part = _hist_partial(intervals, col, num_buckets)
-        rows = (
-            ds.map_batches(part, batch_format="pyarrow", batch_size=None)
-            .groupby(["iv", "bucket"])
-            .aggregate(Sum("cnt"), Min("bmin"), Max("bmax"))
-            .take_all()  # ≤ intervals × num_buckets tiny rows — driver-safe
-        )
+        partials = ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+        niv = len(intervals)
+        if combine == "stream":
+            # Dense driver accumulators — constant state, zero exchanges.
+            cnts = np.zeros((niv, num_buckets), dtype=np.int64)
+            mins = np.full((niv, num_buckets), np.inf)
+            maxs = np.full((niv, num_buckets), -np.inf)
+            for tbl in partials.iter_batches(batch_format="pyarrow"):
+                if not tbl.num_rows:
+                    continue
+                iv = tbl["iv"].to_numpy(zero_copy_only=False)
+                bk = tbl["bucket"].to_numpy(zero_copy_only=False)
+                flat = iv.astype(np.int64) * num_buckets + bk
+                np.add.at(cnts.ravel(), flat, tbl["cnt"].to_numpy(zero_copy_only=False))
+                np.minimum.at(mins.ravel(), flat, tbl["bmin"].to_numpy(zero_copy_only=False))
+                np.maximum.at(maxs.ravel(), flat, tbl["bmax"].to_numpy(zero_copy_only=False))
+            per_iv = {
+                i: [
+                    (int(b), int(cnts[i, b]), float(mins[i, b]), float(maxs[i, b]))
+                    for b in np.flatnonzero(cnts[i])
+                ]
+                for i in range(niv)
+            }
+        else:
+            rows = (
+                partials.groupby(["iv", "bucket"])
+                .aggregate(Sum("cnt"), Min("bmin"), Max("bmax"))
+                .take_all()  # ≤ intervals × num_buckets tiny rows
+            )
+            per_iv = {}
+            for r in rows:
+                per_iv.setdefault(r["iv"], []).append(
+                    (r["bucket"], r["sum(cnt)"], r["min(bmin)"], r["max(bmax)"])
+                )
         # Per interval: sorted bucket table → cumulative counts → locate
         # each rank's bucket; recurse into the bucket's OBSERVED [min,max].
-        per_iv: dict[int, list[tuple[int, int, float, float]]] = {}
-        for r in rows:
-            per_iv.setdefault(r["iv"], []).append(
-                (r["bucket"], r["sum(cnt)"], r["min(bmin)"], r["max(bmax)"])
-            )
         next_work: dict[tuple[float, float], dict[int, int]] = {}
         for i, (lo, hi, ranks) in enumerate(still):
             buckets = sorted(per_iv.get(i, []))

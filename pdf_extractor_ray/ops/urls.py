@@ -1,0 +1,150 @@
+"""URL canonicalization for web-crawl corpora.
+
+Web pipelines key nearly everything on URLs (dedup identity, domain
+caps, host-level quality priors), and raw crawl URLs are noisy: case,
+default ports, tracking parameters, dot-segments, fragments.  This module
+gives the engine one deterministic, documented canonical form — per-row
+pure functions (compiled regexes, no I/O) applied in a vectorized
+``map_batches`` stage, the same shape as ``ops/text.py::scrub_pii``.
+
+Canonicalization rules (RFC 3986 normalization plus the usual crawl
+conventions, each SQL-reproducible so the query oracle can state the
+expected output in closed form):
+
+1. scheme and host lowercased; default ports (``:80`` http, ``:443``
+   https) stripped; fragment stripped.
+2. leading ``www.`` stripped from the host.
+3. percent-decoding of UNRESERVED characters only (``%41`` → ``A``);
+   remaining percent triplets uppercased (``%2f`` → ``%2F``).
+4. dot-segments resolved (``/a/./b/../c`` → ``/a/c``), duplicate
+   slashes collapsed, trailing slash dropped except at the root.
+5. tracking parameters removed (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``); remaining query parameters kept in original order
+   (no sort — order can be semantic).
+
+``registered_domain`` is a heuristic (last two host labels, three when
+the second-to-last is a well-known second-level suffix like ``co.uk``)
+— a deliberate, documented stand-in for the full Public Suffix List,
+which is an external data file this sandbox doesn't ship.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+__all__ = ["canonicalize_url", "registered_domain", "canonicalize_urls"]
+
+_URL_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]*)(?::(?P<port>\d*))?"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_TRACKING_RE = re.compile(r"^(utm_|fbclid$|gclid$|msclkid$)", re.IGNORECASE)
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+# Common second-level public suffixes (heuristic subset; see module doc).
+_SECOND_LEVEL = frozenset(
+    "co com net org ac gov edu or ne".split()
+)
+_SL_TLD = frozenset("uk jp au nz za br in kr il".split())
+
+
+def _pct_normalize(s: str) -> str:
+    """Decode unreserved %XX; uppercase the rest (RFC 3986 §6.2.2)."""
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _resolve_path(path: str) -> str:
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg in ("", "."):
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+        else:
+            segs.append(seg)
+    return "/" + "/".join(segs) if segs else "/"
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form per the module rules, or None if not an
+    absolute http(s)-style URL."""
+    m = _URL_RE.match((url or "").strip())
+    if not m:
+        return None
+    scheme = m.group("scheme").lower()
+    host = m.group("host").lower()
+    if not host:
+        return None
+    if host.startswith("www."):
+        host = host[4:]
+    port = m.group("port")
+    netloc = host
+    if port and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = _resolve_path(_pct_normalize(m.group("path") or ""))
+    query = m.group("query")
+    canon = f"{scheme}://{netloc}{path}"
+    if query:
+        kept = [
+            p
+            for p in query.split("&")
+            if p and not _TRACKING_RE.match(p.split("=", 1)[0])
+        ]
+        if kept:
+            canon += "?" + "&".join(_pct_normalize(p) for p in kept)
+    return canon
+
+
+def host_of(url: str) -> str | None:
+    m = _URL_RE.match((url or "").strip())
+    if not m or not m.group("host"):
+        return None
+    host = m.group("host").lower()
+    return host[4:] if host.startswith("www.") else host
+
+
+def registered_domain(host: str | None) -> str | None:
+    """Last two labels, or three when label[-2] is a known second-level
+    suffix under a ccTLD (``example.co.uk``). Heuristic — see module doc."""
+    if not host:
+        return None
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if labels[-2] in _SECOND_LEVEL and labels[-1] in _SL_TLD and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def canonicalize_urls(ds, url_col: str = "url"):
+    """Vectorized stage: adds ``canon_url``, ``host``,
+    ``registered_domain`` columns (null for unparseable URLs). Per-row
+    pure string work — shuffle-free, trivially parallel."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        canon, hosts, doms = [], [], []
+        for u in urls:
+            c = canonicalize_url(u)
+            h = host_of(u)
+            canon.append(c)
+            hosts.append(h)
+            doms.append(registered_domain(h))
+        return (
+            batch.append_column("canon_url", pa.array(canon, pa.string()))
+            .append_column("host", pa.array(hosts, pa.string()))
+            .append_column("registered_domain", pa.array(doms, pa.string()))
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")

@@ -1827,6 +1827,50 @@ def q_word_topk(sf_dir: str) -> pd.DataFrame:
     return word_topk(ds, k=10).sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+def q_canonical_urls(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization over six deterministic mess buckets per
+    doc_id (case, default ports, dot-segments, duplicate slashes,
+    tracking params, percent-encoding, co.uk suffix, unparseable junk).
+    The op does real RFC-3986-style parsing (:mod:`ops.urls`); the SQL
+    oracle states the expected canonical form in CLOSED FORM per bucket,
+    so this is ground-truth-checked end-to-end, not parser-vs-parser."""
+    from .ops.urls import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        urls = []
+        for i in ids:
+            b = i % 6
+            if b == 0:
+                u = (
+                    f"HTTP://WWW.Site{i % 37}.Example.COM:80/a/b/../c/./page{i % 5}/"
+                    f"?utm_source=x&q={i}&fbclid=1#frag"
+                )
+            elif b == 1:
+                u = f"https://News.Example.co.uk:443//world//{i}/"
+            elif b == 2:
+                u = f"https://example.com:8443/%41bc%2f{i}"
+            elif b == 3:
+                u = f"http://blog.sub.site{i % 7}.org/a/../../x?gclid=z"
+            elif b == 4:
+                u = "https://www.example.com"
+            else:
+                u = f"not a url {i}"
+            urls.append(u)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(urls, pa.string())],
+            names=["doc_id", "url"],
+        )
+
+    out = canonicalize_urls(ds.map_batches(to_urls, batch_format="pyarrow"))
+    df = out.select_columns(
+        ["doc_id", "canon_url", "host", "registered_domain"]
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signal per document: most-frequent word
     bigram count, total bigrams, and the repetitive flag (top fraction >
@@ -2484,6 +2528,34 @@ SELECT lang, word, CAST(cnt AS BIGINT) AS cnt, CAST(r AS INTEGER) AS rank
 FROM ranked WHERE r <= 10 ORDER BY lang, rank
 """
 
+ORACLE_SQL["canonical_urls"] = """
+SELECT doc_id,
+    CASE doc_id % 6
+        WHEN 0 THEN 'http://site' || CAST(doc_id % 37 AS VARCHAR)
+             || '.example.com/a/c/page' || CAST(doc_id % 5 AS VARCHAR)
+             || '?q=' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'https://news.example.co.uk/world/' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN 'https://example.com:8443/Abc%2F' || CAST(doc_id AS VARCHAR)
+        WHEN 3 THEN 'http://blog.sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.org/x'
+        WHEN 4 THEN 'https://example.com/'
+        ELSE NULL END AS canon_url,
+    CASE doc_id % 6
+        WHEN 0 THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+        WHEN 1 THEN 'news.example.co.uk'
+        WHEN 2 THEN 'example.com'
+        WHEN 3 THEN 'blog.sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+        WHEN 4 THEN 'example.com'
+        ELSE NULL END AS host,
+    CASE doc_id % 6
+        WHEN 0 THEN 'example.com'
+        WHEN 1 THEN 'example.co.uk'
+        WHEN 2 THEN 'example.com'
+        WHEN 3 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+        WHEN 4 THEN 'example.com'
+        ELSE NULL END AS registered_domain
+FROM documents ORDER BY doc_id
+"""
+
 ORACLE_SQL["domain_cap"] = """
 WITH hosted AS (
     SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
@@ -2841,6 +2913,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "distinct_sketch": q_distinct_sketch,
     "word_topk": q_word_topk,
+    "canonical_urls": q_canonical_urls,
     "repetition_filter": q_repetition_filter,
     "extraction_metrics": q_extraction_metrics,
 }

@@ -54,6 +54,21 @@ class TestExactQuantiles:
         with pytest.raises(ValueError):
             exact_quantiles(ds, "x", [0.5])
 
+    def test_stream_and_shuffle_combine_agree(self, ray_session):
+        """Both combine strategies are the same algorithm with different
+        partial-merge transports — answers must be identical."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+        vals = np.random.default_rng(11).normal(50, 10, 8_000)
+        ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(7)
+        a = exact_quantiles(ds, "x", QS, combine="stream")
+        b = exact_quantiles(ds, "x", QS, combine="shuffle")
+        assert a == b == _expected_quantiles(vals, QS)
+        with pytest.raises(ValueError):
+            exact_quantiles(ds, "x", QS, combine="bogus")
+
     def test_block_layout_invariance(self, ray_session):
         """Same values, different partitioning → identical answers (the
         partial/combine must be layout-free)."""

@@ -1,0 +1,83 @@
+"""Unit tests for ops/urls.py — canonicalization rules one by one."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_extractor_ray.ops.urls import (
+    canonicalize_url,
+    host_of,
+    registered_domain,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # case + default port + fragment + www
+        ("HTTP://WWW.Example.COM:80/Path#frag", "http://example.com/Path"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        # non-default port kept
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        # dot segments, duplicate + trailing slashes
+        ("http://e.com/a/b/../c/./d/", "http://e.com/a/c/d"),
+        ("http://e.com//x//y//", "http://e.com/x/y"),
+        ("http://e.com/a/../..", "http://e.com/"),
+        ("http://e.com", "http://e.com/"),
+        # percent normalization: unreserved decoded, reserved uppercased
+        ("http://e.com/%41%2d%7e", "http://e.com/A-~"),
+        ("http://e.com/a%2fb%3Fc", "http://e.com/a%2Fb%3Fc"),
+        # tracking params dropped, order of the rest preserved, no sort
+        ("http://e.com/p?utm_source=x&b=2&a=1&fbclid=z", "http://e.com/p?b=2&a=1"),
+        ("http://e.com/p?UTM_CAMPAIGN=x&gclid=1&msclkid=2", "http://e.com/p"),
+        # query percent normalization
+        ("http://e.com/p?q=%41", "http://e.com/p?q=A"),
+        # empty params dropped
+        ("http://e.com/p?&&a=1&", "http://e.com/p?a=1"),
+        # unparseable
+        ("not a url", None),
+        ("", None),
+        (None, None),
+        ("ftp:/missing-slash", None),
+        ("http:///nohost", None),
+    ],
+)
+def test_canonicalize(raw, expected):
+    assert canonicalize_url(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "host,dom",
+    [
+        ("example.com", "example.com"),
+        ("a.b.example.com", "example.com"),
+        ("news.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("x.co", "x.co"),
+        ("localhost", "localhost"),
+        (None, None),
+    ],
+)
+def test_registered_domain(host, dom):
+    assert registered_domain(host) == dom
+
+
+def test_host_of_strips_www_and_port():
+    assert host_of("HTTP://WWW.Ex.COM:8080/a") == "ex.com"
+    assert host_of("nope") is None
+
+
+def test_canonicalize_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_extractor_ray.ops.urls import canonicalize_urls
+
+    tbl = pa.table(
+        {"url": ["HTTP://WWW.A.COM/x/../y?utm_source=1&k=2", "junk"]}
+    )
+    out = canonicalize_urls(rd.from_arrow(tbl)).take_all()
+    assert out[0]["canon_url"] == "http://a.com/y?k=2"
+    assert out[0]["host"] == "a.com"
+    assert out[0]["registered_domain"] == "a.com"
+    assert out[1]["canon_url"] is None
