@@ -23,6 +23,8 @@ Modules:
 - ``sketch``     HyperLogLog cardinality (fixed 2^p registers, per-block
                  max partials, bit-exact SQL oracle)
 - ``segments``   ordered per-key aggregation over sorted blocks
+- ``substr``     ExactSubstr-style duplicated-window detection
+                 (rolling-hash windows, Lee et al. 2022)
 - ``urls``       URL canonicalization (RFC-3986 normalization, tracking
                  params, registered-domain heuristic)
 """

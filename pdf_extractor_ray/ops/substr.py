@@ -1,0 +1,140 @@
+"""Exact duplicated-substring detection (ExactSubstr-style signal).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.
+2022, arXiv:2107.06499 — public) showed that EXACT substrings repeated
+across a corpus (50-token/char windows) are a distinct contamination
+signal from near-dup documents: boilerplate, licenses, quoted passages.
+Their reference implementation builds a corpus suffix array; the
+shuffle-equivalent here is rolling-hash windows:
+
+1. Per-block partial: every document's ``window``-char rolling
+   polynomial hashes (vectorized: ``w`` wrapping uint64 multiply-adds
+   over the code-point array per doc), pre-combined to unique
+   ``(hash, cnt)`` rows per block.
+2. One ``groupby(hash).sum`` — this exchange carries up to
+   O(total_chars) 16-byte rows and is the honest, irreducible cost of
+   exact-substring matching (a distributed suffix array shuffles the
+   same order of data). Filter to ``cnt >= 2`` = the duplicated-window
+   set, typically a tiny fraction of windows.
+3. Second streaming pass recomputes per-doc hashes and counts window
+   positions hitting the duplicated set — broadcast via ``ray.put``
+   when the set fits (``dup_cap``, documented), mirroring the
+   candidate-minority broadcast in ``ops/dedup``'s verify stage; at
+   corpus scale swap step 3's membership test for a hash-partitioned
+   semi-join on the window hash (same key as step 2's exchange).
+
+Windows are CHARACTER (code-point) windows, matching SQL
+``substring(text, i, w)`` semantics so the oracle can recount with
+string equality.  Hash collisions (2^-64 per pair) can only overcount a
+duplicate — same documented caveat as ``fingerprint_dedup``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["duplicate_window_counts", "window_hashes"]
+
+_B = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def window_hashes(text: str, window: int) -> np.ndarray:
+    """Rolling polynomial hashes (mod 2^64) of every ``window``-char
+    substring: h(i) = Σ_j cp[i+j]·B^(w-1-j). Vectorized as ``w``
+    wrapping multiply-adds over the code-point array."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(cps)
+    if n < window:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # wrapping mod-2^64 is the point
+        pows = np.empty(window, dtype=np.uint64)
+        pows[-1] = np.uint64(1)
+        for j in range(window - 2, -1, -1):
+            pows[j] = pows[j + 1] * _B
+    acc = np.zeros(n - window + 1, dtype=np.uint64)
+    for j in range(window):
+        acc += cps[j : n - window + 1 + j] * pows[j]
+    return acc
+
+
+def duplicate_window_counts(
+    ds,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_cap: int = 2_000_000,
+):
+    """Per-document duplicated-window statistics: a Dataset of
+    ``(id, total_windows, dup_windows)`` rows — ``dup_windows`` counts
+    window POSITIONS whose ``window``-char substring occurs ≥2 times
+    anywhere in the corpus (including overlaps and within-doc repeats).
+    Documents shorter than ``window`` produce no row (no windows).
+
+    Raises RuntimeError when the duplicated-hash set exceeds
+    ``dup_cap`` — see module docstring for the semi-join swap at that
+    scale."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hash_count_partial(batch: pa.Table) -> pa.Table:
+        hs = [window_hashes(t or "", window) for t in batch[text_col].to_pylist()]
+        allh = (
+            np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        )
+        u, c = np.unique(allh, return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(u.view(np.int64), pa.int64()),
+                pa.array(c, pa.int64()),
+            ],
+            names=["h", "cnt"],
+        )
+
+    dup_rows = (
+        ds.map_batches(hash_count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .aggregate(Sum("cnt"))
+        .filter(lambda r: r["sum(cnt)"] >= 2)
+        .take_all()
+    )
+    if len(dup_rows) > dup_cap:
+        raise RuntimeError(
+            f"duplicated-window set ({len(dup_rows)}) exceeds dup_cap={dup_cap}; "
+            "use the hash-partitioned semi-join path (module docstring)"
+        )
+    # View FIRST, then sort — int64 order differs from uint64 order for
+    # hashes with the top bit set, and searchsorted needs uint64 order.
+    dup_sorted = np.sort(
+        np.fromiter(
+            (r["h"] for r in dup_rows), dtype=np.int64, count=len(dup_rows)
+        ).view(np.uint64)
+    )
+    dup_ref = ray.put(dup_sorted)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids, totals, dups = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            h = window_hashes(t or "", window)
+            if len(h) == 0:
+                continue
+            if len(dup):
+                idx = np.searchsorted(dup, h)
+                hit = (idx < len(dup)) & (dup[np.minimum(idx, len(dup) - 1)] == h)
+                n_dup = int(hit.sum())
+            else:
+                n_dup = 0
+            ids.append(i)
+            totals.append(len(h))
+            dups.append(n_dup)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch[id_col].type),
+                pa.array(totals, pa.int64()),
+                pa.array(dups, pa.int64()),
+            ],
+            names=[id_col, "total_windows", "dup_windows"],
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")

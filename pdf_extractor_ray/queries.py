@@ -298,12 +298,15 @@ def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    import os
+
+    cap = int(os.environ.get("GRAFT_JOIN_PARTITIONS", "0")) or min(32, cpus)
     joined = li.join(
         orders,
         join_type="inner",
         # one hash partition per CPU, capped (the join schedules this many
         # aggregators — oversubscribing small clusters starves them)
-        num_partitions=max(2, min(32, cpus)),
+        num_partitions=max(2, cap),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -1871,6 +1874,42 @@ def q_canonical_urls(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_BOILERPLATE = (
+    " (c) 2026 example media group - all rights reserved."
+    " subscribe to our newsletter today for more stories."
+)
+
+
+def q_substring_dup(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style duplicated-window signal (Lee et al. 2022,
+    arXiv:2107.06499): per document, how many of its 50-char windows
+    occur ≥2 times anywhere in the corpus. Docs with doc_id%3==0 get a
+    shared boilerplate suffix so the duplicated set is non-trivial; the
+    oracle recounts with true SQL ``substring`` equality (hash
+    collisions are 2^-64 like fingerprint_dedup). The groupby(hash)
+    exchange is the honest suffix-array-equivalent cost
+    (:mod:`ops.substr`)."""
+    from .ops.substr import duplicate_window_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_bp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = [
+            (t or "") + _BOILERPLATE if i % 3 == 0 else (t or "")
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    out = duplicate_window_counts(
+        ds.map_batches(with_bp, batch_format="pyarrow"), window=50
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signal per document: most-frequent word
     bigram count, total bigrams, and the repetitive flag (top fraction >
@@ -2556,6 +2595,26 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+ORACLE_SQL["substring_dup"] = """
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' (c) 2026 example media group - all rights reserved. subscribe to our newsletter today for more stories.'
+                ELSE text END AS text
+    FROM documents
+),
+w AS (
+    SELECT doc_id, substring(text, CAST(i.i AS INT), 50) AS s
+    FROM corpus, LATERAL (SELECT unnest(range(1, length(text) - 48)) AS i) i
+),
+c AS (SELECT s, count(*) AS n FROM w GROUP BY s)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS total_windows,
+       CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+FROM w JOIN c USING (s)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
 ORACLE_SQL["domain_cap"] = """
 WITH hosted AS (
     SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
@@ -2914,6 +2973,7 @@ QUERIES = {
     "distinct_sketch": q_distinct_sketch,
     "word_topk": q_word_topk,
     "canonical_urls": q_canonical_urls,
+    "substring_dup": q_substring_dup,
     "repetition_filter": q_repetition_filter,
     "extraction_metrics": q_extraction_metrics,
 }

@@ -188,3 +188,53 @@ class TestWordTopk:
         tbl = pa.table({"lang": ["en"], "text": ["b a c b a c"]})
         got = word_topk(rd.from_arrow(tbl), k=2)
         assert list(got["word"]) == ["a", "b"]
+
+
+class TestSubstringDup:
+    def test_counts_match_bruteforce(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.substr import duplicate_window_counts
+
+        w = 10
+        bp = "SHARED-BOILERPLATE-SUFFIX-1234"
+        docs = {
+            1: "abcdefghijklmnopqrstuvwxyz" + bp,
+            2: "zyxwvutsrqponmlkjihgfedcba" + bp,
+            3: "aaaaaaaaaaaaaaaaaaaa",          # within-doc repeats
+            4: "short",                          # < window: no row
+            5: "completely unique text block with no repeats at all",
+        }
+        tbl = pa.table(
+            {"doc_id": list(docs), "text": list(docs.values())}
+        )
+        out = {
+            r["doc_id"]: (r["total_windows"], r["dup_windows"])
+            for r in duplicate_window_counts(
+                rd.from_arrow(tbl).repartition(3), window=w
+            ).take_all()
+        }
+        # brute force over true substrings
+        cnt = collections.Counter(
+            t[i : i + w] for t in docs.values() for i in range(len(t) - w + 1)
+        )
+        exp = {}
+        for d, t in docs.items():
+            wins = [t[i : i + w] for i in range(len(t) - w + 1)]
+            if wins:
+                exp[d] = (len(wins), sum(1 for s in wins if cnt[s] >= 2))
+        assert out == exp
+        assert 4 not in out
+
+    def test_dup_cap_raises(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.substr import duplicate_window_counts
+
+        tbl = pa.table({"doc_id": [1, 2], "text": ["x" * 100, "x" * 100]})
+        with pytest.raises(RuntimeError, match="dup_cap"):
+            duplicate_window_counts(
+                rd.from_arrow(tbl), window=10, dup_cap=0
+            ).take_all()
