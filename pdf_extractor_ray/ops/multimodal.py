@@ -414,10 +414,11 @@ def video_pipeline(ds, n_frames: int = 3, batch_size: int = 32, concurrency=(1, 
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """WAV (stdlib ``wave`` module) or FLAC (from-scratch :mod:`.flac`
-    decoder, round 3) → (mono int16 samples, sample_rate). 16-bit only;
-    multi-channel audio is mean-downmixed (identical truncation semantics
-    on both paths). MP3/AAC stay declared stubs (see module docstring)."""
+    """WAV (stdlib ``wave`` for PCM; from-scratch :mod:`.adpcm` for the
+    IMA-ADPCM 0x0011 format tag, round 3) or FLAC (from-scratch
+    :mod:`.flac`, round 3) → (mono int16 samples, sample_rate). 16-bit
+    only; multi-channel audio is mean-downmixed (identical truncation
+    semantics on all paths). MP3/AAC stay declared stubs (module doc)."""
     if payload[:4] == b"fLaC":
         from .flac import decode_flac
 
@@ -425,6 +426,13 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         if chans.shape[1] > 1:
             return chans.mean(axis=1).astype(np.int16), rate
         return chans[:, 0].astype(np.int16), rate
+    if payload[:4] == b"RIFF":
+        from .adpcm import decode_ima_wav
+
+        try:
+            return decode_ima_wav(payload)
+        except NotImplementedError:  # PCM or other tags → stdlib wave
+            pass
     with wave.open(io.BytesIO(payload)) as wav:
         if wav.getsampwidth() != 2:
             raise NotImplementedError("16-bit PCM WAV only")

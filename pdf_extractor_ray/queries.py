@@ -1910,6 +1910,40 @@ def q_substring_dup(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_adpcm_features(sf_dir: str) -> pd.DataFrame:
+    """IMA-ADPCM audio with a FULL exact oracle for a LOSSY codec: the
+    decode is a pure integer state machine (published step/index
+    tables), so the SQL side replays it bit-for-bit with a recursive CTE
+    — no closed-form signal needed, unlike the WAV/FLAC query. Each doc
+    becomes an 8-block mono ADPCM WAV whose block headers and nibble
+    stream come from closed forms of (doc_id, block, t); windows align
+    to blocks (129 samples each) so per-window abs-energy groups by
+    block on both sides."""
+    from .ops.adpcm import encode_ima_wav
+    from .ops.multimodal import audio_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_adpcm(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        blk = np.arange(8)
+        t = np.arange(128)
+        for i in ids:
+            headers = (i * 11 + blk * 29) % 1024 - 512
+            idxs = (i + blk * 5) % 89
+            nibs = (i * 7 + blk[:, None] * 13 + t[None, :] * 3) % 16
+            payloads.append(encode_ima_wav(headers, idxs, nibs))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = audio_pipeline(ds.map_batches(to_adpcm, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values(["media_id", "win"]).reset_index(drop=True)
+
+
 def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signal per document: most-frequent word
     bigram count, total bigrams, and the repetitive flag (top fraction >
@@ -2434,6 +2468,50 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id, frame_no, CAST(sum(v) AS BIGINT) AS luma_sum
         FROM px GROUP BY 1, 2 ORDER BY media_id, frame_no
     """,
+    "adpcm_features": """
+WITH RECURSIVE
+steps AS (
+    SELECT unnest(range(0, 89)) AS i,
+           unnest([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+                   50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+                   230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+                   876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+                   2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+                   7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+                   20350,22385,24623,27086,29794,32767]) AS s
+),
+blocks AS (
+    SELECT d.doc_id, b.b AS blk,
+           CAST((d.doc_id * 11 + b.b * 29) % 1024 - 512 AS BIGINT) AS pred0,
+           CAST((d.doc_id + b.b * 5) % 89 AS BIGINT) AS idx0
+    FROM documents d CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
+),
+st AS (
+    SELECT doc_id, blk, CAST(-1 AS BIGINT) AS t, pred0 AS pred, idx0 AS idx
+    FROM blocks
+    UNION ALL
+    SELECT st.doc_id, st.blk, st.t + 1,
+        greatest(-32768, least(32767,
+            st.pred
+            + CASE WHEN ((st.doc_id*7 + st.blk*13 + (st.t+1)*3) % 16 & 8) <> 0
+                   THEN -1 ELSE 1 END
+            * ( (steps.s >> 3)
+              + CASE WHEN ((st.doc_id*7 + st.blk*13 + (st.t+1)*3) % 16 & 1) <> 0
+                     THEN steps.s >> 2 ELSE 0 END
+              + CASE WHEN ((st.doc_id*7 + st.blk*13 + (st.t+1)*3) % 16 & 2) <> 0
+                     THEN steps.s >> 1 ELSE 0 END
+              + CASE WHEN ((st.doc_id*7 + st.blk*13 + (st.t+1)*3) % 16 & 4) <> 0
+                     THEN steps.s ELSE 0 END ))),
+        greatest(0, least(88, st.idx + list_extract(
+            [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8],
+            CAST((st.doc_id*7 + st.blk*13 + (st.t+1)*3) % 16 AS INTEGER) + 1)))
+    FROM st JOIN steps ON steps.i = st.idx
+    WHERE st.t < 127
+)
+SELECT doc_id AS media_id, CAST(blk AS INTEGER) AS win,
+       CAST(sum(abs(pred)) AS BIGINT) AS energy
+FROM st GROUP BY 1, 2 ORDER BY media_id, win
+""",
     "extraction_metrics": """
         SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS bytes_out
         FROM documents GROUP BY lang ORDER BY lang
@@ -2967,6 +3045,7 @@ QUERIES = {
     "embed_ann": q_embed_ann,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
+    "adpcm_features": q_adpcm_features,
     "video_features": q_video_features,
     "pack_sequences": q_pack_sequences,
     "quantiles": q_quantiles,

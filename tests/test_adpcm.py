@@ -1,0 +1,97 @@
+"""Unit tests for ops/adpcm.py — scalar-reference parity, clamping,
+container handling, decode_audio routing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_extractor_ray.ops.adpcm import (
+    IMA_INDEX_TABLE,
+    IMA_STEP_TABLE,
+    decode_ima_wav,
+    encode_ima_wav,
+)
+
+
+def scalar_decode(pred, idx, nibbles):
+    """Straight-line scalar reference (the published algorithm verbatim)."""
+    out = [int(np.int16(pred))]
+    idx = max(0, min(88, idx))
+    for n in nibbles:
+        step = int(IMA_STEP_TABLE[idx])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(IMA_INDEX_TABLE[n])))
+        out.append(pred)
+    return out
+
+
+def test_roundtrip_matches_scalar_reference():
+    rng = np.random.default_rng(9)
+    headers = rng.integers(-512, 512, 4)
+    idxs = rng.integers(0, 89, 4)
+    nibs = rng.integers(0, 16, (4, 64))
+    payload = encode_ima_wav(headers, idxs, nibs, rate=8000)
+    samples, rate = decode_ima_wav(payload)
+    assert rate == 8000
+    exp = []
+    for b in range(4):
+        exp.extend(scalar_decode(int(headers[b]), int(idxs[b]), nibs[b]))
+    assert samples.tolist() == exp
+
+
+def test_clamping_extremes():
+    # all-7 nibbles (max positive diff) from near the top must clamp at
+    # 32767; all-15 (max negative) from the bottom clamps at -32768.
+    up = encode_ima_wav(np.array([32000]), np.array([88]), np.full((1, 64), 7))
+    s, _ = decode_ima_wav(up)
+    assert s.max() == 32767
+    down = encode_ima_wav(np.array([-32000]), np.array([88]), np.full((1, 64), 15))
+    s, _ = decode_ima_wav(down)
+    assert s.min() == -32768
+
+
+def test_nibble_order_low_first():
+    # one data byte 0x51 -> nibbles (1, 5): sample1 uses nibble 1.
+    p1 = encode_ima_wav(np.array([0]), np.array([0]), np.array([[1, 5]]))
+    s1, _ = decode_ima_wav(p1)
+    assert s1.tolist() == scalar_decode(0, 0, [1, 5])
+
+
+def test_unknown_tag_falls_to_wave():
+    import io
+    import wave as wave_mod
+
+    from pdf_extractor_ray.ops.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.array([1, -2, 3], "<i2").tobytes())
+    samples, rate = decode_audio(buf.getvalue())
+    assert samples.tolist() == [1, -2, 3] and rate == 8000
+
+
+def test_decode_audio_routes_adpcm():
+    from pdf_extractor_ray.ops.multimodal import decode_audio
+
+    payload = encode_ima_wav(np.array([100]), np.array([3]), np.full((1, 32), 2))
+    samples, _ = decode_audio(payload)
+    assert samples.tolist() == scalar_decode(100, 3, [2] * 32)
+
+
+def test_bad_container_raises():
+    with pytest.raises(ValueError):
+        decode_ima_wav(b"JUNKJUNKJUNKJUNK")
+    with pytest.raises(ValueError):
+        decode_ima_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
