@@ -121,6 +121,36 @@ def main() -> None:
     bench("scrub_pii", lambda t: scrub_pii(t), short_texts)
     bench("word_8gram_hashes", lambda t: word_ngram_hashes(t, 8), short_texts)
 
+    # round-3 kernels: JPEG/GIF/FLAC/ADPCM codecs, URL canon, window hashes
+    from pdf_extractor_ray.ops.adpcm import decode_ima_wav, encode_ima_wav
+    from pdf_extractor_ray.ops.flac import decode_flac, encode_flac
+    from pdf_extractor_ray.ops.jpeg import decode_jpeg, encode_jpeg_gray
+    from pdf_extractor_ray.ops.substr import window_hashes
+    from pdf_extractor_ray.ops.urls import canonicalize_url
+
+    jpegs = [
+        encode_jpeg_gray(rng.integers(0, 256, size=(64, 64), dtype=np.uint8), quant_value=8)
+        for _ in range(20)
+    ]
+    bench("decode_jpeg_64x64", lambda p: decode_jpeg(p), jpegs)
+    sig = ((np.arange(4096) * 13) % 2048 - 1024).astype(np.int16)
+    flacs = [encode_flac(sig, blocksize=256) for _ in range(20)]
+    bench("decode_flac_4096", lambda p: decode_flac(p), flacs)
+    adpcms = [
+        encode_ima_wav(
+            np.arange(8) * 10, np.arange(8) % 89,
+            rng.integers(0, 16, (8, 128)),
+        )
+        for _ in range(20)
+    ]
+    bench("decode_ima_adpcm_1032", lambda p: decode_ima_wav(p), adpcms)
+    urls = [
+        f"HTTP://WWW.Site{i}.Example.COM:80/a/b/../c/?utm_source=x&q={i}#f"
+        for i in range(2000)
+    ]
+    bench("canonicalize_url", lambda u: canonicalize_url(u), urls)
+    bench("substr_window_hashes_2kB", lambda t: window_hashes(t, 50), short_texts)
+
 
 if __name__ == "__main__":
     main()
