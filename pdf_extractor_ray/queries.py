@@ -1910,6 +1910,72 @@ def q_substring_dup(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregation (ROLLUP) done the scale-correct way: ONE
+    corpus pass computes the finest grain (returnflag × linestatus, with
+    per-batch partials before the tiny groupby); the subtotal and
+    grand-total levels re-aggregate the HANDFUL of fine-grain rows on
+    the driver — never a second pass over the data. Subtotal keys are
+    the literal 'ALL' on both sides (no null-ordering ambiguity)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(
+                batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))
+            )
+        )
+        rev = _cents(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            )
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pylist(),
+                "l_linestatus": batch["l_linestatus"].to_pylist(),
+                "revenue_cents": rev.to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["l_returnflag", "l_linestatus"], sort=True)
+            .sum()
+            .reset_index(),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()  # finest grain: ≤ |flags|×|statuses| rows
+    )
+    sub = (
+        fine.groupby("l_returnflag", as_index=False)["revenue_cents"]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, sub, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "revenue_cents"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
 def q_adpcm_features(sf_dir: str) -> pd.DataFrame:
     """IMA-ADPCM audio with a FULL exact oracle for a LOSSY codec: the
     decode is a pure integer state machine (published step/index
@@ -2468,6 +2534,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id, frame_no, CAST(sum(v) AS BIGINT) AS luma_sum
         FROM px GROUP BY 1, 2 ORDER BY media_id, frame_no
     """,
+    "revenue_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY 1, 2
+    """,
     "adpcm_features": """
 WITH RECURSIVE
 steps AS (
@@ -3002,6 +3077,7 @@ QUERIES = {
     "revenue_by_segment": q_revenue_by_segment,
     "customers_per_region": q_customers_per_region,
     "order_priority_revenue": q_order_priority_revenue,
+    "revenue_rollup": q_revenue_rollup,
     "revenue_by_nation": q_revenue_by_nation,
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,

@@ -81,3 +81,43 @@ def test_canonicalize_stage(ray_session):
     assert out[0]["host"] == "a.com"
     assert out[0]["registered_domain"] == "a.com"
     assert out[1]["canon_url"] is None
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): total function + idempotence
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_host_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1, max_size=8,
+)
+_path_chars = st.text(
+    alphabet="abcXYZ019-._~%/?#&=:@!$'()*+,;", max_size=30
+)
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_never_raises_on_arbitrary_text(s):
+    canonicalize_url(s)  # total: None or a string, never an exception
+    host_of(s)
+
+
+@given(
+    st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    st.lists(_host_label, min_size=1, max_size=4),
+    st.one_of(st.none(), st.integers(0, 99999)),
+    _path_chars,
+)
+@settings(max_examples=200, deadline=None)
+def test_idempotent_on_structured_urls(scheme, labels, port, path):
+    url = f"{scheme}://{'.'.join(labels)}"
+    if port is not None:
+        url += f":{port}"
+    url += "/" + path
+    once = canonicalize_url(url)
+    if once is not None:
+        assert canonicalize_url(once) == once
