@@ -1910,6 +1910,39 @@ def q_substring_dup(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_deterministic_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Epoch shuffling for training pipelines, deterministically: global
+    order = sort by ``splitmix64(doc_id + epoch_salt)`` — the same
+    reproducible-at-any-parallelism trick as ``stratified_sample``, with
+    the sort as the honest distributed exchange (Ray pushes the limit
+    into the sort). Returns the first 50 (rank, doc_id); the SQL oracle
+    replays the hash chain bit-for-bit and row_numbers the same order."""
+    from .ops.text import splitmix64_np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = splitmix64_np(ids + np.uint64(123))
+        # Flip the top bit: signed order of the stored key == unsigned
+        # order of the hash, so Ray's int64 sort matches ORDER BY hv.
+        key = (hv ^ np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("shuffle_key", pa.array(key, pa.int64()))
+
+    head = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .sort("shuffle_key")
+        .limit(50)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(head) + 1, dtype=np.int64),
+            "doc_id": head["doc_id"].astype("int64"),
+        }
+    )
+
+
 def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     """Multi-level aggregation (ROLLUP) done the scale-correct way: ONE
     corpus pass computes the finest grain (returnflag × linestatus, with
@@ -2534,6 +2567,33 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id, frame_no, CAST(sum(v) AS BIGINT) AS luma_sum
         FROM px GROUP BY 1, 2 ORDER BY media_id, frame_no
     """,
+    "deterministic_shuffle": """
+WITH m1 AS (
+    SELECT doc_id,
+        CAST((CAST(doc_id AS HUGEINT) + 123 + 11400714819323198485)
+             % 18446744073709551616 AS UBIGINT) AS x
+    FROM documents
+),
+m1x AS (SELECT doc_id, xor(x, x >> 30) AS a FROM m1),
+m2 AS (
+    SELECT doc_id,
+        CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
+              + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296)
+             % 18446744073709551616 AS UBIGINT) AS x
+    FROM m1x
+),
+m2x AS (SELECT doc_id, xor(x, x >> 27) AS a FROM m2),
+m3 AS (
+    SELECT doc_id,
+        CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
+              + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296)
+             % 18446744073709551616 AS UBIGINT) AS x
+    FROM m2x
+),
+h AS (SELECT doc_id, xor(x, x >> 31) AS hv FROM m3)
+SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS rank, doc_id
+FROM h ORDER BY hv LIMIT 50
+""",
     "revenue_rollup": """
         SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -3110,6 +3170,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "domain_cap": q_domain_cap,
     "stratified_sample": q_stratified_sample,
+    "deterministic_shuffle": q_deterministic_shuffle,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
