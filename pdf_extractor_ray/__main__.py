@@ -231,7 +231,16 @@ def cmd_stats(args) -> int:
     import numpy as np
     import ray.data as rd
 
-    ds = rd.read_parquet(args.input)
+    # Column-pruned read: quantile refinement re-scans the input per
+    # pass, so pulling only the requested columns matters.
+    cols = sorted(
+        (
+            {args.quantiles, args.distinct, args.top_words}
+            | ({args.text_col} if args.top_words else set())
+        )
+        - {None}
+    )
+    ds = rd.read_parquet(args.input, columns=cols or None)
     report: dict = {"input": args.input}
     if args.quantiles:
         from .ops.quantiles import exact_quantiles

@@ -20,10 +20,15 @@ any set of ranks with a handful of **counting passes**:
 3. A bucket whose observed ``min == max`` resolves its ranks immediately;
    otherwise the rank recurses into the *observed* ``[min, max]`` of its
    bucket, so every pass shrinks the value range by ~``num_buckets``×.
-   Integer columns terminate exactly; float columns terminate when the
-   interval collapses to one representable value or the remaining rows
-   fit under ``collect_cap`` (then one filtered, pre-aggregated
-   value-count pass finishes the job — bounded, documented driver state).
+   Integer columns run ENTIRELY in int64 arithmetic (exact at any
+   magnitude, including >2^53 where float64 would merge neighbors) and
+   terminate exactly; float columns terminate when the interval
+   collapses to one representable value or the remaining rows fit under
+   ``collect_cap`` (then one filtered, pre-aggregated value-count pass
+   finishes the job — bounded, documented driver state).
+
+Nulls are excluded from both the ranks and the values (SQL aggregate
+semantics: ``quantile`` over non-null rows).
 
 For ``num_buckets=4096`` this is ≤3 passes for any int64 column and for
 doubles of ordinary spread — O(passes) full scans, zero shuffles of data
@@ -49,27 +54,56 @@ def _rank_targets(qs: list[float], n: int) -> list[int]:
     return [max(1, math.ceil(q * n)) for q in qs]
 
 
-def _hist_partial(intervals: list[tuple[float, float]], col: str, nb: int):
+def _values(batch: pa.Table, col: str, as_int: bool) -> np.ndarray:
+    """Non-null column values in the working dtype (int64 stays exact)."""
+    arr = batch[col]
+    if arr.null_count:
+        arr = arr.drop_null()
+    x = arr.to_numpy(zero_copy_only=False)
+    return x.astype(np.int64 if as_int else np.float64)
+
+
+def _hist_partial(intervals: list[tuple], col: str, nb: int, as_int: bool):
     """Whole-block partial: for each active interval emit nonzero-bucket
     rows (iv, bucket, cnt, bmin, bmax). Runs with batch_size=None so one
     call sees one block — the per-block pre-combine that keeps the
-    downstream groupby tiny."""
-    los = np.array([iv[0] for iv in intervals], dtype=np.float64)
-    his = np.array([iv[1] for iv in intervals], dtype=np.float64)
+    combine step tiny. Bucket arithmetic stays in int64 for integer
+    columns (exact beyond 2^53)."""
+    dt = np.int64 if as_int else np.float64
+    los = np.array([iv[0] for iv in intervals], dtype=dt)
+    his = np.array([iv[1] for iv in intervals], dtype=dt)
+    val_type = pa.int64() if as_int else pa.float64()
+    # Integer spans near the full int64 range would overflow (hi-lo);
+    # those intervals bucket via monotonic float division instead (still
+    # deterministic and order-preserving; per-bucket min/max stay exact
+    # int64, so the recursion re-enters exact arithmetic immediately).
+    float_bucket = [
+        as_int and (int(iv[1]) - int(iv[0])) > 2**62 for iv in intervals
+    ]
 
     def partial(batch: pa.Table) -> pa.Table:
-        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = _values(batch, col, as_int)
         ivs, bks, cnts, mins, maxs = [], [], [], [], []
         for i in range(len(los)):
             lo, hi = los[i], his[i]
             sel = x[(x >= lo) & (x <= hi)]
             if len(sel) == 0:
                 continue
-            width = (hi - lo) / nb
-            if width <= 0 or not np.isfinite(width):
-                b = np.zeros(len(sel), dtype=np.int64)
+            if as_int and float_bucket[i]:
+                fw = (float(int(hi) - int(lo))) / nb
+                b = np.minimum(
+                    ((sel.astype(np.float64) - float(lo)) / fw).astype(np.int64),
+                    nb - 1,
+                )
+            elif as_int:
+                width = -((hi - lo + 1) // -nb)  # ceil divide, ≥1
+                b = (sel - lo) // width
             else:
-                b = np.minimum(((sel - lo) / width).astype(np.int64), nb - 1)
+                width = (hi - lo) / nb
+                if width <= 0 or not np.isfinite(width):
+                    b = np.zeros(len(sel), dtype=np.int64)
+                else:
+                    b = np.minimum(((sel - lo) / width).astype(np.int64), nb - 1)
             order = np.argsort(b, kind="stable")
             bs, ss = b[order], sel[order]
             ub, start = np.unique(bs, return_index=True)
@@ -84,8 +118,8 @@ def _hist_partial(intervals: list[tuple[float, float]], col: str, nb: int):
                 pa.array(ivs, pa.int32()),
                 pa.array(bks, pa.int32()),
                 pa.array(cnts, pa.int64()),
-                pa.array(mins, pa.float64()),
-                pa.array(maxs, pa.float64()),
+                pa.array(mins, val_type),
+                pa.array(maxs, val_type),
             ],
             names=["iv", "bucket", "cnt", "bmin", "bmax"],
         )
@@ -103,12 +137,15 @@ def exact_quantiles(
     combine: str = "stream",
 ) -> list[tuple[float, float]]:
     """Exact value at rank ``ceil(q*n)`` for each q in ``qs`` (the
-    "smallest value whose <=-count reaches the rank" definition — matches
-    ``min(x) FILTER (row_number >= ceil(q*n))`` in SQL).
+    "smallest value whose <=-count reaches the rank" definition over the
+    NON-NULL rows — matches ``min(x) FILTER (row_number >= ceil(q*n))``
+    in SQL).
 
-    Returns ``[(q, value), ...]`` in the input order of ``qs``. Runs
-    O(passes) streaming counting passes; see module docstring for the
-    scale story. Raises ``ValueError`` on an empty column.
+    Returns ``[(q, value), ...]`` in the input order of ``qs``; values
+    are Python ints for integer columns (exact at any magnitude), floats
+    otherwise. Runs O(passes) streaming counting passes; see module
+    docstring for the scale story. Raises ``ValueError`` on an
+    empty/all-null column.
 
     ``combine``: how per-block histogram partials merge. ``"stream"``
     (default) pulls the tiny partial rows straight into a dense driver
@@ -122,38 +159,50 @@ def exact_quantiles(
         raise ValueError("combine must be 'stream' or 'shuffle'")
 
     def stats_partial(batch: pa.Table) -> pa.Table:
-        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        is_int = pa.types.is_integer(batch.schema.field(col).type)
+        x = _values(batch, col, is_int)
         if len(x) == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.float64()),
-                 pa.array([], pa.float64())],
-                names=["cnt", "mn", "mx"],
+                 pa.array([], pa.float64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.bool_())],
+                names=["cnt", "mn", "mx", "imn", "imx", "is_int"],
             )
         return pa.Table.from_arrays(
             [pa.array([len(x)], pa.int64()),
              pa.array([float(x.min())], pa.float64()),
-             pa.array([float(x.max())], pa.float64())],
-            names=["cnt", "mn", "mx"],
+             pa.array([float(x.max())], pa.float64()),
+             pa.array([int(x.min()) if is_int else 0], pa.int64()),
+             pa.array([int(x.max()) if is_int else 0], pa.int64()),
+             pa.array([is_int], pa.bool_())],
+            names=["cnt", "mn", "mx", "imn", "imx", "is_int"],
         )
 
-    n, glo, ghi = 0, np.inf, -np.inf
+    n, fglo, fghi = 0, np.inf, -np.inf
+    iglo, ighi = None, None
+    as_int = True
     for tbl in ds.map_batches(
         stats_partial, batch_format="pyarrow", batch_size=None
     ).iter_batches(batch_format="pyarrow"):
-        if tbl.num_rows:
-            n += pc_sum(tbl["cnt"]).as_py()
-            glo = min(glo, pc_min(tbl["mn"]).as_py())
-            ghi = max(ghi, pc_max(tbl["mx"]).as_py())
+        if not tbl.num_rows:
+            continue
+        n += pc_sum(tbl["cnt"]).as_py()
+        fglo = min(fglo, pc_min(tbl["mn"]).as_py())
+        fghi = max(fghi, pc_max(tbl["mx"]).as_py())
+        if not all(tbl["is_int"].to_pylist()):
+            as_int = False
+        bmn, bmx = pc_min(tbl["imn"]).as_py(), pc_max(tbl["imx"]).as_py()
+        iglo = bmn if iglo is None else min(iglo, bmn)
+        ighi = bmx if ighi is None else max(ighi, bmx)
     if not n:
         raise ValueError("exact_quantiles: empty column")
+    glo, ghi = (iglo, ighi) if as_int else (fglo, fghi)
 
     targets = _rank_targets(qs, n)
     results: dict[int, float] = {}
     # Active work: interval -> (lo, hi, {qi: rank_within_interval}) where
     # rank is 1-based among rows with value in [lo, hi].
-    work: list[tuple[float, float, dict[int, int]]] = [
-        (glo, ghi, {i: t for i, t in enumerate(targets)})
-    ]
+    work: list[tuple] = [(glo, ghi, {i: t for i, t in enumerate(targets)})]
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -176,14 +225,17 @@ def exact_quantiles(
         if not still:
             break
         intervals = [(lo, hi) for lo, hi, _ in still]
-        part = _hist_partial(intervals, col, num_buckets)
+        part = _hist_partial(intervals, col, num_buckets, as_int)
         partials = ds.map_batches(part, batch_format="pyarrow", batch_size=None)
         niv = len(intervals)
         if combine == "stream":
             # Dense driver accumulators — constant state, zero exchanges.
+            vdt = np.int64 if as_int else np.float64
+            vmin = np.iinfo(np.int64).max if as_int else np.inf
+            vmax = np.iinfo(np.int64).min if as_int else -np.inf
             cnts = np.zeros((niv, num_buckets), dtype=np.int64)
-            mins = np.full((niv, num_buckets), np.inf)
-            maxs = np.full((niv, num_buckets), -np.inf)
+            mins = np.full((niv, num_buckets), vmin, dtype=vdt)
+            maxs = np.full((niv, num_buckets), vmax, dtype=vdt)
             for tbl in partials.iter_batches(batch_format="pyarrow"):
                 if not tbl.num_rows:
                     continue
@@ -195,7 +247,7 @@ def exact_quantiles(
                 np.maximum.at(maxs.ravel(), flat, tbl["bmax"].to_numpy(zero_copy_only=False))
             per_iv = {
                 i: [
-                    (int(b), int(cnts[i, b]), float(mins[i, b]), float(maxs[i, b]))
+                    (int(b), int(cnts[i, b]), mins[i, b].item(), maxs[i, b].item())
                     for b in np.flatnonzero(cnts[i])
                 ]
                 for i in range(niv)
@@ -213,7 +265,7 @@ def exact_quantiles(
                 )
         # Per interval: sorted bucket table → cumulative counts → locate
         # each rank's bucket; recurse into the bucket's OBSERVED [min,max].
-        next_work: dict[tuple[float, float], dict[int, int]] = {}
+        next_work: dict[tuple, dict[int, int]] = {}
         for i, (lo, hi, ranks) in enumerate(still):
             buckets = sorted(per_iv.get(i, []))
             cum = np.cumsum([b[1] for b in buckets])
@@ -226,7 +278,9 @@ def exact_quantiles(
                 elif (bmin, bmax) == (lo, hi) and cnt <= collect_cap:
                     # Histogram made no progress (interval width at float
                     # resolution) but the cluster is small — count exactly.
-                    results[qi] = _collect_rank(ds, col, bmin, bmax, rank_in_bucket)
+                    results[qi] = _collect_rank(
+                        ds, col, bmin, bmax, rank_in_bucket, as_int
+                    )
                 elif (bmin, bmax) == (lo, hi):
                     raise RuntimeError(
                         "exact_quantiles: dense float cluster beyond "
@@ -240,19 +294,21 @@ def exact_quantiles(
     return [(q, results[i]) for i, q in enumerate(qs)]
 
 
-def _collect_rank(ds, col: str, lo: float, hi: float, rank: int) -> float:
+def _collect_rank(ds, col: str, lo, hi, rank: int, as_int: bool):
     """Finisher for pathological float clusters: one filtered pass emits
     pre-aggregated per-block (value, count) rows for values in [lo, hi];
     the groupby result is ≤ collect_cap distinct values — pick the rank
     from its cumulative counts on the driver."""
     from ray.data.aggregate import Sum
 
+    val_type = pa.int64() if as_int else pa.float64()
+
     def vals(batch: pa.Table) -> pa.Table:
-        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = _values(batch, col, as_int)
         sel = x[(x >= lo) & (x <= hi)]
         u, c = np.unique(sel, return_counts=True)
         return pa.Table.from_arrays(
-            [pa.array(u, pa.float64()), pa.array(c, pa.int64())],
+            [pa.array(u, val_type), pa.array(c, pa.int64())],
             names=["value", "cnt"],
         )
 

@@ -66,7 +66,10 @@ def hll_sketch(ds, col: str, p: int = 12):
     m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        arr = batch[col]
+        if arr.null_count:  # nulls are not keys (SQL COUNT DISTINCT semantics)
+            arr = arr.drop_null()
+        keys = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
         hv = splitmix64_np(keys)
         reg, rho = hll_rho(hv, p)
         dense = np.zeros(m, dtype=np.int32)

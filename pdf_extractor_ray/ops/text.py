@@ -509,15 +509,21 @@ def word_topk(ds, k: int = 10, text_col: str = "text", group_col: str = "lang"):
     from ray.data.aggregate import Sum
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        words_list = pc.split_pattern_regex(
-            pc.utf8_lower(batch[text_col]), pattern=r"\s+"
-        )
+        # Null groups are excluded (SQL GROUP BY would keep a NULL group;
+        # callers wanting that should fill first); null texts count as
+        # empty documents.
+        batch = batch.filter(pc.is_valid(batch[group_col]))
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
         if isinstance(words_list, pa.ChunkedArray):
             words_list = words_list.combine_chunks()
         words = words_list.flatten()
         reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
         groups = np.repeat(
-            np.asarray(batch[group_col].to_pylist(), dtype=object), reps
+            np.asarray(
+                [str(g) for g in batch[group_col].to_pylist()], dtype=object
+            ),
+            reps,
         )
         w = words.to_numpy(zero_copy_only=False)
         keep = w != ""

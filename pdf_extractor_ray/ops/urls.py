@@ -34,10 +34,17 @@ import re
 
 import pyarrow as pa
 
-__all__ = ["canonicalize_url", "registered_domain", "canonicalize_urls"]
+__all__ = [
+    "canonicalize_parts",
+    "canonicalize_url",
+    "registered_domain",
+    "canonicalize_urls",
+]
 
 _URL_RE = re.compile(
-    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]*)(?::(?P<port>\d*))?"
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+    r"(?:(?P<userinfo>[^@/?#]*)@)?"
+    r"(?P<host>\[[^\]/?#]*\]|[^/?#:@\[\]]*)(?::(?P<port>\d*))?"
     r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
 )
 _PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
@@ -76,15 +83,17 @@ def _resolve_path(path: str) -> str:
     return "/" + "/".join(segs) if segs else "/"
 
 
-def canonicalize_url(url: str) -> str | None:
-    """Canonical form per the module rules, or None if not an
-    absolute http(s)-style URL."""
+def canonicalize_parts(url: str) -> tuple[str, str] | None:
+    """One parse → (canonical URL, bare host) or None. Userinfo is
+    preserved in the canonical form but never part of the host (a
+    ``user:pass@site`` URL must not dedup-key under ``user``); bracketed
+    IPv6 hosts pass through lowercased with brackets intact."""
     m = _URL_RE.match((url or "").strip())
     if not m:
         return None
     scheme = m.group("scheme").lower()
     host = m.group("host").lower()
-    if not host:
+    if not host or host == "[]":
         return None
     if host.startswith("www."):
         host = host[4:]
@@ -92,6 +101,9 @@ def canonicalize_url(url: str) -> str | None:
     netloc = host
     if port and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
+    userinfo = m.group("userinfo")
+    if userinfo is not None:
+        netloc = f"{userinfo}@{netloc}"
     path = _resolve_path(_pct_normalize(m.group("path") or ""))
     query = m.group("query")
     canon = f"{scheme}://{netloc}{path}"
@@ -103,15 +115,19 @@ def canonicalize_url(url: str) -> str | None:
         ]
         if kept:
             canon += "?" + "&".join(_pct_normalize(p) for p in kept)
-    return canon
+    return canon, host
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form per the module rules, or None if not an
+    absolute http(s)-style URL."""
+    parts = canonicalize_parts(url)
+    return parts[0] if parts else None
 
 
 def host_of(url: str) -> str | None:
-    m = _URL_RE.match((url or "").strip())
-    if not m or not m.group("host"):
-        return None
-    host = m.group("host").lower()
-    return host[4:] if host.startswith("www.") else host
+    parts = canonicalize_parts(url)
+    return parts[1] if parts else None
 
 
 def registered_domain(host: str | None) -> str | None:
@@ -136,8 +152,8 @@ def canonicalize_urls(ds, url_col: str = "url"):
         urls = batch[url_col].to_pylist()
         canon, hosts, doms = [], [], []
         for u in urls:
-            c = canonicalize_url(u)
-            h = host_of(u)
+            parts = canonicalize_parts(u)  # single parse per URL
+            c, h = parts if parts else (None, None)
             canon.append(c)
             hosts.append(h)
             doms.append(registered_domain(h))

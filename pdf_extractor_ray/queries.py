@@ -2567,33 +2567,6 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id, frame_no, CAST(sum(v) AS BIGINT) AS luma_sum
         FROM px GROUP BY 1, 2 ORDER BY media_id, frame_no
     """,
-    "deterministic_shuffle": """
-WITH m1 AS (
-    SELECT doc_id,
-        CAST((CAST(doc_id AS HUGEINT) + 123 + 11400714819323198485)
-             % 18446744073709551616 AS UBIGINT) AS x
-    FROM documents
-),
-m1x AS (SELECT doc_id, xor(x, x >> 30) AS a FROM m1),
-m2 AS (
-    SELECT doc_id,
-        CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
-              + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296)
-             % 18446744073709551616 AS UBIGINT) AS x
-    FROM m1x
-),
-m2x AS (SELECT doc_id, xor(x, x >> 27) AS a FROM m2),
-m3 AS (
-    SELECT doc_id,
-        CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
-              + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296)
-             % 18446744073709551616 AS UBIGINT) AS x
-    FROM m2x
-),
-h AS (SELECT doc_id, xor(x, x >> 31) AS hv FROM m3)
-SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS rank, doc_id
-FROM h ORDER BY hv LIMIT 50
-""",
     "revenue_rollup": """
         SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -2687,36 +2660,54 @@ ORACLE_SQL["streaming_dedup"] = ORACLE_SQL["exact_dedup"]
 
 # 64-bit mulmod without INT128 overflow: a*B mod 2^64 =
 # (a_lo*B + ((a_hi * B_lo mod 2^32) << 32)) mod 2^64 — every partial fits.
-ORACLE_SQL["stratified_sample"] = """
+def _splitmix_sql(src: str, key: str, salt: int, carry: str) -> str:
+    """CTE chain ``m1..h`` reproducing ``splitmix64(key + salt)`` in
+    HUGEINT modular arithmetic (the 64-bit multiply decomposed into
+    32-bit halves) — ONE definition for every hash-exact oracle
+    (stratified_sample, deterministic_shuffle, distinct_sketch).
+    ``carry`` = pass-through column list ('' for none); the result ends
+    with ``h`` exposing ``{carry,} hv``."""
+    c = f"{carry}, " if carry else ""
+    return f"""
 WITH m1 AS (
-    SELECT doc_id, lang,
-        CAST((CAST(doc_id AS HUGEINT) + 7 + 11400714819323198485)
-             % 18446744073709551616 AS UBIGINT) AS x
-    FROM documents
+    SELECT {c}CAST((CAST({key} AS HUGEINT) + {salt} + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS x
+    FROM {src}
 ),
-m1x AS (SELECT doc_id, lang, xor(x, x >> 30) AS a FROM m1),
+m1x AS (SELECT {c}xor(x, x >> 30) AS a FROM m1),
 m2 AS (
-    SELECT doc_id, lang,
-        CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
-              + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296)
-             % 18446744073709551616 AS UBIGINT) AS x
+    SELECT {c}CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
+          + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296)
+         % 18446744073709551616 AS UBIGINT) AS x
     FROM m1x
 ),
-m2x AS (SELECT doc_id, lang, xor(x, x >> 27) AS a FROM m2),
+m2x AS (SELECT {c}xor(x, x >> 27) AS a FROM m2),
 m3 AS (
-    SELECT doc_id, lang,
-        CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
-              + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296)
-             % 18446744073709551616 AS UBIGINT) AS x
+    SELECT {c}CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
+          + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296)
+         % 18446744073709551616 AS UBIGINT) AS x
     FROM m2x
 ),
-h AS (SELECT doc_id, lang, xor(x, x >> 31) AS hv FROM m3)
+h AS (SELECT {c}xor(x, x >> 31) AS hv FROM m3)
+"""
+
+
+ORACLE_SQL["stratified_sample"] = _splitmix_sql(
+    "documents", "doc_id", 7, "doc_id, lang"
+) + """
 SELECT doc_id, lang FROM h
 WHERE hv < CASE lang
     WHEN 'en' THEN CAST(9223372036854775808 AS UBIGINT)
     WHEN 'de' THEN CAST(4611686018427387904 AS UBIGINT)
     ELSE CAST(2305843009213693952 AS UBIGINT) END
 ORDER BY doc_id
+"""
+
+ORACLE_SQL["deterministic_shuffle"] = _splitmix_sql(
+    "documents", "doc_id", 123, "doc_id"
+) + """
+SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS rank, doc_id
+FROM h ORDER BY hv LIMIT 50
 """
 
 ORACLE_SQL["quantiles"] = """
@@ -2732,31 +2723,13 @@ FROM o JOIN qs ON rn >= greatest(1, ceil(CAST(qd AS DOUBLE) * n))
 GROUP BY 1 ORDER BY 1
 """
 
-# Same HUGEINT splitmix64 chain as stratified_sample (salt 0 here), then
-# HLL register = top 12 hash bits, rho = 1 + leading zeros of the low 52
-# bits (bit-scan via list_min over set-bit positions).
-ORACLE_SQL["distinct_sketch"] = """
-WITH m1 AS (
-    SELECT CAST((CAST(o_custkey AS HUGEINT) + 11400714819323198485)
-         % 18446744073709551616 AS UBIGINT) AS x
-    FROM orders
-),
-m1x AS (SELECT xor(x, x >> 30) AS a FROM m1),
-m2 AS (
-    SELECT CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
-          + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296)
-         % 18446744073709551616 AS UBIGINT) AS x
-    FROM m1x
-),
-m2x AS (SELECT xor(x, x >> 27) AS a FROM m2),
-m3 AS (
-    SELECT CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
-          + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296)
-         % 18446744073709551616 AS UBIGINT) AS x
-    FROM m2x
-),
-h AS (SELECT xor(x, x >> 31) AS hv FROM m3),
-reg AS (SELECT CAST(hv >> 52 AS INTEGER) AS register,
+# Shared HUGEINT splitmix64 chain (salt 0 here), then HLL register = top
+# 12 hash bits, rho = 1 + leading zeros of the low 52 bits (bit-scan via
+# list_min over set-bit positions).
+ORACLE_SQL["distinct_sketch"] = _splitmix_sql(
+    "orders", "o_custkey", 0, ""
+) + """
+, reg AS (SELECT CAST(hv >> 52 AS INTEGER) AS register,
                hv % 4503599627370496 AS rest FROM h),
 rho AS (SELECT register,
     CAST(coalesce(list_min(list_filter(range(1, 53),

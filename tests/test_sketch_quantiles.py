@@ -238,3 +238,78 @@ class TestSubstringDup:
             duplicate_window_counts(
                 rd.from_arrow(tbl), window=10, dup_cap=0
             ).take_all()
+
+
+class TestNullHandling:
+    """Null-safety regressions (code-review round 3): nulls are excluded
+    like SQL aggregates, never crashes or phantom keys."""
+
+    def test_quantiles_skip_nulls(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+        tbl = pa.table({"x": pa.array([1.0, None, 2.0, 3.0, None, 4.0], pa.float64())})
+        got = exact_quantiles(rd.from_arrow(tbl).repartition(2), "x", [0.5, 1.0])
+        assert got == [(0.5, 2.0), (1.0, 4.0)]
+        with pytest.raises(ValueError):
+            exact_quantiles(
+                rd.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())})),
+                "x", [0.5],
+            )
+
+    def test_quantiles_int64_beyond_2_53(self, ray_session):
+        """Integer columns stay exact above float64 precision."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+        vals = [2**60, 2**60 + 1, 2**60 + 2, 2**60 + 3] * 10
+        tbl = pa.table({"x": pa.array(vals, pa.int64())})
+        got = exact_quantiles(rd.from_arrow(tbl).repartition(3), "x", [0.25, 0.75])
+        assert got == [(0.25, 2**60), (0.75, 2**60 + 2)]
+
+    def test_quantiles_full_range_int64(self, ray_session):
+        """hi-lo beyond int64 (hash-key columns) must not wrap."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+        vals = np.random.default_rng(4).integers(
+            -(2**63), 2**63 - 1, 5_000, dtype=np.int64
+        )
+        tbl = pa.table({"x": pa.array(vals, pa.int64())})
+        got = exact_quantiles(rd.from_arrow(tbl).repartition(4), "x", [0.1, 0.9])
+        s = np.sort(vals)
+        assert got == [
+            (0.1, int(s[math.ceil(0.1 * len(s)) - 1])),
+            (0.9, int(s[math.ceil(0.9 * len(s)) - 1])),
+        ]
+
+    def test_hll_ignores_nulls(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import hll_sketch
+
+        with_nulls = pa.table({"k": pa.array([1, 2, None, None], pa.int64())})
+        without = pa.table({"k": pa.array([1, 2], pa.int64())})
+        a = {r["register"]: r["max(rho)"]
+             for r in hll_sketch(rd.from_arrow(with_nulls), "k", 12).take_all()}
+        b = {r["register"]: r["max(rho)"]
+             for r in hll_sketch(rd.from_arrow(without), "k", 12).take_all()}
+        assert a == b and len(a) == 2
+
+    def test_word_topk_null_text_and_group(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import word_topk
+
+        tbl = pa.table(
+            {
+                "lang": pa.array(["en", "en", None], pa.string()),
+                "text": pa.array(["a b a", None, "zz zz"], pa.string()),
+            }
+        )
+        got = word_topk(rd.from_arrow(tbl).repartition(2), k=1)
+        # null text counts nothing; null group rows are excluded entirely
+        assert list(map(tuple, got.itertuples(index=False))) == [("en", "a", 2, 1)]
