@@ -313,3 +313,37 @@ class TestNullHandling:
         got = word_topk(rd.from_arrow(tbl).repartition(2), k=1)
         # null text counts nothing; null group rows are excluded entirely
         assert list(map(tuple, got.itertuples(index=False))) == [("en", "a", 2, 1)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-(2**40), 2**40),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.lists(st.floats(0.001, 1.0), min_size=1, max_size=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_quantiles_property_int_with_nulls(ray_session, vals, qs):
+    """Any int column with nulls: engine == rank over sorted non-nulls."""
+    import ray.data as rd
+
+    from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+    nn = [v for v in vals if v is not None]
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})).repartition(3)
+    if not nn:
+        with pytest.raises(ValueError):
+            exact_quantiles(ds, "x", qs)
+        return
+    got = exact_quantiles(ds, "x", qs)
+    s = sorted(nn)
+    exp = [(q, s[max(1, math.ceil(q * len(s))) - 1]) for q in qs]
+    assert got == exp
