@@ -490,3 +490,85 @@ def media_content_hash(batch: pa.Table) -> pa.Table:
         hashlib.sha1(p or b"").hexdigest() for p in batch["payload"].to_pylist()
     ]
     return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (floor mapping
+    ``src = (dst * in) // out`` — the deterministic convention the
+    ``media_resize`` SQL oracle restates in closed form). Works for any
+    (H, W) or (H, W, C) uint8 array, up- or down-scaling."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[np.ix_(ys, xs)]
+
+
+def downsample_box(img: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Integer box (area) downsample by (fy, fx): each output pixel is
+    the floor-mean of its fy×fx block — pure integer arithmetic, so the
+    oracle recomputes it exactly. Dimensions must divide."""
+    h, w = img.shape[:2]
+    if h % fy or w % fx:
+        raise ValueError("box downsample requires exact integer factors")
+    blocks = img.reshape(h // fy, fy, w // fx, fx, *img.shape[2:])
+    return (blocks.astype(np.int64).sum(axis=(1, 3)) // (fy * fx)).astype(img.dtype)
+
+
+class ImageResizer:
+    """Actor-pool ``map_batches`` stage: decode → resize → emit the
+    RESIZED PIXELS as rows (media_id, mode, y, x, v) — the thumbnail
+    stage of a multimodal pipeline, exact-oracle-friendly. ``modes``
+    maps a label to ('nearest', out_h, out_w) or ('box', fy, fx)."""
+
+    def __init__(self, modes: dict | None = None):
+        self.modes = modes or {
+            "nearest8": ("nearest", 8, 8),
+            "box2": ("box", 2, 2),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mlabels, ys, xs, vs = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            img = decode_image(payload)
+            if img.ndim == 3:  # luma for color inputs (not used by the query)
+                img = (img.astype(np.int64).sum(axis=2) // img.shape[2]).astype(
+                    np.uint8
+                )
+            for label, spec in self.modes.items():
+                if spec[0] == "nearest":
+                    out = resize_nearest(img, spec[1], spec[2])
+                else:
+                    out = downsample_box(img, spec[1], spec[2])
+                oh, ow = out.shape
+                yy, xx = np.mgrid[0:oh, 0:ow]
+                n = oh * ow
+                ids.extend([mid] * n)
+                mlabels.extend([label] * n)
+                ys.extend(yy.ravel().tolist())
+                xs.extend(xx.ravel().tolist())
+                vs.extend(out.ravel().astype(int).tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(mlabels, pa.string()),
+                pa.array(ys, pa.int32()),
+                pa.array(xs, pa.int32()),
+                pa.array(vs, pa.int32()),
+            ],
+            names=["media_id", "mode", "y", "x", "v"],
+        )
+
+
+def resize_pipeline(ds, modes: dict | None = None, batch_size: int = 32,
+                    concurrency=(1, 4)):
+    """Thumbnail/resize pipeline: actor pool, small batches (binary
+    payload rows), payload dropped at the stage output."""
+    return ds.map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"modes": modes},
+        concurrency=concurrency,
+    )

@@ -2009,6 +2009,34 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def q_media_resize(sf_dir: str) -> pd.DataFrame:
+    """Thumbnail stage over REAL PNGs: each doc becomes a 16×16 gray PNG
+    with per-pixel formula ``(doc_id*7 + y*13 + x*5) % 256``; the actor
+    pool decodes and emits BOTH resize modes — nearest-neighbor to 8×8
+    (floor mapping ``src = dst*in//out``) and 2×2 integer box downsample
+    (floor-mean). Both are pure integer transforms of the closed-form
+    image, so the SQL oracle restates every output pixel exactly."""
+    from .ops.multimodal import encode_png, resize_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        y, x = np.mgrid[0:16, 0:16]
+        payloads = [
+            encode_png(((i * 7 + y * 13 + x * 5) % 256).astype(np.uint8))
+            for i in ids
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = resize_pipeline(ds.map_batches(to_png, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values(["media_id", "mode", "y", "x"]).reset_index(drop=True)
+
+
 def q_adpcm_features(sf_dir: str) -> pd.DataFrame:
     """IMA-ADPCM audio with a FULL exact oracle for a LOSSY codec: the
     decode is a pure integer state machine (published step/index
@@ -2576,6 +2604,25 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY 1, 2
     """,
+    "media_resize": """
+WITH g AS (
+    SELECT d.doc_id, y.y, x.x FROM documents d
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+)
+SELECT doc_id AS media_id, 'box2' AS mode,
+       CAST(y AS INTEGER) AS y, CAST(x AS INTEGER) AS x,
+       CAST((  (doc_id*7 + (2*y)*13   + (2*x)*5)   % 256
+             + (doc_id*7 + (2*y)*13   + (2*x+1)*5) % 256
+             + (doc_id*7 + (2*y+1)*13 + (2*x)*5)   % 256
+             + (doc_id*7 + (2*y+1)*13 + (2*x+1)*5) % 256) // 4 AS INTEGER) AS v
+FROM g
+UNION ALL
+SELECT doc_id, 'nearest8', CAST(y AS INTEGER), CAST(x AS INTEGER),
+       CAST((doc_id*7 + (2*y)*13 + (2*x)*5) % 256 AS INTEGER)
+FROM g
+ORDER BY 1, 2, 3, 4
+""",
     "adpcm_features": """
 WITH RECURSIVE
 steps AS (
@@ -3154,6 +3201,7 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "embed_ann": q_embed_ann,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
     "audio_features": q_audio_features,
     "adpcm_features": q_adpcm_features,
     "video_features": q_video_features,

@@ -95,3 +95,45 @@ def test_bad_container_raises():
         decode_ima_wav(b"JUNKJUNKJUNKJUNK")
     with pytest.raises(ValueError):
         decode_ima_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+class TestResize:
+    def test_nearest_identity_and_down_up(self):
+        from pdf_extractor_ray.ops.multimodal import resize_nearest
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        assert np.array_equal(resize_nearest(img, 4, 4), img)
+        down = resize_nearest(img, 2, 2)
+        assert np.array_equal(down, img[np.ix_([0, 2], [0, 2])])
+        up = resize_nearest(img, 8, 8)
+        assert up.shape == (8, 8)
+        # each src pixel repeated 2x2 under floor mapping
+        assert np.array_equal(up[0:2, 0:2], np.full((2, 2), img[0, 0]))
+
+    def test_box_floor_mean_and_factor_check(self):
+        import pytest
+
+        from pdf_extractor_ray.ops.multimodal import downsample_box
+
+        img = np.array([[1, 2], [3, 5]], dtype=np.uint8)
+        assert downsample_box(img, 2, 2)[0, 0] == (1 + 2 + 3 + 5) // 4
+        with pytest.raises(ValueError):
+            downsample_box(np.zeros((3, 4), np.uint8), 2, 2)
+
+    def test_resize_stage_round_trip(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.multimodal import encode_png, resize_pipeline
+
+        y, x = np.mgrid[0:4, 0:4]
+        img = ((y * 10 + x) % 256).astype(np.uint8)
+        tbl = pa.table(
+            {"media_id": pa.array([7], pa.int64()),
+             "payload": pa.array([encode_png(img)], pa.binary())}
+        )
+        rows = resize_pipeline(
+            rd.from_arrow(tbl), modes={"n2": ("nearest", 2, 2)}
+        ).take_all()
+        got = {(r["y"], r["x"]): r["v"] for r in rows}
+        assert got == {(0, 0): 0, (0, 1): 2, (1, 0): 20, (1, 1): 22}
