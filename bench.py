@@ -159,7 +159,7 @@ def main() -> None:
         "tpch_q1", "events_hourly", "extract_html", "exact_dedup",
         "ann_topk", "token_stats", "minhash_dedup", "order_priority_revenue",
         "user_sessions", "paragraph_dedup", "media_features",
-        "quantiles", "distinct_sketch",
+        "quantiles", "distinct_sketch", "substring_dup", "canonical_urls",
     )
     for name in query_names:
         t0 = time.time()
