@@ -2009,6 +2009,44 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def q_length_bins(sf_dir: str) -> pd.DataFrame:
+    """Curriculum binning composition: quartile thresholds of ``n_chars``
+    come from :func:`ops.quantiles.exact_quantiles` (counting passes, no
+    sort), then one shuffle-free pass bins every document and per-batch
+    partials feed a tiny groupby. Bin = number of thresholds < value
+    (so bin b holds values in (t_{b-1}, t_b], exactly the rank
+    definition) — the SQL oracle recomputes the identical thresholds via
+    row_number and rebins. Demonstrates op reuse: a statistics op
+    feeding a pipeline stage via broadcast thresholds."""
+    from ray.data.aggregate import Count
+
+    from .ops.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    qs = [0.25, 0.5, 0.75]
+    thresholds = [v for _, v in exact_quantiles(ds, "n_chars", qs)]
+    thr = np.asarray(thresholds, dtype=np.int64)
+
+    def binned(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # side="left" == count of thresholds strictly below x, so values
+        # equal to a threshold land in the lower bin.
+        b = np.searchsorted(thr, x, side="left")
+        return pa.Table.from_arrays(
+            [pa.array(b.astype(np.int32), pa.int32())], names=["bin"]
+        )
+
+    out = (
+        ds.map_batches(binned, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="docs"))
+        .to_pandas()
+    )
+    out["bin"] = out["bin"].astype("int32")
+    out["docs"] = out["docs"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def q_media_resize(sf_dir: str) -> pd.DataFrame:
     """Thumbnail stage over REAL PNGs: each doc becomes a 16×16 gray PNG
     with per-pixel formula ``(doc_id*7 + y*13 + x*5) % 256``; the actor
@@ -2604,6 +2642,28 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY 1, 2
     """,
+    "length_bins": """
+WITH o AS (
+    SELECT n_chars AS x,
+           row_number() OVER (ORDER BY n_chars) AS rn,
+           count(*) OVER () AS n
+    FROM documents
+),
+t AS (
+    SELECT
+        min(CASE WHEN rn >= greatest(1, ceil(CAST(0.25 AS DOUBLE) * n)) THEN x END) AS t1,
+        min(CASE WHEN rn >= greatest(1, ceil(CAST(0.5 AS DOUBLE) * n))  THEN x END) AS t2,
+        min(CASE WHEN rn >= greatest(1, ceil(CAST(0.75 AS DOUBLE) * n)) THEN x END) AS t3
+    FROM o
+),
+b AS (
+    SELECT CAST((CASE WHEN t.t1 < d.n_chars THEN 1 ELSE 0 END
+               + CASE WHEN t.t2 < d.n_chars THEN 1 ELSE 0 END
+               + CASE WHEN t.t3 < d.n_chars THEN 1 ELSE 0 END) AS INTEGER) AS bin
+    FROM documents d CROSS JOIN t
+)
+SELECT bin, count(*) AS docs FROM b GROUP BY bin ORDER BY bin
+""",
     "media_resize": """
 WITH g AS (
     SELECT d.doc_id, y.y, x.x FROM documents d
@@ -3207,6 +3267,7 @@ QUERIES = {
     "video_features": q_video_features,
     "pack_sequences": q_pack_sequences,
     "quantiles": q_quantiles,
+    "length_bins": q_length_bins,
     "distinct_sketch": q_distinct_sketch,
     "word_topk": q_word_topk,
     "canonical_urls": q_canonical_urls,
