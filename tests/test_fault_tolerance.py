@@ -87,3 +87,40 @@ class TestDedupFaultTolerance:
         assert os.path.exists(marker), "the poison batch never executed"
         assert got.equals(expected)
         assert int((got["doc_id"] != got["cluster_id"]).sum()) == 40
+
+
+class TestStatsFaultTolerance:
+    def test_worker_death_mid_quantiles_identical_answer(
+        self, ray_session, tmp_path
+    ):
+        """A worker dying inside the quantile histogram pass must be
+        re-executed by lineage with the identical exact answer (partials
+        are deterministic and idempotent; the streaming driver combine
+        only ever sees the successful executions)."""
+        import numpy as np
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import exact_quantiles
+
+        vals = np.random.default_rng(17).integers(0, 100_000, 30_000)
+        tbl = pa.table({"x": pa.array(vals, pa.int64())})
+        ds = rd.from_arrow(tbl).repartition(8)
+        qs = [0.1, 0.5, 0.9]
+        expected = exact_quantiles(ds, "x", qs)
+
+        marker = str(tmp_path / "q_crashed_once")
+
+        def poison_crash(batch: pa.Table) -> pa.Table:
+            if not os.path.exists(marker):
+                try:
+                    fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                except FileExistsError:
+                    return batch
+                os._exit(1)
+            return batch
+
+        poisoned = ds.map_batches(poison_crash, batch_format="pyarrow")
+        got = exact_quantiles(poisoned, "x", qs)
+        assert os.path.exists(marker), "the poison batch never executed"
+        assert got == expected
