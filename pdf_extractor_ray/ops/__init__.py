@@ -17,8 +17,8 @@ Modules:
 - ``embed``      hashed-ngram embedding actor stage (gaussian/identity)
 - ``multimodal`` image/audio/video columns with REAL from-scratch codecs
                  (PNG, BMP, JPEG, GIF, TIFF, VP8L WebP, PCM WAV, IMA
-                 ADPCM, FLAC, Y4M/AVI); MP3/lossy-VP8/DCT-video declared
-                 stubs
+                 ADPCM, G.711 mu/A-law, FLAC, Y4M/AVI) + resize stages;
+                 MP3/lossy-VP8/DCT-video declared stubs
 - ``quantiles``  exact distributed order statistics (iterative histogram
                  refinement — counting passes, zero data shuffles)
 - ``sketch``     HyperLogLog cardinality (fixed 2^p registers, per-block

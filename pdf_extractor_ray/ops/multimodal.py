@@ -428,9 +428,14 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         return chans[:, 0].astype(np.int16), rate
     if payload[:4] == b"RIFF":
         from .adpcm import decode_ima_wav
+        from .g711 import decode_g711_wav
 
         try:
             return decode_ima_wav(payload)
+        except NotImplementedError:
+            pass
+        try:
+            return decode_g711_wav(payload)
         except NotImplementedError:  # PCM or other tags → stdlib wave
             pass
     with wave.open(io.BytesIO(payload)) as wav:

@@ -1743,6 +1743,36 @@ def q_audio_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "win"]).reset_index(drop=True)
 
 
+def q_g711_features(sf_dir: str) -> pd.DataFrame:
+    """G.711 telephony audio (µ-law for even docs, A-law for odd) with a
+    FULL exact oracle: each doc is a 1024-byte companded stream
+    ``b[t] = (doc_id*13 + t*7) % 256`` in a real mono WAV; decode is
+    pure bit arithmetic, restated verbatim in the SQL (no tables).
+    Same windowed abs-energy stage as the other audio queries."""
+    from .ops.g711 import encode_g711_wav
+    from .ops.multimodal import audio_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_g711(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        t = np.arange(1024)
+        payloads = [
+            encode_g711_wav(
+                (i * 13 + t * 7) % 256, "mulaw" if i % 2 == 0 else "alaw"
+            )
+            for i in ids
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = audio_pipeline(ds.map_batches(to_g711, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values(["media_id", "win"]).reset_index(drop=True)
+
+
 def q_video_features(sf_dir: str) -> pd.DataFrame:
     """Video pipeline with an exact oracle over REAL containers: each
     document becomes a 6-frame 16×16 clip with per-pixel formula
@@ -2621,6 +2651,34 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id, win, CAST(sum(a) AS BIGINT) AS energy
         FROM s GROUP BY 1, 2 ORDER BY media_id, win
     """,
+    "g711_features": """
+WITH raw AS (
+    SELECT d.doc_id AS media_id,
+           CAST(t.t // 128 AS INTEGER) AS win,
+           (d.doc_id * 13 + t.t * 7) % 256 AS b,
+           d.doc_id % 2 AS law
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(0, 1024)) AS t) t
+),
+dec AS (
+    SELECT media_id, win,
+        CASE WHEN law = 0 THEN
+            -- mu-law: u = ~b; mag = ((mant*8+132) << exp) - 132
+            (CASE WHEN ((255 - b) & 128) <> 0 THEN -1 ELSE 1 END)
+            * ((((255 - b) & 15) * 8 + 132) * (1 << (((255 - b) >> 4) & 7)) - 132)
+        ELSE
+            -- A-law: a = b ^ 85; bit 7 set means positive
+            (CASE WHEN (xor(b, 85) & 128) <> 0 THEN 1 ELSE -1 END)
+            * (CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+                    THEN (xor(b, 85) & 15) * 16 + 8
+                    ELSE ((xor(b, 85) & 15) * 16 + 264)
+                         * (1 << (((xor(b, 85) >> 4) & 7) - 1)) END)
+        END AS sample
+    FROM raw
+)
+SELECT media_id, win, CAST(sum(abs(sample)) AS BIGINT) AS energy
+FROM dec GROUP BY 1, 2 ORDER BY media_id, win
+""",
     "video_features": """
         WITH px AS (
             SELECT d.doc_id AS media_id,
@@ -3264,6 +3322,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "audio_features": q_audio_features,
     "adpcm_features": q_adpcm_features,
+    "g711_features": q_g711_features,
     "video_features": q_video_features,
     "pack_sequences": q_pack_sequences,
     "quantiles": q_quantiles,

@@ -137,3 +137,40 @@ class TestResize:
         ).take_all()
         got = {(r["y"], r["x"]): r["v"] for r in rows}
         assert got == {(0, 0): 0, (0, 1): 2, (1, 0): 20, (1, 1): 22}
+
+
+class TestG711:
+    def test_spec_points(self):
+        from pdf_extractor_ray.ops.g711 import decode_alaw, decode_mulaw
+
+        # Classic reference values: mu-law 0xFF/0x7F decode to +0/-0;
+        # 0x00 is the negative rail (-32124 in the 16-bit convention).
+        mu = decode_mulaw(np.array([0xFF, 0x7F, 0x00, 0x80], np.uint8))
+        assert mu.tolist() == [0, 0, -32124, 32124]
+        # A-law 0x55 -> -8 (quietest negative), 0xD5 -> +8, 0x2A -> -32256 rail
+        al = decode_alaw(np.array([0x55, 0xD5, 0x2A, 0xAA], np.uint8))
+        assert al.tolist() == [-8, 8, -32256, 32256]
+
+    def test_sign_symmetry_all_bytes(self):
+        from pdf_extractor_ray.ops.g711 import decode_alaw, decode_mulaw
+
+        b = np.arange(256, dtype=np.uint8)
+        mu = decode_mulaw(b)
+        assert np.array_equal(decode_mulaw(b ^ 0x80), -mu)
+        al = decode_alaw(b)
+        assert np.array_equal(decode_alaw(b ^ 0x80), -al)
+
+    def test_wav_container_and_routing(self):
+        from pdf_extractor_ray.ops.g711 import (
+            decode_g711_wav,
+            decode_mulaw,
+            encode_g711_wav,
+        )
+        from pdf_extractor_ray.ops.multimodal import decode_audio
+
+        stream = np.arange(64, dtype=np.uint8)
+        payload = encode_g711_wav(stream, "mulaw", rate=8000)
+        s1, rate = decode_g711_wav(payload)
+        assert rate == 8000 and np.array_equal(s1, decode_mulaw(stream))
+        s2, _ = decode_audio(payload)  # routes through the RIFF sniffer
+        assert np.array_equal(s2, s1)
