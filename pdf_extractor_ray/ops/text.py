@@ -591,3 +591,105 @@ def word_topk(ds, k: int = 10, text_col: str = "text", group_col: str = "lang"):
     return pd.DataFrame(
         {group_col: out_g, "word": out_w, "cnt": out_c, "rank": out_r}
     ).astype({"cnt": "int64", "rank": "int32"})
+
+
+def tfidf_top_terms(
+    ds,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 5_000_000,
+):
+    """Per-document most-distinctive terms, TF-IDF-shaped but INTEGER-
+    exact so the SQL oracle matches bit-for-bit: for each (doc, term),
+    ``score = tf * n_docs // df`` (tf = in-doc occurrences, df =
+    distinct docs containing the term). Returns a Dataset of
+    ``(id, term, score, rank)`` rows, top ``k`` per doc by
+    (score desc, term asc).
+
+    Shape: one pass emits per-block (term, distinct-doc-count) partials
+    (pre-combined: a doc's terms are uniqued per doc before counting) →
+    ``groupby(term)`` over vocabulary-sized rows; the df map is
+    broadcast via ``ray.put`` under ``df_cap`` (the vocabulary bound —
+    real web vocabularies at 100 TB exceed it, where the documented swap
+    is a semi-join of (doc, term, tf) rows against the df table on
+    term, the same key as the groupby). The scoring pass is per-row,
+    shuffle-free."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        per_doc_terms = [set((t or "").lower().split()) for t in texts.to_pylist()]
+        all_terms: dict[str, int] = {}
+        for terms in per_doc_terms:
+            for term in terms:
+                all_terms[term] = all_terms.get(term, 0) + 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(list(all_terms.keys()), pa.string()),
+                pa.array(list(all_terms.values()), pa.int64()),
+            ],
+            names=["term", "df"],
+        )
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([batch.num_rows], pa.int64())], names=["n"]
+        )
+
+    n_docs = sum(
+        t["n"].to_numpy(zero_copy_only=False).sum()
+        for t in ds.map_batches(count_rows, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    )
+
+    df_tables = list(
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .aggregate(Sum("df"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    n_terms = sum(t.num_rows for t in df_tables)
+    if n_terms > df_cap:
+        raise RuntimeError(
+            f"vocabulary ({n_terms}) exceeds df_cap={df_cap}; "
+            "semi-join the (doc, term, tf) rows against the df table instead"
+        )
+    df_map: dict[str, int] = {}
+    for t in df_tables:
+        df_map.update(zip(t["term"].to_pylist(), t["sum(df)"].to_pylist()))
+    df_ref = ray.put(df_map)
+    n_docs_i = int(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        ids, terms, scores, ranks = [], [], [], []
+        id_arr = batch[id_col].to_pylist()
+        for i, raw in zip(id_arr, batch[text_col].to_pylist()):
+            toks = (raw or "").lower().split()
+            if not toks:
+                continue
+            tf: dict[str, int] = {}
+            for tok in toks:
+                tf[tok] = tf.get(tok, 0) + 1
+            scored = sorted(
+                ((-(c * n_docs_i // dfm[term]), term) for term, c in tf.items())
+            )[:k]
+            for r, (negs, term) in enumerate(scored, 1):
+                ids.append(i)
+                terms.append(term)
+                scores.append(-negs)
+                ranks.append(r)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch[id_col].type),
+                pa.array(terms, pa.string()),
+                pa.array(scores, pa.int64()),
+                pa.array(ranks, pa.int32()),
+            ],
+            names=[id_col, "term", "score", "rank"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2039,6 +2039,20 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def q_tfidf_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document distinctive terms, TF-IDF-shaped but INTEGER-exact
+    (``score = tf * n_docs // df``) so the oracle is hash-exact: one
+    vocabulary groupby builds the document-frequency table (per-block
+    per-doc-uniqued partials), the df map broadcasts under a documented
+    vocabulary cap (semi-join swap noted for 100 TB vocabularies), and
+    scoring is per-row shuffle-free (:func:`ops.text.tfidf_top_terms`)."""
+    from .ops.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = tfidf_top_terms(ds, k=3).to_pandas()
+    return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def q_length_bins(sf_dir: str) -> pd.DataFrame:
     """Curriculum binning composition: quartile thresholds of ``n_chars``
     come from :func:`ops.quantiles.exact_quantiles` (counting passes, no
@@ -2700,6 +2714,26 @@ FROM dec GROUP BY 1, 2 ORDER BY media_id, win
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY 1, 2
     """,
+    "tfidf_terms": r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(tf.tf * n.n_docs // dfv.df AS BIGINT) AS score,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * n.n_docs // dfv.df DESC, tf.term
+           ) AS r
+    FROM tf JOIN dfv USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score, CAST(r AS INTEGER) AS rank
+FROM scored WHERE r <= 3 ORDER BY doc_id, rank
+""",
     "length_bins": """
 WITH o AS (
     SELECT n_chars AS x,
@@ -3329,6 +3363,7 @@ QUERIES = {
     "length_bins": q_length_bins,
     "distinct_sketch": q_distinct_sketch,
     "word_topk": q_word_topk,
+    "tfidf_terms": q_tfidf_terms,
     "canonical_urls": q_canonical_urls,
     "substring_dup": q_substring_dup,
     "repetition_filter": q_repetition_filter,

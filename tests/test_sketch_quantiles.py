@@ -347,3 +347,48 @@ def test_quantiles_property_int_with_nulls(ray_session, vals, qs):
     s = sorted(nn)
     exp = [(q, s[max(1, math.ceil(q * len(s))) - 1]) for q in qs]
     assert got == exp
+
+
+class TestTfidfTopTerms:
+    def test_matches_bruteforce(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import tfidf_top_terms
+
+        docs = {
+            1: "apple banana apple rare",
+            2: "banana banana cherry",
+            3: "apple cherry cherry cherry",
+            4: "",
+        }
+        tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+        got = [
+            (r["doc_id"], r["term"], r["score"], r["rank"])
+            for r in sorted(
+                tfidf_top_terms(rd.from_arrow(tbl).repartition(2), k=2).take_all(),
+                key=lambda r: (r["doc_id"], r["rank"]),
+            )
+        ]
+        n = len(docs)
+        df: collections.Counter = collections.Counter()
+        for t in docs.values():
+            df.update(set(t.split()))
+        exp = []
+        for d, t in docs.items():
+            tf = collections.Counter(t.split())
+            best = sorted(
+                ((-(c * n // df[w]), w) for w, c in tf.items())
+            )[:2]
+            exp += [(d, w, -negs, r) for r, (negs, w) in enumerate(best, 1)]
+        assert got == exp  # doc 4 contributes no rows
+
+    def test_df_cap_raises(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import tfidf_top_terms
+
+        tbl = pa.table({"doc_id": [1], "text": ["a b c d e"]})
+        with pytest.raises(RuntimeError, match="df_cap"):
+            tfidf_top_terms(rd.from_arrow(tbl), df_cap=2).take_all()
