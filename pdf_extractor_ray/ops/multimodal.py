@@ -537,10 +537,11 @@ class ImageResizer:
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             img = decode_image(payload)
-            if img.ndim == 3:  # luma for color inputs (not used by the query)
-                img = (img.astype(np.int64).sum(axis=2) // img.shape[2]).astype(
-                    np.uint8
-                )
+            if img.ndim == 3:  # decode_image contract is 2-D; keep the
+                # module's documented integer-luma convention if that
+                # ever changes
+                r, g, b = (img[:, :, c].astype(np.uint32) for c in range(3))
+                img = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
             for label, spec in self.modes.items():
                 if spec[0] == "nearest":
                     out = resize_nearest(img, spec[1], spec[2])

@@ -609,21 +609,34 @@ def tfidf_top_terms(
 
     Shape: one pass emits per-block (term, distinct-doc-count) partials
     (pre-combined: a doc's terms are uniqued per doc before counting) →
-    ``groupby(term)`` over vocabulary-sized rows; the df map is
-    broadcast via ``ray.put`` under ``df_cap`` (the vocabulary bound —
-    real web vocabularies at 100 TB exceed it, where the documented swap
-    is a semi-join of (doc, term, tf) rows against the df table on
-    term, the same key as the groupby). The scoring pass is per-row,
-    shuffle-free."""
+    ``groupby(term)`` over vocabulary-sized rows; the df table is
+    broadcast as a pair of SORTED numpy arrays (searchsorted lookup —
+    arrays deserialize zero-copy-ish from the object store, unlike a
+    dict which would re-unpickle per task) under ``df_cap`` (the
+    vocabulary bound — real web vocabularies at 100 TB exceed it, where
+    the documented swap is a semi-join of (doc, term, tf) rows against
+    the df table on term, the same key as the groupby). The scoring
+    pass is per-row, shuffle-free.
+
+    Tokenization is RE2 ``\\s+`` split on BOTH the engine and oracle
+    sides (pyarrow uses RE2 too) — same contract as :func:`word_topk`;
+    Python ``str.split`` would diverge on Unicode whitespace."""
     import ray
     from ray.data.aggregate import Sum
 
+    def doc_tokens(batch: pa.Table) -> list[list[str]]:
+        words_list = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")), pattern=r"\s+"
+        )
+        return [
+            [w for w in doc if w] if doc else []
+            for doc in words_list.to_pylist()
+        ]
+
     def df_partial(batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch[text_col], "")
-        per_doc_terms = [set((t or "").lower().split()) for t in texts.to_pylist()]
         all_terms: dict[str, int] = {}
-        for terms in per_doc_terms:
-            for term in terms:
+        for toks in doc_tokens(batch):
+            for term in set(toks):
                 all_terms[term] = all_terms.get(term, 0) + 1
         return pa.Table.from_arrays(
             [
@@ -633,17 +646,7 @@ def tfidf_top_terms(
             names=["term", "df"],
         )
 
-    def count_rows(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pa.array([batch.num_rows], pa.int64())], names=["n"]
-        )
-
-    n_docs = sum(
-        t["n"].to_numpy(zero_copy_only=False).sum()
-        for t in ds.map_batches(count_rows, batch_format="pyarrow", batch_size=None)
-        .iter_batches(batch_format="pyarrow")
-        if t.num_rows
-    )
+    n_docs_i = int(ds.count())  # parquet inputs resolve this from metadata
 
     df_tables = list(
         ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
@@ -657,25 +660,30 @@ def tfidf_top_terms(
             f"vocabulary ({n_terms}) exceeds df_cap={df_cap}; "
             "semi-join the (doc, term, tf) rows against the df table instead"
         )
-    df_map: dict[str, int] = {}
+    terms_all, dfs_all = [], []
     for t in df_tables:
-        df_map.update(zip(t["term"].to_pylist(), t["sum(df)"].to_pylist()))
-    df_ref = ray.put(df_map)
-    n_docs_i = int(n_docs)
+        terms_all.extend(t["term"].to_pylist())
+        dfs_all.extend(t["sum(df)"].to_pylist())
+    order = np.argsort(np.asarray(terms_all, dtype=object))
+    terms_sorted = np.asarray(terms_all, dtype=object)[order]
+    dfs_sorted = np.asarray(dfs_all, dtype=np.int64)[order]
+    df_ref = ray.put((terms_sorted, dfs_sorted))
 
     def score(batch: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
+        vocab, dfs = ray.get(df_ref)
         ids, terms, scores, ranks = [], [], [], []
         id_arr = batch[id_col].to_pylist()
-        for i, raw in zip(id_arr, batch[text_col].to_pylist()):
-            toks = (raw or "").lower().split()
+        for i, toks in zip(id_arr, doc_tokens(batch)):
             if not toks:
                 continue
             tf: dict[str, int] = {}
             for tok in toks:
                 tf[tok] = tf.get(tok, 0) + 1
+            uterms = list(tf.keys())
+            idx = np.searchsorted(vocab, np.asarray(uterms, dtype=object))
             scored = sorted(
-                ((-(c * n_docs_i // dfm[term]), term) for term, c in tf.items())
+                (-(tf[term] * n_docs_i // int(dfs[j])), term)
+                for term, j in zip(uterms, idx)
             )[:k]
             for r, (negs, term) in enumerate(scored, 1):
                 ids.append(i)

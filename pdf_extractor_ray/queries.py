@@ -2072,7 +2072,10 @@ def q_length_bins(sf_dir: str) -> pd.DataFrame:
     thr = np.asarray(thresholds, dtype=np.int64)
 
     def binned(batch: pa.Table) -> pa.Table:
-        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = batch["n_chars"]
+        if arr.null_count:  # defensive: match exact_quantiles' null policy
+            arr = arr.drop_null()
+        x = arr.to_numpy(zero_copy_only=False).astype(np.int64)
         # side="left" == count of thresholds strictly below x, so values
         # equal to a threshold land in the lower bin.
         b = np.searchsorted(thr, x, side="left")
