@@ -11,12 +11,16 @@ handle without native codecs:
 * **AVI / RIFF** with uncompressed DIB ``vids`` streams (``00db`` /
   ``00dc`` chunks, ``biCompression=0``, 24-bit bottom-up BGR — the same
   pixel layout as the BMP decoder): frames → integer-luma grayscale.
+* **MJPEG inside AVI** (``biCompression='MJPG'``): every frame chunk is
+  a standalone baseline JPEG, decoded by the engine's own from-scratch
+  :mod:`.jpeg` codec — a REAL DCT video path, exact-oracle-checkable
+  via the constant-block round-trip (Q ``mjpeg_video``).
 
-Anything else (MJPEG inside AVI, MP4/H.264, VP8/9…) is a DCT codec and
-stays a declared ``NotImplementedError`` stub — swap
-:func:`decode_video` for a PyAV/ffmpeg kernel in production. The Ray-side
-plumbing (frame sampling, actor-pool feature stage, integer features for
-the exact oracle) is identical either way.
+Anything else (MP4/H.264, VP8/9…) stays a declared
+``NotImplementedError`` stub — swap :func:`decode_video` for a
+PyAV/ffmpeg kernel in production. The Ray-side plumbing (frame
+sampling, actor-pool feature stage, integer features for the exact
+oracle) is identical either way.
 
 The reference repo has no video path; this exists for the engine's
 multimodal columns (SURVEY §2, multimodal)."""
@@ -161,17 +165,25 @@ def _decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     walk(12, len(payload))
     if width is None or not movi_ranges:
         raise VideoError("AVI missing avih/movi")
-    if compression not in (0, None):
+    mjpeg = compression == 0x47504A4D  # 'MJPG' — per-frame baseline JPEG
+    if compression not in (0, None) and not mjpeg:
         raise VideoError(
             f"AVI compression 0x{compression:08x} unsupported — uncompressed "
-            "DIB only (MJPEG/H.264 need native codecs; swap decode_video "
-            "for a PyAV kernel in production)"
+            "DIB and MJPG only (H.264/VP9 need native codecs; swap "
+            "decode_video for a PyAV kernel in production)"
         )
     stride = (width * 3 + 3) & ~3
     frames: list[np.ndarray] = []
     for movi_pos, movi_end in movi_ranges:
         for fourcc, body, size in _riff_chunks(payload, movi_pos, movi_end):
             if fourcc[2:4] not in (b"db", b"dc"):
+                continue
+            if mjpeg:
+                # Motion JPEG: every chunk is a standalone baseline JPEG —
+                # decoded by the engine's own from-scratch codec (round 3).
+                from .jpeg import decode_jpeg
+
+                frames.append(decode_jpeg(payload[body : body + size]))
                 continue
             if size < stride * height:
                 raise VideoError("truncated AVI frame chunk")
@@ -230,6 +242,43 @@ def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
             row = np.repeat(arr[r], 3).tobytes()
             dib += row + b"\x00" * (stride - w * 3)
         movi_body += chunk(b"00db", bytes(dib))
+    riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def encode_mjpeg_avi(jpeg_frames: list[bytes], w: int, h: int, fps: int = 25) -> bytes:
+    """MJPEG AVI writer for fixtures: pre-encoded baseline JPEGs as
+    ``00dc`` chunks with biCompression='MJPG' (the classic webcam/crawl
+    container shape)."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10,
+        len(jpeg_frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(jpeg_frames), 0, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    for jf in jpeg_frames:
+        movi_body += chunk(b"00dc", jf)
     riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 

@@ -2156,6 +2156,44 @@ def q_adpcm_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "win"]).reset_index(drop=True)
 
 
+def q_mjpeg_video(sf_dir: str) -> pd.DataFrame:
+    """Motion-JPEG video — a real DCT video container decoded end-to-end
+    by the engine's own codecs (AVI demux → per-frame baseline JPEG).
+    Each doc becomes a 4-frame 16×16 MJPEG AVI whose frames are 2×2
+    grids of CONSTANT 8×8 blocks with value
+    ``(doc_id*31 + f*7 + b*11) % 256`` — constant blocks round-trip
+    EXACTLY through the flat-quant-8 JPEG encoder (DC = (v-128)·8
+    divides the quantizer), so per-frame luma sums have a closed-form
+    oracle. Frame sampling picks frames 0,1,2 of 4."""
+    from .ops.jpeg import encode_jpeg_gray
+    from .ops.multimodal import video_pipeline
+    from .ops.video import encode_mjpeg_avi
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_mjpeg(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            jpegs = []
+            for f in range(4):
+                vals = np.array(
+                    [(i * 31 + f * 7 + b * 11) % 256 for b in range(4)],
+                    dtype=np.uint8,
+                ).reshape(2, 2)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                jpegs.append(encode_jpeg_gray(img, quant_value=8))
+            payloads.append(encode_mjpeg_avi(jpegs, 16, 16))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = video_pipeline(ds.map_batches(to_mjpeg, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+
+
 def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signal per document: most-frequent word
     bigram count, total bigrams, and the repetitive flag (top fraction >
@@ -2822,6 +2860,18 @@ SELECT doc_id AS media_id, CAST(blk AS INTEGER) AS win,
        CAST(sum(abs(pred)) AS BIGINT) AS energy
 FROM st GROUP BY 1, 2 ORDER BY media_id, win
 """,
+    "mjpeg_video": """
+WITH s AS (
+    SELECT d.doc_id AS media_id, CAST(f.f AS INTEGER) AS frame_no,
+           64 * ( (d.doc_id*31 + f.f*7) % 256
+                + (d.doc_id*31 + f.f*7 + 11) % 256
+                + (d.doc_id*31 + f.f*7 + 22) % 256
+                + (d.doc_id*31 + f.f*7 + 33) % 256 ) AS luma_sum
+    FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS f) f
+)
+SELECT media_id, frame_no, CAST(luma_sum AS BIGINT) AS luma_sum
+FROM s ORDER BY media_id, frame_no
+""",
     "extraction_metrics": """
         SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS bytes_out
         FROM documents GROUP BY lang ORDER BY lang
@@ -3361,6 +3411,7 @@ QUERIES = {
     "adpcm_features": q_adpcm_features,
     "g711_features": q_g711_features,
     "video_features": q_video_features,
+    "mjpeg_video": q_mjpeg_video,
     "pack_sequences": q_pack_sequences,
     "quantiles": q_quantiles,
     "length_bins": q_length_bins,

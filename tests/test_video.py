@@ -60,9 +60,11 @@ class TestAvi:
         assert np.array_equal(dec[0], frames[0])
 
     def test_compressed_declared(self):
+        # MJPG is now a REAL decode path (see TestMJPEG); H.264 stays a
+        # declared-unsupported codec.
         enc = bytearray(encode_avi(_frames(1)))
         i = enc.index(b"strf") + 8 + 16  # biCompression field
-        enc[i : i + 4] = b"MJPG"
+        enc[i : i + 4] = b"H264"
         with pytest.raises(VideoError, match="unsupported"):
             decode_video(bytes(enc))
 
@@ -109,3 +111,38 @@ class TestStage:
             sub = out[out.media_id == mid].sort_values("frame_no")
             assert sub.frame_no.tolist() == [0, 2, 4]
             assert sub.luma_sum.tolist() == [0, 20 * 64, 40 * 64]
+
+
+class TestMJPEG:
+    def test_mjpeg_avi_roundtrip_exact(self, ray_session):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.jpeg import encode_jpeg_gray
+        from pdf_extractor_ray.ops.video import decode_video, encode_mjpeg_avi
+
+        frames = []
+        for f in range(3):
+            vals = np.array([10 + f, 100, 200, 250 - f], np.uint8).reshape(2, 2)
+            frames.append(np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1))
+        payload = encode_mjpeg_avi(
+            [encode_jpeg_gray(fr, quant_value=8) for fr in frames], 16, 16, fps=10
+        )
+        got, fps = decode_video(payload)
+        assert fps == 10.0
+        assert len(got) == 3
+        for g, e in zip(got, frames):
+            assert np.array_equal(g, e)  # constant blocks round-trip exactly
+
+    def test_unknown_compression_still_rejected(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from pdf_extractor_ray.ops.video import VideoError, encode_mjpeg_avi, decode_video
+
+        payload = bytearray(encode_mjpeg_avi([b"\xff\xd8junk"], 8, 8))
+        idx = payload.index(b"strf") + 8 + 16  # biCompression field
+        payload[idx : idx + 4] = b"H264"
+        with pytest.raises(VideoError, match="unsupported"):
+            decode_video(bytes(payload))
