@@ -37,10 +37,17 @@ Reader support (documented subset):
   with the 2-byte codespace (their /ToUnicode is code-keyed, so text
   extraction stays correct)
 
-NOT supported (declared): encryption (a typed ``PdfError`` at open —
-even the empty-password RC4/AES case needs the standard security
-handler), 1-byte or mixed-width CID encoding CMaps, vertical writing
-(Identity-V), inline images, DCT/CCITT/JBIG2 filters.
+Encryption (round 3): the STANDARD security handler with RC4 (ISO 32000
+§7.6.2–7.6.4: /Filter /Standard, V 1–2, R 2–3, 40–128-bit) opens
+EMPTY-USER-PASSWORD files — key derivation Algorithm 2, user-password
+verification Algorithms 4/5, per-object RC4 of streams and strings (XRef
+streams and the /Encrypt dict stay plain, object-stream members are
+covered by their container per spec). Password-protected files and
+AES (V 4+/R 4+) raise a typed ``PdfError``.
+
+NOT supported (declared): AES encryption / non-empty passwords (typed
+``PdfError`` at open), 1-byte or mixed-width CID encoding CMaps,
+vertical writing (Identity-V), inline images, DCT/CCITT/JBIG2 filters.
 Payloads needing those fall through to the pipeline's error-containment
 path like any other undecodable input.
 
@@ -52,12 +59,73 @@ unchanged — the layout kernel itself is decoder-agnostic.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
 import numpy as np
 
 from .pdf_extract import LINE_H, PAGE_H, RECORD_DTYPE
+
+# ---------------------------------------------------------------------------
+# Standard security handler (ISO 32000 §7.6): RC4 + key derivation
+# ---------------------------------------------------------------------------
+
+# The spec's 32-byte password pad (ISO 32000 Table 22 / §7.6.3.3).
+_PDF_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public algorithm) — length-preserving, its own inverse."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = ch ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_key(owner: bytes, p: int, id0: bytes, rev: int, nbytes: int,
+             user: bytes = b"") -> bytes:
+    """Algorithm 2: file encryption key from the (padded) user password,
+    /O, /P (signed 32-bit LE) and the first file identifier."""
+    md = hashlib.md5(
+        (user + _PDF_PAD)[:32]
+        + owner
+        + p.to_bytes(4, "little", signed=True)
+        + id0
+    ).digest()
+    if rev >= 3:
+        for _ in range(50):
+            md = hashlib.md5(md[:nbytes]).digest()
+    return md[:nbytes]
+
+
+def _std_user_check(key: bytes, id0: bytes, rev: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U value proving a user password."""
+    if rev == 2:
+        return _rc4(key, _PDF_PAD)
+    x = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x  # compare first 16 bytes against /U
+
+
+def _obj_rc4_key(base: bytes, num: int, gen: int) -> bytes:
+    """Per-object key (Algorithm 1): MD5(key + obj# LE3 + gen LE2)."""
+    md = hashlib.md5(
+        base + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return md[: min(len(base) + 5, 16)]
 
 COURIER_ADVANCE = 0.6  # Courier glyph advance per unit font size
 FONT_SIZE = 10.0
@@ -178,8 +246,15 @@ def build_pdf(
     lines_per_page: int = 40,
     xref_kind: str = "table",
     font_encoding: str = "builtin",
+    encrypt: bool = False,
+    encrypt_user_pw: bytes = b"",
+    encrypt_rev: int = 2,
 ) -> bytes:
     """Serialize ``text`` as a genuine single-font PDF.
+
+    ``encrypt=True`` writes a standard-security-handler RC4-40 file
+    (R2/V1, owner pw == user pw == ``encrypt_user_pw``); the default
+    empty password is what the reader opens transparently.
 
     ``outline`` is a list of ``(title, page_index)`` bookmarks written as a
     flat top-level ``/Outlines`` tree (the shape the reference's outline
@@ -191,7 +266,10 @@ def build_pdf(
     ``"objstm"`` (dict objects additionally packed into an /ObjStm).
     """
     pages = wrap_text_rows(text, chars_per_line, lines_per_page) or [[]]
-    return _assemble_pdf(pages, outline, compress, style, xref_kind, font_encoding)
+    return _assemble_pdf(
+        pages, outline, compress, style, xref_kind, font_encoding,
+        encrypt, encrypt_user_pw, encrypt_rev,
+    )
 
 
 def build_sectioned_pdf(
@@ -305,6 +383,9 @@ def _assemble_pdf(
     style: str,
     xref_kind: str = "table",
     font_encoding: str = "builtin",
+    encrypt: bool = False,
+    encrypt_user_pw: bytes = b"",
+    encrypt_rev: int = 2,
 ) -> bytes:
     if font_encoding in ("builtin", "cid"):
         # cid: the code shift (+0x0100) happens inside _page_content's
@@ -325,6 +406,46 @@ def _assemble_pdf(
         compress,
         xref_kind,
         font_encoding,
+        encrypt,
+        encrypt_user_pw,
+        encrypt_rev,
+    )
+
+
+def _encrypt_strings(body: bytes, key: bytes) -> bytes:
+    """Replace every literal string in a serialized object body with the
+    hex form of its RC4 ciphertext (the reader's lexer does the inverse).
+    Reuses the reader's escape-aware literal-string parser."""
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        if body[i] == 0x28:  # '('
+            lex = _Lexer(body, i)  # parser consumes the '(' itself
+            raw = lex._read_literal_string()
+            out += b"<" + _rc4(key, raw).hex().encode() + b">"
+            i = lex.pos
+        else:
+            out.append(body[i])
+            i += 1
+    return bytes(out)
+
+
+def _encrypt_object_body(body: bytes, key: bytes) -> bytes:
+    """Per-object encryption for the writer: RC4 the stream payload (after
+    filters — encryption applies to the stored bytes, and RC4 is
+    length-preserving so /Length stays valid) and every dict string."""
+    m = body.find(b"\nstream\n")
+    if m == -1:
+        return _encrypt_strings(body, key)
+    head, rest = body[:m], body[m + len(b"\nstream\n") :]
+    if not rest.endswith(b"\nendstream"):
+        raise ValueError("malformed stream body")
+    payload = rest[: -len(b"\nendstream")]
+    return (
+        _encrypt_strings(head, key)
+        + b"\nstream\n"
+        + _rc4(key, payload)
+        + b"\nendstream"
     )
 
 
@@ -334,6 +455,9 @@ def _serialize_pdf(
     compress: bool,
     xref_kind: str = "table",
     font_encoding: str = "builtin",
+    encrypt: bool = False,
+    encrypt_user_pw: bytes = b"",
+    encrypt_rev: int = 2,
 ) -> bytes:
     n_pages = len(content_streams)
 
@@ -443,6 +567,47 @@ def _serialize_pdf(
             entry.append(b">>")
             objs[item_ids[k]] = b" ".join(entry)
 
+    trailer_extra = b""
+    if encrypt:
+        if xref_kind != "table":
+            raise ValueError("encrypt is supported with xref_kind='table'")
+        # Standard security handler, owner pw == user pw: R2/V1 (RC4-40)
+        # or R3/V2 (RC4-128) per encrypt_rev.
+        rev = int(encrypt_rev)
+        nbytes = 5 if rev == 2 else 16
+        id0 = hashlib.md5(b"pdf_extractor_ray deterministic file id").digest()
+        user_padded = (encrypt_user_pw + _PDF_PAD)[:32]
+        okey = hashlib.md5(user_padded).digest()
+        if rev >= 3:
+            for _ in range(50):
+                okey = hashlib.md5(okey).digest()
+        okey = okey[:nbytes]
+        if rev == 2:
+            o_entry = _rc4(okey, user_padded)
+        else:  # Algorithm 3 step f: 20 RC4 rounds with xored keys
+            o_entry = user_padded
+            for i in range(20):
+                o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
+        key = _std_key(o_entry, -1, id0, rev, nbytes, user=encrypt_user_pw)
+        u_entry = _std_user_check(key, id0, rev)
+        if rev >= 3:
+            u_entry += b"\x00" * 16  # 16 bytes of arbitrary padding (spec)
+        for num in list(objs):
+            objs[num] = _encrypt_object_body(
+                objs[num], _obj_rc4_key(key, num, 0)
+            )
+        enc_num = max(objs) + 1
+        vr = b"/V 1 /R 2" if rev == 2 else b"/V 2 /R 3 /Length 128"
+        objs[enc_num] = (
+            b"<< /Filter /Standard %s /P -1 /O <%s> /U <%s> >>"
+            % (vr, o_entry.hex().encode(), u_entry.hex().encode())
+        )
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_num,
+            id0.hex().encode(),
+            id0.hex().encode(),
+        )
+
     if xref_kind == "table":
         # classic xref table (PDF 1.4)
         buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -459,8 +624,8 @@ def _serialize_pdf(
         for num in range(1, n_objs):
             buf += b"%010d 00000 n \n" % offsets[num]
         buf += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (n_objs, xref_pos)
+            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n_objs, trailer_extra, xref_pos)
         )
         return bytes(buf)
 
@@ -912,6 +1077,7 @@ class PdfDocument:
         self.xref: dict[int, int] = {}
         self._in_objstm: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
+        self._enc_key: bytes | None = None
         try:
             self._load_xref()
         except (PdfError, ValueError, IndexError, KeyError):
@@ -921,10 +1087,47 @@ class PdfDocument:
             if "Root" not in self.trailer:
                 raise PdfError("no document catalog")
         if "Encrypt" in self.trailer:
-            # DECLARED UNSUPPORTED: encrypted PDFs (even empty-password
-            # RC4/AES) need the standard security handler — per-row
-            # containment upstream turns this into a typed extract_error.
-            raise PdfError("encrypted PDF unsupported")
+            self._setup_encryption()
+
+    def _setup_encryption(self):
+        """Standard security handler, EMPTY user password (RC4, V 1–2,
+        R 2–3). Anything else raises a typed PdfError — per-row
+        containment upstream turns that into an extract_error row."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if not isinstance(enc, dict) or str(enc.get("Filter")) != "Standard":
+            raise PdfError("encrypted PDF: non-standard security handler")
+        v, r = int(enc.get("V", 0) or 0), int(enc.get("R", 2) or 2)
+        if v not in (1, 2) or r not in (2, 3):
+            raise PdfError(f"encrypted PDF: V={v}/R={r} (AES?) unsupported")
+        o, u = enc.get("O"), enc.get("U")
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise PdfError("encrypted PDF: malformed /O or /U")
+        p = int(enc.get("P", -1))
+        nbytes = int(enc.get("Length", 40) or 40) // 8
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids else b""
+        key = _std_key(o, p, id0, r, nbytes)
+        check = _std_user_check(key, id0, r)
+        if (check if r == 2 else check[:16]) != (u if r == 2 else u[:16]):
+            raise PdfError("encrypted PDF: password required (non-empty)")
+        self._enc_key = key
+
+    def _decrypt_obj(self, num: int, gen: int, obj):
+        """RC4-decrypt every string (bytes) in an indirect object tree
+        with the per-object key; the stream payload is handled separately
+        (same key) in _read_object_at."""
+        key = _obj_rc4_key(self._enc_key, num, gen)
+
+        def walk(x):
+            if isinstance(x, bytes):
+                return _rc4(key, x)
+            if isinstance(x, dict):
+                return {k: walk(v) for k, v in x.items()}
+            if isinstance(x, list):
+                return [walk(v) for v in x]
+            return x
+
+        return walk(obj)
 
     # -- xref ---------------------------------------------------------------
     def _load_xref(self):
@@ -980,6 +1183,12 @@ class PdfDocument:
             raise PdfError(f"no object at offset {pos}")
         obj = lex.read_object()
         lex._skip_ws()
+        is_xref_stream = isinstance(obj, dict) and str(obj.get("Type")) == "XRef"
+        if self._enc_key is not None and not is_xref_stream:
+            # Strings in indirect objects are encrypted (spec §7.6.2);
+            # XRef streams and the /Encrypt dict (cached plain during key
+            # setup) are not.
+            obj = self._decrypt_obj(num, gen, obj)
         if isinstance(obj, dict) and self.data.startswith(b"stream", lex.pos):
             p = lex.pos + len(b"stream")
             if self.data[p : p + 2] == b"\r\n":
@@ -990,6 +1199,10 @@ class PdfDocument:
             if isinstance(length, _Ref):
                 length = self.resolve(length)
             raw = self.data[p : p + int(length)]
+            if self._enc_key is not None and not is_xref_stream:
+                # Stream payloads decrypt BEFORE filters (encryption is
+                # applied to the stored, already-filtered bytes).
+                raw = _rc4(_obj_rc4_key(self._enc_key, num, gen), raw)
             filt = obj.get("Filter")
             filters = filt if isinstance(filt, list) else ([filt] if filt else [])
             parms_raw = obj.get("DecodeParms")

@@ -715,6 +715,22 @@ def _real_pdf_payload(i: int, text: str) -> bytes:
     )
 
 
+def _encrypted_pdf_payload(i: int, text: str) -> bytes:
+    """RC4-encrypted real PDF (standard security handler, EMPTY user
+    password): even ids R2/40-bit, odd ids R3/128-bit; compression and
+    operator style keep rotating so decryption composes with the whole
+    filter surface."""
+    from .functions.pdf_codec import build_pdf
+
+    return build_pdf(
+        text,
+        compress=bool(i % 2),
+        style=("tm", "td", "tstar")[i % 3],
+        encrypt=True,
+        encrypt_rev=2 if i % 2 == 0 else 3,
+    )
+
+
 def wrap_documents_as_pages(sf_dir: str, pdf_every: int = 0, pdf_kind: str = "real"):
     """documents table → pages table (the engine's input shape): text
     wrapped in a deterministic boilerplate shell; every ``pdf_every``-th doc
@@ -730,9 +746,12 @@ def wrap_documents_as_pages(sf_dir: str, pdf_every: int = 0, pdf_kind: str = "re
         payloads = []
         for i, text in zip(ids, texts):
             if pdf_every and i % pdf_every == 0:
-                payloads.append(
-                    _real_pdf_payload(i, text) if pdf_kind == "real" else layout_text(text)
-                )
+                if pdf_kind == "real":
+                    payloads.append(_real_pdf_payload(i, text))
+                elif pdf_kind == "encrypted":
+                    payloads.append(_encrypted_pdf_payload(i, text))
+                else:
+                    payloads.append(layout_text(text))
             else:
                 payloads.append((_WRAP_PREFIX + text + _WRAP_SUFFIX).encode())
         return pa.Table.from_arrays(
@@ -782,6 +801,17 @@ def q_extract_real_pdf(sf_dir: str) -> pd.DataFrame:
     interpretation → layout analysis (the reference's core competency,
     reference: src/services/extraction_service.py:26-114)."""
     return _roundtrip(sf_dir, pdf_every=1, pdf_kind="real")
+
+
+def q_extract_encrypted_pdf(sf_dir: str) -> pd.DataFrame:
+    """EVERY document as an RC4-ENCRYPTED real PDF (standard security
+    handler, empty user password — R2/40-bit and R3/128-bit alternating,
+    per-object keys over streams AND strings) under the same
+    byte-identity oracle as extract_real_pdf: decryption must compose
+    transparently with filters, content-stream interpretation, and
+    layout analysis. Reference parity: pdfplumber opens these via
+    pypdf's standard handler (extraction_service.py:26-114)."""
+    return _roundtrip(sf_dir, pdf_every=1, pdf_kind="encrypted")
 
 
 def q_extract_explicit_split(sf_dir: str) -> pd.DataFrame:
@@ -2962,6 +2992,8 @@ SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS rank, doc_id
 FROM h ORDER BY hv LIMIT 50
 """
 
+ORACLE_SQL["extract_encrypted_pdf"] = ORACLE_SQL["extract_real_pdf"]
+
 ORACLE_SQL["quantiles"] = """
 WITH o AS (
     SELECT l_extendedprice AS x,
@@ -3376,6 +3408,7 @@ QUERIES = {
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,
     "extract_real_pdf": q_extract_real_pdf,
+    "extract_encrypted_pdf": q_extract_encrypted_pdf,
     "sections_pdf": q_sections_pdf,
     "extract_explicit_split": q_extract_explicit_split,
     "extract_with_repair": q_extract_with_repair,

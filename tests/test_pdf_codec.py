@@ -622,3 +622,51 @@ class TestSectionEdgeCases:
         sections = build_pdf_outline_sections(layout_text(SIMPLE))
         assert len(sections) == 1 and sections[0]["title"] == ""
         assert sections[0]["content"] == SIMPLE
+
+
+class TestEncryption:
+    """Standard security handler (RC4, empty user password): R2 and R3."""
+
+    @pytest.mark.parametrize("rev", [2, 3])
+    def test_roundtrip_all_variants(self, rev):
+        text = "encrypted corpus text " * 50
+        plain = extract_pdf(build_pdf(text))[0]
+        for comp in (False, True, "lzw", "rle"):
+            for fe in ("builtin", "differences", "tounicode", "cid"):
+                enc = build_pdf(
+                    text, compress=comp, font_encoding=fe,
+                    encrypt=True, encrypt_rev=rev,
+                )
+                assert extract_pdf(enc)[0] == plain, (rev, comp, fe)
+
+    def test_strings_encrypted_in_file(self):
+        enc = build_pdf("body", outline=[("Hidden Title", 0)], encrypt=True)
+        assert b"Hidden Title" not in enc
+        doc = PdfDocument(enc)
+        assert doc.outline() == [("Hidden Title", 0)]
+
+    @pytest.mark.parametrize("rev", [2, 3])
+    def test_nonempty_password_typed_error(self, rev):
+        enc = build_pdf("x", encrypt=True, encrypt_user_pw=b"s3cret",
+                        encrypt_rev=rev)
+        with pytest.raises(PdfError, match="password required"):
+            PdfDocument(enc)
+
+    def test_aes_style_v4_declared(self):
+        enc = bytearray(build_pdf("x", encrypt=True))
+        # flip the /V 1 /R 2 declaration to V 4 / R 4 (AES territory)
+        i = enc.index(b"/V 1 /R 2")
+        enc[i : i + 9] = b"/V 4 /R 4"
+        with pytest.raises(PdfError, match="unsupported|AES"):
+            PdfDocument(bytes(enc))
+
+    def test_tampered_u_rejected(self):
+        enc = bytearray(build_pdf("x", encrypt=True))
+        i = enc.index(b"/U <") + 4
+        enc[i] = ord("f") if enc[i] != ord("f") else ord("0")
+        with pytest.raises(PdfError, match="password required"):
+            PdfDocument(bytes(enc))
+
+    def test_encrypt_requires_table_xref(self):
+        with pytest.raises(ValueError, match="xref_kind"):
+            build_pdf("x", xref_kind="stream", encrypt=True)
