@@ -144,6 +144,12 @@ def main() -> None:
         for _ in range(20)
     ]
     bench("decode_ima_adpcm_1032", lambda p: decode_ima_wav(p), adpcms)
+    enc_pdfs = [
+        build_pdf(t[:2000], compress=i % 2 == 1, encrypt=True,
+                  encrypt_rev=2 if i % 2 == 0 else 3)
+        for i, t in enumerate(texts[:50])
+    ]
+    bench("extract_encrypted_pdf", lambda p: extract_pdf(p), enc_pdfs)
     urls = [
         f"HTTP://WWW.Site{i}.Example.COM:80/a/b/../c/?utm_source=x&q={i}#f"
         for i in range(2000)
