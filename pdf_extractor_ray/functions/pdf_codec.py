@@ -45,9 +45,13 @@ streams and the /Encrypt dict stay plain, object-stream members are
 covered by their container per spec). Password-protected files and
 AES (V 4+/R 4+) raise a typed ``PdfError``.
 
+Inline images (``BI … ID … EI``, round 3) are skipped losslessly —
+their raw sample bytes no longer derail the tokenizer, so surrounding
+text extracts normally.
+
 NOT supported (declared): AES encryption / non-empty passwords (typed
 ``PdfError`` at open), 1-byte or mixed-width CID encoding CMaps,
-vertical writing (Identity-V), inline images, DCT/CCITT/JBIG2 filters.
+vertical writing (Identity-V), DCT/CCITT/JBIG2 filters.
 Payloads needing those fall through to the pipeline's error-containment
 path like any other undecodable input.
 
@@ -1618,6 +1622,17 @@ def _interpret_text(
             stack.append(tok)  # operand: number / string / name / bool
             continue
         op = bytes(tok)
+        if op == b"BI":
+            # Inline image (ISO 32000 §8.9.7): skip "BI <dict> ID <binary>
+            # EI" entirely — the raw sample bytes would otherwise derail
+            # the tokenizer (they may contain '(', '<', …). Find the ID
+            # keyword lexically, then scan for whitespace-delimited EI.
+            m = re.compile(rb"\bID[\x00\t\n\f\r ]").search(content, lex.pos)
+            scan = m.end() if m else lex.pos
+            m2 = re.compile(rb"[\x00\t\n\f\r ]EI\b").search(content, scan)
+            lex.pos = m2.end() if m2 else n
+            stack.clear()
+            continue
         if op == b"BT":
             in_text = True
             tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]

@@ -670,3 +670,41 @@ class TestEncryption:
     def test_encrypt_requires_table_xref(self):
         with pytest.raises(ValueError, match="xref_kind"):
             build_pdf("x", xref_kind="stream", encrypt=True)
+
+
+class TestInlineImages:
+    def test_inline_image_skipped_text_survives(self):
+        """BI <dict> ID <binary> EI between text runs must be skipped —
+        the sample bytes deliberately contain '(', '<' and 'ET' to derail
+        a naive tokenizer."""
+        import zlib as _z
+
+        text = "before image after image"
+        base = build_pdf(text)
+        doc = PdfDocument(base)
+        # splice an inline image into the (uncompressed) content stream
+        content = doc.page_content(doc.pages()[0])
+        evil = b"\x28\x3c\x00ET(BT\xff\xfe\x01"
+        inline = (
+            b"\nBI /W 4 /H 2 /CS /G /BPC 8 ID " + evil + b" EI\n"
+        )
+        patched = content.replace(b"BT", inline + b"BT", 1)
+        assert patched != content
+        new_pdf = base.replace(
+            b"<< /Length %d >>\nstream\n" % len(content) + content,
+            b"<< /Length %d >>\nstream\n" % len(patched) + patched,
+        )
+        assert extract_pdf(new_pdf)[0] == extract_pdf(base)[0]
+
+    def test_unterminated_inline_image_contained(self):
+        text = "only text"
+        base = build_pdf(text)
+        doc = PdfDocument(base)
+        content = doc.page_content(doc.pages()[0])
+        patched = content + b"\nBI /W 1 ID \xff\xff"  # no EI
+        new_pdf = base.replace(
+            b"<< /Length %d >>\nstream\n" % len(content) + content,
+            b"<< /Length %d >>\nstream\n" % len(patched) + patched,
+        )
+        # must not raise; text before the broken image still extracts
+        assert extract_pdf(new_pdf)[0] == extract_pdf(base)[0]
