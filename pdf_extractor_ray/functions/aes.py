@@ -1,0 +1,136 @@
+"""AES-128/256 in CBC mode, from scratch (FIPS-197 — public spec).
+
+Exists for the PDF standard security handler's AESV2 crypt filter
+(ISO 32000 §7.6.2): each encrypted string/stream is ``IV ‖ CBC
+ciphertext`` with PKCS#7 padding. Pure-Python table implementation —
+fast enough for document decryption (a few blocks per object); a
+production deployment would swap in ``cryptography``'s AES without
+touching the handler logic.
+
+Only what the handler needs is implemented: key expansion, one block
+each way, CBC with PKCS#7.
+"""
+
+from __future__ import annotations
+
+__all__ = ["aes_cbc_decrypt", "aes_cbc_encrypt"]
+
+_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_INV_SBOX = bytes(_INV_SBOX)
+_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36,
+         0x6C, 0xD8, 0xAB, 0x4D)
+
+
+def _xt(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = _xt(a)
+        b >>= 1
+    return p
+
+
+def _expand_key(key: bytes) -> list[bytes]:
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = w[i - 1]
+        if i % nk == 0:
+            t = bytes(
+                _SBOX[t[(j + 1) % 4]] ^ (_RCON[i // nk - 1] if j == 0 else 0)
+                for j in range(4)
+            )
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[i - nk], t)))
+    return [b"".join(w[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+def _sub_shift(state: bytes, sbox: bytes, inv: bool) -> bytes:
+    out = bytearray(16)
+    for c in range(4):
+        for r in range(4):
+            src_c = (c + r) % 4 if not inv else (c - r) % 4
+            out[4 * c + r] = sbox[state[4 * src_c + r]]
+    return bytes(out)
+
+
+def _mix(state: bytes, inv: bool) -> bytes:
+    m = (14, 11, 13, 9) if inv else (2, 3, 1, 1)
+    out = bytearray(16)
+    for c in range(4):
+        col = state[4 * c : 4 * c + 4]
+        for r in range(4):
+            out[4 * c + r] = (
+                _gmul(col[0], m[(0 - r) % 4])
+                ^ _gmul(col[1], m[(1 - r) % 4])
+                ^ _gmul(col[2], m[(2 - r) % 4])
+                ^ _gmul(col[3], m[(3 - r) % 4])
+            )
+    return bytes(out)
+
+
+def _xor(a: bytes, b: bytes) -> bytes:
+    return bytes(x ^ y for x, y in zip(a, b))
+
+
+def _encrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = _xor(block, rk[0])
+    for rnd in range(1, len(rk) - 1):
+        s = _xor(_mix(_sub_shift(s, _SBOX, False), False), rk[rnd])
+    return _xor(_sub_shift(s, _SBOX, False), rk[-1])
+
+
+def _decrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = _xor(block, rk[-1])
+    for rnd in range(len(rk) - 2, 0, -1):
+        s = _mix(_xor(_sub_shift(s, _INV_SBOX, True), rk[rnd]), True)
+    return _xor(_sub_shift(s, _INV_SBOX, True), rk[0])
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """IV ‖ CBC(PKCS#7-padded data) — the PDF AESV2 storage layout."""
+    rk = _expand_key(key)
+    pad = 16 - len(data) % 16
+    data += bytes([pad]) * pad
+    out, prev = bytearray(iv), iv
+    for i in range(0, len(data), 16):
+        prev = _encrypt_block(rk, _xor(data[i : i + 16], prev))
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`aes_cbc_encrypt`; tolerates malformed padding by
+    returning the raw plaintext (containment beats an exception here —
+    the caller's filters will reject garbage)."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    rk = _expand_key(key)
+    iv, out = data[:16], bytearray()
+    for i in range(16, len(data), 16):
+        out += _xor(_decrypt_block(rk, data[i : i + 16]), iv)
+        iv = data[i : i + 16]
+    pad = out[-1]
+    if 1 <= pad <= 16 and all(b == pad for b in out[-pad:]):
+        return bytes(out[:-pad])
+    return bytes(out)

@@ -37,19 +37,22 @@ Reader support (documented subset):
   with the 2-byte codespace (their /ToUnicode is code-keyed, so text
   extraction stays correct)
 
-Encryption (round 3): the STANDARD security handler with RC4 (ISO 32000
-§7.6.2–7.6.4: /Filter /Standard, V 1–2, R 2–3, 40–128-bit) opens
-EMPTY-USER-PASSWORD files — key derivation Algorithm 2, user-password
-verification Algorithms 4/5, per-object RC4 of streams and strings (XRef
-streams and the /Encrypt dict stay plain, object-stream members are
-covered by their container per spec). Password-protected files and
-AES (V 4+/R 4+) raise a typed ``PdfError``.
+Encryption (round 3): the STANDARD security handler (ISO 32000
+§7.6.2–7.6.4) opens EMPTY-USER-PASSWORD files across the classic
+surface — RC4 (V 1–2, R 2–3, 40–128-bit) AND AES-128-CBC via the V4/R4
+AESV2 crypt filter (from-scratch FIPS-197 AES in :mod:`.aes`, verified
+against the appendix-C vectors). Key derivation Algorithm 2,
+user-password verification Algorithms 4/5, per-object keys (+``sAlT``
+for AES) over streams and strings; XRef streams and the /Encrypt dict
+stay plain, object-stream members are covered by their container per
+spec. Password-protected files and the V5/R6 AES-256 handler raise a
+typed ``PdfError``.
 
 Inline images (``BI … ID … EI``, round 3) are skipped losslessly —
 their raw sample bytes no longer derail the tokenizer, so surrounding
 text extracts normally.
 
-NOT supported (declared): AES encryption / non-empty passwords (typed
+NOT supported (declared): AES-256 (V5/R6) / non-empty passwords (typed
 ``PdfError`` at open), 1-byte or mixed-width CID encoding CMaps,
 vertical writing (Identity-V), DCT/CCITT/JBIG2 filters.
 Payloads needing those fall through to the pipeline's error-containment
@@ -124,10 +127,14 @@ def _std_user_check(key: bytes, id0: bytes, rev: int) -> bytes:
     return x  # compare first 16 bytes against /U
 
 
-def _obj_rc4_key(base: bytes, num: int, gen: int) -> bytes:
-    """Per-object key (Algorithm 1): MD5(key + obj# LE3 + gen LE2)."""
+def _obj_rc4_key(base: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Per-object key (Algorithm 1): MD5(key + obj# LE3 + gen LE2
+    [+ b'sAlT' for AESV2])."""
     md = hashlib.md5(
-        base + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        base
+        + num.to_bytes(3, "little")
+        + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return md[: min(len(base) + 5, 16)]
 
@@ -416,9 +423,9 @@ def _assemble_pdf(
     )
 
 
-def _encrypt_strings(body: bytes, key: bytes) -> bytes:
+def _encrypt_strings(body: bytes, cipher) -> bytes:
     """Replace every literal string in a serialized object body with the
-    hex form of its RC4 ciphertext (the reader's lexer does the inverse).
+    hex form of its ciphertext (the reader's lexer does the inverse).
     Reuses the reader's escape-aware literal-string parser."""
     out = bytearray()
     i = 0
@@ -426,7 +433,7 @@ def _encrypt_strings(body: bytes, key: bytes) -> bytes:
         if body[i] == 0x28:  # '('
             lex = _Lexer(body, i)  # parser consumes the '(' itself
             raw = lex._read_literal_string()
-            out += b"<" + _rc4(key, raw).hex().encode() + b">"
+            out += b"<" + cipher(raw).hex().encode() + b">"
             i = lex.pos
         else:
             out.append(body[i])
@@ -434,21 +441,25 @@ def _encrypt_strings(body: bytes, key: bytes) -> bytes:
     return bytes(out)
 
 
-def _encrypt_object_body(body: bytes, key: bytes) -> bytes:
-    """Per-object encryption for the writer: RC4 the stream payload (after
-    filters — encryption applies to the stored bytes, and RC4 is
-    length-preserving so /Length stays valid) and every dict string."""
+def _encrypt_object_body(body: bytes, cipher) -> bytes:
+    """Per-object encryption for the writer: cipher the stream payload
+    (after filters — encryption applies to the stored bytes) and every
+    dict string. AES grows the payload (IV + padding), so /Length is
+    re-stamped; RC4 is length-preserving."""
     m = body.find(b"\nstream\n")
     if m == -1:
-        return _encrypt_strings(body, key)
+        return _encrypt_strings(body, cipher)
     head, rest = body[:m], body[m + len(b"\nstream\n") :]
     if not rest.endswith(b"\nendstream"):
         raise ValueError("malformed stream body")
-    payload = rest[: -len(b"\nendstream")]
+    payload = cipher(rest[: -len(b"\nendstream")])
+    head = re.sub(
+        rb"/Length \d+", b"/Length %d" % len(payload), head, count=1
+    )
     return (
-        _encrypt_strings(head, key)
+        _encrypt_strings(head, cipher)
         + b"\nstream\n"
-        + _rc4(key, payload)
+        + payload
         + b"\nendstream"
     )
 
@@ -575,8 +586,8 @@ def _serialize_pdf(
     if encrypt:
         if xref_kind != "table":
             raise ValueError("encrypt is supported with xref_kind='table'")
-        # Standard security handler, owner pw == user pw: R2/V1 (RC4-40)
-        # or R3/V2 (RC4-128) per encrypt_rev.
+        # Standard security handler, owner pw == user pw: R2/V1 (RC4-40),
+        # R3/V2 (RC4-128), or R4/V4 (AESV2-128) per encrypt_rev.
         rev = int(encrypt_rev)
         nbytes = 5 if rev == 2 else 16
         id0 = hashlib.md5(b"pdf_extractor_ray deterministic file id").digest()
@@ -596,12 +607,30 @@ def _serialize_pdf(
         u_entry = _std_user_check(key, id0, rev)
         if rev >= 3:
             u_entry += b"\x00" * 16  # 16 bytes of arbitrary padding (spec)
+        aes = rev >= 4
+
+        def make_cipher(num: int):
+            okey_obj = _obj_rc4_key(key, num, 0, aes=aes)
+            if aes:
+                from .aes import aes_cbc_encrypt
+
+                iv = hashlib.md5(b"iv%d" % num).digest()  # deterministic
+                return lambda data: aes_cbc_encrypt(okey_obj, iv, data)
+            return lambda data: _rc4(okey_obj, data)
+
         for num in list(objs):
-            objs[num] = _encrypt_object_body(
-                objs[num], _obj_rc4_key(key, num, 0)
-            )
+            objs[num] = _encrypt_object_body(objs[num], make_cipher(num))
         enc_num = max(objs) + 1
-        vr = b"/V 1 /R 2" if rev == 2 else b"/V 2 /R 3 /Length 128"
+        if rev == 2:
+            vr = b"/V 1 /R 2"
+        elif rev == 3:
+            vr = b"/V 2 /R 3 /Length 128"
+        else:
+            vr = (
+                b"/V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF"
+            )
         objs[enc_num] = (
             b"<< /Filter /Standard %s /P -1 /O <%s> /U <%s> >>"
             % (vr, o_entry.hex().encode(), u_entry.hex().encode())
@@ -1082,6 +1111,7 @@ class PdfDocument:
         self._in_objstm: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._enc_key: bytes | None = None
+        self._enc_aes = False
         try:
             self._load_xref()
         except (PdfError, ValueError, IndexError, KeyError):
@@ -1101,13 +1131,24 @@ class PdfDocument:
         if not isinstance(enc, dict) or str(enc.get("Filter")) != "Standard":
             raise PdfError("encrypted PDF: non-standard security handler")
         v, r = int(enc.get("V", 0) or 0), int(enc.get("R", 2) or 2)
-        if v not in (1, 2) or r not in (2, 3):
-            raise PdfError(f"encrypted PDF: V={v}/R={r} (AES?) unsupported")
+        self._enc_aes = False
+        if v == 4 and r == 4:
+            # Crypt-filter form: only the AESV2 StdCF (the modern default)
+            cf = self.resolve(enc.get("CF", {})) or {}
+            stdcf = self.resolve(cf.get("StdCF", {})) or {}
+            cfm = str(stdcf.get("CFM", ""))
+            if cfm == "AESV2":
+                self._enc_aes = True
+            elif cfm != "V2":  # V2 = RC4 under the crypt-filter syntax
+                raise PdfError(f"encrypted PDF: crypt filter {cfm} unsupported")
+        elif v not in (1, 2) or r not in (2, 3):
+            raise PdfError(f"encrypted PDF: V={v}/R={r} unsupported")
         o, u = enc.get("O"), enc.get("U")
         if not isinstance(o, bytes) or not isinstance(u, bytes):
             raise PdfError("encrypted PDF: malformed /O or /U")
         p = int(enc.get("P", -1))
-        nbytes = int(enc.get("Length", 40) or 40) // 8
+        default_len = 128 if v == 4 else 40
+        nbytes = int(enc.get("Length", default_len) or default_len) // 8
         ids = self.resolve(self.trailer.get("ID"))
         id0 = ids[0] if isinstance(ids, list) and ids else b""
         key = _std_key(o, p, id0, r, nbytes)
@@ -1116,15 +1157,23 @@ class PdfDocument:
             raise PdfError("encrypted PDF: password required (non-empty)")
         self._enc_key = key
 
+    def _decrypt_bytes(self, num: int, gen: int, data: bytes) -> bytes:
+        """One string/stream payload with the per-object key — RC4 or
+        AESV2-CBC (IV-prefixed, PKCS#7) per the handler in force."""
+        key = _obj_rc4_key(self._enc_key, num, gen, aes=self._enc_aes)
+        if self._enc_aes:
+            from .aes import aes_cbc_decrypt
+
+            return aes_cbc_decrypt(key, data)
+        return _rc4(key, data)
+
     def _decrypt_obj(self, num: int, gen: int, obj):
-        """RC4-decrypt every string (bytes) in an indirect object tree
-        with the per-object key; the stream payload is handled separately
-        (same key) in _read_object_at."""
-        key = _obj_rc4_key(self._enc_key, num, gen)
+        """Decrypt every string (bytes) in an indirect object tree; the
+        stream payload is handled separately in _read_object_at."""
 
         def walk(x):
             if isinstance(x, bytes):
-                return _rc4(key, x)
+                return self._decrypt_bytes(num, gen, x)
             if isinstance(x, dict):
                 return {k: walk(v) for k, v in x.items()}
             if isinstance(x, list):
@@ -1206,7 +1255,7 @@ class PdfDocument:
             if self._enc_key is not None and not is_xref_stream:
                 # Stream payloads decrypt BEFORE filters (encryption is
                 # applied to the stored, already-filtered bytes).
-                raw = _rc4(_obj_rc4_key(self._enc_key, num, gen), raw)
+                raw = self._decrypt_bytes(num, gen, raw)
             filt = obj.get("Filter")
             filters = filt if isinstance(filt, list) else ([filt] if filt else [])
             parms_raw = obj.get("DecodeParms")

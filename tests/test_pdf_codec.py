@@ -627,7 +627,7 @@ class TestSectionEdgeCases:
 class TestEncryption:
     """Standard security handler (RC4, empty user password): R2 and R3."""
 
-    @pytest.mark.parametrize("rev", [2, 3])
+    @pytest.mark.parametrize("rev", [2, 3, 4])
     def test_roundtrip_all_variants(self, rev):
         text = "encrypted corpus text " * 50
         plain = extract_pdf(build_pdf(text))[0]
@@ -645,19 +645,25 @@ class TestEncryption:
         doc = PdfDocument(enc)
         assert doc.outline() == [("Hidden Title", 0)]
 
-    @pytest.mark.parametrize("rev", [2, 3])
+    @pytest.mark.parametrize("rev", [2, 3, 4])
     def test_nonempty_password_typed_error(self, rev):
         enc = build_pdf("x", encrypt=True, encrypt_user_pw=b"s3cret",
                         encrypt_rev=rev)
         with pytest.raises(PdfError, match="password required"):
             PdfDocument(enc)
 
-    def test_aes_style_v4_declared(self):
+    def test_unknown_crypt_filter_declared(self):
+        enc = bytearray(build_pdf("x", encrypt=True, encrypt_rev=4))
+        i = enc.index(b"/CFM /AESV2")
+        enc[i : i + 11] = b"/CFM /AESV3"  # AES-256 crypt filter name
+        with pytest.raises(PdfError, match="unsupported"):
+            PdfDocument(bytes(enc))
+
+    def test_v5_declared(self):
         enc = bytearray(build_pdf("x", encrypt=True))
-        # flip the /V 1 /R 2 declaration to V 4 / R 4 (AES territory)
         i = enc.index(b"/V 1 /R 2")
-        enc[i : i + 9] = b"/V 4 /R 4"
-        with pytest.raises(PdfError, match="unsupported|AES"):
+        enc[i : i + 9] = b"/V 5 /R 6"  # AES-256 / SHA-2 handler
+        with pytest.raises(PdfError, match="unsupported"):
             PdfDocument(bytes(enc))
 
     def test_tampered_u_rejected(self):
@@ -708,3 +714,29 @@ class TestInlineImages:
         )
         # must not raise; text before the broken image still extracts
         assert extract_pdf(new_pdf)[0] == extract_pdf(base)[0]
+
+
+class TestAesPrimitives:
+    def test_fips197_vectors(self):
+        from pdf_extractor_ray.functions.aes import (
+            _decrypt_block,
+            _encrypt_block,
+            _expand_key,
+            aes_cbc_decrypt,
+            aes_cbc_encrypt,
+        )
+
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        for key_hex, ct_hex in [
+            ("000102030405060708090a0b0c0d0e0f",
+             "69c4e0d86a7b0430d8cdb78070b4c55a"),          # C.1 AES-128
+            ("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+             "8ea2b7ca516745bfeafc49904b496089"),          # C.3 AES-256
+        ]:
+            rk = _expand_key(bytes.fromhex(key_hex))
+            assert _encrypt_block(rk, pt).hex() == ct_hex
+            assert _decrypt_block(rk, bytes.fromhex(ct_hex)) == pt
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        for n in (0, 1, 15, 16, 17, 100):
+            data = bytes(range(256))[:n]
+            assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, b"\x01" * 16, data)) == data
