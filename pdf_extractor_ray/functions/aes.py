@@ -13,7 +13,13 @@ each way, CBC with PKCS#7.
 
 from __future__ import annotations
 
-__all__ = ["aes_cbc_decrypt", "aes_cbc_encrypt"]
+__all__ = [
+    "aes_cbc_decrypt",
+    "aes_cbc_encrypt",
+    "aes_cbc_decrypt_nopad",
+    "aes_cbc_encrypt_nopad",
+    "aes_ecb_encrypt_block",
+]
 
 _SBOX = bytes.fromhex(
     "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
@@ -93,11 +99,56 @@ def _xor(a: bytes, b: bytes) -> bytes:
     return bytes(x ^ y for x, y in zip(a, b))
 
 
+# T-tables (SubBytes ∘ ShiftRows ∘ MixColumns folded per input byte) —
+# the classic fast software AES. Encrypt is the hot path: the R6
+# handler's Hash-2B loop runs ~25k serial block encryptions per hash.
+_T0 = [0] * 256
+_T1 = [0] * 256
+_T2 = [0] * 256
+_T3 = [0] * 256
+for _x in range(256):
+    _s = _SBOX[_x]
+    _s2, _s3 = _gmul(_s, 2), _gmul(_s, 3)
+    _T0[_x] = (_s2 << 24) | (_s << 16) | (_s << 8) | _s3
+    _T1[_x] = (_s3 << 24) | (_s2 << 16) | (_s << 8) | _s
+    _T2[_x] = (_s << 24) | (_s3 << 16) | (_s2 << 8) | _s
+    _T3[_x] = (_s << 24) | (_s << 16) | (_s3 << 8) | _s2
+
+
+def _words(b: bytes) -> tuple[int, int, int, int]:
+    return (
+        int.from_bytes(b[0:4], "big"),
+        int.from_bytes(b[4:8], "big"),
+        int.from_bytes(b[8:12], "big"),
+        int.from_bytes(b[12:16], "big"),
+    )
+
+
 def _encrypt_block(rk: list[bytes], block: bytes) -> bytes:
-    s = _xor(block, rk[0])
-    for rnd in range(1, len(rk) - 1):
-        s = _xor(_mix(_sub_shift(s, _SBOX, False), False), rk[rnd])
-    return _xor(_sub_shift(s, _SBOX, False), rk[-1])
+    return _encrypt_block_w([_words(k) for k in rk], block)
+
+
+def _encrypt_block_w(rkw: list[tuple], block: bytes) -> bytes:
+    k = rkw[0]
+    bw = _words(block)
+    w0, w1, w2, w3 = bw[0] ^ k[0], bw[1] ^ k[1], bw[2] ^ k[2], bw[3] ^ k[3]
+    for rnd in range(1, len(rkw) - 1):
+        k = rkw[rnd]
+        n0 = _T0[w0 >> 24] ^ _T1[(w1 >> 16) & 0xFF] ^ _T2[(w2 >> 8) & 0xFF] ^ _T3[w3 & 0xFF] ^ k[0]
+        n1 = _T0[w1 >> 24] ^ _T1[(w2 >> 16) & 0xFF] ^ _T2[(w3 >> 8) & 0xFF] ^ _T3[w0 & 0xFF] ^ k[1]
+        n2 = _T0[w2 >> 24] ^ _T1[(w3 >> 16) & 0xFF] ^ _T2[(w0 >> 8) & 0xFF] ^ _T3[w1 & 0xFF] ^ k[2]
+        n3 = _T0[w3 >> 24] ^ _T1[(w0 >> 16) & 0xFF] ^ _T2[(w1 >> 8) & 0xFF] ^ _T3[w2 & 0xFF] ^ k[3]
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    k = rkw[-1]
+    sb = _SBOX
+    o0 = ((sb[w0 >> 24] << 24) | (sb[(w1 >> 16) & 0xFF] << 16) | (sb[(w2 >> 8) & 0xFF] << 8) | sb[w3 & 0xFF]) ^ k[0]
+    o1 = ((sb[w1 >> 24] << 24) | (sb[(w2 >> 16) & 0xFF] << 16) | (sb[(w3 >> 8) & 0xFF] << 8) | sb[w0 & 0xFF]) ^ k[1]
+    o2 = ((sb[w2 >> 24] << 24) | (sb[(w3 >> 16) & 0xFF] << 16) | (sb[(w0 >> 8) & 0xFF] << 8) | sb[w1 & 0xFF]) ^ k[2]
+    o3 = ((sb[w3 >> 24] << 24) | (sb[(w0 >> 16) & 0xFF] << 16) | (sb[(w1 >> 8) & 0xFF] << 8) | sb[w2 & 0xFF]) ^ k[3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
 
 
 def _decrypt_block(rk: list[bytes], block: bytes) -> bytes:
@@ -109,14 +160,44 @@ def _decrypt_block(rk: list[bytes], block: bytes) -> bytes:
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """IV ‖ CBC(PKCS#7-padded data) — the PDF AESV2 storage layout."""
-    rk = _expand_key(key)
+    rkw = [_words(k) for k in _expand_key(key)]
     pad = 16 - len(data) % 16
     data += bytes([pad]) * pad
     out, prev = bytearray(iv), iv
     for i in range(0, len(data), 16):
-        prev = _encrypt_block(rk, _xor(data[i : i + 16], prev))
+        prev = _encrypt_block_w(rkw, _xor(data[i : i + 16], prev))
         out += prev
     return bytes(out)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC, no padding, IV not prepended (the V5 handler's Hash-2B
+    inner step and /UE//OE key wrapping use exactly this shape). Round
+    keys convert to words ONCE — this chain is the Hash-2B hot path."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs a 16-multiple")
+    rkw = [_words(k) for k in _expand_key(key)]
+    out, prev = bytearray(), iv
+    for i in range(0, len(data), 16):
+        prev = _encrypt_block_w(rkw, _xor(data[i : i + 16], prev))
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs a 16-multiple")
+    rk = _expand_key(key)
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        out += _xor(_decrypt_block(rk, data[i : i + 16]), iv)
+        iv = data[i : i + 16]
+    return bytes(out)
+
+
+def aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """One ECB block (the /Perms entry)."""
+    return _encrypt_block(_expand_key(key), block)
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:

@@ -45,15 +45,18 @@ against the appendix-C vectors). Key derivation Algorithm 2,
 user-password verification Algorithms 4/5, per-object keys (+``sAlT``
 for AES) over streams and strings; XRef streams and the /Encrypt dict
 stay plain, object-stream members are covered by their container per
-spec. Password-protected files and the V5/R6 AES-256 handler raise a
-typed ``PdfError``.
+spec. The V5/R6 AES-256 handler (ISO 32000-2) is ALSO supported for empty
+passwords: Hash-2B (SHA-256/384/512 hardening loop) password
+validation, /UE file-key unwrap, whole-file AES-256-CBC key.
+Password-protected files and unknown handler versions raise a typed
+``PdfError``.
 
 Inline images (``BI … ID … EI``, round 3) are skipped losslessly —
 their raw sample bytes no longer derail the tokenizer, so surrounding
 text extracts normally.
 
-NOT supported (declared): AES-256 (V5/R6) / non-empty passwords (typed
-``PdfError`` at open), 1-byte or mixed-width CID encoding CMaps,
+NOT supported (declared): non-empty passwords (typed ``PdfError`` at
+open), 1-byte or mixed-width CID encoding CMaps,
 vertical writing (Identity-V), DCT/CCITT/JBIG2 filters.
 Payloads needing those fall through to the pipeline's error-containment
 path like any other undecodable input.
@@ -125,6 +128,32 @@ def _std_user_check(key: bytes, id0: bytes, rev: int) -> bytes:
     for i in range(1, 20):
         x = _rc4(bytes(b ^ i for b in key), x)
     return x  # compare first 16 bytes against /U
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 SHA-2 hardening loop): SHA-256
+    seed, then ≥64 rounds of AES-128-CBC over (pwd‖K‖udata)×64 with the
+    digest algorithm hopping between SHA-256/384/512 by E's byte sum.
+    Pure function of its arguments — LRU-cached per worker, since the
+    hardening loop is ~25k serial AES blocks (0.2 s) by design and real
+    corpora re-open files with repeated (password, salt) pairs."""
+    from .aes import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = {
+            0: hashlib.sha256, 1: hashlib.sha384, 2: hashlib.sha512
+        }[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _obj_rc4_key(base: bytes, num: int, gen: int, aes: bool = False) -> bytes:
@@ -464,6 +493,57 @@ def _encrypt_object_body(body: bytes, cipher) -> bytes:
     )
 
 
+def _classic_encrypt(objs: dict, rev: int, pw: bytes, id0: bytes) -> None:
+    """Classic standard-handler encryption for the writer (R2/R3/R4):
+    derives O/U, encrypts every object body in place, and appends the
+    /Encrypt dict as a new object (its strings stay plain per spec)."""
+    nbytes = 5 if rev == 2 else 16
+    user_padded = (pw + _PDF_PAD)[:32]
+    okey = hashlib.md5(user_padded).digest()
+    if rev >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:nbytes]
+    if rev == 2:
+        o_entry = _rc4(okey, user_padded)
+    else:  # Algorithm 3 step f: 20 RC4 rounds with xored keys
+        o_entry = user_padded
+        for i in range(20):
+            o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
+    key = _std_key(o_entry, -1, id0, rev, nbytes, user=pw)
+    u_entry = _std_user_check(key, id0, rev)
+    if rev >= 3:
+        u_entry += b"\x00" * 16  # 16 bytes of arbitrary padding (spec)
+    aes = rev >= 4
+
+    def make_cipher(num: int):
+        okey_obj = _obj_rc4_key(key, num, 0, aes=aes)
+        if aes:
+            from .aes import aes_cbc_encrypt
+
+            iv = hashlib.md5(b"iv%d" % num).digest()  # deterministic
+            return lambda data: aes_cbc_encrypt(okey_obj, iv, data)
+        return lambda data: _rc4(okey_obj, data)
+
+    for num in list(objs):
+        objs[num] = _encrypt_object_body(objs[num], make_cipher(num))
+    enc_num = max(objs) + 1
+    if rev == 2:
+        vr = b"/V 1 /R 2"
+    elif rev == 3:
+        vr = b"/V 2 /R 3 /Length 128"
+    else:
+        vr = (
+            b"/V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF"
+        )
+    objs[enc_num] = (
+        b"<< /Filter /Standard %s /P -1 /O <%s> /U <%s> >>"
+        % (vr, o_entry.hex().encode(), u_entry.hex().encode())
+    )
+
+
 def _serialize_pdf(
     content_streams: list[bytes],
     outline: list[tuple[str, int]] | None,
@@ -587,59 +667,64 @@ def _serialize_pdf(
         if xref_kind != "table":
             raise ValueError("encrypt is supported with xref_kind='table'")
         # Standard security handler, owner pw == user pw: R2/V1 (RC4-40),
-        # R3/V2 (RC4-128), or R4/V4 (AESV2-128) per encrypt_rev.
+        # R3/V2 (RC4-128), R4/V4 (AESV2-128), or R6/V5 (AES-256).
         rev = int(encrypt_rev)
-        nbytes = 5 if rev == 2 else 16
         id0 = hashlib.md5(b"pdf_extractor_ray deterministic file id").digest()
-        user_padded = (encrypt_user_pw + _PDF_PAD)[:32]
-        okey = hashlib.md5(user_padded).digest()
-        if rev >= 3:
-            for _ in range(50):
-                okey = hashlib.md5(okey).digest()
-        okey = okey[:nbytes]
-        if rev == 2:
-            o_entry = _rc4(okey, user_padded)
-        else:  # Algorithm 3 step f: 20 RC4 rounds with xored keys
-            o_entry = user_padded
-            for i in range(20):
-                o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
-        key = _std_key(o_entry, -1, id0, rev, nbytes, user=encrypt_user_pw)
-        u_entry = _std_user_check(key, id0, rev)
-        if rev >= 3:
-            u_entry += b"\x00" * 16  # 16 bytes of arbitrary padding (spec)
-        aes = rev >= 4
-
-        def make_cipher(num: int):
-            okey_obj = _obj_rc4_key(key, num, 0, aes=aes)
-            if aes:
-                from .aes import aes_cbc_encrypt
-
-                iv = hashlib.md5(b"iv%d" % num).digest()  # deterministic
-                return lambda data: aes_cbc_encrypt(okey_obj, iv, data)
-            return lambda data: _rc4(okey_obj, data)
-
-        for num in list(objs):
-            objs[num] = _encrypt_object_body(objs[num], make_cipher(num))
-        enc_num = max(objs) + 1
-        if rev == 2:
-            vr = b"/V 1 /R 2"
-        elif rev == 3:
-            vr = b"/V 2 /R 3 /Length 128"
-        else:
-            vr = (
-                b"/V 4 /R 4 /Length 128 "
-                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-                b"/StmF /StdCF /StrF /StdCF"
+        if rev == 6:
+            from .aes import (
+                aes_cbc_encrypt,
+                aes_cbc_encrypt_nopad,
+                aes_ecb_encrypt_block,
             )
-        objs[enc_num] = (
-            b"<< /Filter /Standard %s /P -1 /O <%s> /U <%s> >>"
-            % (vr, o_entry.hex().encode(), u_entry.hex().encode())
-        )
-        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
-            enc_num,
-            id0.hex().encode(),
-            id0.hex().encode(),
-        )
+
+            pw = encrypt_user_pw
+            file_key = hashlib.sha256(b"pdf_extractor_ray v5 file key").digest()
+            vs, ks = b"VALSALT!", b"KEYSALT!"
+            u_entry = _hash_2b(pw, vs, b"") + vs + ks
+            ue_entry = aes_cbc_encrypt_nopad(
+                _hash_2b(pw, ks, b""), b"\x00" * 16, file_key
+            )
+            ovs, oks = b"OVALSLT!", b"OKEYSLT!"
+            o_entry = _hash_2b(pw, ovs, u_entry) + ovs + oks
+            oe_entry = aes_cbc_encrypt_nopad(
+                _hash_2b(pw, oks, u_entry), b"\x00" * 16, file_key
+            )
+            perms = aes_ecb_encrypt_block(
+                file_key,
+                (-1).to_bytes(4, "little", signed=True)
+                + b"\xff\xff\xff\xff" + b"Tadb" + b"pdfx",
+            )
+
+            def make_cipher_v5(num: int):
+                iv = hashlib.md5(b"iv%d" % num).digest()
+                return lambda data: aes_cbc_encrypt(file_key, iv, data)
+
+            for num in list(objs):
+                objs[num] = _encrypt_object_body(objs[num], make_cipher_v5(num))
+            enc_num = max(objs) + 1
+            objs[enc_num] = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P -1 "
+                b"/U <%s> /UE <%s> /O <%s> /OE <%s> /Perms <%s> >>"
+                % (
+                    u_entry.hex().encode(),
+                    ue_entry.hex().encode(),
+                    o_entry.hex().encode(),
+                    oe_entry.hex().encode(),
+                    perms.hex().encode(),
+                )
+            )
+            trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+                enc_num, id0.hex().encode(), id0.hex().encode(),
+            )
+            rev = None  # classic-handler block below is skipped
+        if rev is not None:
+            _classic_encrypt(objs, rev, encrypt_user_pw, id0)
+            enc_num = max(objs)
+            trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+                enc_num, id0.hex().encode(), id0.hex().encode(),
+            )
 
     if xref_kind == "table":
         # classic xref table (PDF 1.4)
@@ -1112,6 +1197,7 @@ class PdfDocument:
         self.trailer: dict = {}
         self._enc_key: bytes | None = None
         self._enc_aes = False
+        self._enc_v5 = False
         try:
             self._load_xref()
         except (PdfError, ValueError, IndexError, KeyError):
@@ -1132,6 +1218,23 @@ class PdfDocument:
             raise PdfError("encrypted PDF: non-standard security handler")
         v, r = int(enc.get("V", 0) or 0), int(enc.get("R", 2) or 2)
         self._enc_aes = False
+        self._enc_v5 = False
+        if v == 5 and r == 6:
+            # AES-256 handler (ISO 32000-2 §7.6.4.4.8): validate the empty
+            # user password via Hash 2.B, unwrap the file key from /UE.
+            from .aes import aes_cbc_decrypt_nopad
+
+            u, ue = enc.get("U"), enc.get("UE")
+            if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
+                raise PdfError("encrypted PDF: malformed /U or /UE")
+            vs, ks = u[32:40], u[40:48]
+            if _hash_2b(b"", vs, b"") != u[:32]:
+                raise PdfError("encrypted PDF: password required (non-empty)")
+            ik = _hash_2b(b"", ks, b"")
+            self._enc_key = aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue[:32])
+            self._enc_aes = True
+            self._enc_v5 = True
+            return
         if v == 4 and r == 4:
             # Crypt-filter form: only the AESV2 StdCF (the modern default)
             cf = self.resolve(enc.get("CF", {})) or {}
@@ -1158,9 +1261,14 @@ class PdfDocument:
         self._enc_key = key
 
     def _decrypt_bytes(self, num: int, gen: int, data: bytes) -> bytes:
-        """One string/stream payload with the per-object key — RC4 or
-        AESV2-CBC (IV-prefixed, PKCS#7) per the handler in force."""
-        key = _obj_rc4_key(self._enc_key, num, gen, aes=self._enc_aes)
+        """One string/stream payload — RC4 or AES-CBC (IV-prefixed,
+        PKCS#7) per the handler in force. V5 uses the FILE key directly
+        (no per-object MD5 derivation, by design of the AES-256 handler);
+        earlier revisions derive a per-object key."""
+        if self._enc_v5:
+            key = self._enc_key
+        else:
+            key = _obj_rc4_key(self._enc_key, num, gen, aes=self._enc_aes)
         if self._enc_aes:
             from .aes import aes_cbc_decrypt
 

@@ -718,8 +718,8 @@ def _real_pdf_payload(i: int, text: str) -> bytes:
 def _encrypted_pdf_payload(i: int, text: str) -> bytes:
     """Encrypted real PDF (standard security handler, EMPTY user
     password), cycling the whole supported surface by doc id: R2/RC4-40,
-    R3/RC4-128, R4/AESV2-128; compression and operator style keep
-    rotating so decryption composes with the whole filter surface."""
+    R3/RC4-128, R4/AESV2-128, R6/AES-256; compression and operator style
+    keep rotating so decryption composes with the whole filter surface."""
     from .functions.pdf_codec import build_pdf
 
     return build_pdf(
@@ -727,7 +727,7 @@ def _encrypted_pdf_payload(i: int, text: str) -> bytes:
         compress=bool(i % 2),
         style=("tm", "td", "tstar")[i % 3],
         encrypt=True,
-        encrypt_rev=(2, 3, 4)[i % 3],
+        encrypt_rev=(2, 3, 4, 6)[i % 4],
     )
 
 

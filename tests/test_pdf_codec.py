@@ -627,7 +627,7 @@ class TestSectionEdgeCases:
 class TestEncryption:
     """Standard security handler (RC4, empty user password): R2 and R3."""
 
-    @pytest.mark.parametrize("rev", [2, 3, 4])
+    @pytest.mark.parametrize("rev", [2, 3, 4, 6])
     def test_roundtrip_all_variants(self, rev):
         text = "encrypted corpus text " * 50
         plain = extract_pdf(build_pdf(text))[0]
@@ -645,7 +645,7 @@ class TestEncryption:
         doc = PdfDocument(enc)
         assert doc.outline() == [("Hidden Title", 0)]
 
-    @pytest.mark.parametrize("rev", [2, 3, 4])
+    @pytest.mark.parametrize("rev", [2, 3, 4, 6])
     def test_nonempty_password_typed_error(self, rev):
         enc = build_pdf("x", encrypt=True, encrypt_user_pw=b"s3cret",
                         encrypt_rev=rev)
@@ -659,11 +659,18 @@ class TestEncryption:
         with pytest.raises(PdfError, match="unsupported"):
             PdfDocument(bytes(enc))
 
-    def test_v5_declared(self):
+    def test_unknown_version_declared(self):
         enc = bytearray(build_pdf("x", encrypt=True))
         i = enc.index(b"/V 1 /R 2")
-        enc[i : i + 9] = b"/V 5 /R 6"  # AES-256 / SHA-2 handler
+        enc[i : i + 9] = b"/V 7 /R 9"  # beyond any published handler
         with pytest.raises(PdfError, match="unsupported"):
+            PdfDocument(bytes(enc))
+
+    def test_v5_tampered_u_rejected(self):
+        enc = bytearray(build_pdf("x", encrypt=True, encrypt_rev=6))
+        i = enc.index(b"/U <") + 4
+        enc[i] = ord("f") if enc[i] != ord("f") else ord("0")
+        with pytest.raises(PdfError, match="password required"):
             PdfDocument(bytes(enc))
 
     def test_tampered_u_rejected(self):
