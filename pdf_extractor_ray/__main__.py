@@ -34,17 +34,25 @@ def _init_ray(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
-def _written_rows(output_dir: str) -> int:
+def _parquet_files(output_dir: str) -> set[str]:
+    import os
+
+    return set(
+        glob.glob(os.path.join(output_dir, "**", "*.parquet"), recursive=True)
+    )
+
+
+def _written_rows(output_dir: str, pre_existing: set[str] = frozenset()) -> int:
     """Row count of a written parquet directory from file METADATA — the
     pipeline must not be re-executed just to print a count (a Ray Dataset
     is lazy; calling .count() after .write_parquet() would run the whole
-    job twice)."""
-    import os
-
+    job twice).  Files captured in ``pre_existing`` (snapshotted before
+    the write) are excluded, so a reused output directory reports only
+    THIS run's rows."""
     import pyarrow.parquet as pq
 
     total = 0
-    for f in glob.glob(os.path.join(output_dir, "**", "*.parquet"), recursive=True):
+    for f in _parquet_files(output_dir) - set(pre_existing):
         total += pq.ParquetFile(f).metadata.num_rows
     return total
 
@@ -144,13 +152,14 @@ def cmd_dedup(args) -> int:
         out = out.map_batches(
             lambda t: t.filter(pc.invert(t["is_duplicate"])), batch_format="pyarrow"
         )
+    pre = _parquet_files(args.output)
     out.write_parquet(args.output)
     print(
         json.dumps(
             {
                 "output": args.output,
                 "method": args.method,
-                "rows": _written_rows(args.output),
+                "rows": _written_rows(args.output, pre),
             }
         )
     )
@@ -209,12 +218,13 @@ def cmd_curate(args) -> int:
         ds = pack_tokens_sequences(
             ds, seq_len=args.seq_len, text_col=args.text_col, id_col=args.id_col
         )
+    pre = _parquet_files(args.output)
     ds.write_parquet(args.output)
     print(
         json.dumps(
             {
                 "output": args.output,
-                "rows": _written_rows(args.output),
+                "rows": _written_rows(args.output, pre),
                 "packed": bool(args.pack),
             }
         )

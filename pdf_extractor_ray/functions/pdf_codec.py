@@ -105,15 +105,21 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_key(owner: bytes, p: int, id0: bytes, rev: int, nbytes: int,
-             user: bytes = b"") -> bytes:
+             user: bytes = b"", encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: file encryption key from the (padded) user password,
-    /O, /P (signed 32-bit LE) and the first file identifier."""
-    md = hashlib.md5(
+    /O, /P (32-bit LE; producers emit it signed or unsigned — the byte
+    layout is identical, so normalize to unsigned) and the first file
+    identifier.  R4+ with /EncryptMetadata false appends 0xFFFFFFFF to
+    the MD5 input (Algorithm 2 step f)."""
+    md5_in = (
         (user + _PDF_PAD)[:32]
         + owner
-        + p.to_bytes(4, "little", signed=True)
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
         + id0
-    ).digest()
+    )
+    if rev >= 4 and not encrypt_metadata:
+        md5_in += b"\xff\xff\xff\xff"
+    md = hashlib.md5(md5_in).digest()
     if rev >= 3:
         for _ in range(50):
             md = hashlib.md5(md[:nbytes]).digest()
@@ -289,6 +295,7 @@ def build_pdf(
     encrypt: bool = False,
     encrypt_user_pw: bytes = b"",
     encrypt_rev: int = 2,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Serialize ``text`` as a genuine single-font PDF.
 
@@ -308,7 +315,7 @@ def build_pdf(
     pages = wrap_text_rows(text, chars_per_line, lines_per_page) or [[]]
     return _assemble_pdf(
         pages, outline, compress, style, xref_kind, font_encoding,
-        encrypt, encrypt_user_pw, encrypt_rev,
+        encrypt, encrypt_user_pw, encrypt_rev, encrypt_metadata,
     )
 
 
@@ -426,6 +433,7 @@ def _assemble_pdf(
     encrypt: bool = False,
     encrypt_user_pw: bytes = b"",
     encrypt_rev: int = 2,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     if font_encoding in ("builtin", "cid"):
         # cid: the code shift (+0x0100) happens inside _page_content's
@@ -449,6 +457,7 @@ def _assemble_pdf(
         encrypt,
         encrypt_user_pw,
         encrypt_rev,
+        encrypt_metadata,
     )
 
 
@@ -493,10 +502,13 @@ def _encrypt_object_body(body: bytes, cipher) -> bytes:
     )
 
 
-def _classic_encrypt(objs: dict, rev: int, pw: bytes, id0: bytes) -> None:
+def _classic_encrypt(objs: dict, rev: int, pw: bytes, id0: bytes,
+                     encrypt_metadata: bool = True) -> None:
     """Classic standard-handler encryption for the writer (R2/R3/R4):
     derives O/U, encrypts every object body in place, and appends the
-    /Encrypt dict as a new object (its strings stay plain per spec)."""
+    /Encrypt dict as a new object (its strings stay plain per spec).
+    ``encrypt_metadata=False`` (R4 only) exercises the Algorithm 2
+    0xFFFFFFFF key-derivation suffix common in real V4/AESV2 files."""
     nbytes = 5 if rev == 2 else 16
     user_padded = (pw + _PDF_PAD)[:32]
     okey = hashlib.md5(user_padded).digest()
@@ -510,7 +522,8 @@ def _classic_encrypt(objs: dict, rev: int, pw: bytes, id0: bytes) -> None:
         o_entry = user_padded
         for i in range(20):
             o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
-    key = _std_key(o_entry, -1, id0, rev, nbytes, user=pw)
+    key = _std_key(o_entry, -1, id0, rev, nbytes, user=pw,
+                   encrypt_metadata=encrypt_metadata)
     u_entry = _std_user_check(key, id0, rev)
     if rev >= 3:
         u_entry += b"\x00" * 16  # 16 bytes of arbitrary padding (spec)
@@ -538,6 +551,8 @@ def _classic_encrypt(objs: dict, rev: int, pw: bytes, id0: bytes) -> None:
             b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
             b"/StmF /StdCF /StrF /StdCF"
         )
+        if not encrypt_metadata:
+            vr += b" /EncryptMetadata false"
     objs[enc_num] = (
         b"<< /Filter /Standard %s /P -1 /O <%s> /U <%s> >>"
         % (vr, o_entry.hex().encode(), u_entry.hex().encode())
@@ -553,6 +568,7 @@ def _serialize_pdf(
     encrypt: bool = False,
     encrypt_user_pw: bytes = b"",
     encrypt_rev: int = 2,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     n_pages = len(content_streams)
 
@@ -720,7 +736,8 @@ def _serialize_pdf(
             )
             rev = None  # classic-handler block below is skipped
         if rev is not None:
-            _classic_encrypt(objs, rev, encrypt_user_pw, id0)
+            _classic_encrypt(objs, rev, encrypt_user_pw, id0,
+                             encrypt_metadata=encrypt_metadata)
             enc_num = max(objs)
             trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
                 enc_num, id0.hex().encode(), id0.hex().encode(),
@@ -899,7 +916,11 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 raise PdfError("LZW: code out of range")
             out += entry
             prev = entry
-            if next_code + early_change - 1 >= (1 << bits) and bits < 12:
+            # EarlyChange=1 (the PDF default) widens one code early: the
+            # decoder's table lags the encoder's by one entry, so the width
+            # must grow as soon as next_code + early_change reaches 2^bits
+            # (e.g. ec=1 switches 9→10 bits when next_code hits 511).
+            if next_code + early_change >= (1 << bits) and bits < 12:
                 bits += 1
     return bytes(out)
 
@@ -931,7 +952,7 @@ def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
         emit(table[seq])
         table[cand] = next_code
         next_code += 1
-        if next_code + early_change - 1 > (1 << bits) and bits < 12:
+        if next_code + early_change > (1 << bits) and bits < 12:
             bits += 1
         if next_code > 4095:
             emit(256)
@@ -1254,7 +1275,8 @@ class PdfDocument:
         nbytes = int(enc.get("Length", default_len) or default_len) // 8
         ids = self.resolve(self.trailer.get("ID"))
         id0 = ids[0] if isinstance(ids, list) and ids else b""
-        key = _std_key(o, p, id0, r, nbytes)
+        enc_meta = bool(self.resolve(enc.get("EncryptMetadata", True)))
+        key = _std_key(o, p, id0, r, nbytes, encrypt_metadata=enc_meta)
         check = _std_user_check(key, id0, r)
         if (check if r == 2 else check[:16]) != (u if r == 2 else u[:16]):
             raise PdfError("encrypted PDF: password required (non-empty)")

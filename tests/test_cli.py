@@ -168,3 +168,20 @@ def test_stats_quantiles_distinct_topwords(tmp_path):
     assert abs(report["distinct"]["doc_id"] - n) / n < 0.1
     assert report["top_words"]["en"] == [["alpha", 1000]]
     assert report["top_words"]["de"] == [["gamma", 1000]]
+
+
+def test_written_rows_excludes_preexisting(tmp_path):
+    """ADVICE round-3: a reused output directory must report only THIS
+    run's rows, not leftovers from a previous run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.__main__ import _parquet_files, _written_rows
+
+    old = tmp_path / "sub" / "old.parquet"
+    old.parent.mkdir()
+    pq.write_table(pa.table({"a": [1, 2, 3]}), old)
+    pre = _parquet_files(str(tmp_path))
+    pq.write_table(pa.table({"a": [1, 2]}), tmp_path / "new.parquet")
+    assert _written_rows(str(tmp_path), pre) == 2
+    assert _written_rows(str(tmp_path)) == 5

@@ -747,3 +747,132 @@ class TestAesPrimitives:
         for n in (0, 1, 15, 16, 17, 100):
             data = bytes(range(256))[:n]
             assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, b"\x01" * 16, data)) == data
+
+
+def _ref_lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """Independent textbook LZW decoder (ISO 32000 §7.4.4 / TIFF §13):
+    list-based table, integer bit cursor, width grows when the next free
+    code plus EarlyChange no longer fits the current width.  Written
+    separately from the engine's dict-based decoder to cross-check the
+    EarlyChange schedule at the 9→10/10→11-bit boundaries."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, pos, total = 9, 0, len(data) * 8
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + width <= total:
+        # MSB-first bit read without a per-bit loop
+        chunk = data[pos // 8 : (pos + width + 7) // 8]
+        val = int.from_bytes(chunk, "big")
+        code = (val >> (len(chunk) * 8 - (pos % 8) - width)) & ((1 << width) - 1)
+        pos += width
+        if code == 257:
+            break
+        if code == 256:
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) + early_change >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+class TestLzwEarlyChange:
+    """ADVICE round-3 (high): the decode widen condition must be
+    next_code + EarlyChange >= 2^bits (ec=1, the PDF default, switches
+    9→10 bits when code 511 would be assigned — one code EARLY), and the
+    encoder's must be next_code + EarlyChange > 2^bits.  The off-by-one
+    only shows on streams long enough to cross the 511-code boundary
+    (~253 fresh dictionary entries), which the ISO example never does."""
+
+    # ~6000 incompressible bytes: crosses the 511 AND 1023 boundaries.
+    DATA = np.random.default_rng(511).integers(
+        0, 256, size=6000, dtype=np.uint8
+    ).tobytes()
+
+    @pytest.mark.parametrize("ec", [0, 1])
+    def test_boundary_round_trip(self, ec):
+        from pdf_extractor_ray.functions.pdf_codec import _lzw_decode, _lzw_encode
+
+        enc = _lzw_encode(self.DATA, early_change=ec)
+        assert _lzw_decode(enc, early_change=ec) == self.DATA
+
+    @pytest.mark.parametrize("ec", [0, 1])
+    def test_cross_implementation(self, ec):
+        """The engine's encoder output must decode under an independently
+        written textbook decoder with the same EarlyChange — this is the
+        check the matched-off-by-one pair used to sneak past."""
+        from pdf_extractor_ray.functions.pdf_codec import _lzw_encode
+
+        enc = _lzw_encode(self.DATA, early_change=ec)
+        assert _ref_lzw_decode(enc, early_change=ec) == self.DATA
+
+    def test_schedules_are_distinct(self):
+        """ec=0 and ec=1 streams genuinely differ past the boundary, and
+        decoding with the wrong schedule desyncs (typed error or wrong
+        bytes) instead of silently agreeing."""
+        from pdf_extractor_ray.functions.pdf_codec import _lzw_decode, _lzw_encode
+
+        e0 = _lzw_encode(self.DATA, early_change=0)
+        e1 = _lzw_encode(self.DATA, early_change=1)
+        assert e0 != e1
+        for enc, wrong in ((e0, 1), (e1, 0)):
+            try:
+                got = _lzw_decode(enc, early_change=wrong)
+            except PdfError:
+                continue
+            assert got != self.DATA
+
+    def test_spec_example_still_exact(self):
+        from pdf_extractor_ray.functions.pdf_codec import _lzw_decode
+
+        assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) == bytes(
+            [45] * 5 + [65] + [45] * 3 + [66]
+        )
+
+
+class TestEncryptDictEdgeCases:
+    """ADVICE round-3 (low): /EncryptMetadata false key derivation and
+    unsigned /P values."""
+
+    def test_r4_encrypt_metadata_false(self):
+        text = "metadata-false corpus text " * 40
+        plain = extract_pdf(build_pdf(text))[0]
+        enc = build_pdf(text, encrypt=True, encrypt_rev=4,
+                        encrypt_metadata=False)
+        assert b"/EncryptMetadata false" in enc
+        assert extract_pdf(enc)[0] == plain
+
+    def test_r4_metadata_flag_changes_key(self):
+        """A file written with EncryptMetadata=false but whose dict is
+        stripped of the flag must fail the /U check — proves the reader
+        actually feeds the flag into Algorithm 2 (rather than both sides
+        ignoring it)."""
+        enc = build_pdf("x", encrypt=True, encrypt_rev=4,
+                        encrypt_metadata=False)
+        stripped = enc.replace(b" /EncryptMetadata false", b" " * 23)
+        with pytest.raises(PdfError, match="password required"):
+            PdfDocument(stripped)
+
+    def test_p_unsigned_and_signed_equivalent(self):
+        """Producers emit /P signed (-3904) or unsigned (4294963392) —
+        identical 32-bit LE bytes, so Algorithm 2 must yield the same key
+        and must not raise OverflowError on the unsigned form."""
+        from pdf_extractor_ray.functions.pdf_codec import _std_key
+
+        o = bytes(range(32))
+        id0 = b"\x01" * 16
+        k_signed = _std_key(o, -3904, id0, 3, 16)
+        k_unsigned = _std_key(o, 4294963392, id0, 3, 16)
+        assert k_signed == k_unsigned
+        # full-range unsigned permission word must not escape the typed API
+        _std_key(o, 0xFFFFFFFF, id0, 3, 16)
