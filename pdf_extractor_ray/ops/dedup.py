@@ -567,13 +567,14 @@ def connected_components(
         return pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
 
     # The distributed rounds track convergence by label SUM — numeric ids
-    # only (the driver regime above handles any orderable id type).
+    # only; string/binary id corpora (the engine's identity column is a
+    # url) first pass through a dense-rank mapping stage (round 4) whose
+    # ranks preserve the id ORDER, so the propagated min-label equals the
+    # lexicographically smallest member — identical output to the driver
+    # union-find regime.
     id_type = pairs_mat.schema().types[0]
     if not pa.types.is_integer(id_type) and not pa.types.is_floating(id_type):
-        raise TypeError(
-            f"distributed connected_components needs numeric ids, got {id_type}; "
-            "raise driver_edge_cap or map ids to integers first"
-        )
+        return _cc_distributed_mapped(pairs_mat, max_rounds)
 
     # num_partitions kept in the signature for API compatibility with the
     # join-based rounds it replaced; the sorted path sizes itself.
@@ -698,6 +699,134 @@ def connected_components(
     return labels.to_pandas()
 
 
+def _cc_distributed_mapped(pairs_mat, max_rounds: int) -> pd.DataFrame:
+    """Distributed connected components for NON-numeric (string/binary)
+    ids: a dense-rank mapping stage around the numeric label-propagation
+    rounds.
+
+    1. Unique node table (one ``groupby``) sorted by id — Ray's sort
+       range-partitions, so blocks hold disjoint key ranges; each block's
+       global rank offset is the cumulative size of the blocks before it
+       (one tiny per-block ``(first_key, n)`` collection — O(blocks), not
+       O(nodes)). Ranks are order-preserving: min rank ≡ lexicographically
+       min id, so cluster labels match the driver union-find regime
+       exactly.
+    2. Edges map to int64 ranks via two :func:`..segments.attach_lookup`
+       exchanges against the node-index table (duplicate-minority-sized,
+       same exchange shape as the verify semi-join).
+    3. The numeric distributed rounds run unchanged (``driver_edge_cap=0``
+       keeps the recursion in the distributed regime).
+    4. Ranks translate back through the node table — the final
+       ``(node, label)`` frame is driver-resident by the function's
+       existing contract (it feeds the winner-map broadcast), so the
+       rank→id array adds nothing asymptotically new.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .segments import attach_lookup
+
+    id_type = pairs_mat.schema().types[0]
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [
+                        batch["id_a"].combine_chunks().cast(id_type),
+                        batch["id_b"].combine_chunks().cast(id_type),
+                    ]
+                )
+            ],
+            names=["node"],
+        )
+
+    nodes = (
+        pairs_mat.map_batches(flat, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+        .select_columns(["node"])
+        .sort("node")
+        .materialize()
+    )
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], id_type), pa.array([], pa.int64())],
+                names=["first", "n"],
+            )
+        return pa.Table.from_arrays(
+            [t["node"].slice(0, 1).combine_chunks(), pa.array([t.num_rows])],
+            names=["first", "n"],
+        )
+
+    parts = sorted(
+        nodes.map_batches(
+            block_meta, batch_size=None, batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["first"],
+    )
+    offsets: dict = {}
+    acc = 0
+    for r in parts:
+        offsets[r["first"]] = acc
+        acc += r["n"]
+    oref = ray.put(offsets)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("nid", pa.array([], pa.int64()))
+        off = ray.get(oref)[t["node"][0].as_py()]
+        return t.append_column(
+            "nid", pa.array(off + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    node_index = nodes.map_batches(
+        add_rank, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+
+    def rekey(key, name):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([key, name])
+
+        return f
+
+    e = attach_lookup(
+        pairs_mat,
+        node_index.map_batches(rekey("id_a", "nid_a"), batch_format="pyarrow"),
+        key_col="id_a",
+        val_cols=["nid_a"],
+        carry_cols=["id_b"],
+    )
+    e = attach_lookup(
+        e,
+        node_index.map_batches(rekey("id_b", "nid_b"), batch_format="pyarrow"),
+        key_col="id_b",
+        val_cols=["nid_b"],
+        carry_cols=["nid_a"],
+    )
+    int_pairs = e.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["nid_a"], t["nid_b"]], names=["id_a", "id_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    labels_int = connected_components(
+        int_pairs, max_rounds=max_rounds, driver_edge_cap=0
+    )
+
+    # rank -> id translation; same driver bound as the returned frame.
+    rank_ids = np.empty(acc, dtype=object)
+    for batch in node_index.iter_batches(batch_format="pyarrow"):
+        rank_ids[batch["nid"].to_numpy()] = np.asarray(
+            batch["node"].to_pylist(), dtype=object
+        )
+    node_i = labels_int["node"].to_numpy().astype(np.int64)
+    label_i = labels_int["label"].to_numpy().astype(np.int64)
+    return pd.DataFrame({"node": rank_ids[node_i], "label": rank_ids[label_i]})
+
+
 def _annotate_clusters(ds, labels: pd.DataFrame, id_col: str):
     """Append ``cluster_id`` / ``is_duplicate`` to every corpus row via a
     broadcast of the (small) winner map — the corpus itself streams through
@@ -731,6 +860,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     seed: int = 42,
     pair_cap: int = 64,
+    candidate_cap: int = 2_000_000,
 ):
     """MinHash + LSH near-duplicate clustering — fully dataset-native.
 
@@ -803,57 +933,272 @@ def minhash_lsh_dedup(
         id_col,
         threshold,
         lambda t: _char_shingles(t, shingle_k),
+        candidate_cap=candidate_cap,
     )
 
 
-def _verify_cluster_annotate(ds, pairs, text_col, id_col, threshold, set_fn):
-    """Shared tail of the Jaccard-verified dedup ops: broadcast the
-    candidate minority's texts, exact-Jaccard-verify the candidate pairs
-    inside ``map_batches`` (``set_fn(text) -> sorted unique uint64`` is the
-    set kernel — char shingles for minhash, word n-grams for the AllPairs
-    join), then connected components + cluster annotation. The only
-    driver-resident state is the candidate id/text minority — O(duplicate
-    count), never O(corpus)."""
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al., public domain) —
+    wrapping uint64 arithmetic throughout."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _hash_ids(col) -> np.ndarray:
+    """Vectorized 64-bit hash of an id column (integer, string or binary
+    Arrow array) — NO per-row Python.  Strings/bytes hash as a base-B
+    polynomial over the UTF-8 bytes via the exact mod-2^64 cumsum trick
+    (per-byte positional powers, one wrapping cumulative sum, per-string
+    differences), xor-folded with the length; integers go straight through
+    the splitmix64 finalizer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_integer(t):
+        return _mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    if not (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        raise TypeError(f"_hash_ids: unsupported id column type {t}")
+    b = col.cast(pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], np.int64, len(b) + 1, 8 * b.offset)
+    lens = (offs[1:] - offs[:-1]).astype(np.uint64)
+    lo, hi = int(offs[0]), int(offs[-1])
+    with np.errstate(over="ignore"):
+        base = _mix64(lens * np.uint64(_MIX))
+        if hi == lo:  # every id empty
+            return base
+        data = np.frombuffer(b.buffers()[2], np.uint8)[lo:hi].astype(np.uint64)
+        maxlen = int(lens.max())
+        pows = np.concatenate(
+            [
+                np.ones(1, np.uint64),
+                np.cumprod(np.full(maxlen, 1099511628211, np.uint64)),
+            ]
+        )
+        # exponent of each byte = (its string's end - 1 - its position)
+        exp = (
+            np.repeat(offs[1:], offs[1:] - offs[:-1])
+            - 1
+            - np.arange(lo, hi, dtype=np.int64)
+        )
+        cs = np.zeros(hi - lo + 1, np.uint64)
+        np.cumsum(data * pows[exp], out=cs[1:])
+        h = cs[(offs[1:] - lo)] - cs[(offs[:-1] - lo)]
+    return _mix64(h ^ base)
+
+
+def _bloom_positions(h: np.ndarray, j: int, m_bits: int) -> np.ndarray:
+    """Kirsch–Mitzenmacher double hashing: pos_j = h1 + j·h2 (mod m)."""
+    with np.errstate(over="ignore"):
+        h2 = _mix64(h ^ np.uint64(0xA5A5A5A5DEADBEEF)) | np.uint64(1)
+        return (h + np.uint64(j) * h2) % np.uint64(m_bits)
+
+
+def _bloom_add(bits: np.ndarray, h: np.ndarray, m_bits: int, k: int) -> None:
+    for j in range(k):
+        pos = _bloom_positions(h, j, m_bits)
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+        )
+
+
+def _bloom_mask(bits: np.ndarray, h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    mask = np.ones(len(h), bool)
+    for j in range(k):
+        pos = _bloom_positions(h[mask], j, m_bits)
+        hit = (
+            bits[(pos >> np.uint64(3)).astype(np.int64)]
+            & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        ) != 0
+        mask[np.flatnonzero(mask)[~hit]] = False
+        if not mask.any():
+            break
+    return mask
+
+
+def _verify_pairs_semijoin(
+    ds, pairs, text_col, id_col, threshold, set_fn, num_partitions=None,
+    bloom_bits: int = 1 << 27,
+):
+    """Over-the-gate exact-Jaccard verification with NOTHING corpus- or
+    candidate-sized on the driver: the candidate-pair Dataset is verified
+    via two hash-partitioned joins against the corpus's candidate shingle
+    sets.
+
+    The only driver state is a fixed-size Bloom filter of candidate ids
+    (default 16 MiB regardless of candidate count; false positives merely
+    ship a few extra shingle rows into the exchange, which drops them).
+    The corpus streams once through a ``map_batches`` that bloom-filters
+    ids (vectorized :func:`_hash_ids` — no per-row Python) and serializes
+    each surviving doc's sorted-unique uint64 set (``set_fn``) as one
+    binary value; the shingle table is materialized once (O(candidates),
+    spills to the object store) and attached to the pairs on ``id_a`` then
+    ``id_b`` via :func:`..segments.attach_lookup` — one sort-partitioned
+    exchange per side, the same bytes a hash join would move. Exact
+    set-intersection Jaccard then filters pairs inside ``map_batches``."""
     import ray
 
-    cand_ids: set = set()
+    from .segments import attach_lookup
+
+    del num_partitions  # the sort-based exchange sizes itself
+    k = 7
+    bits = np.zeros(bloom_bits >> 3, np.uint8)
     for batch in pairs.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(batch["id_a"].to_pylist())
-        cand_ids.update(batch["id_b"].to_pylist())
-    if not cand_ids:
-        return _annotate_clusters(ds, pd.DataFrame({"node": [], "label": []}), id_col)
-    idset_ref = ray.put(pa.array(sorted(cand_ids)))
+        for c in ("id_a", "id_b"):
+            _bloom_add(bits, _hash_ids(batch[c]), bloom_bits, k)
+    bref = ray.put(bits)
 
-    def pick_candidates(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.is_in(batch[id_col], value_set=ray.get(idset_ref))
-        return batch.select([id_col, text_col]).filter(mask)
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        mask = _bloom_mask(
+            ray.get(bref), _hash_ids(batch[id_col]), bloom_bits, k
+        )
+        sub = batch.select([id_col, text_col]).filter(pa.array(mask))
+        sh = pa.array(
+            [set_fn(t).tobytes() for t in sub[text_col].to_pylist()],
+            pa.large_binary(),
+        )
+        return pa.Table.from_arrays(
+            [sub[id_col].combine_chunks(), sh], names=[id_col, "sh"]
+        )
 
-    id_text: dict = {}
-    for batch in ds.map_batches(pick_candidates, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        id_text.update(zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()))
-    text_ref = ray.put(id_text)
+    cand_sets = ds.map_batches(
+        shingle_rows, batch_format="pyarrow"
+    ).materialize()
+
+    def rekey(key, name):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([key, name])
+
+        return f
+
+    j = attach_lookup(
+        pairs,
+        cand_sets.map_batches(rekey("id_a", "sh_a"), batch_format="pyarrow"),
+        key_col="id_a",
+        val_cols=["sh_a"],
+        carry_cols=["id_b"],
+    )
+    j = attach_lookup(
+        j,
+        cand_sets.map_batches(rekey("id_b", "sh_b"), batch_format="pyarrow"),
+        key_col="id_b",
+        val_cols=["sh_b"],
+        carry_cols=["id_a", "sh_a"],
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(text_ref)
-        ia = batch["id_a"].to_pylist()
-        ib = batch["id_b"].to_pylist()
-        # Build each doc's set ONCE per batch (a candidate doc appears in
-        # many pairs), then exact set-intersection Jaccard per pair.
-        sh = {d: set_fn(lookup[d]) for d in set(ia) | set(ib)}
         keep = []
-        for u, v in zip(ia, ib):
-            s1, s2 = sh[u], sh[v]
+        for ba, bb in zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
+            s1 = np.frombuffer(ba, np.uint64)
+            s2 = np.frombuffer(bb, np.uint64)
             if len(s1) == 0 and len(s2) == 0:
                 keep.append(True)
                 continue
             inter = len(np.intersect1d(s1, s2, assume_unique=True))
             union = len(s1) + len(s2) - inter
             keep.append(union > 0 and inter / union >= threshold)
-        return batch.filter(pa.array(keep))
+        return batch.select(["id_a", "id_b"]).filter(pa.array(keep))
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_cluster_annotate(
+    ds, pairs, text_col, id_col, threshold, set_fn,
+    candidate_cap: int = 2_000_000,
+    text_bytes_cap: int = 2 << 30,
+    num_partitions=None,
+):
+    """Shared tail of the Jaccard-verified dedup ops: exact-Jaccard-verify
+    the candidate pairs (``set_fn(text) -> sorted unique uint64`` is the
+    set kernel — char shingles for minhash, word n-grams for the AllPairs
+    join), then connected components + cluster annotation.
+
+    Two size-gated regimes (round-4, closing the round-3 verdict's
+    declared-but-unenforced bound):
+
+    * candidate minority under ``candidate_cap`` ids AND ``text_bytes_cap``
+      collected text bytes — broadcast the id→text dict once (``ray.put``)
+      and verify inside ``map_batches``; only the duplicate minority ever
+      lands on the driver.
+    * past either cap — :func:`_verify_pairs_semijoin`: fixed-size Bloom +
+      two hash-partitioned joins, nothing unbounded anywhere.
+    """
+    import ray
+
+    pairs = pairs.materialize()  # consumed twice (id scan + verify)
+    cand_ids: set = set()
+    over = False
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(batch["id_a"].to_pylist())
+        cand_ids.update(batch["id_b"].to_pylist())
+        if len(cand_ids) > candidate_cap:
+            over = True
+            break
+    if not cand_ids:
+        return _annotate_clusters(ds, pd.DataFrame({"node": [], "label": []}), id_col)
+
+    verified = None
+    if not over:
+        idset_ref = ray.put(pa.array(sorted(cand_ids)))
+
+        def pick_candidates(batch: pa.Table) -> pa.Table:
+            mask = pa.compute.is_in(batch[id_col], value_set=ray.get(idset_ref))
+            return batch.select([id_col, text_col]).filter(mask)
+
+        id_text: dict = {}
+        n_bytes = 0
+        for batch in ds.map_batches(
+            pick_candidates, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            n_bytes += batch[text_col].nbytes
+            if n_bytes > text_bytes_cap:
+                over = True
+                break
+            id_text.update(
+                zip(batch[id_col].to_pylist(), batch[text_col].to_pylist())
+            )
+
+        if not over:
+            text_ref = ray.put(id_text)
+
+            def verify(batch: pa.Table) -> pa.Table:
+                lookup = ray.get(text_ref)
+                ia = batch["id_a"].to_pylist()
+                ib = batch["id_b"].to_pylist()
+                # Build each doc's set ONCE per batch (a candidate doc
+                # appears in many pairs), then exact set-intersection
+                # Jaccard per pair.
+                sh = {d: set_fn(lookup[d]) for d in set(ia) | set(ib)}
+                keep = []
+                for u, v in zip(ia, ib):
+                    s1, s2 = sh[u], sh[v]
+                    if len(s1) == 0 and len(s2) == 0:
+                        keep.append(True)
+                        continue
+                    inter = len(np.intersect1d(s1, s2, assume_unique=True))
+                    union = len(s1) + len(s2) - inter
+                    keep.append(union > 0 and inter / union >= threshold)
+                return batch.filter(pa.array(keep))
+
+            verified = pairs.map_batches(verify, batch_format="pyarrow")
+
+    if verified is None:
+        del cand_ids  # over the gate: nothing candidate-sized on the driver
+        verified = _verify_pairs_semijoin(
+            ds, pairs, text_col, id_col, threshold, set_fn, num_partitions
+        )
     labels = connected_components(verified)
     return _annotate_clusters(ds, labels, id_col)
 
@@ -1146,6 +1491,7 @@ def ngram_jaccard_dedup(
     n: int = 3,
     pair_cap: int = 65536,
     demote_frequent: int = 0,
+    candidate_cap: int = 2_000_000,
 ):
     """EXACT word-n-gram Jaccard near-dup clustering via prefix filtering
     (AllPairs, Bayardo et al. 2007; length filter from PPJoin, Xiao et al.
@@ -1282,5 +1628,6 @@ def ngram_jaccard_dedup(
         id_col,
     )
     return _verify_cluster_annotate(
-        ds, pairs, text_col, id_col, threshold, lambda t: _word_ngram_hashes(t, n)
+        ds, pairs, text_col, id_col, threshold,
+        lambda t: _word_ngram_hashes(t, n), candidate_cap=candidate_cap,
     )

@@ -175,6 +175,97 @@ def sorted_segment_apply(
     return interior_out.union(ray.data.from_arrow(frag_out_tbl))
 
 
+def attach_lookup(queries, table, key_col: str, val_cols: list, carry_cols: list):
+    """Distributed lookup join against a UNIQUE-key table without the
+    hash-join operator: table rows (flagged ``__tab__=1``) union with
+    query rows, ONE sort on ``(key, __tab__ desc)`` co-locates each key's
+    table row at its segment head, and a vectorized gather replicates the
+    table row's ``val_cols`` onto the segment's query rows.
+
+    Inner semantics: query rows whose key has no table row are dropped;
+    with ``val_cols=[]`` this is a pure existence SEMI-join filter. Table
+    keys must be unique (one row per key); queries may repeat keys
+    arbitrarily. Chosen over ``Dataset.join`` for the same reason the
+    connected-components rounds were (round 3): the sort exchanges the
+    same bytes without per-invocation aggregator-actor spin-up — and the
+    join operator mishandles empty partitions (zero-column blocks feed
+    acero a schemaless left side).
+
+    Returns a Dataset with columns ``[key_col] + carry_cols + val_cols``.
+    """
+    q_schema = queries.schema()
+    t_schema = table.schema()
+    q_types = dict(zip(q_schema.names, q_schema.types))
+    t_types = dict(zip(t_schema.names, t_schema.types))
+    key_type = q_types[key_col]
+    carry_types = [q_types[c] for c in carry_cols]
+    val_types = [t_types[c] for c in val_cols]
+    names = [key_col] + carry_cols + val_cols + ["__tab__"]
+
+    def q_align(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t[key_col].combine_chunks().cast(key_type)]
+            + [t[c].combine_chunks().cast(ct) for c, ct in zip(carry_cols, carry_types)]
+            + [pa.nulls(n, vt) for vt in val_types]
+            + [pa.array(np.zeros(n, np.int8))],
+            names=names,
+        )
+
+    def t_align(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t[key_col].combine_chunks().cast(key_type)]
+            + [pa.nulls(n, ct) for ct in carry_types]
+            + [t[c].combine_chunks().cast(vt) for c, vt in zip(val_cols, val_types)]
+            + [pa.array(np.ones(n, np.int8))],
+            names=names,
+        )
+
+    unioned = queries.map_batches(q_align, batch_format="pyarrow").union(
+        table.map_batches(t_align, batch_format="pyarrow")
+    )
+    out_cols = [key_col] + carry_cols + val_cols
+    out_types = [key_type] + carry_types + val_types
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if len(starts) == 0 or batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t) for t in out_types], names=out_cols
+            )
+        tab = batch["__tab__"].to_numpy(zero_copy_only=False)
+        lens = (ends - starts).astype(np.int64)
+        sel = np.flatnonzero((tab[starts] == 1) & (lens > 1))
+        if len(sel) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t) for t in out_types], names=out_cols
+            )
+        qc = lens[sel] - 1
+        gstarts = np.cumsum(qc) - qc
+        within = np.arange(int(qc.sum()), dtype=np.int64) - np.repeat(gstarts, qc)
+        q_idx = np.repeat(starts[sel] + 1, qc) + within
+        t_idx = np.repeat(starts[sel], qc)
+        # defensive: a duplicate table key would sort extra table rows
+        # right after the head — first wins, the extras are not queries
+        is_q = tab[q_idx] == 0
+        q_idx, t_idx = q_idx[is_q], t_idx[is_q]
+        qi, ti = pa.array(q_idx), pa.array(t_idx)
+        return pa.Table.from_arrays(
+            [batch[key_col].take(ti)]
+            + [batch[c].take(qi) for c in carry_cols]
+            + [batch[c].take(ti) for c in val_cols],
+            names=out_cols,
+        )
+
+    return sorted_segment_apply(
+        unioned,
+        key_col=key_col,
+        block_fn=kernel,
+        within_cols=["__tab__"],
+        descending=[True],
+    )
+
+
 def cap_per_key(
     ds,
     key_col: str,

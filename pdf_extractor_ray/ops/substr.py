@@ -71,9 +71,12 @@ def duplicate_window_counts(
     anywhere in the corpus (including overlaps and within-doc repeats).
     Documents shorter than ``window`` produce no row (no windows).
 
-    Raises RuntimeError when the duplicated-hash set exceeds
-    ``dup_cap`` — see module docstring for the semi-join swap at that
-    scale."""
+    Past ``dup_cap`` duplicated hashes the membership broadcast switches
+    to the documented hash-partitioned semi-join on the window hash (the
+    same key as the counting exchange): per-(doc, hash) partial counts
+    join the duplicated-hash table, a ``groupby(id)`` folds the hits, and
+    per-doc totals ride a second message kind through the same exchange —
+    nothing dup-set-sized ever lands on the driver."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -97,19 +100,17 @@ def duplicate_window_counts(
         mask = np.asarray(tbl["sum(cnt)"].to_numpy(zero_copy_only=False)) >= 2
         return tbl.select(["h"]).filter(pa.array(mask))
 
-    dup_tables = list(
+    dups_ds = (
         ds.map_batches(hash_count_partial, batch_format="pyarrow", batch_size=None)
         .groupby("h")
         .aggregate(Sum("cnt"))
         .map_batches(dups_only, batch_format="pyarrow", batch_size=None)
-        .iter_batches(batch_format="pyarrow")
+        .materialize()
     )
-    n_dups = sum(t.num_rows for t in dup_tables)
+    n_dups = dups_ds.count()
     if n_dups > dup_cap:
-        raise RuntimeError(
-            f"duplicated-window set ({n_dups}) exceeds dup_cap={dup_cap}; "
-            "use the hash-partitioned semi-join path (module docstring)"
-        )
+        return _dup_counts_semijoin(ds, dups_ds, window, text_col, id_col)
+    dup_tables = list(dups_ds.iter_batches(batch_format="pyarrow"))
     # View FIRST, then sort — int64 order differs from uint64 order for
     # hashes with the top bit set, and searchsorted needs uint64 order.
     dup_sorted = np.sort(
@@ -147,3 +148,98 @@ def duplicate_window_counts(
         )
 
     return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def _dup_counts_semijoin(ds, dups_ds, window: int, text_col: str, id_col: str):
+    """The over-``dup_cap`` regime of :func:`duplicate_window_counts`:
+    exact same output, no driver-resident dup set.
+
+    Per-block partials emit one ``(h, id, cnt)`` row per (document,
+    distinct window hash); a :func:`..segments.attach_lookup` existence
+    SEMI-join against the (materialized) duplicated-hash table keeps only
+    duplicated positions — keyed on the SAME hash the counting groupby
+    already exchanged on. Per-doc totals need no hash data at all
+    (#windows = #codepoints − window + 1), so they ride as zero-filled
+    rows into one final ``groupby(id).sum`` that folds both message
+    kinds. Everything is a Dataset; the driver holds nothing."""
+    from ray.data.aggregate import Sum
+
+    from .segments import attach_lookup
+
+    def doc_hash_partial(batch: pa.Table) -> pa.Table:
+        hs, ids, cnts = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            h = window_hashes(t or "", window)
+            if len(h) == 0:
+                continue
+            u, c = np.unique(h, return_counts=True)
+            hs.append(u)
+            ids.extend([i] * len(u))
+            cnts.append(c)
+        id_type = batch.schema.field(id_col).type
+        if not hs:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], id_type),
+                    pa.array([], pa.int64()),
+                ],
+                names=["h", id_col, "cnt"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(hs).view(np.int64)),
+                pa.array(ids, id_type),
+                pa.array(np.concatenate(cnts).astype(np.int64)),
+            ],
+            names=["h", id_col, "cnt"],
+        )
+
+    dup_hits = attach_lookup(
+        ds.map_batches(doc_hash_partial, batch_format="pyarrow"),
+        dups_ds,
+        key_col="h",
+        val_cols=[],
+        carry_cols=[id_col, "cnt"],
+    )
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t[id_col],
+                pa.array(np.zeros(n, np.int64)),
+                t["cnt"].combine_chunks().cast(pa.int64()),
+            ],
+            names=[id_col, "tw", "dw"],
+        )
+
+    def total_rows(batch: pa.Table) -> pa.Table:
+        ids, totals = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            n_win = len(t or "") - window + 1
+            if n_win > 0:
+                ids.append(i)
+                totals.append(n_win)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch.schema.field(id_col).type),
+                pa.array(totals, pa.int64()),
+                pa.array(np.zeros(len(ids), np.int64)),
+            ],
+            names=[id_col, "tw", "dw"],
+        )
+
+    totals = ds.map_batches(total_rows, batch_format="pyarrow")
+    out = (
+        totals.union(dup_hits.map_batches(hit_rows, batch_format="pyarrow"))
+        .groupby(id_col)
+        .aggregate(
+            Sum("tw", alias_name="total_windows"),
+            Sum("dw", alias_name="dup_windows"),
+        )
+    )
+    return out.map_batches(
+        lambda t: t.select([id_col, "total_windows", "dup_windows"]),
+        batch_format="pyarrow",
+    )

@@ -231,6 +231,31 @@ class TestConnectedComponents:
         pairs = rd.from_items([{"id_a": 1, "id_b": 2}]).filter(lambda r: False)
         assert len(connected_components(pairs)) == 0
 
+    def test_string_ids_distributed_mapped(self, ray_session):
+        """String-id edge lists through the DISTRIBUTED regime (round 4):
+        the dense-rank mapping stage must yield labels identical to the
+        driver union-find — the rank order preserves id order, so the
+        min label is the lexicographically smallest member. Star graphs
+        with the hub as the min member converge in one confirm round,
+        keeping the test inside the fixed per-exchange Ray overhead."""
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import connected_components
+
+        edges = []
+        for hub, leaves in (
+            ("url-a0", ["url-a1", "url-a2", "url-a3"]),
+            ("url-b0", ["url-b1", "url-b2"]),
+            ("url-c0", ["url-c1"]),
+        ):
+            edges += [{"id_a": leaf, "id_b": hub} for leaf in leaves]
+        pairs = rd.from_items(edges).repartition(3)
+        small = connected_components(pairs)
+        big = connected_components(pairs, driver_edge_cap=0)
+        assert dict(zip(small["node"], small["label"])) == dict(
+            zip(big["node"], big["label"])
+        )
+        assert set(big["label"]) == {"url-a0", "url-b0", "url-c0"}
+
 
 class TestBucketPairs:
     def test_all_pairs_keeps_non_min_edges(self):
@@ -280,6 +305,56 @@ class TestDatasetNativeDedupScale:
         clusters = dict(zip(res["doc_id"], res["cluster_id"]))
         for i in range(300):
             assert clusters[i] == i == clusters[i + 1000] == clusters[i + 2000]
+
+
+class TestVerifyGateFallback:
+    """Round 4: past ``candidate_cap`` the exact-Jaccard verify switches
+    from the id→text broadcast to the Bloom + sorted-lookup semi-join
+    (``_verify_pairs_semijoin``) — outputs must be identical."""
+
+    def _corpus(self, rd):
+        rng = np.random.Generator(np.random.Philox(29))
+        vocab = [f"w{j:03d}" for j in range(400)]
+        rows = []
+        for i in range(60):
+            text = " ".join(rng.choice(vocab, size=40).tolist())
+            rows.append({"doc_id": f"u{i:03d}", "text": text})
+            if i % 4 == 0:  # near-dup (one appended word)
+                rows.append({"doc_id": f"u{i:03d}x", "text": text + " extra"})
+        return rd.from_items(rows).repartition(4)
+
+    @staticmethod
+    def _canon(out):
+        return (
+            out.select_columns(["doc_id", "cluster_id", "is_duplicate"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_minhash_fallback_matches_broadcast(self, ray_session):
+        import ray.data as rd
+
+        ds = self._corpus(rd)
+        base = self._canon(minhash_lsh_dedup(ds, threshold=0.8))
+        over = self._canon(
+            minhash_lsh_dedup(ds, threshold=0.8, candidate_cap=1)
+        )
+        assert base.equals(over)
+        assert int(base["is_duplicate"].sum()) == 15
+
+    def test_ngram_fallback_matches_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import ngram_jaccard_dedup
+
+        ds = self._corpus(rd)
+        base = self._canon(ngram_jaccard_dedup(ds, threshold=0.7))
+        over = self._canon(
+            ngram_jaccard_dedup(ds, threshold=0.7, candidate_cap=1)
+        )
+        assert base.equals(over)
+        assert int(base["is_duplicate"].sum()) == 15
 
 
 class TestHashSample:

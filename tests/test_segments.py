@@ -105,6 +105,67 @@ class TestSortedSegmentApply:
         assert got == {k: k * 100 + 6 for k in range(50)}
 
 
+class TestAttachLookup:
+    """Sort-based lookup join (round 4): the exchange behind the dedup
+    verify semi-join, the substr dup-hash semi-join and the string-id CC
+    mapping stages."""
+
+    def _tables(self, rd):
+        queries = rd.from_arrow(
+            pa.table(
+                {
+                    "k": ["a", "b", "a", "c", "b", "zz"],
+                    "payload": [10, 20, 11, 30, 21, 99],
+                }
+            )
+        ).repartition(3)
+        table = rd.from_arrow(
+            pa.table({"k": ["a", "b", "d"], "val": [1.5, 2.5, 4.5]})
+        ).repartition(2)
+        return queries, table
+
+    def test_inner_lookup_attaches_vals(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import attach_lookup
+
+        queries, table = self._tables(rd)
+        out = attach_lookup(
+            queries, table, key_col="k", val_cols=["val"], carry_cols=["payload"]
+        ).to_pandas()
+        # inner semantics: 'c'/'zz' queries dropped, 'd' table row unused
+        got = sorted(zip(out["k"], out["payload"], out["val"]))
+        assert got == [
+            ("a", 10, 1.5),
+            ("a", 11, 1.5),
+            ("b", 20, 2.5),
+            ("b", 21, 2.5),
+        ]
+
+    def test_semi_join_filter(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import attach_lookup
+
+        queries, table = self._tables(rd)
+        out = attach_lookup(
+            queries, table, key_col="k", val_cols=[], carry_cols=["payload"]
+        ).to_pandas()
+        assert sorted(out["payload"]) == [10, 11, 20, 21]
+
+    def test_no_matches_yields_empty(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import attach_lookup
+
+        queries = rd.from_arrow(pa.table({"k": [1, 2], "payload": [5, 6]}))
+        table = rd.from_arrow(pa.table({"k": [7], "val": [0.0]}))
+        out = attach_lookup(
+            queries, table, key_col="k", val_cols=["val"], carry_cols=["payload"]
+        ).to_pandas()
+        assert len(out) == 0
+
+
 class TestCapPerKey:
     def test_cap_keeps_top_k_by_order(self, ray_session):
         import ray.data as rd

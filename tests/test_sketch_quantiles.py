@@ -228,16 +228,41 @@ class TestSubstringDup:
         assert out == exp
         assert 4 not in out
 
-    def test_dup_cap_raises(self, ray_session):
+    def test_dup_cap_semijoin_fallback_matches(self, ray_session):
+        """Round 4: past ``dup_cap`` the duplicated-hash broadcast switches
+        to the hash-partitioned semi-join — identical per-doc counts,
+        nothing dup-set-sized on the driver."""
         import ray.data as rd
 
         from pdf_extractor_ray.ops.substr import duplicate_window_counts
 
-        tbl = pa.table({"doc_id": [1, 2], "text": ["x" * 100, "x" * 100]})
-        with pytest.raises(RuntimeError, match="dup_cap"):
-            duplicate_window_counts(
-                rd.from_arrow(tbl), window=10, dup_cap=0
-            ).take_all()
+        bp = "SHARED-BOILERPLATE-SUFFIX-1234"
+        tbl = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "abcdefghijklmnopqrstuvwxyz" + bp,
+                    "zyxwvutsrqponmlkjihgfedcba" + bp,
+                    "aaaaaaaaaaaaaaaaaaaa",
+                    "completely unique text block with no repeats at all",
+                ],
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(3)
+
+        def canon(out):
+            df = out.to_pandas()
+            return (
+                df[["doc_id", "total_windows", "dup_windows"]]
+                .astype({"total_windows": "int64", "dup_windows": "int64"})
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        base = canon(duplicate_window_counts(ds, window=10))
+        over = canon(duplicate_window_counts(ds, window=10, dup_cap=1))
+        assert base.equals(over)
+        assert int(base["dup_windows"].sum()) > 0
 
 
 class TestNullHandling:
