@@ -1559,12 +1559,23 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     so pruned probing is inherently lossy on them; the approximation
     quality at ``n_probe=4/16`` is pinned by tests/test_ops.py's recall@10
     bound instead, and reported in BASELINE.md."""
-    from .ops.ann import build_ivf_centroids, ivf_topk
+    from .ops.ann import assign_lists, build_ivf_centroids, ivf_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = _first_vectors(sf_dir, 5)
     centroids = build_ivf_centroids(ds, n_centroids=8)
-    out = ivf_topk(ds, np.array(queries), centroids, k=10, n_probe=8, query_ids=list(range(5)))
+    # index build: persist the list assignment once; queries probe by the
+    # stored list_id column instead of re-assigning per run (round 4)
+    indexed = assign_lists(ds, centroids).materialize()
+    out = ivf_topk(
+        indexed,
+        np.array(queries),
+        centroids,
+        k=10,
+        n_probe=8,
+        query_ids=list(range(5)),
+        list_col="list_id",
+    )
     return (
         out[["query_id", "vec_id", "rank"]]
         .sort_values(["query_id", "rank"])

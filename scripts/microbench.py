@@ -157,6 +157,34 @@ def main() -> None:
     bench("canonicalize_url", lambda u: canonicalize_url(u), urls)
     bench("substr_window_hashes_2kB", lambda t: window_hashes(t, 50), short_texts)
 
+    # ANN vector decode: zero-copy flatten/reshape vs to_pylist (round 4)
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops.ann import _decode_vectors
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(2048, 64))
+    vtbl = pa.table(
+        {
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel()), 64
+            )
+        }
+    )
+    bench(
+        "ann_decode_zerocopy_2048x64",
+        lambda t: _decode_vectors(t, "embedding"),
+        [vtbl],
+        repeat=20,
+    )
+    bench(
+        "ann_decode_topylist_2048x64",
+        lambda t: np.array(t["embedding"].to_pylist(), dtype=np.float64),
+        [vtbl],
+        repeat=20,
+    )
+
 
 if __name__ == "__main__":
     main()

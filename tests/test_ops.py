@@ -604,6 +604,35 @@ class TestANN:
         top1 = out[out["rank"] == 1]
         assert top1["vec_id"].tolist() == [0, 1, 2, 3, 4]
 
+    def test_persisted_list_assignment_matches_on_the_fly(self, ray_session):
+        """Round 4: ``assign_lists`` writes ``list_id`` once; ``ivf_topk``
+        probing the stored column must equal the per-run re-assignment."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.ann import assign_lists
+
+        rng = np.random.Generator(np.random.Philox(8))
+        vecs = rng.normal(size=(200, 16))
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+        ).repartition(4)
+        centroids = build_ivf_centroids(ds, n_centroids=8)
+        indexed = assign_lists(ds, centroids).materialize()
+        assert "list_id" in indexed.schema().names
+        a = ivf_topk(
+            ds, vecs[:5], centroids, k=3, n_probe=3, query_ids=list(range(5))
+        ).reset_index(drop=True)
+        b = ivf_topk(
+            indexed,
+            vecs[:5],
+            centroids,
+            k=3,
+            n_probe=3,
+            query_ids=list(range(5)),
+            list_col="list_id",
+        ).reset_index(drop=True)
+        assert a.equals(b)
+
 
 class TestTextOps:
     def test_langid(self):
