@@ -9,9 +9,17 @@ downstream feature kernel in this engine consumes grayscale. Construction
 follows the public JPEG spec (ITU-T T.81): canonical Huffman from DHT
 BITS/HUFFVAL, zigzag order, type-II DCT basis.
 
-Declared unsupported (typed ``NotImplementedError``): progressive (SOF2),
-arithmetic coding, 12-bit precision, 16-bit quant tables, CMYK (4
-components). Corrupt payloads raise ``ValueError`` — the media stage's
+Progressive (SOF2, round 4): multi-scan decoding per ITU-T T.81 Annex G —
+DC first/refinement scans (interleaved or single-component), AC
+first/refinement scans with EOB-run decoding and the G.1.2.3 correction-
+bit algorithm. Single-component scans of non-luma components are SKIPPED
+by scanning to the next marker (entropy segments are marker-delimited),
+so chroma costs nothing; interleaved DC scans entropy-decode chroma to
+advance the serial bitstream, as in baseline.
+
+Declared unsupported (typed ``NotImplementedError``): arithmetic coding,
+lossless/hierarchical SOFs, 12-bit precision, 16-bit quant tables, CMYK
+(4 components). Corrupt payloads raise ``ValueError`` — the media stage's
 per-row containment turns either into a ``decode_error`` row.
 
 Encoder: fixture-grade baseline encoder (grayscale, optional 4:2:0 color
@@ -250,9 +258,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2 progressive (Huffman)
+            return _decode_progressive_jpeg(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG unsupported (baseline only)"
+                "lossless/hierarchical/arithmetic JPEG unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -335,7 +345,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             k += 1
             mcu_count += 1
 
-    # Vectorized dequant + dezigzag + IDCT over ALL Y blocks at once.
+    return _reconstruct_luma(
+        y_coeffs, yq, y_blocks_x, y_blocks_y, frame, y_comp, hmax, vmax
+    )
+
+
+def _reconstruct_luma(
+    y_coeffs: np.ndarray,
+    yq: np.ndarray,
+    y_blocks_x: int,
+    y_blocks_y: int,
+    frame: dict,
+    y_comp: dict,
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Vectorized dequant + dezigzag + IDCT over ALL Y blocks at once,
+    then crop to the component's sample area (shared by the baseline and
+    progressive paths)."""
     deq = (y_coeffs * yq[None, :]).astype(np.float64)
     mats = np.zeros((len(deq), 64))
     mats[:, _ZIGZAG] = deq
@@ -351,6 +378,329 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ys = frame["h"] * y_comp["v"] // vmax
     xs = frame["w"] * y_comp["h"] // hmax
     return out[:ys, :xs]
+
+
+def _skip_entropy(payload: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment: the next 0xFF followed by a
+    byte that is neither 0x00 stuffing nor an RSTn marker ends it."""
+    while pos < len(payload):
+        nxt = payload.find(b"\xff", pos)
+        if nxt < 0 or nxt + 1 >= len(payload):
+            return len(payload)
+        b = payload[nxt + 1]
+        if b == 0x00 or 0xD0 <= b <= 0xD7:
+            pos = nxt + 2
+            continue
+        return nxt
+    return pos
+
+
+def _decode_progressive_jpeg(payload: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2) → (H, W) uint8 LUMA plane.
+
+    T.81 Annex G successive-approximation / spectral-selection decoding:
+    every scan accumulates into the Y coefficient array (zigzag order,
+    same layout as the baseline path); the shared dequant/IDCT tail runs
+    once at EOI. Non-luma single-component scans are skipped at marker
+    granularity (no entropy decode at all); interleaved DC scans decode
+    chroma symbols to advance the bitstream but store nothing."""
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    y_coeffs = None
+    saw_scan = False
+
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG truncated in marker segment")
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables unsupported")
+                quant[tq] = np.frombuffer(seg[p + 1 : p + 65], np.uint8).astype(
+                    np.int32
+                )
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC2:  # SOF2
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError("12-bit precision unsupported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError("CMYK/4-component JPEG unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("multiple/conflicting SOF markers")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if y_coeffs is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                y_comp = frame["comps"][0]
+                mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+                y_blocks_x = mcus_x * y_comp["h"]
+                y_blocks_y = mcus_y * y_comp["v"]
+                y_coeffs = np.zeros((y_blocks_y * y_blocks_x, 64), dtype=np.int32)
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + c * 2 : 3 + c * 2]
+                scan_comps.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            ss, se, ahal = seg[1 + ns * 2 : 4 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos += 2 + seg_len
+            pos = _decode_progressive_scan(
+                payload,
+                pos,
+                frame,
+                scan_comps,
+                ss,
+                se,
+                ah,
+                al,
+                dc_tables,
+                ac_tables,
+                restart_interval,
+                y_coeffs,
+                y_blocks_x,
+                mcus_x,
+                mcus_y,
+                hmax,
+                vmax,
+            )
+            saw_scan = True
+            continue
+        pos += 2 + seg_len
+
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    yq = quant.get(frame["comps"][0]["tq"])
+    if yq is None:
+        raise ValueError("missing quantization table")
+    return _reconstruct_luma(
+        y_coeffs, yq, y_blocks_x, y_blocks_y, frame, y_comp, hmax, vmax
+    )
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tables: dict,
+    ac_tables: dict,
+    restart_interval: int,
+    y_coeffs: np.ndarray,
+    y_blocks_x: int,
+    mcus_x: int,
+    mcus_y: int,
+    hmax: int,
+    vmax: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data; returns the position of
+    the next marker. The Y component's coefficients accumulate into
+    ``y_coeffs`` (zigzag order); other components either advance the
+    bitstream (interleaved DC) or are skipped wholesale."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    y_id = comps[0]["id"]
+    for sc in scan_comps:
+        if sc["cs"] not in by_id:
+            raise ValueError("scan references unknown component")
+
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("interleaved AC scan is invalid in progressive JPEG")
+    if len(scan_comps) == 1 and scan_comps[0]["cs"] != y_id:
+        return _skip_entropy(payload, pos)  # chroma-only scan: not needed
+
+    reader = _BitReader(payload, pos)
+    eobrun = 0
+    preds = {sc["cs"]: 0 for sc in scan_comps}
+
+    def dc_first(coef, comp_id, dct):
+        s = reader.decode_symbol(dct)
+        preds[comp_id] += _extend(reader.read_bits(s), s)
+        if coef is not None:
+            coef[0] = preds[comp_id] << al
+
+    def dc_refine(coef):
+        bit = reader.read_bit()
+        if coef is not None and bit:
+            coef[0] |= 1 << al
+
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def ac_first(coef, act):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = reader.decode_symbol(act)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:  # EOBn
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    return
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC coefficient overrun")
+            coef[k] = _extend(reader.read_bits(size), size) << al
+            k += 1
+
+    def ac_refine(coef, act):
+        # T.81 G.1.2.3 correction-bit decoding (the classic serial form).
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = reader.decode_symbol(act)
+                run, size = sym >> 4, sym & 0xF
+                newval = 0
+                if size == 0:
+                    if run != 15:  # EOBn — the tail loop below finishes
+                        # this block's correction bits and consumes one
+                        # run unit (unlike ac_first's immediate return).
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += reader.read_bits(run)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise ValueError("invalid AC refinement symbol")
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    c = int(coef[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            coef[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    coef[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(coef[k])
+                if c != 0 and reader.read_bit() and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def restart():
+        nonlocal eobrun
+        if reader.align_to_marker() is None:
+            raise ValueError("expected restart marker")
+        for cid in preds:
+            preds[cid] = 0
+        eobrun = 0
+
+    if len(scan_comps) > 1:  # interleaved: DC scans only (ss == 0)
+        if ss != 0 or se != 0:
+            raise ValueError("interleaved progressive scan must be DC-only")
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                for sc in scan_comps:
+                    c = by_id[sc["cs"]]
+                    keep = c["id"] == y_id
+                    dct = dc_tables.get(sc["td"])
+                    if ah == 0 and dct is None:
+                        raise ValueError("missing Huffman table")
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = None
+                            if keep:
+                                bi = (my * c["v"] + by) * y_blocks_x + (
+                                    mx * c["h"] + bx
+                                )
+                                coef = y_coeffs[bi]
+                            if ah == 0:
+                                dc_first(coef, c["id"], dct)
+                            else:
+                                dc_refine(coef)
+                unit += 1
+    else:  # single-component (Y) scan: non-interleaved block grid
+        sc = scan_comps[0]
+        c = by_id[sc["cs"]]
+        comp_w = (frame["w"] * c["h"] + hmax - 1) // hmax
+        comp_h = (frame["h"] * c["v"] + vmax - 1) // vmax
+        bw = (comp_w + 7) // 8
+        bh = (comp_h + 7) // 8
+        dct = dc_tables.get(sc["td"])
+        act = ac_tables.get(sc["ta"])
+        if ss == 0 and ah == 0 and dct is None:
+            raise ValueError("missing Huffman table")
+        if ss > 0 and act is None:
+            raise ValueError("missing Huffman table")
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                coef = y_coeffs[by * y_blocks_x + bx]
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(coef, c["id"], dct)
+                    else:
+                        dc_refine(coef)
+                else:
+                    if ah == 0:
+                        ac_first(coef, act)
+                    else:
+                        ac_refine(coef, act)
+                unit += 1
+
+    return _skip_entropy(payload, reader.pos)
 
 
 def _encode_block(
@@ -470,6 +820,243 @@ def encode_jpeg_gray(
                 pred_cb = _encode_block(writer, zero_block, pred_cb, dc_codes, ac_codes)
                 pred_cr = _encode_block(writer, zero_block, pred_cr, dc_codes, ac_codes)
     out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Encoder-side AC table for progressive scans: all 256 symbols must be
+# codable (EOBn symbols n<<4 are absent from the Annex K table), so use a
+# trivial canonical table — 255 symbols at 9 bits + 0xFF at 10 (a BITS
+# byte caps at 255).
+_PROG_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def encode_jpeg_progressive_gray(
+    img: np.ndarray, quant_value: int = 8, color: bool = False
+) -> bytes:
+    """Fixture-grade progressive (SOF2) JPEG encoder.
+
+    Same quantized coefficients as :func:`encode_jpeg_gray` (flat quant
+    table; ``color=True`` wraps as 4:2:0 YCbCr with neutral chroma), sent
+    over a T.81 Annex G scan script that exercises every progressive
+    decode path: DC first at Al=1 + DC refinement (interleaved when
+    color), AC first scans with spectral selection at Al=2 (EOB-run
+    coding), and two AC refinement passes (correction bits, G.1.2.3).
+    Decoding therefore reproduces the baseline encoder's pixels exactly.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    qtab = np.full(64, int(quant_value), dtype=np.int32)
+    dc_codes = _canonical_codes(*_STD_DC_LUM)
+    ac_codes = _canonical_codes(*_PROG_AC)
+
+    def segment(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += segment(0xDB, bytes([0]) + bytes(qtab.tolist()))
+    if color:
+        comps = bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+        out += segment(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) + comps)
+    else:
+        out += segment(
+            0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+        )
+    bits_dc, vals_dc = _STD_DC_LUM
+    bits_ac, vals_ac = _PROG_AC
+    out += segment(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc))
+    out += segment(0xC4, bytes([0x11]) + bytes(bits_ac) + bytes(vals_ac))
+
+    # Quantized zigzag coefficients for every Y block, MCU order (the same
+    # transform the baseline encoder applies).
+    unit = 16 if color else 8
+    ph = (h + unit - 1) // unit * unit
+    pw = (w + unit - 1) // unit * unit
+    padded = np.zeros((ph, pw), dtype=np.uint8)
+    padded[:h, :w] = img
+    if ph > h:
+        padded[h:, :w] = img[-1:, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+    mcus_y = ph // unit
+    mcus_x = pw // unit
+    # Zigzag coefficient blocks over the full MCU-padded Y grid.
+    grid: list[list[np.ndarray]] = []
+    for by in range(ph // 8):
+        row = []
+        for bx in range(pw // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coef = _DCT_T @ block @ _DCT_T.T
+            nat = np.round(coef / float(quant_value)).astype(np.int64)
+            row.append(nat.reshape(64)[_ZIGZAG])
+        grid.append(row)
+    # DC scans walk MCU order (interleaved when color: 2x2 Y sub-blocks);
+    # AC scans are non-interleaved — row-major over the component's own
+    # ceil(h/8) x ceil(w/8) grid, excluding MCU padding blocks.
+    mcu_blocks: list[list[np.ndarray]] = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if color:
+                mcu_blocks.append(
+                    [grid[my * 2 + sy][mx * 2 + sx] for sy in (0, 1) for sx in (0, 1)]
+                )
+            else:
+                mcu_blocks.append([grid[my][mx]])
+    bh_ac = (h + 7) // 8
+    bw_ac = (w + 7) // 8
+    y_blocks = [grid[by][bx] for by in range(bh_ac) for bx in range(bw_ac)]
+
+    def sos_header(comp_specs: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cs, td, ta in comp_specs:
+            body += bytes([cs, (td << 4) | ta])
+        return segment(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def write_bits(writer, v: int, size: int) -> None:
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        writer = _BitWriter()
+        if ah == 0:
+            preds = {1: 0, 2: 0, 3: 0}
+            for blocks in mcu_blocks:
+                for blk in blocks:
+                    v = int(blk[0]) >> al
+                    diff = v - preds[1]
+                    preds[1] = v
+                    size = abs(diff).bit_length()
+                    code, length = dc_codes[size]
+                    writer.write(code, length)
+                    if size:
+                        write_bits(writer, diff, size)
+                if color:  # neutral chroma: zero diffs
+                    for _cid in (2, 3):
+                        code, length = dc_codes[0]
+                        writer.write(code, length)
+        else:
+            for blocks in mcu_blocks:
+                for blk in blocks:
+                    writer.write((int(blk[0]) >> al) & 1, 1)
+                if color:
+                    writer.write(0, 1)
+                    writer.write(0, 1)
+        return writer.flush()
+
+    def ac_first_scan(ss, se, al) -> bytes:
+        writer = _BitWriter()
+        state = {"eobrun": 0}
+
+        def emit_eobrun():
+            if state["eobrun"] > 0:
+                n = state["eobrun"].bit_length() - 1
+                code, length = ac_codes[n << 4]
+                writer.write(code, length)
+                if n:
+                    writer.write(state["eobrun"] & ((1 << n) - 1), n)
+                state["eobrun"] = 0
+
+        for blk in y_blocks:
+            r = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    code, length = ac_codes[0xF0]
+                    writer.write(code, length)
+                    r -= 16
+                size = t.bit_length()
+                code, length = ac_codes[(r << 4) | size]
+                writer.write(code, length)
+                write_bits(writer, t if v >= 0 else -t, size)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        return writer.flush()
+
+    def ac_refine_scan(ss, se, ah, al) -> bytes:
+        # jcphuff-style G.1.2.3 encoder: correction bits buffer per block
+        # (br) and across EOB-run blocks (be).
+        writer = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+
+        def emit_eobrun():
+            if state["eobrun"] > 0:
+                n = state["eobrun"].bit_length() - 1
+                code, length = ac_codes[n << 4]
+                writer.write(code, length)
+                if n:
+                    writer.write(state["eobrun"] & ((1 << n) - 1), n)
+                state["eobrun"] = 0
+                for b in state["be"]:
+                    writer.write(b, 1)
+                state["be"] = []
+
+        for blk in y_blocks:
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1  # last newly-nonzero index
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = ss + i
+            r = 0
+            br: list[int] = []
+            for i, k in enumerate(range(ss, se + 1)):
+                temp = absv[i]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    emit_eobrun()
+                    code, length = ac_codes[0xF0]
+                    writer.write(code, length)
+                    r -= 16
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                if temp > 1:  # history-nonzero: correction bit only
+                    br.append(temp & 1)
+                    continue
+                emit_eobrun()
+                code, length = ac_codes[(r << 4) | 1]
+                writer.write(code, length)
+                writer.write(1 if int(blk[k]) >= 0 else 0, 1)
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                state["eobrun"] += 1
+                state["be"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        return writer.flush()
+
+    dc_specs = (
+        [(1, 0, 0), (2, 0, 0), (3, 0, 0)] if color else [(1, 0, 0)]
+    )
+    out += sos_header(dc_specs, 0, 0, 0, 1)
+    out += dc_scan(0, 1)
+    out += sos_header(dc_specs, 0, 0, 1, 0)
+    out += dc_scan(1, 0)
+    out += sos_header([(1, 0, 1)], 1, 5, 0, 2)
+    out += ac_first_scan(1, 5, 2)
+    out += sos_header([(1, 0, 1)], 6, 63, 0, 2)
+    out += ac_first_scan(6, 63, 2)
+    out += sos_header([(1, 0, 1)], 1, 63, 2, 1)
+    out += ac_refine_scan(1, 63, 2, 1)
+    out += sos_header([(1, 0, 1)], 1, 63, 1, 0)
+    out += ac_refine_scan(1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
 

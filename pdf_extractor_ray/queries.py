@@ -1663,16 +1663,24 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     (lossless; identity grayscale palette), %5==3 a TIFF (LZW strips,
     predictor 2), %5==4 a lossless WebP (VP8L, SUBTRACT_GREEN + flat
     prefix codes), all with the per-pixel formula
-    ``(doc_id*31 + i) % 256``; %5==1 yields a REAL baseline JPEG
+    ``(doc_id*31 + i) % 256``; %5==1 yields a REAL JPEG
     of four constant 8×8 blocks valued ``(doc_id*31 + b*17) % 256``
     encoded with a flat quant table of 8 — constant blocks round-trip
     EXACTLY through the real DCT path (DC=(v-128)*8 quantizes
-    losslessly). The media stage must decode all five formats, compute
+    losslessly); half of those (doc_id%10==6) are PROGRESSIVE (SOF2,
+    round 4: DC refine + spectral-selection + successive-approximation
+    scans) with identical pixels, so the same oracle covers the Annex G
+    decode path. The media stage must decode all five formats, compute
     the 16-bin intensity histogram, and emit normalized weights; the SQL
     oracle recomputes the histograms directly from the pixel formulas.
     Weights are exact dyadic rationals (count/256), hash-safe across
     engines."""
-    from .ops.jpeg import encode_gif_gray, encode_jpeg_gray, encode_tiff_gray
+    from .ops.jpeg import (
+        encode_gif_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+        encode_tiff_gray,
+    )
     from .ops.multimodal import encode_png, media_pipeline
     from .ops.webp import encode_webp_gray
 
@@ -1688,7 +1696,12 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
                     img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         i * 31 + b * 17
                     ) % 256
-                payloads.append(encode_jpeg_gray(img, quant_value=8))
+                enc = (
+                    encode_jpeg_progressive_gray
+                    if i % 10 == 6
+                    else encode_jpeg_gray
+                )
+                payloads.append(enc(img, quant_value=8))
                 mimes.append("image/jpeg")
             else:
                 pixels = (

@@ -5,7 +5,11 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from pdf_extractor_ray.ops.jpeg import decode_jpeg, encode_jpeg_gray
+from pdf_extractor_ray.ops.jpeg import (
+    decode_jpeg,
+    encode_jpeg_gray,
+    encode_jpeg_progressive_gray,
+)
 from pdf_extractor_ray.ops.multimodal import decode_image
 
 
@@ -138,7 +142,18 @@ class TestContainment:
         with pytest.raises(ValueError):
             decode_jpeg(full[:60])
 
-    def test_progressive_declared_unsupported(self):
+    def test_arithmetic_coding_declared_unsupported(self):
+        import struct
+
+        data = bytearray(b"\xff\xd8")
+        data += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+        data += _seg(  # SOF9: extended sequential, arithmetic coding
+            0xC9, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        )
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
+
+    def test_progressive_missing_scan_data(self):
         import struct
 
         data = bytearray(b"\xff\xd8")
@@ -146,8 +161,59 @@ class TestContainment:
         data += _seg(
             0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
         )
-        with pytest.raises(NotImplementedError):
+        data += b"\xff\xd9"
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
+
+
+class TestProgressive:
+    """Round 4: SOF2 progressive decoding (T.81 Annex G) must reproduce
+    the baseline encoder's pixels exactly — same quantized coefficients,
+    different scan schedule (DC first/refine, spectral-selection AC first
+    with EOB runs, two successive-approximation AC refinement passes)."""
+
+    def test_matches_baseline_gray(self):
+        rng = np.random.default_rng(7)
+        for shape in ((8, 8), (16, 16), (17, 23), (33, 9)):
+            for q in (8, 1, 3):
+                img = rng.integers(0, 256, shape).astype(np.uint8)
+                base = decode_jpeg(encode_jpeg_gray(img, quant_value=q))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive_gray(img, quant_value=q)
+                )
+                assert np.array_equal(base, prog), (shape, q)
+
+    def test_matches_baseline_color_interleaved_dc(self):
+        """4:2:0 color: the interleaved DC scans must walk MCU order while
+        the AC scans walk the component's own non-interleaved grid."""
+        rng = np.random.default_rng(9)
+        for shape in ((16, 16), (24, 40), (15, 130)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg_gray(img, quant_value=1, color=True))
+            prog = decode_jpeg(
+                encode_jpeg_progressive_gray(img, quant_value=1, color=True)
+            )
+            assert np.array_equal(base, prog), shape
+
+    def test_constant_blocks_exact_roundtrip(self):
+        """Flat quant 8 + constant blocks: the media_features oracle's
+        exactness property must hold through the progressive path too."""
+        img = np.zeros((16, 16), np.uint8)
+        for b, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 40 + b * 17
+        out = decode_jpeg(encode_jpeg_progressive_gray(img, quant_value=8))
+        assert np.array_equal(out, img)
+
+    def test_decode_image_dispatch(self):
+        from pdf_extractor_ray.ops.multimodal import decode_image
+
+        img = (np.add.outer(np.arange(16), np.arange(16)) * 3 % 256).astype(
+            np.uint8
+        )
+        payload = encode_jpeg_progressive_gray(img, quant_value=1)
+        out = decode_image(payload)
+        base = decode_jpeg(encode_jpeg_gray(img, quant_value=1))
+        assert np.array_equal(out, base)
 
     def test_media_stage_contains_corrupt_jpeg(self, ray_session):
         import ray.data as rd
