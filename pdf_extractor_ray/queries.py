@@ -2176,6 +2176,21 @@ def q_media_resize(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "mode", "y", "x"]).reset_index(drop=True)
 
 
+def q_rasterize_pages(sf_dir: str) -> pd.DataFrame:
+    """Text rasterizer (round 4, retiring the M6 exclusion — reference
+    ``openai_client.py:60-105`` renders pages to PNG for a vision model):
+    each document's first 200 codepoints render onto a 256-px-wide
+    monospace bitmap with the deterministic bar-glyph formula
+    (:mod:`.ops.raster`), and the layout metrics — ink pixels, occupied
+    8-px row bands — are read off the RENDERED PIXELS; the SQL oracle
+    recomputes them from the per-codepoint closed form."""
+    from .ops.raster import rasterize_pages
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = rasterize_pages(ds, width=256, max_chars=200).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_adpcm_features(sf_dir: str) -> pd.DataFrame:
     """IMA-ADPCM audio with a FULL exact oracle for a LOSSY codec: the
     decode is a pure integer state machine (published step/index
@@ -2851,6 +2866,31 @@ b AS (
 )
 SELECT bin, count(*) AS docs FROM b GROUP BY bin ORDER BY bin
 """,
+    "rasterize_pages": """
+WITH idxs AS (
+    SELECT doc_id, text,
+           unnest(range(1, least(length(text), 200) + 1)) AS idx
+    FROM documents
+    WHERE length(text) > 0
+),
+chars AS (
+    SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+           unicode(substr(text, CAST(idx AS INT), 1)) AS cp
+    FROM idxs
+),
+inked AS (
+    SELECT doc_id, idx,
+           CASE WHEN cp IN (32, 9, 10, 13) THEN 0 ELSE cp % 32 + 8 END AS ink
+    FROM chars
+)
+SELECT doc_id,
+       COUNT(*) AS n_rendered,
+       CAST(SUM(ink) AS BIGINT) AS ink_pixels,
+       COUNT(DISTINCT CASE WHEN ink > 0 THEN (idx - 1) // 32 END) AS rows_occupied
+FROM inked
+GROUP BY doc_id
+ORDER BY doc_id
+""",
     "media_resize": """
 WITH g AS (
     SELECT d.doc_id, y.y, x.x FROM documents d
@@ -3464,6 +3504,7 @@ QUERIES = {
     "embed_ann": q_embed_ann,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
+    "rasterize_pages": q_rasterize_pages,
     "audio_features": q_audio_features,
     "adpcm_features": q_adpcm_features,
     "g711_features": q_g711_features,

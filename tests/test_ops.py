@@ -634,6 +634,59 @@ class TestANN:
         assert a.equals(b)
 
 
+class TestRasterize:
+    """Round 4 M6 analogue: deterministic text rasterizer + pixel-derived
+    layout metrics."""
+
+    def test_bitmap_layout_and_glyphs(self):
+        from pdf_extractor_ray.ops.raster import render_text_bitmap
+
+        bmp = render_text_bitmap("AB cd", width=64)  # 8 cols per row
+        assert bmp.shape == (8, 64)
+        # glyph ink counts: bar of cp%32+8 pixels; space renders blank
+        for pos, ch in enumerate("AB cd"):
+            cell = bmp[0:8, pos * 8 : pos * 8 + 8]
+            exp = 0 if ch == " " else ord(ch) % 32 + 8
+            assert int((cell != 0).sum()) == exp
+        assert not bmp[:, 5 * 8 :].any()  # unused cells blank
+
+    def test_wraps_rows_and_roundtrips_png(self):
+        from pdf_extractor_ray.ops.multimodal import decode_png, encode_png
+        from pdf_extractor_ray.ops.raster import render_text_bitmap
+
+        text = "x" * 20  # 8 cols -> 3 rows
+        bmp = render_text_bitmap(text, width=64)
+        assert bmp.shape == (24, 64)
+        assert np.array_equal(decode_png(encode_png(bmp)), bmp)
+
+    def test_stage_metrics_match_bitmap(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.raster import (
+            rasterize_pages,
+            render_text_bitmap,
+        )
+
+        texts = ["hello world", "  \n\t ", "", "a" * 300]
+        tbl = pa.table({"doc_id": [1, 2, 3, 4], "text": texts})
+        out = {
+            r["doc_id"]: r
+            for r in rasterize_pages(
+                rd.from_arrow(tbl).repartition(2), width=256, max_chars=200
+            ).take_all()
+        }
+        assert 3 not in out  # empty text renders nothing
+        for i, t in ((1, texts[0]), (2, texts[1]), (4, texts[3][:200])):
+            bmp = render_text_bitmap(t, width=256, max_chars=200)
+            assert out[i]["n_rendered"] == len(t)
+            assert out[i]["ink_pixels"] == int((bmp != 0).sum())
+            bands = bmp.reshape(-1, 8, 256)
+            assert out[i]["rows_occupied"] == int(
+                (bands != 0).any(axis=(1, 2)).sum()
+            )
+        assert out[2]["ink_pixels"] == 0 and out[2]["rows_occupied"] == 0
+
+
 class TestTextOps:
     def test_langid(self):
         scorer = LangIdScorer()
