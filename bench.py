@@ -160,6 +160,7 @@ def main() -> None:
         "ann_topk", "token_stats", "minhash_dedup", "order_priority_revenue",
         "user_sessions", "paragraph_dedup", "media_features",
         "quantiles", "distinct_sketch", "substring_dup", "canonical_urls",
+        "ngram_jaccard_dedup", "simhash",
     )
     for name in query_names:
         t0 = time.time()
