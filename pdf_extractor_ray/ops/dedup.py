@@ -540,7 +540,7 @@ def connected_components(
     at least one edge.
     """
     import ray
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     from .segments import sorted_segment_apply
 
@@ -621,7 +621,25 @@ def connected_components(
         )
         .materialize()
     )
-    prev_total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    def _label_sum(lab_ds) -> int:
+        # Convergence metric WITHOUT an aggregate exchange: per-block
+        # partial sums inside map_batches (one tiny row per block),
+        # take_all of O(blocks) rows. Saves a whole Ray job per round —
+        # each exchange job costs ~1-2 s fixed at bench scale (round 3).
+        # Partials ride as STRINGS of exact Python ints: an int64/float64
+        # partial could wrap/round for large ids (labels only decrease,
+        # so an inexact sum risks a false fixpoint).
+        def block_sum(t: pa.Table) -> pa.Table:
+            arr = t["label"].to_numpy(zero_copy_only=False)
+            s = int(arr.sum(dtype=object)) if len(arr) else 0
+            return pa.Table.from_arrays([pa.array([str(s)])], names=["s"])
+
+        parts = lab_ds.map_batches(
+            block_sum, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+        return sum(int(r["s"]) for r in parts)
+
+    prev_total = _label_sum(labels)
 
     def tab_rows(t: pa.Table) -> pa.Table:
         # Label-table rows (also produce the keep message in the kernel).
@@ -692,7 +710,7 @@ def connected_components(
             .aggregate(Min("cand", alias_name="label"))
             .materialize()
         )
-        total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        total = _label_sum(labels)
         if total == prev_total:
             break
         prev_total = total
