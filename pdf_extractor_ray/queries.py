@@ -2107,6 +2107,19 @@ def q_tfidf_terms(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def q_lm_quality(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality scoring (round 4): a corpus-trained bigram
+    MLE scores every document's word transitions with integer-exact
+    arithmetic (``C(w1,w2) * 1e6 // C(w1,·)`` summed over consecutive
+    pairs — :func:`ops.text.lm_bigram_score`); the oracle recomputes the
+    model and scores in SQL (window-function bigrams + two joins)."""
+    from .ops.text import lm_bigram_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = lm_bigram_score(ds).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_length_bins(sf_dir: str) -> pd.DataFrame:
     """Curriculum binning composition: quartile thresholds of ``n_chars``
     come from :func:`ops.quantiles.exact_quantiles` (counting passes, no
@@ -2844,6 +2857,35 @@ scored AS (
 SELECT doc_id, term, score, CAST(r AS INTEGER) AS rank
 FROM scored WHERE r <= 3 ORDER BY doc_id, rank
 """,
+    "lm_quality": r"""
+WITH lists AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(l) AS term,
+           unnest(range(1, len(l) + 1)) AS idx
+    FROM lists
+),
+big AS (
+    SELECT doc_id, term AS w1,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+    FROM toks
+),
+bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS u FROM bc GROUP BY 1),
+scored AS (
+    SELECT g.doc_id, count(*) AS nb,
+           CAST(sum(bc.c * 1000000 // uc.u) AS BIGINT) AS s
+    FROM bg g JOIN bc USING (w1, w2) JOIN uc USING (w1)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(scored.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(scored.s, 0) AS BIGINT) AS lm_score
+FROM documents d LEFT JOIN scored USING (doc_id)
+ORDER BY d.doc_id
+""",
     "length_bins": """
 WITH o AS (
     SELECT n_chars AS x,
@@ -3516,6 +3558,7 @@ QUERIES = {
     "distinct_sketch": q_distinct_sketch,
     "word_topk": q_word_topk,
     "tfidf_terms": q_tfidf_terms,
+    "lm_quality": q_lm_quality,
     "canonical_urls": q_canonical_urls,
     "substring_dup": q_substring_dup,
     "repetition_filter": q_repetition_filter,

@@ -634,6 +634,60 @@ class TestANN:
         assert a.equals(b)
 
 
+class TestLmBigramScore:
+    """Round 4 CCNet-style LM quality scoring: corpus-trained bigram MLE,
+    integer-exact scores, broadcast and semi-join regimes identical."""
+
+    def _corpus(self, rd):
+        rng = np.random.Generator(np.random.Philox(31))
+        words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast"]
+        texts = [
+            " ".join(rng.choice(words, rng.integers(0, 15)).tolist())
+            for _ in range(50)
+        ] + ["", "single", "  \t "]
+        ids = [f"d{i:02d}" for i in range(len(texts))]
+        return ids, texts, rd.from_arrow(
+            pa.table({"doc_id": ids, "text": texts})
+        ).repartition(4)
+
+    def test_matches_bruteforce_and_regimes_agree(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import lm_bigram_score
+
+        ids, texts, ds = self._corpus(rd)
+        a = (
+            lm_bigram_score(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = lm_bigram_score(ds, model_cap=1).to_pandas()
+        b = b[a.columns].sort_values("doc_id").reset_index(drop=True)
+        for c in a.columns:
+            b[c] = b[c].astype(a[c].dtype)
+        assert a.equals(b)
+
+        bc: collections.Counter = collections.Counter()
+        uc: collections.Counter = collections.Counter()
+        toks_all = [t.lower().split() for t in texts]
+        for toks in toks_all:
+            for p in zip(toks, toks[1:]):
+                bc[p] += 1
+                uc[p[0]] += 1
+        exp = {
+            i: (
+                max(0, len(toks) - 1),
+                sum(bc[p] * 1_000_000 // uc[p[0]] for p in zip(toks, toks[1:])),
+            )
+            for i, toks in zip(ids, toks_all)
+        }
+        got = {r.doc_id: (r.n_bigrams, r.lm_score) for r in a.itertuples()}
+        assert got == exp
+
+
 class TestRasterize:
     """Round 4 M6 analogue: deterministic text rasterizer + pixel-derived
     layout metrics."""
