@@ -37,26 +37,28 @@ Reader support (documented subset):
   with the 2-byte codespace (their /ToUnicode is code-keyed, so text
   extraction stays correct)
 
-Encryption (round 3): the STANDARD security handler (ISO 32000
-§7.6.2–7.6.4) opens EMPTY-USER-PASSWORD files across the classic
+Encryption (round 3; non-empty passwords round 4): the STANDARD
+security handler (ISO 32000 §7.6.2–7.6.4) opens files across the classic
 surface — RC4 (V 1–2, R 2–3, 40–128-bit) AND AES-128-CBC via the V4/R4
 AESV2 crypt filter (from-scratch FIPS-197 AES in :mod:`.aes`, verified
 against the appendix-C vectors). Key derivation Algorithm 2,
 user-password verification Algorithms 4/5, per-object keys (+``sAlT``
 for AES) over streams and strings; XRef streams and the /Encrypt dict
 stay plain, object-stream members are covered by their container per
-spec. The V5/R6 AES-256 handler (ISO 32000-2) is ALSO supported for empty
-passwords: Hash-2B (SHA-256/384/512 hardening loop) password
-validation, /UE file-key unwrap, whole-file AES-256-CBC key.
-Password-protected files and unknown handler versions raise a typed
-``PdfError``.
+spec. The V5/R6 AES-256 handler (ISO 32000-2) is ALSO supported: Hash-2B
+(SHA-256/384/512 hardening loop) password validation, /UE file-key
+unwrap, whole-file AES-256-CBC key. Round 4: ``PdfDocument(data,
+password=...)`` accepts NON-EMPTY passwords too — tried as the user
+password first, then as the owner password (Algorithm 7 recovery of the
+padded user password from /O for R2–R4; /O-hash validation + /OE
+unwrap for R6). Wrong passwords and unknown handler versions raise a
+typed ``PdfError``.
 
 Inline images (``BI … ID … EI``, round 3) are skipped losslessly —
 their raw sample bytes no longer derail the tokenizer, so surrounding
 text extracts normally.
 
-NOT supported (declared): non-empty passwords (typed ``PdfError`` at
-open), 1-byte or mixed-width CID encoding CMaps,
+NOT supported (declared): 1-byte or mixed-width CID encoding CMaps,
 vertical writing (Identity-V), DCT/CCITT/JBIG2 filters.
 Payloads needing those fall through to the pipeline's error-containment
 path like any other undecodable input.
@@ -296,6 +298,7 @@ def build_pdf(
     encrypt_user_pw: bytes = b"",
     encrypt_rev: int = 2,
     encrypt_metadata: bool = True,
+    encrypt_owner_pw: bytes | None = None,
 ) -> bytes:
     """Serialize ``text`` as a genuine single-font PDF.
 
@@ -316,6 +319,7 @@ def build_pdf(
     return _assemble_pdf(
         pages, outline, compress, style, xref_kind, font_encoding,
         encrypt, encrypt_user_pw, encrypt_rev, encrypt_metadata,
+        encrypt_owner_pw,
     )
 
 
@@ -434,6 +438,7 @@ def _assemble_pdf(
     encrypt_user_pw: bytes = b"",
     encrypt_rev: int = 2,
     encrypt_metadata: bool = True,
+    encrypt_owner_pw: bytes | None = None,
 ) -> bytes:
     if font_encoding in ("builtin", "cid"):
         # cid: the code shift (+0x0100) happens inside _page_content's
@@ -458,6 +463,7 @@ def _assemble_pdf(
         encrypt_user_pw,
         encrypt_rev,
         encrypt_metadata,
+        encrypt_owner_pw,
     )
 
 
@@ -503,15 +509,19 @@ def _encrypt_object_body(body: bytes, cipher) -> bytes:
 
 
 def _classic_encrypt(objs: dict, rev: int, pw: bytes, id0: bytes,
-                     encrypt_metadata: bool = True) -> None:
+                     encrypt_metadata: bool = True,
+                     owner_pw: bytes | None = None) -> None:
     """Classic standard-handler encryption for the writer (R2/R3/R4):
     derives O/U, encrypts every object body in place, and appends the
     /Encrypt dict as a new object (its strings stay plain per spec).
     ``encrypt_metadata=False`` (R4 only) exercises the Algorithm 2
-    0xFFFFFFFF key-derivation suffix common in real V4/AESV2 files."""
+    0xFFFFFFFF key-derivation suffix common in real V4/AESV2 files.
+    ``owner_pw`` defaults to the user password; a distinct value
+    exercises the reader's Algorithm 7 owner-password recovery."""
     nbytes = 5 if rev == 2 else 16
     user_padded = (pw + _PDF_PAD)[:32]
-    okey = hashlib.md5(user_padded).digest()
+    owner_padded = ((owner_pw if owner_pw is not None else pw) + _PDF_PAD)[:32]
+    okey = hashlib.md5(owner_padded).digest()
     if rev >= 3:
         for _ in range(50):
             okey = hashlib.md5(okey).digest()
@@ -569,6 +579,7 @@ def _serialize_pdf(
     encrypt_user_pw: bytes = b"",
     encrypt_rev: int = 2,
     encrypt_metadata: bool = True,
+    encrypt_owner_pw: bytes | None = None,
 ) -> bytes:
     n_pages = len(content_streams)
 
@@ -701,9 +712,10 @@ def _serialize_pdf(
                 _hash_2b(pw, ks, b""), b"\x00" * 16, file_key
             )
             ovs, oks = b"OVALSLT!", b"OKEYSLT!"
-            o_entry = _hash_2b(pw, ovs, u_entry) + ovs + oks
+            opw = encrypt_owner_pw if encrypt_owner_pw is not None else pw
+            o_entry = _hash_2b(opw, ovs, u_entry) + ovs + oks
             oe_entry = aes_cbc_encrypt_nopad(
-                _hash_2b(pw, oks, u_entry), b"\x00" * 16, file_key
+                _hash_2b(opw, oks, u_entry), b"\x00" * 16, file_key
             )
             perms = aes_ecb_encrypt_block(
                 file_key,
@@ -737,7 +749,8 @@ def _serialize_pdf(
             rev = None  # classic-handler block below is skipped
         if rev is not None:
             _classic_encrypt(objs, rev, encrypt_user_pw, id0,
-                             encrypt_metadata=encrypt_metadata)
+                             encrypt_metadata=encrypt_metadata,
+                             owner_pw=encrypt_owner_pw)
             enc_num = max(objs)
             trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
                 enc_num, id0.hex().encode(), id0.hex().encode(),
@@ -1208,10 +1221,11 @@ class _Lexer:
 class PdfDocument:
     """Parsed PDF: object map + resolver + page/outline walkers."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         if not data.startswith(b"%PDF-"):
             raise PdfError("missing %PDF header")
         self.data = data
+        self._password = password
         self._cache: dict[int, object] = {}
         self.xref: dict[int, int] = {}
         self._in_objstm: dict[int, tuple[int, int]] = {}
@@ -1231,28 +1245,48 @@ class PdfDocument:
             self._setup_encryption()
 
     def _setup_encryption(self):
-        """Standard security handler, EMPTY user password (RC4, V 1–2,
-        R 2–3). Anything else raises a typed PdfError — per-row
-        containment upstream turns that into an extract_error row."""
+        """Standard security handler (RC4 V1–2 / AESV2 V4 / AES-256 V5):
+        the constructor's ``password`` is tried as the USER password
+        first (Algorithm 4/5 check, or Hash-2B for R6), then as the
+        OWNER password (Algorithm 7 — recover the padded user password
+        from /O; R6 validates against /O and unwraps /OE). Wrong or
+        missing passwords raise a typed PdfError — per-row containment
+        upstream turns that into an extract_error row."""
+        pw = self._password
         enc = self.resolve(self.trailer["Encrypt"])
         if not isinstance(enc, dict) or str(enc.get("Filter")) != "Standard":
             raise PdfError("encrypted PDF: non-standard security handler")
         v, r = int(enc.get("V", 0) or 0), int(enc.get("R", 2) or 2)
         self._enc_aes = False
         self._enc_v5 = False
+        _wrong = (
+            "encrypted PDF: wrong password"
+            if pw
+            else "encrypted PDF: password required (non-empty)"
+        )
         if v == 5 and r == 6:
-            # AES-256 handler (ISO 32000-2 §7.6.4.4.8): validate the empty
-            # user password via Hash 2.B, unwrap the file key from /UE.
+            # AES-256 handler (ISO 32000-2 §7.6.4.4.8): validate the
+            # password via Hash 2.B, unwrap the file key from /UE (user)
+            # or /OE (owner; the /O hashes bind the full 48-byte /U).
             from .aes import aes_cbc_decrypt_nopad
 
             u, ue = enc.get("U"), enc.get("UE")
             if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
                 raise PdfError("encrypted PDF: malformed /U or /UE")
-            vs, ks = u[32:40], u[40:48]
-            if _hash_2b(b"", vs, b"") != u[:32]:
-                raise PdfError("encrypted PDF: password required (non-empty)")
-            ik = _hash_2b(b"", ks, b"")
-            self._enc_key = aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue[:32])
+            o, oe = enc.get("O"), enc.get("OE")
+            if _hash_2b(pw, u[32:40], b"") == u[:32]:
+                ik = _hash_2b(pw, u[40:48], b"")
+                self._enc_key = aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue[:32])
+            elif (
+                isinstance(o, bytes)
+                and len(o) >= 48
+                and isinstance(oe, bytes)
+                and _hash_2b(pw, o[32:40], u[:48]) == o[:32]
+            ):
+                ik = _hash_2b(pw, o[40:48], u[:48])
+                self._enc_key = aes_cbc_decrypt_nopad(ik, b"\x00" * 16, oe[:32])
+            else:
+                raise PdfError(_wrong)
             self._enc_aes = True
             self._enc_v5 = True
             return
@@ -1276,10 +1310,32 @@ class PdfDocument:
         ids = self.resolve(self.trailer.get("ID"))
         id0 = ids[0] if isinstance(ids, list) and ids else b""
         enc_meta = bool(self.resolve(enc.get("EncryptMetadata", True)))
-        key = _std_key(o, p, id0, r, nbytes, encrypt_metadata=enc_meta)
-        check = _std_user_check(key, id0, r)
-        if (check if r == 2 else check[:16]) != (u if r == 2 else u[:16]):
-            raise PdfError("encrypted PDF: password required (non-empty)")
+
+        def try_user(user_pw: bytes) -> bytes | None:
+            key = _std_key(o, p, id0, r, nbytes, user=user_pw,
+                           encrypt_metadata=enc_meta)
+            check = _std_user_check(key, id0, r)
+            ok = (check if r == 2 else check[:16]) == (u if r == 2 else u[:16])
+            return key if ok else None
+
+        key = try_user(pw)
+        if key is None:
+            # Algorithm 7: treat pw as the OWNER password — recover the
+            # padded user password from /O and re-run the user check.
+            okey = hashlib.md5((pw + _PDF_PAD)[:32]).digest()
+            if r >= 3:
+                for _ in range(50):
+                    okey = hashlib.md5(okey).digest()
+            okey = okey[:nbytes]
+            if r == 2:
+                recovered = _rc4(okey, o)
+            else:  # undo Algorithm 3 step f: rounds 19..0 with xored keys
+                recovered = o
+                for i in range(19, -1, -1):
+                    recovered = _rc4(bytes(b ^ i for b in okey), recovered)
+            key = try_user(recovered)
+        if key is None:
+            raise PdfError(_wrong)
         self._enc_key = key
 
     def _decrypt_bytes(self, num: int, gen: int, data: bytes) -> bytes:
@@ -1853,10 +1909,11 @@ def _interpret_text(
         stack.clear()
 
 
-def parse_pdf_records(payload: bytes) -> np.ndarray:
+def parse_pdf_records(payload: bytes, password: bytes = b"") -> np.ndarray:
     """Real-PDF decode: parse structure, run the text interpreter over every
-    page, return the layout RECORD array the shared kernel consumes."""
-    doc = PdfDocument(payload)
+    page, return the layout RECORD array the shared kernel consumes.
+    ``password`` opens standard-handler-encrypted files (user or owner)."""
+    doc = PdfDocument(payload, password=password)
     records: list = []
     for idx, page in enumerate(doc.pages()):
         _interpret_text(

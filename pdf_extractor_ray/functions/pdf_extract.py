@@ -161,10 +161,11 @@ def extract_pdf_pages(payload: bytes) -> tuple[list[str], dict]:
     return markdown_pages, stats
 
 
-def extract_pdf(payload: bytes) -> tuple[str, dict]:
+def extract_pdf(payload: bytes, password: bytes = b"") -> tuple[str, dict]:
     """Whole-document extraction: per-page layout analysis + the canonical
-    page combine (reference: src/core/utils.py:112-161)."""
-    markdown_pages, stats = _extract_pages(payload)
+    page combine (reference: src/core/utils.py:112-161). ``password``
+    opens standard-handler-encrypted files (user or owner, round 4)."""
+    markdown_pages, stats = _extract_pages(payload, password=password)
     return combine_pages(markdown_pages), stats
 
 
@@ -266,7 +267,7 @@ def records_to_markdown(arr: np.ndarray) -> tuple[list[str], dict]:
     return page_markdowns, stats
 
 
-def decode_records(payload: bytes) -> np.ndarray:
+def decode_records(payload: bytes, password: bytes = b"") -> np.ndarray:
     """Decode a PDF payload to char records: toy ``%PDF-GRAFT1`` arrays via
     ``np.frombuffer``; genuine ``%PDF-1.x`` files via the from-scratch
     structure parser + content-stream interpreter (:mod:`.pdf_codec` —
@@ -279,12 +280,12 @@ def decode_records(payload: bytes) -> np.ndarray:
     if payload.startswith(b"%PDF-"):
         from .pdf_codec import parse_pdf_records
 
-        return parse_pdf_records(payload)
+        return parse_pdf_records(payload, password=password)
     raise ValueError("not a PDF payload")
 
 
-def _extract_pages(payload: bytes) -> tuple[list[str], dict]:
-    return records_to_markdown(decode_records(payload))
+def _extract_pages(payload: bytes, password: bytes = b"") -> tuple[list[str], dict]:
+    return records_to_markdown(decode_records(payload, password=password))
 
 
 # ---------------------------------------------------------------------------

@@ -814,6 +814,69 @@ def q_extract_encrypted_pdf(sf_dir: str) -> pd.DataFrame:
     return _roundtrip(sf_dir, pdf_every=1, pdf_kind="encrypted")
 
 
+def q_extract_protected_pdf(sf_dir: str) -> pd.DataFrame:
+    """NON-EMPTY-password PDFs (round 4): every document becomes a real
+    PDF encrypted with a per-doc user password (R2/R3/R4/R6 cycling;
+    every 3rd doc also gets a DISTINCT owner password and is opened with
+    THAT, exercising Algorithm 7 recovery / the R6 /O+/OE path). The
+    password rides a sidecar column — the shape a real protected corpus
+    has — and the extract stage passes it per row. Same byte-identity
+    oracle as extract_real_pdf."""
+    from .functions.pdf_codec import build_pdf
+    from .functions.pdf_extract import extract_pdf
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads, pws = [], []
+        for i, text in zip(ids, texts):
+            # passwords bucketed mod 16: per-row threading is still proven
+            # (a wrong-bucket password fails the open), and the R6
+            # Hash-2B lru_cache stays warm — 0.2 s/eval by design.
+            user_pw = b"u-%d" % (i % 16)
+            owner_pw = b"o-%d" % (i % 16)
+            payloads.append(
+                build_pdf(
+                    text,
+                    compress=bool(i % 2),
+                    encrypt=True,
+                    encrypt_rev=(2, 3, 4, 6)[i % 4],
+                    encrypt_user_pw=user_pw,
+                    encrypt_owner_pw=owner_pw,
+                )
+            )
+            pws.append(owner_pw if i % 3 == 0 else user_pw)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(payloads, pa.binary()),
+                pa.array(pws, pa.binary()),
+            ],
+            names=["doc_id", "payload", "password"],
+        )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        texts = [
+            extract_pdf(p, password=pw)[0]
+            for p, pw in zip(
+                batch["payload"].to_pylist(), batch["password"].to_pylist()
+            )
+        ]
+        return pa.Table.from_arrays(
+            [batch["doc_id"].combine_chunks(), pa.array(texts, pa.string())],
+            names=["doc_id", "extracted_text"],
+        )
+
+    out = (
+        ds.map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(extract, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_extract_explicit_split(sf_dir: str) -> pd.DataFrame:
     """The explicit dataflow skew path (flat-map chunk explode →
     groupby(url) reassembly) under the same byte-identity oracle — proves
@@ -3099,6 +3162,7 @@ FROM h ORDER BY hv LIMIT 50
 """
 
 ORACLE_SQL["extract_encrypted_pdf"] = ORACLE_SQL["extract_real_pdf"]
+ORACLE_SQL["extract_protected_pdf"] = ORACLE_SQL["extract_real_pdf"]
 
 ORACLE_SQL["quantiles"] = """
 WITH o AS (
@@ -3515,6 +3579,7 @@ QUERIES = {
     "extract_mixed": q_extract_mixed,
     "extract_real_pdf": q_extract_real_pdf,
     "extract_encrypted_pdf": q_extract_encrypted_pdf,
+    "extract_protected_pdf": q_extract_protected_pdf,
     "sections_pdf": q_sections_pdf,
     "extract_explicit_split": q_extract_explicit_split,
     "extract_with_repair": q_extract_with_repair,

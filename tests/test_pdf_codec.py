@@ -652,6 +652,30 @@ class TestEncryption:
         with pytest.raises(PdfError, match="password required"):
             PdfDocument(enc)
 
+    @pytest.mark.parametrize("rev", [2, 3, 4, 6])
+    def test_nonempty_user_password_opens(self, rev):
+        """Round 4: a supplied user password opens the file (byte-identical
+        extraction to the plain build)."""
+        text = "password protected body " * 30
+        plain = extract_pdf(build_pdf(text))[0]
+        enc = build_pdf(text, encrypt=True, encrypt_rev=rev,
+                        encrypt_user_pw=b"usrpw")
+        assert extract_pdf(enc, password=b"usrpw")[0] == plain
+
+    @pytest.mark.parametrize("rev", [2, 3, 4, 6])
+    def test_distinct_owner_password_opens(self, rev):
+        """Algorithm 7 owner recovery (R2-R4) / the R6 /O+/OE owner path:
+        a DISTINCT owner password must open the file too, and a wrong
+        password raises the typed error."""
+        text = "owner password body " * 30
+        plain = extract_pdf(build_pdf(text))[0]
+        enc = build_pdf(text, encrypt=True, encrypt_rev=rev,
+                        encrypt_user_pw=b"usrpw", encrypt_owner_pw=b"ownpw")
+        assert extract_pdf(enc, password=b"usrpw")[0] == plain
+        assert extract_pdf(enc, password=b"ownpw")[0] == plain
+        with pytest.raises(PdfError, match="wrong password"):
+            PdfDocument(enc, password=b"nope")
+
     def test_unknown_crypt_filter_declared(self):
         enc = bytearray(build_pdf("x", encrypt=True, encrypt_rev=4))
         i = enc.index(b"/CFM /AESV2")
