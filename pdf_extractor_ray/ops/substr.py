@@ -105,12 +105,18 @@ def duplicate_window_counts(
         .groupby("h")
         .aggregate(Sum("cnt"))
         .map_batches(dups_only, batch_format="pyarrow", batch_size=None)
-        .materialize()
     )
-    n_dups = dups_ds.count()
-    if n_dups > dup_cap:
-        return _dup_counts_semijoin(ds, dups_ds, window, text_col, id_col)
-    dup_tables = list(dups_ds.iter_batches(batch_format="pyarrow"))
+    # Stream the (lazy) dup pipeline ONCE with an early exit at dup_cap —
+    # a materialize-then-count would pay an extra pin/copy on the common
+    # under-cap path (measured +5 s at sf0.1). Over the cap, the semi-join
+    # regime re-executes the lazy pipeline inside its attach_lookup.
+    dup_tables: list[pa.Table] = []
+    n_dups = 0
+    for t in dups_ds.iter_batches(batch_format="pyarrow"):
+        n_dups += t.num_rows
+        if n_dups > dup_cap:
+            return _dup_counts_semijoin(ds, dups_ds, window, text_col, id_col)
+        dup_tables.append(t)
     # View FIRST, then sort — int64 order differs from uint64 order for
     # hashes with the top bit set, and searchsorted needs uint64 order.
     dup_sorted = np.sort(
