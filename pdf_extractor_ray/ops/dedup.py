@@ -67,7 +67,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def exact_dedup_large(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup_large(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    loser_cap: int = 20_000_000,
+    bloom_bits: int = 1 << 27,
+):
     """Exact dedup for corpora where text must never enter a shuffle.
 
     Two passes over cheap columns: (1) signature scan emits only
@@ -75,14 +81,19 @@ def exact_dedup_large(ds, text_col: str = "text", id_col: str = "doc_id"):
     everything except the min id is a LOSER; (2) the loser-id set — sized
     by the duplicate count, not the corpus — is broadcast via ``ray.put``
     and the full dataset is anti-joined against it with a vectorized
-    ``is_in``. The corpus text itself never moves. (At loser counts beyond
-    broadcast reach, swap the set for the state-layer Bloom index — false
-    positives would drop extra rows, so there the Bloom answers "certainly
-    kept" and candidates get an exact recheck.)
-    """
+    ``is_in``. The corpus text itself never moves.
+
+    Past ``loser_cap`` ids (round 4, enforcing the documented swap) the
+    broadcast is replaced by a fixed-size Bloom of loser ids in the SAFE
+    direction: rows the Bloom rejects are CERTAINLY winners and skip the
+    exchange entirely; only Bloom-positive rows (true losers + the small
+    false-positive fraction of the corpus) carry their columns through
+    one :func:`..segments.attach_lookup` anti-join against the loser-id
+    table for the exact decision. Driver state: the Bloom bits (16 MiB
+    at the default), never the loser set."""
     import ray
 
-    from .segments import sorted_segment_apply
+    from .segments import attach_lookup, sorted_segment_apply
 
     def signatures(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -109,18 +120,27 @@ def exact_dedup_large(ds, text_col: str = "text", id_col: str = "doc_id"):
         return batch.select([id_col]).take(pa.array(idx))
 
     # Loser ids stay in their NATIVE Arrow type (string doc ids / urls work
-    # as well as ints — is_in needs no sort, no cast).
-    loser_chunks = [
-        chunk
-        for batch in sorted_segment_apply(
-            ds.map_batches(signatures, batch_format="pyarrow"),
-            key_col="content_hash",
-            block_fn=losers_block,
-            within_cols=[id_col],
-        ).iter_batches(batch_format="pyarrow")
-        for chunk in batch.column(id_col).chunks
-        if len(chunk)
-    ]
+    # as well as ints — is_in needs no sort, no cast). The loser pipeline
+    # stays lazy; stream it once with an early exit at loser_cap.
+    losers_ds = sorted_segment_apply(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        key_col="content_hash",
+        block_fn=losers_block,
+        within_cols=[id_col],
+    )
+    loser_chunks = []
+    n_losers = 0
+    over = False
+    for batch in losers_ds.iter_batches(batch_format="pyarrow"):
+        n_losers += batch.num_rows
+        if n_losers > loser_cap:
+            over = True
+            break
+        loser_chunks.extend(c for c in batch.column(id_col).chunks if len(c))
+    if over:
+        return _exact_dedup_bloom_anti(
+            ds, losers_ds, id_col, bloom_bits=bloom_bits
+        )
     if not loser_chunks:
         return ds
     loser_ref = ray.put(pa.concat_arrays(loser_chunks))
@@ -131,6 +151,53 @@ def exact_dedup_large(ds, text_col: str = "text", id_col: str = "doc_id"):
         return batch.filter(mask)
 
     return ds.map_batches(keep_winners, batch_format="pyarrow")
+
+
+def _exact_dedup_bloom_anti(ds, losers_ds, id_col: str, bloom_bits: int):
+    """Over-``loser_cap`` regime of :func:`exact_dedup_large`: stream the
+    loser ids through a fixed-size driver Bloom (one pass, bounded
+    state), split the corpus on the Bloom (negatives are certainly
+    winners — no exchange), and anti-join only the positive minority
+    against the loser-id table via :func:`..segments.attach_lookup`.
+    The corpus is read twice (once per Bloom side) — re-reading pruned
+    parquet beats materializing the corpus in the object store."""
+    import ray
+
+    from .segments import attach_lookup
+
+    losers_ds = losers_ds.materialize()  # consumed twice (bloom + anti)
+    k = 7
+    bits = np.zeros(bloom_bits >> 3, np.uint8)
+    for batch in losers_ds.iter_batches(batch_format="pyarrow"):
+        _bloom_add(bits, _hash_ids(batch[id_col]), bloom_bits, k)
+    bref = ray.put(bits)
+
+    def bloom_split(keep_positive: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = _bloom_mask(
+                ray.get(bref), _hash_ids(batch[id_col]), bloom_bits, k
+            )
+            if not keep_positive:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+
+        return f
+
+    winners = ds.map_batches(bloom_split(False), batch_format="pyarrow")
+    candidates = ds.map_batches(bloom_split(True), batch_format="pyarrow")
+    cols = ds.schema().names
+    carry = [c for c in cols if c != id_col]
+    kept = attach_lookup(
+        candidates,
+        losers_ds,
+        key_col=id_col,
+        val_cols=[],
+        carry_cols=carry,
+        anti=True,
+    ).map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"
+    )
+    return winners.union(kept)
 
 
 def _char_shingles(text: str, k: int = 5) -> np.ndarray:

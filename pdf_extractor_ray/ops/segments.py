@@ -175,7 +175,14 @@ def sorted_segment_apply(
     return interior_out.union(ray.data.from_arrow(frag_out_tbl))
 
 
-def attach_lookup(queries, table, key_col: str, val_cols: list, carry_cols: list):
+def attach_lookup(
+    queries,
+    table,
+    key_col: str,
+    val_cols: list,
+    carry_cols: list,
+    anti: bool = False,
+):
     """Distributed lookup join against a UNIQUE-key table without the
     hash-join operator: table rows (flagged ``__tab__=1``) union with
     query rows, ONE sort on ``(key, __tab__ desc)`` co-locates each key's
@@ -183,16 +190,20 @@ def attach_lookup(queries, table, key_col: str, val_cols: list, carry_cols: list
     table row's ``val_cols`` onto the segment's query rows.
 
     Inner semantics: query rows whose key has no table row are dropped;
-    with ``val_cols=[]`` this is a pure existence SEMI-join filter. Table
-    keys must be unique (one row per key); queries may repeat keys
-    arbitrarily. Chosen over ``Dataset.join`` for the same reason the
-    connected-components rounds were (round 3): the sort exchanges the
-    same bytes without per-invocation aggregator-actor spin-up — and the
-    join operator mishandles empty partitions (zero-column blocks feed
-    acero a schemaless left side).
+    with ``val_cols=[]`` this is a pure existence SEMI-join filter. With
+    ``anti=True`` (round 4; requires ``val_cols=[]``) the selection
+    inverts: query rows whose key HAS a table row are dropped — a
+    distributed anti-join. Table keys must be unique (one row per key);
+    queries may repeat keys arbitrarily. Chosen over ``Dataset.join``
+    for the same reason the connected-components rounds were (round 3):
+    the sort exchanges the same bytes without per-invocation
+    aggregator-actor spin-up — and the join operator mishandles empty
+    partitions (zero-column blocks feed acero a schemaless left side).
 
     Returns a Dataset with columns ``[key_col] + carry_cols + val_cols``.
     """
+    if anti and val_cols:
+        raise ValueError("anti=True cannot attach val_cols")
     q_schema = queries.schema()
     t_schema = table.schema()
     q_types = dict(zip(q_schema.names, q_schema.types))
@@ -228,6 +239,32 @@ def attach_lookup(queries, table, key_col: str, val_cols: list, carry_cols: list
     out_cols = [key_col] + carry_cols + val_cols
     out_types = [key_type] + carry_types + val_types
 
+    def anti_kernel(
+        batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+    ) -> pa.Table:
+        if len(starts) == 0 or batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t) for t in out_types], names=out_cols
+            )
+        tab = batch["__tab__"].to_numpy(zero_copy_only=False)
+        lens = (ends - starts).astype(np.int64)
+        # keyless-in-table segments: no table row at the head → every row
+        # is a query row and survives the anti-join.
+        sel = np.flatnonzero(tab[starts.astype(np.int64)] == 0)
+        if len(sel) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t) for t in out_types], names=out_cols
+            )
+        qc = lens[sel]
+        gstarts = np.cumsum(qc) - qc
+        within = np.arange(int(qc.sum()), dtype=np.int64) - np.repeat(gstarts, qc)
+        q_idx = pa.array(np.repeat(starts[sel].astype(np.int64), qc) + within)
+        return pa.Table.from_arrays(
+            [batch[key_col].take(q_idx)]
+            + [batch[c].take(q_idx) for c in carry_cols],
+            names=out_cols,
+        )
+
     def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
         if len(starts) == 0 or batch.num_rows == 0:
             return pa.Table.from_arrays(
@@ -260,7 +297,7 @@ def attach_lookup(queries, table, key_col: str, val_cols: list, carry_cols: list
     return sorted_segment_apply(
         unioned,
         key_col=key_col,
-        block_fn=kernel,
+        block_fn=anti_kernel if anti else kernel,
         within_cols=["__tab__"],
         descending=[True],
     )

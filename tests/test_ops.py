@@ -993,6 +993,36 @@ class TestExactDedupLarge:
         out = exact_dedup_large(ds).to_pandas()
         assert sorted(out["doc_id"]) == list(range(5))
 
+    def test_bloom_anti_regime_matches_broadcast(self, ray_session):
+        """Round 4: past loser_cap the loser-id broadcast swaps for the
+        Bloom split + attach_lookup anti-join — identical survivors,
+        full rows preserved."""
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import exact_dedup_large
+
+        rng = np.random.Generator(np.random.Philox(37))
+        rows = [
+            {
+                "url": f"u{i:03d}",
+                "text": f"text-{int(rng.integers(0, 50))}",
+                "extra": i,
+            }
+            for i in range(150)
+        ]
+        ds = rd.from_items(rows).repartition(5)
+        base = (
+            exact_dedup_large(ds, id_col="url")
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        over = exact_dedup_large(ds, id_col="url", loser_cap=1).to_pandas()
+        over = over[base.columns].sort_values("url").reset_index(drop=True)
+        for c in base.columns:
+            over[c] = over[c].astype(base[c].dtype)
+        assert base.equals(over)
+        assert len(base) == len(set(r["text"] for r in rows))
+
 
 class TestIVFRecall:
     def test_recall_at_10_vs_exact(self, ray_session):

@@ -153,6 +153,24 @@ class TestAttachLookup:
         ).to_pandas()
         assert sorted(out["payload"]) == [10, 11, 20, 21]
 
+    def test_anti_join_keeps_keyless_rows(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import attach_lookup
+
+        queries, table = self._tables(rd)
+        out = attach_lookup(
+            queries, table, key_col="k", val_cols=[], carry_cols=["payload"],
+            anti=True,
+        ).to_pandas()
+        # 'a'/'b' rows dropped (present in table), 'c'/'zz' kept
+        assert sorted(out["payload"]) == [30, 99]
+        with pytest.raises(ValueError, match="anti"):
+            attach_lookup(
+                queries, table, key_col="k", val_cols=["val"],
+                carry_cols=["payload"], anti=True,
+            )
+
     def test_no_matches_yields_empty(self, ray_session):
         import ray.data as rd
 
