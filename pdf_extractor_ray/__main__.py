@@ -87,6 +87,8 @@ def cmd_extract(args) -> int:
         validation_enabled=not args.no_validation,
         problems_enabled=problems,
         validation_similarity_method=args.similarity,
+        pdf_password=args.password or "",
+        pdf_password_col=args.password_col,
     )
     ds = _read_input(args.input)
     result = extraction_pipeline(ds, config=config, query=args.query)
@@ -114,11 +116,17 @@ def cmd_extract(args) -> int:
 
 def cmd_sections(args) -> int:
     _init_ray(args.num_cpus)
+    from .config import EngineConfig
     from .pipelines.extract import extraction_pipeline
     from .stages.sections import sections_rows
 
+    config = EngineConfig(
+        pdf_password=args.password or "", pdf_password_col=args.password_col
+    )
     ds = _read_input(args.input)
-    out = sections_rows(extraction_pipeline(ds, query=args.query), query=args.query)
+    out = sections_rows(
+        extraction_pipeline(ds, config=config, query=args.query), query=args.query
+    )
     out.write_parquet(args.output)
     print(json.dumps({"output": args.output, "kind": "sections"}))
     return 0
@@ -315,6 +323,14 @@ def main(argv: list[str] | None = None) -> int:
         choices=["number_frequency", "levenshtein"],
         help="similarity method (reference: VALIDATION_SIMILARITY_METHOD)",
     )
+    p_extract.add_argument(
+        "--password", default=None,
+        help="corpus-wide password for encrypted PDFs (user or owner)",
+    )
+    p_extract.add_argument(
+        "--password-col", default=None,
+        help="input column carrying a per-document PDF password",
+    )
     p_extract.set_defaults(fn=cmd_extract)
 
     p_sections = sub.add_parser("sections", help="extract + explode into section rows")
@@ -322,6 +338,10 @@ def main(argv: list[str] | None = None) -> int:
     p_sections.add_argument("--output", required=True)
     p_sections.add_argument("--query", default=None)
     p_sections.add_argument("--num-cpus", type=int, default=None)
+    p_sections.add_argument("--password", default=None,
+                            help="corpus-wide password for encrypted PDFs")
+    p_sections.add_argument("--password-col", default=None,
+                            help="input column carrying a per-document PDF password")
     p_sections.set_defaults(fn=cmd_sections)
 
     p_dedup = sub.add_parser(

@@ -49,6 +49,15 @@ class EngineConfig:
     problems_enabled: tuple[str, ...] = DEFAULT_PROBLEMS_ENABLED
     validation_enabled: bool = True
 
+    # --- encrypted-PDF credentials (standard security handler; user or
+    # owner password — functions/pdf_codec.py Algorithms 4/5/7 + R6).
+    # ``pdf_password`` applies corpus-wide; ``pdf_password_col`` names a
+    # sidecar string column carrying a per-document password (the shape a
+    # real protected corpus arrives in). The column is consumed by the
+    # extract stage and never flows downstream.
+    pdf_password: str = ""
+    pdf_password_col: str | None = None
+
     # --- HTML block scoring (our engine; Boilerpipe/trafilatura-style thresholds)
     min_block_text_len: int = 8            # blocks shorter than this are dropped unless table
     max_link_density: float = 0.35         # blocks with more linked text than this are boilerplate

@@ -153,11 +153,12 @@ def _line_to_text(cps: np.ndarray, x0s: np.ndarray, x1s: np.ndarray) -> str:
     return out_cps.tobytes().decode("utf-32-le")
 
 
-def extract_pdf_pages(payload: bytes) -> tuple[list[str], dict]:
+def extract_pdf_pages(payload: bytes, password: bytes = b"") -> tuple[list[str], dict]:
     """Layout analysis returning per-page markdowns (pages with no glyphs are
     omitted); see :func:`extract_pdf` for the algorithm. This is the unit of
-    chunk reassembly for skew-split oversized PDFs."""
-    markdown_pages, stats = _extract_pages(payload)
+    chunk reassembly for skew-split oversized PDFs. ``password`` opens
+    standard-handler-encrypted files (user or owner)."""
+    markdown_pages, stats = _extract_pages(payload, password=password)
     return markdown_pages, stats
 
 
@@ -329,7 +330,9 @@ def _map_to_columns(
     return out
 
 
-def extract_pdf_pages_tables(payload: bytes) -> tuple[list[str], dict]:
+def extract_pdf_pages_tables(
+    payload: bytes, password: bytes = b""
+) -> tuple[list[str], dict]:
     """Table-aware layout analysis — the PDF counterpart of the reference's
     pdfplumber ``extract_table`` path used by the text_extraction
     (bank-statement) workflow (reference: src/services/
@@ -344,7 +347,7 @@ def extract_pdf_pages_tables(payload: bytes) -> tuple[list[str], dict]:
     """
     from .normalize import fix_bidi_text
 
-    arr = decode_records(payload)
+    arr = decode_records(payload, password=password)
     if len(arr) == 0:
         return [], {"n_pages": 0, "n_blocks": 0, "n_chars": 0, "n_tables": 0}
 

@@ -38,7 +38,9 @@ def split_html_payload(payload: bytes, max_pages_per_chunk: int = 15) -> list[by
     return chunks
 
 
-def split_pdf_payload(payload: bytes, max_pages_per_chunk: int = 15) -> list[bytes]:
+def split_pdf_payload(
+    payload: bytes, max_pages_per_chunk: int = 15, password: bytes = b""
+) -> list[bytes]:
     """Split a PDF payload by page-id ranges. Toy payloads slice the record
     array directly; a real ``%PDF-1.x`` payload is decoded ONCE here and its
     chunks are re-emitted in the (internal) record format — each chunk is
@@ -52,7 +54,7 @@ def split_pdf_payload(payload: bytes, max_pages_per_chunk: int = 15) -> list[byt
         from .pdf_extract import decode_records
 
         try:
-            arr = decode_records(payload)
+            arr = decode_records(payload, password=password)
         except Exception:
             return [payload]  # undecodable: error containment downstream
     if len(arr) == 0:
@@ -71,11 +73,14 @@ def split_pdf_payload(payload: bytes, max_pages_per_chunk: int = 15) -> list[byt
 
 
 def split_payload(
-    payload: bytes, route: str, max_pages_per_chunk: int = 15
+    payload: bytes, route: str, max_pages_per_chunk: int = 15, password: bytes = b""
 ) -> list[bytes]:
-    """Route-aware split; non-splittable routes return the payload whole."""
+    """Route-aware split; non-splittable routes return the payload whole.
+    ``password`` opens encrypted PDFs for the decode-once split (the
+    re-emitted record chunks are plaintext — the decrypt cost is paid
+    exactly once, at the split)."""
     if route == "pdf":
-        return split_pdf_payload(payload, max_pages_per_chunk)
+        return split_pdf_payload(payload, max_pages_per_chunk, password=password)
     if route == "html":
         return split_html_payload(payload, max_pages_per_chunk)
     return [payload]

@@ -47,18 +47,31 @@ class DocumentExtractor:
             self.flavor = "text_extraction"  # article + per-cell bidi fix
         else:
             self.flavor = "article"
+        # Corpus-wide encrypted-PDF credential (per-row sidecar passwords
+        # override in __call__ via config.pdf_password_col).
+        self._pw = (self.config.pdf_password or "").encode("utf-8")
 
-    def _extract_one(self, payload: bytes | None, route: str, needs_split: bool):
+    def _extract_one(
+        self,
+        payload: bytes | None,
+        route: str,
+        needs_split: bool,
+        password: bytes | None = None,
+    ):
         if payload is None or route not in (ROUTE_PDF, ROUTE_HTML):
             return "", 0, 0, 0, 0
+        pw = self._pw if password is None else password
         cfg = self.config
         if needs_split and self.flavor == "article":
-            chunks = split_payload(payload, route, cfg.max_pages_per_chunk)
+            chunks = split_payload(payload, route, cfg.max_pages_per_chunk, password=pw)
             all_pages: list[str] = []
             n_blocks = n_tables = 0
             for chunk in chunks:
                 if route == ROUTE_PDF:
-                    pages, stats = extract_pdf_pages(chunk)
+                    # Chunks arrive in the plaintext internal record format;
+                    # the password only matters when an undecodable payload
+                    # fell through the split whole.
+                    pages, stats = extract_pdf_pages(chunk, password=pw)
                 else:
                     pages, stats = extract_html_pages(
                         chunk.decode("utf-8", errors="replace"),
@@ -77,7 +90,7 @@ class DocumentExtractor:
                 # (reference: extraction_service.py:26-114)
                 from ..functions.pdf_extract import extract_pdf_pages_tables
 
-                pages, stats = extract_pdf_pages_tables(payload)
+                pages, stats = extract_pdf_pages_tables(payload, password=pw)
                 return (
                     combine_pages(pages),
                     stats["n_pages"],
@@ -85,7 +98,7 @@ class DocumentExtractor:
                     stats["n_tables"],
                     1,
                 )
-            pages, stats = extract_pdf_pages(payload)
+            pages, stats = extract_pdf_pages(payload, password=pw)
             return (
                 combine_pages(pages),
                 stats["n_pages"],
@@ -105,6 +118,13 @@ class DocumentExtractor:
         payloads = batch["html"]
         routes = batch["route"].to_pylist()
         needs_split = batch["needs_split"].to_pylist()
+        pw_col = self.config.pdf_password_col
+        row_pws: list | None = None
+        if pw_col and pw_col in batch.column_names:
+            row_pws = [
+                None if v is None else str(v).encode("utf-8")
+                for v in batch[pw_col].to_pylist()
+            ]
         texts, n_pages, n_blocks, n_tables, n_chunks = [], [], [], [], []
         errors: list[str | None] = []
         for i in range(len(batch)):
@@ -116,7 +136,10 @@ class DocumentExtractor:
             # per-row error column).
             try:
                 text, pages, blocks, tables, chunks = self._extract_one(
-                    payloads[i].as_py(), routes[i], bool(needs_split[i])
+                    payloads[i].as_py(),
+                    routes[i],
+                    bool(needs_split[i]),
+                    password=None if row_pws is None else row_pws[i],
                 )
                 errors.append(None)
             except Exception as exc:  # noqa: BLE001 — containment boundary
@@ -127,7 +150,10 @@ class DocumentExtractor:
             n_blocks.append(blocks)
             n_tables.append(tables)
             n_chunks.append(chunks)
-        out = batch.drop_columns(["html", "needs_split"])
+        drop = ["html", "needs_split"]
+        if row_pws is not None:
+            drop.append(pw_col)  # credentials never flow downstream
+        out = batch.drop_columns(drop)
         return (
             out.append_column("extracted_text", pa.array(texts, pa.string()))
             .append_column("n_pages", pa.array(n_pages, pa.int32()))

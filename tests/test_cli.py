@@ -185,3 +185,53 @@ def test_written_rows_excludes_preexisting(tmp_path):
     pq.write_table(pa.table({"a": [1, 2]}), tmp_path / "new.parquet")
     assert _written_rows(str(tmp_path), pre) == 2
     assert _written_rows(str(tmp_path)) == 5
+
+
+def test_cli_extract_password(tmp_path):
+    """--password opens an encrypted-PDF corpus; extraction matches the
+    plaintext corpus byte-for-byte (grouped mode, validation off)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.pdf_codec import build_pdf
+
+    def pages(encrypt: bool) -> pa.Table:
+        rows = []
+        for i in range(8):
+            text = f"Statement {i}.\nBalance line {i * 3}."
+            payload = build_pdf(
+                text, encrypt=encrypt, encrypt_user_pw=b"s3cret" if encrypt else b"",
+                encrypt_rev=3,
+            )
+            rows.append(
+                {"url": f"pdf://cli/{i}", "warc_ts": 0, "html": payload,
+                 "text": "", "lang": "en"}
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                 ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())]
+            ),
+        )
+
+    def run(table: pa.Table, out: str, extra: list[str]) -> None:
+        src = tmp_path / f"{out}.parquet"
+        pq.write_table(table, src)
+        result = subprocess.run(
+            [sys.executable, "-m", "pdf_extractor_ray", "extract",
+             "--input", str(src), "--output", str(tmp_path / out),
+             "--mode", "direct", "--no-validation", "--num-cpus", "2", *extra],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+
+    run(pages(encrypt=False), "plain", [])
+    run(pages(encrypt=True), "enc", ["--password", "s3cret"])
+    read = lambda d: dict(  # noqa: E731
+        zip(*(pads.dataset(str(tmp_path / d)).to_table()[c].to_pylist()
+              for c in ("url", "extracted_text")))
+    )
+    golden, got = read("plain"), read("enc")
+    assert got == golden and all(golden.values())

@@ -191,3 +191,88 @@ class TestGiantDocument:
         assert out["n_chunks"][0].as_py() > 1
         assert out["n_pages"][0].as_py() == 400
         assert out["extract_error"][0].as_py() is None
+
+
+class TestPasswordPlumbing:
+    """Round-4 CLI/pipeline credential plumbing: EngineConfig.pdf_password
+    (corpus-wide) and pdf_password_col (per-row sidecar) open encrypted PDFs
+    inside the extract stage, byte-identical to the plaintext extraction."""
+
+    @pytest.fixture(scope="class")
+    def enc_corpus(self):
+        from pdf_extractor_ray.functions.pdf_codec import build_pdf
+
+        texts = {
+            f"pdf://enc/{i}": f"Protected page {i}.\nSecond line with value {i * 7}."
+            for i in range(6)
+        }
+        plain = {u: build_pdf(t) for u, t in texts.items()}
+        enc = {
+            u: build_pdf(
+                t, encrypt=True, encrypt_user_pw=b"hunter2",
+                encrypt_rev=3 if i % 2 else 2,
+            )
+            for i, (u, t) in enumerate(texts.items())
+        }
+        return plain, enc
+
+    def _run(self, payload_by_url: dict, config: EngineConfig, extra_cols=None):
+        import ray.data as rd
+
+        cols = {
+            "url": list(payload_by_url),
+            "html": pa.array(list(payload_by_url.values()), pa.binary()),
+            "text": [""] * len(payload_by_url),
+        }
+        cols.update(extra_cols or {})
+        ds = rd.from_arrow(pa.table(cols)).repartition(4)
+        return extraction_pipeline(ds, config=config)
+
+    def test_corpus_wide_password(self, ray_session, enc_corpus):
+        plain, enc = enc_corpus
+        golden = _collect(self._run(plain, EngineConfig(validation_enabled=False)))
+        got = _collect(
+            self._run(
+                enc,
+                EngineConfig(pdf_password="hunter2", validation_enabled=False),
+            )
+        )
+        assert got == golden
+        assert all(v for v in got.values())
+
+    def test_wrong_password_contained(self, ray_session, enc_corpus):
+        _, enc = enc_corpus
+        table = _collect_table(self._run(
+            enc, EngineConfig(pdf_password="wrong", validation_enabled=False)
+        ))
+        assert all(t == "" for t in table["extracted_text"].to_pylist())
+        assert all(
+            e and "password" in e for e in table["extract_error"].to_pylist()
+        )
+
+    def test_per_row_password_column(self, ray_session, enc_corpus):
+        from pdf_extractor_ray.functions.pdf_codec import build_pdf
+
+        plain, _ = enc_corpus
+        urls = list(plain)
+        pws = [f"pw-{i}" for i in range(len(urls))]
+        enc = {
+            u: build_pdf(
+                f"Protected page {i}.\nSecond line with value {i * 7}.",
+                encrypt=True, encrypt_user_pw=pws[i].encode(),
+                encrypt_rev=3,
+            )
+            for i, u in enumerate(urls)
+        }
+        golden = _collect(self._run(plain, EngineConfig(validation_enabled=False)))
+        out = _collect_table(
+            self._run(
+                enc,
+                EngineConfig(pdf_password_col="doc_pw", validation_enabled=False),
+                extra_cols={"doc_pw": pws},
+            )
+        )
+        got = dict(zip(out["url"].to_pylist(), out["extracted_text"].to_pylist()))
+        assert got == golden
+        # credentials must not flow downstream
+        assert "doc_pw" not in out.column_names
