@@ -240,6 +240,33 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """Train BPE merges over a corpus (Sennrich-style over the word-TYPE
+    frequency table — ops/bpe.py) and write them as parquet; optionally
+    re-encode the corpus with the learned merges (--apply)."""
+    _init_ray(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ops.bpe import bpe_apply, bpe_train
+
+    ds = rd.read_parquet(args.input, columns=[args.text_col, args.id_col])
+    merges = bpe_train(
+        ds, num_merges=args.merges, text_col=args.text_col,
+        word_cap=args.word_cap, min_count=args.min_count,
+    )
+    pq.write_table(pa.Table.from_pandas(merges), args.output)
+    report = {"output": args.output, "merges": len(merges)}
+    if args.apply:
+        pre = _parquet_files(args.apply)
+        bpe_apply(ds, merges, text_col=args.text_col).write_parquet(args.apply)
+        report["applied"] = args.apply
+        report["rows"] = _written_rows(args.apply, pre)
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Corpus statistics: exact quantiles of a numeric column, HLL
     distinct count of a key column, and/or top-k words per group — the
@@ -386,6 +413,22 @@ def main(argv: list[str] | None = None) -> int:
     p_curate.add_argument("--id-col", default="doc_id")
     p_curate.add_argument("--num-cpus", type=int, default=None)
     p_curate.set_defaults(fn=cmd_curate)
+
+    p_bpe = sub.add_parser(
+        "bpe", help="train BPE subword merges over a corpus (and optionally apply)"
+    )
+    p_bpe.add_argument("--input", nargs="+", required=True)
+    p_bpe.add_argument("--output", required=True, help="merges parquet file")
+    p_bpe.add_argument("--merges", type=int, default=1000)
+    p_bpe.add_argument("--min-count", type=int, default=2)
+    p_bpe.add_argument("--word-cap", type=int, default=1_000_000,
+                       help="max word types held by the driver merge loop")
+    p_bpe.add_argument("--apply", default=None, metavar="OUT_DIR",
+                       help="also re-encode the corpus (adds n_bpe_tokens)")
+    p_bpe.add_argument("--text-col", default="text")
+    p_bpe.add_argument("--id-col", default="doc_id")
+    p_bpe.add_argument("--num-cpus", type=int, default=None)
+    p_bpe.set_defaults(fn=cmd_bpe)
 
     p_stats = sub.add_parser(
         "stats", help="corpus statistics: quantiles / distinct / top words"

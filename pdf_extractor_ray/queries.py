@@ -1977,6 +1977,20 @@ def q_word_topk(sf_dir: str) -> pd.DataFrame:
     return word_topk(ds, k=10).sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """Iteration-0 of the distributed BPE trainer (Sennrich et al. 2016):
+    the 100 most frequent adjacent symbol pairs (characters + end-of-word
+    marker chr(31)) weighted by word-TYPE frequency. This is the exchange
+    the whole trainer rests on — the merge loop itself iterates the
+    vocabulary-bounded word-type table on the driver
+    (:func:`ops.bpe.bpe_train`, equivalence-tested against a brute-force
+    reference; the loop is not SQL-expressible)."""
+    from .ops.bpe import bpe_pair_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_pair_counts(ds, k=100)
+
+
 def q_canonical_urls(sf_dir: str) -> pd.DataFrame:
     """URL canonicalization over six deterministic mess buckets per
     doc_id (case, default ports, dot-segments, duplicate slashes,
@@ -3207,6 +3221,25 @@ SELECT lang, word, CAST(cnt AS BIGINT) AS cnt, CAST(r AS INTEGER) AS rank
 FROM ranked WHERE r <= 10 ORDER BY lang, rank
 """
 
+ORACLE_SQL["bpe_pair_counts"] = r"""
+WITH words AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word FROM documents
+),
+wf AS (SELECT word || chr(31) AS w, count(*) AS cnt FROM words GROUP BY 1),
+pos AS (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wf),
+pc AS (
+    SELECT substring(w, CAST(i AS INT), 1) AS left_sym,
+           substring(w, CAST(i AS INT) + 1, 1) AS right_sym,
+           sum(cnt) AS cnt
+    FROM pos GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, left_sym, right_sym) AS INTEGER) AS rank
+FROM pc
+QUALIFY rank <= 100
+ORDER BY rank
+"""
+
 ORACLE_SQL["canonical_urls"] = """
 SELECT doc_id,
     CASE doc_id % 6
@@ -3622,6 +3655,7 @@ QUERIES = {
     "length_bins": q_length_bins,
     "distinct_sketch": q_distinct_sketch,
     "word_topk": q_word_topk,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "tfidf_terms": q_tfidf_terms,
     "lm_quality": q_lm_quality,
     "canonical_urls": q_canonical_urls,

@@ -235,3 +235,33 @@ def test_cli_extract_password(tmp_path):
     )
     golden, got = read("plain"), read("enc")
     assert got == golden and all(golden.values())
+
+
+def test_cli_bpe_train_and_apply(tmp_path):
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"doc_id": 0, "text": "low lower lowest low low"},
+        {"doc_id": 1, "text": "new newer newest new"},
+        {"doc_id": 2, "text": "the lower the newer the wider"},
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    merges_out = tmp_path / "merges.parquet"
+    applied = tmp_path / "encoded"
+    result = subprocess.run(
+        [sys.executable, "-m", "pdf_extractor_ray", "bpe",
+         "--input", str(src), "--output", str(merges_out),
+         "--merges", "8", "--apply", str(applied), "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    summary = json.loads(result.stdout.strip().splitlines()[-1])
+    merges = pq.read_table(merges_out)
+    assert summary["merges"] == len(merges) > 0
+    assert set(merges.column_names) == {"rank", "left", "right", "pair_count"}
+    enc = pads.dataset(str(applied)).to_table()
+    assert summary["rows"] == 3
+    assert all(n > 0 for n in enc["n_bpe_tokens"].to_pylist())
