@@ -1,0 +1,119 @@
+"""Distributed inverted-index construction (token → posting statistics).
+
+The exchange is the classic search-engine shape: per-block tokenize +
+per-document term-frequency dedup (so the exchange carries one row per
+DISTINCT (token, doc) pair, never one per occurrence), then ONE sort on
+``(token, doc_id)`` with vectorized segment aggregation via
+:func:`..ops.segments.sorted_segment_apply` — document frequency is the
+segment length, term-frequency totals are an ``np.add.reduceat``, and the
+posting sample is a constant number of gathers. No per-token Python in
+the hot path; skewed tokens (stopwords) ride the segment machinery's
+straddle/mega-group handling rather than a per-group ``map_groups``.
+
+At 10^12 documents a stopword's full posting list cannot be one row; this
+op therefore materializes posting STATISTICS plus a bounded sample (the
+metadata tier of a real index). Full posting storage is the sorted
+``(token, doc_id)`` run itself — already produced by the same sort —
+written out partitioned by token hash; ``token_doc_pairs`` exposes it.
+
+No counterpart in the reference repo; this belongs to the engine's
+corpus-analysis surface alongside word_topk/tfidf (``ops/text.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .segments import sorted_segment_apply
+
+
+def token_doc_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset of distinct ``(token, doc_id, tf)`` rows — the raw posting
+    run. Per-block vectorized: RE2 split → flatten → lexsort run-length
+    over (token, doc) pairs."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+        if isinstance(words_list, pa.ChunkedArray):
+            words_list = words_list.combine_chunks()
+        w = words_list.flatten().to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        d = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), reps)
+        keep = w != ""
+        w, d = w[keep].astype(str), d[keep]
+        if len(w) == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.string()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                ],
+                names=["token", id_col, "tf"],
+            )
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        new = np.concatenate(([True], (w[1:] != w[:-1]) | (d[1:] != d[:-1])))
+        idx = np.flatnonzero(new)
+        tf = np.diff(np.append(idx, len(w)))
+        return pa.Table.from_arrays(
+            [
+                pa.array(w[idx].astype(object), pa.string()),
+                pa.array(d[idx], pa.int64()),
+                pa.array(tf, pa.int64()),
+            ],
+            names=["token", id_col, "tf"],
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+def inverted_index(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    sample_k: int = 5,
+):
+    """Build the index metadata tier: one row per token with document
+    frequency, total term frequency, and the first ``sample_k`` posting
+    doc ids (ascending, comma-joined — a string so the result is directly
+    SQL-comparable). Tokens with ``df < min_df`` are dropped."""
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        tokens = batch["token"].to_numpy(zero_copy_only=False)[starts]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        lens = ends - starts
+        # cumsum differences, not reduceat: complete segments need not tile
+        # the block (straddling groups are deferred by the segment runner).
+        csum = np.concatenate(([0], np.cumsum(tf)))
+        total_tf = csum[ends] - csum[starts]
+        # Vectorized ≤sample_k-way join: one gather per sample slot,
+        # masked to segments long enough to have that slot.
+        sample = np.full(len(starts), "", dtype=object)
+        for j in range(sample_k):
+            has = lens > j
+            if not has.any():
+                break
+            piece = ids[starts[has] + j].astype(str).astype(object)
+            sample[has] = sample[has] + ("," if j else "") + piece
+        keep = lens >= min_df
+        return pa.Table.from_arrays(
+            [
+                pa.array(tokens[keep].astype(object), pa.string()),
+                pa.array(lens[keep], pa.int64()),
+                pa.array(total_tf[keep], pa.int64()),
+                pa.array(sample[keep], pa.string()),
+            ],
+            names=["token", "df", "total_tf", "sample_postings"],
+        )
+
+    return sorted_segment_apply(
+        token_doc_pairs(ds, text_col, id_col),
+        key_col="token",
+        block_fn=kernel,
+        within_cols=[id_col],
+    )

@@ -1977,6 +1977,19 @@ def q_word_topk(sf_dir: str) -> pd.DataFrame:
     return word_topk(ds, k=10).sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index metadata tier over documents: per token with df ≥ 5,
+    its document frequency, total term frequency, and the first 5 posting
+    doc ids (ascending, comma-joined). One (token, doc_id) sort with
+    vectorized segment kernels (:mod:`ops.index`); the exchange carries
+    one row per DISTINCT (token, doc) pair, never one per occurrence."""
+    from .ops.index import inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = inverted_index(ds, min_df=5).to_pandas()
+    return df.sort_values("token").reset_index(drop=True)
+
+
 def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     """Iteration-0 of the distributed BPE trainer (Sennrich et al. 2016):
     the 100 most frequent adjacent symbol pairs (characters + end-of-word
@@ -3221,6 +3234,25 @@ SELECT lang, word, CAST(cnt AS BIGINT) AS cnt, CAST(r AS INTEGER) AS rank
 FROM ranked WHERE r <= 10 ORDER BY lang, rank
 """
 
+ORACLE_SQL["inverted_index"] = r"""
+WITH pairs AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+    FROM documents
+),
+per_doc AS (SELECT token, doc_id, count(*) AS tf FROM pairs GROUP BY 1, 2),
+agg AS (
+    SELECT token,
+           count(*) AS df,
+           sum(tf) AS total_tf,
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',')
+               AS sample_postings
+    FROM per_doc GROUP BY 1
+)
+SELECT token, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf,
+       sample_postings
+FROM agg WHERE df >= 5 ORDER BY token
+"""
+
 ORACLE_SQL["bpe_pair_counts"] = r"""
 WITH words AS (
     SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word FROM documents
@@ -3656,6 +3688,7 @@ QUERIES = {
     "distinct_sketch": q_distinct_sketch,
     "word_topk": q_word_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "inverted_index": q_inverted_index,
     "tfidf_terms": q_tfidf_terms,
     "lm_quality": q_lm_quality,
     "canonical_urls": q_canonical_urls,

@@ -1,0 +1,97 @@
+"""Inverted-index op: posting statistics vs a brute-force reference, with
+segments straddling block boundaries (many small blocks)."""
+
+from collections import Counter, defaultdict
+
+import pyarrow as pa
+import pytest
+
+from pdf_extractor_ray.ops.index import inverted_index, token_doc_pairs
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "cat cat cat"),
+    (3, ""),
+    (4, None),
+    (5, "THE Cat"),  # case folding
+    (6, "mat the mat"),
+]
+
+
+def brute_force():
+    post = defaultdict(dict)  # token -> {doc: tf}
+    for d, t in DOCS:
+        for w in (t or "").lower().split():
+            post[w][d] = post[w].get(d, 0) + 1
+    return post
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    ids, texts = zip(*DOCS)
+    return rd.from_arrow(
+        pa.table({"doc_id": list(ids), "text": list(texts)})
+    ).repartition(6)
+
+
+class TestTokenDocPairs:
+    def test_distinct_pairs_with_tf(self, docs_ds):
+        got = {
+            (r["token"], r["doc_id"]): r["tf"]
+            for r in token_doc_pairs(docs_ds).take_all()
+        }
+        want = {
+            (tok, d): tf
+            for tok, docs in brute_force().items()
+            for d, tf in docs.items()
+        }
+        assert got == want
+
+
+class TestInvertedIndex:
+    def test_matches_brute_force(self, docs_ds):
+        df = inverted_index(docs_ds, min_df=1).to_pandas()
+        post = brute_force()
+        assert set(df["token"]) == set(post)
+        for r in df.itertuples(index=False):
+            docs = post[r.token]
+            assert r.df == len(docs)
+            assert r.total_tf == sum(docs.values())
+            assert r.sample_postings == ",".join(
+                str(d) for d in sorted(docs)[:5]
+            )
+
+    def test_min_df_filters(self, docs_ds):
+        df = inverted_index(docs_ds, min_df=3).to_pandas()
+        post = brute_force()
+        assert set(df["token"]) == {t for t, d in post.items() if len(d) >= 3}
+
+    def test_sample_k_bounds_sample(self, docs_ds):
+        df = inverted_index(docs_ds, min_df=1, sample_k=2).to_pandas()
+        the = df[df["token"] == "the"].iloc[0]
+        assert the["sample_postings"] == "0,1"
+        assert the["df"] == 4  # docs 0, 1, 5, 6
+
+    def test_layout_independent(self, ray_session):
+        import ray.data as rd
+
+        ids, texts = zip(*DOCS)
+        tbl = pa.table({"doc_id": list(ids), "text": list(texts)})
+        a = (
+            inverted_index(rd.from_arrow(tbl).repartition(2))
+            .to_pandas()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        b = (
+            inverted_index(rd.from_arrow(tbl).repartition(7))
+            .to_pandas()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
