@@ -160,7 +160,7 @@ def main() -> None:
         "ann_topk", "token_stats", "minhash_dedup", "order_priority_revenue",
         "user_sessions", "paragraph_dedup", "media_features",
         "quantiles", "distinct_sketch", "substring_dup", "canonical_urls",
-        "ngram_jaccard_dedup", "simhash",
+        "ngram_jaccard_dedup", "simhash", "bpe_pair_counts", "inverted_index",
     )
     for name in query_names:
         t0 = time.time()

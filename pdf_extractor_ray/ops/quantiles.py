@@ -42,11 +42,12 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyarrow.compute import max as pc_max
 from pyarrow.compute import min as pc_min
 from pyarrow.compute import sum as pc_sum
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "group_quantiles"]
 
 
 def _rank_targets(qs: list[float], n: int) -> list[int]:
@@ -325,3 +326,53 @@ def _collect_rank(ds, col: str, lo, hi, rank: int, as_int: bool):
         if cum >= rank:
             return r["value"]
     raise RuntimeError("exact_quantiles: rank beyond interval count")
+
+def group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
+    """Exact per-GROUP quantiles: value at rank ``ceil(q*n)`` (1-based,
+    ascending, IEEE-double rank arithmetic — the same convention as
+    :func:`exact_quantiles`, so a ``row_number`` SQL oracle is value-exact
+    including ties) within each group.
+
+    Groups are assumed numerous-but-bounded-cardinality relative to rows
+    (languages, domains, buckets): the op is one ``(group, value)`` sort —
+    the honest exchange when every group needs an order statistic — with a
+    vectorized per-segment gather (no per-group Python; straddling groups
+    ride the segment runner's deferral). For ONE global quantile over a
+    huge column use :func:`exact_quantiles`, which never moves the column.
+    Null values are excluded per SQL aggregate semantics (all-null groups
+    vanish); null group keys are excluded like every groupby here.
+    """
+    from .segments import sorted_segment_apply
+
+    qs = list(qs)
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        groups = batch[group_col].to_numpy(zero_copy_only=False)[starts]
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        lens = ends - starts
+        out_g, out_q, out_v = [], [], []
+        for q in qs:  # constant-length loop; vectorized across segments
+            ranks = np.ceil(np.float64(q) * lens).astype(np.int64)
+            np.clip(ranks, 1, lens, out=ranks)
+            idx = starts + ranks - 1
+            out_g.append(groups)
+            out_q.append(np.full(len(starts), q))
+            out_v.append(vals[idx])
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_g)),
+                pa.array(np.concatenate(out_q), pa.float64()),
+                pa.array(np.concatenate(out_v)),
+            ],
+            names=[group_col, "q", "value"],
+        )
+
+    clean = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[value_col]))
+        ),
+        batch_format="pyarrow",
+    )
+    return sorted_segment_apply(
+        clean, key_col=group_col, block_fn=kernel, within_cols=[value_col]
+    )

@@ -1977,6 +1977,19 @@ def q_word_topk(sf_dir: str) -> pd.DataFrame:
     return word_topk(ds, k=10).sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+def q_group_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language length quantiles (rank = ceil(q*n), 1-based —
+    the same IEEE-double rank convention as Q ``quantiles``): one
+    (lang, n_chars) sort with a vectorized per-segment gather
+    (:func:`ops.quantiles.group_quantiles`); ties are value-exact because
+    the rank indexes a fixed position in the sorted run."""
+    from .ops.quantiles import group_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    df = group_quantiles(ds, "lang", "n_chars", [0.1, 0.5, 0.9, 0.99]).to_pandas()
+    return df.sort_values(["lang", "q"]).reset_index(drop=True)
+
+
 def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted-index metadata tier over documents: per token with df ≥ 5,
     its document frequency, total term frequency, and the first 5 posting
@@ -3234,6 +3247,21 @@ SELECT lang, word, CAST(cnt AS BIGINT) AS cnt, CAST(r AS INTEGER) AS rank
 FROM ranked WHERE r <= 10 ORDER BY lang, rank
 """
 
+ORACLE_SQL["group_quantiles"] = """
+WITH ranked AS (
+    SELECT lang, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+),
+qs(q) AS (VALUES (0.1), (0.5), (0.9), (0.99))
+SELECT lang, q, n_chars AS value
+FROM ranked, qs
+WHERE rn = CAST(ceil(q * n) AS BIGINT)
+ORDER BY lang, q
+"""
+
 ORACLE_SQL["inverted_index"] = r"""
 WITH pairs AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
@@ -3689,6 +3717,7 @@ QUERIES = {
     "word_topk": q_word_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "inverted_index": q_inverted_index,
+    "group_quantiles": q_group_quantiles,
     "tfidf_terms": q_tfidf_terms,
     "lm_quality": q_lm_quality,
     "canonical_urls": q_canonical_urls,

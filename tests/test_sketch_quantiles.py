@@ -417,3 +417,57 @@ class TestTfidfTopTerms:
         tbl = pa.table({"doc_id": [1], "text": ["a b c d e"]})
         with pytest.raises(RuntimeError, match="df_cap"):
             tfidf_top_terms(rd.from_arrow(tbl), df_cap=2).take_all()
+
+
+class TestGroupQuantiles:
+    """Per-group exact quantiles: rank = ceil(q*n) (1-based) within each
+    group, vs numpy sorting — including ties, nulls, and block layouts."""
+
+    def _want(self, groups, values, qs):
+        import collections
+
+        by_g = collections.defaultdict(list)
+        for g, v in zip(groups, values):
+            if g is not None and v is not None:
+                by_g[g].append(v)
+        out = []
+        for g in sorted(by_g):
+            vs = sorted(by_g[g])
+            for q in qs:
+                rank = max(1, min(len(vs), math.ceil(q * len(vs))))
+                out.append((g, q, vs[rank - 1]))
+        return out
+
+    def _got(self, groups, values, qs, parts):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import group_quantiles
+
+        ds = rd.from_arrow(pa.table({"g": groups, "v": values})).repartition(parts)
+        df = (
+            group_quantiles(ds, "g", "v", qs)
+            .to_pandas()
+            .sort_values(["g", "q"])
+            .reset_index(drop=True)
+        )
+        return list(map(tuple, df.itertuples(index=False)))
+
+    def test_matches_numpy_with_ties_and_nulls(self, ray_session):
+        rng = np.random.default_rng(7)
+        groups = [f"g{i % 5}" for i in range(400)] + [None] * 3
+        values = [int(x) for x in rng.integers(0, 40, 400)] + [1, 2, 3]
+        values[10] = None  # null value inside a group
+        qs = [0.1, 0.5, 0.9, 1.0]
+        assert self._got(groups, values, qs, 7) == self._want(groups, values, qs)
+
+    def test_single_row_groups(self, ray_session):
+        groups = ["a", "b", "c"]
+        values = [5, 7, 9]
+        qs = [0.01, 0.5, 0.99]
+        assert self._got(groups, values, qs, 3) == self._want(groups, values, qs)
+
+    def test_layout_independent(self, ray_session):
+        groups = [f"g{i % 3}" for i in range(90)]
+        values = [(i * 37) % 50 for i in range(90)]
+        qs = [0.25, 0.75]
+        assert self._got(groups, values, qs, 2) == self._got(groups, values, qs, 11)
