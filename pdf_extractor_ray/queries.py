@@ -644,6 +644,47 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANTI join: events whose user has NO high-balance
+    customer row, aggregated per event type. Exercises
+    :func:`ops.segments.attach_lookup` with ``anti=True`` — the
+    sorted-lookup exchange (one sort, no hash-join operator, no broadcast)
+    that also backs exact_dedup_large's over-gate loser filter; here it is
+    driver-verified against a NOT-EXISTS oracle."""
+    from ray.data.aggregate import Sum
+
+    from .ops.segments import attach_lookup
+
+    rich = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], pa.scalar(5000.0)))
+        .select(["c_custkey"])
+        .rename_columns(["user_id"]),
+        batch_format="pyarrow",
+    )
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    kept = attach_lookup(
+        events, rich, key_col="user_id", val_cols=[], carry_cols=["event_type"],
+        anti=True,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(et.astype(str), return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()), pa.array(c, pa.int64())],
+            names=["event_type", "n_events"],
+        )
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def q_lineitem_filter(sf_dir: str) -> pd.DataFrame:
     """Predicate + projection pushed to the read (column pruning at the
     parquet scan), per-batch vectorized filter, pre-aggregated count."""
@@ -2632,6 +2673,15 @@ ORACLE_SQL: dict[str, str] = {
         WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
         GROUP BY event_type ORDER BY event_type
     """,
+    "anti_join": """
+        SELECT event_type, count(*) AS n_events
+        FROM events e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = e.user_id AND c.c_acctbal > 5000
+        )
+        GROUP BY event_type ORDER BY event_type
+    """,
     "lineitem_filter": """
         SELECT l_returnflag, count(*) AS n,
                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
@@ -3667,6 +3717,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "asof_join_salted": q_asof_join_salted,
     "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,
