@@ -57,16 +57,21 @@ def _written_rows(output_dir: str, pre_existing: set[str] = frozenset()) -> int:
     return total
 
 
-def _read_input(patterns: list[str]):
+def _read_input(patterns: list[str], extra_columns: list[str] | None = None):
+    """``extra_columns`` widens the pruned parquet read beyond the standard
+    pages schema (e.g. a per-document password sidecar column)."""
     from .sources.jsonl import read_pages_jsonl
-    from .sources.pages import read_pages
+    from .sources.pages import PAGES_COLUMNS, read_pages
 
     paths: list[str] = []
     for pattern in patterns:
         paths.extend(sorted(glob.glob(pattern)) or [pattern])
     if all(p.endswith((".jsonl", ".json")) for p in paths):
         return read_pages_jsonl(paths)
-    return read_pages(paths)
+    columns = PAGES_COLUMNS + [
+        c for c in (extra_columns or []) if c and c not in PAGES_COLUMNS
+    ]
+    return read_pages(paths, columns=columns)
 
 
 def cmd_extract(args) -> int:
@@ -90,7 +95,7 @@ def cmd_extract(args) -> int:
         pdf_password=args.password or "",
         pdf_password_col=args.password_col,
     )
-    ds = _read_input(args.input)
+    ds = _read_input(args.input, extra_columns=[args.password_col])
     result = extraction_pipeline(ds, config=config, query=args.query)
     if args.mode == "direct":
         run_direct(result, args.output)
@@ -123,7 +128,7 @@ def cmd_sections(args) -> int:
     config = EngineConfig(
         pdf_password=args.password or "", pdf_password_col=args.password_col
     )
-    ds = _read_input(args.input)
+    ds = _read_input(args.input, extra_columns=[args.password_col])
     out = sections_rows(
         extraction_pipeline(ds, config=config, query=args.query), query=args.query
     )
@@ -251,7 +256,10 @@ def cmd_bpe(args) -> int:
 
     from .ops.bpe import bpe_apply, bpe_train
 
-    ds = rd.read_parquet(args.input, columns=[args.text_col, args.id_col])
+    # Train-only runs need just the text column; the id rides only into
+    # the --apply output.
+    cols = [args.text_col] + ([args.id_col] if args.apply else [])
+    ds = rd.read_parquet(args.input, columns=cols)
     merges = bpe_train(
         ds, num_merges=args.merges, text_col=args.text_col,
         word_cap=args.word_cap, min_count=args.min_count,

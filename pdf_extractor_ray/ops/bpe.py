@@ -47,11 +47,10 @@ def _word_count_partial(batch: pa.Table, text_col: str) -> pa.Table:
     """Per-block (word, cnt) partials: RE2 ``\\s+`` split → flatten →
     ``np.unique`` — the pre-combine that keeps row-level text out of the
     vocabulary exchange."""
+    from .text import split_words
+
     texts = pc.fill_null(batch[text_col], "")
-    words_list = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
-    if isinstance(words_list, pa.ChunkedArray):
-        words_list = words_list.combine_chunks()
-    w = words_list.flatten().to_numpy(zero_copy_only=False)
+    w = split_words(texts).flatten().to_numpy(zero_copy_only=False)
     w = w[w != ""]
     if len(w):
         u, c = np.unique(w.astype(str), return_counts=True)
@@ -168,12 +167,14 @@ def _collect_word_freqs(wf, word_cap: int) -> tuple[list[str], np.ndarray, bool]
         )
         return batch.take(order[:word_cap])
 
-    parts = pa.concat_tables(
+    batches = list(
         wf.map_batches(topcap, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=None
         )
     )
-    df = parts.to_pandas()
+    if not batches:  # empty / all-whitespace corpus
+        return [], np.array([], dtype=np.int64), False
+    df = pa.concat_tables(batches).to_pandas()
     capped = len(df) > word_cap
     df = df.sort_values(["cnt", "word"], ascending=[False, True], kind="mergesort")
     df = df.head(word_cap)
@@ -251,8 +252,13 @@ def bpe_train(
             for p in zip(old, old[1:]):
                 pair_counts[p] -= c
                 if pair_counts[p] <= 0:
+                    # Drop BOTH structures: a stale pair_words set would
+                    # otherwise hold dead word indices for the whole run
+                    # (O(pairs × words) driver memory at word_cap scale).
                     del pair_counts[p]
-                pair_words[p].discard(wi)
+                    pair_words.pop(p, None)
+                else:
+                    pair_words[p].discard(wi)
             for p in zip(new, new[1:]):
                 pair_counts[p] += c
                 pair_words[p].add(wi)
@@ -297,10 +303,9 @@ class BpeEncoder:
         return n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch[self.text_col], "")
-        words_list = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
-        if isinstance(words_list, pa.ChunkedArray):
-            words_list = words_list.combine_chunks()
+        from .text import split_words
+
+        words_list = split_words(pc.fill_null(batch[self.text_col], ""))
         counts = []
         for row in words_list.to_pylist():
             counts.append(sum(self._encode_len(w) for w in row if w))

@@ -35,10 +35,10 @@ def token_doc_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):
     over (token, doc) pairs."""
 
     def emit(batch: pa.Table) -> pa.Table:
+        from .text import split_words
+
         texts = pc.fill_null(batch[text_col], "")
-        words_list = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
-        if isinstance(words_list, pa.ChunkedArray):
-            words_list = words_list.combine_chunks()
+        words_list = split_words(texts)
         w = words_list.flatten().to_numpy(zero_copy_only=False)
         reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
         d = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), reps)

@@ -347,6 +347,17 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
     qs = list(qs)
 
     def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        # Explicit output types: a kernel call with zero complete segments
+        # must still emit the same schema (pa.array on an empty object
+        # array would infer `null` and desynchronize block schemas).
+        gtype = batch.schema.field(group_col).type
+        vtype = batch.schema.field(value_col).type
+        names = [group_col, "q", "value"]
+        if len(starts) == 0 or not qs:
+            return pa.Table.from_arrays(
+                [pa.array([], gtype), pa.array([], pa.float64()), pa.array([], vtype)],
+                names=names,
+            )
         groups = batch[group_col].to_numpy(zero_copy_only=False)[starts]
         vals = batch[value_col].to_numpy(zero_copy_only=False)
         lens = ends - starts
@@ -360,11 +371,11 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
             out_v.append(vals[idx])
         return pa.Table.from_arrays(
             [
-                pa.array(np.concatenate(out_g)),
+                pa.array(np.concatenate(out_g), gtype),
                 pa.array(np.concatenate(out_q), pa.float64()),
-                pa.array(np.concatenate(out_v)),
+                pa.array(np.concatenate(out_v), vtype),
             ],
-            names=[group_col, "q", "value"],
+            names=names,
         )
 
     clean = ds.map_batches(

@@ -61,6 +61,19 @@ class LangIdScorer:
         return batch.append_column("pred_lang", pa.array(preds, pa.string()))
 
 
+def split_words(texts) -> pa.ListArray:
+    """THE corpus tokenization (RE2 ``\\s+`` split over lowercased text),
+    single-sourced: word_topk / tfidf / lm scoring, the BPE trainer and
+    the inverted index all call this, and every SQL oracle mirrors it as
+    ``regexp_extract_all(lower(text), '\\S+')``. Returns a list array that
+    may contain empty strings at document edges — callers filter ``""``.
+    Null texts must be filled upstream (``pc.fill_null(col, "")``)."""
+    words_list = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    if isinstance(words_list, pa.ChunkedArray):
+        words_list = words_list.combine_chunks()
+    return words_list
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality features per document: char count, token count, alnum count,
     alnum ratio, mean token length, stopword ratio (en)."""
@@ -514,9 +527,7 @@ def word_topk(ds, k: int = 10, text_col: str = "text", group_col: str = "lang"):
         # empty documents.
         batch = batch.filter(pc.is_valid(batch[group_col]))
         texts = pc.fill_null(batch[text_col], "")
-        words_list = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
-        if isinstance(words_list, pa.ChunkedArray):
-            words_list = words_list.combine_chunks()
+        words_list = split_words(texts)
         words = words_list.flatten()
         reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
         groups = np.repeat(
@@ -625,9 +636,7 @@ def tfidf_top_terms(
     from ray.data.aggregate import Sum
 
     def doc_tokens(batch: pa.Table) -> list[list[str]]:
-        words_list = pc.split_pattern_regex(
-            pc.utf8_lower(pc.fill_null(batch[text_col], "")), pattern=r"\s+"
-        )
+        words_list = split_words(pc.fill_null(batch[text_col], ""))
         return [
             [w for w in doc if w] if doc else []
             for doc in words_list.to_pylist()
@@ -738,9 +747,7 @@ def lm_bigram_score(
     from ray.data.aggregate import Sum
 
     def doc_tokens(batch: pa.Table) -> list[list[str]]:
-        words_list = pc.split_pattern_regex(
-            pc.utf8_lower(pc.fill_null(batch[text_col], "")), pattern=r"\s+"
-        )
+        words_list = split_words(pc.fill_null(batch[text_col], ""))
         return [
             [w for w in doc if w] if doc else []
             for doc in words_list.to_pylist()

@@ -122,7 +122,9 @@ class DocumentExtractor:
         row_pws: list | None = None
         if pw_col and pw_col in batch.column_names:
             row_pws = [
-                None if v is None else str(v).encode("utf-8")
+                None
+                if v is None
+                else (bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
                 for v in batch[pw_col].to_pylist()
             ]
         texts, n_pages, n_blocks, n_tables, n_chunks = [], [], [], [], []

@@ -34,13 +34,33 @@ from ..functions.routing import ROUTE_PDF
 from ..functions.split import split_payload
 
 
+def _row_passwords(batch: pa.Table, config: EngineConfig) -> list | None:
+    """Per-row passwords from ``config.pdf_password_col`` (None where the
+    row has none — callers fall back to the corpus-wide password). Same
+    semantics as the single-pass extract stage."""
+    pw_col = config.pdf_password_col
+    if not (pw_col and pw_col in batch.column_names):
+        return None
+    return [
+        None
+        if v is None
+        else (bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
+        for v in batch[pw_col].to_pylist()
+    ]
+
+
 def split_oversized(batch: pa.Table, config: EngineConfig | None = None) -> pa.Table:
     """Explode oversized rows into chunk rows; small rows pass through as
-    single-chunk rows. Output adds ``chunk_idx``/``n_chunks``."""
+    single-chunk rows. Output adds ``chunk_idx``/``n_chunks``. Encrypted
+    PDFs decrypt at the split (corpus-wide or per-row password — the same
+    config contract as the single-pass extract stage); the re-emitted
+    record chunks are plaintext."""
     config = config or EngineConfig()
     payloads = batch["html"]
     routes = batch["route"].to_pylist()
     needs_split = batch["needs_split"].to_pylist()
+    default_pw = (config.pdf_password or "").encode("utf-8")
+    row_pws = _row_passwords(batch, config)
     indices: list[int] = []
     chunk_payloads: list[bytes] = []
     chunk_idx: list[int] = []
@@ -48,8 +68,11 @@ def split_oversized(batch: pa.Table, config: EngineConfig | None = None) -> pa.T
     for i in range(len(batch)):
         payload = payloads[i].as_py()
         if needs_split[i] and payload is not None:
+            pw = default_pw if row_pws is None or row_pws[i] is None else row_pws[i]
             try:
-                chunks = split_payload(payload, routes[i], config.max_pages_per_chunk)
+                chunks = split_payload(
+                    payload, routes[i], config.max_pages_per_chunk, password=pw
+                )
             except Exception:  # malformed payload: pass through whole
                 chunks = [payload]
         else:
@@ -68,19 +91,24 @@ def split_oversized(batch: pa.Table, config: EngineConfig | None = None) -> pa.T
 
 
 def extract_chunks(batch: pa.Table, config: EngineConfig | None = None) -> pa.Table:
-    """Per-chunk extraction → ``page_markdowns`` list column (payload
-    dropped before the reassembly shuffle)."""
+    """Per-chunk extraction → ``page_markdowns`` list column (payload and
+    any password sidecar dropped before the reassembly shuffle)."""
     config = config or EngineConfig()
     payloads = batch["html"]
     routes = batch["route"].to_pylist()
+    default_pw = (config.pdf_password or "").encode("utf-8")
+    row_pws = _row_passwords(batch, config)
     pages_col: list[list[str]] = []
     for i in range(len(batch)):
         payload = payloads[i].as_py()
+        pw = default_pw if row_pws is None or row_pws[i] is None else row_pws[i]
         try:
             if payload is None:
                 pages_col.append([])
             elif routes[i] == ROUTE_PDF:
-                pages, _ = extract_pdf_pages(payload)
+                # Chunks are plaintext record format; the password matters
+                # for small un-split rows and undecodable pass-throughs.
+                pages, _ = extract_pdf_pages(payload, password=pw)
                 pages_col.append(pages)
             else:
                 pages, _ = extract_html_pages(
@@ -91,7 +119,10 @@ def extract_chunks(batch: pa.Table, config: EngineConfig | None = None) -> pa.Ta
                 pages_col.append(pages)
         except Exception:  # per-document containment (see stages/extract.py)
             pages_col.append([])
-    return batch.drop_columns(["html", "needs_split"]).append_column(
+    drop = ["html", "needs_split"]
+    if row_pws is not None:
+        drop.append(config.pdf_password_col)  # credentials never flow downstream
+    return batch.drop_columns(drop).append_column(
         "page_markdowns", pa.array(pages_col, pa.list_(pa.string()))
     )
 

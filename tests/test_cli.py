@@ -265,3 +265,39 @@ def test_cli_bpe_train_and_apply(tmp_path):
     enc = pads.dataset(str(applied)).to_table()
     assert summary["rows"] == 3
     assert all(n > 0 for n in enc["n_bpe_tokens"].to_pylist())
+
+
+def test_cli_extract_password_col(tmp_path):
+    """--password-col survives the pruned parquet read (regression: the
+    sidecar column used to be dropped by read_pages' fixed column list)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.pdf_codec import build_pdf
+
+    rows = []
+    for i in range(6):
+        text = f"Doc {i}.\nPer-row secret line {i * 11}."
+        rows.append(
+            {"url": f"pdf://pwcol/{i}", "warc_ts": 0,
+             "html": build_pdf(text, encrypt=True,
+                               encrypt_user_pw=f"row-{i}".encode(),
+                               encrypt_rev=3),
+             "text": "", "lang": "en", "doc_pw": f"row-{i}"}
+        )
+    src = tmp_path / "prot.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = tmp_path / "out"
+    result = subprocess.run(
+        [sys.executable, "-m", "pdf_extractor_ray", "extract",
+         "--input", str(src), "--output", str(out), "--mode", "direct",
+         "--no-validation", "--password-col", "doc_pw", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    tbl = pads.dataset(str(out)).to_table()
+    texts = dict(zip(tbl["url"].to_pylist(), tbl["extracted_text"].to_pylist()))
+    assert len(texts) == 6 and all(texts.values())
+    assert all("Per-row secret line" in t for t in texts.values())
+    assert "doc_pw" not in tbl.column_names

@@ -276,3 +276,58 @@ class TestPasswordPlumbing:
         assert got == golden
         # credentials must not flow downstream
         assert "doc_pw" not in out.column_names
+
+    def test_explicit_split_with_password(self, ray_session, enc_corpus):
+        """The explicit-split variant honors the same password config as
+        the single-pass pipeline (byte-identity contract)."""
+        plain, enc = enc_corpus
+        cfg_plain = EngineConfig(validation_enabled=False)
+        cfg_pw = EngineConfig(pdf_password="hunter2", validation_enabled=False)
+        golden = _collect(
+            extraction_pipeline_explicit_split(
+                self._ds(plain), config=cfg_plain
+            )
+        )
+        got = _collect(
+            extraction_pipeline_explicit_split(self._ds(enc), config=cfg_pw)
+        )
+        assert got == golden
+        assert all(v for v in got.values())
+
+    def test_binary_password_column(self, ray_session, enc_corpus):
+        """A binary-typed sidecar password column works (bytes pass through
+        untouched, not str()-mangled)."""
+        from pdf_extractor_ray.functions.pdf_codec import build_pdf
+
+        plain, _ = enc_corpus
+        urls = list(plain)
+        pws = [f"bin-{i}".encode() for i in range(len(urls))]
+        enc = {
+            u: build_pdf(
+                f"Protected page {i}.\nSecond line with value {i * 7}.",
+                encrypt=True, encrypt_user_pw=pws[i], encrypt_rev=3,
+            )
+            for i, u in enumerate(urls)
+        }
+        golden = _collect(self._run(plain, EngineConfig(validation_enabled=False)))
+        got = _collect(
+            self._run(
+                enc,
+                EngineConfig(pdf_password_col="doc_pw", validation_enabled=False),
+                extra_cols={"doc_pw": pa.array(pws, pa.binary())},
+            )
+        )
+        assert got == golden
+
+    def _ds(self, payload_by_url: dict):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": list(payload_by_url),
+                    "html": pa.array(list(payload_by_url.values()), pa.binary()),
+                    "text": [""] * len(payload_by_url),
+                }
+            )
+        ).repartition(4)

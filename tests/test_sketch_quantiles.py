@@ -471,3 +471,18 @@ class TestGroupQuantiles:
         values = [(i * 37) % 50 for i in range(90)]
         qs = [0.25, 0.75]
         assert self._got(groups, values, qs, 2) == self._got(groups, values, qs, 11)
+
+    def test_schema_stays_typed_with_empty_blocks(self, ray_session):
+        """Kernel calls with zero complete segments must not emit a
+        null-typed group column (block-schema desync)."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import group_quantiles
+
+        # One giant group over many blocks -> most kernel calls see no
+        # complete segment.
+        tbl = pa.table({"g": ["only"] * 200, "v": list(range(200))})
+        out = group_quantiles(rd.from_arrow(tbl).repartition(16), "g", "v", [0.5])
+        schema = out.schema()
+        assert str(schema.base_schema.field("g").type) == "string"
+        assert out.to_pandas().iloc[0]["value"] == 99  # ceil(0.5*200)=100 -> v[99]
