@@ -1,0 +1,86 @@
+"""Ordered-funnel analysis over an event stream (view → click → purchase).
+
+The classic web-analytics sequence query: for each user, how far along an
+ordered step list did they get, where step *i+1* must occur STRICTLY
+after the chosen (earliest) occurrence of step *i*. One ``(user, ts)``
+sort — the honest exchange; every user's events are then a contiguous
+ts-ordered segment — followed by a per-block kernel that is vectorized
+ACROSS segments: per step it does one eligibility mask, one
+``np.minimum.reduceat`` over the re-packed segment ranges, and one
+gather. The step list is a constant-length loop; there is no per-user
+Python.
+
+Timestamp-tie semantics are exact and SQL-replicable: the next step's
+event must satisfy ``ts > t_prev`` (not "later in the sort"), so equal
+timestamps never advance the funnel — the oracle states the same rule
+with nested ``min(ts)`` CTEs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .segments import sorted_segment_apply
+
+
+def funnel_stages(
+    ds,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Dataset of ``(user_col, stage)`` — ``stage`` = number of funnel
+    steps completed in order (0 … len(steps)); every user with ≥1 event
+    appears."""
+    steps = tuple(steps)
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        utype = batch.schema.field(user_col).type
+        names = [user_col, "stage"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], utype), pa.array([], pa.int32())], names=names
+            )
+        users = batch[user_col].to_numpy(zero_copy_only=False)[starts]
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        ts_i = ts.view("i8") if ts.dtype.kind == "M" else ts.astype(np.int64)
+        types = batch[type_col].to_numpy(zero_copy_only=False).astype(str)
+        code = np.full(len(batch), -1, np.int64)
+        for si, s in enumerate(steps):
+            code[types == s] = si
+
+        # Re-pack the complete segments contiguously so one reduceat per
+        # step covers exactly the segment ranges (complete segments need
+        # not tile the block — straddling head/tail rows are deferred).
+        seg_len = ends - starts
+        offsets = np.concatenate(([0], np.cumsum(seg_len)))
+        total = int(offsets[-1])
+        seg_of = np.repeat(np.arange(len(starts)), seg_len)
+        rowpos = (
+            np.arange(total) - np.repeat(offsets[:-1], seg_len)
+            + np.repeat(starts, seg_len)
+        )
+        tsr, coder = ts_i[rowpos], code[rowpos]
+        loc = np.arange(total)
+
+        alive = np.ones(len(starts), dtype=bool)
+        cur_t = np.full(len(starts), np.iinfo(np.int64).min)
+        stage = np.zeros(len(starts), np.int32)
+        for si in range(len(steps)):
+            elig = (coder == si) & (tsr > cur_t[seg_of]) & alive[seg_of]
+            cand = np.where(elig, loc, total)
+            firsts = np.minimum.reduceat(cand, offsets[:-1])
+            found = firsts < offsets[1:]
+            stage += found.astype(np.int32)
+            hit = np.minimum(firsts, total - 1)
+            cur_t = np.where(found, tsr[hit], cur_t)
+            alive &= found
+        return pa.Table.from_arrays(
+            [pa.array(users, utype), pa.array(stage, pa.int32())], names=names
+        )
+
+    return sorted_segment_apply(
+        ds, key_col=user_col, block_fn=kernel, within_cols=[ts_col]
+    )

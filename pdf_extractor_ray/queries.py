@@ -644,6 +644,19 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel view → click → purchase per user (next step must be
+    STRICTLY later in time than the earliest occurrence of the previous
+    step). One (user, ts) sort + a per-step reduceat kernel vectorized
+    across user segments (:mod:`ops.funnel`); the oracle states the same
+    strict-inequality rule with nested min(ts) CTEs."""
+    from .ops.funnel import funnel_stages
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    df = funnel_stages(ds).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_anti_join(sf_dir: str) -> pd.DataFrame:
     """Distributed ANTI join: events whose user has NO high-balance
     customer row, aggregated per event type. Exercises
@@ -2673,6 +2686,26 @@ ORACLE_SQL: dict[str, str] = {
         WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
         GROUP BY event_type ORDER BY event_type
     """,
+    "funnel": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        SELECT u.user_id,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS stage
+        FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+               LEFT JOIN s2 ON u.user_id = s2.user_id
+               LEFT JOIN s3 ON u.user_id = s3.user_id
+        ORDER BY u.user_id
+    """,
     "anti_join": """
         SELECT event_type, count(*) AS n_events
         FROM events e
@@ -3718,6 +3751,7 @@ QUERIES = {
     "asof_join_salted": q_asof_join_salted,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "funnel": q_funnel,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

@@ -1,0 +1,66 @@
+"""Funnel op: hand-crafted sequences exercising strict-time semantics,
+timestamp ties, out-of-order steps, and users straddling blocks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_extractor_ray.ops.funnel import funnel_stages
+
+
+def events_table(rows):
+    uids, tss, types = zip(*rows)
+    return pa.table(
+        {
+            "user_id": list(uids),
+            "ts": pa.array(
+                [np.datetime64(1_000_000 * t, "us") for t in tss],
+                pa.timestamp("us"),
+            ),
+            "event_type": list(types),
+        }
+    )
+
+
+CASES = {
+    # full funnel in order
+    1: ([(1, 1, "view"), (1, 2, "click"), (1, 3, "purchase")], 3),
+    # purchase BEFORE click: stops at click
+    2: ([(2, 1, "view"), (2, 2, "purchase"), (2, 3, "click")], 2),
+    # click tied with view's timestamp: strict > means NOT advanced
+    3: ([(3, 5, "view"), (3, 5, "click"), (3, 9, "purchase")], 1),
+    # later second view must not resurrect the funnel (earliest view counts)
+    4: ([(4, 4, "click"), (4, 5, "view"), (4, 6, "view"), (4, 7, "click"),
+         (4, 8, "purchase")], 3),
+    # no view at all
+    5: ([(5, 1, "click"), (5, 2, "purchase")], 0),
+    # view only
+    6: ([(6, 1, "view"), (6, 2, "error")], 1),
+    # tie at step 2: purchase at same ts as chosen click -> not counted
+    7: ([(7, 1, "view"), (7, 2, "click"), (7, 2, "purchase")], 2),
+}
+
+
+@pytest.mark.parametrize("parts", [1, 5, 13])
+def test_funnel_cases(ray_session, parts):
+    import ray.data as rd
+
+    rows = [r for case, (rs, _) in sorted(CASES.items()) for r in rs]
+    ds = rd.from_arrow(events_table(rows)).repartition(parts)
+    got = {
+        r["user_id"]: r["stage"] for r in funnel_stages(ds).take_all()
+    }
+    want = {case: stage for case, (_, stage) in CASES.items()}
+    assert got == want
+
+
+def test_funnel_custom_steps(ray_session):
+    import ray.data as rd
+
+    rows = [(1, 1, "signup"), (1, 2, "purchase"), (2, 1, "purchase")]
+    ds = rd.from_arrow(events_table(rows))
+    got = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(ds, steps=("signup", "purchase")).take_all()
+    }
+    assert got == {1: 2, 2: 0}
