@@ -335,3 +335,57 @@ def cap_per_key(
         within_cols=order_cols,
         descending=descending,
     )
+
+
+def distinct_count_per_key(ds, key_col: str, value_col: str):
+    """Exact ``count(DISTINCT value)`` per key as ``(key_col, n_distinct)``
+    rows.
+
+    Two-stage shape: a per-block ``(key, value)`` pair dedup (lexsort
+    run-length — the exchange carries one row per distinct pair per
+    block, never one per occurrence), then ONE ``(key, value)`` sort with
+    a change-count segment kernel: within a segment the distinct count is
+    ``1 + #(value[i] != value[i-1])``, computed for ALL segments at once
+    from one block-wide inequality diff + cumsum. No per-key Python, no
+    set materialization.
+    """
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return batch.select([key_col, value_col])
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        new = np.concatenate(([True], (k[1:] != k[:-1]) | (v[1:] != v[:-1])))
+        return pa.Table.from_arrays(
+            [
+                pa.array(k[new], batch.schema.field(key_col).type),
+                pa.array(v[new], batch.schema.field(value_col).type),
+            ],
+            names=[key_col, value_col],
+        )
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        ktype = batch.schema.field(key_col).type
+        names = [key_col, "n_distinct"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], ktype), pa.array([], pa.int64())], names=names
+            )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)[starts]
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        # changes[i] = 1 where v[i] != v[i-1]; csum differences give the
+        # change count inside any [start, end) range.
+        changes = np.concatenate(([0], (v[1:] != v[:-1]).astype(np.int64)))
+        csum = np.concatenate(([0], np.cumsum(changes)))
+        n_distinct = 1 + (csum[ends] - csum[starts + 1])
+        return pa.Table.from_arrays(
+            [pa.array(keys, ktype), pa.array(n_distinct, pa.int64())],
+            names=names,
+        )
+
+    deduped = ds.map_batches(dedup_pairs, batch_format="pyarrow")
+    return sorted_segment_apply(
+        deduped, key_col=key_col, block_fn=kernel, within_cols=[value_col]
+    )

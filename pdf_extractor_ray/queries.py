@@ -644,6 +644,19 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact count(DISTINCT user_id) per event type: per-block pair dedup
+    (one row per distinct pair per block enters the exchange) → one
+    (key, value) sort → change-count segment kernel
+    (:func:`ops.segments.distinct_count_per_key`). The exact counterpart
+    of the HLL sketch in Q ``distinct_sketch``."""
+    from .ops.segments import distinct_count_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    df = distinct_count_per_key(ds, "event_type", "user_id").to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def q_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered funnel view → click → purchase per user (next step must be
     STRICTLY later in time than the earliest occurrence of the previous
@@ -2686,6 +2699,10 @@ ORACLE_SQL: dict[str, str] = {
         WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
         GROUP BY event_type ORDER BY event_type
     """,
+    "distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "funnel": """
         WITH u AS (SELECT DISTINCT user_id FROM events),
         s1 AS (SELECT user_id, min(ts) AS t1 FROM events
@@ -3752,6 +3769,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "funnel": q_funnel,
+    "distinct_users": q_distinct_users,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

@@ -220,3 +220,42 @@ class TestCapPerKey:
         ).to_pandas()
         got = {k: sorted(g["v"]) for k, g in out.groupby("k")}
         assert got == {0: [16, 18], 1: [17, 19]}
+
+
+class TestDistinctCountPerKey:
+    def test_matches_python(self, ray_session):
+        import collections
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import distinct_count_per_key
+
+        rng = np.random.default_rng(3)
+        keys = [f"k{i % 7}" for i in range(500)]
+        vals = [int(x) for x in rng.integers(0, 40, 500)]
+        want = collections.defaultdict(set)
+        for k, v in zip(keys, vals):
+            want[k].add(v)
+        ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(9)
+        got = {
+            r["k"]: r["n_distinct"]
+            for r in distinct_count_per_key(ds, "k", "v").take_all()
+        }
+        assert got == {k: len(s) for k, s in want.items()}
+
+    def test_single_value_keys(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import distinct_count_per_key
+
+        ds = rd.from_arrow(
+            pa.table({"k": ["a", "a", "b"], "v": [1, 1, 2]})
+        ).repartition(3)
+        got = {
+            r["k"]: r["n_distinct"]
+            for r in distinct_count_per_key(ds, "k", "v").take_all()
+        }
+        assert got == {"a": 1, "b": 1}
