@@ -117,3 +117,51 @@ def inverted_index(
         block_fn=kernel,
         within_cols=[id_col],
     )
+
+
+def write_posting_store(
+    ds,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+):
+    """Materialize the full posting store: the sorted ``(token, doc_id,
+    tf)`` run written as parquet PARTITIONED by a stable token-hash bucket
+    (``bucket=K/`` directories). A stopword's postings span many row
+    groups inside its bucket — never one giant row or file — and a lookup
+    for token *t* touches exactly one bucket directory (hash-pruned), so
+    the store scales to corpus-sized vocabularies and a failed write can
+    resume per bucket. Returns the bucket count actually written."""
+    from ..stages.normalize import stable_hash_mod
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(stable_hash_mod(toks, num_buckets), pa.int32())
+        )
+
+    pairs = token_doc_pairs(ds, text_col, id_col).map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
+    # Sort by (bucket, token, doc_id): co-locates each token's postings in
+    # doc-id order inside its bucket partition.
+    pairs.sort(["bucket", "token", id_col]).write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return num_buckets
+
+
+def lookup_postings(out_dir: str, token: str, num_buckets: int = 256):
+    """Read one token's postings from a :func:`write_posting_store` output:
+    hash-prune to the single bucket directory, then filter — the access
+    path the partitioning exists for. Returns a pyarrow Table."""
+    import pyarrow.dataset as pads
+
+    from ..stages.normalize import stable_hash_mod
+
+    bucket = int(stable_hash_mod([token], num_buckets)[0])
+    dataset = pads.dataset(
+        f"{out_dir}/bucket={bucket}", format="parquet"
+    )
+    return dataset.to_table(filter=pads.field("token") == token)

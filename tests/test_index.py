@@ -95,3 +95,44 @@ class TestInvertedIndex:
         import pandas as pd
 
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestPostingStore:
+    def test_write_and_lookup(self, docs_ds, tmp_path):
+        from pdf_extractor_ray.ops.index import lookup_postings, write_posting_store
+
+        out = str(tmp_path / "store")
+        write_posting_store(docs_ds, out, num_buckets=8)
+        post = brute_force()
+        for token in ("the", "cat", "mat"):
+            got = lookup_postings(out, token, num_buckets=8)
+            assert got["token"].to_pylist() == [token] * len(post[token])
+            # postings are doc-id sorted within the bucket
+            assert got["doc_id"].to_pylist() == sorted(post[token])
+            assert dict(
+                zip(got["doc_id"].to_pylist(), got["tf"].to_pylist())
+            ) == post[token]
+
+    def test_bucket_dirs_partition_tokens(self, docs_ds, tmp_path):
+        import os
+
+        from pdf_extractor_ray.ops.index import write_posting_store
+
+        out = str(tmp_path / "store2")
+        write_posting_store(docs_ds, out, num_buckets=4)
+        buckets = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+        assert buckets  # hive-partitioned layout exists
+        import pyarrow.dataset as pads
+
+        from pdf_extractor_ray.stages.normalize import stable_hash_mod
+
+        for b in buckets:
+            toks = set(
+                pads.dataset(f"{out}/{b}", format="parquet")
+                .to_table(columns=["token"])["token"]
+                .to_pylist()
+            )
+            want_bucket = int(b.split("=")[1])
+            assert all(
+                int(stable_hash_mod([t], 4)[0]) == want_bucket for t in toks
+            )
