@@ -84,3 +84,87 @@ def funnel_stages(
     return sorted_segment_apply(
         ds, key_col=user_col, block_fn=kernel, within_cols=[ts_col]
     )
+
+
+def cohort_retention(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 7 * 24 * 3600 * 1_000_000,
+):
+    """Cohort retention matrix: users are cohorted by the period of their
+    FIRST event; for every (cohort, offset) cell, count the distinct
+    users of that cohort active ``offset`` periods later.
+
+    Composition of existing exchanges — nothing new moves at scale:
+
+    1. per-block ``(user, period)`` pair dedup (one row per distinct pair
+       per block enters any exchange),
+    2. one ``groupby(user, period)`` makes the pairs GLOBALLY distinct
+       (the block dedup only bounds what this exchange carries),
+    3. ``groupby(user).min(period)`` → the per-user cohort table
+       (user-cardinality-sized),
+    4. one :func:`..ops.segments.attach_lookup` sort join replicates each
+       user's cohort onto their activity pairs; the final
+       ``groupby(cohort, offset).count()`` is then a distinct-user count.
+
+    Returns a Dataset of ``(cohort, offset, n_users)``.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .segments import attach_lookup
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        ts_i = ts.view("i8") if ts.dtype.kind == "M" else ts.astype(np.int64)
+        p = ts_i // period_us
+        if len(u) == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], batch.schema.field(user_col).type),
+                    pa.array([], pa.int64()),
+                ],
+                names=[user_col, "period"],
+            )
+        order = np.lexsort((p, u))
+        u, p = u[order], p[order]
+        new = np.concatenate(([True], (u[1:] != u[:-1]) | (p[1:] != p[:-1])))
+        return pa.Table.from_arrays(
+            [
+                pa.array(u[new], batch.schema.field(user_col).type),
+                pa.array(p[new], pa.int64()),
+            ],
+            names=[user_col, "period"],
+        )
+
+    activity = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby([user_col, "period"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: b.select([user_col, "period"]), batch_format="pyarrow"
+        )
+    )
+    cohorts = (
+        activity.groupby(user_col)
+        .aggregate(Min("period", alias_name="cohort"))
+    )
+    joined = attach_lookup(
+        activity, cohorts, key_col=user_col,
+        val_cols=["cohort"], carry_cols=["period"],
+    )
+
+    def offset_col(batch: pa.Table) -> pa.Table:
+        off = pa.array(
+            batch["period"].to_numpy() - batch["cohort"].to_numpy(), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [batch["cohort"], off], names=["cohort", "offset"]
+        )
+
+    return (
+        joined.map_batches(offset_col, batch_format="pyarrow")
+        .groupby(["cohort", "offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )

@@ -644,6 +644,19 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention: users cohorted by first-event week; each
+    (cohort, offset) cell counts that cohort's distinct users active
+    offset weeks later. Pure composition of existing exchanges — per-block
+    pair dedup, user-sized groupby(min), one attach_lookup sort join, one
+    final cell groupby (:func:`ops.funnel.cohort_retention`)."""
+    from .ops.funnel import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    df = cohort_retention(ds).to_pandas()
+    return df.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
 def q_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact count(DISTINCT user_id) per event type: per-block pair dedup
     (one row per distinct pair per block enters the exchange) → one
@@ -2699,6 +2712,17 @@ ORACLE_SQL: dict[str, str] = {
         WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
         GROUP BY event_type ORDER BY event_type
     """,
+    "retention": """
+        WITH act AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS period
+            FROM events
+        ),
+        coh AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY 1)
+        SELECT c.cohort, a.period - c.cohort AS "offset",
+               count(*) AS n_users
+        FROM act a JOIN coh c ON a.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY event_type ORDER BY event_type
@@ -3770,6 +3794,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "funnel": q_funnel,
     "distinct_users": q_distinct_users,
+    "retention": q_retention,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

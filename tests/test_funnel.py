@@ -64,3 +64,37 @@ def test_funnel_custom_steps(ray_session):
         for r in funnel_stages(ds, steps=("signup", "purchase")).take_all()
     }
     assert got == {1: 2, 2: 0}
+
+
+class TestCohortRetention:
+    def test_matches_brute_force(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.funnel import cohort_retention
+
+        WEEK = 7 * 24 * 3600
+        rng = np.random.default_rng(11)
+        rows = []
+        for uid in range(12):
+            first_week = int(rng.integers(0, 3))
+            for _ in range(int(rng.integers(1, 9))):
+                week = first_week + int(rng.integers(0, 4))
+                sec = week * WEEK + int(rng.integers(0, WEEK))
+                rows.append((uid, sec, "view"))
+        # same (user, week) pair lands in MANY blocks (regression: the
+        # per-block dedup alone double-counted distinct users)
+        rows = rows * 3
+        ds = rd.from_arrow(events_table(rows)).repartition(13)
+        got = {
+            (r["cohort"], r["offset"]): r["n_users"]
+            for r in cohort_retention(ds).take_all()
+        }
+        act = {(u, s // WEEK) for u, s, _ in rows}
+        coh = {}
+        for u, w in act:
+            coh[u] = min(coh.get(u, w), w)
+        want = collections.Counter((coh[u], w - coh[u]) for u, w in act)
+        assert got == dict(want)
+        assert all(off >= 0 for _, off in got)
