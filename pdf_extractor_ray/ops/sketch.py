@@ -109,3 +109,56 @@ def hll_estimate(registers: np.ndarray, p: int = 12) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def hll_sketch_grouped(ds, group_col: str, col: str, p: int = 12):
+    """Per-GROUP HyperLogLog register tables: a Dataset of
+    ``(group, register, max_rho)`` rows, ≤ ``groups × 2^p`` total — the
+    mergeable approximate counterpart of
+    :func:`..ops.segments.distinct_count_per_key` for when the value
+    column is too hot to sort. Per-block partials keep one dense register
+    array per group present in the block (bounded group cardinality —
+    event types, languages, sources — same contract as ``word_topk``);
+    the only exchange is the tiny ``groupby(group, register).max``.
+    Same splitmix64 hash as :func:`hll_sketch`, so every register is
+    bit-exactly SQL-checkable."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[col]))
+        )
+        gtype = batch.schema.field(group_col).type
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        keys = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = splitmix64_np(keys)
+        reg, rho = hll_rho(hv, p)
+        out_g, out_r, out_rho = [], [], []
+        for gv in np.unique(g):  # bounded group cardinality
+            mask = g == gv
+            dense = np.zeros(m, dtype=np.int32)
+            np.maximum.at(dense, reg[mask], rho[mask])
+            occ = np.flatnonzero(dense)
+            out_g.append(np.full(len(occ), gv, dtype=object))
+            out_r.append(occ.astype(np.int32))
+            out_rho.append(dense[occ])
+        empty_o = np.array([], dtype=object)
+        empty_i = np.array([], dtype=np.int32)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_g) if out_g else empty_o, gtype),
+                pa.array(np.concatenate(out_r) if out_r else empty_i, pa.int32()),
+                pa.array(np.concatenate(out_rho) if out_rho else empty_i, pa.int32()),
+            ],
+            names=[group_col, "register", "rho"],
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([group_col, "register"])
+        .aggregate(Max("rho"))
+    )

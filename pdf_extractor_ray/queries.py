@@ -2043,6 +2043,21 @@ def q_distinct_sketch(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("register").reset_index(drop=True)
 
 
+def q_distinct_sketch_grouped(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type HyperLogLog register tables over users (p=12) —
+    the mergeable approximate counterpart of Q ``distinct_users``; every
+    register is recomputed bit-for-bit by the SQL oracle (same HUGEINT
+    splitmix64 chain as ``distinct_sketch``, grouped)."""
+    from .ops.sketch import hll_sketch_grouped
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    df = hll_sketch_grouped(ds, "event_type", "user_id", p=12).to_pandas()
+    df = df.rename(columns={"max(rho)": "max_rho"})
+    df["register"] = df["register"].astype("int32")
+    df["max_rho"] = df["max_rho"].astype("int32")
+    return df.sort_values(["event_type", "register"]).reset_index(drop=True)
+
+
 def q_word_topk(sf_dir: str) -> pd.DataFrame:
     """Exact heavy hitters: 10 most frequent lowercased words per
     language (tiebreak word asc). Words are the canonical skewed shuffle
@@ -3356,6 +3371,19 @@ rho AS (SELECT register,
 SELECT register, max(r) AS max_rho FROM rho GROUP BY register ORDER BY register
 """
 
+ORACLE_SQL["distinct_sketch_grouped"] = _splitmix_sql(
+    "events", "user_id", 0, "event_type"
+) + """
+, reg AS (SELECT event_type, CAST(hv >> 52 AS INTEGER) AS register,
+               hv % 4503599627370496 AS rest FROM h),
+rho AS (SELECT event_type, register,
+    CAST(coalesce(list_min(list_filter(range(1, 53),
+        i -> ((rest >> (52 - i)) & 1) = 1)), 53) AS INTEGER) AS r
+    FROM reg)
+SELECT event_type, register, max(r) AS max_rho FROM rho
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["word_topk"] = r"""
 WITH words AS (
     SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS word
@@ -3842,6 +3870,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "length_bins": q_length_bins,
     "distinct_sketch": q_distinct_sketch,
+    "distinct_sketch_grouped": q_distinct_sketch_grouped,
     "word_topk": q_word_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "inverted_index": q_inverted_index,

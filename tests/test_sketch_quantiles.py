@@ -486,3 +486,49 @@ class TestGroupQuantiles:
         schema = out.schema()
         assert str(schema.base_schema.field("g").type) == "string"
         assert out.to_pandas().iloc[0]["value"] == 99  # ceil(0.5*200)=100 -> v[99]
+
+
+class TestGroupedHll:
+    def test_registers_match_single_group_runs(self, ray_session):
+        """Grouped sketch == independent per-group hll_sketch runs, at any
+        block layout."""
+        import numpy as np
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import hll_sketch, hll_sketch_grouped
+
+        rng = np.random.default_rng(5)
+        groups = [f"g{i % 3}" for i in range(600)]
+        keys = [int(x) for x in rng.integers(0, 10_000, 600)]
+        tbl = pa.table({"g": groups, "k": keys})
+        got = {}
+        for r in hll_sketch_grouped(
+            rd.from_arrow(tbl).repartition(7), "g", "k", p=8
+        ).take_all():
+            got[(r["g"], r["register"])] = r["max(rho)"]
+        for gv in ("g0", "g1", "g2"):
+            sub = tbl.filter(pa.compute.equal(tbl["g"], gv))
+            want = {
+                r["register"]: r["max(rho)"]
+                for r in hll_sketch(rd.from_arrow(sub), "k", p=8).take_all()
+            }
+            assert {reg: v for (g, reg), v in got.items() if g == gv} == want
+
+    def test_estimate_accuracy_per_group(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import hll_estimate, hll_sketch_grouped
+
+        n = {"a": 500, "b": 2000}
+        rows_g, rows_k = [], []
+        for gv, cnt in n.items():
+            rows_g += [gv] * cnt
+            rows_k += [hash((gv, i)) & ((1 << 62) - 1) for i in range(cnt)]
+        ds = rd.from_arrow(pa.table({"g": rows_g, "k": rows_k})).repartition(5)
+        dense = {gv: np.zeros(1 << 12) for gv in n}
+        for r in hll_sketch_grouped(ds, "g", "k", p=12).take_all():
+            dense[r["g"]][r["register"]] = r["max(rho)"]
+        for gv, cnt in n.items():
+            est = hll_estimate(dense[gv], p=12)
+            assert abs(est - cnt) / cnt < 0.1
