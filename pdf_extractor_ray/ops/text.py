@@ -938,3 +938,54 @@ def _lm_score_semijoin(ds, model, doc_tokens, id_col: str, scale: int):
         lambda t: t.select([id_col, "n_bigrams", "lm_score"]),
         batch_format="pyarrow",
     )
+
+
+def replicate_by_weight(
+    ds,
+    weights: dict,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    salt: int = 0,
+):
+    """Deterministic data-mixture replication: row with stratum weight
+    ``w`` is emitted ``floor(w)`` times, plus once more iff
+    ``splitmix64(id + salt) < frac(w)·2^64`` — the standard "epochs per
+    source" knob of a training-data mixing pipeline (a weight of 2.5
+    means: two full epochs of that source plus a deterministic half).
+
+    Shuffle-free, per-row, and layout-independent like
+    :func:`hash_sample` (same hash, same threshold convention — dyadic
+    fractional parts compare EXACTLY in both engines, so the SQL oracle
+    replicates the mixture bit-for-bit). Output adds ``epoch``
+    (0-based copy index); a weight of 0 drops the stratum.
+    ``weights.get(key, weights[None])`` supplies the default (1.0 when
+    no ``None`` entry is present).
+    """
+    default_w = float(weights.get(None, 1.0))
+
+    def params(w: float) -> tuple[int, int]:
+        base = int(np.floor(w))
+        frac_thr = int((float(w) - base) * (1 << 64))
+        return base, min(frac_thr, (1 << 64) - 1)
+
+    table = {k: params(v) for k, v in weights.items() if k is not None}
+    default_p = params(default_w)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = splitmix64_np(ids + np.uint64(salt))
+        keys = batch[key_col].to_pylist()
+        base = np.fromiter(
+            (table.get(k, default_p)[0] for k in keys), np.int64, count=len(keys)
+        )
+        thr = np.fromiter(
+            (table.get(k, default_p)[1] for k in keys), np.uint64, count=len(keys)
+        )
+        copies = base + (hv < thr)
+        idx = np.repeat(np.arange(len(batch)), copies)
+        offsets = np.concatenate(([0], np.cumsum(copies)))[:-1]
+        epoch = np.arange(len(idx)) - np.repeat(offsets, copies)
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column("epoch", pa.array(epoch, pa.int32()))
+
+    return ds.map_batches(replicate, batch_format="pyarrow")

@@ -2043,6 +2043,24 @@ def q_distinct_sketch(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("register").reset_index(drop=True)
 
 
+def q_mixture(sf_dir: str) -> pd.DataFrame:
+    """Deterministic data-mixture replication (epochs-per-source): src0
+    at weight 2.5, src1 at 0.5, src2 dropped, src3 at 3.0, every other
+    source once. Shuffle-free per-row arithmetic
+    (:func:`ops.text.replicate_by_weight`); dyadic fractional weights make
+    the splitmix64 coin flip bit-exact in the SQL oracle."""
+    from .ops.text import replicate_by_weight
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = replicate_by_weight(
+        ds,
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0, "src3": 3.0, None: 1.0},
+        salt=11,
+    )
+    df = out.to_pandas()[["doc_id", "source", "epoch"]]
+    return df.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+
+
 def q_distinct_sketch_grouped(sf_dir: str) -> pd.DataFrame:
     """Per-event-type HyperLogLog register tables over users (p=12) —
     the mergeable approximate counterpart of Q ``distinct_users``; every
@@ -3371,6 +3389,23 @@ rho AS (SELECT register,
 SELECT register, max(r) AS max_rho FROM rho GROUP BY register ORDER BY register
 """
 
+ORACLE_SQL["mixture"] = _splitmix_sql(
+    "documents", "doc_id", 11, "doc_id, source"
+) + """
+, cp AS (
+    SELECT doc_id, source,
+        CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                    WHEN 'src2' THEN 0 WHEN 'src3' THEN 3 ELSE 1 END
+        + CASE WHEN hv < CASE source
+                    WHEN 'src0' THEN CAST(9223372036854775808 AS UBIGINT)
+                    WHEN 'src1' THEN CAST(9223372036854775808 AS UBIGINT)
+                    ELSE CAST(0 AS UBIGINT) END
+               THEN 1 ELSE 0 END AS copies
+    FROM h)
+SELECT doc_id, source, CAST(unnest(range(copies)) AS INTEGER) AS epoch
+FROM cp ORDER BY doc_id, epoch
+"""
+
 ORACLE_SQL["distinct_sketch_grouped"] = _splitmix_sql(
     "events", "user_id", 0, "event_type"
 ) + """
@@ -3848,6 +3883,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "domain_cap": q_domain_cap,
     "stratified_sample": q_stratified_sample,
+    "mixture": q_mixture,
     "deterministic_shuffle": q_deterministic_shuffle,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,

@@ -1121,3 +1121,54 @@ class TestDistributedIVFBuild:
         out = ivf_topk(ds, vecs[:5], c1, k=5, n_probe=3, query_ids=list(range(5)))
         top1 = out[out["rank"] == 1]
         assert top1["vec_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+class TestReplicateByWeight:
+    def test_counts_and_epochs(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import replicate_by_weight, splitmix64_np
+
+        ids = list(range(300))
+        srcs = [f"s{i % 3}" for i in ids]
+        weights = {"s0": 2.5, "s1": 0.0, "s2": 1.25, None: 1.0}
+        ds = rd.from_arrow(pa.table({"doc_id": ids, "source": srcs}))
+        out = (
+            replicate_by_weight(ds, weights, salt=3)
+            .to_pandas()
+            .sort_values(["doc_id", "epoch"])
+            .reset_index(drop=True)
+        )
+        hv = splitmix64_np(np.array(ids, np.uint64) + np.uint64(3))
+        want = []
+        for i, s in zip(ids, srcs):
+            w = weights[s]
+            copies = int(w) + (int(hv[i]) < int((w - int(w)) * (1 << 64)))
+            want += [(i, s, e) for e in range(copies)]
+        assert list(map(tuple, out.itertuples(index=False))) == want
+        assert not (out["source"] == "s1").any()  # weight 0 drops stratum
+
+    def test_layout_independent(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import replicate_by_weight
+
+        tbl = pa.table(
+            {"doc_id": list(range(100)), "source": ["a"] * 50 + ["b"] * 50}
+        )
+        runs = []
+        for parts in (2, 9):
+            runs.append(
+                replicate_by_weight(
+                    rd.from_arrow(tbl).repartition(parts), {"a": 1.5, "b": 0.5}
+                )
+                .to_pandas()
+                .sort_values(["doc_id", "epoch"])
+                .reset_index(drop=True)
+            )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(runs[0], runs[1])
