@@ -161,7 +161,7 @@ def main() -> None:
         "user_sessions", "paragraph_dedup", "media_features",
         "quantiles", "distinct_sketch", "substring_dup", "canonical_urls",
         "ngram_jaccard_dedup", "simhash", "bpe_pair_counts", "inverted_index",
-        "group_quantiles",
+        "group_quantiles", "funnel", "distinct_users", "mixture",
     )
     for name in query_names:
         t0 = time.time()

@@ -697,25 +697,31 @@ def _serialize_pdf(
         # R3/V2 (RC4-128), R4/V4 (AESV2-128), or R6/V5 (AES-256).
         rev = int(encrypt_rev)
         id0 = hashlib.md5(b"pdf_extractor_ray deterministic file id").digest()
-        if rev == 6:
+        if rev in (5, 6):
             from .aes import (
                 aes_cbc_encrypt,
                 aes_cbc_encrypt_nopad,
                 aes_ecb_encrypt_block,
             )
 
+            if rev == 6:
+                hfn = _hash_2b
+            else:  # R5: single plain SHA-256 (deprecated Adobe form)
+                def hfn(pw_: bytes, salt: bytes, udata: bytes) -> bytes:
+                    return hashlib.sha256(pw_ + salt + udata).digest()
+
             pw = encrypt_user_pw
             file_key = hashlib.sha256(b"pdf_extractor_ray v5 file key").digest()
             vs, ks = b"VALSALT!", b"KEYSALT!"
-            u_entry = _hash_2b(pw, vs, b"") + vs + ks
+            u_entry = hfn(pw, vs, b"") + vs + ks
             ue_entry = aes_cbc_encrypt_nopad(
-                _hash_2b(pw, ks, b""), b"\x00" * 16, file_key
+                hfn(pw, ks, b""), b"\x00" * 16, file_key
             )
             ovs, oks = b"OVALSLT!", b"OKEYSLT!"
             opw = encrypt_owner_pw if encrypt_owner_pw is not None else pw
-            o_entry = _hash_2b(opw, ovs, u_entry) + ovs + oks
+            o_entry = hfn(opw, ovs, u_entry) + ovs + oks
             oe_entry = aes_cbc_encrypt_nopad(
-                _hash_2b(opw, oks, u_entry), b"\x00" * 16, file_key
+                hfn(opw, oks, u_entry), b"\x00" * 16, file_key
             )
             perms = aes_ecb_encrypt_block(
                 file_key,
@@ -731,11 +737,12 @@ def _serialize_pdf(
                 objs[num] = _encrypt_object_body(objs[num], make_cipher_v5(num))
             enc_num = max(objs) + 1
             objs[enc_num] = (
-                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"<< /Filter /Standard /V 5 /R %d /Length 256 "
                 b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
                 b"/StmF /StdCF /StrF /StdCF /P -1 "
                 b"/U <%s> /UE <%s> /O <%s> /OE <%s> /Perms <%s> >>"
                 % (
+                    rev,
                     u_entry.hex().encode(),
                     ue_entry.hex().encode(),
                     o_entry.hex().encode(),
@@ -1264,26 +1271,35 @@ class PdfDocument:
             if pw
             else "encrypted PDF: password required (non-empty)"
         )
-        if v == 5 and r == 6:
+        if v == 5 and r in (5, 6):
             # AES-256 handler (ISO 32000-2 §7.6.4.4.8): validate the
             # password via Hash 2.B, unwrap the file key from /UE (user)
             # or /OE (owner; the /O hashes bind the full 48-byte /U).
+            # R5 (the deprecated Adobe ExtensionLevel-3 form, common in
+            # 2008-2011 corpora) is identical except the hash is ONE
+            # plain SHA-256 instead of the 2.B hardening loop.
             from .aes import aes_cbc_decrypt_nopad
+
+            if r == 6:
+                h = _hash_2b
+            else:
+                def h(pw_: bytes, salt: bytes, udata: bytes) -> bytes:
+                    return hashlib.sha256(pw_ + salt + udata).digest()
 
             u, ue = enc.get("U"), enc.get("UE")
             if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
                 raise PdfError("encrypted PDF: malformed /U or /UE")
             o, oe = enc.get("O"), enc.get("OE")
-            if _hash_2b(pw, u[32:40], b"") == u[:32]:
-                ik = _hash_2b(pw, u[40:48], b"")
+            if h(pw, u[32:40], b"") == u[:32]:
+                ik = h(pw, u[40:48], b"")
                 self._enc_key = aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue[:32])
             elif (
                 isinstance(o, bytes)
                 and len(o) >= 48
                 and isinstance(oe, bytes)
-                and _hash_2b(pw, o[32:40], u[:48]) == o[:32]
+                and h(pw, o[32:40], u[:48]) == o[:32]
             ):
-                ik = _hash_2b(pw, o[40:48], u[:48])
+                ik = h(pw, o[40:48], u[:48])
                 self._enc_key = aes_cbc_decrypt_nopad(ik, b"\x00" * 16, oe[:32])
             else:
                 raise PdfError(_wrong)

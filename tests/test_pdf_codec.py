@@ -627,7 +627,7 @@ class TestSectionEdgeCases:
 class TestEncryption:
     """Standard security handler (RC4, empty user password): R2 and R3."""
 
-    @pytest.mark.parametrize("rev", [2, 3, 4, 6])
+    @pytest.mark.parametrize("rev", [2, 3, 4, 5, 6])
     def test_roundtrip_all_variants(self, rev):
         text = "encrypted corpus text " * 50
         plain = extract_pdf(build_pdf(text))[0]
@@ -645,14 +645,14 @@ class TestEncryption:
         doc = PdfDocument(enc)
         assert doc.outline() == [("Hidden Title", 0)]
 
-    @pytest.mark.parametrize("rev", [2, 3, 4, 6])
+    @pytest.mark.parametrize("rev", [2, 3, 4, 5, 6])
     def test_nonempty_password_typed_error(self, rev):
         enc = build_pdf("x", encrypt=True, encrypt_user_pw=b"s3cret",
                         encrypt_rev=rev)
         with pytest.raises(PdfError, match="password required"):
             PdfDocument(enc)
 
-    @pytest.mark.parametrize("rev", [2, 3, 4, 6])
+    @pytest.mark.parametrize("rev", [2, 3, 4, 5, 6])
     def test_nonempty_user_password_opens(self, rev):
         """Round 4: a supplied user password opens the file (byte-identical
         extraction to the plain build)."""
@@ -662,7 +662,7 @@ class TestEncryption:
                         encrypt_user_pw=b"usrpw")
         assert extract_pdf(enc, password=b"usrpw")[0] == plain
 
-    @pytest.mark.parametrize("rev", [2, 3, 4, 6])
+    @pytest.mark.parametrize("rev", [2, 3, 4, 5, 6])
     def test_distinct_owner_password_opens(self, rev):
         """Algorithm 7 owner recovery (R2-R4) / the R6 /O+/OE owner path:
         a DISTINCT owner password must open the file too, and a wrong
