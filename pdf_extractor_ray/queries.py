@@ -644,6 +644,40 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_link_graph(sf_dir: str) -> pd.DataFrame:
+    """Host link graph from synthesized HTML pages: doc i lives on host
+    ``site(i%20).example.com``, carries one relative link (a self edge)
+    and ``i % 4`` absolute links to hosts ``site((i*7+j)%20)`` — real
+    href scanning + URL host resolution (:mod:`ops.links`), closed-form
+    oracle from doc_id arithmetic (ground truth, not parser-vs-parser)."""
+    from .ops.links import link_graph
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        urls, htmls = [], []
+        for i in ids:
+            urls.append(f"http://site{i % 20}.example.com/p/{i}")
+            links = '<a href="/local">l</a>' + "".join(
+                f'<a href=\'https://site{(i * 7 + j) % 20}.example.com/x{j}\'>t</a>'
+                for j in range(i % 4)
+            )
+            htmls.append(f"<html><body><p>page {i}</p>{links}</body></html>".encode())
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(urls, pa.string()),
+                pa.array(htmls, pa.binary()),
+            ],
+            names=["doc_id", "url", "html"],
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow")
+    df = link_graph(pages).to_pandas()
+    return df.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
 def q_retention(sf_dir: str) -> pd.DataFrame:
     """Weekly cohort retention: users cohorted by first-event week; each
     (cohort, offset) cell counts that cohort's distinct users active
@@ -2745,6 +2779,21 @@ ORACLE_SQL: dict[str, str] = {
         WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
         GROUP BY event_type ORDER BY event_type
     """,
+    "link_graph": """
+        WITH base AS (SELECT doc_id AS i FROM documents),
+        rel AS (
+            SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+                   'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS dst
+            FROM base),
+        ext AS (
+            SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+                   'site' || CAST((i * 7 + j) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+            FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+        edges AS (SELECT * FROM rel UNION ALL SELECT * FROM ext)
+        SELECT src AS src_host, dst AS dst_host, count(*) AS n_links
+        FROM edges GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "retention": """
         WITH act AS (
             SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS period
@@ -3858,6 +3907,7 @@ QUERIES = {
     "funnel": q_funnel,
     "distinct_users": q_distinct_users,
     "retention": q_retention,
+    "link_graph": q_link_graph,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

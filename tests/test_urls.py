@@ -143,3 +143,53 @@ def test_userinfo_and_ipv6(raw, canon, host):
         assert parts is None
     else:
         assert parts == (canon, host)
+
+
+class TestLinkGraph:
+    def test_resolution_rules(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.links import extract_edges_batch
+
+        html = (
+            '<a href="https://other.example.org/x">a</a>'
+            '<a href="//proto.example.net/y">b</a>'
+            '<a href="/rooted">c</a>'
+            '<a href="relative/page.html">d</a>'
+            '<a href="#frag">e</a>'
+            '<a href="mailto:x@y.z">f</a>'
+            '<a href="JAVASCRIPT:void(0)">g</a>'
+            "<a href='HTTP://UPPER.example.org:80/z'>h</a>"
+        )
+        batch = pa.table(
+            {"url": ["http://src.example.com/p"], "html": [html.encode()]}
+        )
+        out = extract_edges_batch(batch)
+        got = {
+            (r["src_host"], r["dst_host"]): r["cnt"] for r in out.to_pylist()
+        }
+        assert got == {
+            ("src.example.com", "other.example.org"): 1,
+            ("src.example.com", "proto.example.net"): 1,
+            ("src.example.com", "src.example.com"): 2,  # rooted + relative
+            ("src.example.com", "upper.example.org"): 1,  # lowercased, :80 stripped
+        }
+
+    def test_registered_domain_level_and_nulls(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import link_graph
+
+        rows = [
+            {"url": "http://a.news.co.uk/1",
+             "html": b'<a href="https://b.news.co.uk/x">l</a>'},
+            {"url": "http://a.news.co.uk/2", "html": None},  # null payload
+            {"url": "not a url", "html": b'<a href="/x">l</a>'},  # bad src
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in link_graph(ds, domain_level="registered").take_all()
+        }
+        assert got == {("news.co.uk", "news.co.uk"): 1}
