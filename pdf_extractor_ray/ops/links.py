@@ -124,3 +124,250 @@ def link_graph(
         .groupby(["src_host", "dst_host"])
         .aggregate(Sum("cnt", alias_name="n_links"))
     )
+
+
+def pagerank(
+    edges,
+    num_iters: int = 3,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    node_broadcast_cap: int = 100_000,
+):
+    """Fixed-point PageRank over a weighted edge Dataset — the classic
+    iterative link-quality prior, expressed as ``num_iters`` rounds of
+    the SAME exchange shape (one sorted-lookup join + one groupby-sum),
+    with nodes and edges never landing on the driver.
+
+    Arithmetic is INTEGER fixed-point at ``scale`` (rank mass ``R``,
+    damping as a percentage): per round every edge contributes
+    ``(damping_pct · R(src) · w) // (100 · outdeg(src))`` (floor), and
+    ``R'(node) = (100−damping_pct)·scale // (100·N) + Σ contrib``.
+    Integer sums are order-independent, so the result is bit-exact at
+    every block layout AND bit-exactly replicable in SQL (``//`` floor
+    division) — no float summation-order hazard. Dangling mass
+    evaporates (no redistribution) — the documented, SQL-mirrored
+    variant; rank totals then sum below ``scale``.
+
+    Returns a Dataset of ``(host, rank)`` (int64 fixed-point).
+
+    Regimes (size-gated like every op here): at ``n_nodes ≤
+    node_broadcast_cap`` the rank/outdeg tables broadcast into one
+    ``map_batches`` pass over the edges per iteration (per-block contrib
+    partials, driver merge bounded by nodes × blocks — zero exchanges);
+    above the cap each iteration is one sorted-lookup join + one
+    groupby-sum, nothing node- or edge-sized on the driver. Both regimes
+    are bit-identical (integer arithmetic; equivalence-tested).
+    """
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .segments import attach_lookup
+
+    def emit_nodes(batch: pa.Table) -> pa.Table:
+        hs = np.concatenate(
+            [
+                batch[src_col].to_numpy(zero_copy_only=False),
+                batch[dst_col].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.Table.from_arrays(
+            [pa.array(np.unique(hs.astype(str)).astype(object), pa.string())],
+            names=["host"],
+        )
+
+    from ray.data.aggregate import Count
+
+    nodes = (
+        edges.map_batches(emit_nodes, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda b: b.select(["host"]), batch_format="pyarrow")
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: b.append_column("rank", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    teleport = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    r0 = scale // n_nodes
+
+    if n_nodes <= node_broadcast_cap:
+        return _pagerank_broadcast(
+            edges, num_iters, src_col, dst_col, weight_col,
+            r0, teleport, damping_pct, n_nodes,
+        )
+
+    outdeg = (
+        edges.groupby(src_col)
+        .aggregate(Sum(weight_col, alias_name="outdeg"))
+        .map_batches(
+            lambda b: b.rename_columns(["host", "outdeg"]), batch_format="pyarrow"
+        )
+    )
+
+    # ranks: (host, rank); initialized uniformly.
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(len(b), r0, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+    def edge_contrib(batch: pa.Table, dp: int) -> pa.Table:
+        # (dst, contrib) rows; Python ints avoid int64 overflow in
+        # dp·R·w (≤ 85 · 10^12 · w — may exceed 2^63 for hot edges).
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        od = batch["outdeg"].to_numpy(zero_copy_only=False)
+        contrib = [
+            (dp * int(ri) * int(wi)) // (100 * int(oi))
+            for ri, wi, oi in zip(r, w, od)
+        ]
+        return pa.Table.from_arrays(
+            [batch[dst_col], pa.array(contrib, pa.int64())],
+            names=["host", "contrib"],
+        )
+
+    for _ in range(num_iters):
+        # rank + outdeg attach onto edges by src: ONE sorted-lookup
+        # exchange (keys unique per table by construction).
+        state = attach_lookup(
+            ranks, outdeg, key_col="host", val_cols=["outdeg"], carry_cols=["rank"]
+        )
+        carrying = attach_lookup(
+            edges.map_batches(
+                lambda b: b.select([src_col, dst_col, weight_col]),
+                batch_format="pyarrow",
+            ),
+            state.map_batches(
+                lambda b: b.rename_columns([src_col, "rank", "outdeg"]),
+                batch_format="pyarrow",
+            ),
+            key_col=src_col,
+            val_cols=["rank", "outdeg"],
+            carry_cols=[dst_col, weight_col],
+        )
+        contribs = carrying.map_batches(
+            functools.partial(edge_contrib, dp=damping_pct),
+            batch_format="pyarrow",
+        )
+        # Σ contrib per node over the FULL node table: union zero rows so
+        # in-link-less nodes keep their teleport mass.
+        zeros = nodes.map_batches(
+            lambda b: b.append_column(
+                "contrib", pa.array(np.zeros(len(b), np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = (
+            contribs.union(zeros)
+            .groupby("host")
+            .aggregate(Sum("contrib", alias_name="inflow"))
+            .map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [
+                        b["host"],
+                        pa.array(
+                            b["inflow"].to_numpy(zero_copy_only=False) + teleport,
+                            pa.int64(),
+                        ),
+                    ],
+                    names=["host", "rank"],
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    return ranks
+
+
+def _pagerank_broadcast(
+    edges, num_iters, src_col, dst_col, weight_col,
+    r0, teleport, dp, n_nodes,
+):
+    """Small-node-table PageRank regime: outdeg and ranks broadcast via
+    ``ray.put`` once per iteration; each pass emits PER-BLOCK contrib
+    partials (pre-combined per dst), so driver traffic per iteration is
+    O(blocks × nodes) pre-aggregated rows and the edges only stream."""
+    import ray
+
+    def outdeg_partial(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(str)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(s, return_inverse=True)
+        sums = np.zeros(len(u), np.int64)
+        np.add.at(sums, inv, w)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()), pa.array(sums, pa.int64())],
+            names=["host", "od"],
+        )
+
+    outdeg: dict = {}
+    nodes: set = set()
+    for b in edges.map_batches(outdeg_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for h, od in zip(b["host"].to_pylist(), b["od"].to_pylist()):
+            outdeg[h] = outdeg.get(h, 0) + od
+    # dst-only nodes: one pruned pass over the dst column.
+    for b in edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                pa.array(
+                    np.unique(
+                        t[dst_col].to_numpy(zero_copy_only=False).astype(str)
+                    ).astype(object),
+                    pa.string(),
+                )
+            ],
+            names=["host"],
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        nodes.update(b["host"].to_pylist())
+    nodes.update(outdeg)
+
+    ranks = {h: r0 for h in nodes}
+    for _ in range(num_iters):
+        state_ref = ray.put((ranks, outdeg))
+
+        def contrib_partial(batch: pa.Table, ref=state_ref) -> pa.Table:
+            rk, od = ray.get(ref)
+            s = batch[src_col].to_pylist()
+            d = batch[dst_col].to_pylist()
+            w = batch[weight_col].to_pylist()
+            acc: dict = {}
+            for si, di, wi in zip(s, d, w):
+                acc[di] = acc.get(di, 0) + (dp * rk[si] * wi) // (100 * od[si])
+            return pa.Table.from_arrays(
+                [
+                    pa.array(list(acc), pa.string()),
+                    pa.array(list(acc.values()), pa.int64()),
+                ],
+                names=["host", "contrib"],
+            )
+
+        nxt = {h: teleport for h in nodes}
+        for b in edges.map_batches(
+            contrib_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            for h, c in zip(b["host"].to_pylist(), b["contrib"].to_pylist()):
+                nxt[h] += c
+        ranks = nxt
+
+    import ray.data as rd
+
+    out = sorted(ranks.items())
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array([h for h, _ in out], pa.string()),
+                pa.array([r for _, r in out], pa.int64()),
+            ],
+            names=["host", "rank"],
+        )
+    )

@@ -653,29 +653,50 @@ def q_link_graph(sf_dir: str) -> pd.DataFrame:
     from .ops.links import link_graph
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def to_pages(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        urls, htmls = [], []
-        for i in ids:
-            urls.append(f"http://site{i % 20}.example.com/p/{i}")
-            links = '<a href="/local">l</a>' + "".join(
-                f'<a href=\'https://site{(i * 7 + j) % 20}.example.com/x{j}\'>t</a>'
-                for j in range(i % 4)
-            )
-            htmls.append(f"<html><body><p>page {i}</p>{links}</body></html>".encode())
-        return pa.Table.from_arrays(
-            [
-                pa.array(ids, pa.int64()),
-                pa.array(urls, pa.string()),
-                pa.array(htmls, pa.binary()),
-            ],
-            names=["doc_id", "url", "html"],
-        )
-
-    pages = ds.map_batches(to_pages, batch_format="pyarrow")
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
     df = link_graph(pages).to_pandas()
     return df.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
+def _linkgraph_pages(batch: pa.Table) -> pa.Table:
+    """Deterministic link-bearing pages for Q link_graph / Q pagerank:
+    doc i on host site(i%20) links to /local (self) and to
+    site((i*7+j)%20) for j < i%4 — closed form from doc_id."""
+    ids = batch["doc_id"].to_pylist()
+    urls, htmls = [], []
+    for i in ids:
+        urls.append(f"http://site{i % 20}.example.com/p/{i}")
+        links = '<a href="/local">l</a>' + "".join(
+            f'<a href=\'https://site{(i * 7 + j) % 20}.example.com/x{j}\'>t</a>'
+            for j in range(i % 4)
+        )
+        htmls.append(f"<html><body><p>page {i}</p>{links}</body></html>".encode())
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(urls, pa.string()),
+            pa.array(htmls, pa.binary()),
+        ],
+        names=["doc_id", "url", "html"],
+    )
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Fixed-point PageRank (2 iterations, damping 85/100, scale 10^12)
+    over the synthesized host link graph of Q ``link_graph``. Integer
+    fixed-point arithmetic makes every rank bit-exact — order-independent
+    sums, floor division on both engines — so the iterative algorithm is
+    SQL-oracled by UNROLLING the two rounds as chained CTEs
+    (:func:`ops.links.pagerank`; each Ray round is one sorted-lookup
+    join + one groupby-sum)."""
+    from .ops.links import link_graph, pagerank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    ranks = pagerank(link_graph(pages), num_iters=2)
+    df = ranks.to_pandas()
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values("host").reset_index(drop=True)
 
 
 def q_retention(sf_dir: str) -> pd.DataFrame:
@@ -2794,6 +2815,50 @@ ORACLE_SQL: dict[str, str] = {
         SELECT src AS src_host, dst AS dst_host, count(*) AS n_links
         FROM edges GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "pagerank": """
+        WITH base AS (SELECT doc_id AS i FROM documents),
+        rel AS (
+            SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+                   'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS dst
+            FROM base),
+        ext AS (
+            SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+                   'site' || CAST((i * 7 + j) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+            FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+        edges_all AS (SELECT * FROM rel UNION ALL SELECT * FROM ext),
+        edges AS (SELECT src, dst, count(*) AS w FROM edges_all GROUP BY 1, 2),
+        nodes AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        par AS (SELECT count(*) AS n FROM nodes),
+        outdeg AS (SELECT src AS host, sum(w) AS od FROM edges GROUP BY 1),
+        r0 AS (SELECT host,
+                      CAST(1000000000000 AS HUGEINT) // (SELECT n FROM par) AS r
+               FROM nodes),
+        it1 AS (
+            SELECT n.host,
+                CAST(15 * 1000000000000 AS HUGEINT)
+                    // (100 * (SELECT n FROM par))
+                + coalesce(
+                    (SELECT sum((85 * p.r * e.w) // (100 * o.od))
+                       FROM edges e
+                       JOIN r0 p ON e.src = p.host
+                       JOIN outdeg o ON o.host = e.src
+                      WHERE e.dst = n.host), 0) AS r
+            FROM nodes n),
+        it2 AS (
+            SELECT n.host,
+                CAST(15 * 1000000000000 AS HUGEINT)
+                    // (100 * (SELECT n FROM par))
+                + coalesce(
+                    (SELECT sum((85 * p.r * e.w) // (100 * o.od))
+                       FROM edges e
+                       JOIN it1 p ON e.src = p.host
+                       JOIN outdeg o ON o.host = e.src
+                      WHERE e.dst = n.host), 0) AS r
+            FROM nodes n)
+        SELECT host, CAST(r AS BIGINT) AS rank FROM it2 ORDER BY host
+    """,
     "retention": """
         WITH act AS (
             SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS period
@@ -3908,6 +3973,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "retention": q_retention,
     "link_graph": q_link_graph,
+    "pagerank": q_pagerank,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

@@ -193,3 +193,74 @@ class TestLinkGraph:
             for r in link_graph(ds, domain_level="registered").take_all()
         }
         assert got == {("news.co.uk", "news.co.uk"): 1}
+
+
+class TestPagerank:
+    @staticmethod
+    def brute(edges, num_iters=3, scale=10**12, dp=85):
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        n = len(nodes)
+        outdeg = {}
+        for s, _, w in edges:
+            outdeg[s] = outdeg.get(s, 0) + w
+        r = {h: scale // n for h in nodes}
+        tele = ((100 - dp) * scale) // (100 * n)
+        for _ in range(num_iters):
+            nxt = {h: tele for h in nodes}
+            for s, d, w in edges:
+                nxt[d] += (dp * r[s] * w) // (100 * outdeg[s])
+            r = nxt
+        return r
+
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import pagerank
+
+        edges = [
+            ("a", "b", 2), ("a", "c", 1), ("b", "c", 5), ("c", "a", 1),
+            ("d", "a", 3),  # d has no in-links -> teleport-only mass
+        ]
+        tbl = pa.table(
+            {
+                "src_host": [e[0] for e in edges],
+                "dst_host": [e[1] for e in edges],
+                "n_links": [e[2] for e in edges],
+            }
+        )
+        for parts in (1, 4):
+            got = {
+                r["host"]: r["rank"]
+                for r in pagerank(rd.from_arrow(tbl).repartition(parts)).take_all()
+            }
+            assert got == self.brute(edges)
+        # sanity: teleport-only node has strictly minimal rank
+        assert got["d"] == min(got.values())
+
+
+def test_pagerank_regimes_identical(ray_session):
+    """Broadcast (under-cap) and distributed (over-cap) PageRank regimes
+    are bit-identical."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_extractor_ray.ops.links import pagerank
+
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 4), ("a", "c", 1)]
+    tbl = pa.table(
+        {
+            "src_host": [e[0] for e in edges],
+            "dst_host": [e[1] for e in edges],
+            "n_links": [e[2] for e in edges],
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(2)
+    bc = {r["host"]: r["rank"] for r in pagerank(ds, num_iters=2).take_all()}
+    dist = {
+        r["host"]: r["rank"]
+        for r in pagerank(ds, num_iters=2, node_broadcast_cap=0).take_all()
+    }
+    assert bc == dist == {
+        h: r for h, r in TestPagerank.brute(edges, num_iters=2).items()
+    }
