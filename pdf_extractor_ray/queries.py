@@ -3951,6 +3951,49 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
+# ---------------------------------------------------------------------------
+
+def q_warc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Pages → WARC/1.0 archive blobs (gzip member per record — the Common
+    Crawl layout — alternating with plain concatenation to cover both parse
+    paths) → from-scratch WARC parse (Content-Length-exact, binary-safe,
+    sha1 payload-digest verified) → the extraction pipeline. Oracle:
+    byte-identical text per doc PLUS url and second-granular warc_ts carried
+    through the WARC headers themselves."""
+    import functools
+
+    from .sources.warc import warc_decode_batch, warc_encode_batch
+    from .stages.extract import extract_batch
+    from .stages.normalize import normalize_route
+
+    pages = wrap_documents_as_pages(sf_dir, pdf_every=0)
+    blobs = pages.select_columns(["url", "warc_ts", "html"]).map_batches(
+        functools.partial(warc_encode_batch, compress="mixed"),
+        batch_format="pyarrow",
+    )
+    decoded = blobs.map_batches(warc_decode_batch, batch_format="pyarrow")
+    extracted = decoded.map_batches(
+        normalize_route, batch_format="pyarrow"
+    ).map_batches(extract_batch, batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(u.rsplit("/", 1)[-1]) for u in urls], pa.int64()),
+                batch["url"],
+                batch["warc_ts"],
+                batch["extracted_text"],
+            ],
+            names=["doc_id", "url", "warc_ts", "extracted_text"],
+        )
+
+    df = extracted.map_batches(project, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "orders_topk": q_orders_topk,
@@ -4033,4 +4076,13 @@ QUERIES = {
     "substring_dup": q_substring_dup,
     "repetition_filter": q_repetition_filter,
     "extraction_metrics": q_extraction_metrics,
+    "warc_roundtrip": q_warc_roundtrip,
 }
+
+ORACLE_SQL["warc_roundtrip"] = """
+SELECT doc_id,
+       'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       text AS extracted_text
+FROM documents ORDER BY doc_id
+"""

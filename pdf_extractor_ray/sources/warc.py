@@ -1,0 +1,267 @@
+"""WARC source / sink — the native interchange format of Common-Crawl-style
+corpora (ISO 28500).
+
+The reference ingests uploaded files one request at a time
+(reference: src/services/pdf_input_handler.py:30-106); at crawl scale the
+equivalent ingest is WARC: gzip-member-per-record archive files of HTTP
+responses. This module is a from-scratch WARC/1.0 writer + reader:
+
+* ``records_to_warc`` serializes ``(url, warc_ts, payload)`` rows into one
+  WARC blob — each record an independent gzip member (the Common Crawl
+  layout, so a reader can seek to a record offset and inflate just that
+  member) or plain concatenation.
+* ``parse_warc`` walks a blob member-by-member, parses WARC headers,
+  honours ``Content-Length`` exactly (payload bytes are NEVER scanned for
+  delimiters — binary-safe), strips the embedded HTTP/1.1 response header,
+  and yields the engine's pages schema.
+* ``write_warc`` / ``read_warc`` are the Dataset-level sink/source:
+  partitioned ``.warc.gz`` shards out, streaming parse in
+  (``read_binary_files`` → ``flat_map``-style ``map_batches``), so a crawl
+  archive never materializes on the driver.
+
+Scale note (SCALE.md): one input file = one read task; records parse
+inside ``map_batches`` with zero driver involvement. Writer shards by
+block, so output file count tracks parallelism, not corpus size.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import struct
+import zlib
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+
+WARC_VERSION = b"WARC/1.0"
+_CRLF = b"\r\n"
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+class WarcError(ValueError):
+    """Typed parse error: malformed version line, header, or truncation."""
+
+
+def _warc_date(ts_us: int) -> str:
+    """Microsecond epoch → WARC-Date (``YYYY-MM-DDTHH:MM:SSZ``)."""
+    dt = datetime.fromtimestamp(ts_us / 1_000_000, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_warc_date(s: str) -> int:
+    dt = datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+    return int((dt - _EPOCH).total_seconds()) * 1_000_000
+
+
+def _record_id(url: str, ts_us: int) -> str:
+    """Deterministic WARC-Record-ID (uuid-shaped, derived, reproducible)."""
+    h = hashlib.sha1(f"{url}\x00{ts_us}".encode()).hexdigest()
+    return (
+        f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def build_record(url: str, ts_us: int, payload: bytes,
+                 content_type: str = "text/html; charset=utf-8") -> bytes:
+    """One uncompressed WARC *response* record wrapping an HTTP/1.1 reply."""
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: " + content_type.encode("ascii") + _CRLF
+        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        + _CRLF
+        + payload
+    )
+    digest = hashlib.sha1(payload).hexdigest()
+    headers = [
+        WARC_VERSION,
+        b"WARC-Type: response",
+        b"WARC-Record-ID: " + _record_id(url, ts_us).encode(),
+        b"WARC-Date: " + _warc_date(ts_us).encode(),
+        b"WARC-Target-URI: " + url.encode(),
+        b"WARC-Payload-Digest: sha1:" + digest.encode(),
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(http)).encode(),
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + http + _CRLF + _CRLF
+
+
+def _gzip_member(record: bytes) -> bytes:
+    """One record → one gzip member, mtime pinned to 0 for determinism."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
+def records_to_warc(urls, ts_list, payloads, compress: bool = True) -> bytes:
+    """Rows → one WARC blob (gzip member per record when ``compress``)."""
+    out = []
+    for url, ts, payload in zip(urls, ts_list, payloads):
+        rec = build_record(url, int(ts), bytes(payload))
+        out.append(_gzip_member(rec) if compress else rec)
+    return b"".join(out)
+
+
+def _inflate_member(blob: bytes, pos: int) -> tuple[bytes, int]:
+    """Inflate ONE gzip member starting at ``pos``; return (data, next_pos)."""
+    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    data = d.decompress(blob[pos:])
+    if not d.eof:
+        raise WarcError("truncated gzip member")
+    consumed = len(blob) - pos - len(d.unused_data)
+    return data, pos + consumed
+
+
+def _parse_one(rec: bytes) -> dict:
+    """Parse one uncompressed WARC record → dict, Content-Length exact."""
+    head_end = rec.find(_CRLF + _CRLF)
+    if head_end < 0:
+        raise WarcError("missing end of WARC header block")
+    lines = rec[:head_end].split(_CRLF)
+    if lines[0] != WARC_VERSION:
+        raise WarcError(f"bad version line: {lines[0][:20]!r}")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, sep, v = line.partition(b":")
+        if not sep:
+            raise WarcError(f"malformed header line: {line[:40]!r}")
+        headers[k.decode("ascii").strip().lower()] = v.decode("utf-8").strip()
+    try:
+        clen = int(headers["content-length"])
+    except (KeyError, ValueError) as exc:
+        raise WarcError("missing/invalid Content-Length") from exc
+    body = rec[head_end + 4 : head_end + 4 + clen]
+    if len(body) != clen:
+        raise WarcError("truncated record body")
+    payload = body
+    if headers.get("content-type", "").startswith("application/http"):
+        http_end = body.find(_CRLF + _CRLF)
+        if http_end < 0:
+            raise WarcError("missing end of HTTP header block")
+        payload = body[http_end + 4 :]
+    return {
+        "url": headers.get("warc-target-uri", ""),
+        "warc_ts": _parse_warc_date(headers["warc-date"]),
+        "payload": payload,
+        "warc_type": headers.get("warc-type", ""),
+        "digest_ok": headers.get("warc-payload-digest", "")
+        in ("", "sha1:" + hashlib.sha1(payload).hexdigest()),
+    }
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """Parse a WARC blob (gzip-member stream or plain concatenation)."""
+    records = []
+    pos, n = 0, len(blob)
+    compressed = blob[:2] == b"\x1f\x8b"
+    while pos < n:
+        if compressed:
+            rec, pos = _inflate_member(blob, pos)
+            records.append(_parse_one(rec))
+        else:
+            # plain records: header declares the body length, so the walk
+            # is exact — find this record's header, skip its body.
+            head_end = blob.find(_CRLF + _CRLF, pos)
+            if head_end < 0:
+                raise WarcError("missing end of WARC header block")
+            rec_head = blob[pos:head_end]
+            clen = None
+            for line in rec_head.split(_CRLF):
+                if line.lower().startswith(b"content-length:"):
+                    clen = int(line.split(b":", 1)[1])
+            if clen is None:
+                raise WarcError("missing/invalid Content-Length")
+            end = head_end + 4 + clen + 4
+            records.append(_parse_one(blob[pos:end]))
+            pos = end
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level source / sink
+# ---------------------------------------------------------------------------
+
+def warc_encode_batch(batch: pa.Table, records_per_blob: int = 8,
+                      compress: bool | str = True) -> pa.Table:
+    """Pages batch → WARC blobs column (``records_per_blob`` rows each).
+    ``compress="mixed"`` alternates gzip/plain blobs (covers both parse
+    paths in one corpus)."""
+    urls = batch["url"].to_pylist()
+    ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
+    payloads = batch["html"].to_pylist()
+    blobs = []
+    for k, i in enumerate(range(0, len(urls), records_per_blob)):
+        j = i + records_per_blob
+        comp = (k % 2 == 0) if compress == "mixed" else bool(compress)
+        blobs.append(records_to_warc(urls[i:j], ts[i:j], payloads[i:j], comp))
+    return pa.Table.from_arrays([pa.array(blobs, pa.binary())], names=["warc"])
+
+
+def warc_decode_batch(batch: pa.Table) -> pa.Table:
+    """WARC blobs column → pages rows (url, warc_ts, html)."""
+    urls: list[str] = []
+    ts: list[int] = []
+    html: list[bytes] = []
+    for blob in batch["warc"].to_pylist():
+        for rec in parse_warc(blob):
+            if rec["warc_type"] != "response":
+                continue
+            if not rec["digest_ok"]:
+                raise WarcError(f"payload digest mismatch for {rec['url']}")
+            urls.append(rec["url"])
+            ts.append(rec["warc_ts"])
+            html.append(rec["payload"])
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(np.asarray(ts, dtype=np.int64)).cast(pa.timestamp("us")),
+            pa.array(html, pa.binary()),
+        ],
+        names=["url", "warc_ts", "html"],
+    )
+
+
+def write_warc(ds, out_dir: str, records_per_blob: int = 8) -> list[str]:
+    """Sink: pages Dataset → partitioned ``.warc.gz`` shards. Files are
+    written INSIDE the tasks (never routed through the driver) and named by
+    content hash, so a re-run overwrites byte-identical files in place —
+    idempotent, resumable output."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def encode_and_write(batch: pa.Table) -> pa.Table:
+        blobs = warc_encode_batch(batch, records_per_blob)
+        paths = []
+        for blob in blobs["warc"].to_pylist():
+            name = hashlib.sha1(blob).hexdigest()[:16]
+            path = os.path.join(out_dir, f"part-{name}.warc.gz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)  # atomic: readers never see partial files
+            paths.append(path)
+        return pa.Table.from_arrays([pa.array(paths, pa.string())], names=["path"])
+
+    return sorted(
+        ds.map_batches(encode_and_write, batch_format="pyarrow")
+        .to_pandas()["path"]
+        .tolist()
+    )
+
+
+def read_warc(paths: str | list[str]):
+    """Source: ``.warc.gz`` shards → pages Dataset (streaming parse)."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return warc_decode_batch(
+            pa.Table.from_arrays([batch["bytes"]], names=["warc"])
+        )
+
+    return files.map_batches(decode, batch_format="pyarrow")

@@ -1,0 +1,131 @@
+"""WARC/1.0 codec + Dataset source/sink (sources/warc.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from pdf_extractor_ray.sources.warc import (
+    WarcError,
+    build_record,
+    parse_warc,
+    read_warc,
+    records_to_warc,
+    warc_decode_batch,
+    warc_encode_batch,
+    write_warc,
+)
+
+URLS = [f"doc://{i:08d}" for i in range(5)]
+TS = [1_767_225_600_000_000 + i * 1_000_000 for i in range(5)]
+PAYLOADS = [b"<html>doc %d</html>" % i for i in range(5)]
+
+
+def _pages_table(payloads=None):
+    return pa.Table.from_arrays(
+        [
+            pa.array(URLS),
+            pa.array(TS, pa.timestamp("us")),
+            pa.array(payloads or PAYLOADS, pa.binary()),
+        ],
+        names=["url", "warc_ts", "html"],
+    )
+
+
+class TestRecordRoundtrip:
+    @pytest.mark.parametrize("compress", [True, False])
+    def test_roundtrip(self, compress):
+        blob = records_to_warc(URLS, TS, PAYLOADS, compress=compress)
+        recs = parse_warc(blob)
+        assert [r["url"] for r in recs] == URLS
+        assert [r["warc_ts"] for r in recs] == TS
+        assert [r["payload"] for r in recs] == PAYLOADS
+        assert all(r["digest_ok"] for r in recs)
+        assert all(r["warc_type"] == "response" for r in recs)
+
+    def test_binary_safe_payload(self):
+        """Content-Length walk, never delimiter scanning: a payload that
+        CONTAINS a fake record boundary + version line must survive."""
+        evil = b"x\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n" + bytes(range(256))
+        blob = records_to_warc(URLS[:1], TS[:1], [evil], compress=False)
+        (rec,) = parse_warc(blob)
+        assert rec["payload"] == evil
+
+    def test_gzip_members_are_independent(self):
+        """Common Crawl layout: each record its own gzip member."""
+        blob = records_to_warc(URLS, TS, PAYLOADS, compress=True)
+        # the blob truncated at the 2nd member magic is a valid 1-record WARC
+        second_magic = blob.find(b"\x1f\x8b", 2)
+        assert second_magic > 0
+        recs = parse_warc(blob[:second_magic])
+        assert len(recs) == 1 and recs[0]["url"] == URLS[0]
+
+    def test_deterministic(self):
+        a = records_to_warc(URLS, TS, PAYLOADS, compress=True)
+        b = records_to_warc(URLS, TS, PAYLOADS, compress=True)
+        assert a == b
+
+    def test_truncated_gzip_raises(self):
+        blob = records_to_warc(URLS, TS, PAYLOADS, compress=True)
+        with pytest.raises(WarcError, match="truncated gzip"):
+            parse_warc(blob[:-8])
+
+    def test_truncated_body_raises(self):
+        rec = build_record(URLS[0], TS[0], PAYLOADS[0])
+        with pytest.raises(WarcError, match="truncated record body"):
+            parse_warc(rec[: len(rec) - 10])
+
+    def test_bad_version_raises(self):
+        rec = build_record(URLS[0], TS[0], PAYLOADS[0])
+        with pytest.raises(WarcError, match="bad version"):
+            parse_warc(b"HTTP/1.1" + rec[8:])
+
+    def test_digest_flag_detects_corruption(self):
+        rec = bytearray(build_record(URLS[0], TS[0], b"AAAABBBB"))
+        rec[rec.find(b"AAAABBBB")] = ord(b"Z")
+        (parsed,) = parse_warc(bytes(rec))
+        assert not parsed["digest_ok"]
+
+
+class TestBatchCodec:
+    def test_encode_decode_batch(self):
+        blobs = warc_encode_batch(_pages_table(), records_per_blob=2)
+        assert blobs.num_rows == 3
+        out = warc_decode_batch(blobs)
+        assert out["url"].to_pylist() == URLS
+        assert out["warc_ts"].cast(pa.int64()).to_pylist() == TS
+        assert out["html"].to_pylist() == PAYLOADS
+
+    def test_mixed_compression(self):
+        blobs = warc_encode_batch(_pages_table(), records_per_blob=2, compress="mixed")
+        raw = blobs["warc"].to_pylist()
+        assert raw[0][:2] == b"\x1f\x8b" and raw[1][:2] != b"\x1f\x8b"
+        assert warc_decode_batch(blobs).num_rows == 5
+
+    def test_digest_mismatch_raises_in_decode(self):
+        rec = bytearray(build_record(URLS[0], TS[0], b"AAAABBBB"))
+        rec[rec.find(b"AAAABBBB")] = ord(b"Z")
+        tbl = pa.Table.from_arrays([pa.array([bytes(rec)], pa.binary())], names=["warc"])
+        with pytest.raises(WarcError, match="digest mismatch"):
+            warc_decode_batch(tbl)
+
+
+class TestDatasetSinkSource:
+    def test_write_read_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_pages_table())
+        paths = write_warc(ds, str(tmp_path / "warc"), records_per_blob=2)
+        assert len(paths) == 3 and all(p.endswith(".warc.gz") for p in paths)
+        back = read_warc(paths).to_pandas().sort_values("url").reset_index(drop=True)
+        assert back["url"].tolist() == URLS
+        assert [bytes(b) for b in back["html"]] == PAYLOADS
+
+    def test_write_is_idempotent(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        out = str(tmp_path / "warc")
+        ds = rd.from_arrow(_pages_table())
+        first = write_warc(ds, out, records_per_blob=2)
+        second = write_warc(ds, out, records_per_blob=2)
+        assert first == second  # content-addressed: re-run rewrites in place
