@@ -3994,6 +3994,78 @@ def q_warc_roundtrip(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_extract_charset(sf_dir: str) -> pd.DataFrame:
+    """Charset-diverse corpus: each page's HTML is encoded rotating through
+    utf-8, utf-16-le/be (BOM), and windows-1252 (one variant labeled
+    ``ISO-8859-1`` — the WHATWG alias trap: web latin1 IS cp1252), with a
+    non-ASCII probe (``— résumé €``: cp1252 0x97/0xE9/0x80) appended to the
+    body so a wrong decode cannot produce the right bytes. The decode stage
+    sniffs (BOM > meta scan > utf-8 default), re-encodes utf-8, and the
+    normal extraction runs downstream. Oracle: byte-identity on
+    text+probe, plus the sniffed charset per doc."""
+    from .functions.charset import encode_html, decode_pages_batch
+    from .stages.extract import extract_batch
+    from .stages.normalize import normalize_route
+
+    probe = " — résumé €"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            body = _WRAP_PREFIX + t + probe + _WRAP_SUFFIX
+            mode = i % 5
+            if mode == 0:
+                payloads.append(encode_html(body, "utf-8"))
+            elif mode == 1:
+                payloads.append(encode_html(body, "utf-16-le", with_bom=True))
+            elif mode == 2:
+                payloads.append(encode_html(body, "utf-16-be", with_bom=True))
+            elif mode == 3:
+                labeled = body.replace(
+                    "<head>", '<head><meta charset="ISO-8859-1">', 1
+                )
+                payloads.append(encode_html(labeled, "windows-1252"))
+            else:
+                labeled = body.replace(
+                    "<head>",
+                    '<head><meta http-equiv="Content-Type" '
+                    'content="text/html; charset=windows-1252">',
+                    1,
+                )
+                payloads.append(encode_html(labeled, "windows-1252"))
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["url", "html"],
+        )
+
+    out = (
+        ds.map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(decode_pages_batch, batch_format="pyarrow")
+        .map_batches(normalize_route, batch_format="pyarrow")
+        .map_batches(extract_batch, batch_format="pyarrow")
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(u.rsplit("/", 1)[-1]) for u in urls], pa.int64()),
+                batch["charset"],
+                batch["extracted_text"],
+            ],
+            names=["doc_id", "charset", "extracted_text"],
+        )
+
+    df = out.map_batches(project, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "orders_topk": q_orders_topk,
@@ -4077,7 +4149,18 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "extraction_metrics": q_extraction_metrics,
     "warc_roundtrip": q_warc_roundtrip,
+    "extract_charset": q_extract_charset,
 }
+
+ORACLE_SQL["extract_charset"] = """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'utf-16-le'
+                       WHEN 2 THEN 'utf-16-be'
+                       ELSE 'windows-1252' END AS charset,
+       text || ' — résumé €' AS extracted_text
+FROM documents ORDER BY doc_id
+"""
 
 ORACLE_SQL["warc_roundtrip"] = """
 SELECT doc_id,
