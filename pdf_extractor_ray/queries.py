@@ -4066,6 +4066,75 @@ def q_extract_charset(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_latest_snapshot(sf_dir: str) -> pd.DataFrame:
+    """Recrawl hygiene: each url appears as 1–3 captures (warc_ts a day
+    apart, per-version text); keep only the newest capture per url. The
+    operator shuffles ONLY (url, ts) — payloads are semi-joined against the
+    broadcast winner set, never exchanged (ops/snapshots.py)."""
+    from .ops.snapshots import latest_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def versions(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        did, url, ts, txt = [], [], [], []
+        for i, t in zip(ids, texts):
+            for v in range(1 + i % 3):
+                did.append(i)
+                url.append(f"doc://{i:08d}")
+                ts.append(1_767_225_600_000_000 + i * 1_000_000 + v * 86_400_000_000)
+                txt.append(f"{t} [v{v}]")
+        return pa.Table.from_arrays(
+            [
+                pa.array(did, pa.int64()),
+                pa.array(url, pa.string()),
+                pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                pa.array(txt, pa.string()),
+            ],
+            names=["doc_id", "url", "warc_ts", "text"],
+        )
+
+    latest = latest_per_key(
+        ds.map_batches(versions, batch_format="pyarrow"), "url", "warc_ts"
+    )
+    df = latest.select_columns(["doc_id", "warc_ts", "text"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Two crawl snapshots (old drops every 5th url, new drops every 7th
+    and rewrites every 3rd) → per-url added/removed/changed/same. Payloads
+    reduce to 8-byte content hashes inside map_batches; the one exchange is
+    a (url, side, hash) groupby-aggregate (ops/snapshots.py)."""
+    from .ops.snapshots import snapshot_diff
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(old: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"].to_numpy())
+            keep = (ids % 5 != 0) if old else (ids % 7 != 0)
+            texts = batch["text"].to_pylist()
+            urls, out = [], []
+            for i, t, k in zip(ids, texts, keep):
+                if not k:
+                    continue
+                urls.append(f"doc://{i:08d}")
+                out.append(t if old or i % 3 else t + " CHANGED")
+            return pa.Table.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(out, pa.string())],
+                names=["url", "text"],
+            )
+
+        return fn
+
+    old_ds = docs.map_batches(side(True), batch_format="pyarrow")
+    new_ds = docs.map_batches(side(False), batch_format="pyarrow")
+    df = snapshot_diff(old_ds, new_ds).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "orders_topk": q_orders_topk,
@@ -4150,7 +4219,28 @@ QUERIES = {
     "extraction_metrics": q_extraction_metrics,
     "warc_roundtrip": q_warc_roundtrip,
     "extract_charset": q_extract_charset,
+    "latest_snapshot": q_latest_snapshot,
+    "snapshot_diff": q_snapshot_diff,
 }
+
+ORACLE_SQL["latest_snapshot"] = """
+SELECT doc_id,
+       TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND
+           + (doc_id % 3) * INTERVAL 1 DAY AS warc_ts,
+       text || ' [v' || CAST(doc_id % 3 AS VARCHAR) || ']' AS text
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["snapshot_diff"] = """
+SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0 THEN 'removed'
+            WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0 THEN 'added'
+            WHEN doc_id % 3 = 0 THEN 'changed'
+            ELSE 'same' END AS status
+FROM documents
+WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
+ORDER BY url
+"""
 
 ORACLE_SQL["extract_charset"] = """
 SELECT doc_id,

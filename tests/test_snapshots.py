@@ -1,0 +1,91 @@
+"""Crawl-snapshot operators (ops/snapshots.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _versions_table():
+    rows = [
+        # url, ts, text — b's newest is in a DIFFERENT "block position"
+        ("a", 100, "a-old"), ("a", 300, "a-new"), ("a", 200, "a-mid"),
+        ("b", 50, "b-only"),
+        ("c", 2, "c-old"), ("c", 9, "c-new"),
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows]),
+            pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+            pa.array([r[2] for r in rows]),
+        ],
+        names=["url", "warc_ts", "text"],
+    )
+
+
+class TestLatestPerKey:
+    def test_keeps_max_ts_row(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import latest_per_key
+
+        out = (
+            latest_per_key(rd.from_arrow(_versions_table()))
+            .to_pandas()
+            .sort_values("url")
+        )
+        assert out["text"].tolist() == ["a-new", "b-only", "c-new"]
+
+    def test_across_blocks(self, ray_session):
+        """Winner and losers in different blocks: the partial-max combiner
+        alone cannot resolve this — the global groupby must."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import latest_per_key
+
+        t = _versions_table()
+        ds = rd.from_arrow(t).repartition(6)  # ~1 row per block
+        out = latest_per_key(ds).to_pandas().sort_values("url")
+        assert out["text"].tolist() == ["a-new", "b-only", "c-new"]
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import snapshot_diff
+
+        old = pa.Table.from_arrays(
+            [pa.array(["same1", "gone", "edit"]), pa.array(["x", "y", "v1"])],
+            names=["url", "text"],
+        )
+        new = pa.Table.from_arrays(
+            [pa.array(["same1", "edit", "born"]), pa.array(["x", "v2", "z"])],
+            names=["url", "text"],
+        )
+        out = (
+            snapshot_diff(rd.from_arrow(old), rd.from_arrow(new))
+            .to_pandas()
+            .set_index("url")["status"]
+            .to_dict()
+        )
+        assert out == {
+            "same1": "same", "gone": "removed", "edit": "changed", "born": "added",
+        }
+
+    def test_binary_content(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import snapshot_diff
+
+        old = pa.Table.from_arrays(
+            [pa.array(["u"]), pa.array([b"\x00\x01"], pa.binary())],
+            names=["url", "html"],
+        )
+        new = pa.Table.from_arrays(
+            [pa.array(["u"]), pa.array([b"\x00\x02"], pa.binary())],
+            names=["url", "html"],
+        )
+        out = snapshot_diff(
+            rd.from_arrow(old), rd.from_arrow(new), content_col="html"
+        ).to_pandas()
+        assert out["status"].tolist() == ["changed"]
