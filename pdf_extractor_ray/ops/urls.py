@@ -164,3 +164,107 @@ def canonicalize_urls(ds, url_col: str = "url"):
         )
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SURT keys + CDX-style index (the Common Crawl url-index key order)
+# ---------------------------------------------------------------------------
+
+def surt_key(url: str) -> str | None:
+    """Sort-friendly URI Reordering Transform (Heritrix/CDX subset):
+    ``com,example,sub)/path?query`` — host labels reversed and
+    comma-joined (www. stripped), non-default port kept, path dot-segment
+    resolved + percent-normalized, tracking params stripped, everything
+    lowercased. Keys sort so all captures of a host (and its subdomains)
+    are contiguous — the property a crawl index shards on."""
+    m = _URL_RE.match((url or "").strip())
+    if not m:
+        return None
+    scheme = m.group("scheme").lower()
+    host = m.group("host").lower()
+    if not host or host == "[]":
+        return None
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split(".")))
+    port = m.group("port")
+    if port and port != _DEFAULT_PORTS.get(scheme):
+        key += ":" + port
+    key += ")" + _resolve_path(_pct_normalize(m.group("path") or "")).lower()
+    query = m.group("query")
+    if query:
+        kept = [
+            p
+            for p in query.split("&")
+            if p and not _TRACKING_RE.match(p.split("=", 1)[0])
+        ]
+        if kept:
+            key += "?" + "&".join(_pct_normalize(p) for p in kept).lower()
+    return key
+
+
+def add_surt_keys(ds, url_col: str = "url"):
+    """Stage: add a ``surt`` column (null for unparseable URLs)."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        keys = [surt_key(u) for u in batch[url_col].to_pylist()]
+        return batch.append_column("surt", pa.array(keys, pa.string()))
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def cdx_index(ds, url_col: str = "url", id_col: str = "doc_id",
+              broadcast_cap: int = 5_000_000):
+    """CDX-style index: (id, surt, global rank in (surt, id) order).
+
+    Rank assignment: the (surt, id) composite column — tens of bytes per
+    row, never the payload — is collected once, sorted, and broadcast;
+    each batch ranks itself with a vectorized ``searchsorted``. The
+    ``broadcast_cap`` gates the composite collection (at 5M rows ≈ 250 MB
+    it stops being a broadcast); beyond it, rank via range-partitioned
+    prefix counts: ``ds.sort(surt)`` + per-partition counts cumsum'd on
+    the driver (P values), then per-partition local ranks + offset. Rows
+    whose URL does not parse are dropped (no key, no index entry)."""
+    import numpy as np
+
+    keyed = add_surt_keys(ds, url_col).map_batches(
+        lambda b: b.filter(pa.compute.is_valid(b["surt"])),
+        batch_format="pyarrow",
+    )
+
+    def composite(batch: pa.Table) -> pa.Table:
+        comp = [
+            f"{s}\x00{i:020d}"
+            for s, i in zip(batch["surt"].to_pylist(), batch[id_col].to_pylist())
+        ]
+        return pa.Table.from_arrays([pa.array(comp, pa.string())], names=["c"])
+
+    comp_ds = keyed.map_batches(composite, batch_format="pyarrow")
+    n = comp_ds.count()
+    if n > broadcast_cap:
+        raise NotImplementedError(
+            f"{n} index rows exceed broadcast_cap={broadcast_cap}; use the "
+            "range-partitioned prefix-count path (see docstring)"
+        )
+    import ray
+
+    all_comp = np.sort(comp_ds.to_pandas()["c"].to_numpy())
+    comp_ref = ray.put(all_comp)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ref = ray.get(comp_ref)
+        comp = np.array(
+            [
+                f"{s}\x00{i:020d}"
+                for s, i in zip(
+                    batch["surt"].to_pylist(), batch[id_col].to_pylist()
+                )
+            ]
+        )
+        ranks = np.searchsorted(ref, comp, side="left") + 1
+        return pa.Table.from_arrays(
+            [batch[id_col], batch["surt"], pa.array(ranks, pa.int64())],
+            names=[id_col, "surt", "cdx_rank"],
+        )
+
+    return keyed.map_batches(rank, batch_format="pyarrow")

@@ -2185,6 +2185,36 @@ def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     return bpe_pair_counts(ds, k=100)
 
 
+def _six_bucket_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-URL corpus, six buckets per doc_id (case, default
+    ports, dot-segments, duplicate slashes, tracking params,
+    percent-encoding, co.uk suffix, unparseable junk)."""
+    ids = batch["doc_id"].to_pylist()
+    urls = []
+    for i in ids:
+        b = i % 6
+        if b == 0:
+            u = (
+                f"HTTP://WWW.Site{i % 37}.Example.COM:80/a/b/../c/./page{i % 5}/"
+                f"?utm_source=x&q={i}&fbclid=1#frag"
+            )
+        elif b == 1:
+            u = f"https://News.Example.co.uk:443//world//{i}/"
+        elif b == 2:
+            u = f"https://example.com:8443/%41bc%2f{i}"
+        elif b == 3:
+            u = f"http://blog.sub.site{i % 7}.org/a/../../x?gclid=z"
+        elif b == 4:
+            u = "https://www.example.com"
+        else:
+            u = f"not a url {i}"
+        urls.append(u)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(urls, pa.string())],
+        names=["doc_id", "url"],
+    )
+
+
 def q_canonical_urls(sf_dir: str) -> pd.DataFrame:
     """URL canonicalization over six deterministic mess buckets per
     doc_id (case, default ports, dot-segments, duplicate slashes,
@@ -2195,34 +2225,7 @@ def q_canonical_urls(sf_dir: str) -> pd.DataFrame:
     from .ops.urls import canonicalize_urls
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def to_urls(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        urls = []
-        for i in ids:
-            b = i % 6
-            if b == 0:
-                u = (
-                    f"HTTP://WWW.Site{i % 37}.Example.COM:80/a/b/../c/./page{i % 5}/"
-                    f"?utm_source=x&q={i}&fbclid=1#frag"
-                )
-            elif b == 1:
-                u = f"https://News.Example.co.uk:443//world//{i}/"
-            elif b == 2:
-                u = f"https://example.com:8443/%41bc%2f{i}"
-            elif b == 3:
-                u = f"http://blog.sub.site{i % 7}.org/a/../../x?gclid=z"
-            elif b == 4:
-                u = "https://www.example.com"
-            else:
-                u = f"not a url {i}"
-            urls.append(u)
-        return pa.Table.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(urls, pa.string())],
-            names=["doc_id", "url"],
-        )
-
-    out = canonicalize_urls(ds.map_batches(to_urls, batch_format="pyarrow"))
+    out = canonicalize_urls(ds.map_batches(_six_bucket_urls, batch_format="pyarrow"))
     df = out.select_columns(
         ["doc_id", "canon_url", "host", "registered_domain"]
     ).to_pandas()
@@ -4066,6 +4069,20 @@ def q_extract_charset(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cdx_index(sf_dir: str) -> pd.DataFrame:
+    """CDX-style crawl index: SURT keys (host labels reversed — the Common
+    Crawl index key order) over the six messy-URL buckets, plus each row's
+    global rank in (surt, doc_id) order via the broadcast-searchsorted rank
+    stage (ops/urls.py::cdx_index). Oracle: closed-form SURT per bucket +
+    row_number() over the same order."""
+    from .ops.urls import cdx_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = cdx_index(ds.map_batches(_six_bucket_urls, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_latest_snapshot(sf_dir: str) -> pd.DataFrame:
     """Recrawl hygiene: each url appears as 1–3 captures (warc_ts a day
     apart, per-version text); keep only the newest capture per url. The
@@ -4221,7 +4238,28 @@ QUERIES = {
     "extract_charset": q_extract_charset,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
+    "cdx_index": q_cdx_index,
 }
+
+ORACLE_SQL["cdx_index"] = """
+WITH s AS (
+    SELECT doc_id,
+        CASE doc_id % 6
+            WHEN 0 THEN 'com,example,site' || CAST(doc_id % 37 AS VARCHAR)
+                 || ')/a/c/page' || CAST(doc_id % 5 AS VARCHAR)
+                 || '?q=' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN 'uk,co,example,news)/world/' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN 'com,example:8443)/abc%2f' || CAST(doc_id AS VARCHAR)
+            WHEN 3 THEN 'org,site' || CAST(doc_id % 7 AS VARCHAR) || ',sub,blog)/x'
+            WHEN 4 THEN 'com,example)/'
+            ELSE NULL END AS surt
+    FROM documents
+    WHERE doc_id % 6 <> 5
+)
+SELECT doc_id, surt,
+       CAST(row_number() OVER (ORDER BY surt, doc_id) AS BIGINT) AS cdx_rank
+FROM s ORDER BY doc_id
+"""
 
 ORACLE_SQL["latest_snapshot"] = """
 SELECT doc_id,

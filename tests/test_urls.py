@@ -264,3 +264,90 @@ def test_pagerank_regimes_identical(ray_session):
     assert bc == dist == {
         h: r for h, r in TestPagerank.brute(edges, num_iters=2).items()
     }
+
+
+class TestSurt:
+    def test_host_reversal_and_www_strip(self):
+        from pdf_extractor_ray.ops.urls import surt_key
+
+        assert surt_key("https://www.example.com/a") == "com,example)/a"
+        assert surt_key("http://blog.sub.site.org/x") == "org,site,sub,blog)/x"
+
+    def test_default_port_dropped_nonstandard_kept(self):
+        from pdf_extractor_ray.ops.urls import surt_key
+
+        assert surt_key("http://a.com:80/p") == "com,a)/p"
+        assert surt_key("https://a.com:8443/p") == "com,a:8443)/p"
+
+    def test_lowercased_path_and_query(self):
+        from pdf_extractor_ray.ops.urls import surt_key
+
+        assert surt_key("https://A.com/PaTH?Q=Vv") == "com,a)/path?q=vv"
+
+    def test_tracking_params_stripped(self):
+        from pdf_extractor_ray.ops.urls import surt_key
+
+        assert surt_key("https://a.com/p?utm_source=x&k=1") == "com,a)/p?k=1"
+
+    def test_subdomain_prefix_contiguity(self):
+        """The property a crawl index shards on: a domain and its
+        subdomains sort contiguously."""
+        from pdf_extractor_ray.ops.urls import surt_key
+
+        keys = sorted(
+            surt_key(u)
+            for u in [
+                "https://example.com/",
+                "https://a.example.com/",
+                "https://z.example.com/",
+                "https://examplezzz.com/",
+            ]
+        )
+        prefixed = [k for k in keys if k.startswith("com,example")]
+        i = keys.index(prefixed[0])
+        assert keys[i : i + len(prefixed)] == prefixed
+
+    def test_unparseable_is_none(self):
+        from pdf_extractor_ray.ops.urls import surt_key
+
+        assert surt_key("not a url") is None
+
+
+class TestCdxIndex:
+    def test_ranks_are_global_and_dense(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.urls import cdx_index
+
+        tbl = pa.table(
+            {
+                "doc_id": list(range(6)),
+                "url": [
+                    "https://b.com/2",
+                    "https://a.com/1",
+                    "junk",
+                    "https://c.com/3",
+                    "https://a.com/0",
+                    "https://a.com/1",  # same surt as doc 1, higher id
+                ],
+            }
+        )
+        out = (
+            cdx_index(rd.from_arrow(tbl).repartition(3))
+            .to_pandas()
+            .sort_values("cdx_rank")
+        )
+        assert out["doc_id"].tolist() == [4, 1, 5, 0, 3]  # junk dropped
+        assert out["cdx_rank"].tolist() == [1, 2, 3, 4, 5]
+
+    def test_broadcast_cap_gate(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.urls import cdx_index
+
+        tbl = pa.table({"doc_id": [1, 2], "url": ["https://a.com/", "https://b.com/"]})
+        with _pytest.raises(NotImplementedError, match="broadcast_cap"):
+            cdx_index(rd.from_arrow(tbl), broadcast_cap=1).to_pandas()
