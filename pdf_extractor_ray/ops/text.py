@@ -989,3 +989,79 @@ def replicate_by_weight(
         return out.append_column("epoch", pa.array(epoch, pa.int32()))
 
     return ds.map_batches(replicate, batch_format="pyarrow")
+
+
+def ngram_topk(ds, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Exact corpus-global word n-gram heavy hitters: the ``k`` most
+    frequent n-grams (tiebreak: n-gram asc) as a pandas frame of
+    ``(ngram, cnt, rank)``.
+
+    Same exchange shape as :func:`word_topk`: per-block vectorized n-gram
+    counts (tokens from :func:`split_words`, n-grams formed by a sliding
+    join that never crosses document boundaries) pre-combine before one
+    ``groupby(ngram)`` sum over vocabulary-sized rows; the global top-k is
+    per-block partial top-ks (exact once counts are global) merged on the
+    driver from O(blocks × k) rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if n < 2:
+        raise ValueError("use word_topk for unigrams")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = split_words(texts)
+        w = words_list.flatten().to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(reps)), reps)
+        keep = w != ""
+        w, doc = w[keep].astype(str), doc[keep]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["ngram", "cnt"],
+        )
+        if len(w) < n:
+            return empty
+        m = len(w) - n + 1
+        valid = doc[:m] == doc[n - 1 :]  # all n tokens in the same doc
+        grams = w[:m]
+        for i in range(1, n):
+            grams = np.char.add(np.char.add(grams, " "), w[i : m + i])
+        grams = grams[valid]
+        if not len(grams):
+            return empty
+        u, c = np.unique(grams, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()), pa.array(c, pa.int64())],
+            names=["ngram", "cnt"],
+        )
+
+    totals = (
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("ngram")
+        .aggregate(Sum("cnt"))
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        gr = np.asarray(batch["ngram"].to_pylist(), dtype=object)
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gr, -c))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(gr[order].astype(str), pa.string()),
+                pa.array(c[order], pa.int64()),
+            ],
+            names=["ngram", "cnt"],
+        )
+
+    partials = totals.map_batches(
+        topk_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # ≤ blocks × k tiny rows
+    cand = sorted({(-r["cnt"], r["ngram"]) for r in partials})[:k]
+    return pd.DataFrame(
+        {
+            "ngram": [g for _, g in cand],
+            "cnt": [-negc for negc, _ in cand],
+            "rank": list(range(1, len(cand) + 1)),
+        }
+    ).astype({"cnt": "int64", "rank": "int32"})

@@ -4083,6 +4083,123 @@ def q_cdx_index(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_html_metadata(sf_dir: str) -> pd.DataFrame:
+    """Head-metadata extraction (title / meta description / canonical link)
+    over four deterministic markup variants per doc — quote styles,
+    attribute order, uppercase tags, self-closing slashes, missing
+    ``</head>`` — parsed by the tolerant head parser
+    (:mod:`functions.metadata`), which never walks the body. Oracle
+    recomputes the planted metadata from ``text`` in closed form."""
+    from .functions.metadata import parse_head_meta
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        htmls = []
+        for i, t in zip(ids, texts):
+            ws = t.split()
+            t5, t12 = " ".join(ws[:5]), " ".join(ws[:12])
+            url = f"doc://{i:08d}"
+            v = i % 4
+            if v == 0:
+                head = (
+                    f"<head><title>{t5}</title>"
+                    f'<meta name="description" content="{t12}">'
+                    f'<link rel="canonical" href="{url}"></head>'
+                )
+            elif v == 1:
+                head = (
+                    f"<head><meta content='{t12}' name='description'/>"
+                    f"<link href='{url}' rel='canonical'/>"
+                    f"<title>{t5}</title></head>"
+                )
+            elif v == 2:
+                head = (
+                    f"<HEAD><TITLE>  {t5}  </TITLE>"
+                    f'<META NAME=description CONTENT="{t12}">'
+                    f'<LINK REL=canonical HREF="{url}"></HEAD>'
+                )
+            else:  # no </head>; og tags present; body starts directly
+                head = (
+                    f"<head><title>{t5}</title>"
+                    f'<meta property="og:title" content="{t5}">'
+                    f'<meta name="description" content="{t12}">'
+                    f'<link rel="canonical" href="{url}">'
+                )
+            htmls.append(f"<html>{head}<body><p>{t}</p></body></html>")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(htmls, pa.string())],
+            names=["doc_id", "html"],
+        )
+
+    def extract_meta(batch: pa.Table) -> pa.Table:
+        metas = [parse_head_meta(h) for h in batch["html"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array([m["title"] for m in metas], pa.string()),
+                pa.array([m["description"] for m in metas], pa.string()),
+                pa.array([m["canonical"] for m in metas], pa.string()),
+            ],
+            names=["doc_id", "title", "description", "canonical"],
+        )
+
+    df = (
+        ds.map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(extract_meta, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact global word-bigram heavy hitters (top 20, tiebreak ngram asc):
+    per-block vectorized counting with boundary-safe sliding joins, one
+    vocabulary-sized exchange, partial top-ks merged exactly on the driver
+    (:func:`ops.text.ngram_topk`)."""
+    from .ops.text import ngram_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return ngram_topk(ds, n=2, k=20)
+
+
+def q_host_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components of a host graph (string node ids) against an
+    INDEPENDENT oracle: a DuckDB RECURSIVE CTE computing reachability-
+    closure min-labels — another CC implementation, not a closed form.
+    This runs the documented ≤``driver_edge_cap`` regime (the edge list is
+    component-minority-sized); the distributed string-id rounds
+    (``driver_edge_cap=0``: dense-rank mapping + pointer-jumping label
+    propagation) are pinned equal to this regime by tests/test_ops.py —
+    at ~0.7 s fixed cost per Ray job × ~15 jobs/round they are the right
+    tool at billions of edges, not under a per-query oracle-gate budget."""
+    from .ops.dedup import connected_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    # Five star components (hub+11 spokes) plus one 7-node chain: stars
+    # resolve in one hop, the chain proves multi-round pointer jumping —
+    # 4 propagation rounds total, so the per-round fixed exchange cost
+    # stays oracle-gate-friendly (a diameter-25 graph converges identically
+    # but pays ~15 rounds; see tests for the long-chain case).
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        id_a = [f"c{i % 5}h0" for i in ids] + [f"c5m{i % 6}" for i in ids]
+        id_b = [f"c{i % 5}n{i % 11:02d}" for i in ids] + [
+            f"c5m{i % 6 + 1}" for i in ids
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(id_a, pa.string()), pa.array(id_b, pa.string())],
+            names=["id_a", "id_b"],
+        )
+
+    pairs = ds.map_batches(edges, batch_format="pyarrow")
+    out = connected_components(pairs)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_latest_snapshot(sf_dir: str) -> pd.DataFrame:
     """Recrawl hygiene: each url appears as 1–3 captures (warc_ts a day
     apart, per-version text); keep only the newest capture per url. The
@@ -4239,7 +4356,53 @@ QUERIES = {
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
+    "host_components": q_host_components,
+    "ngram_topk": q_ngram_topk,
+    "html_metadata": q_html_metadata,
 }
+
+ORACLE_SQL["html_metadata"] = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)
+SELECT doc_id,
+       array_to_string(list_slice(ws, 1, 5), ' ') AS title,
+       array_to_string(list_slice(ws, 1, 12), ' ') AS description,
+       'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS canonical
+FROM w ORDER BY doc_id
+"""
+
+ORACLE_SQL["ngram_topk"] = r"""
+WITH ws AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents
+),
+bg AS (
+    SELECT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS ngram
+    FROM ws, LATERAL unnest(range(1, len(w))) AS t(i)
+),
+counts AS (SELECT ngram, count(*) AS cnt FROM bg GROUP BY 1)
+SELECT ngram, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS INTEGER) AS rank
+FROM counts QUALIFY rank <= 20 ORDER BY rank
+"""
+
+ORACLE_SQL["host_components"] = """
+WITH RECURSIVE e AS (
+  SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h0' AS u,
+         'c' || CAST(doc_id % 5 AS VARCHAR) || 'n'
+             || lpad(CAST(doc_id % 11 AS VARCHAR), 2, '0') AS v
+  FROM documents
+  UNION ALL
+  SELECT 'c5m' || CAST(doc_id % 6 AS VARCHAR) AS u,
+         'c5m' || CAST(doc_id % 6 + 1 AS VARCHAR) AS v
+  FROM documents
+),
+bi AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(n, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM bi) t
+  UNION
+  SELECT bi.v, reach.lab FROM bi JOIN reach ON bi.u = reach.n
+)
+SELECT n AS node, min(lab) AS label FROM reach GROUP BY n ORDER BY node
+"""
 
 ORACLE_SQL["cdx_index"] = """
 WITH s AS (

@@ -1,0 +1,108 @@
+"""HTML head metadata (functions/metadata.py) + n-gram heavy hitters
+(ops/text.py::ngram_topk)."""
+
+from __future__ import annotations
+
+import collections
+
+import pyarrow as pa
+
+from pdf_extractor_ray.functions.metadata import parse_head_meta
+
+
+class TestHeadMeta:
+    def test_basic(self):
+        m = parse_head_meta(
+            "<html><head><title>My  Page </title>"
+            '<meta name="description" content="a desc">'
+            '<link rel="canonical" href="https://x.com/p">'
+            '<meta property="og:title" content="OG T">'
+            "</head><body><p>ignored</p></body></html>"
+        )
+        assert m["title"] == "My Page"
+        assert m["description"] == "a desc"
+        assert m["canonical"] == "https://x.com/p"
+        assert m["og"] == {"title": "OG T"}
+
+    def test_attribute_order_quotes_case(self):
+        m = parse_head_meta(
+            "<HEAD><META CONTENT='d' NAME='Description'/>"
+            "<LINK HREF='u' REL='CANONICAL x'/><TITLE>t</TITLE></HEAD>"
+        )
+        assert (m["description"], m["canonical"], m["title"]) == ("d", "u", "t")
+
+    def test_body_meta_ignored(self):
+        m = parse_head_meta(
+            "<head><title>t</title></head><body>"
+            '<meta name="description" content="late"></body>'
+        )
+        assert m["description"] is None
+
+    def test_missing_head_is_all_none(self):
+        m = parse_head_meta("<body><p>x</p></body>")
+        assert m == {"title": None, "description": None, "canonical": None, "og": {}}
+
+    def test_first_description_wins(self):
+        m = parse_head_meta(
+            '<head><meta name="description" content="one">'
+            '<meta name="description" content="two"></head>'
+        )
+        assert m["description"] == "one"
+
+    def test_entities_resolved(self):
+        m = parse_head_meta("<head><title>A &amp; B</title></head>")
+        assert m["title"] == "A & B"
+
+    def test_broken_soup_never_raises(self):
+        # malformed markup inside <title> degrades to text, never raises
+        m = parse_head_meta("<head><title>t<meta<<<")
+        assert m["title"].startswith("t") and m["description"] is None
+
+
+class TestNgramTopk:
+    @staticmethod
+    def brute(texts, n, k):
+        counts = collections.Counter()
+        for t in texts:
+            ws = t.lower().split()
+            for i in range(len(ws) - n + 1):
+                counts[" ".join(ws[i : i + n])] += 1
+        return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import ngram_topk
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat ran",
+            "THE CAT sat",
+            "",
+            "solo",
+            "on the mat on the mat",
+        ]
+        ds = rd.from_arrow(pa.table({"text": texts})).repartition(3)
+        got = ngram_topk(ds, n=2, k=4)
+        assert list(zip(got["ngram"], got["cnt"])) == self.brute(texts, 2, 4)
+        assert got["rank"].tolist() == [1, 2, 3, 4]
+
+    def test_trigrams_and_boundaries(self, ray_session):
+        """An n-gram must never span two documents."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import ngram_topk
+
+        texts = ["a b c", "c a b"]  # "b c c" / "c c a" would be cross-doc
+        ds = rd.from_arrow(pa.table({"text": texts})).repartition(2)
+        got = ngram_topk(ds, n=3, k=10)
+        assert set(got["ngram"]) == {"a b c", "c a b"}
+
+    def test_null_and_short_texts(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import ngram_topk
+
+        ds = rd.from_arrow(pa.table({"text": pa.array([None, "one", "x y"])}))
+        got = ngram_topk(ds, n=2, k=5)
+        assert list(zip(got["ngram"], got["cnt"])) == [("x y", 1)]
