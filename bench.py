@@ -30,6 +30,24 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def steal_ticks() -> int:
+    """Hypervisor steal time (USER_HZ ticks, all cpus) — this sandbox runs
+    on a shared host and bursts of neighbor load show up as 2-5× query-time
+    swings; reporting steal alongside each run makes the numbers
+    interpretable (a high-steal run measures the host, not the engine)."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except Exception:  # noqa: BLE001 — non-Linux fallback
+        return 0
+
+
+def steal_pct(dticks: int, elapsed: float) -> float:
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    cpus = os.cpu_count() or 1
+    return round(100.0 * (dticks / hz) / (elapsed * cpus), 1) if elapsed else 0.0
+
+
 def ensure_corpus(sf_dir: str, n_pages: int, num_cpus: int) -> str:
     # v6: bucket-38 real PDFs switch to a composite Type0/Identity-H font
     # (2-byte CID codes, round 3)
@@ -146,9 +164,11 @@ def main() -> None:
     rd.read_parquet(corpus_dir).count()
 
     log(f"headline: {rows} pages, {in_bytes/1e6:.0f} MB parquet, num_cpus={num_cpus}")
+    s0 = steal_ticks()
     t0 = time.time()
     run_headline(corpus_dir, "/tmp/graft_bench/out", num_cpus)
     headline_sec = time.time() - t0
+    headline_steal = steal_pct(steal_ticks() - s0, headline_sec)
 
     # Representative queries over the sf dir (driver-style).
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -162,13 +182,17 @@ def main() -> None:
         "quantiles", "distinct_sketch", "substring_dup", "canonical_urls",
         "ngram_jaccard_dedup", "simhash", "bpe_pair_counts", "inverted_index",
         "group_quantiles", "funnel", "distinct_users", "mixture",
+        "warc_roundtrip", "ngram_topk", "latest_snapshot", "cdx_index",
     )
+    query_steal: dict[str, float] = {}
     for name in query_names:
+        s0 = steal_ticks()
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
             res.to_pandas()
         query_times[name] = round(time.time() - t0, 3)
+        query_steal[name] = steal_pct(steal_ticks() - s0, query_times[name])
 
     # Dedup-variant comparison at REAL payload size (the ~KB html column of
     # the bench corpus, string url ids): exact_dedup_large shuffles only
@@ -201,6 +225,8 @@ def main() -> None:
                 "pages": rows,
                 "docs_per_sec": round(rows / headline_sec, 1),
                 "input_mb_per_sec": round(in_bytes / 1e6 / headline_sec, 1),
+                "headline_steal_pct": headline_steal,
+                "query_steal_pct": query_steal,
             }
         )
     )
