@@ -4154,6 +4154,56 @@ def q_html_metadata(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_robots_admission(sf_dir: str) -> pd.DataFrame:
+    """RFC 9309 robots.txt admission over five host policies (longest-match
+    Allow/Disallow precedence, ``*``/``$`` wildcards, per-agent group
+    selection, empty Disallow, absent policy) × four path shapes per doc.
+    Policies parse once and broadcast; admission is a shuffle-free
+    map_batches lookup (:mod:`ops.robots`). Closed-form oracle over
+    (doc_id % 5, doc_id % 4)."""
+    from .ops.robots import robots_filter
+
+    policies = {
+        "h0.example.com": "User-agent: *\nDisallow: /private/\nAllow: /private/ok",
+        "h1.example.com": (
+            "User-agent: graftbot\nDisallow: /*.pdf$\n\n"
+            "User-agent: *\nDisallow: /"
+        ),
+        "h2.example.com": "User-agent: *\nDisallow:",
+        "h3.example.com": "User-agent: *\nDisallow: /",
+        # h4: no robots.txt → allowed
+    }
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hosts, urls = [], []
+        for i in ids:
+            host = f"h{i % 5}.example.com"
+            path = [
+                f"/private/doc{i}",
+                f"/private/ok{i}",
+                f"/a/doc{i}.pdf",
+                f"/pub/doc{i}",
+            ][i % 4]
+            hosts.append(host)
+            urls.append(f"https://{host}{path}")
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(hosts, pa.string()),
+                pa.array(urls, pa.string()),
+            ],
+            names=["doc_id", "host", "url"],
+        )
+
+    out = robots_filter(
+        ds.map_batches(to_urls, batch_format="pyarrow"), policies
+    )
+    df = out.select_columns(["doc_id", "host", "allowed"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_ngram_topk(sf_dir: str) -> pd.DataFrame:
     """Exact global word-bigram heavy hitters (top 20, tiebreak ngram asc):
     per-block vectorized counting with boundary-safe sliding joins, one
@@ -4359,7 +4409,19 @@ QUERIES = {
     "host_components": q_host_components,
     "ngram_topk": q_ngram_topk,
     "html_metadata": q_html_metadata,
+    "robots_admission": q_robots_admission,
 }
+
+ORACLE_SQL["robots_admission"] = """
+SELECT doc_id,
+       'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+       CASE
+           WHEN doc_id % 5 = 3 THEN FALSE
+           WHEN doc_id % 5 = 0 AND doc_id % 4 = 0 THEN FALSE
+           WHEN doc_id % 5 = 1 AND doc_id % 4 = 2 THEN FALSE
+           ELSE TRUE END AS allowed
+FROM documents ORDER BY doc_id
+"""
 
 ORACLE_SQL["html_metadata"] = r"""
 WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)
