@@ -371,3 +371,131 @@ def _pagerank_broadcast(
             names=["host", "rank"],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text index (inbound link text per target url)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["'][^>]*>(.*?)</a>""",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _resolve_url(href: str, src_host: str) -> str | None:
+    """Full-url anchor-target resolution (host rules as _resolve_host;
+    rooted/relative paths resolve under https on the source host)."""
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    low = href.lower()
+    if low.startswith(_SKIP):
+        return None
+    if low.startswith(("http://", "https://")):
+        return href
+    if href.startswith("//"):
+        return "https:" + href
+    if href.startswith("/"):
+        return f"https://{src_host}{href}"
+    return f"https://{src_host}/{href}"
+
+
+def extract_anchors_batch(
+    batch: pa.Table, html_col: str = "html", url_col: str = "url"
+) -> pa.Table:
+    """Per-block ``(dst_url, anchor, cnt)`` partials: anchor text with
+    inner tags stripped and whitespace collapsed, pre-combined via
+    ``np.unique`` on composite keys (same shape as extract_edges_batch)."""
+    htmls = batch[html_col]
+    urls = batch[url_col].to_pylist()
+    keys: list[str] = []
+    for i in range(len(batch)):
+        payload = htmls[i].as_py()
+        src = host_of(urls[i] or "")
+        if payload is None or not src:
+            continue
+        text = (
+            payload.decode("utf-8", errors="replace")
+            if isinstance(payload, (bytes, bytearray))
+            else str(payload)
+        )
+        for href, inner in _ANCHOR_RE.findall(text):
+            dst = _resolve_url(href, src)
+            if not dst:
+                continue
+            anchor = " ".join(_TAG_RE.sub(" ", inner).split())
+            if anchor:
+                keys.append(f"{dst}\x00{anchor}")
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.string()),
+         pa.array([], pa.int64())],
+        names=["dst_url", "anchor", "cnt"],
+    )
+    if not keys:
+        return empty
+    u, c = np.unique(np.array(keys, dtype=object), return_counts=True)
+    pairs = [k.split("\x00", 1) for k in u]
+    return pa.Table.from_arrays(
+        [
+            pa.array([p[0] for p in pairs], pa.string()),
+            pa.array([p[1] for p in pairs], pa.string()),
+            pa.array(c, pa.int64()),
+        ],
+        names=["dst_url", "anchor", "cnt"],
+    )
+
+
+def anchor_topk(ds, k: int = 3, html_col: str = "html", url_col: str = "url"):
+    """Per-target inbound anchor-text top-k: for every linked url, the
+    ``k`` most frequent anchor strings (tiebreak anchor asc) with counts
+    and ranks.
+
+    Exchange shape: anchors pre-combine per block (extract stage), one
+    ``groupby(dst_url, anchor).sum`` over distinct-pair rows, then ONE
+    sort with a vectorized per-segment head-gather
+    (:func:`..ops.segments.sorted_segment_apply`) — target cardinality is
+    unbounded, so the finish must be segment-local, never a driver merge
+    keyed by target."""
+    from .segments import sorted_segment_apply
+
+    counts = (
+        ds.map_batches(
+            lambda b: extract_anchors_batch(b, html_col, url_col),
+            batch_format="pyarrow",
+        )
+        .groupby(["dst_url", "anchor"])
+        .sum("cnt")
+    )
+
+    def head_kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64()), pa.array([], pa.int32())],
+                names=["dst_url", "anchor", "cnt", "rank"],
+            )
+        starts = starts.astype(np.int64)
+        take = np.minimum(ends.astype(np.int64) - starts, k)
+        gstarts = np.cumsum(take) - take
+        total = int(take.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(gstarts, take)
+        idx = np.repeat(starts, take) + within
+        return pa.Table.from_arrays(
+            [
+                batch["dst_url"].take(pa.array(idx)),
+                batch["anchor"].take(pa.array(idx)),
+                batch["sum(cnt)"].take(pa.array(idx)).cast(pa.int64()),
+                pa.array((within + 1).astype(np.int32)),
+            ],
+            names=["dst_url", "anchor", "cnt", "rank"],
+        )
+
+    return sorted_segment_apply(
+        counts,
+        "dst_url",
+        head_kernel,
+        within_cols=["sum(cnt)", "anchor"],
+        descending=[True, False],
+    )

@@ -4154,6 +4154,38 @@ def q_html_metadata(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_anchor_texts(sf_dir: str) -> pd.DataFrame:
+    """Inbound anchor-text index: every doc links to a rotating absolute
+    target (anchor carries an inner tag to prove tag-stripping) and a
+    relative path (resolved under the source host); per target url the top
+    3 anchors by count, rank-ordered. Extraction pre-combines per block,
+    one distinct-pair exchange, segment-local top-k — target cardinality
+    is unbounded so no driver merge (:func:`ops.links.anchor_topk`)."""
+    from .ops.links import anchor_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        urls, htmls = [], []
+        for i in ids:
+            urls.append(f"https://site{i % 10}.example.com/p/{i}")
+            htmls.append(
+                (
+                    f'<a href="https://t{i % 7}.example.com/x">anchor <b>{i % 3}</b></a>'
+                    f"<a href='/page'>home {i % 2}</a>"
+                ).encode()
+            )
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(htmls, pa.binary())],
+            names=["url", "html"],
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow")
+    df = anchor_topk(pages, k=3).to_pandas()
+    return df.sort_values(["dst_url", "rank"]).reset_index(drop=True)
+
+
 def q_robots_admission(sf_dir: str) -> pd.DataFrame:
     """RFC 9309 robots.txt admission over five host policies (longest-match
     Allow/Disallow precedence, ``*``/``$`` wildcards, per-agent group
@@ -4410,7 +4442,28 @@ QUERIES = {
     "ngram_topk": q_ngram_topk,
     "html_metadata": q_html_metadata,
     "robots_admission": q_robots_admission,
+    "anchor_texts": q_anchor_texts,
 }
+
+ORACLE_SQL["anchor_texts"] = """
+WITH links AS (
+    SELECT 'https://t' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/x' AS dst_url,
+           'anchor ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+    FROM documents
+    UNION ALL
+    SELECT 'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/page',
+           'home ' || CAST(doc_id % 2 AS VARCHAR)
+    FROM documents
+),
+counts AS (SELECT dst_url, anchor, count(*) AS cnt FROM links GROUP BY 1, 2),
+ranked AS (
+    SELECT dst_url, anchor, cnt,
+           row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, anchor) AS r
+    FROM counts
+)
+SELECT dst_url, anchor, CAST(cnt AS BIGINT) AS cnt, CAST(r AS INTEGER) AS rank
+FROM ranked WHERE r <= 3 ORDER BY dst_url, rank
+"""
 
 ORACLE_SQL["robots_admission"] = """
 SELECT doc_id,

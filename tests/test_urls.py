@@ -351,3 +351,38 @@ class TestCdxIndex:
         tbl = pa.table({"doc_id": [1, 2], "url": ["https://a.com/", "https://b.com/"]})
         with _pytest.raises(NotImplementedError, match="broadcast_cap"):
             cdx_index(rd.from_arrow(tbl), broadcast_cap=1).to_pandas()
+
+
+class TestAnchorTopk:
+    def test_extraction_and_ranking(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import anchor_topk
+
+        pages = pa.table(
+            {
+                "url": [f"https://s.com/p{i}" for i in range(4)],
+                "html": [
+                    b'<a href="https://t.com/a">Buy <i>now</i></a>',
+                    b"<a href='https://t.com/a'>Buy  now </a>"
+                    b'<a href="https://t.com/a">other</a>',
+                    b'<a href="/rel">Rel</a><a href="#frag">skip</a>'
+                    b'<a href="mailto:x@y">skip</a>',
+                    b'<a href="//cdn.com/f">proto-rel</a><a href="https://t.com/a"></a>',
+                ],
+            }
+        )
+        out = (
+            anchor_topk(rd.from_arrow(pages).repartition(2), k=2)
+            .to_pandas()
+            .sort_values(["dst_url", "rank"])
+            .reset_index(drop=True)
+        )
+        rows = list(zip(out["dst_url"], out["anchor"], out["cnt"], out["rank"]))
+        assert rows == [
+            ("https://cdn.com/f", "proto-rel", 1, 1),
+            ("https://s.com/rel", "Rel", 1, 1),
+            ("https://t.com/a", "Buy now", 2, 1),  # tag-strip + ws collapse
+            ("https://t.com/a", "other", 1, 2),
+        ]
