@@ -4154,6 +4154,64 @@ def q_html_metadata(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_sitemap_entries(sf_dir: str) -> pd.DataFrame:
+    """Sitemap ingestion: docs serialize into ``<urlset>`` XML blobs (10
+    entries each; namespace'd root, XML-entity-escaped query strings,
+    rotating lastmod/changefreq/priority) parsed back by the from-scratch
+    tokenizer (:mod:`sources.sitemap`). Closed-form oracle from doc_id,
+    entity round-trip included."""
+    from .sources.sitemap import sitemap_rows_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_xml(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        blobs = []
+        for s in range(0, len(ids), 10):
+            entries = []
+            for i in ids[s : s + 10]:
+                loc = f"https://ex.com/doc/{i}"
+                if i % 5 == 0:
+                    loc += "?a=1&amp;b=2"  # escaped in XML, decoded by parse
+                freq = ["daily", "weekly", "monthly"][i % 3]
+                entries.append(
+                    f"<url><loc>{loc}</loc>"
+                    f"<lastmod>2026-01-{(i % 28) + 1:02d}</lastmod>"
+                    f"<changefreq>{freq}</changefreq>"
+                    f"<priority>0.{i % 10}</priority></url>"
+                )
+            blobs.append(
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(entries)
+                + "</urlset>"
+            )
+        return pa.Table.from_arrays(
+            [pa.array(blobs, pa.string())], names=["xml"]
+        )
+
+    rows = ds.map_batches(to_xml, batch_format="pyarrow").map_batches(
+        sitemap_rows_batch, batch_format="pyarrow"
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        locs = batch["loc"].to_pylist()
+        ids = [int(u.split("/doc/")[1].split("?")[0]) for u in locs]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                batch["loc"],
+                batch["lastmod"],
+                batch["changefreq"],
+                batch["priority"],
+            ],
+            names=["doc_id", "loc", "lastmod", "changefreq", "priority"],
+        )
+
+    df = rows.map_batches(project, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_anchor_texts(sf_dir: str) -> pd.DataFrame:
     """Inbound anchor-text index: every doc links to a rotating absolute
     target (anchor carries an inner tag to prove tag-stripping) and a
@@ -4443,7 +4501,19 @@ QUERIES = {
     "html_metadata": q_html_metadata,
     "robots_admission": q_robots_admission,
     "anchor_texts": q_anchor_texts,
+    "sitemap_entries": q_sitemap_entries,
 }
+
+ORACLE_SQL["sitemap_entries"] = """
+SELECT doc_id,
+       'https://ex.com/doc/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                       ELSE 'monthly' END AS changefreq,
+       '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+FROM documents ORDER BY doc_id
+"""
 
 ORACLE_SQL["anchor_texts"] = """
 WITH links AS (
