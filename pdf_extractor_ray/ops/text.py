@@ -1065,3 +1065,81 @@ def ngram_topk(ds, n: int = 2, k: int = 20, text_col: str = "text"):
             "rank": list(range(1, len(cand) + 1)),
         }
     ).astype({"cnt": "int64", "rank": "int32"})
+
+
+def kn_stats(ds, max_n: int = 3, text_col: str = "text"):
+    """Kneser-Ney smoothing statistics per n-gram order 1..``max_n``:
+    total tokens, distinct types, singleton count n1, doubleton count n2,
+    and the absolute-discount fraction D = n1/(n1+2·n2) as INTEGER
+    numerator/denominator (so the oracle compares exactly, no floats).
+
+    One corpus pass emits every order's grams under a composite
+    ``"{n}\\x00{gram}"`` key (per-block pre-combined), ONE vocabulary-sized
+    ``groupby(key).sum`` exchange, then per-block stat partials reduce to
+    ``max_n`` rows on the driver — O(blocks·max_n) rows, never the vocab."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = split_words(texts)
+        w = words_list.flatten().to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(reps)), reps)
+        keep = w != ""
+        w, doc = w[keep].astype(str), doc[keep]
+        all_keys = []
+        for n in range(1, max_n + 1):
+            if len(w) < n:
+                break
+            m = len(w) - n + 1
+            valid = doc[:m] == doc[n - 1 :]
+            grams = w[:m]
+            for i in range(1, n):
+                grams = np.char.add(np.char.add(grams, " "), w[i : m + i])
+            prefixed = np.char.add(f"{n}\x1f", grams[valid])
+            all_keys.append(prefixed)
+        if not all_keys:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["key", "cnt"],
+            )
+        u, c = np.unique(np.concatenate(all_keys), return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()), pa.array(c, pa.int64())],
+            names=["key", "cnt"],
+        )
+
+    totals = (
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("key")
+        .aggregate(Sum("cnt"))
+    )
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        cnts = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        orders = np.fromiter(
+            (int(k.split("\x1f", 1)[0]) for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        rows = {"n": [], "total": [], "distinct_ngrams": [], "n1": [], "n2": []}
+        for n in np.unique(orders):
+            sel = cnts[orders == n]
+            rows["n"].append(int(n))
+            rows["total"].append(int(sel.sum()))
+            rows["distinct_ngrams"].append(int(len(sel)))
+            rows["n1"].append(int((sel == 1).sum()))
+            rows["n2"].append(int((sel == 2).sum()))
+        return pa.Table.from_arrays(
+            [pa.array(rows[c2], pa.int64()) for c2 in ("n", "total", "distinct_ngrams", "n1", "n2")],
+            names=["n", "total", "distinct_ngrams", "n1", "n2"],
+        )
+
+    parts = totals.map_batches(
+        stat_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    agg = parts.groupby("n", sort=True).sum().reset_index()
+    agg["d_num"] = agg["n1"]
+    agg["d_den"] = agg["n1"] + 2 * agg["n2"]
+    return pd.DataFrame(agg).astype("int64")

@@ -4154,6 +4154,57 @@ def q_html_metadata(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_kn_stats(sf_dir: str) -> pd.DataFrame:
+    """Kneser-Ney smoothing statistics for orders 1–3 in ONE corpus pass
+    (composite order⊕gram keys, one vocabulary-sized exchange, O(blocks·3)
+    driver rows): totals, type counts, singleton/doubleton counts, and the
+    absolute discount D = n1/(n1+2n2) as integer num/den so the oracle is
+    bit-exact (:func:`ops.text.kn_stats`)."""
+    from .ops.text import kn_stats
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return kn_stats(ds, max_n=3)
+
+
+def q_template_clusters(sf_dir: str) -> pd.DataFrame:
+    """Template detection: three markup skeletons rotate over the corpus
+    (identical tag sequences, per-doc text) → cluster by DOM-structure
+    fingerprint, attach (min-id representative, size) back through the
+    sorted-lookup exchange — payloads never shuffle, no driver state
+    (:mod:`ops.templates`). Closed-form oracle over doc_id % 3."""
+    from .ops.templates import template_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        htmls = []
+        for i, t in zip(ids, texts):
+            v = i % 3
+            if v == 0:
+                h = f"<html><head><title>x</title></head><body><p>{t}</p></body></html>"
+            elif v == 1:
+                h = (
+                    f"<html><body><nav><a href='/'>h</a></nav>"
+                    f"<article><p>{t}</p></article></body></html>"
+                )
+            else:
+                h = (
+                    f"<html><body><div><div><span>{t}</span></div>"
+                    f"<footer>f</footer></div></body></html>"
+                )
+            htmls.append(h.encode())
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(htmls, pa.binary())],
+            names=["doc_id", "html"],
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow")
+    df = template_clusters(pages).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_sitemap_entries(sf_dir: str) -> pd.DataFrame:
     """Sitemap ingestion: docs serialize into ``<urlset>`` XML blobs (10
     entries each; namespace'd root, XML-entity-escaped query strings,
@@ -4502,7 +4553,48 @@ QUERIES = {
     "robots_admission": q_robots_admission,
     "anchor_texts": q_anchor_texts,
     "sitemap_entries": q_sitemap_entries,
+    "template_clusters": q_template_clusters,
+    "kn_stats": q_kn_stats,
 }
+
+ORACLE_SQL["kn_stats"] = r"""
+WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+g1 AS (SELECT unnest(w) AS g FROM ws),
+g2 AS (SELECT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1] AS g
+       FROM ws, LATERAL unnest(range(1, len(w))) t(i)),
+g3 AS (SELECT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+           || ' ' || w[CAST(i AS INTEGER)+2] AS g
+       FROM ws, LATERAL unnest(range(1, len(w) - 1)) t(i)),
+s1 AS (SELECT g, count(*) c FROM g1 GROUP BY 1),
+s2 AS (SELECT g, count(*) c FROM g2 GROUP BY 1),
+s3 AS (SELECT g, count(*) c FROM g3 GROUP BY 1),
+stats AS (
+    SELECT 1 AS n, sum(c) AS total, count(*) AS nt,
+           count(*) FILTER (WHERE c = 1) AS n1,
+           count(*) FILTER (WHERE c = 2) AS n2 FROM s1
+    UNION ALL
+    SELECT 2, sum(c), count(*), count(*) FILTER (WHERE c = 1),
+           count(*) FILTER (WHERE c = 2) FROM s2
+    UNION ALL
+    SELECT 3, sum(c), count(*), count(*) FILTER (WHERE c = 1),
+           count(*) FILTER (WHERE c = 2) FROM s3
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+       CAST(nt AS BIGINT) AS distinct_ngrams,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(n1 AS BIGINT) AS d_num, CAST(n1 + 2 * n2 AS BIGINT) AS d_den
+FROM stats ORDER BY n
+"""
+
+ORACLE_SQL["template_clusters"] = """
+WITH c AS (
+    SELECT doc_id % 3 AS m, count(*) AS n, min(doc_id) AS rep
+    FROM documents GROUP BY 1
+)
+SELECT d.doc_id, c.rep AS cluster_rep, CAST(c.n AS BIGINT) AS cluster_size
+FROM documents d JOIN c ON d.doc_id % 3 = c.m
+ORDER BY d.doc_id
+"""
 
 ORACLE_SQL["sitemap_entries"] = """
 SELECT doc_id,

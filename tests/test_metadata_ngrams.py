@@ -106,3 +106,54 @@ class TestNgramTopk:
         ds = rd.from_arrow(pa.table({"text": pa.array([None, "one", "x y"])}))
         got = ngram_topk(ds, n=2, k=5)
         assert list(zip(got["ngram"], got["cnt"])) == [("x y", 1)]
+
+
+class TestKnStats:
+    def test_matches_brute_force(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import kn_stats
+
+        texts = ["a b a b c", "a b x", "", "y"]
+        ds = rd.from_arrow(pa.table({"text": texts})).repartition(2)
+        got = kn_stats(ds, max_n=2).set_index("n")
+        for n in (1, 2):
+            counts = collections.Counter()
+            for t in texts:
+                ws = t.split()
+                for i in range(len(ws) - n + 1):
+                    counts[" ".join(ws[i : i + n])] += 1
+            row = got.loc[n]
+            assert row["total"] == sum(counts.values())
+            assert row["distinct_ngrams"] == len(counts)
+            assert row["n1"] == sum(1 for c in counts.values() if c == 1)
+            assert row["n2"] == sum(1 for c in counts.values() if c == 2)
+            assert row["d_den"] == row["n1"] + 2 * row["n2"]
+
+
+class TestTemplateClusters:
+    def test_clusters_by_structure_not_content(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.templates import template_clusters
+
+        pages = pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "html": [
+                    b"<html><body><p>alpha</p></body></html>",
+                    b"<html><body><p>totally different words</p></body></html>",
+                    b"<html><body><div>x</div></body></html>",
+                    b"<HTML><BODY><P>case-insensitive tags</P></BODY></HTML>",
+                ],
+            }
+        )
+        out = (
+            template_clusters(rd.from_arrow(pages).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["cluster_rep"].tolist() == [0, 0, 2, 0]
+        assert out["cluster_size"].tolist() == [3, 3, 1, 3]
