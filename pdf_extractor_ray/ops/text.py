@@ -1143,3 +1143,47 @@ def kn_stats(ds, max_n: int = 3, text_col: str = "text"):
     agg["d_num"] = agg["n1"]
     agg["d_den"] = agg["n1"] + 2 * agg["n2"]
     return pd.DataFrame(agg).astype("int64")
+
+
+def passage_chunks(ds, size: int = 8, stride: int = 6, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """RAG-style passage chunking: overlapping token windows per document
+    (``size`` tokens per passage, ``stride`` tokens between passage
+    starts — overlap = size − stride), emitted as
+    ``(id, passage_idx, n_tokens, passage)`` rows.
+
+    Per-row, shuffle-free: a flat_map-shaped ``map_batches`` whose output
+    row count is ~tokens/stride per doc. Passage boundaries are
+    token-exact and layout-independent; the final passage may be shorter
+    (never empty), every token belongs to ≥1 passage, and empty documents
+    produce no rows."""
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be ≥ 1")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = split_words(texts)
+        ids_out, idx_out, n_out, text_out = [], [], [], []
+        for rid, words in zip(batch[id_col].to_pylist(), words_list.to_pylist()):
+            toks = [w for w in words if w]
+            if not toks:
+                continue  # empty docs produce no passages
+            for k, start in enumerate(range(0, len(toks), stride)):
+                window = toks[start : start + size]
+                ids_out.append(rid)
+                idx_out.append(k)
+                n_out.append(len(window))
+                text_out.append(" ".join(window))
+                if start + size >= len(toks):
+                    break
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids_out, pa.int64()),
+                pa.array(idx_out, pa.int32()),
+                pa.array(n_out, pa.int32()),
+                pa.array(text_out, pa.string()),
+            ],
+            names=[id_col, "passage_idx", "n_tokens", "passage"],
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -4154,6 +4154,47 @@ def q_html_metadata(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_crawl_depth(sf_dir: str) -> pd.DataFrame:
+    """Crawl-depth BFS from a seed host over a directed 3-level graph with
+    a shortcut edge (so min-relaxation beats path order) and an
+    unreachable island (which must emit nothing). Each round is one
+    sorted-lookup gather + one groupby-min (:func:`ops.links.bfs_depth`);
+    explicit ``rounds=3`` (= graph depth) skips the per-round convergence
+    probes the open-ended mode pays.
+    Closed-form oracle: s=0; a*=1; b0=1 (shortcut), b1–b5=2; c even=2
+    (via b0), c odd=3; island x*/y* absent."""
+    from .ops.links import bfs_depth
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in batch["doc_id"].to_pylist():
+            src += ["s", f"a{i % 4}", f"b{i % 6}", "s", f"x{i % 2}"]
+            dst += [f"a{i % 4}", f"b{i % 6}", f"c{i % 8}", "b0", f"y{i % 2}"]
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string())],
+            names=["src_host", "dst_host"],
+        )
+
+    out = bfs_depth(
+        ds.map_batches(edges, batch_format="pyarrow"), seeds=["s"], rounds=3
+    )
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def q_passage_chunks(sf_dir: str) -> pd.DataFrame:
+    """RAG passage chunking: overlapping 8-token windows at stride 6 per
+    document (final window shorter, empty docs dropped) — per-row
+    flat-map, shuffle-free (:func:`ops.text.passage_chunks`). Oracle
+    recomputes windows with list_slice arithmetic."""
+    from .ops.text import passage_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = passage_chunks(ds, size=8, stride=6).to_pandas()
+    return df.sort_values(["doc_id", "passage_idx"]).reset_index(drop=True)
+
+
 def q_kn_stats(sf_dir: str) -> pd.DataFrame:
     """Kneser-Ney smoothing statistics for orders 1–3 in ONE corpus pass
     (composite order⊕gram keys, one vocabulary-sized exchange, O(blocks·3)
@@ -4555,7 +4596,36 @@ QUERIES = {
     "sitemap_entries": q_sitemap_entries,
     "template_clusters": q_template_clusters,
     "kn_stats": q_kn_stats,
+    "passage_chunks": q_passage_chunks,
+    "crawl_depth": q_crawl_depth,
 }
+
+ORACLE_SQL["crawl_depth"] = """
+WITH nodes(node, depth) AS (VALUES
+    ('s', 0),
+    ('a0', 1), ('a1', 1), ('a2', 1), ('a3', 1),
+    ('b0', 1), ('b1', 2), ('b2', 2), ('b3', 2), ('b4', 2), ('b5', 2),
+    ('c0', 2), ('c1', 3), ('c2', 2), ('c3', 3),
+    ('c4', 2), ('c5', 3), ('c6', 2), ('c7', 3)
+)
+SELECT node, CAST(depth AS BIGINT) AS depth FROM nodes ORDER BY node
+"""
+
+ORACLE_SQL["passage_chunks"] = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+p AS (SELECT doc_id, ws,
+        CASE WHEN len(ws) = 0 THEN 0
+             WHEN len(ws) <= 8 THEN 1
+             ELSE CAST(ceil((len(ws) - 8) / 6.0) AS INTEGER) + 1 END AS np
+      FROM w)
+SELECT doc_id, CAST(k AS INTEGER) AS passage_idx,
+       CAST(len(list_slice(ws, CAST(1 + 6 * k AS INTEGER),
+                           CAST(6 * k + 8 AS INTEGER))) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(ws, CAST(1 + 6 * k AS INTEGER),
+                                  CAST(6 * k + 8 AS INTEGER)), ' ') AS passage
+FROM p, LATERAL unnest(range(0, np)) t(k)
+ORDER BY doc_id, passage_idx
+"""
 
 ORACLE_SQL["kn_stats"] = r"""
 WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),

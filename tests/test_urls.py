@@ -386,3 +386,73 @@ class TestAnchorTopk:
             ("https://t.com/a", "Buy now", 2, 1),  # tag-strip + ws collapse
             ("https://t.com/a", "other", 1, 2),
         ]
+
+
+class TestBfsDepth:
+    EDGES = [
+        ("s", "a"), ("a", "b"), ("b", "c"),  # chain depth 3
+        ("s", "b"),                            # shortcut: b is depth 1
+        ("x", "y"),                            # unreachable island
+        ("c", "a"),                            # back edge (cycle-safe)
+    ]
+
+    def _edges_ds(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src_host": [e[0] for e in self.EDGES],
+                    "dst_host": [e[1] for e in self.EDGES],
+                }
+            )
+        ).repartition(2)
+
+    def test_convergent_mode(self, ray_session):
+        from pdf_extractor_ray.ops.links import bfs_depth
+
+        out = {
+            r["node"]: r["depth"]
+            for r in bfs_depth(self._edges_ds(), seeds=["s"]).take_all()
+        }
+        assert out == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+    def test_explicit_rounds_equals_convergent(self, ray_session):
+        from pdf_extractor_ray.ops.links import bfs_depth
+
+        out = {
+            r["node"]: r["depth"]
+            for r in bfs_depth(self._edges_ds(), seeds=["s"], rounds=2).take_all()
+        }
+        assert out == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+    def test_multi_seed(self, ray_session):
+        from pdf_extractor_ray.ops.links import bfs_depth
+
+        out = {
+            r["node"]: r["depth"]
+            for r in bfs_depth(self._edges_ds(), seeds=["s", "x"]).take_all()
+        }
+        assert out["y"] == 1 and out["x"] == 0
+
+
+class TestPassageChunks:
+    def test_windows_and_edges(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import passage_chunks
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [1, 2, 3], "text": ["a b c d e f g", "x", ""]})
+        )
+        out = (
+            passage_chunks(ds, size=4, stride=3)
+            .to_pandas()
+            .sort_values(["doc_id", "passage_idx"])
+        )
+        rows = list(zip(out["doc_id"], out["passage_idx"], out["passage"]))
+        assert rows == [
+            (1, 0, "a b c d"), (1, 1, "d e f g"), (2, 0, "x"),
+        ]  # empty doc: no rows; final shorter window kept
