@@ -389,3 +389,40 @@ def distinct_count_per_key(ds, key_col: str, value_col: str):
     return sorted_segment_apply(
         deduped, key_col=key_col, block_fn=kernel, within_cols=[value_col]
     )
+
+
+def rank_per_key(ds, key_col: str, within_cols: list, carry_cols: list,
+                 descending: list | None = None, slot_size: int = 0):
+    """Dense 1-based rank of every row WITHIN its key group, ordered by
+    ``within_cols`` — one sort, vectorized segment arithmetic, no
+    per-group Python (crawl politeness schedules, per-host fetch slots,
+    per-domain freshness queues).
+
+    With ``slot_size`` > 0 a ``slot = (rank - 1) // slot_size`` column is
+    added — the fetch wave a row lands in when at most ``slot_size``
+    concurrent requests per key are allowed. Ordering ties are the
+    caller's responsibility (add a unique tiebreak column)."""
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        starts = starts.astype(np.int64)
+        ends = ends.astype(np.int64)
+        lens = ends - starts
+        total = int(lens.sum())
+        gstarts = np.cumsum(lens) - lens
+        within = np.arange(total, dtype=np.int64) - np.repeat(gstarts, lens)
+        idx = np.repeat(starts, lens) + within
+        take = pa.array(idx)
+        cols = [batch[key_col].take(take)] + [
+            batch[c].take(take) for c in carry_cols
+        ]
+        names = [key_col] + list(carry_cols) + ["rank"]
+        cols.append(pa.array((within + 1).astype(np.int64)))
+        if slot_size > 0:
+            cols.append(pa.array((within // slot_size).astype(np.int64)))
+            names.append("slot")
+        return pa.Table.from_arrays(cols, names=names)
+
+    return sorted_segment_apply(
+        ds, key_col=key_col, block_fn=kernel,
+        within_cols=within_cols, descending=descending,
+    )

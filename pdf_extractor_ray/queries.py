@@ -4154,6 +4154,38 @@ def q_html_metadata(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_fetch_schedule(sf_dir: str) -> pd.DataFrame:
+    """Crawl politeness schedule: per-host fetch rank (by permuted capture
+    time) and fetch wave at ≤4 concurrent requests per host — one sort +
+    vectorized segment arithmetic, zero per-group Python
+    (:func:`ops.segments.rank_per_key`). Oracle: row_number window."""
+    from .ops.segments import rank_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ts = 1_767_225_600_000_000 + ((ids * 37) % 500) * 1_000_000
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array([f"h{i % 7}" for i in ids], pa.string()),
+                pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            ],
+            names=["doc_id", "host", "warc_ts"],
+        )
+
+    out = rank_per_key(
+        ds.map_batches(to_urls, batch_format="pyarrow"),
+        key_col="host",
+        within_cols=["warc_ts", "doc_id"],
+        carry_cols=["doc_id"],
+        slot_size=4,
+    )
+    df = out.select_columns(["doc_id", "host", "rank", "slot"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_crawl_depth(sf_dir: str) -> pd.DataFrame:
     """Crawl-depth BFS from a seed host over a directed 3-level graph with
     a shortcut edge (so min-relaxation beats path order) and an
@@ -4598,7 +4630,25 @@ QUERIES = {
     "kn_stats": q_kn_stats,
     "passage_chunks": q_passage_chunks,
     "crawl_depth": q_crawl_depth,
+    "fetch_schedule": q_fetch_schedule,
 }
+
+ORACLE_SQL["fetch_schedule"] = """
+WITH u AS (
+    SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+           TIMESTAMP '2026-01-01 00:00:00'
+               + ((doc_id * 37) % 500) * INTERVAL 1 SECOND AS warc_ts
+    FROM documents
+),
+r AS (
+    SELECT doc_id, host,
+           row_number() OVER (PARTITION BY host ORDER BY warc_ts, doc_id) AS rn
+    FROM u
+)
+SELECT doc_id, host, CAST(rn AS BIGINT) AS rank,
+       CAST((rn - 1) // 4 AS BIGINT) AS slot
+FROM r ORDER BY doc_id
+"""
 
 ORACLE_SQL["crawl_depth"] = """
 WITH nodes(node, depth) AS (VALUES

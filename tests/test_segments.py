@@ -259,3 +259,53 @@ class TestDistinctCountPerKey:
             for r in distinct_count_per_key(ds, "k", "v").take_all()
         }
         assert got == {"a": 1, "b": 1}
+
+
+class TestRankPerKey:
+    def test_ranks_and_slots_across_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import rank_per_key
+
+        tbl = pa.table(
+            {
+                "host": ["a", "a", "a", "b", "a", "b"],
+                "ts": [30, 10, 20, 5, 40, 1],
+                "url": [f"u{i}" for i in range(6)],
+            }
+        )
+        out = (
+            rank_per_key(
+                rd.from_arrow(tbl).repartition(3),
+                key_col="host",
+                within_cols=["ts"],
+                carry_cols=["url", "ts"],
+                slot_size=2,
+            )
+            .to_pandas()
+            .sort_values(["host", "rank"])
+        )
+        a = out[out["host"] == "a"]
+        assert a["ts"].tolist() == [10, 20, 30, 40]
+        assert a["rank"].tolist() == [1, 2, 3, 4]
+        assert a["slot"].tolist() == [0, 0, 1, 1]
+        b = out[out["host"] == "b"]
+        assert b["ts"].tolist() == [1, 5] and b["rank"].tolist() == [1, 2]
+
+    def test_descending_order(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import rank_per_key
+
+        tbl = pa.table({"k": ["x", "x"], "v": [1, 9]})
+        out = (
+            rank_per_key(
+                rd.from_arrow(tbl), key_col="k", within_cols=["v"],
+                carry_cols=["v"], descending=[True],
+            )
+            .to_pandas()
+            .sort_values("rank")
+        )
+        assert out["v"].tolist() == [9, 1]
