@@ -1187,3 +1187,99 @@ def passage_chunks(ds, size: int = 8, stride: int = 6, text_col: str = "text",
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def weighted_sample(ds, weight_col: str, cap: int = 512, salt: int = 0,
+                    id_col: str = "doc_id"):
+    """Per-ROW weighted deterministic sampling: keep a row with
+    probability ``min(weight, cap)/cap`` (cap a power of two), decided by
+    ``splitmix64(id + salt) < min(weight, cap) · 2^(64 − log2(cap))``.
+
+    The per-row threshold is an INTEGER multiple of a power of two, so
+    the SQL oracle compares bit-for-bit (same trick as
+    :func:`hash_sample`'s dyadic rates, lifted from per-stratum to
+    per-row — the quality-weighted admission a curation pipeline runs).
+    Shuffle-free, layout-independent, no driver state."""
+    if cap & (cap - 1) or cap <= 0:
+        raise ValueError("cap must be a power of two")
+    shift = np.uint64(64 - (cap.bit_length() - 1))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(w, 0), cap).astype(np.uint64)
+        hv = splitmix64_np(ids + np.uint64(salt))
+        # w == cap means probability 1; its threshold 2^64 would wrap in
+        # uint64, so it is handled as an explicit always-keep term.
+        keep = (w == cap) | (hv < (w << shift))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def oov_rate(ds, vocab_k: int = 20, text_col: str = "text",
+             id_col: str = "doc_id"):
+    """Out-of-vocabulary counts per document against the corpus-global
+    top-``vocab_k`` word vocabulary: → ``(id, n_tokens, n_oov)`` rows
+    (token-less docs emit nothing).
+
+    Two-stage shape: the vocabulary exchange (per-block pre-combined
+    counts → one groupby → exact driver-merged top-k of O(blocks·k)
+    rows) broadcasts a k-word set; scoring is a second shuffle-free
+    streaming pass. Integer outputs — the oracle is exact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        w = split_words(texts).flatten().to_numpy(zero_copy_only=False)
+        w = w[w != ""]
+        u, c = np.unique(w.astype(str), return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()), pa.array(c, pa.int64())],
+            names=["word", "cnt"],
+        )
+
+    totals = (
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("word")
+        .aggregate(Sum("cnt"))
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["word"].to_pylist(), dtype=object)
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, -c))[:vocab_k]
+        return pa.Table.from_arrays(
+            [pa.array(w[order].astype(str), pa.string()), pa.array(c[order], pa.int64())],
+            names=["word", "cnt"],
+        )
+
+    parts = totals.map_batches(
+        topk_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    vocab = [w for _, w in sorted({(-r["cnt"], r["word"]) for r in parts})[:vocab_k]]
+    vocab_ref = ray.put(frozenset(vocab))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vset = ray.get(vocab_ref)
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = split_words(texts)
+        ids_out, tot_out, oov_out = [], [], []
+        for rid, words in zip(batch[id_col].to_pylist(), words_list.to_pylist()):
+            toks = [w for w in words if w]
+            if not toks:
+                continue
+            ids_out.append(rid)
+            tot_out.append(len(toks))
+            oov_out.append(sum(1 for t in toks if t not in vset))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids_out, pa.int64()),
+                pa.array(tot_out, pa.int64()),
+                pa.array(oov_out, pa.int64()),
+            ],
+            names=[id_col, "n_tokens", "n_oov"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -4154,6 +4154,29 @@ def q_html_metadata(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Quality-weighted deterministic admission: keep each doc with
+    probability min(n_chars, 512)/512 via a per-row dyadic splitmix64
+    threshold — shuffle-free, layout-independent, and bit-exact against
+    the HUGEINT splitmix oracle (:func:`ops.text.weighted_sample`)."""
+    from .ops.text import weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    df = weighted_sample(ds, weight_col="n_chars", cap=512, salt=7).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_oov_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-doc out-of-vocabulary counts against the exact global top-20
+    word vocabulary: a vocabulary exchange + broadcast set + one streaming
+    scoring pass, integer outputs (:func:`ops.text.oov_rate`)."""
+    from .ops.text import oov_rate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = oov_rate(ds, vocab_k=20).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fetch_schedule(sf_dir: str) -> pd.DataFrame:
     """Crawl politeness schedule: per-host fetch rank (by permuted capture
     time) and fetch wave at ≤4 concurrent requests per host — one sort +
@@ -4631,7 +4654,33 @@ QUERIES = {
     "passage_chunks": q_passage_chunks,
     "crawl_depth": q_crawl_depth,
     "fetch_schedule": q_fetch_schedule,
+    "weighted_sample": q_weighted_sample,
+    "oov_rate": q_oov_rate,
 }
+
+ORACLE_SQL["weighted_sample"] = _splitmix_sql(
+    "documents", "doc_id", 7, "doc_id, n_chars"
+) + """
+SELECT doc_id, n_chars FROM h
+WHERE CAST(hv AS HUGEINT)
+      < CAST(least(greatest(n_chars, 0), 512) AS HUGEINT) * 36028797018963968
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["oov_rate"] = r"""
+WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+    FROM documents
+),
+counts AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+vocab AS (
+    SELECT w FROM counts QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 20
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE words.w NOT IN (SELECT w FROM vocab))
+            AS BIGINT) AS n_oov
+FROM words GROUP BY doc_id ORDER BY doc_id
+"""
 
 ORACLE_SQL["fetch_schedule"] = """
 WITH u AS (

@@ -157,3 +157,58 @@ class TestTemplateClusters:
         )
         assert out["cluster_rep"].tolist() == [0, 0, 2, 0]
         assert out["cluster_size"].tolist() == [3, 3, 1, 3]
+
+
+class TestWeightedSample:
+    def test_extremes_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import weighted_sample
+
+        tbl = pa.table(
+            {
+                "doc_id": list(range(200)),
+                # weight 0 → never kept; weight 512 (=cap) → always kept
+                "w": [0 if i % 3 == 0 else (512 if i % 3 == 1 else 256) for i in range(200)],
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        out = weighted_sample(ds, weight_col="w", cap=512, salt=1).to_pandas()
+        kept = set(out["doc_id"])
+        assert all(i in kept for i in range(200) if i % 3 == 1)
+        assert all(i not in kept for i in range(200) if i % 3 == 0)
+        mid = [i for i in range(200) if i % 3 == 2]
+        mid_kept = [i for i in mid if i in kept]
+        assert 0 < len(mid_kept) < len(mid)  # ~half
+        again = weighted_sample(
+            rd.from_arrow(tbl).repartition(7), weight_col="w", cap=512, salt=1
+        ).to_pandas()
+        assert set(again["doc_id"]) == kept  # layout-independent
+
+    def test_cap_must_be_power_of_two(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import weighted_sample
+
+        with _pytest.raises(ValueError):
+            weighted_sample(
+                rd.from_arrow(pa.table({"doc_id": [1], "w": [1]})),
+                weight_col="w", cap=100,
+            )
+
+
+class TestOovRate:
+    def test_counts(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import oov_rate
+
+        texts = ["a a b rare1", "b b rare2 rare3", ""]
+        ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "text": texts}))
+        out = (
+            oov_rate(ds, vocab_k=2).to_pandas().sort_values("doc_id")
+        )  # vocab = {a(3), b(3)}
+        assert out["doc_id"].tolist() == [1, 2]  # empty doc emits nothing
+        assert out["n_tokens"].tolist() == [4, 4]
+        assert out["n_oov"].tolist() == [1, 2]
