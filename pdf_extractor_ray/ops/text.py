@@ -1283,3 +1283,49 @@ def oov_rate(ds, vocab_k: int = 20, text_col: str = "text",
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def zipf_histogram(ds, text_col: str = "text"):
+    """Vocabulary frequency-spectrum (Zipf curve material): bucket word
+    types by floor(log2(count)) → ``(bucket, n_types, n_occurrences)``
+    rows, exact integers.
+
+    Shape: per-block pre-combined word counts → ONE vocabulary-sized
+    groupby → per-block bucket partials → O(blocks × 64) driver rows.
+    The spectrum drives vocabulary truncation and Heaps'-law capacity
+    planning for tokenizer training."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        w = split_words(texts).flatten().to_numpy(zero_copy_only=False)
+        w = w[w != ""]
+        u, c = np.unique(w.astype(str), return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()), pa.array(c, pa.int64())],
+            names=["word", "cnt"],
+        )
+
+    totals = (
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("word")
+        .aggregate(Sum("cnt"))
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        buckets = np.floor(np.log2(c)).astype(np.int64)
+        u, idx = np.unique(buckets, return_inverse=True)
+        n_types = np.bincount(idx)
+        occ = np.bincount(idx, weights=c.astype(np.float64)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(u), pa.array(n_types.astype(np.int64)), pa.array(occ)],
+            names=["bucket", "n_types", "n_occurrences"],
+        )
+
+    parts = totals.map_batches(
+        bucket_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    out = parts.groupby("bucket", sort=True).sum().reset_index()
+    return pd.DataFrame(out).astype("int64")

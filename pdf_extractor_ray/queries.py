@@ -4154,6 +4154,16 @@ def q_html_metadata(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_zipf_histogram(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary frequency spectrum: word types bucketed by
+    floor(log2(count)) with exact type/occurrence totals — one vocabulary
+    exchange, O(blocks × 64) driver rows (:func:`ops.text.zipf_histogram`)."""
+    from .ops.text import zipf_histogram
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return zipf_histogram(ds)
+
+
 def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Quality-weighted deterministic admission: keep each doc with
     probability min(n_chars, 512)/512 via a per-row dyadic splitmix64
@@ -4656,7 +4666,19 @@ QUERIES = {
     "fetch_schedule": q_fetch_schedule,
     "weighted_sample": q_weighted_sample,
     "oov_rate": q_oov_rate,
+    "zipf_histogram": q_zipf_histogram,
 }
+
+ORACLE_SQL["zipf_histogram"] = r"""
+WITH words AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS c FROM words GROUP BY 1)
+SELECT CAST(floor(log2(c)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM counts GROUP BY 1 ORDER BY 1
+"""
 
 ORACLE_SQL["weighted_sample"] = _splitmix_sql(
     "documents", "doc_id", 7, "doc_id, n_chars"
