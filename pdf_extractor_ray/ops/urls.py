@@ -239,7 +239,7 @@ def cdx_index(ds, url_col: str = "url", id_col: str = "doc_id",
         ]
         return pa.Table.from_arrays([pa.array(comp, pa.string())], names=["c"])
 
-    comp_ds = keyed.map_batches(composite, batch_format="pyarrow")
+    comp_ds = keyed.map_batches(composite, batch_format="pyarrow").materialize()
     n = comp_ds.count()
     if n > broadcast_cap:
         raise NotImplementedError(
