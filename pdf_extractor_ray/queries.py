@@ -3997,6 +3997,65 @@ def q_warc_roundtrip(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_wet_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """WET (extracted-text ``conversion`` records — the Common Crawl text
+    product): docs serialize to WET blobs (text/plain payloads, no HTTP
+    wrapper, mixed gzip/plain members) and parse back through the
+    type-filtered decode path. Byte-identity oracle on text + url."""
+    import functools
+
+    from .sources.warc import warc_decode_batch, warc_encode_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(
+                    [1_767_225_600_000_000 + i * 1_000_000 for i in ids],
+                    pa.timestamp("us"),
+                ),
+                pa.array([t.encode() for t in texts], pa.binary()),
+            ],
+            names=["url", "warc_ts", "payload"],
+        )
+
+    blobs = ds.map_batches(to_rows, batch_format="pyarrow").map_batches(
+        functools.partial(
+            warc_encode_batch,
+            compress="mixed",
+            payload_col="payload",
+            record_type="conversion",
+            content_type="text/plain",
+        ),
+        batch_format="pyarrow",
+    )
+    decoded = blobs.map_batches(
+        functools.partial(warc_decode_batch, types=("conversion",)),
+        batch_format="pyarrow",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(u.rsplit("/", 1)[-1]) for u in urls], pa.int64()),
+                batch["url"],
+                pa.array(
+                    [bytes(b).decode() for b in batch["html"].to_pylist()],
+                    pa.string(),
+                ),
+            ],
+            names=["doc_id", "url", "text"],
+        )
+
+    df = decoded.map_batches(project, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_extract_charset(sf_dir: str) -> pd.DataFrame:
     """Charset-diverse corpus: each page's HTML is encoded rotating through
     utf-8, utf-16-le/be (BOM), and windows-1252 (one variant labeled
@@ -4667,7 +4726,15 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "oov_rate": q_oov_rate,
     "zipf_histogram": q_zipf_histogram,
+    "wet_roundtrip": q_wet_roundtrip,
 }
+
+ORACLE_SQL["wet_roundtrip"] = """
+SELECT doc_id,
+       'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       text
+FROM documents ORDER BY doc_id
+"""
 
 ORACLE_SQL["zipf_histogram"] = r"""
 WITH words AS (

@@ -65,27 +65,38 @@ def _record_id(url: str, ts_us: int) -> str:
 
 
 def build_record(url: str, ts_us: int, payload: bytes,
-                 content_type: str = "text/html; charset=utf-8") -> bytes:
-    """One uncompressed WARC *response* record wrapping an HTTP/1.1 reply."""
-    http = (
-        b"HTTP/1.1 200 OK\r\n"
-        b"Content-Type: " + content_type.encode("ascii") + _CRLF
-        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
-        + _CRLF
-        + payload
-    )
+                 content_type: str = "text/html; charset=utf-8",
+                 record_type: str = "response") -> bytes:
+    """One uncompressed WARC record. ``record_type="response"`` wraps the
+    payload in an HTTP/1.1 reply (the WARC crawl product);
+    ``"conversion"`` carries it directly (the WET extracted-text
+    product)."""
+    if record_type == "response":
+        body = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: " + content_type.encode("ascii") + _CRLF
+            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + _CRLF
+            + payload
+        )
+        body_ct = b"application/http; msgtype=response"
+    elif record_type == "conversion":
+        body = payload
+        body_ct = content_type.encode("ascii")
+    else:
+        raise ValueError(f"unsupported record_type {record_type!r}")
     digest = hashlib.sha1(payload).hexdigest()
     headers = [
         WARC_VERSION,
-        b"WARC-Type: response",
+        b"WARC-Type: " + record_type.encode("ascii"),
         b"WARC-Record-ID: " + _record_id(url, ts_us).encode(),
         b"WARC-Date: " + _warc_date(ts_us).encode(),
         b"WARC-Target-URI: " + url.encode(),
         b"WARC-Payload-Digest: sha1:" + digest.encode(),
-        b"Content-Type: application/http; msgtype=response",
-        b"Content-Length: " + str(len(http)).encode(),
+        b"Content-Type: " + body_ct,
+        b"Content-Length: " + str(len(body)).encode(),
     ]
-    return _CRLF.join(headers) + _CRLF + _CRLF + http + _CRLF + _CRLF
+    return _CRLF.join(headers) + _CRLF + _CRLF + body + _CRLF + _CRLF
 
 
 def _gzip_member(record: bytes) -> bytes:
@@ -96,11 +107,16 @@ def _gzip_member(record: bytes) -> bytes:
     return buf.getvalue()
 
 
-def records_to_warc(urls, ts_list, payloads, compress: bool = True) -> bytes:
+def records_to_warc(urls, ts_list, payloads, compress: bool = True,
+                    record_type: str = "response",
+                    content_type: str = "text/html; charset=utf-8") -> bytes:
     """Rows → one WARC blob (gzip member per record when ``compress``)."""
     out = []
     for url, ts, payload in zip(urls, ts_list, payloads):
-        rec = build_record(url, int(ts), bytes(payload))
+        rec = build_record(
+            url, int(ts), bytes(payload),
+            content_type=content_type, record_type=record_type,
+        )
         out.append(_gzip_member(rec) if compress else rec)
     return b"".join(out)
 
@@ -185,29 +201,40 @@ def parse_warc(blob: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def warc_encode_batch(batch: pa.Table, records_per_blob: int = 8,
-                      compress: bool | str = True) -> pa.Table:
+                      compress: bool | str = True,
+                      payload_col: str = "html",
+                      record_type: str = "response",
+                      content_type: str = "text/html; charset=utf-8") -> pa.Table:
     """Pages batch → WARC blobs column (``records_per_blob`` rows each).
     ``compress="mixed"`` alternates gzip/plain blobs (covers both parse
-    paths in one corpus)."""
+    paths in one corpus); ``record_type="conversion"`` emits the WET
+    extracted-text layout."""
     urls = batch["url"].to_pylist()
     ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
-    payloads = batch["html"].to_pylist()
+    payloads = batch[payload_col].to_pylist()
     blobs = []
     for k, i in enumerate(range(0, len(urls), records_per_blob)):
         j = i + records_per_blob
         comp = (k % 2 == 0) if compress == "mixed" else bool(compress)
-        blobs.append(records_to_warc(urls[i:j], ts[i:j], payloads[i:j], comp))
+        blobs.append(
+            records_to_warc(
+                urls[i:j], ts[i:j], payloads[i:j], comp,
+                record_type=record_type, content_type=content_type,
+            )
+        )
     return pa.Table.from_arrays([pa.array(blobs, pa.binary())], names=["warc"])
 
 
-def warc_decode_batch(batch: pa.Table) -> pa.Table:
-    """WARC blobs column → pages rows (url, warc_ts, html)."""
+def warc_decode_batch(batch: pa.Table,
+                      types: tuple = ("response",)) -> pa.Table:
+    """WARC blobs column → pages rows (url, warc_ts, html); ``types``
+    selects the record kinds kept (("conversion",) reads WET files)."""
     urls: list[str] = []
     ts: list[int] = []
     html: list[bytes] = []
     for blob in batch["warc"].to_pylist():
         for rec in parse_warc(blob):
-            if rec["warc_type"] != "response":
+            if rec["warc_type"] not in types:
                 continue
             if not rec["digest_ok"]:
                 raise WarcError(f"payload digest mismatch for {rec['url']}")

@@ -129,3 +129,37 @@ class TestDatasetSinkSource:
         first = write_warc(ds, out, records_per_blob=2)
         second = write_warc(ds, out, records_per_blob=2)
         assert first == second  # content-addressed: re-run rewrites in place
+
+
+class TestWetRecords:
+    def test_conversion_roundtrip(self):
+        blob = records_to_warc(
+            URLS, TS, PAYLOADS, compress=True,
+            record_type="conversion", content_type="text/plain",
+        )
+        recs = parse_warc(blob)
+        assert all(r["warc_type"] == "conversion" for r in recs)
+        assert [r["payload"] for r in recs] == PAYLOADS
+        assert all(r["digest_ok"] for r in recs)
+
+    def test_decode_type_filter(self):
+        import pyarrow as _pa
+
+        resp = records_to_warc(URLS[:1], TS[:1], PAYLOADS[:1], compress=False)
+        conv = records_to_warc(
+            URLS[1:2], TS[1:2], PAYLOADS[1:2], compress=False,
+            record_type="conversion", content_type="text/plain",
+        )
+        tbl = _pa.Table.from_arrays(
+            [_pa.array([resp + conv], _pa.binary())], names=["warc"]
+        )
+        only_conv = warc_decode_batch(tbl, types=("conversion",))
+        assert only_conv["url"].to_pylist() == URLS[1:2]
+        both = warc_decode_batch(tbl, types=("response", "conversion"))
+        assert both.num_rows == 2
+
+    def test_unknown_record_type_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unsupported record_type"):
+            build_record("u", 0, b"x", record_type="metadata")
