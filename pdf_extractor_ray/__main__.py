@@ -335,6 +335,21 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_wet(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.crawl import warc_to_wet
+
+    inputs = sorted(
+        path for pattern in args.input for path in glob.glob(pattern)
+    ) or args.input
+    paths = warc_to_wet(inputs, args.output, records_per_blob=args.records_per_blob)
+    print(json.dumps({"wet_files": len(paths), "output": args.output}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="pdf_extractor_ray")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -455,6 +470,16 @@ def main(argv: list[str] | None = None) -> int:
     p_stats.add_argument("--k", type=int, default=10)
     p_stats.add_argument("--num-cpus", type=int, default=None)
     p_stats.set_defaults(fn=cmd_stats)
+
+    p_wet = sub.add_parser(
+        "wet", help="WARC archives in, extracted-text WET archives out"
+    )
+    p_wet.add_argument("--input", nargs="+", required=True,
+                       help=".warc.gz files or glob patterns")
+    p_wet.add_argument("--output", required=True)
+    p_wet.add_argument("--records-per-blob", type=int, default=64)
+    p_wet.add_argument("--num-cpus", type=int, default=None)
+    p_wet.set_defaults(fn=cmd_wet)
 
     p_metrics = sub.add_parser("metrics", help="show a run's partition metrics")
     p_metrics.add_argument("--output", required=True)

@@ -251,9 +251,13 @@ def warc_decode_batch(batch: pa.Table,
     )
 
 
-def write_warc(ds, out_dir: str, records_per_blob: int = 8) -> list[str]:
-    """Sink: pages Dataset → partitioned ``.warc.gz`` shards. Files are
-    written INSIDE the tasks (never routed through the driver) and named by
+def write_warc(ds, out_dir: str, records_per_blob: int = 8,
+               payload_col: str = "html", record_type: str = "response",
+               content_type: str = "text/html; charset=utf-8",
+               suffix: str = ".warc.gz") -> list[str]:
+    """Sink: pages Dataset → partitioned ``.warc.gz`` (or, with
+    ``record_type="conversion"``, ``.wet.gz``) shards. Files are written
+    INSIDE the tasks (never routed through the driver) and named by
     content hash, so a re-run overwrites byte-identical files in place —
     idempotent, resumable output."""
     import os
@@ -261,11 +265,14 @@ def write_warc(ds, out_dir: str, records_per_blob: int = 8) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
 
     def encode_and_write(batch: pa.Table) -> pa.Table:
-        blobs = warc_encode_batch(batch, records_per_blob)
+        blobs = warc_encode_batch(
+            batch, records_per_blob, payload_col=payload_col,
+            record_type=record_type, content_type=content_type,
+        )
         paths = []
         for blob in blobs["warc"].to_pylist():
             name = hashlib.sha1(blob).hexdigest()[:16]
-            path = os.path.join(out_dir, f"part-{name}.warc.gz")
+            path = os.path.join(out_dir, f"part-{name}{suffix}")
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(blob)
@@ -280,15 +287,16 @@ def write_warc(ds, out_dir: str, records_per_blob: int = 8) -> list[str]:
     )
 
 
-def read_warc(paths: str | list[str]):
-    """Source: ``.warc.gz`` shards → pages Dataset (streaming parse)."""
+def read_warc(paths: str | list[str], types: tuple = ("response", "conversion")):
+    """Source: ``.warc.gz`` / ``.wet.gz`` shards → pages Dataset
+    (streaming parse); ``types`` selects the record kinds kept."""
     import ray.data as rd
 
     files = rd.read_binary_files(paths)
 
     def decode(batch: pa.Table) -> pa.Table:
         return warc_decode_batch(
-            pa.Table.from_arrays([batch["bytes"]], names=["warc"])
+            pa.Table.from_arrays([batch["bytes"]], names=["warc"]), types=types
         )
 
     return files.map_batches(decode, batch_format="pyarrow")
