@@ -583,3 +583,194 @@ def bfs_depth(edges_ds, seeds: list, max_rounds: int = 8,
                 break
             prev = cur
     return dist
+
+
+def resolve_redirects(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+    driver_edge_cap: int = 2_000_000,
+):
+    """Resolve HTTP-redirect chains to their terminal targets: an edge
+    Dataset of ``(src, dst)`` single-hop redirects → Dataset of
+    ``(src, final, hops)`` for every source url, where ``final`` is the
+    first node with no outgoing redirect and ``hops`` the chain length.
+
+    Assumption (asserted by construction, like any crawl frontier): each
+    ``src`` has at most ONE outgoing redirect — the relation is a
+    functional pointer table, which is what makes pointer DOUBLING
+    applicable (unlike :func:`bfs_depth`, whose depths are path minima).
+
+    Regimes, size-gated like the connected-components driver gate
+    (``ops/dedup.py``):
+
+    - ``count ≤ driver_edge_cap``: collect the (src, dst) pairs — 2
+      string columns, never payloads — and walk the pointer dict on the
+      driver.  Redirect tables are a small fraction of a crawl (every
+      row is one 3xx response), so this is the common case.
+    - above the cap: distributed pointer doubling.  State ``P(node) =
+      (cur, hops)`` starts as the edge table with ``hops=1``; each round
+      rebuilds the lookup side ``L = P ∪ {terminal → itself, +0}`` and
+      advances ``P(node) → (L[cur].next, hops + L[cur].add)`` via ONE
+      :func:`..ops.segments.attach_lookup` sort join.  After r rounds
+      every chain of length ≤ 2^r is resolved, so a max-length-M chain
+      costs ceil(log2 M)+1 exchanges over 3-column rows.  Convergence is
+      the (count, sum(hops)) fixpoint from per-block partials.
+
+    Cycles (redirect loops) never reach a terminal: the driver walk
+    detects them exactly; the distributed regime raises after
+    ``max_rounds`` non-converged rounds.  Both raise ``ValueError`` —
+    a crawler treats a redirect loop as a fetch error, not data.
+    """
+    import ray.data as rd
+
+    from .segments import attach_lookup
+
+    n_edges = edges_ds.count()
+    if n_edges <= driver_edge_cap:
+        pairs = edges_ds.select_columns([src_col, dst_col]).take_all()
+        nxt = {}
+        for r in pairs:
+            s = r[src_col]
+            if s in nxt:
+                raise ValueError(f"duplicate redirect source: {s!r}")
+            nxt[s] = r[dst_col]
+        # memoized walk: resolved[x] = (final, hops from x)
+        resolved: dict = {}
+        for start in nxt:
+            path = []
+            onpath = set()
+            x = start
+            while x in nxt and x not in resolved:
+                if x in onpath:
+                    raise ValueError(f"redirect cycle through {x!r}")
+                path.append(x)
+                onpath.add(x)
+                x = nxt[x]
+            base_final, base_hops = resolved.get(x, (x, 0))
+            for i, p in enumerate(reversed(path), start=1):
+                resolved[p] = (base_final, base_hops + i)
+        srcs = sorted(nxt)
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [
+                    pa.array(srcs, pa.string()),
+                    pa.array([resolved[s][0] for s in srcs], pa.string()),
+                    pa.array(
+                        [resolved[s][1] for s in srcs], pa.int64()
+                    ),
+                ],
+                names=["src", "final", "hops"],
+            )
+        )
+
+    # --- distributed pointer doubling ---
+    P = edges_ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b[src_col].cast(pa.string()),
+                b[dst_col].cast(pa.string()),
+                pa.array(np.ones(b.num_rows, np.int64)),
+            ],
+            names=["node", "cur", "hops"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # terminals: distinct dst values with no outgoing edge — one
+    # (value)-only exchange + an anti sort-join against the sources.
+    distinct_cur = (
+        P.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pa.compute.unique(t["cur"])], names=["cur"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cur")
+        .count()
+        .select_columns(["cur"])
+    )
+    terminals = attach_lookup(
+        distinct_cur,
+        P.map_batches(
+            lambda t: pa.Table.from_arrays([t["node"]], names=["cur"]),
+            batch_format="pyarrow",
+        ),
+        key_col="cur",
+        val_cols=[],
+        carry_cols=[],
+        anti=True,
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t["cur"],
+                t["cur"],
+                pa.array(np.zeros(t.num_rows, np.int64)),
+            ],
+            names=["cur", "nxt", "add"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def probe(ds) -> tuple:
+        def partial(t: pa.Table) -> pa.Table:
+            h = t["hops"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [
+                    pa.array([len(h)], pa.int64()),
+                    pa.array([int(h.sum())], pa.int64()),
+                ],
+                names=["n", "s"],
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        return sum(r["n"] for r in parts), sum(r["s"] for r in parts)
+
+    prev = probe(P)
+    for _ in range(max_rounds):
+        lookup = P.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["node"], t["cur"], t["hops"]],
+                names=["cur", "nxt", "add"],
+            ),
+            batch_format="pyarrow",
+        ).union(terminals)
+        P = (
+            attach_lookup(
+                P,
+                lookup,
+                key_col="cur",
+                val_cols=["nxt", "add"],
+                carry_cols=["node", "hops"],
+            )
+            .map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t["node"],
+                        t["nxt"],
+                        pa.compute.add(t["hops"], t["add"]),
+                    ],
+                    names=["node", "cur", "hops"],
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = probe(P)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise ValueError(
+            f"redirect chains not resolved after {max_rounds} doubling "
+            "rounds: cycle, or chains longer than 2^max_rounds"
+        )
+    return P.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["node"], t["cur"], t["hops"]], names=["src", "final", "hops"]
+        ),
+        batch_format="pyarrow",
+    )

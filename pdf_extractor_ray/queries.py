@@ -4995,3 +4995,50 @@ SELECT doc_id,
        text AS extracted_text
 FROM documents ORDER BY doc_id
 """
+
+
+def q_redirect_chains(sf_dir: str) -> pd.DataFrame:
+    """Resolve synthetic HTTP-redirect chains to their terminal urls:
+    doc i (i%5 != 0) redirects to doc i-1, so chains are up to 4 hops
+    and terminate at the i%5 == 0 docs.  The op is size-gated pointer
+    resolution — (src, dst) string pairs only, never payloads — with a
+    pointer-DOUBLING distributed regime above the gate
+    (:func:`ops.links.resolve_redirects`).  Oracle: an independent
+    DuckDB RECURSIVE-CTE walk of the same edge table."""
+    from .ops.links import resolve_redirects
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ids = ids[ids % 5 != 0]
+        src = [f"doc://{i:08d}" for i in ids]
+        dst = [f"doc://{i - 1:08d}" for i in ids]
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string())],
+            names=["src", "dst"],
+        )
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow")
+    df = resolve_redirects(edges).to_pandas()
+    return df.sort_values("src").reset_index(drop=True)
+
+
+QUERIES["redirect_chains"] = q_redirect_chains
+
+ORACLE_SQL["redirect_chains"] = """
+WITH RECURSIVE e AS (
+    SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src,
+           'doc://' || lpad(CAST(doc_id - 1 AS VARCHAR), 8, '0') AS dst
+    FROM documents WHERE doc_id % 5 <> 0
+),
+walk(src, cur, hops) AS (
+    SELECT src, dst, 1 FROM e
+    UNION ALL
+    SELECT w.src, e2.dst, w.hops + 1 FROM walk w JOIN e e2 ON w.cur = e2.src
+)
+SELECT src, cur AS final, CAST(hops AS BIGINT) AS hops
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
+ORDER BY src
+"""

@@ -456,3 +456,74 @@ class TestPassageChunks:
         assert rows == [
             (1, 0, "a b c d"), (1, 1, "d e f g"), (2, 0, "x"),
         ]  # empty doc: no rows; final shorter window kept
+
+
+class TestResolveRedirects:
+    # chains: a3->a2->a1->a0 (terminal), b1->b0, lone->t
+    EDGES = [
+        ("a3", "a2"), ("a2", "a1"), ("a1", "a0"),
+        ("b1", "b0"),
+        ("lone", "t"),
+    ]
+    EXPECT = {
+        "a3": ("a0", 3), "a2": ("a0", 2), "a1": ("a0", 1),
+        "b1": ("b0", 1), "lone": ("t", 1),
+    }
+
+    def _edges_ds(self, edges=None, parts=3):
+        import pyarrow as pa
+        import ray.data as rd
+
+        edges = edges if edges is not None else self.EDGES
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges],
+                }
+            )
+        ).repartition(parts)
+
+    def _run(self, **kw):
+        from pdf_extractor_ray.ops.links import resolve_redirects
+
+        rows = resolve_redirects(self._edges_ds(), **kw).take_all()
+        return {r["src"]: (r["final"], r["hops"]) for r in rows}
+
+    def test_driver_regime(self, ray_session):
+        assert self._run() == self.EXPECT
+
+    def test_distributed_regime_matches_driver(self, ray_session):
+        assert self._run(driver_edge_cap=0) == self.EXPECT
+
+    def test_long_chain_distributed(self, ray_session):
+        from pdf_extractor_ray.ops.links import resolve_redirects
+
+        edges = [(f"n{i}", f"n{i - 1}") for i in range(1, 12)]
+        rows = resolve_redirects(
+            self._edges_ds(edges, parts=4), driver_edge_cap=0
+        ).take_all()
+        out = {r["src"]: (r["final"], r["hops"]) for r in rows}
+        assert out == {f"n{i}": ("n0", i) for i in range(1, 12)}
+
+    def test_cycle_raises_both_regimes(self, ray_session):
+        import pytest as _pytest
+
+        from pdf_extractor_ray.ops.links import resolve_redirects
+
+        cyc = [("a", "b"), ("b", "c"), ("c", "a"), ("q", "r")]
+        with _pytest.raises(ValueError, match="cycle"):
+            resolve_redirects(self._edges_ds(cyc)).take_all()
+        with _pytest.raises(ValueError, match="cycle|not resolved"):
+            resolve_redirects(
+                self._edges_ds(cyc), driver_edge_cap=0, max_rounds=6
+            ).take_all()
+
+    def test_duplicate_source_raises(self, ray_session):
+        import pytest as _pytest
+
+        from pdf_extractor_ray.ops.links import resolve_redirects
+
+        dup = [("a", "b"), ("a", "c")]
+        with _pytest.raises(ValueError, match="duplicate"):
+            resolve_redirects(self._edges_ds(dup)).take_all()
