@@ -1329,3 +1329,49 @@ def zipf_histogram(ds, text_col: str = "text"):
     ).to_pandas()
     out = parts.groupby("bucket", sort=True).sum().reset_index()
     return pd.DataFrame(out).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization
+# ---------------------------------------------------------------------------
+
+
+def nfc_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Unicode NFC normalization of one Arrow batch: ``text_col`` is
+    replaced by its canonical-composed form and a ``changed`` flag column
+    is appended (true ⇔ the document needed normalization — the
+    interesting minority in a real crawl, where mixed-form mojibake
+    breaks exact dedup and tokenizer caches).
+
+    NFC has no Arrow compute kernel; ``unicodedata.normalize`` is one C
+    call per string and the stage is shuffle-free, so the corpus cost is
+    the same per-document shape as the PII scrub above.  The ASCII fast
+    path skips the normalize call entirely (NFC is the identity on
+    ASCII), which is most of a web corpus after extraction.
+    """
+    import unicodedata
+
+    texts = batch[text_col].to_pylist()
+    out = []
+    changed = []
+    for t in texts:
+        t = t or ""
+        if t.isascii():
+            out.append(t)
+            changed.append(False)
+            continue
+        n = unicodedata.normalize("NFC", t)
+        out.append(n)
+        changed.append(n != t)
+    idx = batch.schema.get_field_index(text_col)
+    batch = batch.set_column(idx, text_col, pa.array(out, pa.string()))
+    return batch.append_column("changed", pa.array(changed, pa.bool_()))
+
+
+def nfc_normalize(ds, text_col: str = "text"):
+    """Dataset-level NFC pass: → same columns with ``text_col``
+    canonically composed plus a ``changed`` flag.  One ``map_batches``
+    stage, zero exchanges (see :func:`nfc_batch`)."""
+    return ds.map_batches(
+        lambda b: nfc_batch(b, text_col=text_col), batch_format="pyarrow"
+    )

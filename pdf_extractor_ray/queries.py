@@ -5042,3 +5042,65 @@ FROM walk w
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
 ORDER BY src
 """
+
+
+def q_nfc_normalize(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC normalization over the corpus with synthesized
+    decomposed suffixes (combining acute, Angstrom sign — the canonical
+    composition cases), returning the composed text, a changed flag, and
+    the post-NFC code-point length.  Shuffle-free single stage
+    (:func:`ops.text.nfc_batch`); oracle: DuckDB ``nfc_normalize`` (an
+    independent utf8proc implementation of UAX #15)."""
+    from .ops.text import nfc_normalize
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        suffixes = [" cafe" + chr(0x0301), " plain", " " + chr(0x212B)]
+        out = [t + suffixes[int(i) % 3] for i, t in zip(ids, texts)]
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    out = nfc_normalize(ds.map_batches(decorate, batch_format="pyarrow"))
+    df = (
+        out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [
+                    b["doc_id"],
+                    b["text"],
+                    b["changed"],
+                    pa.array(
+                        [len(t) for t in b["text"].to_pylist()], pa.int64()
+                    ),
+                ],
+                names=["doc_id", "text_nfc", "changed", "n_chars_nfc"],
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["nfc_normalize"] = q_nfc_normalize
+
+ORACLE_SQL["nfc_normalize"] = """
+WITH raw AS (
+    SELECT doc_id,
+           text || CASE doc_id % 3
+                       WHEN 0 THEN ' cafe' || chr(769)
+                       WHEN 1 THEN ' plain'
+                       ELSE ' ' || chr(8491)
+                   END AS t
+    FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) AS text_nfc,
+       nfc_normalize(t) <> t AS changed,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc
+FROM raw ORDER BY doc_id
+"""

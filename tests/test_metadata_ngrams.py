@@ -212,3 +212,53 @@ class TestOovRate:
         assert out["doc_id"].tolist() == [1, 2]  # empty doc emits nothing
         assert out["n_tokens"].tolist() == [4, 4]
         assert out["n_oov"].tolist() == [1, 2]
+
+
+class TestNfcNormalize:
+    def test_composition_cases(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import nfc_batch
+
+        t = pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "cafe" + chr(0x0301),   # e + combining acute
+                    "plain ascii",
+                    chr(0x212B) + "ngstrom",  # Angstrom sign
+                    None,
+                ],
+            }
+        )
+        out = nfc_batch(t)
+        assert out["text"].to_pylist() == [
+            "café", "plain ascii", "Ångstrom", ""
+        ]
+        assert out["changed"].to_pylist() == [True, False, True, False]
+
+    def test_idempotent(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import nfc_batch
+
+        t = pa.table({"text": ["cafe" + chr(0x0301), "é composed"]})
+        once = nfc_batch(t)
+        twice = nfc_batch(once.select(["text"]))
+        assert once["text"].to_pylist() == twice["text"].to_pylist()
+        assert twice["changed"].to_pylist() == [False, False]
+
+    def test_dataset_level(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import nfc_normalize
+
+        ds = rd.from_arrow(
+            pa.table({"text": ["a", "e" + chr(0x0301)]})
+        ).repartition(2)
+        rows = sorted(
+            nfc_normalize(ds).take_all(), key=lambda r: r["text"]
+        )
+        assert [r["text"] for r in rows] == ["a", "é"]
+        assert [r["changed"] for r in rows] == [False, True]
