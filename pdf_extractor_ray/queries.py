@@ -699,6 +699,22 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("host").reset_index(drop=True)
 
 
+def q_hits(sf_dir: str) -> pd.DataFrame:
+    """Integer HITS hubs-and-authorities (2 rounds, unnormalized weighted
+    path counts — rankings identical to the L2-normalized classic, scores
+    exact integers) over the synthesized host link graph of Q
+    ``link_graph``. Bit-exact at any layout and in SQL: the oracle
+    unrolls both rounds as chained CTEs (:func:`ops.links.hits_scores`;
+    each Ray half-round is one sorted-lookup join + one groupby-sum, or
+    per-block broadcast partials under the node cap)."""
+    from .ops.links import hits_scores, link_graph
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    df = hits_scores(link_graph(pages), num_iters=2).to_pandas()
+    return df.sort_values("host").reset_index(drop=True)
+
+
 def q_retention(sf_dir: str) -> pd.DataFrame:
     """Weekly cohort retention: users cohorted by first-event week; each
     (cohort, offset) cell counts that cohort's distinct users active
@@ -2862,6 +2878,49 @@ ORACLE_SQL: dict[str, str] = {
             FROM nodes n)
         SELECT host, CAST(r AS BIGINT) AS rank FROM it2 ORDER BY host
     """,
+    "hits": """
+        WITH base AS (SELECT doc_id AS i FROM documents),
+        rel AS (
+            SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+                   'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS dst
+            FROM base),
+        ext AS (
+            SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+                   'site' || CAST((i * 7 + j) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+            FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+        edges_all AS (SELECT * FROM rel UNION ALL SELECT * FROM ext),
+        edges AS (SELECT src, dst, count(*) AS w FROM edges_all GROUP BY 1, 2),
+        nodes AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        a1 AS (
+            SELECT n.host,
+                   coalesce((SELECT sum(e.w) FROM edges e
+                             WHERE e.dst = n.host), 0) AS s
+            FROM nodes n),
+        h1 AS (
+            SELECT n.host,
+                   coalesce((SELECT sum(e.w * a.s) FROM edges e
+                             JOIN a1 a ON a.host = e.dst
+                             WHERE e.src = n.host), 0) AS s
+            FROM nodes n),
+        a2 AS (
+            SELECT n.host,
+                   coalesce((SELECT sum(e.w * h.s) FROM edges e
+                             JOIN h1 h ON h.host = e.src
+                             WHERE e.dst = n.host), 0) AS s
+            FROM nodes n),
+        h2 AS (
+            SELECT n.host,
+                   coalesce((SELECT sum(e.w * a.s) FROM edges e
+                             JOIN a2 a ON a.host = e.dst
+                             WHERE e.src = n.host), 0) AS s
+            FROM nodes n)
+        SELECT a2.host, CAST(a2.s AS BIGINT) AS authority,
+               CAST(h2.s AS BIGINT) AS hub
+        FROM a2 JOIN h2 ON a2.host = h2.host
+        ORDER BY a2.host
+    """,
     "retention": """
         WITH act AS (
             SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS period
@@ -4648,6 +4707,7 @@ QUERIES = {
     "retention": q_retention,
     "link_graph": q_link_graph,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

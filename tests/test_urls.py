@@ -266,6 +266,73 @@ def test_pagerank_regimes_identical(ray_session):
     }
 
 
+class TestHits:
+    @staticmethod
+    def brute(edges, num_iters=2):
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        hub = {h: 1 for h in nodes}
+        auth = {h: 0 for h in nodes}
+        for _ in range(num_iters):
+            auth = {h: 0 for h in nodes}
+            for s, d, w in edges:
+                auth[d] += w * hub[s]
+            hub = {h: 0 for h in nodes}
+            for s, d, w in edges:
+                hub[s] += w * auth[d]
+        return auth, hub
+
+    EDGES = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 5), ("c", "a", 1),
+        ("d", "a", 3),  # d: pure hub (no in-links -> authority 0)
+    ]
+
+    @staticmethod
+    def _table(edges):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "src_host": [e[0] for e in edges],
+                "dst_host": [e[1] for e in edges],
+                "n_links": [e[2] for e in edges],
+            }
+        )
+
+    def test_matches_brute_force_any_layout(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import hits_scores
+
+        auth, hub = self.brute(self.EDGES)
+        for parts in (1, 4):
+            rows = hits_scores(
+                rd.from_arrow(self._table(self.EDGES)).repartition(parts)
+            ).take_all()
+            got_a = {r["host"]: r["authority"] for r in rows}
+            got_h = {r["host"]: r["hub"] for r in rows}
+            assert got_a == auth
+            assert got_h == hub
+        assert got_a["d"] == 0 and got_h["d"] > 0
+
+    def test_regimes_identical(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import hits_scores
+
+        ds = rd.from_arrow(self._table(self.EDGES)).repartition(2)
+        bc = sorted(
+            (r["host"], r["authority"], r["hub"])
+            for r in hits_scores(ds, num_iters=2).take_all()
+        )
+        dist = sorted(
+            (r["host"], r["authority"], r["hub"])
+            for r in hits_scores(ds, num_iters=2, node_broadcast_cap=0).take_all()
+        )
+        assert bc == dist
+        auth, hub = self.brute(self.EDGES)
+        assert bc == sorted((h, auth[h], hub[h]) for h in auth)
+
+
 class TestSurt:
     def test_host_reversal_and_www_strip(self):
         from pdf_extractor_ray.ops.urls import surt_key
