@@ -293,6 +293,76 @@ def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# C4-style line cleaning (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+
+def c4_clean_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """C4's published line/document cleaning rules (the subset that is
+    deterministic and list-free — no external badword list):
+
+    line level (a line is retained iff ALL hold):
+      - ends in a terminal punctuation mark (``.`` ``!`` ``?`` ``\"``)
+      - has at least 5 words (``\\S+`` runs)
+      - does not contain ``javascript`` (case-insensitive)
+
+    document level (``kept`` iff ALL hold):
+      - at least 3 retained lines (C4's three-sentence floor)
+      - does not contain ``lorem ipsum`` (case-insensitive)
+      - does not contain ``{`` (code page heuristic)
+
+    Emits ``total_lines`` / ``kept_lines`` (int64), ``kept`` (bool) and
+    ``cleaned_text`` (retained lines joined with ``\\n`` when kept, else
+    ``""``). Line predicates run as Arrow kernels over the FLAT line
+    array of the whole batch (one regex pass per rule, no per-line
+    Python); only the final per-doc join loops over documents.
+    """
+    texts = pc.fill_null(batch[text_col], "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lines_list = pc.split_pattern(texts, pattern="\n")
+    if isinstance(lines_list, pa.ChunkedArray):
+        lines_list = lines_list.combine_chunks()
+    flat = lines_list.flatten()
+    offsets = lines_list.offsets.to_numpy().astype(np.int64)
+
+    ends_punct = pc.match_substring_regex(flat, '[.!?"]$')
+    word_ok = pc.greater_equal(pc.count_substring_regex(flat, r"\S+"), 5)
+    no_js = pc.invert(pc.match_substring(pc.utf8_lower(flat), "javascript"))
+    keep = pc.and_(pc.and_(ends_punct, word_ok), no_js).to_numpy(
+        zero_copy_only=False
+    )
+
+    cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+    kept_counts = cum[offsets[1:]] - cum[offsets[:-1]]
+    total_lines = np.diff(offsets)
+
+    lower_docs = pc.utf8_lower(texts)
+    clean_doc = pc.and_(
+        pc.invert(pc.match_substring(lower_docs, "lorem ipsum")),
+        pc.invert(pc.match_substring(texts, "{")),
+    ).to_numpy(zero_copy_only=False)
+    kept_flag = (kept_counts >= 3) & clean_doc
+
+    flat_py = flat.to_pylist()
+    cleaned = []
+    for i in range(len(batch)):
+        if not kept_flag[i]:
+            cleaned.append("")
+            continue
+        lo, hi = offsets[i], offsets[i + 1]
+        cleaned.append(
+            "\n".join(flat_py[j] for j in range(lo, hi) if keep[j])
+        )
+    return (
+        batch.append_column("total_lines", pa.array(total_lines, pa.int64()))
+        .append_column("kept_lines", pa.array(kept_counts, pa.int64()))
+        .append_column("kept", pa.array(kept_flag))
+        .append_column("cleaned_text", pa.array(cleaned, pa.string()))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition quality (Gopher-style top-n-gram fraction)
 # ---------------------------------------------------------------------------
 

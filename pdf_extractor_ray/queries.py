@@ -2586,6 +2586,25 @@ def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_c4_clean(sf_dir: str) -> pd.DataFrame:
+    """C4-style line/document cleaning (Raffel et al. §2.2, the
+    deterministic list-free subset): lines kept iff terminal-punctuated,
+    ≥5 words, and javascript-free; documents kept iff ≥3 retained lines
+    and free of 'lorem ipsum'/'{'. One Arrow-kernel `map_batches` pass
+    (:func:`ops.text.c4_clean_batch`); the oracle replays every rule
+    with DuckDB list lambdas."""
+    from .ops.text import c4_clean_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: c4_clean_batch(b).select(
+            ["doc_id", "total_lines", "kept_lines", "kept", "cleaned_text"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Sequence packing for pretraining: documents tokenized with the
     hash vocabulary (FNV-1a → [2, 32768), EOS=1 after each doc), packed
@@ -3156,6 +3175,32 @@ ORACLE_SQL: dict[str, str] = {
                coalesce(a.top_bigram_count * 100 > a.n_bigrams * 18, FALSE) AS repetitive
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
+    """,
+    "c4_clean": r"""
+        WITH split AS (
+            SELECT doc_id, text, string_split(text, chr(10)) AS ls
+            FROM documents
+        ),
+        filt AS (
+            SELECT doc_id, text,
+                   CAST(len(ls) AS BIGINT) AS total_lines,
+                   list_filter(ls, l ->
+                       regexp_matches(l, '[.!?"]$')
+                       AND len(regexp_extract_all(l, '\S+')) >= 5
+                       AND NOT contains(lower(l), 'javascript')) AS kl
+            FROM split
+        )
+        SELECT doc_id, total_lines,
+               CAST(len(kl) AS BIGINT) AS kept_lines,
+               (len(kl) >= 3
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')) AS kept,
+               CASE WHEN len(kl) >= 3
+                         AND NOT contains(lower(text), 'lorem ipsum')
+                         AND NOT contains(text, '{')
+                    THEN array_to_string(kl, chr(10)) ELSE '' END
+                   AS cleaned_text
+        FROM filt ORDER BY doc_id
     """,
     "pack_sequences": """
         WITH toks AS (
@@ -4766,6 +4811,7 @@ QUERIES = {
     "canonical_urls": q_canonical_urls,
     "substring_dup": q_substring_dup,
     "repetition_filter": q_repetition_filter,
+    "c4_clean": q_c4_clean,
     "extraction_metrics": q_extraction_metrics,
     "warc_roundtrip": q_warc_roundtrip,
     "extract_charset": q_extract_charset,

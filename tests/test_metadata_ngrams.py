@@ -262,3 +262,66 @@ class TestNfcNormalize:
         )
         assert [r["text"] for r in rows] == ["a", "é"]
         assert [r["changed"] for r in rows] == [False, True]
+
+
+class TestC4Clean:
+    def run(self, texts):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import c4_clean_batch
+
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        return c4_clean_batch(t)
+
+    def test_line_rules(self):
+        # 3 good lines -> kept; each bad line dropped for its own reason
+        good = "one two three four five."
+        doc = "\n".join(
+            [
+                good,
+                "ends without punct five words",   # no terminal punct
+                "short line.",                      # < 5 words
+                "enable javascript to see this page now.",  # javascript
+                'he said "hello there my friend."',
+                "Is this a real question now?",
+            ]
+        )
+        out = self.run([doc])
+        assert out["total_lines"].to_pylist() == [6]
+        assert out["kept_lines"].to_pylist() == [3]
+        assert out["kept"].to_pylist() == [True]
+        assert out["cleaned_text"].to_pylist() == [
+            good + "\n" + 'he said "hello there my friend."'
+            + "\n" + "Is this a real question now?"
+        ]
+
+    def test_document_rules(self):
+        base = "\n".join(
+            f"good line number {i} with plenty words." for i in range(3)
+        )
+        two = "\n".join(
+            f"good line number {i} with plenty words." for i in range(2)
+        )
+        out = self.run(
+            [
+                base,                         # kept
+                two,                          # only 2 retained lines
+                base + "\nLorem Ipsum dolor." ,  # lorem ipsum (ci)
+                base + "\nvar x = { a: 1 };",    # brace
+                "",                           # empty
+            ]
+        )
+        assert out["kept"].to_pylist() == [True, False, False, False, False]
+        assert out["cleaned_text"].to_pylist()[1:] == [""] * 4
+        assert out["total_lines"].to_pylist()[4] == 1  # '' splits to ['']
+
+    def test_quote_terminal_and_nulls(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import c4_clean_batch
+
+        t = pa.table(
+            {"doc_id": [0], "text": pa.array([None], pa.string())}
+        )
+        out = c4_clean_batch(t)
+        assert out["kept"].to_pylist() == [False]
