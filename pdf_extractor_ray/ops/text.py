@@ -363,6 +363,112 @@ def c4_clean_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Gopher/MassiveText document-level quality rules (Rae et al. 2021, App. A)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _seg_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment sums of a flat value array under list offsets."""
+    cum = np.concatenate([[0], np.cumsum(values.astype(np.int64))])
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
+def gopher_rules_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher's published document-level quality rules, computed with
+    exact INTEGER threshold comparisons (no float ratios — ``10·symbols ≤
+    words`` instead of ``symbols/words ≤ 0.1``) so the pass flag is
+    bit-identical across engines:
+
+    - word count in [50, 100 000]
+    - mean word length in [3, 10] chars (``3·n ≤ chars ≤ 10·n``)
+    - symbol-to-word ratio ≤ 0.1 (symbols: ``#``, ``...``, ``…``)
+    - ≤ 90% of lines start with a bullet (``•``, ``- ``, ``* ``)
+    - ≤ 30% of lines end with an ellipsis (``...`` or ``…``)
+    - ≥ 80% of words contain an ASCII letter
+    - ≥ 2 distinct Gopher stop words present (the/be/to/of/and/that/
+      have/with, lowercased exact token match)
+
+    All word/line predicates are Arrow RE2 kernels over the batch's flat
+    word/line arrays; per-document reductions are cumsum segment sums.
+    Emits the raw counters plus ``passes`` (bool).
+    """
+    texts = pc.fill_null(batch[text_col], "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+
+    words_list = pc.split_pattern_regex(texts, pattern=r"\s+")
+    if isinstance(words_list, pa.ChunkedArray):
+        words_list = words_list.combine_chunks()
+    fw = words_list.flatten()
+    wo = words_list.offsets.to_numpy().astype(np.int64)
+    nonempty = pc.not_equal(fw, "").to_numpy(zero_copy_only=False)
+    n_words = _seg_sum(nonempty, wo)
+    word_chars = _seg_sum(
+        pc.utf8_length(fw).to_numpy(zero_copy_only=False), wo
+    )
+    alpha = pc.match_substring_regex(fw, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    alpha_words = _seg_sum(nonempty & alpha, wo)
+    lw = pc.utf8_lower(fw)
+    stop_hits = np.zeros(len(batch), np.int64)
+    for sw in _GOPHER_STOPWORDS:
+        eq = pc.equal(lw, sw).to_numpy(zero_copy_only=False)
+        stop_hits += (_seg_sum(eq, wo) > 0).astype(np.int64)
+
+    n_symbols = (
+        pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
+        + pc.count_substring_regex(texts, r"\.\.\.").to_numpy(
+            zero_copy_only=False
+        )
+        + pc.count_substring(texts, "…").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+
+    lines_list = pc.split_pattern(texts, pattern="\n")
+    if isinstance(lines_list, pa.ChunkedArray):
+        lines_list = lines_list.combine_chunks()
+    fl = lines_list.flatten()
+    lo = lines_list.offsets.to_numpy().astype(np.int64)
+    n_lines = np.diff(lo)
+    bullet = pc.match_substring_regex(fl, r"^(•|- |\* )").to_numpy(
+        zero_copy_only=False
+    )
+    bullet_lines = _seg_sum(bullet, lo)
+    ell = pc.match_substring_regex(fl, r"(\.\.\.|…)$").to_numpy(
+        zero_copy_only=False
+    )
+    ellipsis_lines = _seg_sum(ell, lo)
+
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (3 * n_words <= word_chars)
+        & (word_chars <= 10 * n_words)
+        & (10 * n_symbols <= n_words)
+        & (10 * bullet_lines <= 9 * n_lines)
+        & (10 * ellipsis_lines <= 3 * n_lines)
+        & (5 * alpha_words >= 4 * n_words)
+        & (stop_hits >= 2)
+    )
+    cols = {
+        "n_words": n_words,
+        "word_chars": word_chars,
+        "n_symbols": n_symbols,
+        "n_lines": n_lines,
+        "bullet_lines": bullet_lines,
+        "ellipsis_lines": ellipsis_lines,
+        "alpha_words": alpha_words,
+        "stop_hits": stop_hits,
+    }
+    out = batch
+    for name, arr in cols.items():
+        out = out.append_column(name, pa.array(arr, pa.int64()))
+    return out.append_column("passes", pa.array(passes))
+
+
+# ---------------------------------------------------------------------------
 # Repetition quality (Gopher-style top-n-gram fraction)
 # ---------------------------------------------------------------------------
 

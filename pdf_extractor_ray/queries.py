@@ -2605,6 +2605,28 @@ def q_c4_clean(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher/MassiveText document-level quality rules with exact integer
+    threshold comparisons (:func:`ops.text.gopher_rules_batch`): one
+    Arrow-kernel `map_batches` pass emitting every rule counter plus the
+    pass flag; the oracle recomputes all seven rules with DuckDB list
+    lambdas and the same integer inequalities."""
+    from .ops.text import gopher_rules_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: gopher_rules_batch(b).select(
+            [
+                "doc_id", "n_words", "word_chars", "n_symbols", "n_lines",
+                "bullet_lines", "ellipsis_lines", "alpha_words",
+                "stop_hits", "passes",
+            ]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Sequence packing for pretraining: documents tokenized with the
     hash vocabulary (FNV-1a → [2, 32768), EOS=1 after each doc), packed
@@ -3201,6 +3223,54 @@ ORACLE_SQL: dict[str, str] = {
                     THEN array_to_string(kl, chr(10)) ELSE '' END
                    AS cleaned_text
         FROM filt ORDER BY doc_id
+    """,
+    "gopher_rules": r"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '\S+') AS ws,
+                   string_split(text, chr(10)) AS ls
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(coalesce(list_sum(list_transform(ws,
+                     x -> length(x))), 0) AS BIGINT) AS word_chars,
+                CAST(len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.'))
+                   + len(regexp_extract_all(text, '…')) AS BIGINT)
+                    AS n_symbols,
+                CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(ls, l ->
+                     regexp_matches(l, '^(•|- |\* )'))) AS BIGINT)
+                    AS bullet_lines,
+                CAST(len(list_filter(ls, l ->
+                     regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT)
+                    AS ellipsis_lines,
+                CAST(len(list_filter(ws, x ->
+                     regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                    AS alpha_words,
+                CAST(CAST(list_contains(list_transform(ws, x -> lower(x)), 'the') AS INT)
+                   + CAST(list_contains(list_transform(ws, x -> lower(x)), 'be') AS INT)
+                   + CAST(list_contains(list_transform(ws, x -> lower(x)), 'to') AS INT)
+                   + CAST(list_contains(list_transform(ws, x -> lower(x)), 'of') AS INT)
+                   + CAST(list_contains(list_transform(ws, x -> lower(x)), 'and') AS INT)
+                   + CAST(list_contains(list_transform(ws, x -> lower(x)), 'that') AS INT)
+                   + CAST(list_contains(list_transform(ws, x -> lower(x)), 'have') AS INT)
+                   + CAST(list_contains(list_transform(ws, x -> lower(x)), 'with') AS INT)
+                     AS BIGINT) AS stop_hits
+            FROM w
+        )
+        SELECT *,
+               (n_words >= 50 AND n_words <= 100000
+                AND 3 * n_words <= word_chars
+                AND word_chars <= 10 * n_words
+                AND 10 * n_symbols <= n_words
+                AND 10 * bullet_lines <= 9 * n_lines
+                AND 10 * ellipsis_lines <= 3 * n_lines
+                AND 5 * alpha_words >= 4 * n_words
+                AND stop_hits >= 2) AS passes
+        FROM m ORDER BY doc_id
     """,
     "pack_sequences": """
         WITH toks AS (
@@ -4812,6 +4882,7 @@ QUERIES = {
     "substring_dup": q_substring_dup,
     "repetition_filter": q_repetition_filter,
     "c4_clean": q_c4_clean,
+    "gopher_rules": q_gopher_rules,
     "extraction_metrics": q_extraction_metrics,
     "warc_roundtrip": q_warc_roundtrip,
     "extract_charset": q_extract_charset,

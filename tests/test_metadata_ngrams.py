@@ -325,3 +325,59 @@ class TestC4Clean:
         )
         out = c4_clean_batch(t)
         assert out["kept"].to_pylist() == [False]
+
+
+class TestGopherRules:
+    def run(self, texts):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import gopher_rules_batch
+
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        return gopher_rules_batch(t)
+
+    def test_counters(self):
+        doc = "the cat sat with a hat...\n• bullet one\nplain end…\n# x"
+        out = self.run([doc])
+        r = {c: out[c].to_pylist()[0] for c in out.column_names if c != "text"}
+        assert r["n_words"] == 13
+        assert r["n_lines"] == 4
+        assert r["bullet_lines"] == 1
+        assert r["ellipsis_lines"] == 2  # '...' and '…' line endings
+        assert r["n_symbols"] == 3      # one '#', one '...', one '…'
+        assert r["stop_hits"] == 2      # 'the', 'with'
+        assert not r["passes"]          # < 50 words
+
+    def test_pass_boundaries(self):
+        # 50 words, mean length in range, 2 stop words -> passes
+        words = ["the", "with"] + ["word"] * 48
+        good = " ".join(words) + "."
+        # '.' attaches to the last word; mean length fine
+        out = self.run([good])
+        assert out["n_words"].to_pylist() == [50]
+        assert out["passes"].to_pylist() == [True]
+        # one fewer word -> fails the floor
+        out2 = self.run([" ".join(words[:-1])])
+        assert out2["passes"].to_pylist() == [False]
+
+    def test_symbol_and_alpha_rules(self):
+        words = ["the", "with"] + ["word"] * 48
+        base = " ".join(words)
+        # 6 symbols in 50 words -> 10*6 > 50 -> fails
+        out = self.run([base + " ######"])
+        assert out["passes"].to_pylist() == [False]
+        # numeric words: 11 of 50 lack letters -> 5*39 < 4*50 fails
+        nums = ["the", "with"] + ["word"] * 37 + ["123"] * 11
+        out2 = self.run([" ".join(nums)])
+        assert out2["alpha_words"].to_pylist() == [39]
+        assert out2["passes"].to_pylist() == [False]
+
+    def test_null_and_empty(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import gopher_rules_batch
+
+        t = pa.table({"doc_id": [0, 1], "text": pa.array(["", None], pa.string())})
+        out = gopher_rules_batch(t)
+        assert out["passes"].to_pylist() == [False, False]
+        assert out["n_words"].to_pylist() == [0, 0]
