@@ -2627,6 +2627,26 @@ def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints (Schleimer et al. / MOSS): word-3-gram
+    FNV-1a hashes, window w=4, rightmost-minimum selection — per-doc
+    fingerprint count plus a bit-exact hash-sum digest
+    (:func:`ops.winnow.winnow_summary_batch`; shuffle-free). The oracle
+    recomputes every hash with the list_reduce/unicode() FNV idiom and
+    replays the rightmost tie rule via a HUGEINT composite key inside a
+    window-frame min."""
+    from .ops.winnow import winnow_summary_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: winnow_summary_batch(b).select(
+            ["doc_id", "n_grams", "n_fingerprints", "fp_sum"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Sequence packing for pretraining: documents tokenized with the
     hash vocabulary (FNV-1a → [2, 32768), EOS=1 after each doc), packed
@@ -3271,6 +3291,65 @@ ORACLE_SQL: dict[str, str] = {
                 AND 5 * alpha_words >= 4 * n_words
                 AND stop_hits >= 2) AS passes
         FROM m ORDER BY doc_id
+    """,
+    "winnow_fingerprints": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ww
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   ww[i] || ' ' || ww[i + 1] || ' ' || ww[i + 2] AS g
+            FROM (SELECT doc_id, ww, unnest(range(1, len(ww) - 1)) AS i
+                  FROM toks)
+        ),
+        h AS (
+            SELECT doc_id, pos,
+                CAST(CAST(list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                        list_transform(range(1, length(g) + 1),
+                            j -> CAST(unicode(substring(g, j, 1)) AS HUGEINT))),
+                    (a, b) -> (CAST(xor(CAST(a AS UBIGINT),
+                                        CAST(b AS UBIGINT)) AS HUGEINT)
+                               * 1099511628211) % 18446744073709551616
+                ) AS UBIGINT) AS HUGEINT) AS hv
+            FROM grams
+        ),
+        keys AS (
+            SELECT doc_id, pos,
+                   hv * 1048576 + (1048575 - pos) AS ck
+            FROM h
+        ),
+        wins AS (
+            SELECT doc_id,
+                   min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+            FROM keys
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, wmin FROM wins WHERE wn = 4
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_fingerprints,
+                   CAST(sum(wmin // 1048576)
+                        % 9223372036854775808 AS BIGINT) AS fp_sum
+            FROM sel GROUP BY doc_id
+        ),
+        ng AS (
+            SELECT doc_id,
+                   CAST(greatest(len(ww) - 2, 0) AS BIGINT) AS n_grams
+            FROM toks
+        )
+        SELECT d.doc_id, ng.n_grams,
+               CAST(coalesce(a.n_fingerprints, 0) AS BIGINT)
+                   AS n_fingerprints,
+               CAST(coalesce(a.fp_sum, 0) AS BIGINT) AS fp_sum
+        FROM documents d
+        JOIN ng USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
     """,
     "pack_sequences": """
         WITH toks AS (
@@ -4883,6 +4962,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "c4_clean": q_c4_clean,
     "gopher_rules": q_gopher_rules,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "extraction_metrics": q_extraction_metrics,
     "warc_roundtrip": q_warc_roundtrip,
     "extract_charset": q_extract_charset,
