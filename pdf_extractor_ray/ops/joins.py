@@ -42,6 +42,64 @@ def broadcast_semi_join(ds, keys, key_col: str, anti: bool = False):
     return ds.map_batches(filter_batch, batch_format="pyarrow")
 
 
+def broadcast_range_join(
+    ds,
+    intervals,
+    value_col: str,
+    label_col: str = "band",
+    how: str = "inner",
+):
+    """Range (interval) join against a broadcast interval table: each row
+    whose ``value_col`` falls inside a half-open interval ``[lo, hi)``
+    gets that interval's label attached.
+
+    ``intervals`` is a small list of ``(lo, hi, label)`` tuples — the
+    broadcast-small-side case that covers the overwhelming share of real
+    range joins (IP→geo ranges, time windows, price/size bands): the
+    table is ``ray.put`` once, each batch does ONE ``np.searchsorted``
+    against the sorted interval starts — no shuffle, no per-row Python.
+    Intervals must be sorted and non-overlapping (validated eagerly);
+    overlapping-interval workloads decompose into disjoint elementary
+    intervals first (standard interval flattening) — by construction the
+    searchsorted probe is then exact.
+
+    ``how="inner"`` drops rows outside every interval; ``how="left"``
+    keeps them with a null label. NaN / null values never match (they
+    compare false against ``hi``), matching SQL ``BETWEEN`` semantics.
+    """
+    import numpy as np
+    import ray
+
+    ivs = sorted(intervals)
+    for (lo1, hi1, _), (lo2, _, _) in zip(ivs, ivs[1:]):
+        if hi1 > lo2:
+            raise ValueError(f"overlapping intervals: [{lo1},{hi1}) and lo={lo2}")
+    for lo, hi, _ in ivs:
+        if not lo < hi:
+            raise ValueError(f"empty interval [{lo},{hi})")
+    los = np.array([i[0] for i in ivs], dtype=np.float64)
+    his = np.array([i[1] for i in ivs], dtype=np.float64)
+    labels = [i[2] for i in ivs]
+    ref = ray.put((los, his, labels))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b_los, b_his, b_labels = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(b_los, v, side="right") - 1
+        safe = np.clip(idx, 0, len(b_his) - 1)
+        with np.errstate(invalid="ignore"):
+            ok = (idx >= 0) & (v < b_his[safe])
+        lab = np.where(ok, np.array(b_labels, object)[safe], None)
+        out = batch.append_column(label_col, pa.array(lab, pa.string()))
+        if how == "inner":
+            out = out.filter(pa.array(ok))
+        return out
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def asof_join_salted(
     left_ds,
     right_ds,

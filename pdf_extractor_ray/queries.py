@@ -530,6 +530,29 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+_VALUE_BANDS = [
+    (0.0, 5.0, "xs"),
+    (5.0, 25.0, "s"),
+    (25.0, 100.0, "m"),
+    (100.0, 250.0, "l"),
+    # deliberately NOT covering the top of the range: inner semantics
+    # must drop out-of-band rows.
+]
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: each event's value matched to its half-open
+    price band via ONE broadcast searchsorted per batch — no shuffle
+    (:func:`ops.joins.broadcast_range_join`; the IP→geo / time-window /
+    price-band shape). Inner semantics: values above the last band drop.
+    The oracle is a literal BETWEEN-style join against a VALUES table."""
+    from .ops.joins import broadcast_range_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = broadcast_range_join(ds, _VALUE_BANDS, "value").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event matched to the user's latest order at or
     before the event time (keyed co-group + in-group merge_asof; oracle:
@@ -2861,6 +2884,16 @@ ORACLE_SQL: dict[str, str] = {
         )
         ORDER BY event_type, hour
     """,
+    "range_join": """
+        WITH bands(lo, hi, band) AS (
+            VALUES (0.0, 5.0, 'xs'), (5.0, 25.0, 's'),
+                   (25.0, 100.0, 'm'), (100.0, 250.0, 'l')
+        )
+        SELECT e.event_id, e.value, b.band
+        FROM events e JOIN bands b
+          ON e.value >= b.lo AND e.value < b.hi
+        ORDER BY e.event_id
+    """,
     "asof_join": """
         WITH r AS (
             SELECT o_custkey AS user_id, o_orderdate,
@@ -4963,6 +4996,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_rules": q_gopher_rules,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "range_join": q_range_join,
     "extraction_metrics": q_extraction_metrics,
     "warc_roundtrip": q_warc_roundtrip,
     "extract_charset": q_extract_charset,

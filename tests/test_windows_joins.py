@@ -136,3 +136,46 @@ class TestSaltedAsofJoin:
         s = norm(salted_df).query("user_id != 3")
         later_events = s[s["event_id"] % 1000 != 0]["order_id"]
         assert (later_events >= 0).all()
+
+
+class TestRangeJoin:
+    BANDS = [(0.0, 10.0, "low"), (10.0, 20.0, "mid"), (30.0, 40.0, "gap-right")]
+
+    def test_inner_and_left(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.joins import broadcast_range_join
+
+        tbl = pa.table(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6, 7],
+                "value": [0.0, 9.99, 10.0, 25.0, 39.9, 40.0, float("nan")],
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(2)
+        inner = {
+            r["event_id"]: r["band"]
+            for r in broadcast_range_join(ds, self.BANDS, "value").take_all()
+        }
+        # half-open: 10.0 joins 'mid', 40.0 drops; 25.0 in the gap drops;
+        # NaN never matches
+        assert inner == {1: "low", 2: "low", 3: "mid", 5: "gap-right"}
+        left = {
+            r["event_id"]: r["band"]
+            for r in broadcast_range_join(
+                ds, self.BANDS, "value", how="left"
+            ).take_all()
+        }
+        assert left[4] is None and left[6] is None and left[7] is None
+        assert left[1] == "low" and len(left) == 7
+
+    def test_rejects_bad_intervals(self):
+        import pytest
+
+        from pdf_extractor_ray.ops.joins import broadcast_range_join
+
+        with pytest.raises(ValueError, match="overlapping"):
+            broadcast_range_join(None, [(0, 10, "a"), (5, 15, "b")], "v")
+        with pytest.raises(ValueError, match="empty"):
+            broadcast_range_join(None, [(10, 10, "a")], "v")
