@@ -1,0 +1,192 @@
+"""BM25 ranked retrieval over the corpus, integer-exact.
+
+The distributed shape is retrieval's classic one, inverted: instead of
+building the whole vocabulary's index and probing it, the (tiny) query-term
+set is broadcast into a single ``map_batches`` pass that emits one row per
+(query term, matching doc) — postings for O(query terms) tokens only, never
+the corpus vocabulary — plus per-block corpus statistics partials. The only
+exchanges after that touch the match rows (O(matching docs), the selective
+minority at web scale): one tiny groupby for per-term document frequency
+and one groupby-sum for per-(query, doc) scores, then a global top-k.
+
+Scoring is Okapi BM25 with ``k1 = 3/2`` and ``b = 3/4`` and a *rational*
+IDF — ``(N - df + 1/2) / (df + 1/2)`` used directly instead of its log —
+so every term weight is an exact integer floor division reproducible
+bit-for-bit in ANSI SQL (the same trick as the engine's integer-exact
+TF-IDF, ``ops/text.py:tfidf_top_terms``). The monotone ln() is dropped,
+not the ranking semantics: for a fixed query the score stays a monotone
+combination of tf, df, and length normalization. Derivation used below,
+with ``A = floor(total_tokens / N)`` the integer average document length:
+
+    tf_part = tf * (k1+1) / (tf + k1 * (1 - b + b * dl / A))
+            = 20*A*tf / (8*A*tf + 3*A + 9*dl)          (multiply by 8A)
+    score   = sum_t floor( SCALE * (2N-2df+1) * 20*A*tf
+                           / ((2df+1) * (8*A*tf + 3*A + 9*dl)) )
+
+No counterpart in the reference repo (its retrieval surface is per-page
+validation lookups, ``src/services/validation_service.py``); this extends
+the engine's corpus-analysis tier (inverted_index, tfidf) to ranked search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SCALE = 10_000
+K1_NUM, K1_DEN = 3, 2  # k1 = 3/2
+B_NUM, B_DEN = 3, 4  # b  = 3/4
+
+
+def _match_rows(ds, terms: tuple[str, ...], text_col: str, id_col: str):
+    """One vectorized pass: per doc, its token count ``dl`` and the tf of
+    every query term it contains. Emits only matching (term, doc) rows."""
+    term_arr = pa.array(sorted(set(terms)), pa.string())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        from .text import split_words
+
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = split_words(texts)
+        w = words_list.flatten()
+        reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), reps)
+        nonempty = pc.not_equal(w, "").to_numpy(zero_copy_only=False)
+        # dl counts every nonempty token; per-doc via reduceat over offsets.
+        bounds = np.concatenate(([0], np.cumsum(reps)))
+        csum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        dl_all = csum[bounds[1:]] - csum[bounds[:-1]]
+        dl_rep = np.repeat(dl_all, reps)
+        hit = pc.is_in(w, value_set=term_arr).to_numpy(zero_copy_only=False)
+        hit &= nonempty
+        wh = w.to_numpy(zero_copy_only=False)[hit]
+        dh = ids[hit]
+        lh = dl_rep[hit]
+        if len(wh) == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.string()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                ],
+                names=["token", id_col, "tf", "dl"],
+            )
+        wh = wh.astype(str)
+        order = np.lexsort((dh, wh))
+        wh, dh, lh = wh[order], dh[order], lh[order]
+        new = np.concatenate(([True], (wh[1:] != wh[:-1]) | (dh[1:] != dh[:-1])))
+        idx = np.flatnonzero(new)
+        tf = np.diff(np.append(idx, len(wh)))
+        dls = lh[idx]
+        return pa.Table.from_arrays(
+            [
+                pa.array(wh[idx].astype(object), pa.string()),
+                pa.array(dh[idx], pa.int64()),
+                pa.array(tf, pa.int64()),
+                pa.array(dls, pa.int64()),
+            ],
+            names=["token", id_col, "tf", "dl"],
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+def _corpus_stats(ds, text_col: str) -> tuple[int, int]:
+    """(N docs, total nonempty tokens) via per-block partials — two int64s
+    per block cross the wire, nothing else."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .text import split_words
+
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = split_words(texts)
+        w = words_list.flatten()
+        n_tok = int(pc.sum(pc.not_equal(w, "")).as_py() or 0)
+        return pa.Table.from_arrays(
+            [pa.array([len(batch)], pa.int64()), pa.array([n_tok], pa.int64())],
+            names=["docs", "toks"],
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    tot = parts.sum(["docs", "toks"])
+    return int(tot["sum(docs)"]), int(tot["sum(toks)"])
+
+
+def bm25_topk(
+    ds,
+    queries: dict[str, str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Top-``k`` documents per query by integer-exact rational-IDF BM25.
+
+    ``queries`` maps query_id → whitespace query string. Returns columns
+    ``(query_id, doc_id, score, rank)`` with rank 1..k per query, ties
+    broken by ascending doc id. The per-query candidate set is every doc
+    containing ≥1 query term; scores for docs sharing no term are 0 and
+    never materialize.
+    """
+    q_terms = {
+        qid: tuple(dict.fromkeys(q.lower().split())) for qid, q in queries.items()
+    }
+    all_terms = tuple({t for ts in q_terms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("bm25_topk: queries contain no terms")
+
+    n_docs, n_toks = _corpus_stats(ds, text_col)
+    avgdl = max(1, n_toks // max(1, n_docs))
+
+    matches = _match_rows(ds, all_terms, text_col, id_col)
+    # Document frequency per query term: a groupby over the match minority.
+    df_rows = matches.groupby("token").count().take_all()
+    df_by_term = {r["token"]: int(r["count()"]) for r in df_rows}
+    terms_sorted = np.array(sorted(df_by_term))
+    dfs_sorted = np.array([df_by_term[t] for t in terms_sorted], dtype=np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tok = batch["token"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        # Every match token is a query term: sorted-lookup its global df.
+        dfv = dfs_sorted[np.searchsorted(terms_sorted, tok.astype(str))]
+        num = SCALE * (2 * n_docs - 2 * dfv + 1) * (20 * avgdl) * tf
+        den = (2 * dfv + 1) * (8 * avgdl * tf + 3 * avgdl + 9 * dl)
+        w = num // den
+        out = {"token": batch["token"], id_col: batch[id_col], "w": pa.array(w)}
+        return pa.Table.from_pydict(out)
+
+    weighted = matches.map_batches(score, batch_format="pyarrow").materialize()
+
+    out_q, out_d, out_s, out_r = [], [], [], []
+    for qid in sorted(q_terms):
+        terms = q_terms[qid]
+        # Arrow-native filter + groupby-sum over the match minority.
+        term_set = pa.array(list(terms), pa.string())
+
+        def keep(batch: pa.Table, _ts=term_set) -> pa.Table:
+            return batch.filter(pc.is_in(batch["token"], value_set=_ts))
+
+        per_doc = (
+            weighted.map_batches(keep, batch_format="pyarrow")
+            .groupby(id_col)
+            .sum("w")
+        )
+        top = per_doc.sort(["sum(w)", id_col], descending=[True, False]).limit(k)
+        rows = top.take_all()
+        for i, r in enumerate(rows):
+            out_q.append(qid)
+            out_d.append(int(r[id_col]))
+            out_s.append(int(r["sum(w)"]))
+            out_r.append(i + 1)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_q, pa.string()),
+            pa.array(out_d, pa.int64()),
+            pa.array(out_s, pa.int64()),
+            pa.array(out_r, pa.int32()),
+        ],
+        names=["query_id", id_col, "score", "rank"],
+    )

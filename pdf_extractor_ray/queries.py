@@ -2210,6 +2210,24 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("token").reset_index(drop=True)
 
 
+BM25_QUERIES = {
+    "q1": "hash join",
+    "q2": "window sort stream",
+    "q3": "spark dup",
+}
+
+
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact rational-IDF BM25 top-10 per query over documents
+    (:mod:`ops.search`). The broadcast query-term set turns retrieval into
+    one vectorized match pass (postings for O(query terms) tokens only)
+    plus exchanges over the matching-doc minority."""
+    from .ops.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, BM25_QUERIES, k=10).to_pandas()
+
+
 def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     """Iteration-0 of the distributed BPE trainer (Sennrich et al. 2016):
     the 100 most frequent adjacent symbol pairs (characters + end-of-word
@@ -4987,6 +5005,7 @@ QUERIES = {
     "word_topk": q_word_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "inverted_index": q_inverted_index,
+    "bm25_search": q_bm25_search,
     "group_quantiles": q_group_quantiles,
     "tfidf_terms": q_tfidf_terms,
     "lm_quality": q_lm_quality,
@@ -5394,4 +5413,41 @@ SELECT doc_id,
        nfc_normalize(t) <> t AS changed,
        CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc
 FROM raw ORDER BY doc_id
+"""
+
+ORACLE_SQL["bm25_search"] = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n,
+           (SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS a
+),
+q(query_id, term) AS (VALUES
+    ('q1', 'hash'), ('q1', 'join'),
+    ('q2', 'window'), ('q2', 'sort'), ('q2', 'stream'),
+    ('q3', 'spark'), ('q3', 'dup')),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+    SELECT q.query_id, tf.doc_id,
+           10000 * (2 * s.n - 2 * dfv.df + 1) * (20 * s.a) * tf.tf
+           // ((2 * dfv.df + 1) * (8 * s.a * tf.tf + 3 * s.a + 9 * dl.dl)) AS w
+    FROM q JOIN tf USING (term) JOIN dfv USING (term)
+         JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+sc AS (
+    SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY sum(w) DESC, doc_id
+           ) AS r
+    FROM w GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, CAST(r AS INTEGER) AS rank
+FROM sc WHERE r <= 10 ORDER BY query_id, rank
 """
