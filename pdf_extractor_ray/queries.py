@@ -2228,6 +2228,18 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     return bm25_topk(ds, BM25_QUERIES, k=10).to_pandas()
 
 
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic clustering: 3 integer-exact distributed
+    Lloyd iterations over quantized embeddings (:mod:`ops.cluster`), k=5,
+    init = the 5 lowest vec_ids. Per-cluster membership count, min id,
+    and an exact integer distance checksum — the DuckDB oracle replays
+    the full algorithm as unrolled CTE iterations."""
+    from .ops.cluster import kmeans_clusters
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_clusters(ds, k=5, iters=3).to_pandas()
+
+
 def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     """Iteration-0 of the distributed BPE trainer (Sennrich et al. 2016):
     the 100 most frequent adjacent symbol pairs (characters + end-of-word
@@ -5006,6 +5018,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "inverted_index": q_inverted_index,
     "bm25_search": q_bm25_search,
+    "kmeans_clusters": q_kmeans_clusters,
     "group_quantiles": q_group_quantiles,
     "tfidf_terms": q_tfidf_terms,
     "lm_quality": q_lm_quality,
@@ -5451,3 +5464,61 @@ sc AS (
 SELECT query_id, doc_id, score, CAST(r AS INTEGER) AS rank
 FROM sc WHERE r <= 10 ORDER BY query_id, rank
 """
+
+# k-means oracle: one CTE pair (assign aN, update cN) per unrolled Lloyd
+# iteration, every step exact integer math (see ops/cluster.py docstring).
+_KM_ASSIGN = """
+a{i} AS (
+    SELECT q.vec_id, q.v, c.cid,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_sum(list_transform(list_zip(q.v, c.v),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c{j} c
+),
+u{i} AS (
+    SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS d
+    FROM a{i} WHERE rn = 1
+),
+m{i} AS (
+    SELECT cid, list(sx // cnt ORDER BY d) AS v
+    FROM (SELECT cid, d, sum(x) AS sx, count(*) AS cnt FROM u{i} GROUP BY 1, 2)
+    GROUP BY cid
+),
+c{i} AS (
+    SELECT c{j}.cid, coalesce(m{i}.v, c{j}.v) AS v
+    FROM c{j} LEFT JOIN m{i} USING (cid)
+)"""
+
+ORACLE_SQL["kmeans_clusters"] = (
+    r"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               e -> CAST(floor((CAST(e AS DOUBLE) + 2) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+    FROM q ORDER BY vec_id LIMIT 5
+),"""
+    + ",".join(_KM_ASSIGN.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + r""",
+af AS (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+        SELECT q.vec_id, c.cid,
+               list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        FROM q CROSS JOIN c3 c
+    )
+)
+SELECT cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(vec_id) AS min_vec_id,
+       CAST(sum(dist // 1000000) AS BIGINT) AS checksum
+FROM af WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+)

@@ -1,0 +1,96 @@
+"""Integer-exact k-means: vs a brute-force bigint reference, invariant to
+block layout, exact empty-cluster handling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from pdf_extractor_ray.ops.cluster import OFFSET, SCALE, kmeans_clusters
+
+
+def make_vectors(n: int, dim: int = 8, seed: int = 7) -> list[list[float]]:
+    rng = np.random.Generator(np.random.Philox(seed))
+    return (rng.standard_normal((n, dim)) * 0.3).astype(np.float32).tolist()
+
+
+def brute_force(ids, vecs, k, iters):
+    q = {
+        i: [int(np.floor((np.float64(np.float32(x)) + OFFSET) * SCALE)) for x in v]
+        for i, v in zip(ids, vecs)
+    }
+    order = sorted(ids)
+    cents = {c: list(q[order[c]]) for c in range(min(k, len(order)))}
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for _ in range(iters):
+        members = {c: [] for c in cents}
+        for i in ids:
+            best = min(cents, key=lambda c: (dist(q[i], cents[c]), c))
+            members[best].append(i)
+        for c, ms in members.items():
+            if ms:
+                dim = len(cents[c])
+                cents[c] = [
+                    sum(q[i][d] for i in ms) // len(ms) for d in range(dim)
+                ]
+    out = {}
+    for i in ids:
+        best = min(cents, key=lambda c: (dist(q[i], cents[c]), c))
+        n, m, s = out.get(best, (0, None, 0))
+        out[best] = (
+            n + 1,
+            i if m is None else min(m, i),
+            s + dist(q[i], cents[best]) // SCALE,
+        )
+    return [
+        {"cluster_id": c, "n_members": v[0], "min_vec_id": v[1], "checksum": v[2]}
+        for c, v in sorted(out.items())
+    ]
+
+
+IDS = list(range(40))
+VECS = make_vectors(40)
+
+
+@pytest.mark.parametrize("nparts", [1, 4, 11])
+def test_kmeans_matches_brute_force(ray_session, nparts):
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(IDS, pa.int64()),
+            "embedding": pa.array(VECS, pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(nparts)
+    got = kmeans_clusters(ds, k=3, iters=2).to_pylist()
+    assert got == brute_force(IDS, VECS, k=3, iters=2)
+
+
+def test_kmeans_empty_raises(ray_session):
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError):
+        kmeans_clusters(ray.data.from_arrow(tbl), k=3, iters=1)
+
+
+def test_kmeans_k_exceeding_n(ray_session):
+    """k > n degrades to n singleton-seeded clusters, all assignments
+    exact (each point is its own centroid after iteration 1)."""
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array([5, 9], pa.int64()),
+            "embedding": pa.array(
+                [[0.1, 0.2], [-0.3, 0.4]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = kmeans_clusters(ray.data.from_arrow(tbl), k=4, iters=1).to_pylist()
+    assert [r["n_members"] for r in out] == [1, 1]
+    assert [r["min_vec_id"] for r in out] == [5, 9]
+    assert all(r["checksum"] == 0 for r in out)
