@@ -2228,6 +2228,37 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     return bm25_topk(ds, BM25_QUERIES, k=10).to_pandas()
 
 
+def q_dhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual image dedup (:mod:`ops.phash`): each doc becomes a REAL
+    16×16 gray PNG with closed-form pixels ``(g*37 + y*17 + x*29) % 256``
+    where ``g = doc_id % 7``; odd docs additionally get ``+1`` on pixel
+    (y=1, x=2), which is byte-visible but OUTSIDE the 8×9 dHash sample
+    grid — so the perceptual clusters collapse byte-distinct retouches.
+    The oracle restates the 64-bit hash from the formula (the perturbed
+    pixel provably never sampled: ys = 2·dy, xs = ⌊16·dx/9⌋)."""
+    from .ops.multimodal import encode_png
+    from .ops.phash import dhash_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        y, x = np.mgrid[0:16, 0:16]
+        payloads = []
+        for i in ids:
+            img = ((i % 7) * 37 + y * 17 + x * 29) % 256
+            if i % 2 == 1:
+                img[1, 2] = (img[1, 2] + 1) % 256
+            payloads.append(encode_png(img.astype(np.uint8)))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    images = ds.map_batches(to_png, batch_format="pyarrow")
+    return dhash_clusters(images).to_pandas()
+
+
 def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     """SemDeDup-style semantic clustering: 3 integer-exact distributed
     Lloyd iterations over quantized embeddings (:mod:`ops.cluster`), k=5,
@@ -5019,6 +5050,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
+    "dhash_dedup": q_dhash_dedup,
     "group_quantiles": q_group_quantiles,
     "tfidf_terms": q_tfidf_terms,
     "lm_quality": q_lm_quality,
@@ -5522,3 +5554,39 @@ SELECT cid AS cluster_id,
 FROM af WHERE rn = 1 GROUP BY 1 ORDER BY 1
 """
 )
+
+ORACLE_SQL["dhash_dedup"] = r"""
+WITH ids AS (SELECT doc_id, doc_id % 7 AS g FROM documents),
+grid AS (
+    SELECT doc_id, g, dy.k AS dy, dx.k AS dx
+    FROM ids,
+         (SELECT unnest(range(8)) AS k) dy,
+         (SELECT unnest(range(8)) AS k) dx
+),
+-- dHash bit: compare the two nearest-sampled pixels of the closed-form
+-- image. The odd-doc +1 retouch sits at (y=1, x=2), never on the sample
+-- grid (ys = 2*dy, xs = 16*dx // 9), so the hash ignores it.
+bits AS (
+    SELECT doc_id, dy * 8 + dx AS k,
+           CASE WHEN (g * 37 + (dy * 2) * 17 + ((dx * 16) // 9) * 29) % 256
+                   > (g * 37 + (dy * 2) * 17 + (((dx + 1) * 16) // 9) * 29) % 256
+                THEN 1 ELSE 0 END AS b
+    FROM grid
+),
+h AS (
+    SELECT doc_id,
+           printf('%08x%08x',
+               CAST(sum(CASE WHEN k < 32
+                        THEN b * (1::BIGINT << (31 - k)) ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN k >= 32
+                        THEN b * (1::BIGINT << (63 - k)) ELSE 0 END) AS BIGINT)
+           ) AS dhash
+    FROM bits GROUP BY 1
+)
+SELECT h.dhash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(h.doc_id) AS min_doc_id,
+       CAST(count(DISTINCT (h.doc_id % 7) * 2 + h.doc_id % 2) AS BIGINT)
+           AS n_distinct_payloads
+FROM h GROUP BY 1 ORDER BY 1
+"""
