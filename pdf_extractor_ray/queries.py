@@ -2228,6 +2228,17 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     return bm25_topk(ds, BM25_QUERIES, k=10).to_pandas()
 
 
+def q_shard_plan(sf_dir: str) -> pd.DataFrame:
+    """Byte-budgeted shard plan over documents in doc_id order
+    (:mod:`ops.shard`): a distributed exclusive prefix sum (one sort, one
+    row per block to the driver, broadcast offsets) assigning each doc to
+    ``shard_id = prefix_bytes // 100_000``."""
+    from .ops.shard import shard_plan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return shard_plan(ds, shard_bytes=100_000).to_pandas()
+
+
 def q_dhash_dedup(sf_dir: str) -> pd.DataFrame:
     """Perceptual image dedup (:mod:`ops.phash`): each doc becomes a REAL
     16×16 gray PNG with closed-form pixels ``(g*37 + y*17 + x*29) % 256``
@@ -5051,6 +5062,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
     "dhash_dedup": q_dhash_dedup,
+    "shard_plan": q_shard_plan,
     "group_quantiles": q_group_quantiles,
     "tfidf_terms": q_tfidf_terms,
     "lm_quality": q_lm_quality,
@@ -5589,4 +5601,20 @@ SELECT h.dhash,
        CAST(count(DISTINCT (h.doc_id % 7) * 2 + h.doc_id % 2) AS BIGINT)
            AS n_distinct_payloads
 FROM h GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["shard_plan"] = """
+WITH o AS (
+    SELECT doc_id, n_chars,
+           coalesce(sum(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS off
+    FROM documents
+)
+SELECT CAST(off // 100000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       min(doc_id) AS first_doc
+FROM o GROUP BY 1 ORDER BY 1
 """
