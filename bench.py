@@ -183,6 +183,7 @@ def main() -> None:
         "ngram_jaccard_dedup", "simhash", "bpe_pair_counts", "inverted_index",
         "group_quantiles", "funnel", "distinct_users", "mixture",
         "warc_roundtrip", "ngram_topk", "latest_snapshot", "cdx_index",
+        "bm25_search", "kmeans_clusters", "dhash_dedup", "shard_plan",
     )
     query_steal: dict[str, float] = {}
     for name in query_names:

@@ -34,9 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-SCALE = 10_000
-K1_NUM, K1_DEN = 3, 2  # k1 = 3/2
-B_NUM, B_DEN = 3, 4  # b  = 3/4
+SCALE = 10_000  # k1 = 3/2 and b = 3/4 are folded into the integer formula
 
 
 def _match_rows(ds, terms: tuple[str, ...], text_col: str, id_col: str):
@@ -63,16 +61,19 @@ def _match_rows(ds, terms: tuple[str, ...], text_col: str, id_col: str):
         wh = w.to_numpy(zero_copy_only=False)[hit]
         dh = ids[hit]
         lh = dl_rep[hit]
+        # One corpus-stats sentinel row per block ("" is never a token):
+        # tf carries the block's doc count, dl its nonempty-token count.
+        stats_row = pa.Table.from_arrays(
+            [
+                pa.array([""], pa.string()),
+                pa.array([-1], pa.int64()),
+                pa.array([len(batch)], pa.int64()),
+                pa.array([int(dl_all.sum())], pa.int64()),
+            ],
+            names=["token", id_col, "tf", "dl"],
+        )
         if len(wh) == 0:
-            return pa.Table.from_arrays(
-                [
-                    pa.array([], pa.string()),
-                    pa.array([], pa.int64()),
-                    pa.array([], pa.int64()),
-                    pa.array([], pa.int64()),
-                ],
-                names=["token", id_col, "tf", "dl"],
-            )
+            return stats_row
         wh = wh.astype(str)
         order = np.lexsort((dh, wh))
         wh, dh, lh = wh[order], dh[order], lh[order]
@@ -80,7 +81,7 @@ def _match_rows(ds, terms: tuple[str, ...], text_col: str, id_col: str):
         idx = np.flatnonzero(new)
         tf = np.diff(np.append(idx, len(wh)))
         dls = lh[idx]
-        return pa.Table.from_arrays(
+        out = pa.Table.from_arrays(
             [
                 pa.array(wh[idx].astype(object), pa.string()),
                 pa.array(dh[idx], pa.int64()),
@@ -89,29 +90,9 @@ def _match_rows(ds, terms: tuple[str, ...], text_col: str, id_col: str):
             ],
             names=["token", id_col, "tf", "dl"],
         )
+        return pa.concat_tables([stats_row, out])
 
     return ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
-
-
-def _corpus_stats(ds, text_col: str) -> tuple[int, int]:
-    """(N docs, total nonempty tokens) via per-block partials — two int64s
-    per block cross the wire, nothing else."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        from .text import split_words
-
-        texts = pc.fill_null(batch[text_col], "")
-        words_list = split_words(texts)
-        w = words_list.flatten()
-        n_tok = int(pc.sum(pc.not_equal(w, "")).as_py() or 0)
-        return pa.Table.from_arrays(
-            [pa.array([len(batch)], pa.int64()), pa.array([n_tok], pa.int64())],
-            names=["docs", "toks"],
-        )
-
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    tot = parts.sum(["docs", "toks"])
-    return int(tot["sum(docs)"]), int(tot["sum(toks)"])
 
 
 def bm25_topk(
@@ -136,51 +117,93 @@ def bm25_topk(
     if not all_terms:
         raise ValueError("bm25_topk: queries contain no terms")
 
-    n_docs, n_toks = _corpus_stats(ds, text_col)
+    # ONE corpus scan: match rows + per-block stats sentinels, kept in
+    # the object store for the two consumers below.
+    raw = _match_rows(ds, all_terms, text_col, id_col).materialize()
+
+    def _split(sentinel: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch[id_col], -1)
+            return batch.filter(mask if sentinel else pc.invert(mask))
+
+        return f
+
+    stats = raw.map_batches(_split(True), batch_format="pyarrow").sum(["tf", "dl"])
+    n_docs, n_toks = int(stats["sum(tf)"]), int(stats["sum(dl)"])
     avgdl = max(1, n_toks // max(1, n_docs))
 
-    matches = _match_rows(ds, all_terms, text_col, id_col)
+    matches = raw.map_batches(_split(False), batch_format="pyarrow")
     # Document frequency per query term: a groupby over the match minority.
     df_rows = matches.groupby("token").count().take_all()
     df_by_term = {r["token"]: int(r["count()"]) for r in df_rows}
     terms_sorted = np.array(sorted(df_by_term))
     dfs_sorted = np.array([df_by_term[t] for t in terms_sorted], dtype=np.int64)
 
+    # term → the query ids containing it (a term may serve several
+    # queries; the score stage replicates its match rows per query, so
+    # ONE exchange scores every query at once).
+    qids_by_term: dict[str, list[str]] = {}
+    for qid, terms in q_terms.items():
+        for t in terms:
+            qids_by_term.setdefault(t, []).append(qid)
+
     def score(batch: pa.Table) -> pa.Table:
-        tok = batch["token"].to_numpy(zero_copy_only=False)
+        tok = batch["token"].to_numpy(zero_copy_only=False).astype(str)
         tf = batch["tf"].to_numpy(zero_copy_only=False)
         dl = batch["dl"].to_numpy(zero_copy_only=False)
         # Every match token is a query term: sorted-lookup its global df.
-        dfv = dfs_sorted[np.searchsorted(terms_sorted, tok.astype(str))]
+        dfv = dfs_sorted[np.searchsorted(terms_sorted, tok)]
         num = SCALE * (2 * n_docs - 2 * dfv + 1) * (20 * avgdl) * tf
         den = (2 * dfv + 1) * (8 * avgdl * tf + 3 * avgdl + 9 * dl)
         w = num // den
-        out = {"token": batch["token"], id_col: batch[id_col], "w": pa.array(w)}
-        return pa.Table.from_pydict(out)
-
-    weighted = matches.map_batches(score, batch_format="pyarrow").materialize()
-
-    out_q, out_d, out_s, out_r = [], [], [], []
-    for qid in sorted(q_terms):
-        terms = q_terms[qid]
-        # Arrow-native filter + groupby-sum over the match minority.
-        term_set = pa.array(list(terms), pa.string())
-
-        def keep(batch: pa.Table, _ts=term_set) -> pa.Table:
-            return batch.filter(pc.is_in(batch["token"], value_set=_ts))
-
-        per_doc = (
-            weighted.map_batches(keep, batch_format="pyarrow")
-            .groupby(id_col)
-            .sum("w")
+        reps = np.fromiter(
+            (len(qids_by_term[t]) for t in tok), dtype=np.int64, count=len(tok)
         )
-        top = per_doc.sort(["sum(w)", id_col], descending=[True, False]).limit(k)
-        rows = top.take_all()
-        for i, r in enumerate(rows):
-            out_q.append(qid)
-            out_d.append(int(r[id_col]))
-            out_s.append(int(r["sum(w)"]))
-            out_r.append(i + 1)
+        qid_col = [q for t in tok for q in qids_by_term[t]]
+        return pa.Table.from_arrays(
+            [
+                pa.array(qid_col, pa.string()),
+                pa.array(np.repeat(batch[id_col].to_numpy(zero_copy_only=False), reps)),
+                pa.array(np.repeat(w, reps)),
+            ],
+            names=["query_id", id_col, "w"],
+        )
+
+    per_doc = (
+        matches.map_batches(score, batch_format="pyarrow")
+        .groupby(["query_id", id_col])
+        .sum("w")
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # Per-block top-k per query: bounds the driver merge at
+        # k × num_blocks × num_queries rows.
+        qv = batch["query_id"].to_numpy(zero_copy_only=False).astype(str)
+        dv = batch[id_col].to_numpy(zero_copy_only=False)
+        wv = batch["sum(w)"].to_numpy(zero_copy_only=False)
+        keep_idx = []
+        for q in np.unique(qv):
+            sel = np.flatnonzero(qv == q)
+            order = np.lexsort((dv[sel], -wv[sel]))[:k]
+            keep_idx.extend(sel[order].tolist())
+        return batch.take(pa.array(sorted(keep_idx)))
+
+    rows = per_doc.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    rows.sort(key=lambda r: (r["query_id"], -r["sum(w)"], r[id_col]))
+    out_q, out_d, out_s, out_r = [], [], [], []
+    seen: dict[str, int] = {}
+    for r in rows:
+        qid = r["query_id"]
+        n = seen.get(qid, 0)
+        if n >= k:
+            continue
+        seen[qid] = n + 1
+        out_q.append(qid)
+        out_d.append(int(r[id_col]))
+        out_s.append(int(r["sum(w)"]))
+        out_r.append(n + 1)
     return pa.Table.from_arrays(
         [
             pa.array(out_q, pa.string()),
