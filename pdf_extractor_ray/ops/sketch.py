@@ -162,3 +162,121 @@ def hll_sketch_grouped(ds, group_col: str, col: str, p: int = 12):
         .groupby([group_col, "register"])
         .aggregate(Max("rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): fixed d×w counter state
+# for frequency estimation under the same regime as the HLL above — per-
+# block vectorized partials (np.add.at into the d×w array), ONE groupby-sum
+# over at most blocks × d·w pre-combined rows, nothing corpus-sized moving.
+# The d row-hashes are disjoint bit-slices of the engine's SQL-replicable
+# 64-bit token hash (ops/dedup.py:_token_hash64), so the DuckDB oracle can
+# restate every probed counter exactly: est(t) = min_r sketch[r][slice_r(t)]
+# upper-bounds the true count with one-sided error ≤ e·N/w at confidence
+# 1 - e^-d.
+
+CM_DEPTH = 4
+CM_WIDTH = 1024  # 10 bits per row-slice; 4 × 10 = 40 ≤ 64 hash bits
+
+
+def _cm_cells(hashes: np.ndarray) -> np.ndarray:
+    """(n, d) cell indices: row r uses hash bits [10r, 10r+10)."""
+    h = hashes.astype(np.uint64)
+    return np.stack(
+        [((h >> np.uint64(10 * r)) & np.uint64(CM_WIDTH - 1)) for r in range(CM_DEPTH)],
+        axis=1,
+    ).astype(np.int64)
+
+
+def count_min_sketch(ds, text_col: str = "text"):
+    """Build the d×w sketch over word tokens (corpus tokenization,
+    :func:`..ops.text.split_words`). Returns the dense (d, w) int64 array."""
+    import pyarrow.compute as pc
+
+    from .dedup import _token_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .text import split_words
+
+        texts = pc.fill_null(batch[text_col], "")
+        w = split_words(texts).flatten()
+        toks = w.to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""].astype(str)
+        sk = np.zeros((CM_DEPTH, CM_WIDTH), dtype=np.int64)
+        if len(toks):
+            # hash per DISTINCT token (memoized), then add multiplicities.
+            uniq, counts = np.unique(toks, return_counts=True)
+            hs = np.fromiter(
+                (_token_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            cells = _cm_cells(hs)
+            for r in range(CM_DEPTH):
+                np.add.at(sk[r], cells[:, r], counts)
+        rows = np.repeat(np.arange(CM_DEPTH, dtype=np.int64), CM_WIDTH)
+        cols = np.tile(np.arange(CM_WIDTH, dtype=np.int64), CM_DEPTH)
+        return pa.Table.from_arrays(
+            [pa.array(rows), pa.array(cols), pa.array(sk.ravel())],
+            names=["r", "c", "cnt"],
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["r", "c"])
+        .sum("cnt")
+        .to_pandas()
+        .sort_values(["r", "c"])
+    )
+    return agg["sum(cnt)"].to_numpy().reshape(CM_DEPTH, CM_WIDTH).astype(np.int64)
+
+
+def count_min_estimates(ds, probes: list[str], text_col: str = "text") -> pa.Table:
+    """Sketch the corpus, then report for each probe token the Count-Min
+    estimate, the exact count (one vectorized counting pass over the same
+    corpus — the verification arm), and the overestimate delta."""
+    import pyarrow.compute as pc
+
+    from .dedup import _token_hash64
+
+    sk = count_min_sketch(ds, text_col)
+    probe_arr = pa.array(sorted(set(probes)), pa.string())
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        from .text import split_words
+
+        texts = pc.fill_null(batch[text_col], "")
+        w = split_words(texts).flatten()
+        hitmask = pc.is_in(w, value_set=probe_arr)
+        hits = w.filter(hitmask).to_numpy(zero_copy_only=False).astype(str)
+        uniq, counts = np.unique(hits, return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(uniq.astype(object), pa.string()),
+                pa.array(counts.astype(np.int64)),
+            ],
+            names=["token", "cnt"],
+        )
+
+    exact_rows = (
+        ds.map_batches(exact_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .sum("cnt")
+        .take_all()
+    )
+    exact = {r["token"]: int(r["sum(cnt)"]) for r in exact_rows}
+
+    out_t, out_e, out_x = [], [], []
+    for t in sorted(set(probes)):
+        cells = _cm_cells(np.array([_token_hash64(t)], dtype=np.uint64))[0]
+        est = int(min(sk[r, cells[r]] for r in range(CM_DEPTH)))
+        out_t.append(t)
+        out_e.append(est)
+        out_x.append(exact.get(t, 0))
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_t, pa.string()),
+            pa.array(out_e, pa.int64()),
+            pa.array(out_x, pa.int64()),
+            pa.array(np.array(out_e) - np.array(out_x)),
+        ],
+        names=["token", "cm_estimate", "exact_count", "overestimate"],
+    )

@@ -2228,6 +2228,21 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     return bm25_topk(ds, BM25_QUERIES, k=10).to_pandas()
 
 
+CM_PROBES = ["hash", "join", "spark", "window", "zzzunseen"]
+
+
+def q_count_min(sf_dir: str) -> pd.DataFrame:
+    """Count-Min frequency sketch over corpus tokens (:mod:`ops.sketch`):
+    fixed 4×1024 counters built from per-block vectorized partials, probed
+    for five tokens (incl. one absent) against the exact counts. Every
+    counter is bit-exact — the oracle replays the token hash, all cell
+    updates, and the min-over-rows estimate."""
+    from .ops.sketch import count_min_estimates
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return count_min_estimates(ds, CM_PROBES).to_pandas()
+
+
 def q_shard_plan(sf_dir: str) -> pd.DataFrame:
     """Byte-budgeted shard plan over documents in doc_id order
     (:mod:`ops.shard`): a distributed exclusive prefix sum (one sort, one
@@ -5063,6 +5078,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "dhash_dedup": q_dhash_dedup,
     "shard_plan": q_shard_plan,
+    "count_min": q_count_min,
     "group_quantiles": q_group_quantiles,
     "tfidf_terms": q_tfidf_terms,
     "lm_quality": q_lm_quality,
@@ -5617,4 +5633,55 @@ SELECT CAST(off // 100000 AS BIGINT) AS shard_id,
        CAST(sum(n_chars) AS BIGINT) AS total_bytes,
        min(doc_id) AS first_doc
 FROM o GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["count_min"] = r"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents
+),
+tc AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1),
+probes(token) AS (VALUES
+    ('hash'), ('join'), ('spark'), ('window'), ('zzzunseen')),
+vocab AS (SELECT tok FROM tc UNION SELECT token FROM probes),
+tok_hash AS (
+    SELECT tok, xor(m2, m2 >> 32) AS h
+    FROM (
+        SELECT tok,
+               CAST((CAST(xor(raw, raw >> 29) AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616 AS UBIGINT) AS m2
+        FROM (
+            SELECT tok,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT),
+                           list_transform(range(1, length(tok) + 1),
+                               i -> CAST(unicode(substring(tok, i, 1)) AS HUGEINT))),
+                       (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS raw
+            FROM vocab
+        )
+    )
+),
+rows4 AS (SELECT unnest(range(4)) AS r),
+counters AS (
+    SELECT rows4.r, CAST((th.h >> (10 * rows4.r)) & 1023 AS BIGINT) AS c,
+           sum(tc.cnt) AS total
+    FROM tc JOIN tok_hash th USING (tok) CROSS JOIN rows4
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT p.token,
+           min(coalesce(co.total, 0)) AS cm_estimate
+    FROM probes p
+    JOIN tok_hash th ON th.tok = p.token
+    CROSS JOIN rows4
+    LEFT JOIN counters co
+        ON co.r = rows4.r
+       AND co.c = CAST((th.h >> (10 * rows4.r)) & 1023 AS BIGINT)
+    GROUP BY 1
+)
+SELECT e.token,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(coalesce(tc.cnt, 0) AS BIGINT) AS exact_count,
+       CAST(e.cm_estimate - coalesce(tc.cnt, 0) AS BIGINT) AS overestimate
+FROM est e LEFT JOIN tc ON tc.tok = e.token
+ORDER BY e.token
 """

@@ -532,3 +532,48 @@ class TestGroupedHll:
         for gv, cnt in n.items():
             est = hll_estimate(dense[gv], p=12)
             assert abs(est - cnt) / cnt < 0.1
+
+
+class TestCountMin:
+    """ops/sketch.py Count-Min: estimates upper-bound exact counts, absent
+    tokens collide-or-zero, block layout does not change any counter."""
+
+    def _corpus(self):
+        texts = [
+            "hash join spark window hash hash",
+            "join join window tiny hash",
+            "spark spark spark window window window",
+            "",
+            "unrelated filler words here hash",
+        ] * 7
+        return pa.table({"text": texts})
+
+    def test_upper_bound_and_exact_arm(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import count_min_estimates
+
+        ds = rd.from_arrow(self._corpus()).repartition(4)
+        out = count_min_estimates(ds, ["hash", "join", "spark", "zzzunseen"])
+        rows = {r["token"]: r for r in out.to_pylist()}
+        assert rows["hash"]["exact_count"] == 5 * 7
+        assert rows["join"]["exact_count"] == 3 * 7
+        assert rows["spark"]["exact_count"] == 4 * 7
+        assert rows["zzzunseen"]["exact_count"] == 0
+        for r in rows.values():
+            # one-sided error: Count-Min never under-estimates
+            assert r["cm_estimate"] >= r["exact_count"]
+            assert r["overestimate"] == r["cm_estimate"] - r["exact_count"]
+
+    def test_block_layout_invariant(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import count_min_sketch
+
+        tbl = self._corpus()
+        a = count_min_sketch(rd.from_arrow(tbl).repartition(1))
+        b = count_min_sketch(rd.from_arrow(tbl).repartition(9))
+        assert (a == b).all()
+        # total mass per row == total token count
+        total = sum(len(t.split()) for t in tbl["text"].to_pylist())
+        assert (a.sum(axis=1) == total).all()
