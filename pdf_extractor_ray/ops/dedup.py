@@ -153,6 +153,98 @@ def exact_dedup_large(
     return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
+def canonical_select(
+    ds,
+    text_col: str = "text",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    loser_cap: int = 20_000_000,
+    bloom_bits: int = 1 << 27,
+):
+    """Canonical selection: per whitespace-normalized text key keep the
+    single BEST row (max ``score_col``, ties → min ``id_col``) instead of
+    :func:`exact_dedup_large`'s first-by-id. The curation use case: near-
+    identical formatting variants of a page dedup to the highest-quality
+    capture rather than an arbitrary one.
+
+    Same exchange shape as :func:`exact_dedup_large` — only
+    ``(key_hash, score, id)`` rows (~56 bytes) enter the one sort; the
+    per-segment argmax is the segment HEAD under within-ordering
+    ``(score desc, id asc)``, every other row is a loser; loser ids are
+    broadcast for a vectorized ``is_in`` anti-join (Bloom + sorted-lookup
+    semi-join past ``loser_cap``). Payload text never shuffles.
+
+    The normalization key is RE2-replicable so a SQL oracle can restate
+    it exactly: runs of ASCII whitespace ``[\\t\\n\\r\\f ]+`` collapse to
+    one space, then edge spaces trim (``trim(regexp_replace(text,
+    '[\\t\\n\\r\\f ]+', ' ', 'g'))``).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .segments import sorted_segment_apply
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.fill_null(batch[text_col], ""), pattern="[\t\n\r\f ]+",
+                replacement=" ",
+            ),
+            characters=" ",
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(content_hash_batch(norm.to_pylist()), pa.string()),
+                batch[score_col].combine_chunks(),
+                batch[id_col].combine_chunks(),
+            ],
+            names=["__ckey__", score_col, id_col],
+        )
+
+    def losers_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        # Within each key segment rows arrive (score desc, id asc): the
+        # head is the canonical winner, the rest are losers — the same
+        # coverage-diff index arithmetic as exact_dedup_large.
+        n = batch.num_rows
+        cover = np.zeros(n + 1, np.int64)
+        np.add.at(cover, starts, 1)
+        np.add.at(cover, ends, -1)
+        inseg = np.cumsum(cover[:-1]) > 0
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        idx = np.flatnonzero(inseg & ~is_start)
+        return batch.select([id_col]).take(pa.array(idx))
+
+    losers_ds = sorted_segment_apply(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        key_col="__ckey__",
+        block_fn=losers_block,
+        within_cols=[score_col, id_col],
+        descending=[True, False],
+    )
+    loser_chunks = []
+    n_losers = 0
+    over = False
+    for batch in losers_ds.iter_batches(batch_format="pyarrow"):
+        n_losers += batch.num_rows
+        if n_losers > loser_cap:
+            over = True
+            break
+        loser_chunks.extend(c for c in batch.column(id_col).chunks if len(c))
+    if over:
+        return _exact_dedup_bloom_anti(ds, losers_ds, id_col, bloom_bits=bloom_bits)
+    if not loser_chunks:
+        return ds
+    loser_ref = ray.put(pa.concat_arrays(loser_chunks))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(loser_ref)
+        mask = pa.compute.invert(pa.compute.is_in(batch[id_col], value_set=value_set))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
+
+
 def _exact_dedup_bloom_anti(ds, losers_ds, id_col: str, bloom_bits: int):
     """Over-``loser_cap`` regime of :func:`exact_dedup_large`: stream the
     loser ids through a fixed-size driver Bloom (one pass, bounded

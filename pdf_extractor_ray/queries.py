@@ -1414,6 +1414,38 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_canonical_select(sf_dir: str) -> pd.DataFrame:
+    """Canonical selection (:func:`ops.dedup.canonical_select`): documents ∪
+    a whitespace-variant copy (``text + "\\n "``, score ``n_chars + 2``, id
+    shifted) dedup by the whitespace-normalized key keeping the BEST row —
+    max score, ties min id — so every variant beats its original. The
+    oracle restates the normalization with the identical RE2 class and
+    ranks with ``row_number() OVER (... ORDER BY n_chars DESC, doc_id)``."""
+    from .ops.dedup import canonical_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def variant(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.add(batch["doc_id"], pa.scalar(100_000, pa.int64())),
+                pc.binary_join_element_wise(
+                    pc.fill_null(batch["text"], ""), "\n ", ""
+                ),
+                pc.add(batch["n_chars"], pa.scalar(2, pa.int64())),
+            ],
+            names=["doc_id", "text", "n_chars"],
+        )
+
+    both = ds.union(ds.map_batches(variant, batch_format="pyarrow"))
+    out = (
+        canonical_select(both, score_col="n_chars")
+        .select_columns(["doc_id", "n_chars"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_streaming_dedup(sf_dir: str) -> pd.DataFrame:
     """Streaming-shaped exact dedup: documents ∪ copies replayed as
     doc_id-ordered micro-batches through the sharded seen-key index
@@ -3796,6 +3828,23 @@ ORACLE_SQL["asof_join_salted"] = """
 # exactly the batch exact-dedup semantics.
 ORACLE_SQL["streaming_dedup"] = ORACLE_SQL["exact_dedup"]
 
+ORACLE_SQL["canonical_select"] = r"""
+WITH unioned AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, coalesce(text, '') || chr(10) || ' ', n_chars + 2
+    FROM documents
+),
+k AS (
+    SELECT doc_id, n_chars,
+           trim(regexp_replace(coalesce(text, ''), '[\t\n\r\f ]+', ' ', 'g')) AS ck
+    FROM unioned
+)
+SELECT doc_id, n_chars FROM k
+QUALIFY row_number() OVER (PARTITION BY ck ORDER BY n_chars DESC, doc_id) = 1
+ORDER BY doc_id
+"""
+
 # 64-bit mulmod without INT128 overflow: a*B mod 2^64 =
 # (a_lo*B + ((a_hi * B_lo mod 2^32) << 32)) mod 2^64 — every partial fits.
 def _splitmix_sql(src: str, key: str, salt: int, carry: str) -> str:
@@ -5042,6 +5091,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "scrub_pii": q_scrub_pii,
     "exact_dedup": q_exact_dedup,
+    "canonical_select": q_canonical_select,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
     "paragraph_dedup": q_paragraph_dedup,

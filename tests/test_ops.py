@@ -1024,6 +1024,66 @@ class TestExactDedupLarge:
         assert len(base) == len(set(r["text"] for r in rows))
 
 
+class TestCanonicalSelect:
+    """ops/dedup.py canonical_select: per whitespace-normalized key keep
+    max-score (ties min id); payload never shuffles; over-cap Bloom regime
+    matches the broadcast regime."""
+
+    def _rows(self):
+        # three ws-variants of one page (scores 5/9/9), one exact pair
+        # (equal scores -> min id), one singleton
+        return [
+            {"doc_id": 1, "text": "hello  world", "n_chars": 5},
+            {"doc_id": 2, "text": "hello world", "n_chars": 9},
+            {"doc_id": 3, "text": " hello\nworld ", "n_chars": 9},
+            {"doc_id": 4, "text": "dup page", "n_chars": 3},
+            {"doc_id": 5, "text": "dup page", "n_chars": 3},
+            {"doc_id": 6, "text": "unique", "n_chars": 1},
+        ]
+
+    def test_argmax_and_ties(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import canonical_select
+
+        ds = rd.from_items(self._rows()).repartition(3)
+        out = canonical_select(ds, score_col="n_chars").to_pandas()
+        assert sorted(out["doc_id"]) == [2, 4, 6]
+        assert "text" in out.columns  # full surviving rows
+
+    def test_bloom_regime_matches(self, ray_session):
+        import ray.data as rd
+        from pdf_extractor_ray.ops.dedup import canonical_select
+
+        rng = np.random.Generator(np.random.Philox(29))
+        rows = [
+            {
+                "doc_id": i,
+                "text": f"page {int(rng.integers(0, 40))}" + " " * int(rng.integers(0, 3)),
+                "n_chars": int(rng.integers(0, 100)),
+            }
+            for i in range(200)
+        ]
+        ds = rd.from_items(rows).repartition(6)
+        base = (
+            canonical_select(ds, score_col="n_chars")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        over = canonical_select(ds, score_col="n_chars", loser_cap=1).to_pandas()
+        over = over[base.columns].sort_values("doc_id").reset_index(drop=True)
+        for c in base.columns:
+            over[c] = over[c].astype(base[c].dtype)
+        assert base.equals(over)
+        # exactly one survivor per normalized key, and it is the argmax
+        expect = sorted(
+            min(
+                (r for r in rows if " ".join(r["text"].split()) == k),
+                key=lambda r: (-r["n_chars"], r["doc_id"]),
+            )["doc_id"]
+            for k in {" ".join(r["text"].split()) for r in rows}
+        )
+        assert base["doc_id"].tolist() == expect
+
+
 class TestIVFRecall:
     def test_recall_at_10_vs_exact(self, ray_session):
         """IVF with n_probe=4/16 lists must keep reasonable recall@10
