@@ -82,3 +82,62 @@ def embed_documents(ds, dim: int = 64, concurrency=(1, 8), batch_size: int = 512
         },
         concurrency=concurrency,
     )
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Int8 symmetric (max-abs) quantization of an embedding column — the
+    standard memory-reduction step before ANN serving (a 64-dim float32
+    vector becomes 64 bytes + one scale; 4x smaller, distance rankings
+    approximately preserved).
+
+    Integer-exact by construction so a SQL oracle can replay every output
+    bit: floats enter through the engine's established fixed-point map
+    ``floor((float64(e) + OFFSET) * SCALE)`` (ops/cluster.py — the offset
+    keeps the pre-centered value positive so floor is unambiguous), are
+    re-centered to ``c = v - OFFSET*SCALE``, and quantize as
+
+        q_i = sign(c_i) * ((127 * |c_i|) // max_j |c_j|)
+
+    — truncation toward zero via non-negative floor division only, which
+    numpy and DuckDB agree on unconditionally. An all-zero vector gets
+    ``scale = 0`` and zeros. The reconstruction-error checksum
+    ``sum_i |127*c_i - q_i*scale|`` pins every element through the oracle
+    without shipping list columns.
+
+    Shape: ONE ``map_batches`` pass, zero-copy FixedSizeList/list decode,
+    no exchange — embarrassingly parallel at any corpus size. Emits
+    ``(id, scale, q_min, q_max, q_sum, q_l1, err_sum)``; serving layouts
+    would instead attach the int8 list column (same kernel, one cast).
+    """
+    from .cluster import OFFSET, SCALE, _quantize
+
+    center = int(OFFSET * SCALE)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 7,
+                names=[id_col, "scale", "q_min", "q_max", "q_sum", "q_l1", "err_sum"],
+            )
+        c = _quantize(batch, vec_col) - center
+        absc = np.abs(c)
+        m = absc.max(axis=1)
+        safe = np.maximum(m, 1)
+        q = np.sign(c) * (127 * absc // safe[:, None])
+        err = np.abs(127 * c - q * m[:, None]).sum(axis=1)
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                ids,
+                pa.array(m),
+                pa.array(q.min(axis=1)),
+                pa.array(q.max(axis=1)),
+                pa.array(q.sum(axis=1)),
+                pa.array(np.abs(q).sum(axis=1)),
+                pa.array(err),
+            ],
+            names=[id_col, "scale", "q_min", "q_max", "q_sum", "q_l1", "err_sum"],
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -1852,6 +1852,19 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Int8 max-abs embedding quantization (:func:`ops.embed.
+    quantize_embeddings`): one shuffle-free zero-copy pass; every output —
+    per-vector scale, q min/max/sum/L1 and the reconstruction-error
+    checksum — is integer-exact, so the oracle replays the fixed-point
+    map, the truncating division, and the error sum bit-for-bit."""
+    from .ops.embed import quantize_embeddings
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantize_embeddings(ds).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
     """Per-label embedding stats (vector column handling + pre-aggregated
     groupby; dims as int so the oracle hash is float-free)."""
@@ -3828,6 +3841,38 @@ ORACLE_SQL["asof_join_salted"] = """
 # exactly the batch exact-dedup semantics.
 ORACLE_SQL["streaming_dedup"] = ORACLE_SQL["exact_dedup"]
 
+ORACLE_SQL["quantize_embeddings"] = r"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               e -> CAST(floor((CAST(e AS DOUBLE) + 2) * 1000000) AS BIGINT)
+                    - 2000000) AS c
+    FROM embeddings
+),
+mm AS (
+    SELECT vec_id, c,
+           coalesce(list_max(list_transform(c, x -> abs(x))), 0) AS m
+    FROM q
+),
+qq AS (
+    SELECT vec_id, c, m,
+           list_transform(c, x -> CASE
+               WHEN m = 0 THEN 0
+               WHEN x < 0 THEN -((127 * (-x)) // m)
+               ELSE (127 * x) // m END) AS qv
+    FROM mm
+)
+SELECT vec_id,
+       CAST(m AS BIGINT) AS scale,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_sum(list_transform(list_zip(c, qv),
+            p -> abs(127 * p[1] - p[2] * m))) AS BIGINT) AS err_sum
+FROM qq ORDER BY vec_id
+"""
+
 ORACLE_SQL["canonical_select"] = r"""
 WITH unioned AS (
     SELECT doc_id, text, n_chars FROM documents
@@ -5092,6 +5137,7 @@ QUERIES = {
     "scrub_pii": q_scrub_pii,
     "exact_dedup": q_exact_dedup,
     "canonical_select": q_canonical_select,
+    "quantize_embeddings": q_quantize_embeddings,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
     "paragraph_dedup": q_paragraph_dedup,

@@ -94,3 +94,57 @@ def test_kmeans_k_exceeding_n(ray_session):
     assert [r["n_members"] for r in out] == [1, 1]
     assert [r["min_vec_id"] for r in out] == [5, 9]
     assert all(r["checksum"] == 0 for r in out)
+
+
+class TestQuantizeEmbeddings:
+    """ops/embed.py quantize_embeddings: int8 range, element-level
+    agreement with a brute-force reference, zero-vector edge."""
+
+    def test_brute_force_agreement(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.cluster import OFFSET, SCALE
+        from pdf_extractor_ray.ops.embed import quantize_embeddings
+
+        rng = np.random.Generator(np.random.Philox(17))
+        vecs = rng.normal(scale=0.4, size=(60, 16)).astype(np.float32)
+        tbl = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = (
+            quantize_embeddings(rd.from_arrow(tbl).repartition(5))
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        center = int(OFFSET * SCALE)
+        for i, v in enumerate(vecs):
+            c = np.floor((v.astype(np.float64) + OFFSET) * SCALE).astype(np.int64) - center
+            m = int(np.abs(c).max())
+            q = np.sign(c) * (127 * np.abs(c) // max(m, 1))
+            assert out.loc[i, "scale"] == m
+            assert out.loc[i, "q_min"] == q.min()
+            assert out.loc[i, "q_max"] == q.max()
+            assert out.loc[i, "q_sum"] == q.sum()
+            assert out.loc[i, "q_l1"] == np.abs(q).sum()
+            assert out.loc[i, "err_sum"] == np.abs(127 * c - q * m).sum()
+            assert -127 <= q.min() and q.max() <= 127
+            # per-element reconstruction error bound: |127*c - q*m| < m
+            assert (np.abs(127 * c - q * m) < max(m, 1)).all()
+
+    def test_zero_vector(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.embed import quantize_embeddings
+
+        tbl = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([[0.0, 0.0, 0.0]], pa.list_(pa.float32())),
+            }
+        )
+        r = quantize_embeddings(rd.from_arrow(tbl)).take_all()[0]
+        assert r["scale"] == 0 and r["q_sum"] == 0 and r["err_sum"] == 0
