@@ -144,3 +144,126 @@ def snapshot_diff(old_ds, new_ds, key_col: str = "url", content_col: str = "text
         )
 
     return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def _lev_bytes(a: bytes, b: bytes) -> int:
+    """Byte-level Levenshtein via the two-row numpy DP (the char-level
+    twin lives in functions/similarity.py:51). Byte semantics match
+    DuckDB's ``levenshtein`` (which edits UTF-8 code units, e.g.
+    'café'→'cafe' costs 2), so the SQL oracle replays this exactly."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    if len(a) < len(b):
+        a, b = b, a
+    arr_b = np.frombuffer(b, dtype=np.uint8)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    curr = np.empty_like(prev)
+    idx = np.arange(len(b) + 1, dtype=np.int64)
+    for i, ch in enumerate(a, start=1):
+        curr[0] = i
+        cost = (arr_b != ch).astype(np.int64)
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=curr[1:])
+        curr = np.minimum.accumulate(curr - idx) + idx
+        prev, curr = curr, prev
+    return int(prev[-1])
+
+
+def snapshot_edit_distance(
+    old_ds, new_ds, key_col: str = "url", content_col: str = "text"
+):
+    """Per-key byte-level edit distance between two snapshots, computed
+    ONLY for the changed minority → (key, edit_distance, bytes_old,
+    bytes_new), one row per key present on both sides with differing
+    content.
+
+    Two phases, mirroring ``snapshot_diff``'s cost discipline:
+
+    1. **Find the changed set without moving payloads** — each side
+       reduces to (key, side, 8-byte hash) in ``map_batches``; one
+       groupby-aggregate yields the keys with both sides present and
+       hash mismatch. On a recrawl corpus this is the small minority.
+    2. **Pair texts for changed keys only** — both sides' full rows
+       semi-join against the changed-key table (sorted-lookup
+       ``attach_lookup``; the unchanged majority's text never enters an
+       exchange), then ONE (key, side) sort co-locates each pair and a
+       per-segment kernel runs the two-row numpy byte DP.
+
+    The pairwise DP is O(len_old·len_new) per changed key — cap content
+    length upstream (the query truncates) when documents are unbounded.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .segments import attach_lookup, sorted_segment_apply
+
+    tagged_h = _hash_side(old_ds, key_col, content_col, 1).union(
+        _hash_side(new_ds, key_col, content_col, 2)
+    )
+    agg = tagged_h.groupby("k").aggregate(Sum("side"), Min("h"), Max("h"))
+
+    def changed_only(batch: pa.Table) -> pa.Table:
+        s = batch["sum(side)"].to_numpy()
+        diff = pc.not_equal(batch["min(h)"], batch["max(h)"]).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (s == 3) & diff
+        return pa.Table.from_arrays(
+            [batch["k"].filter(pa.array(keep))], names=[key_col]
+        )
+
+    changed = agg.map_batches(changed_only, batch_format="pyarrow")
+
+    def tag(ds, side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_arrays(
+                [
+                    batch[key_col].combine_chunks().cast(pa.string()),
+                    pa.array(np.full(n, side, dtype=np.int8)),
+                    pc.fill_null(batch[content_col], "").cast(pa.string()),
+                ],
+                names=[key_col, "side", content_col],
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    pairs = attach_lookup(
+        tag(old_ds, 1).union(tag(new_ds, 2)),
+        changed,
+        key_col=key_col,
+        val_cols=[],
+        carry_cols=["side", content_col],
+    )
+
+    out_names = [key_col, "edit_distance", "bytes_old", "bytes_new"]
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        keys, dists, b_old, b_new = [], [], [], []
+        if len(starts):
+            kcol = batch[key_col].to_pylist()
+            texts = batch[content_col].to_pylist()
+            for s, e in zip(starts, ends):
+                if e - s != 2:  # defensive: changed ⇒ exactly one row/side
+                    continue
+                old_b = (texts[s] or "").encode()
+                new_b = (texts[s + 1] or "").encode()
+                keys.append(kcol[s])
+                dists.append(_lev_bytes(old_b, new_b))
+                b_old.append(len(old_b))
+                b_new.append(len(new_b))
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, pa.string()),
+                pa.array(dists, pa.int64()),
+                pa.array(b_old, pa.int64()),
+                pa.array(b_new, pa.int64()),
+            ],
+            names=out_names,
+        )
+
+    return sorted_segment_apply(
+        pairs, key_col=key_col, block_fn=kernel, within_cols=["side"]
+    )

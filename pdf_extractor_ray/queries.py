@@ -5092,6 +5092,44 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_snapshot_edit_distance(sf_dir: str) -> pd.DataFrame:
+    """Byte-level edit distance between two crawl captures of each url
+    (:func:`ops.snapshots.snapshot_edit_distance`): old = every url except
+    doc_id%5, new = every url except doc_id%7 with 'a'→'@' rewrites on
+    doc_id%3; texts truncate to 1000 chars before diffing. Phase 1 finds
+    the changed minority by hash (payloads stay put); phase 2 pairs ONLY
+    those texts through one (url, side) sort and runs the numpy byte DP
+    per pair. Oracle: DuckDB's native ``levenshtein`` (UTF-8 code-unit
+    semantics — matched by the byte-level kernel) over the same join."""
+    from .ops.snapshots import snapshot_edit_distance
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(old: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"].to_numpy())
+            keep = (ids % 5 != 0) if old else (ids % 7 != 0)
+            texts = batch["text"].to_pylist()
+            urls, out = [], []
+            for i, t, k in zip(ids, texts, keep):
+                if not k:
+                    continue
+                t = (t or "")[:1000]
+                urls.append(f"doc://{i:08d}")
+                out.append(t if old or i % 3 else t.replace("a", "@"))
+            return pa.Table.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(out, pa.string())],
+                names=["url", "text"],
+            )
+
+        return fn
+
+    old_ds = docs.map_batches(side(True), batch_format="pyarrow")
+    new_ds = docs.map_batches(side(False), batch_format="pyarrow")
+    df = snapshot_edit_distance(old_ds, new_ds).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "orders_topk": q_orders_topk,
@@ -5138,6 +5176,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "canonical_select": q_canonical_select,
     "quantize_embeddings": q_quantize_embeddings,
+    "snapshot_edit_distance": q_snapshot_edit_distance,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
     "paragraph_dedup": q_paragraph_dedup,
@@ -5455,6 +5494,28 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["snapshot_edit_distance"] = """
+WITH base AS (
+    SELECT doc_id,
+           'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+           substring(coalesce(text, ''), 1, 1000) AS t
+    FROM documents
+),
+o AS (SELECT url, t FROM base WHERE doc_id % 5 <> 0),
+n AS (
+    SELECT url,
+           CASE WHEN doc_id % 3 = 0 THEN replace(t, 'a', '@') ELSE t END AS t
+    FROM base WHERE doc_id % 7 <> 0
+)
+SELECT o.url,
+       CAST(levenshtein(o.t, n.t) AS BIGINT) AS edit_distance,
+       CAST(strlen(o.t) AS BIGINT) AS bytes_old,
+       CAST(strlen(n.t) AS BIGINT) AS bytes_new
+FROM o JOIN n USING (url)
+WHERE o.t <> n.t
+ORDER BY o.url
 """
 
 ORACLE_SQL["extract_charset"] = """

@@ -89,3 +89,63 @@ class TestSnapshotDiff:
             rd.from_arrow(old), rd.from_arrow(new), content_col="html"
         ).to_pandas()
         assert out["status"].tolist() == ["changed"]
+
+
+class TestSnapshotEditDistance:
+    """ops/snapshots.py snapshot_edit_distance: changed-only rows, byte
+    (UTF-8 code unit) semantics, DP kernel vs brute force, layouts."""
+
+    def test_changed_only_and_values(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import snapshot_edit_distance
+
+        old = rd.from_items(
+            [
+                {"url": "a", "text": "kitten"},
+                {"url": "b", "text": "same text"},
+                {"url": "c", "text": "old only"},
+                {"url": "d", "text": "café"},
+            ]
+        ).repartition(2)
+        new = rd.from_items(
+            [
+                {"url": "a", "text": "sitting"},
+                {"url": "b", "text": "same text"},
+                {"url": "e", "text": "new only"},
+                {"url": "d", "text": "cafe"},
+            ]
+        ).repartition(3)
+        out = (
+            snapshot_edit_distance(old, new)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        # b unchanged, c removed, e added -> only a and d appear
+        assert out["url"].tolist() == ["a", "d"]
+        assert out["edit_distance"].tolist() == [3, 2]  # café→cafe = 2 BYTES
+        assert out["bytes_old"].tolist() == [6, 5]      # é is 2 bytes
+        assert out["bytes_new"].tolist() == [7, 4]
+
+    def test_dp_matches_brute_force(self):
+        import itertools
+
+        from pdf_extractor_ray.ops.snapshots import _lev_bytes
+
+        def brute(a: bytes, b: bytes) -> int:
+            d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(len(a) + 1):
+                d[i][0] = i
+            for j in range(len(b) + 1):
+                d[0][j] = j
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    d[i][j] = min(
+                        d[i - 1][j] + 1,
+                        d[i][j - 1] + 1,
+                        d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+            return d[len(a)][len(b)]
+
+        words = [b"", b"a", b"ab", b"abc", b"bca", b"aabbcc", b"ccbbaa", b"abcabc"]
+        for a, b in itertools.product(words, repeat=2):
+            assert _lev_bytes(a, b) == brute(a, b), (a, b)
