@@ -1551,3 +1551,182 @@ def nfc_normalize(ds, text_col: str = "text"):
     return ds.map_batches(
         lambda b: nfc_batch(b, text_col=text_col), batch_format="pyarrow"
     )
+
+
+def pmi_topk(
+    ds,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+):
+    """Top-``k`` word bigrams by pointwise mutual information — the classic
+    phrase-detection signal (Mikolov et al. 2013 use the same ratio to join
+    "new york" before word2vec training). PMI's monotone core is kept as an
+    exact scaled integer (the engine's drop-the-log trick, ops/search.py):
+
+        pmi_scaled = floor(scale * c(x,y) * N / (c(x) * c(y)))
+
+    Exchange shape: the two vocabulary-sized count exchanges (bigram and
+    unigram totals, both per-block pre-combined), then the unigram counts
+    attach to the surviving bigram rows via two sorted-lookup joins
+    (:func:`..segments.attach_lookup`) — only bigrams with
+    ``c(x,y) >= min_count`` (the selective minority; hapax pairs dominate
+    raw bigram vocabulary) carry through. Scoring multiplies three
+    corpus-scale counts, so the kernel uses exact Python ints over the
+    filtered vocabulary rows (never corpus rows); results ≤ scale·N fit
+    int64. Global top-k = per-block partial top-k merged on the driver
+    (exact once counts are global), tiebreak bigram asc.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .segments import attach_lookup
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = split_words(texts)
+        w = words_list.flatten().to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(reps)), reps)
+        keep = w != ""
+        w, doc = w[keep].astype(str), doc[keep]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64())],
+            names=["x", "y", "cnt"],
+        )
+        if len(w) < 2:
+            return empty
+        m = len(w) - 1
+        valid = doc[:m] == doc[1:]
+        pairs = np.char.add(np.char.add(w[:m], " "), w[1:])[valid]
+        if not len(pairs):
+            return empty
+        u, c = np.unique(pairs, return_counts=True)
+        parts = np.char.partition(u.astype(str), " ")
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(object), pa.string()),
+                pa.array(c, pa.int64()),
+            ],
+            names=["x", "y", "cnt"],
+        )
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        w = split_words(texts).flatten()
+        toks = w.to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""].astype(str)
+        u, c = np.unique(toks, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()), pa.array(c, pa.int64())],
+            names=["tok", "cnt"],
+        )
+
+    uni = (
+        ds.map_batches(unigram_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("tok")
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["tok", "c"]), batch_format="pyarrow"
+        )
+        .materialize()  # consumed three times (N + two lookups)
+    )
+    n_total = int(uni.sum("c"))
+
+    bg = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["x", "y"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["x", "y", "cxy"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cxy"], min_count)),
+            batch_format="pyarrow",
+        )
+    )
+
+    with_cx = attach_lookup(
+        bg.map_batches(
+            lambda t: t.rename_columns(["tok", "y", "cxy"]),
+            batch_format="pyarrow",
+        ),
+        uni,
+        key_col="tok",
+        val_cols=["c"],
+        carry_cols=["y", "cxy"],
+    ).map_batches(
+        lambda t: t.rename_columns(["x", "y", "cxy", "cx"]),
+        batch_format="pyarrow",
+    )
+    scored_in = attach_lookup(
+        with_cx.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["y"], t["x"], t["cxy"], t["cx"]],
+                names=["tok", "x", "cxy", "cx"],
+            ),
+            batch_format="pyarrow",
+        ),
+        uni,
+        key_col="tok",
+        val_cols=["c"],
+        carry_cols=["x", "cxy", "cx"],
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ys = batch["tok"].to_pylist()
+        xs = batch["x"].to_pylist()
+        cxy = batch["cxy"].to_pylist()
+        cx = batch["cx"].to_pylist()
+        cy = batch["c"].to_pylist()
+        # exact big-int arithmetic over vocabulary rows (bounded by the
+        # filtered bigram vocabulary, never the corpus)
+        pmi = [
+            (scale * int(a) * n_total) // (int(b) * int(d))
+            for a, b, d in zip(cxy, cx, cy)
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    [f"{x} {y}" for x, y in zip(xs, ys)], pa.string()
+                ),
+                pa.array(np.asarray(cxy, dtype=np.int64)),
+                pa.array(np.asarray(pmi, dtype=np.int64)),
+            ],
+            names=["bigram", "cnt", "pmi_scaled"],
+        )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        gr = np.asarray(batch["bigram"].to_pylist(), dtype=object)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        p = batch["pmi_scaled"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gr, -p))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(gr[order].astype(str), pa.string()),
+                pa.array(c[order], pa.int64()),
+                pa.array(p[order], pa.int64()),
+            ],
+            names=["bigram", "cnt", "pmi_scaled"],
+        )
+
+    partials = (
+        scored_in.map_batches(score, batch_format="pyarrow")
+        .map_batches(topk_partial, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )  # ≤ blocks × k tiny rows
+    cand = sorted(
+        {(-r["pmi_scaled"], r["bigram"], r["cnt"]) for r in partials}
+    )[:k]
+    return pd.DataFrame(
+        {
+            "bigram": [g for _, g, _ in cand],
+            "cnt": [c for _, _, c in cand],
+            "pmi_scaled": [-negp for negp, _, _ in cand],
+            "rank": list(range(1, len(cand) + 1)),
+        }
+    ).astype({"cnt": "int64", "pmi_scaled": "int64", "rank": "int32"})

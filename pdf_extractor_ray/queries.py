@@ -5092,6 +5092,19 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Top-20 bigrams by scaled-integer PMI with min-count 5
+    (:func:`ops.text.pmi_topk`): two vocabulary count exchanges, unigram
+    counts attached to the filtered bigram minority via two sorted-lookup
+    joins, exact big-int scoring, per-block partial top-k merged on the
+    driver. Oracle replays the identical floor((scale·cxy·N)/(cx·cy)) in
+    HUGEINT."""
+    from .ops.text import pmi_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return pmi_topk(ds, k=20, min_count=5)
+
+
 def q_snapshot_edit_distance(sf_dir: str) -> pd.DataFrame:
     """Byte-level edit distance between two crawl captures of each url
     (:func:`ops.snapshots.snapshot_edit_distance`): old = every url except
@@ -5177,6 +5190,7 @@ QUERIES = {
     "canonical_select": q_canonical_select,
     "quantize_embeddings": q_quantize_embeddings,
     "snapshot_edit_distance": q_snapshot_edit_distance,
+    "pmi_bigrams": q_pmi_bigrams,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
     "paragraph_dedup": q_paragraph_dedup,
@@ -5494,6 +5508,37 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["pmi_bigrams"] = r"""
+WITH ws AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents
+),
+uni AS (
+    SELECT tok, count(*) AS c
+    FROM (SELECT unnest(w) AS tok FROM ws) GROUP BY 1
+),
+nt AS (SELECT sum(c) AS n FROM uni),
+bg AS (
+    SELECT w[CAST(i AS INTEGER)] AS x, w[CAST(i AS INTEGER) + 1] AS y
+    FROM ws, LATERAL unnest(range(1, len(w))) AS t(i)
+),
+bgc AS (
+    SELECT x, y, count(*) AS cxy FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+),
+scored AS (
+    SELECT bgc.x || ' ' || bgc.y AS bigram,
+           CAST(bgc.cxy AS BIGINT) AS cnt,
+           CAST((1000000 * CAST(bgc.cxy AS HUGEINT) * nt.n)
+                // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS pmi_scaled
+    FROM bgc
+    JOIN uni ux ON ux.tok = bgc.x
+    JOIN uni uy ON uy.tok = bgc.y
+    CROSS JOIN nt
+)
+SELECT bigram, cnt, pmi_scaled,
+       CAST(row_number() OVER (ORDER BY pmi_scaled DESC, bigram) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 20 ORDER BY rank
 """
 
 ORACLE_SQL["snapshot_edit_distance"] = """

@@ -381,3 +381,71 @@ class TestGopherRules:
         out = gopher_rules_batch(t)
         assert out["passes"].to_pylist() == [False, False]
         assert out["n_words"].to_pylist() == [0, 0]
+
+
+class TestPmiTopk:
+    """ops/text.py pmi_topk: exact scaled-PMI vs a brute-force reference,
+    min_count filter, doc-boundary safety, layout independence."""
+
+    TEXTS = [
+        "new york new york city",
+        "san francisco and new york",
+        "san francisco fog",
+        "the city and the fog and the bay",
+        "new york minute",
+        "",
+    ] * 3
+
+    def _brute(self, texts, k, min_count, scale=1_000_000):
+        from collections import Counter
+
+        uni, bi = Counter(), Counter()
+        for t in texts:
+            w = t.lower().split()
+            uni.update(w)
+            bi.update(zip(w, w[1:]))
+        n = sum(uni.values())
+        scored = [
+            (f"{x} {y}", c, (scale * c * n) // (uni[x] * uni[y]))
+            for (x, y), c in bi.items()
+            if c >= min_count
+        ]
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        return scored[:k]
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import pmi_topk
+
+        ds = rd.from_items([{"text": t} for t in self.TEXTS]).repartition(4)
+        out = pmi_topk(ds, k=5, min_count=3)
+        expect = self._brute(self.TEXTS, k=5, min_count=3)
+        assert list(zip(out["bigram"], out["cnt"], out["pmi_scaled"])) == expect
+        assert out["rank"].tolist() == list(range(1, len(expect) + 1))
+
+    def test_no_cross_doc_bigrams(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import pmi_topk
+
+        # "b a" only ever appears across document boundaries
+        ds = rd.from_items([{"text": "a b"}] * 6).repartition(3)
+        out = pmi_topk(ds, k=10, min_count=1)
+        assert out["bigram"].tolist() == ["a b"]
+        assert out["cnt"].tolist() == [6]
+
+    def test_layout_independent(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import pmi_topk
+
+        a = pmi_topk(
+            rd.from_items([{"text": t} for t in self.TEXTS]).repartition(1),
+            k=8, min_count=2,
+        )
+        b = pmi_topk(
+            rd.from_items([{"text": t} for t in self.TEXTS]).repartition(7),
+            k=8, min_count=2,
+        )
+        assert a.equals(b)
