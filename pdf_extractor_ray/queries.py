@@ -15,6 +15,8 @@ Nothing here calls ``ray.init`` — the driver owns the session.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -5092,6 +5094,38 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """The END-TO-END curation composition (:mod:`ops.curate`): C4 clean →
+    Gopher quality gate → exact dedup → byte-budgeted shard plan, one
+    streaming pipeline. Documents are first re-lineated deterministically
+    (8 words per line, '.' appended — fixture synthesis so the single-line
+    corpus exercises the line rules); the oracle chains every stage's CTE:
+    lineify, C4 line/doc filters, Gopher integer inequalities over the
+    cleaned text, min-id dedup, window-frame prefix-sum sharding."""
+    from .ops.curate import curate_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lineify(batch: pa.Table) -> pa.Table:
+        # fixture synthesis (not the operator): 8-word lines, '.' appended
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for t in texts:
+            w = [x for x in re.split(r"\s+", t or "") if x]
+            lines = [
+                " ".join(w[k : k + 8]) + "." for k in range(0, len(w), 8)
+            ]
+            out.append("\n".join(lines))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    lined = ds.map_batches(lineify, batch_format="pyarrow")
+    return curate_corpus(lined, shard_bytes=20_000).to_pandas()
+
+
 def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
     """Top-20 bigrams by scaled-integer PMI with min-count 5
     (:func:`ops.text.pmi_topk`): two vocabulary count exchanges, unigram
@@ -5191,6 +5225,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "snapshot_edit_distance": q_snapshot_edit_distance,
     "pmi_bigrams": q_pmi_bigrams,
+    "curate_corpus": q_curate_corpus,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
     "paragraph_dedup": q_paragraph_dedup,
@@ -5508,6 +5543,66 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["curate_corpus"] = r"""
+WITH ws AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+lined AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+                   k -> array_to_string(
+                            list_slice(w, k * 8 + 1, k * 8 + 8), ' ') || '.'),
+               chr(10)) AS t2
+    FROM ws
+),
+filt AS (
+    SELECT doc_id, t2,
+           list_filter(string_split(t2, chr(10)), l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(regexp_extract_all(l, '\S+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kl
+    FROM lined
+),
+c4 AS (
+    SELECT doc_id, array_to_string(kl, chr(10)) AS ct
+    FROM filt
+    WHERE len(kl) >= 3
+      AND NOT contains(lower(t2), 'lorem ipsum')
+      AND NOT contains(t2, '{')
+),
+g AS (
+    SELECT doc_id, ct, regexp_extract_all(ct, '\S+') AS gw FROM c4
+),
+q AS (
+    SELECT doc_id, ct FROM (
+        SELECT doc_id, ct,
+               len(gw) AS nw,
+               coalesce(list_sum(list_transform(gw, x -> length(x))), 0) AS wc,
+               len(regexp_extract_all(ct, '#'))
+                 + len(regexp_extract_all(ct, '\.\.\.'))
+                 + len(regexp_extract_all(ct, '…')) AS ns,
+               len(list_filter(gw, x -> regexp_matches(x, '[A-Za-z]'))) AS aw
+        FROM g)
+    WHERE nw >= 50 AND nw <= 100000
+      AND 3 * nw <= wc AND wc <= 10 * nw
+      AND 10 * ns <= nw AND 5 * aw >= 4 * nw
+),
+ded AS (SELECT ct, min(doc_id) AS doc_id FROM q GROUP BY ct),
+o AS (
+    SELECT doc_id, length(ct) AS nb,
+           coalesce(sum(length(ct)) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM ded
+)
+SELECT CAST(off // 20000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS total_bytes,
+       min(doc_id) AS first_doc
+FROM o GROUP BY 1 ORDER BY 1
 """
 
 ORACLE_SQL["pmi_bigrams"] = r"""
