@@ -1559,6 +1559,7 @@ def pmi_topk(
     min_count: int = 5,
     text_col: str = "text",
     scale: int = 1_000_000,
+    broadcast_cap: int = 2_000_000,
 ):
     """Top-``k`` word bigrams by pointwise mutual information — the classic
     phrase-detection signal (Mikolov et al. 2013 use the same ratio to join
@@ -1650,6 +1651,51 @@ def pmi_topk(
         )
     )
 
+    # Dual regime for attaching unigram counts to bigram rows. The
+    # unigram VOCABULARY (not the corpus) is the lookup side; under
+    # ``broadcast_cap`` tokens it broadcasts once via ray.put and each
+    # bigram block resolves both counts with two searchsorted gathers —
+    # zero extra exchanges. Above the cap, two sorted-lookup joins
+    # (attach_lookup) do the same work distributed.
+    if uni.count() <= broadcast_cap:
+        import ray
+
+        vt = pa.concat_tables(list(uni.iter_batches(batch_format="pyarrow")))
+        toks = vt["tok"].to_numpy(zero_copy_only=False).astype(str)
+        cnts = vt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(toks)
+        uni_ref = ray.put((toks[order], cnts[order]))
+
+        def score_bcast(batch: pa.Table) -> pa.Table:
+            toks_s, cnts_s = ray.get(uni_ref)
+            xs = np.asarray(batch["x"].to_pylist(), dtype=object).astype(str)
+            ys = np.asarray(batch["y"].to_pylist(), dtype=object).astype(str)
+            cxy = batch["cxy"].to_pylist()
+            cx = cnts_s[np.searchsorted(toks_s, xs)]
+            cy = cnts_s[np.searchsorted(toks_s, ys)]
+            pmi = [
+                (scale * int(a) * n_total) // (int(b) * int(d))
+                for a, b, d in zip(cxy, cx, cy)
+            ]
+            return pa.Table.from_arrays(
+                [
+                    pa.array(
+                        [f"{x} {y}" for x, y in zip(xs, ys)], pa.string()
+                    ),
+                    pa.array(np.asarray(cxy, dtype=np.int64)),
+                    pa.array(np.asarray(pmi, dtype=np.int64)),
+                ],
+                names=["bigram", "cnt", "pmi_scaled"],
+            )
+
+        scored = bg.map_batches(score_bcast, batch_format="pyarrow")
+        partials = (
+            scored.map_batches(topk_partial_fn(k), batch_format="pyarrow",
+                               batch_size=None)
+            .take_all()
+        )
+        return _pmi_merge(partials, k)
+
     with_cx = attach_lookup(
         bg.map_batches(
             lambda t: t.rename_columns(["tok", "y", "cxy"]),
@@ -1700,6 +1746,18 @@ def pmi_topk(
             names=["bigram", "cnt", "pmi_scaled"],
         )
 
+    partials = (
+        scored_in.map_batches(score, batch_format="pyarrow")
+        .map_batches(topk_partial_fn(k), batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )  # ≤ blocks × k tiny rows
+    return _pmi_merge(partials, k)
+
+
+def topk_partial_fn(k: int):
+    """Per-block partial top-k of scored bigram rows (exact once counts
+    are global); shared by both pmi_topk regimes."""
+
     def topk_partial(batch: pa.Table) -> pa.Table:
         gr = np.asarray(batch["bigram"].to_pylist(), dtype=object)
         c = batch["cnt"].to_numpy(zero_copy_only=False)
@@ -1714,11 +1772,13 @@ def pmi_topk(
             names=["bigram", "cnt", "pmi_scaled"],
         )
 
-    partials = (
-        scored_in.map_batches(score, batch_format="pyarrow")
-        .map_batches(topk_partial, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )  # ≤ blocks × k tiny rows
+    return topk_partial
+
+
+def _pmi_merge(partials: list, k: int):
+    """Driver merge of ≤ blocks × k partial rows → ranked frame."""
+    import pandas as pd
+
     cand = sorted(
         {(-r["pmi_scaled"], r["bigram"], r["cnt"]) for r in partials}
     )[:k]

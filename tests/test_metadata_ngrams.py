@@ -449,3 +449,15 @@ class TestPmiTopk:
             k=8, min_count=2,
         )
         assert a.equals(b)
+
+    def test_regimes_agree(self, ray_session):
+        """broadcast_cap=0 forces the sorted-lookup regime — identical
+        output to the default broadcast regime."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import pmi_topk
+
+        ds = rd.from_items([{"text": t} for t in self.TEXTS]).repartition(4)
+        a = pmi_topk(ds, k=8, min_count=2)
+        b = pmi_topk(ds, k=8, min_count=2, broadcast_cap=0)
+        assert a.equals(b)
