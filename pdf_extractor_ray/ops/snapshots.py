@@ -173,7 +173,11 @@ def _lev_bytes(a: bytes, b: bytes) -> int:
 
 
 def snapshot_edit_distance(
-    old_ds, new_ds, key_col: str = "url", content_col: str = "text"
+    old_ds,
+    new_ds,
+    key_col: str = "url",
+    content_col: str = "text",
+    broadcast_cap: int = 2_000_000,
 ):
     """Per-key byte-level edit distance between two snapshots, computed
     ONLY for the changed minority → (key, edit_distance, bytes_old,
@@ -214,7 +218,10 @@ def snapshot_edit_distance(
             [batch["k"].filter(pa.array(keep))], names=[key_col]
         )
 
-    changed = agg.map_batches(changed_only, batch_format="pyarrow")
+    # Materialize: the changed-key table is O(changed urls) small and is
+    # otherwise re-executed by attach_lookup's schema probe and again by
+    # the sort exchange (the same re-execution trap cdx_index hit).
+    changed = agg.map_batches(changed_only, batch_format="pyarrow").materialize()
 
     def tag(ds, side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -230,13 +237,41 @@ def snapshot_edit_distance(
 
         return ds.map_batches(f, batch_format="pyarrow")
 
-    pairs = attach_lookup(
-        tag(old_ds, 1).union(tag(new_ds, 2)),
-        changed,
-        key_col=key_col,
-        val_cols=[],
-        carry_cols=["side", content_col],
-    )
+    tagged = tag(old_ds, 1).union(tag(new_ds, 2))
+    if changed.count() <= broadcast_cap:
+        # The changed set is recrawl-delta-sized: broadcast it once and
+        # semi-join with a vectorized is_in — no extra exchange. Above
+        # the cap, the sorted-lookup semi-join does the same distributed.
+        import ray
+
+        ckeys = pa.concat_arrays(
+            [
+                c
+                for b in changed.iter_batches(batch_format="pyarrow")
+                for c in b.column(key_col).chunks
+                if len(c)
+            ]
+        )
+        cref = ray.put(ckeys)
+
+        def keep_changed(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[key_col], value_set=ray.get(cref))
+            return batch.filter(mask)
+
+        pairs = tagged.map_batches(keep_changed, batch_format="pyarrow")
+    else:
+        pairs = attach_lookup(
+            tagged,
+            changed,
+            key_col=key_col,
+            val_cols=[],
+            carry_cols=["side", content_col],
+        )
+    # The per-pair DP below parallelizes across sorted blocks; spread the
+    # changed minority over the cluster before the sort.
+    import ray as _ray
+
+    pairs = pairs.repartition(max(8, int(_ray.cluster_resources().get("CPU", 8))))
 
     out_names = [key_col, "edit_distance", "bytes_old", "bytes_new"]
 

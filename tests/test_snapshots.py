@@ -149,3 +149,30 @@ class TestSnapshotEditDistance:
         words = [b"", b"a", b"ab", b"abc", b"bca", b"aabbcc", b"ccbbaa", b"abcabc"]
         for a, b in itertools.product(words, repeat=2):
             assert _lev_bytes(a, b) == brute(a, b), (a, b)
+
+    def test_regimes_agree(self, ray_session):
+        """broadcast_cap=0 forces the sorted-lookup semi-join — identical
+        rows to the default broadcast regime."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import snapshot_edit_distance
+
+        old = rd.from_items(
+            [{"url": f"u{i}", "text": f"text {i} alpha beta"} for i in range(30)]
+        ).repartition(3)
+        new = rd.from_items(
+            [
+                {"url": f"u{i}", "text": f"text {i} alpha beta" + ("!" if i % 4 == 0 else "")}
+                for i in range(30)
+            ]
+        ).repartition(4)
+        a = (
+            snapshot_edit_distance(old, new)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        b = (
+            snapshot_edit_distance(old, new, broadcast_cap=0)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert (a["edit_distance"] == 1).all() and len(a) == 8
