@@ -991,3 +991,186 @@ def resolve_redirects(
         ),
         batch_format="pyarrow",
     )
+
+
+def triangle_count(
+    edges_ds,
+    u_col: str = "src_host",
+    v_col: str = "dst_host",
+    node_broadcast_cap: int = 5_000_000,
+) -> pa.Table:
+    """Exact triangle count of the undirected simple graph under the edge
+    list → one row ``(n_nodes, n_edges, n_triangles)``.
+
+    The standard degree-orientation construction (Chiba–Nishizeki /
+    Schank–Wagner): orient every canonical edge from its (degree, id)-
+    smaller endpoint to the larger, which bounds every out-degree by
+    O(sqrt(m)) so the wedge set is O(m^1.5) ROWS IN THE DATASET (never
+    driver state); each triangle is counted exactly once as a wedge
+    (v, w) out of u whose closing edge v→w exists.
+
+    Exchanges: canonical-edge dedup groupby, degree groupby, ONE sort
+    grouping oriented edges by source (vectorized per-segment pair
+    emission — the sketch-dedup kernel's shape), and a semi-join of
+    wedges against the oriented edge set (broadcast ``is_in`` under
+    ``node_broadcast_cap`` edges, sorted-lookup above). Payload-free
+    throughout: only node strings and counts move.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .segments import attach_lookup, sorted_segment_apply
+
+    SEP = "\x1f"
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[u_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[v_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        fwd = u < v
+        lo = np.where(fwd, u, v)
+        hi = np.where(fwd, v, u)
+        pairs = np.unique(np.char.add(np.char.add(lo, SEP), hi))
+        return pa.Table.from_arrays(
+            [pa.array(pairs.astype(object), pa.string()),
+             pa.array(np.ones(len(pairs), np.int64))],
+            names=["e", "one"],
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("e")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays([t["e"].combine_chunks()], names=["e"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed for degrees, orientation, and the probe
+    )
+    n_edges = edges.count()
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        nodes = np.concatenate([parts[:, 0], parts[:, 2]])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(un.astype(object), pa.string()), pa.array(cn, pa.int64())],
+            names=["node", "d"],
+        )
+
+    degs = (
+        edges.map_batches(degree_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .sum("d")
+    )
+    deg_rows = pa.concat_tables(list(degs.iter_batches(batch_format="pyarrow")))
+    nodes_sorted = deg_rows["node"].to_numpy(zero_copy_only=False).astype(str)
+    degs_np = deg_rows["sum(d)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes_sorted)
+    nodes_sorted, degs_np = nodes_sorted[order], degs_np[order]
+    n_nodes = len(nodes_sorted)
+    if n_nodes > node_broadcast_cap:
+        raise NotImplementedError(
+            "triangle_count: node table exceeds node_broadcast_cap; attach "
+            "degrees via two attach_lookup joins instead of the broadcast"
+        )
+    deg_ref = ray.put((nodes_sorted, degs_np))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        ns, dg = ray.get(deg_ref)
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        a, b = parts[:, 0], parts[:, 2]
+        da = dg[np.searchsorted(ns, a)]
+        db = dg[np.searchsorted(ns, b)]
+        # orient from (deg, id)-smaller to larger
+        fwd = (da < db) | ((da == db) & (a < b))
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
+        return pa.Table.from_arrays(
+            [pa.array(src.astype(object), pa.string()),
+             pa.array(dst.astype(object), pa.string())],
+            names=["src", "dst"],
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedge_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        ns, dg = ray.get(deg_ref)
+        dst = np.asarray(batch["dst"].to_pylist(), dtype=object).astype(str)
+        out = []
+        for s, e in zip(starts, ends):
+            seg = dst[s:e]
+            if len(seg) < 2:
+                continue
+            # order out-neighbors by the SAME (deg, id) total order so the
+            # wedge key matches the closing edge's orientation
+            dseg = dg[np.searchsorted(ns, seg)]
+            o = np.lexsort((seg, dseg))
+            seg = seg[o]
+            i, j = np.triu_indices(len(seg), k=1)
+            out.append(np.char.add(np.char.add(seg[i], SEP), seg[j]))
+        keys = np.concatenate(out) if out else np.array([], dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(keys.astype(object), pa.string())], names=["k"]
+        )
+
+    wedges = sorted_segment_apply(
+        oriented, key_col="src", block_fn=wedge_block, within_cols=["dst"]
+    )
+
+    def probe_key(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"].to_pylist(), dtype=object).astype(str)
+        dst = np.asarray(batch["dst"].to_pylist(), dtype=object).astype(str)
+        return pa.Table.from_arrays(
+            [pa.array(np.char.add(np.char.add(src, SEP), dst).astype(object),
+                      pa.string())],
+            names=["k"],
+        )
+
+    if n_edges <= node_broadcast_cap:
+        ekeys = pa.concat_arrays(
+            [
+                c
+                for b in oriented.map_batches(
+                    probe_key, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+                for c in b.column("k").chunks
+                if len(c)
+            ]
+        )
+        eref = ray.put(ekeys)
+
+        def count_closed(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch["k"], value_set=ray.get(eref))
+            return pa.Table.from_arrays(
+                [pa.array([int(pc.sum(mask.cast(pa.int64())).as_py() or 0)],
+                          pa.int64())],
+                names=["t"],
+            )
+
+        tri_parts = wedges.map_batches(count_closed, batch_format="pyarrow")
+        n_triangles = sum(r["t"] for r in tri_parts.take_all())
+    else:
+        closed = attach_lookup(
+            wedges,
+            oriented.map_batches(probe_key, batch_format="pyarrow"),
+            key_col="k",
+            val_cols=[],
+            carry_cols=[],
+        )
+        n_triangles = closed.count()
+
+    return pa.Table.from_arrays(
+        [
+            pa.array([n_nodes], pa.int64()),
+            pa.array([n_edges], pa.int64()),
+            pa.array([int(n_triangles)], pa.int64()),
+        ],
+        names=["n_nodes", "n_edges", "n_triangles"],
+    )

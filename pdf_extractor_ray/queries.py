@@ -5094,6 +5094,20 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the synthesized host link graph
+    (:func:`ops.links.triangle_count`): degree-oriented wedges (out-degree
+    bounded O(sqrt m)), vectorized per-segment pair emission, wedge
+    semi-join against the oriented edge set. Oracle: the closed-form edge
+    arithmetic plus the canonical triple self-join."""
+    from .ops.links import link_graph, triangle_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    edges = link_graph(pages)
+    return triangle_count(edges).to_pandas()
+
+
 def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
     """The END-TO-END curation composition (:mod:`ops.curate`): C4 clean →
     Gopher quality gate → exact dedup → byte-budgeted shard plan, one
@@ -5226,6 +5240,7 @@ QUERIES = {
     "snapshot_edit_distance": q_snapshot_edit_distance,
     "pmi_bigrams": q_pmi_bigrams,
     "curate_corpus": q_curate_corpus,
+    "triangles": q_triangles,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
     "paragraph_dedup": q_paragraph_dedup,
@@ -5543,6 +5558,34 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["triangles"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+    UNION ALL
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com',
+           'site' || CAST(i % 20 AS VARCHAR) || '.example.com'
+    FROM base
+),
+e AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM raw WHERE src <> dst
+),
+n AS (SELECT count(DISTINCT x) AS n_nodes
+      FROM (SELECT u AS x FROM e UNION SELECT v FROM e)),
+t AS (
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles
+FROM n, t
 """
 
 ORACLE_SQL["curate_corpus"] = r"""

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from pdf_extractor_ray.ops.urls import (
@@ -594,3 +595,62 @@ class TestResolveRedirects:
         dup = [("a", "b"), ("a", "c")]
         with _pytest.raises(ValueError, match="duplicate"):
             resolve_redirects(self._edges_ds(dup)).take_all()
+
+
+class TestTriangleCount:
+    """ops/links.py triangle_count: brute-force parity on random graphs,
+    duplicate/self-loop tolerance, empty graph."""
+
+    def _brute(self, pairs):
+        import itertools
+
+        adj = {}
+        edges = set()
+        for u, v in pairs:
+            if u == v:
+                continue
+            e = (min(u, v), max(u, v))
+            if e in edges:
+                continue
+            edges.add(e)
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        tris = 0
+        for u, v, w in itertools.combinations(sorted(adj), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                tris += 1
+        return len(adj), len(edges), tris
+
+    def test_random_graphs(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import triangle_count
+
+        for seed in (3, 11, 42):
+            rng = np.random.Generator(np.random.Philox(seed))
+            pairs = [
+                (f"n{int(rng.integers(0, 18))}", f"n{int(rng.integers(0, 18))}")
+                for _ in range(120)
+            ]
+            ds = rd.from_items(
+                [{"src_host": u, "dst_host": v} for u, v in pairs]
+            ).repartition(4)
+            out = triangle_count(ds).to_pylist()[0]
+            n, m, t = self._brute(pairs)
+            assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (n, m, t)
+
+    def test_triangle_free_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import triangle_count
+
+        star = rd.from_items(
+            [{"src_host": "hub", "dst_host": f"leaf{i}"} for i in range(10)]
+        )
+        out = triangle_count(star).to_pylist()[0]
+        assert out["n_triangles"] == 0 and out["n_edges"] == 10
+
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        ds = rd.from_items([{"src_host": u, "dst_host": v} for u, v in k4])
+        out = triangle_count(ds).to_pylist()[0]
+        assert out["n_triangles"] == 4
