@@ -1790,3 +1790,43 @@ def _pmi_merge(partials: list, k: int):
             "rank": list(range(1, len(cand) + 1)),
         }
     ).astype({"cnt": "int64", "pmi_scaled": "int64", "rank": "int32"})
+
+
+def dataset_split(
+    ds,
+    cuts: list | None = None,
+    last: str = "test",
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Deterministic disjoint train/val/test assignment, shuffle-free.
+
+    ``cuts`` is a list of ``(name, num, den)`` CUMULATIVE fraction cutoffs
+    (defaults to train 4/5, val 9/10); a row lands in the first split whose
+    exact integer threshold ``(num << 64) // den`` exceeds its
+    ``splitmix64(id + salt)`` value, else in ``last``. Thresholds are exact
+    rationals so the SQL oracle states the same integer constants; the
+    assignment is per-row, streaming, and identical at every parallelism
+    level — the split survives any re-run or re-shard (the property a
+    training pipeline needs so val never leaks into train across runs).
+    Adds a ``split`` column.
+    """
+    if cuts is None:
+        cuts = [("train", 4, 5), ("val", 9, 10)]
+    names = [c[0] for c in cuts] + [last]
+    thr = np.array(
+        [(c[1] << 64) // c[2] for c in cuts], dtype=np.uint64
+    )
+    if list(thr) != sorted(thr):
+        raise ValueError("dataset_split: cuts must be cumulative increasing")
+    names_arr = np.array(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = splitmix64_np(ids + np.uint64(salt))
+        idx = np.searchsorted(thr, hv, side="right")
+        return batch.append_column(
+            "split", pa.array(names_arr[idx].astype(object), pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

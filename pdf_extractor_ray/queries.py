@@ -5094,6 +5094,41 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_dataset_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment
+    (:func:`ops.text.dataset_split`): exact rational splitmix64 cutoffs,
+    per-row and shuffle-free, identical at any parallelism. The oracle
+    replays the mix in HUGEINT and states the same integer thresholds."""
+    from .ops.text import dataset_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = dataset_split(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_crawl_budget(sf_dir: str) -> pd.DataFrame:
+    """Largest-remainder crawl-budget apportionment
+    (:func:`ops.budget.apportion_budget`): 137 fetch slots divided across
+    the 20 synthesized hosts in proportion to page counts; exact integer
+    base + remainder-ranked extras, allocations sum to the budget."""
+    from .ops.budget import apportion_budget
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_host(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = [f"site{int(i) % 20}" for i in ids]
+        return pa.Table.from_arrays(
+            [pa.array(hosts, pa.string()),
+             pa.array(np.ones(len(ids), np.int64))],
+            names=["host", "n_pages"],
+        )
+
+    hosts = ds.map_batches(to_host, batch_format="pyarrow")
+    out = apportion_budget(hosts, budget=137).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def q_triangles(sf_dir: str) -> pd.DataFrame:
     """Exact triangle count of the synthesized host link graph
     (:func:`ops.links.triangle_count`): degree-oriented wedges (out-degree
@@ -5241,6 +5276,8 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "curate_corpus": q_curate_corpus,
     "triangles": q_triangles,
+    "dataset_split": q_dataset_split,
+    "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
     "paragraph_dedup": q_paragraph_dedup,
@@ -5558,6 +5595,43 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["dataset_split"] = _splitmix_sql(
+    "documents", "doc_id", 0, "doc_id"
+) + """
+SELECT doc_id,
+       CASE WHEN hv < CAST(14757395258967641292 AS UBIGINT) THEN 'train'
+            WHEN hv < CAST(16602069666338596454 AS UBIGINT) THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+
+ORACLE_SQL["crawl_budget"] = """
+WITH t AS (
+    SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) AS host,
+           count(*) AS n_pages
+    FROM documents GROUP BY 1
+),
+s AS (SELECT sum(n_pages) AS tw FROM t),
+a AS (
+    SELECT host, n_pages,
+           (137 * n_pages) // s.tw AS base,
+           (137 * n_pages) % s.tw AS rem
+    FROM t, s
+),
+e AS (
+    SELECT host, n_pages, base,
+           row_number() OVER (ORDER BY rem DESC, host) AS rk,
+           137 - (SELECT sum(base) FROM a) AS n_extra
+    FROM a
+)
+SELECT host,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(base AS BIGINT) AS base,
+       CAST(CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM e ORDER BY host
 """
 
 ORACLE_SQL["triangles"] = r"""

@@ -461,3 +461,69 @@ class TestPmiTopk:
         a = pmi_topk(ds, k=8, min_count=2)
         b = pmi_topk(ds, k=8, min_count=2, broadcast_cap=0)
         assert a.equals(b)
+
+
+class TestDatasetSplit:
+    def test_disjoint_total_and_layout_invariant(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import dataset_split
+
+        tbl = pa.table({"doc_id": list(range(1000))})
+        a = dataset_split(rd.from_arrow(tbl).repartition(1)).to_pandas()
+        b = dataset_split(rd.from_arrow(tbl).repartition(9)).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        counts = a["split"].value_counts()
+        assert counts.sum() == 1000
+        # ~80/10/10 within loose bounds
+        assert 700 < counts["train"] < 900
+        assert 40 < counts["val"] < 170
+        assert 40 < counts["test"] < 170
+
+    def test_bad_cuts_raise(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import dataset_split
+
+        with pytest.raises(ValueError):
+            dataset_split(
+                rd.from_arrow(pa.table({"doc_id": [1]})),
+                cuts=[("a", 9, 10), ("b", 4, 5)],
+            )
+
+
+class TestApportionBudget:
+    def test_sums_to_budget_and_brute(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.budget import apportion_budget
+
+        rows = [
+            {"host": f"h{i % 7}", "n_pages": 1} for i in range(153)
+        ]
+        ds = rd.from_items(rows).repartition(4)
+        out = apportion_budget(ds, budget=41).to_pandas()
+        assert out["alloc"].sum() == 41
+        assert (out["alloc"] - out["base"]).isin([0, 1]).all()
+        # brute largest-remainder
+        from collections import Counter
+
+        w = Counter(r["host"] for r in rows)
+        W = sum(w.values())
+        base = {h: (41 * c) // W for h, c in w.items()}
+        rem = {h: (41 * c) % W for h, c in w.items()}
+        extras = sorted(w, key=lambda h: (-rem[h], h))[: 41 - sum(base.values())]
+        expect = {h: base[h] + (1 if h in extras else 0) for h in w}
+        assert dict(zip(out["host"], out["alloc"])) == expect
+
+    def test_zero_budget(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.budget import apportion_budget
+
+        ds = rd.from_items([{"host": "a", "n_pages": 5}])
+        out = apportion_budget(ds, budget=0).to_pandas()
+        assert out["alloc"].tolist() == [0]
