@@ -1,0 +1,127 @@
+"""Table profiling: per-column row/null/distinct/min/max statistics.
+
+The data-quality pass a pipeline runs before trusting a new drop of
+parquet: for each requested column, row count, null count, EXACT distinct
+count, and min/max. Shape:
+
+- ONE streaming pass emits per-block partials — a fixed row per (block,
+  column) with counts and native-typed min/max (never value lists), plus
+  per-block-DEDUPED ``(column, value)`` pairs for the distinct count.
+- The only exchange is the distinct-pair sort inside
+  :func:`..segments.distinct_count_per_key` (one row per distinct pair
+  per block — the same discipline as the inverted index).
+- Driver state: O(blocks × columns) partial rows, never values.
+
+Min/max render as strings in the OUTPUT ONLY (comparison happens on
+native types per block and on the preserved native partials at the
+merge), so one uniform schema covers int and string columns and the SQL
+oracle states ``CAST(min(col) AS VARCHAR)``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def profile_table(ds, cols: list[str]) -> pa.Table:
+    """→ one row per column: ``(column, n_rows, n_nulls, n_distinct,
+    min_val, max_val)`` — min/max as strings, null when all-null."""
+    from .segments import distinct_count_per_key
+
+    cols = list(cols)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins_i, maxs_i, mins_s, maxs_s = (
+            [], [], [], [], [], [], [],
+        )
+        for c in cols:
+            col = batch[c]
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            mn = pc.min(col).as_py() if batch.num_rows else None
+            mx = pc.max(col).as_py() if batch.num_rows else None
+            if pa.types.is_integer(col.type):
+                mins_i.append(mn); maxs_i.append(mx)
+                mins_s.append(None); maxs_s.append(None)
+            else:
+                mins_i.append(None); maxs_i.append(None)
+                mins_s.append(None if mn is None else str(mn))
+                maxs_s.append(None if mx is None else str(mx))
+        return pa.Table.from_arrays(
+            [
+                pa.array(names, pa.string()),
+                pa.array(ns, pa.int64()),
+                pa.array(nulls, pa.int64()),
+                pa.array(mins_i, pa.int64()),
+                pa.array(maxs_i, pa.int64()),
+                pa.array(mins_s, pa.string()),
+                pa.array(maxs_s, pa.string()),
+            ],
+            names=["column", "n", "n_null", "min_i", "max_i", "min_s", "max_s"],
+        )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c in cols:
+            vals = batch[c].drop_null()
+            uniq = pc.unique(vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
+            sv = [str(x) for x in uniq.to_pylist()]
+            out_c.extend([c] * len(sv))
+            out_v.extend(sv)
+        return pa.Table.from_arrays(
+            [pa.array(out_c, pa.string()), pa.array(out_v, pa.string())],
+            names=["column", "value"],
+        )
+
+    nd_rows = distinct_count_per_key(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        key_col="column",
+        value_col="value",
+    ).take_all()
+    nd = {r["column"]: int(r["n_distinct"]) for r in nd_rows}
+
+    agg: dict[str, dict] = {
+        c: {"n": 0, "n_null": 0, "min_i": None, "max_i": None,
+            "min_s": None, "max_s": None}
+        for c in cols
+    }
+    for batch in ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for r in batch.to_pylist():
+            a = agg[r["column"]]
+            a["n"] += r["n"]
+            a["n_null"] += r["n_null"]
+            for lo, hi in (("min_i", "max_i"), ("min_s", "max_s")):
+                if r[lo] is not None:
+                    a[lo] = r[lo] if a[lo] is None else min(a[lo], r[lo])
+                if r[hi] is not None:
+                    a[hi] = r[hi] if a[hi] is None else max(a[hi], r[hi])
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(cols, pa.string()),
+            pa.array([agg[c]["n"] for c in cols], pa.int64()),
+            pa.array([agg[c]["n_null"] for c in cols], pa.int64()),
+            pa.array([nd.get(c, 0) for c in cols], pa.int64()),
+            pa.array(
+                [
+                    str(agg[c]["min_i"]) if agg[c]["min_i"] is not None
+                    else agg[c]["min_s"]
+                    for c in cols
+                ],
+                pa.string(),
+            ),
+            pa.array(
+                [
+                    str(agg[c]["max_i"]) if agg[c]["max_i"] is not None
+                    else agg[c]["max_s"]
+                    for c in cols
+                ],
+                pa.string(),
+            ),
+        ],
+        names=["column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"],
+    )

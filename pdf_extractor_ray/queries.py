@@ -5094,6 +5094,18 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_profile_table(sf_dir: str) -> pd.DataFrame:
+    """Per-column profiling of the events table
+    (:func:`ops.profile.profile_table`): rows, nulls, EXACT distinct,
+    min/max — per-block partials plus one deduped (column, value) pair
+    exchange; the oracle is the literal per-column aggregate union."""
+    from .ops.profile import profile_table
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    out = profile_table(ds, ["event_id", "user_id", "event_type"]).to_pandas()
+    return out.sort_values("column").reset_index(drop=True)
+
+
 def q_dataset_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic 80/10/10 train/val/test assignment
     (:func:`ops.text.dataset_split`): exact rational splitmix64 cutoffs,
@@ -5277,6 +5289,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "triangles": q_triangles,
     "dataset_split": q_dataset_split,
+    "profile_table": q_profile_table,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5595,6 +5608,28 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["profile_table"] = """
+SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_val,
+       CAST(max(event_id) AS VARCHAR) AS max_val
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+ORDER BY "column"
 """
 
 ORACLE_SQL["dataset_split"] = _splitmix_sql(

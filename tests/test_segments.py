@@ -309,3 +309,31 @@ class TestRankPerKey:
             .sort_values("rank")
         )
         assert out["v"].tolist() == [9, 1]
+
+
+class TestProfileTable:
+    """ops/profile.py: per-column stats vs hand counts; nulls; layouts."""
+
+    def test_stats_with_nulls(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.profile import profile_table
+
+        tbl = pa.table(
+            {
+                "a": pa.array([3, 1, None, 7, 1, None], pa.int64()),
+                "s": pa.array(["x", None, "b", "x", "aa", "z"], pa.string()),
+            }
+        )
+        for parts in (1, 4):
+            out = {
+                r["column"]: r
+                for r in profile_table(
+                    rd.from_arrow(tbl).repartition(parts), ["a", "s"]
+                ).to_pylist()
+            }
+            assert out["a"]["n_rows"] == 6 and out["a"]["n_nulls"] == 2
+            assert out["a"]["n_distinct"] == 3
+            assert out["a"]["min_val"] == "1" and out["a"]["max_val"] == "7"
+            assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 4
+            assert out["s"]["min_val"] == "aa" and out["s"]["max_val"] == "z"
