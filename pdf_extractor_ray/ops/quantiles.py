@@ -387,3 +387,68 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
     return sorted_segment_apply(
         clean, key_col=group_col, block_fn=kernel, within_cols=[value_col]
     )
+
+
+def group_winsorize(
+    ds, group_col: str, value_col: str, q_lo: float = 0.05, q_hi: float = 0.95
+):
+    """Per-group winsorized statistics: clip each group's values to its own
+    exact rank quantiles [value@ceil(q_lo·n), value@ceil(q_hi·n)] and emit
+    one row per group — ``(group, n, lo, hi, sum_raw, sum_clipped,
+    n_clipped)``. The robust-mean building block for per-language /
+    per-domain length normalization (outlier pages don't drag the mean).
+
+    Same honest exchange as :func:`group_quantiles` — ONE (group, value)
+    sort — but clipping folds into the same segment pass: with values
+    sorted within each segment, the clipped sum is
+
+        lo·(r_lo−1) + (prefix[hi] − prefix[lo−1]) + hi·(n−r_hi)
+
+    from one block-wide cumulative sum, all segments at once, no
+    per-group Python. Integer inputs stay integer-exact end to end.
+    """
+    from .segments import sorted_segment_apply
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        gtype = batch.schema.field(group_col).type
+        names = [group_col, "n", "lo", "hi", "sum_raw", "sum_clipped", "n_clipped"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], gtype)] + [pa.array([], pa.int64())] * 6,
+                names=names,
+            )
+        groups = batch[group_col].to_numpy(zero_copy_only=False)[starts]
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = (ends - starts).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(vals)])
+
+        r_lo = np.clip(np.ceil(np.float64(q_lo) * lens).astype(np.int64), 1, lens)
+        r_hi = np.clip(np.ceil(np.float64(q_hi) * lens).astype(np.int64), 1, lens)
+        lo = vals[starts + r_lo - 1]
+        hi = vals[starts + r_hi - 1]
+        sum_raw = csum[ends] - csum[starts]
+        mid = csum[starts + r_hi] - csum[starts + r_lo - 1]
+        sum_clipped = lo * (r_lo - 1) + mid + hi * (lens - r_hi)
+        n_clipped = (r_lo - 1) + (lens - r_hi)
+        return pa.Table.from_arrays(
+            [
+                pa.array(groups, gtype),
+                pa.array(lens),
+                pa.array(lo),
+                pa.array(hi),
+                pa.array(sum_raw),
+                pa.array(sum_clipped),
+                pa.array(n_clipped),
+            ],
+            names=names,
+        )
+
+    clean = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[value_col]))
+        ),
+        batch_format="pyarrow",
+    )
+    return sorted_segment_apply(
+        clean, key_col=group_col, block_fn=kernel, within_cols=[value_col]
+    )

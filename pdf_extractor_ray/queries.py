@@ -5094,6 +5094,19 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_group_winsorize(sf_dir: str) -> pd.DataFrame:
+    """Per-language winsorized n_chars statistics
+    (:func:`ops.quantiles.group_winsorize`): exact rank clipping at
+    p05/p95 folded into ONE (lang, n_chars) sort + cumulative-sum segment
+    pass; integer-exact clipped sums. Oracle: row_number ranks + the same
+    ceil(q·n) IEEE rank arithmetic."""
+    from .ops.quantiles import group_winsorize
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = group_winsorize(ds, "lang", "n_chars").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_profile_table(sf_dir: str) -> pd.DataFrame:
     """Per-column profiling of the events table
     (:func:`ops.profile.profile_table`): rows, nulls, EXACT distinct,
@@ -5290,6 +5303,7 @@ QUERIES = {
     "triangles": q_triangles,
     "dataset_split": q_dataset_split,
     "profile_table": q_profile_table,
+    "group_winsorize": q_group_winsorize,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5608,6 +5622,44 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["group_winsorize"] = """
+WITH base AS (
+    SELECT lang AS g, n_chars AS v FROM documents
+    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+),
+r AS (
+    SELECT g, v,
+           row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM base
+),
+b AS (
+    SELECT DISTINCT g, n,
+           greatest(1, least(CAST(ceil(0.05 * n) AS BIGINT), n)) AS rlo,
+           greatest(1, least(CAST(ceil(0.95 * n) AS BIGINT), n)) AS rhi
+    FROM r
+),
+lh AS (
+    SELECT r.g,
+           min(CASE WHEN rk = rlo THEN v END) AS lo,
+           min(CASE WHEN rk = rhi THEN v END) AS hi
+    FROM r JOIN b USING (g) GROUP BY r.g
+)
+SELECT r.g AS lang,
+       CAST(b.n AS BIGINT) AS n,
+       CAST(lh.lo AS BIGINT) AS lo,
+       CAST(lh.hi AS BIGINT) AS hi,
+       CAST(sum(v) AS BIGINT) AS sum_raw,
+       CAST(sum(CASE WHEN rk < rlo THEN lh.lo
+                     WHEN rk > rhi THEN lh.hi ELSE v END) AS BIGINT)
+           AS sum_clipped,
+       CAST(sum(CASE WHEN rk < rlo OR rk > rhi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped
+FROM r JOIN b USING (g) JOIN lh ON lh.g = r.g
+GROUP BY r.g, b.n, lh.lo, lh.hi
+ORDER BY lang
 """
 
 ORACLE_SQL["profile_table"] = """

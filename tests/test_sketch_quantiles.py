@@ -577,3 +577,51 @@ class TestCountMin:
         # total mass per row == total token count
         total = sum(len(t.split()) for t in tbl["text"].to_pylist())
         assert (a.sum(axis=1) == total).all()
+
+
+class TestGroupWinsorize:
+    """ops/quantiles.py group_winsorize: brute-force parity incl ties,
+    tiny groups, layout independence."""
+
+    def _brute(self, rows, q_lo=0.05, q_hi=0.95):
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for g, v in rows:
+            groups[g].append(v)
+        out = {}
+        for g, vs in groups.items():
+            vs = sorted(vs)
+            n = len(vs)
+            rlo = min(max(int(np.ceil(q_lo * n)), 1), n)
+            rhi = min(max(int(np.ceil(q_hi * n)), 1), n)
+            lo, hi = vs[rlo - 1], vs[rhi - 1]
+            clipped = [min(max(v, lo), hi) for v in vs]
+            out[g] = (
+                n, lo, hi, sum(vs), sum(clipped),
+                (rlo - 1) + (n - rhi),
+            )
+        return out
+
+    def test_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import group_winsorize
+
+        rng = np.random.Generator(np.random.Philox(5))
+        rows = [
+            (f"g{int(rng.integers(0, 4))}", int(rng.integers(0, 50)))
+            for _ in range(400)
+        ] + [("tiny", 7)]  # single-element group
+        for parts in (1, 6):
+            ds = rd.from_items(
+                [{"lang": g, "n_chars": v} for g, v in rows]
+            ).repartition(parts)
+            got = {
+                r["lang"]: (
+                    r["n"], r["lo"], r["hi"], r["sum_raw"],
+                    r["sum_clipped"], r["n_clipped"],
+                )
+                for r in group_winsorize(ds, "lang", "n_chars").take_all()
+            }
+            assert got == self._brute(rows)
