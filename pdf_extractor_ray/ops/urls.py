@@ -32,7 +32,9 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "canonicalize_parts",
@@ -268,3 +270,65 @@ def cdx_index(ds, url_col: str = "url", id_col: str = "doc_id",
         )
 
     return keyed.map_batches(rank, batch_format="pyarrow")
+
+
+def path_templates(ds, url_col: str = "url", k: int = 20):
+    """Top-``k`` URL path templates: host + path with every digit run
+    generalized to ``<d>`` (``/item/123/review/4`` → ``/item/<d>/review/<d>``)
+    — the crawl-side twin of DOM template clustering (ops/templates.py):
+    sites' dynamic-page families surface as one template each, which is
+    what crawl schedulers dedup/deprioritize on.
+
+    Shape: one RE2 kernel pass (scheme/query strip + digit-run replace —
+    all ``pyarrow.compute``, no Python per row), per-block pre-combined
+    counts, ONE template-vocabulary groupby, per-block partial top-k merged
+    exactly on the driver (ties → template asc). Exchange is
+    template-vocabulary-sized, never corpus-sized.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def tpl_partial(batch: pa.Table) -> pa.Table:
+        u = pc.fill_null(batch[url_col], "")
+        # strip scheme, then query/fragment, then generalize digit runs
+        t = pc.replace_substring_regex(u, pattern=r"^[a-zA-Z][a-zA-Z0-9+.-]*://", replacement="")
+        t = pc.replace_substring_regex(t, pattern=r"[?#].*$", replacement="")
+        t = pc.replace_substring_regex(t, pattern=r"[0-9]+", replacement="<d>")
+        arr = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        vals = arr.to_numpy(zero_copy_only=False).astype(str)
+        vals = vals[vals != ""]
+        uq, c = np.unique(vals, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uq.astype(object), pa.string()), pa.array(c, pa.int64())],
+            names=["template", "cnt"],
+        )
+
+    totals = (
+        ds.map_batches(tpl_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("template")
+        .sum("cnt")
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["template"].to_pylist(), dtype=object)
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -c))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(t[order].astype(str), pa.string()),
+                pa.array(c[order], pa.int64()),
+            ],
+            names=["template", "cnt"],
+        )
+
+    partials = totals.map_batches(
+        topk_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    cand = sorted({(-r["cnt"], r["template"]) for r in partials})[:k]
+    return pd.DataFrame(
+        {
+            "template": [t for _, t in cand],
+            "cnt": [-negc for negc, _ in cand],
+            "rank": list(range(1, len(cand) + 1)),
+        }
+    ).astype({"cnt": "int64", "rank": "int32"})

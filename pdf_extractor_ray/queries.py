@@ -5094,6 +5094,35 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_path_templates(sf_dir: str) -> pd.DataFrame:
+    """Top-20 URL path templates (:func:`ops.urls.path_templates`) over
+    synthesized dynamic-page urls (item/review/static/search families with
+    embedded ids and tracking params): digit runs generalize to ``<d>``,
+    scheme/query strip, one vocabulary exchange, exact driver-merged
+    top-k. Oracle restates the RE2 chain with regexp_replace."""
+    from .ops.urls import path_templates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = []
+        for i in ids:
+            i = int(i)
+            b = i % 4
+            if b == 0:
+                urls.append(f"https://site{i % 10}.example.com/item/{i}/review/{i % 7}")
+            elif b == 1:
+                urls.append(f"http://site{i % 10}.example.com/about")
+            elif b == 2:
+                urls.append(f"https://site{i % 10}.example.com/search?q=x{i}&page={i % 5}")
+            else:
+                urls.append(f"https://site{i % 10}.example.com/p/{i}#frag{i}")
+        return pa.Table.from_arrays([pa.array(urls, pa.string())], names=["url"])
+
+    return path_templates(ds.map_batches(synth, batch_format="pyarrow"), k=20)
+
+
 def q_group_winsorize(sf_dir: str) -> pd.DataFrame:
     """Per-language winsorized n_chars statistics
     (:func:`ops.quantiles.group_winsorize`): exact rank clipping at
@@ -5304,6 +5333,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "profile_table": q_profile_table,
     "group_winsorize": q_group_winsorize,
+    "path_templates": q_path_templates,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5622,6 +5652,37 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["path_templates"] = r"""
+WITH u AS (
+    SELECT CASE doc_id % 4
+        WHEN 0 THEN 'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                 || '.example.com/item/' || CAST(doc_id AS VARCHAR)
+                 || '/review/' || CAST(doc_id % 7 AS VARCHAR)
+        WHEN 1 THEN 'http://site' || CAST(doc_id % 10 AS VARCHAR)
+                 || '.example.com/about'
+        WHEN 2 THEN 'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                 || '.example.com/search?q=x' || CAST(doc_id AS VARCHAR)
+                 || '&page=' || CAST(doc_id % 5 AS VARCHAR)
+        ELSE 'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                 || '#frag' || CAST(doc_id AS VARCHAR)
+        END AS url
+    FROM documents
+),
+t AS (
+    SELECT regexp_replace(
+               regexp_replace(
+                   regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                   '[?#].*$', ''),
+               '[0-9]+', '<d>', 'g') AS template
+    FROM u
+),
+c AS (SELECT template, count(*) AS cnt FROM t WHERE template <> '' GROUP BY 1)
+SELECT template, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, template) AS INTEGER) AS rank
+FROM c QUALIFY rank <= 20 ORDER BY rank
 """
 
 ORACLE_SQL["group_winsorize"] = """

@@ -654,3 +654,24 @@ class TestTriangleCount:
         ds = rd.from_items([{"src_host": u, "dst_host": v} for u, v in k4])
         out = triangle_count(ds).to_pylist()[0]
         assert out["n_triangles"] == 4
+
+
+class TestPathTemplates:
+    def test_generalization_and_topk(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.urls import path_templates
+
+        urls = (
+            [f"https://a.com/item/{i}" for i in range(5)]
+            + [f"https://a.com/item/{i}/x?id={i}" for i in range(3)]
+            + ["http://b.org/static/page", "https://b.org/static/page#top"]
+            + [""]
+        )
+        ds = rd.from_items([{"url": u} for u in urls]).repartition(3)
+        out = path_templates(ds, k=10)
+        rows = dict(zip(out["template"], out["cnt"]))
+        assert rows["a.com/item/<d>"] == 5
+        assert rows["a.com/item/<d>/x"] == 3
+        assert rows["b.org/static/page"] == 2
+        assert out["rank"].tolist() == list(range(1, len(out) + 1))
