@@ -578,3 +578,90 @@ def resize_pipeline(ds, modes: dict | None = None, batch_size: int = 32,
         fn_constructor_kwargs={"modes": modes},
         concurrency=concurrency,
     )
+
+
+class AudioFingerprinter:
+    """Actor-pool ``map_batches`` stage: decode (warm codec state) →
+    energy-delta sign fingerprint. The Shazam/Chromaprint family's
+    integer core: split the signal into ``n_windows`` equal windows,
+    take per-window abs-energy, set bit ``w-1`` iff
+    ``energy(w) > energy(w-1)`` — amplitude-scale-robust, byte-exact,
+    and (for lossless inputs) restatable in closed-form SQL."""
+
+    def __init__(self, n_windows: int = 32):
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            samples, _ = decode_audio(bytes(payload))
+            n = len(samples) // self.n_windows
+            if n == 0:
+                ids.append(mid)
+                fps.append(0)
+                continue
+            w = (
+                np.abs(samples[: n * self.n_windows].astype(np.int64))
+                .reshape(self.n_windows, n)
+                .sum(axis=1)
+            )
+            bits = (w[1:] > w[:-1]).astype(np.uint64)
+            fp = int((bits << np.arange(self.n_windows - 1, dtype=np.uint64)).sum())
+            ids.append(mid)
+            fps.append(fp)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(fps, pa.int64())],
+            names=["media_id", "fingerprint"],
+        )
+
+
+def audio_fingerprint_dedup(
+    ds, n_windows: int = 32, batch_size: int = 64, concurrency=(1, 4)
+):
+    """Perceptual audio dedup — the audio twin of image dHash
+    (ops/phash.py): fingerprint in the decode actor pool (payloads never
+    shuffle), then ONE groupby over (fingerprint, id) rows; each group's
+    min id is the cluster representative. → ``(media_id, fingerprint,
+    rep_id, cluster_size)``."""
+    from .segments import sorted_segment_apply
+
+    fps = ds.map_batches(
+        AudioFingerprinter,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"n_windows": n_windows},
+        concurrency=concurrency,
+    )
+
+    def annotate(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        names = ["media_id", "fingerprint", "rep_id", "cluster_size"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4, names=names
+            )
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        fp = batch["fingerprint"].to_numpy(zero_copy_only=False)
+        lens = (ends - starts).astype(np.int64)
+        # rows belonging to COMPLETE segments only (coverage-diff mask)
+        n = batch.num_rows
+        cover = np.zeros(n + 1, np.int64)
+        np.add.at(cover, starts, 1)
+        np.add.at(cover, ends, -1)
+        idx = np.flatnonzero(np.cumsum(cover[:-1]) > 0)
+        reps = np.repeat(ids[starts], lens)  # within-sorted by id: head=min
+        sizes = np.repeat(lens, lens)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[idx]),
+                pa.array(fp[idx]),
+                pa.array(reps),
+                pa.array(sizes),
+            ],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        fps, key_col="fingerprint", block_fn=annotate, within_cols=["media_id"]
+    )

@@ -5094,6 +5094,47 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_audio_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Cross-codec perceptual audio dedup
+    (:func:`ops.multimodal.audio_fingerprint_dedup`): doc i carries the
+    signal of class ``i % 50`` encoded as WAV or mono/mid-side FLAC by
+    ``i % 4`` — lossless codecs, so equal classes fingerprint identically
+    ACROSS formats and cluster together. Energy-delta sign bits over 32
+    windows; oracle recomputes every window energy, bit, and cluster from
+    the closed form."""
+    from .ops.flac import encode_flac
+    from .ops.multimodal import audio_fingerprint_dedup, encode_wav
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            sig = (((i % 50) * 37 + np.arange(1024) * 13) % 2048 - 1024).astype(
+                np.int16
+            )
+            if i % 4 == 0:
+                payloads.append(encode_wav(sig))
+            elif i % 4 == 3:
+                payloads.append(
+                    encode_flac(np.stack([sig, sig], axis=1), mid_side=True)
+                )
+            else:
+                payloads.append(encode_flac(sig.reshape(-1, 1)))
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(i) for i in ids], pa.int64()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["media_id", "payload"],
+        )
+
+    media = ds.map_batches(to_audio, batch_format="pyarrow")
+    out = audio_fingerprint_dedup(media).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_path_templates(sf_dir: str) -> pd.DataFrame:
     """Top-20 URL path templates (:func:`ops.urls.path_templates`) over
     synthesized dynamic-page urls (item/review/static/search families with
@@ -5334,6 +5375,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "group_winsorize": q_group_winsorize,
     "path_templates": q_path_templates,
+    "audio_fingerprint": q_audio_fingerprint,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5652,6 +5694,29 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["audio_fingerprint"] = """
+WITH e AS (
+    SELECT d.doc_id, CAST(t.t // 32 AS INTEGER) AS win,
+           sum(abs(((d.doc_id % 50) * 37 + t.t * 13) % 2048 - 1024)) AS en
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(0, 1024)) AS t) t
+    GROUP BY 1, 2
+),
+b AS (
+    SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.en > p.en
+                         THEN (CAST(1 AS BIGINT) << (a.win - 1))
+                         ELSE 0 END) AS BIGINT) AS fp
+    FROM e a JOIN e p ON p.doc_id = a.doc_id AND p.win = a.win - 1
+    GROUP BY 1
+)
+SELECT doc_id AS media_id,
+       fp AS fingerprint,
+       min(doc_id) OVER (PARTITION BY fp) AS rep_id,
+       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size
+FROM b ORDER BY media_id
 """
 
 ORACLE_SQL["path_templates"] = r"""

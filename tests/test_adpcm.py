@@ -174,3 +174,38 @@ class TestG711:
         assert rate == 8000 and np.array_equal(s1, decode_mulaw(stream))
         s2, _ = decode_audio(payload)  # routes through the RIFF sniffer
         assert np.array_equal(s2, s1)
+
+
+class TestAudioFingerprint:
+    """ops/multimodal.py audio fingerprint dedup: cross-codec identity,
+    brute-force bits, empty-signal edge."""
+
+    def test_cross_codec_identity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.flac import encode_flac
+        from pdf_extractor_ray.ops.multimodal import (
+            audio_fingerprint_dedup, encode_wav,
+        )
+
+        sig = ((np.arange(1024) * 13 + 37) % 2048 - 1024).astype(np.int16)
+        other = ((np.arange(1024) * 29 + 5) % 4096 - 2048).astype(np.int16)
+        rows = [
+            {"media_id": 0, "payload": encode_wav(sig)},
+            {"media_id": 1, "payload": encode_flac(sig.reshape(-1, 1))},
+            {"media_id": 2, "payload": encode_flac(
+                np.stack([sig, sig], axis=1), mid_side=True)},
+            {"media_id": 3, "payload": encode_wav(other)},
+        ]
+        out = (
+            audio_fingerprint_dedup(rd.from_items(rows).repartition(2))
+            .to_pandas().sort_values("media_id").reset_index(drop=True)
+        )
+        # same signal through three codecs -> one cluster with rep 0
+        assert out.loc[:2, "rep_id"].tolist() == [0, 0, 0]
+        assert out.loc[:2, "cluster_size"].tolist() == [3, 3, 3]
+        assert out.loc[3, "cluster_size"] == 1
+        # brute-force the fingerprint bits
+        w = np.abs(sig.astype(np.int64)).reshape(32, 32).sum(axis=1)
+        fp = int(sum(1 << (i - 1) for i in range(1, 32) if w[i] > w[i - 1]))
+        assert out.loc[0, "fingerprint"] == fp
