@@ -4427,6 +4427,50 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_wat_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Pages → WAT metadata records (Common Crawl's third archive product:
+    a ``metadata``-type WARC record per page carrying a canonical JSON
+    envelope with the header echo, head title, and href list) → parse back
+    (:func:`sources.warc.wat_encode_batch` / ``wat_decode_batch``).
+    Title (entity-resolved) and link count are closed-form from doc_id, so
+    the oracle is ground truth through the whole JSON+WARC roundtrip."""
+    import functools
+
+    from .sources.warc import wat_decode_batch, wat_encode_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        urls, ts, htmls = [], [], []
+        for i in ids:
+            i = int(i)
+            links = "".join(
+                f'<a href="https://t{j}.example.com/p">x</a>' for j in range(i % 3)
+            )
+            htmls.append(
+                f"<html><head><title>Doc {i} &amp; Co</title></head>"
+                f"<body>{links}</body></html>".encode()
+            )
+            urls.append(f"doc://{i:08d}")
+            ts.append(1_767_225_600_000_000 + i * 1_000_000)
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(np.asarray(ts, dtype=np.int64)).cast(pa.timestamp("us")),
+                pa.array(htmls, pa.binary()),
+            ],
+            names=["url", "warc_ts", "html"],
+        )
+
+    blobs = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        functools.partial(wat_encode_batch, compress="mixed"),
+        batch_format="pyarrow",
+    )
+    out = blobs.map_batches(wat_decode_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def q_warc_roundtrip(sf_dir: str) -> pd.DataFrame:
     """Pages → WARC/1.0 archive blobs (gzip member per record — the Common
     Crawl layout — alternating with plain concatenation to cover both parse
@@ -5376,6 +5420,7 @@ QUERIES = {
     "group_winsorize": q_group_winsorize,
     "path_templates": q_path_templates,
     "audio_fingerprint": q_audio_fingerprint,
+    "wat_roundtrip": q_wat_roundtrip,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5694,6 +5739,14 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["wat_roundtrip"] = """
+SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' & Co' AS title,
+       CAST(doc_id % 3 AS BIGINT) AS n_links
+FROM documents ORDER BY url
 """
 
 ORACLE_SQL["audio_fingerprint"] = """

@@ -83,6 +83,10 @@ def build_record(url: str, ts_us: int, payload: bytes,
     elif record_type == "conversion":
         body = payload
         body_ct = content_type.encode("ascii")
+    elif record_type == "metadata":
+        # the WAT layout: a JSON envelope describing another record
+        body = payload
+        body_ct = b"application/json"
     else:
         raise ValueError(f"unsupported record_type {record_type!r}")
     digest = hashlib.sha1(payload).hexdigest()
@@ -300,3 +304,88 @@ def read_warc(paths: str | list[str], types: tuple = ("response", "conversion"))
         )
 
     return files.map_batches(decode, batch_format="pyarrow")
+
+
+def wat_encode_batch(batch: pa.Table, records_per_blob: int = 8,
+                     compress: bool | str = True,
+                     html_col: str = "html") -> pa.Table:
+    """Pages batch → WAT blobs: one ``metadata``-type WARC record per page
+    whose payload is the deterministic JSON envelope (Common-Crawl WAT
+    subset — WARC header echo + HTML head title + href list). JSON is
+    canonical (sorted keys, no spaces) so the roundtrip is byte-stable.
+    """
+    import json
+
+    from ..functions.metadata import parse_head_meta
+    from ..ops.links import _HREF_RE
+
+    urls = batch["url"].to_pylist()
+    ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
+    htmls = batch[html_col].to_pylist()
+    payloads = []
+    for url, t, html in zip(urls, ts, htmls):
+        text = (
+            html.decode("utf-8", errors="replace")
+            if isinstance(html, (bytes, bytearray))
+            else (html or "")
+        )
+        meta = parse_head_meta(text)
+        links = _HREF_RE.findall(text)
+        env = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": url,
+                    "WARC-Date": _warc_date(int(t)),
+                    "WARC-Type": "response",
+                },
+                "Payload-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": meta["title"]},
+                        "Links": [{"url": h} for h in links],
+                    }
+                },
+            }
+        }
+        payloads.append(
+            json.dumps(env, sort_keys=True, separators=(",", ":")).encode()
+        )
+    blobs = []
+    for k, i in enumerate(range(0, len(urls), records_per_blob)):
+        j = i + records_per_blob
+        comp = (k % 2 == 0) if compress == "mixed" else bool(compress)
+        blobs.append(
+            records_to_warc(
+                urls[i:j], ts[i:j], payloads[i:j], comp,
+                record_type="metadata", content_type="application/json",
+            )
+        )
+    return pa.Table.from_arrays([pa.array(blobs, pa.binary())], names=["warc"])
+
+
+def wat_decode_batch(batch: pa.Table) -> pa.Table:
+    """WAT blobs → one row per described page: ``(url, warc_ts, title,
+    n_links)`` parsed from the JSON envelope (digest-checked)."""
+    import json
+
+    urls, ts, titles, n_links = [], [], [], []
+    for blob in batch["warc"].to_pylist():
+        for rec in parse_warc(blob):
+            if rec["warc_type"] != "metadata":
+                continue
+            if not rec["digest_ok"]:
+                raise WarcError(f"payload digest mismatch for {rec['url']}")
+            env = json.loads(rec["payload"].decode())["Envelope"]
+            hm = env["Payload-Metadata"]["HTML-Metadata"]
+            urls.append(env["WARC-Header-Metadata"]["WARC-Target-URI"])
+            ts.append(rec["warc_ts"])
+            titles.append(hm["Head"]["Title"])
+            n_links.append(len(hm["Links"]))
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(np.asarray(ts, dtype=np.int64)).cast(pa.timestamp("us")),
+            pa.array(titles, pa.string()),
+            pa.array(np.asarray(n_links, dtype=np.int64)),
+        ],
+        names=["url", "warc_ts", "title", "n_links"],
+    )

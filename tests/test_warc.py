@@ -163,3 +163,53 @@ class TestWetRecords:
 
         with _pytest.raises(ValueError, match="unsupported record_type"):
             build_record("u", 0, b"x", record_type="metadata")
+
+
+class TestWat:
+    """WAT metadata records: JSON envelope roundtrip, digest check,
+    mixed compression, binary-unsafe titles."""
+
+    def test_roundtrip(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.sources.warc import (
+            wat_decode_batch, wat_encode_batch,
+        )
+
+        tbl = pa.table(
+            {
+                "url": ["http://a/1", "http://b/2"],
+                "warc_ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+                "html": [
+                    b"<html><head><title>T &amp; A</title></head>"
+                    b'<body><a href="x">1</a><a href="y">2</a></body></html>',
+                    b"<html><body>no head</body></html>",
+                ],
+            }
+        )
+        blobs = wat_encode_batch(tbl, compress="mixed")
+        out = wat_decode_batch(blobs).to_pylist()
+        assert out[0]["title"] == "T & A" and out[0]["n_links"] == 2
+        assert out[1]["title"] is None and out[1]["n_links"] == 0
+        assert out[0]["url"] == "http://a/1"
+
+    def test_digest_tamper_raises(self):
+        import pytest
+
+        from pdf_extractor_ray.sources.warc import (
+            WarcError, wat_decode_batch, wat_encode_batch,
+        )
+
+        tbl = pa.table(
+            {
+                "url": ["http://a/1"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "html": [b"<html><head><title>x</title></head></html>"],
+            }
+        )
+        blob = bytearray(wat_encode_batch(tbl, compress=False)["warc"][0].as_py())
+        i = bytes(blob).find(b'"Title":"x"')
+        assert i > 0
+        blob[i + 9] = ord("y")
+        with pytest.raises(WarcError):
+            wat_decode_batch(pa.table({"warc": [bytes(blob)]}))
