@@ -426,3 +426,70 @@ def rank_per_key(ds, key_col: str, within_cols: list, carry_cols: list,
         ds, key_col=key_col, block_fn=kernel,
         within_cols=within_cols, descending=descending,
     )
+
+
+def strip_repeated_lines(
+    ds,
+    id_col: str = "doc_id",
+    page_col: str = "page_no",
+    text_col: str = "text",
+    min_pages: int = 3,
+):
+    """Header/footer removal for paginated documents: a line appearing on
+    ``>= min_pages`` DISTINCT pages of the same document is chrome
+    (running header, footer, page furniture) and is dropped from every
+    page; remaining lines keep their order. The within-document twin of
+    the cross-document paragraph dedup (``ops/text.py:paragraph_dedup``)
+    — the reference's page-header concern (assemble.py) inverted into
+    removal.
+
+    Shape: all pages of a document must co-locate, so the honest exchange
+    is ONE (doc, page) sort; each complete document segment then resolves
+    in one pass — line counting via a per-segment dict (documents are
+    page-bounded; the per-document Python loop is over ITS OWN pages,
+    never the corpus). Emits ``(id, page, cleaned_text, n_dropped)``.
+    """
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        names = [id_col, page_col, "cleaned_text", "n_dropped"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], id_type),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.string()),
+                    pa.array([], pa.int64()),
+                ],
+                names=names,
+            )
+        ids = batch[id_col].to_pylist()
+        pages = batch[page_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_pg, out_tx, out_dp = [], [], [], []
+        for s, e in zip(starts, ends):
+            page_count: dict[str, int] = {}
+            for i in range(s, e):
+                for ln in set((texts[i] or "").split("\n")):
+                    page_count[ln] = page_count.get(ln, 0) + 1
+            chrome = {ln for ln, c in page_count.items() if c >= min_pages}
+            for i in range(s, e):
+                lines = (texts[i] or "").split("\n")
+                kept = [ln for ln in lines if ln not in chrome]
+                out_id.append(ids[i])
+                out_pg.append(pages[i])
+                out_tx.append("\n".join(kept))
+                out_dp.append(len(lines) - len(kept))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, id_type),
+                pa.array(out_pg, pa.int64()),
+                pa.array(out_tx, pa.string()),
+                pa.array(out_dp, pa.int64()),
+            ],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        ds, key_col=id_col, block_fn=kernel, within_cols=[page_col]
+    )

@@ -5138,6 +5138,42 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_strip_headers(sf_dir: str) -> pd.DataFrame:
+    """Running header/footer removal across the pages of each document
+    (:func:`ops.segments.strip_repeated_lines`): every doc becomes 4 pages
+    sharing a per-doc header line and a constant footer (chrome on ≥3
+    pages → dropped) around a unique body line (kept). One (doc, page)
+    sort; per-document resolution. Oracle: the closed-form surviving body
+    line and drop count."""
+    from .ops.segments import strip_repeated_lines
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def paginate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_id, out_pg, out_tx = [], [], []
+        for i in ids:
+            i = int(i)
+            for p in range(4):
+                out_id.append(i)
+                out_pg.append(p)
+                out_tx.append(
+                    f"ACME header {i % 5}\nbody {i} page {p}\nfooter confidential"
+                )
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_pg, pa.int64()),
+                pa.array(out_tx, pa.string()),
+            ],
+            names=["doc_id", "page_no", "text"],
+        )
+
+    pages = ds.map_batches(paginate, batch_format="pyarrow")
+    out = strip_repeated_lines(pages, min_pages=3).to_pandas()
+    return out.sort_values(["doc_id", "page_no"]).reset_index(drop=True)
+
+
 def q_audio_fingerprint(sf_dir: str) -> pd.DataFrame:
     """Cross-codec perceptual audio dedup
     (:func:`ops.multimodal.audio_fingerprint_dedup`): doc i carries the
@@ -5421,6 +5457,7 @@ QUERIES = {
     "path_templates": q_path_templates,
     "audio_fingerprint": q_audio_fingerprint,
     "wat_roundtrip": q_wat_roundtrip,
+    "strip_headers": q_strip_headers,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5739,6 +5776,16 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["strip_headers"] = """
+SELECT doc_id,
+       CAST(t.p AS BIGINT) AS page_no,
+       'body ' || CAST(doc_id AS VARCHAR) || ' page '
+           || CAST(t.p AS VARCHAR) AS cleaned_text,
+       CAST(2 AS BIGINT) AS n_dropped
+FROM documents, (SELECT unnest(range(4)) AS p) t
+ORDER BY doc_id, page_no
 """
 
 ORACLE_SQL["wat_roundtrip"] = """

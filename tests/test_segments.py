@@ -337,3 +337,48 @@ class TestProfileTable:
             assert out["a"]["min_val"] == "1" and out["a"]["max_val"] == "7"
             assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 4
             assert out["s"]["min_val"] == "aa" and out["s"]["max_val"] == "z"
+
+
+class TestStripRepeatedLines:
+    def test_chrome_detection(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import strip_repeated_lines
+
+        rows = []
+        # doc 1: header on all 3 pages, footer on 2 of 3 (below min_pages)
+        for p in range(3):
+            foot = "\nfoot" if p < 2 else ""
+            rows.append(
+                {"doc_id": 1, "page_no": p, "text": f"HEAD\nbody {p}{foot}"}
+            )
+        # doc 2: single page — nothing can repeat across pages
+        rows.append({"doc_id": 2, "page_no": 0, "text": "HEAD\nonly"})
+        ds = rd.from_items(rows).repartition(2)
+        out = (
+            strip_repeated_lines(ds, min_pages=3)
+            .to_pandas().sort_values(["doc_id", "page_no"]).reset_index(drop=True)
+        )
+        assert out.loc[0, "cleaned_text"] == "body 0\nfoot"
+        assert out.loc[0, "n_dropped"] == 1
+        assert out.loc[2, "cleaned_text"] == "body 2"
+        # doc 2 untouched (its HEAD appears on one page only)
+        assert out.loc[3, "cleaned_text"] == "HEAD\nonly"
+        assert out.loc[3, "n_dropped"] == 0
+
+    def test_duplicate_line_on_one_page_counts_once(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import strip_repeated_lines
+
+        # "x" twice on page 0, once on page 1 -> distinct-page count 2 < 3
+        rows = [
+            {"doc_id": 1, "page_no": 0, "text": "x\nx\na"},
+            {"doc_id": 1, "page_no": 1, "text": "x\nb"},
+            {"doc_id": 1, "page_no": 2, "text": "c"},
+        ]
+        out = (
+            strip_repeated_lines(rd.from_items(rows), min_pages=3)
+            .to_pandas().sort_values("page_no").reset_index(drop=True)
+        )
+        assert out["cleaned_text"].tolist() == ["x\nx\na", "x\nb", "c"]
