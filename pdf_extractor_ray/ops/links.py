@@ -1174,3 +1174,123 @@ def triangle_count(
         ],
         names=["n_nodes", "n_edges", "n_triangles"],
     )
+
+
+def kcore(
+    edges_ds,
+    k: int,
+    rounds: int,
+    u_col: str = "src_host",
+    v_col: str = "dst_host",
+    node_broadcast_cap: int = 5_000_000,
+) -> pa.Table:
+    """K-core decomposition by iterative pruning: repeatedly delete nodes
+    of degree < ``k`` (and their edges) for exactly ``rounds`` rounds —
+    idempotent once converged, so with enough rounds this IS the k-core.
+    The graph-curation primitive for link-spam farms: low-degree fringe
+    peels away, the dense core remains. Returns one row per surviving
+    node: ``(node, degree)`` (degree within the core).
+
+    Each round is ONE degree ``groupby`` over canonical edges plus a
+    vectorized keep-filter with the (node, degree) table broadcast under
+    ``node_broadcast_cap`` (the same dual-regime contract as pagerank/
+    HITS — above the cap each round becomes two sorted-lookup joins,
+    raised as NotImplementedError until a corpus needs it). Fixed-round
+    semantics keep the SQL oracle expressible as ``rounds`` chained CTEs.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[u_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[v_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        fwd = u < v
+        lo = np.where(fwd, u, v)
+        hi = np.where(fwd, v, u)
+        pairs = np.unique(np.char.add(np.char.add(lo, SEP), hi))
+        return pa.Table.from_arrays(
+            [pa.array(pairs.astype(object), pa.string())], names=["e"]
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("e")
+        .count()
+        .map_batches(
+            lambda t: pa.Table.from_arrays([t["e"].combine_chunks()], names=["e"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        nodes = np.concatenate([parts[:, 0], parts[:, 2]])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(un.astype(object), pa.string()), pa.array(cn, pa.int64())],
+            names=["node", "d"],
+        )
+
+    def degrees(e_ds):
+        parts = list(
+            e_ds.map_batches(
+                degree_partial, batch_format="pyarrow", batch_size=None
+            )
+            .groupby("node")
+            .sum("d")
+            .iter_batches(batch_format="pyarrow")
+        )
+        if not parts:
+            return np.array([], dtype=str), np.array([], dtype=np.int64)
+        rows = pa.concat_tables(parts)
+        if rows.num_rows > node_broadcast_cap:
+            raise NotImplementedError(
+                "kcore: node table exceeds node_broadcast_cap; swap the "
+                "broadcast for two attach_lookup degree joins per round"
+            )
+        ns = rows["node"].to_numpy(zero_copy_only=False).astype(str)
+        dg = rows["sum(d)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ns)
+        return ns[o], dg[o]
+
+    for _ in range(rounds):
+        ns, dg = degrees(edges)
+        alive = ns[dg >= k]
+        if len(alive) == len(ns):
+            break  # converged: further rounds are identity
+        aref = ray.put(alive)
+
+        def keep_edges(batch: pa.Table) -> pa.Table:
+            al = ray.get(aref)
+            parts = np.char.partition(
+                np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+            )
+            li = np.searchsorted(al, parts[:, 0])
+            ri = np.searchsorted(al, parts[:, 2])
+            ok = (
+                (li < len(al)) & (ri < len(al))
+            )
+            ok[ok] &= (al[li[ok]] == parts[:, 0][ok]) & (
+                al[ri[ok]] == parts[:, 2][ok]
+            )
+            return batch.filter(pa.array(ok))
+
+        edges = edges.map_batches(keep_edges, batch_format="pyarrow").materialize()
+
+    ns, dg = degrees(edges)
+    keep = dg >= k
+    return pa.Table.from_arrays(
+        [
+            pa.array(ns[keep].astype(object), pa.string()),
+            pa.array(dg[keep].astype(np.int64)),
+        ],
+        names=["node", "degree"],
+    )

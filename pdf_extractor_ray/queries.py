@@ -5138,6 +5138,37 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_kcore(sf_dir: str) -> pd.DataFrame:
+    """3-core of a synthesized core+fringe host graph
+    (:func:`ops.links.kcore`): a complete K6 of core hosts plus
+    degree-≤2 fringe/pendant chains that iterative pruning must peel in
+    two rounds, leaving exactly the K6 at degree 5 each — the oracle
+    states that closed-form ground truth."""
+    from .ops.links import kcore
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        for i in ids:
+            i = int(i)
+            a = i % 6
+            b = (a + 1 + (i // 6) % 5) % 6
+            us.append(f"c{a}"); vs.append(f"c{b}")          # core K6
+            j = i % 40
+            us.append(f"f{j}"); vs.append(f"c{j % 6}")       # fringe spoke
+            us.append(f"f{j}"); vs.append(f"h{j}")           # pendant
+        return pa.Table.from_arrays(
+            [pa.array(us, pa.string()), pa.array(vs, pa.string())],
+            names=["src_host", "dst_host"],
+        )
+
+    g = ds.map_batches(edges, batch_format="pyarrow")
+    out = kcore(g, k=3, rounds=6).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_strip_headers(sf_dir: str) -> pd.DataFrame:
     """Running header/footer removal across the pages of each document
     (:func:`ops.segments.strip_repeated_lines`): every doc becomes 4 pages
@@ -5458,6 +5489,7 @@ QUERIES = {
     "audio_fingerprint": q_audio_fingerprint,
     "wat_roundtrip": q_wat_roundtrip,
     "strip_headers": q_strip_headers,
+    "kcore": q_kcore,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5776,6 +5808,11 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
+"""
+
+ORACLE_SQL["kcore"] = """
+SELECT 'c' || CAST(i AS VARCHAR) AS node, CAST(5 AS BIGINT) AS degree
+FROM (SELECT unnest(range(6)) AS i) ORDER BY node
 """
 
 ORACLE_SQL["strip_headers"] = """

@@ -675,3 +675,47 @@ class TestPathTemplates:
         assert rows["a.com/item/<d>/x"] == 3
         assert rows["b.org/static/page"] == 2
         assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+
+class TestKcore:
+    def _brute(self, pairs, k):
+        edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        while True:
+            deg = {}
+            for u, v in edges:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            dead = {n for n, d in deg.items() if d < k}
+            if not dead:
+                return deg
+            edges = {e for e in edges if e[0] not in dead and e[1] not in dead}
+            if not edges:
+                return {}
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import kcore
+
+        rng = np.random.Generator(np.random.Philox(23))
+        pairs = [
+            (f"n{int(rng.integers(0, 15))}", f"n{int(rng.integers(0, 15))}")
+            for _ in range(60)
+        ]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs]
+        ).repartition(3)
+        for k in (2, 3, 4):
+            out = kcore(ds, k=k, rounds=20).to_pylist()
+            got = {r["node"]: r["degree"] for r in out}
+            assert got == self._brute(pairs, k), k
+
+    def test_fully_peeled(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import kcore
+
+        # a path graph has no 2-core
+        path = [(f"p{i}", f"p{i+1}") for i in range(6)]
+        ds = rd.from_items([{"src_host": u, "dst_host": v} for u, v in path])
+        assert kcore(ds, k=2, rounds=10).num_rows == 0
