@@ -275,6 +275,45 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run a registered analytics query from the library's QUERIES
+    registry over an sf-style directory of parquet tables, writing the
+    result as parquet (or printing a row-count/schema summary)."""
+    _init_ray(args.num_cpus)
+    import pandas as pd
+    import pyarrow as pa
+
+    from .queries import QUERIES
+
+    if args.name == "list" or args.name not in QUERIES:
+        names = "\n".join(sorted(QUERIES))
+        if args.name == "list":
+            print(names)
+            return 0
+        print(f"unknown query {args.name!r}; available:\n{names}", file=sys.stderr)
+        return 2
+    res = QUERIES[args.name](args.sf_dir)
+    if isinstance(res, pd.DataFrame):
+        tbl = pa.Table.from_pandas(res, preserve_index=False)
+    elif isinstance(res, pa.Table):
+        tbl = res
+    else:  # ray Dataset
+        import ray
+
+        tbl = pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+    if args.output:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, args.output)
+    print(json.dumps({
+        "query": args.name,
+        "rows": tbl.num_rows,
+        "columns": tbl.schema.names,
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Corpus statistics: exact quantiles of a numeric column, HLL
     distinct count of a key column, and/or top-k words per group — the
@@ -480,6 +519,16 @@ def main(argv: list[str] | None = None) -> int:
     p_wet.add_argument("--records-per-blob", type=int, default=64)
     p_wet.add_argument("--num-cpus", type=int, default=None)
     p_wet.set_defaults(fn=cmd_wet)
+
+    p_query = sub.add_parser(
+        "query", help="run a registered analytics query ('list' to enumerate)"
+    )
+    p_query.add_argument("name", help="query name from the registry, or 'list'")
+    p_query.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                         help="directory of parquet tables (region/.../documents)")
+    p_query.add_argument("--output", default=None, help="parquet output path")
+    p_query.add_argument("--num-cpus", type=int, default=None)
+    p_query.set_defaults(fn=cmd_query)
 
     p_metrics = sub.add_parser("metrics", help="show a run's partition metrics")
     p_metrics.add_argument("--output", required=True)

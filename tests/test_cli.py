@@ -301,3 +301,21 @@ def test_cli_extract_password_col(tmp_path):
     assert len(texts) == 6 and all(texts.values())
     assert all("Per-row secret line" in t for t in texts.values())
     assert "doc_pw" not in tbl.column_names
+
+
+def test_cli_query(ray_session, tmp_path):
+    """`query` subcommand: run a registry query, write parquet, list names."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.__main__ import main
+
+    out = str(tmp_path / "q.parquet")
+    rc = main(
+        ["query", "dataset_split", "--sf-dir", "/root/testdata/sf0.001",
+         "--output", out]
+    )
+    assert rc == 0
+    t = pq.read_table(out)
+    assert t.num_rows == 500 and "split" in t.schema.names
+    assert main(["query", "list"]) == 0
+    assert main(["query", "no_such_query"]) == 2
