@@ -1808,3 +1808,51 @@ def ngram_jaccard_dedup(
         ds, pairs, text_col, id_col, threshold,
         lambda t: _word_ngram_hashes(t, n), candidate_cap=candidate_cap,
     )
+
+
+def cluster_representatives(
+    ds, cluster_col: str, score_col: str, id_col: str = "doc_id"
+) -> "object":
+    """One row per cluster: the argmax-``score_col`` member (ties → min
+    ``id_col``) plus the member count — ``(cluster, rep, rep_score,
+    n_members)``. The selection step SemDeDup-style near-dup curation
+    runs after clustering: keep the best exemplar, drop the rest.
+
+    ONE (cluster, score desc, id asc) sort over the label rows (ids and
+    scores only — callers should drop payload columns first); each
+    segment's head is the representative, counts are segment lengths.
+    """
+    from .segments import sorted_segment_apply
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        ctype = batch.schema.field(cluster_col).type
+        itype = batch.schema.field(id_col).type
+        names = [cluster_col, "rep", "rep_score", "n_members"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], ctype),
+                    pa.array([], itype),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                ],
+                names=names,
+            )
+        take = pa.array(starts)
+        return pa.Table.from_arrays(
+            [
+                batch[cluster_col].take(take),
+                batch[id_col].take(take),
+                batch[score_col].cast(pa.int64()).take(take),
+                pa.array((ends - starts).astype(np.int64)),
+            ],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        ds,
+        key_col=cluster_col,
+        block_fn=kernel,
+        within_cols=[score_col, id_col],
+        descending=[True, False],
+    )

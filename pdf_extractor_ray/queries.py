@@ -1691,6 +1691,56 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_minhash_canonical(sf_dir: str) -> pd.DataFrame:
+    """Near-dup curation END TO END: the minhash_dedup clustering (same
+    corpus ∪ perturbed copies, exact-Jaccard-verified LSH) composed with
+    per-cluster canonical selection (:func:`ops.dedup.
+    cluster_representatives`) — keep the LONGEST member (ties → min id),
+    report each cluster's representative and size. Oracle: the
+    minhash_dedup recursive ground-truth clusters extended with a
+    row_number argmax."""
+    import ray.data as rd
+
+    from .ops.dedup import cluster_representatives, minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = [i for i in batch["doc_id"].to_pylist() if i % 5 == 0]
+        texts = [
+            " ".join(t.split()[:-1])
+            for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+            if i % 5 == 0
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array([i + 100_000 for i in ids], pa.int64()),
+                pa.array(texts, pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+
+    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    labeled = minhash_lsh_dedup(both, threshold=0.7)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["cluster_id"].combine_chunks(),
+                batch["doc_id"].combine_chunks(),
+                pc.utf8_length(pc.fill_null(batch["text"], "")).cast(pa.int64()),
+            ],
+            names=["cluster_id", "doc_id", "score"],
+        )
+
+    reps = cluster_representatives(
+        labeled.map_batches(score, batch_format="pyarrow"),
+        cluster_col="cluster_id",
+        score_col="score",
+    ).to_pandas()
+    return reps.sort_values("cluster_id").reset_index(drop=True)
+
+
 def q_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
     """EXACT word-trigram Jaccard near-dup clustering (AllPairs prefix
     filtering + PPJoin length filter — ops/dedup.py:ngram_jaccard_dedup)
@@ -5490,6 +5540,7 @@ QUERIES = {
     "wat_roundtrip": q_wat_roundtrip,
     "strip_headers": q_strip_headers,
     "kcore": q_kcore,
+    "minhash_canonical": q_minhash_canonical,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5809,6 +5860,26 @@ FROM documents
 WHERE doc_id % 5 <> 0 OR doc_id % 7 <> 0
 ORDER BY url
 """
+
+# Same recursive ground-truth clustering as minhash_dedup, extended with
+# the per-cluster argmax(score=length, ties min id) representative.
+ORACLE_SQL["minhash_canonical"] = (
+    ORACLE_SQL["minhash_dedup"].rsplit("SELECT doc_id, cluster_id", 1)[0]
+    + """,
+scored AS (
+    SELECT lab.doc_id, lab.cluster_id, length(c.t) AS score
+    FROM lab JOIN corpus c ON c.doc_id = lab.doc_id
+)
+SELECT cluster_id,
+       doc_id AS rep,
+       CAST(score AS BIGINT) AS rep_score,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY score DESC, doc_id) = 1
+ORDER BY cluster_id
+"""
+)
 
 ORACLE_SQL["kcore"] = """
 SELECT 'c' || CAST(i AS VARCHAR) AS node, CAST(5 AS BIGINT) AS degree
