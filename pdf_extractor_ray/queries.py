@@ -4477,6 +4477,51 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_http_stats(sf_dir: str) -> pd.DataFrame:
+    """Crawl-health histogram from raw WARC archives
+    (:func:`sources.warc.http_stats_batch`): doc i is archived as an HTTP
+    reply with status by ``i % 5`` (200/200/301/404/500) and media type by
+    ``i % 3``; per-block pre-combined (status, mime) partials fold through
+    one tiny groupby. Statuses/types are read back from the embedded
+    HTTP/1.1 headers, not trusted metadata — oracle is the closed form."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .sources.warc import http_stats_batch, records_to_warc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    STATUSES = [200, 200, 301, 404, 500]
+    CTYPES = ["text/html; charset=utf-8", "application/pdf", "text/plain"]
+
+    def to_warc(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        blobs = []
+        for k in range(0, len(ids), 16):
+            chunk = ids[k : k + 16]
+            blobs.append(
+                records_to_warc(
+                    [f"doc://{i:08d}" for i in chunk],
+                    [i * 1_000_000 for i in chunk],
+                    [f"payload {i}".encode() for i in chunk],
+                    compress=(k % 32 == 0),
+                    statuses=[STATUSES[i % 5] for i in chunk],
+                    content_types=[CTYPES[i % 3] for i in chunk],
+                )
+            )
+        return pa.Table.from_arrays([pa.array(blobs, pa.binary())], names=["warc"])
+
+    out = (
+        ds.map_batches(to_warc, batch_format="pyarrow")
+        .map_batches(http_stats_batch, batch_format="pyarrow")
+        .groupby(["http_status", "mime"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["http_status", "mime"]).reset_index(drop=True)
+
+
 def q_wat_roundtrip(sf_dir: str) -> pd.DataFrame:
     """Pages → WAT metadata records (Common Crawl's third archive product:
     a ``metadata``-type WARC record per page carrying a canonical JSON
@@ -5541,6 +5586,7 @@ QUERIES = {
     "strip_headers": q_strip_headers,
     "kcore": q_kcore,
     "minhash_canonical": q_minhash_canonical,
+    "http_stats": q_http_stats,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5894,6 +5940,16 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["http_stats"] = """
+SELECT CAST(CASE doc_id % 5 WHEN 2 THEN 301 WHEN 3 THEN 404
+            WHEN 4 THEN 500 ELSE 200 END AS BIGINT) AS http_status,
+       CASE doc_id % 3 WHEN 0 THEN 'text/html'
+                       WHEN 1 THEN 'application/pdf'
+                       ELSE 'text/plain' END AS mime,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["wat_roundtrip"] = """

@@ -66,15 +66,19 @@ def _record_id(url: str, ts_us: int) -> str:
 
 def build_record(url: str, ts_us: int, payload: bytes,
                  content_type: str = "text/html; charset=utf-8",
-                 record_type: str = "response") -> bytes:
+                 record_type: str = "response",
+                 http_status: int = 200) -> bytes:
     """One uncompressed WARC record. ``record_type="response"`` wraps the
     payload in an HTTP/1.1 reply (the WARC crawl product);
     ``"conversion"`` carries it directly (the WET extracted-text
     product)."""
     if record_type == "response":
+        reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+                  403: "Forbidden", 500: "Internal Server Error"}.get(
+            http_status, "Unknown")
         body = (
-            b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: " + content_type.encode("ascii") + _CRLF
+            f"HTTP/1.1 {http_status} {reason}".encode() + _CRLF
+            + b"Content-Type: " + content_type.encode("ascii") + _CRLF
             + b"Content-Length: " + str(len(payload)).encode() + _CRLF
             + _CRLF
             + payload
@@ -113,13 +117,18 @@ def _gzip_member(record: bytes) -> bytes:
 
 def records_to_warc(urls, ts_list, payloads, compress: bool = True,
                     record_type: str = "response",
-                    content_type: str = "text/html; charset=utf-8") -> bytes:
-    """Rows → one WARC blob (gzip member per record when ``compress``)."""
+                    content_type: str = "text/html; charset=utf-8",
+                    statuses=None, content_types=None) -> bytes:
+    """Rows → one WARC blob (gzip member per record when ``compress``).
+    ``statuses`` / ``content_types`` optionally vary the HTTP reply per
+    record (lists aligned with ``urls``)."""
     out = []
-    for url, ts, payload in zip(urls, ts_list, payloads):
+    for i, (url, ts, payload) in enumerate(zip(urls, ts_list, payloads)):
         rec = build_record(
             url, int(ts), bytes(payload),
-            content_type=content_type, record_type=record_type,
+            content_type=content_types[i] if content_types else content_type,
+            record_type=record_type,
+            http_status=statuses[i] if statuses else 200,
         )
         out.append(_gzip_member(rec) if compress else rec)
     return b"".join(out)
@@ -157,12 +166,25 @@ def _parse_one(rec: bytes) -> dict:
     if len(body) != clen:
         raise WarcError("truncated record body")
     payload = body
+    http_status = None
+    http_content_type = None
     if headers.get("content-type", "").startswith("application/http"):
         http_end = body.find(_CRLF + _CRLF)
         if http_end < 0:
             raise WarcError("missing end of HTTP header block")
+        http_lines = body[:http_end].split(_CRLF)
+        status_parts = http_lines[0].split(b" ", 2)
+        if len(status_parts) >= 2 and status_parts[1].isdigit():
+            http_status = int(status_parts[1])
+        for hl in http_lines[1:]:
+            hk, hsep, hv = hl.partition(b":")
+            if hsep and hk.decode("ascii", "replace").strip().lower() == "content-type":
+                http_content_type = hv.decode("utf-8", "replace").strip()
+                break
         payload = body[http_end + 4 :]
     return {
+        "http_status": http_status,
+        "http_content_type": http_content_type,
         "url": headers.get("warc-target-uri", ""),
         "warc_ts": _parse_warc_date(headers["warc-date"]),
         "payload": payload,
@@ -388,4 +410,39 @@ def wat_decode_batch(batch: pa.Table) -> pa.Table:
             pa.array(np.asarray(n_links, dtype=np.int64)),
         ],
         names=["url", "warc_ts", "title", "n_links"],
+    )
+
+
+def http_stats_batch(batch: pa.Table) -> pa.Table:
+    """WARC blobs → per-block pre-combined crawl-health partials:
+    ``(http_status, mime, cnt)`` per response record (mime = the
+    media-type of the HTTP Content-Type, parameters stripped). Feed into
+    one ``groupby(status, mime).sum`` — the exchange is
+    status×mime-sized, never record-sized."""
+    keys: list[str] = []
+    for blob in batch["warc"].to_pylist():
+        for rec in parse_warc(blob):
+            if rec["warc_type"] != "response":
+                continue
+            status = rec["http_status"]
+            ct = (rec["http_content_type"] or "").split(";")[0].strip().lower()
+            keys.append(f"{status if status is not None else -1}\x00{ct}")
+    if not keys:
+        return pa.Table.from_arrays(
+            [
+                pa.array([], pa.int64()),
+                pa.array([], pa.string()),
+                pa.array([], pa.int64()),
+            ],
+            names=["http_status", "mime", "cnt"],
+        )
+    u, c = np.unique(np.array(keys, dtype=object), return_counts=True)
+    pairs = [k.split("\x00", 1) for k in u]
+    return pa.Table.from_arrays(
+        [
+            pa.array([int(p[0]) for p in pairs], pa.int64()),
+            pa.array([p[1] for p in pairs], pa.string()),
+            pa.array(c, pa.int64()),
+        ],
+        names=["http_status", "mime", "cnt"],
     )

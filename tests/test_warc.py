@@ -161,8 +161,10 @@ class TestWetRecords:
     def test_unknown_record_type_raises(self):
         import pytest as _pytest
 
+        # "metadata" became the supported WAT layout in round 4d; a
+        # genuinely unknown type still raises.
         with _pytest.raises(ValueError, match="unsupported record_type"):
-            build_record("u", 0, b"x", record_type="metadata")
+            build_record("u", 0, b"x", record_type="request")
 
 
 class TestWat:
@@ -213,3 +215,24 @@ class TestWat:
         blob[i + 9] = ord("y")
         with pytest.raises(WarcError):
             wat_decode_batch(pa.table({"warc": [bytes(blob)]}))
+
+
+class TestHttpStats:
+    def test_status_and_mime_from_headers(self, ray_session):
+        from pdf_extractor_ray.sources.warc import (
+            http_stats_batch, records_to_warc,
+        )
+
+        blob = records_to_warc(
+            ["u1", "u2", "u3"],
+            [0, 1_000_000, 2_000_000],
+            [b"a", b"b", b"c"],
+            compress=False,
+            statuses=[200, 404, 200],
+            content_types=[
+                "text/html; charset=utf-8", "text/plain", "text/html",
+            ],
+        )
+        out = http_stats_batch(pa.table({"warc": [blob]})).to_pylist()
+        got = {(r["http_status"], r["mime"]): r["cnt"] for r in out}
+        assert got == {(200, "text/html"): 2, (404, "text/plain"): 1}
