@@ -4477,6 +4477,46 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_snapshot_delta(sf_dir: str) -> pd.DataFrame:
+    """Delta-encode changed recrawl captures (:mod:`ops.delta`): same
+    old/new construction as snapshot_edit_distance ('a'→'@' rewrites on
+    doc_id%3), greedy block-match diff + reconstruction per changed url.
+    The oracle byte-compares the RECONSTRUCTED text against the
+    independently computed new capture — end-to-end encode/decode
+    verification, nothing self-certified."""
+    from .ops.delta import snapshot_delta
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(old: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"].to_numpy())
+            keep = (ids % 5 != 0) if old else (ids % 7 != 0)
+            texts = batch["text"].to_pylist()
+            urls, out = [], []
+            for i, t, k in zip(ids, texts, keep):
+                if not k:
+                    continue
+                t = (t or "")[:1000]
+                urls.append(f"doc://{i:08d}")
+                out.append(t if old or i % 3 else t.replace("a", "@"))
+            return pa.Table.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(out, pa.string())],
+                names=["url", "text"],
+            )
+
+        return fn
+
+    old_ds = docs.map_batches(side(True), batch_format="pyarrow")
+    new_ds = docs.map_batches(side(False), batch_format="pyarrow")
+    df = (
+        snapshot_delta(old_ds, new_ds)
+        .select_columns(["url", "reconstructed", "bytes_new"])
+        .to_pandas()
+    )
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_http_stats(sf_dir: str) -> pd.DataFrame:
     """Crawl-health histogram from raw WARC archives
     (:func:`sources.warc.http_stats_batch`): doc i is archived as an HTTP
@@ -5587,6 +5627,7 @@ QUERIES = {
     "kcore": q_kcore,
     "minhash_canonical": q_minhash_canonical,
     "http_stats": q_http_stats,
+    "snapshot_delta": q_snapshot_delta,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5940,6 +5981,27 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["snapshot_delta"] = """
+WITH base AS (
+    SELECT doc_id,
+           'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+           substring(coalesce(text, ''), 1, 1000) AS t
+    FROM documents
+),
+o AS (SELECT url, t FROM base WHERE doc_id % 5 <> 0),
+n AS (
+    SELECT url,
+           CASE WHEN doc_id % 3 = 0 THEN replace(t, 'a', '@') ELSE t END AS t
+    FROM base WHERE doc_id % 7 <> 0
+)
+SELECT o.url,
+       n.t AS reconstructed,
+       CAST(strlen(n.t) AS BIGINT) AS bytes_new
+FROM o JOIN n USING (url)
+WHERE o.t <> n.t
+ORDER BY o.url
 """
 
 ORACLE_SQL["http_stats"] = """
