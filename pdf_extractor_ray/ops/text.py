@@ -1830,3 +1830,47 @@ def dataset_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def lang_spans_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-document language segmentation: each line is scored by the
+    corpus language heuristic (:class:`LangIdScorer`), consecutive lines
+    with the same prediction merge into one SPAN → one row per span
+    ``(id, span_start, span_end, lang, n_lines)`` (0-based inclusive line
+    indices). Multilingual pages (boilerplate in one language, content in
+    another) segment into monolingual stretches a mixture pipeline can
+    route independently.
+
+    Entirely within ``map_batches`` — each document's lines are in hand,
+    so segmentation is a per-doc run-length pass with ZERO exchanges."""
+    scorer = _LANGID_CACHE.get("__line__")
+    if scorer is None:
+        scorer = LangIdScorer("text")
+        _LANGID_CACHE["__line__"] = scorer
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_id, out_s, out_e, out_l, out_n = [], [], [], [], []
+    for i, t in zip(ids, texts):
+        lines = (t or "").split("\n")
+        preds = [scorer.predict_one(ln) for ln in lines]
+        start = 0
+        for j in range(1, len(preds) + 1):
+            if j == len(preds) or preds[j] != preds[start]:
+                out_id.append(i)
+                out_s.append(start)
+                out_e.append(j - 1)
+                out_l.append(preds[start])
+                out_n.append(j - start)
+                start = j
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_id, batch.schema.field(id_col).type),
+            pa.array(out_s, pa.int64()),
+            pa.array(out_e, pa.int64()),
+            pa.array(out_l, pa.string()),
+            pa.array(out_n, pa.int64()),
+        ],
+        names=[id_col, "span_start", "span_end", "lang", "n_lines"],
+    )

@@ -4477,6 +4477,40 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_lang_spans(sf_dir: str) -> pd.DataFrame:
+    """Per-document language span segmentation
+    (:func:`ops.text.lang_spans_batch`): every doc becomes six lines —
+    two English, two German, then two Hebrew (even ids) or English (odd)
+    — and must segment into exactly three monolingual spans. Real
+    per-line scoring + run-length merge, zero exchanges; oracle is the
+    closed-form span table."""
+    from .ops.text import lang_spans_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    EN = "the and was at be"
+    DE = "der die das auf den"
+    HE = "שלום עולם"
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        texts = [
+            "\n".join([EN, EN, DE, DE] + ([HE, HE] if i % 2 == 0 else [EN, EN]))
+            for i in ids
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    out = (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(lang_spans_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 def q_snapshot_delta(sf_dir: str) -> pd.DataFrame:
     """Delta-encode changed recrawl captures (:mod:`ops.delta`): same
     old/new construction as snapshot_edit_distance ('a'→'@' rewrites on
@@ -5628,6 +5662,7 @@ QUERIES = {
     "minhash_canonical": q_minhash_canonical,
     "http_stats": q_http_stats,
     "snapshot_delta": q_snapshot_delta,
+    "lang_spans": q_lang_spans,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -5981,6 +6016,21 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["lang_spans"] = """
+WITH spans(span_start, span_end, n_lines, pos) AS (
+    VALUES (0, 1, 2, 1), (2, 3, 2, 2), (4, 5, 2, 3)
+)
+SELECT d.doc_id,
+       CAST(s.span_start AS BIGINT) AS span_start,
+       CAST(s.span_end AS BIGINT) AS span_end,
+       CASE s.pos WHEN 1 THEN 'en' WHEN 2 THEN 'de'
+            ELSE CASE WHEN d.doc_id % 2 = 0 THEN 'he' ELSE 'en' END
+       END AS lang,
+       CAST(s.n_lines AS BIGINT) AS n_lines
+FROM documents d CROSS JOIN spans s
+ORDER BY d.doc_id, span_start
 """
 
 ORACLE_SQL["snapshot_delta"] = """

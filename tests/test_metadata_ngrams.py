@@ -527,3 +527,30 @@ class TestApportionBudget:
         ds = rd.from_items([{"host": "a", "n_pages": 5}])
         out = apportion_budget(ds, budget=0).to_pandas()
         assert out["alloc"].tolist() == [0]
+
+
+class TestLangSpans:
+    def test_runs_merge_and_split(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import lang_spans_batch
+
+        tbl = pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the and was\nthe and was\nder die das\nthe and was",
+                    "",  # empty doc -> one 'und' span covering line 0
+                ],
+            }
+        )
+        out = lang_spans_batch(tbl).to_pylist()
+        d1 = [r for r in out if r["doc_id"] == 1]
+        assert [(r["span_start"], r["span_end"], r["lang"]) for r in d1] == [
+            (0, 1, "en"), (2, 2, "de"), (3, 3, "en"),
+        ]
+        d2 = [r for r in out if r["doc_id"] == 2]
+        assert d2 == [
+            {"doc_id": 2, "span_start": 0, "span_end": 0, "lang": "und",
+             "n_lines": 1}
+        ]
