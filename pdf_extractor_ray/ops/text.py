@@ -1874,3 +1874,70 @@ def lang_spans_batch(
         ],
         names=[id_col, "span_start", "span_end", "lang", "n_lines"],
     )
+
+
+def redact_contaminated(
+    ds,
+    benchmark_texts: list[str],
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Span-level decontamination: instead of DROPPING documents sharing a
+    word n-gram with the benchmark (:func:`decontaminate`), remove only
+    the contaminated token spans — every token covered by a matching
+    n-gram — and keep the rest of the document. The surgical variant for
+    high-value documents where a single leaked test question shouldn't
+    cost the whole page.
+
+    Semantics (documented, SQL-replicable): tokens are the lowercased
+    whitespace split; the redacted text is the SURVIVING tokens re-joined
+    with single spaces. Same broadcast shape as ``decontaminate``: the
+    benchmark gram-hash set ships once via ``ray.put``; the corpus
+    streams through one shuffle-free ``map_batches``. Emits
+    ``(id, redacted_text, n_tokens, n_redacted)``.
+    """
+    import ray
+
+    bench: set[int] = set()
+    for t in benchmark_texts:
+        bench.update(word_ngram_hashes(t, n))
+    ref = ray.put(np.array(sorted(bench), dtype=np.uint64))
+
+    def redact(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_t, out_n, out_r = [], [], []
+        for t in texts:
+            tokens = (t or "").lower().split()
+            m = len(tokens) - n + 1
+            if m <= 0 or not len(grams):
+                out_t.append(" ".join(tokens))
+                out_n.append(len(tokens))
+                out_r.append(0)
+                continue
+            gh = np.fromiter(
+                (_fnv1a(" ".join(tokens[i : i + n]).encode()) for i in range(m)),
+                dtype=np.uint64,
+                count=m,
+            )
+            hit = np.isin(gh, grams)
+            bad = np.zeros(len(tokens), dtype=bool)
+            for i in np.flatnonzero(hit):
+                bad[i : i + n] = True
+            kept = [tok for tok, b in zip(tokens, bad) if not b]
+            out_t.append(" ".join(kept))
+            out_n.append(len(tokens))
+            out_r.append(int(bad.sum()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch.schema.field(id_col).type),
+                pa.array(out_t, pa.string()),
+                pa.array(out_n, pa.int64()),
+                pa.array(out_r, pa.int64()),
+            ],
+            names=[id_col, "redacted_text", "n_tokens", "n_redacted"],
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")

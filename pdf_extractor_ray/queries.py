@@ -4477,6 +4477,32 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_redact_contaminated(sf_dir: str) -> pd.DataFrame:
+    """Span-level decontamination (:func:`ops.text.redact_contaminated`):
+    the benchmark is the 8-gram at token positions 6–13 of every tenth
+    document; matching spans are excised everywhere they occur, the rest
+    of each document survives. Oracle replays gram extraction, position
+    marking, and the surviving-token re-join in SQL."""
+    from .ops.text import redact_contaminated
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    import duckdb  # only to derive the planted benchmark deterministically
+
+    bench_df = duckdb.sql(
+        f"""
+        SELECT array_to_string(list_slice(
+                   regexp_extract_all(lower(text), '\\S+'), 6, 13), ' ') AS g
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE doc_id % 10 = 0
+          AND len(regexp_extract_all(lower(text), '\\S+')) >= 13
+        """
+    ).df()
+    bench = sorted(set(bench_df["g"].tolist()))
+    out = redact_contaminated(ds, bench).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lang_spans(sf_dir: str) -> pd.DataFrame:
     """Per-document language span segmentation
     (:func:`ops.text.lang_spans_batch`): every doc becomes six lines —
@@ -5663,6 +5689,7 @@ QUERIES = {
     "http_stats": q_http_stats,
     "snapshot_delta": q_snapshot_delta,
     "lang_spans": q_lang_spans,
+    "redact_contaminated": q_redact_contaminated,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6016,6 +6043,43 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["redact_contaminated"] = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents
+),
+bench AS (
+    SELECT DISTINCT array_to_string(list_slice(w, 6, 13), ' ') AS g
+    FROM toks WHERE doc_id % 10 = 0 AND len(w) >= 13
+),
+pos AS (
+    SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+           array_to_string(list_slice(w, CAST(t.i AS INTEGER),
+                                      CAST(t.i AS INTEGER) + 7), ' ') AS g
+    FROM toks, LATERAL unnest(range(1, len(w) - 6)) t(i)
+),
+hits AS (SELECT pos.doc_id, pos.i FROM pos JOIN bench USING (g)),
+bad AS (
+    SELECT DISTINCT h.doc_id, h.i + o.o AS j
+    FROM hits h, (SELECT unnest(range(8)) AS o) o(o)
+),
+tokpos AS (
+    SELECT doc_id, CAST(t.k AS BIGINT) AS k, w[CAST(t.k AS INTEGER)] AS tok
+    FROM toks, LATERAL unnest(range(1, len(w) + 1)) t(k)
+),
+kept AS (
+    SELECT tp.doc_id, tp.k, tp.tok
+    FROM tokpos tp LEFT JOIN bad b ON b.doc_id = tp.doc_id AND b.j = tp.k
+    WHERE b.j IS NULL
+)
+SELECT t.doc_id,
+       coalesce((SELECT string_agg(tok, ' ' ORDER BY k)
+                 FROM kept WHERE kept.doc_id = t.doc_id), '') AS redacted_text,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce((SELECT count(*) FROM bad WHERE bad.doc_id = t.doc_id), 0)
+            AS BIGINT) AS n_redacted
+FROM toks t ORDER BY t.doc_id
 """
 
 ORACLE_SQL["lang_spans"] = """

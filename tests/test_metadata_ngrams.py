@@ -554,3 +554,42 @@ class TestLangSpans:
             {"doc_id": 2, "span_start": 0, "span_end": 0, "lang": "und",
              "n_lines": 1}
         ]
+
+
+class TestRedactContaminated:
+    def test_spans_excised_everywhere(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import redact_contaminated
+
+        bench = ["the secret answer is forty two exactly here"]
+        rows = [
+            {"doc_id": 1,
+             "text": "intro words THE SECRET ANSWER IS FORTY TWO EXACTLY HERE outro words"},
+            {"doc_id": 2, "text": "totally clean document with enough words here"},
+            {"doc_id": 3, "text": "short"},
+        ]
+        out = (
+            redact_contaminated(rd.from_items(rows).repartition(2), bench)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out.loc[0, "redacted_text"] == "intro words outro words"
+        assert out.loc[0, "n_redacted"] == 8
+        assert out.loc[1, "redacted_text"] == rows[1]["text"]
+        assert out.loc[1, "n_redacted"] == 0
+        assert out.loc[2, "redacted_text"] == "short" and out.loc[2, "n_redacted"] == 0
+
+    def test_overlapping_matches_union(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import redact_contaminated
+
+        # two overlapping benchmark 3-grams -> union of covered tokens
+        out = (
+            redact_contaminated(
+                rd.from_items([{"doc_id": 1, "text": "a b c d e"}]),
+                ["a b c", "b c d"], n=3,
+            ).to_pandas()
+        )
+        assert out.loc[0, "redacted_text"] == "e"
+        assert out.loc[0, "n_redacted"] == 4
