@@ -184,7 +184,8 @@ def main() -> None:
         "group_quantiles", "funnel", "distinct_users", "mixture",
         "warc_roundtrip", "ngram_topk", "latest_snapshot", "cdx_index",
         "bm25_search", "kmeans_clusters", "dhash_dedup", "shard_plan",
-        "curate_corpus", "pmi_bigrams",
+        "curate_corpus", "pmi_bigrams", "snapshot_delta", "triangles",
+        "http_stats",
     )
     query_steal: dict[str, float] = {}
     for name in query_names:
