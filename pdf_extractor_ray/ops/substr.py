@@ -249,3 +249,106 @@ def _dup_counts_semijoin(ds, dups_ds, window: int, text_col: str, id_col: str):
         lambda t: t.select([id_col, "total_windows", "dup_windows"]),
         batch_format="pyarrow",
     )
+
+
+def remove_dup_substrings(
+    ds,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_cap: int = 2_000_000,
+):
+    """The REMOVAL step of Lee et al.'s ExactSubstr dedup: delete every
+    character covered by a ``window``-char substring that occurs ≥2 times
+    in the corpus (boilerplate, licenses, quoted passages vanish from
+    every document, unique prose survives). → ``(id, cleaned_text,
+    n_chars, n_removed)``; docs shorter than ``window`` pass through
+    untouched.
+
+    Same two-pass shape as :func:`duplicate_window_counts`: the
+    duplicated-hash set comes from the one honest ``groupby(hash)``
+    exchange and broadcasts under ``dup_cap``; the removal pass is
+    per-document (position hits → coverage-diff char mask → rebuild).
+    Above ``dup_cap`` the membership test must become the documented
+    hash-partitioned semi-join carrying POSITIONS (doc, pos, hash) —
+    raised as NotImplementedError until a corpus needs it."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hash_count_partial(batch: pa.Table) -> pa.Table:
+        hs = [window_hashes(t or "", window) for t in batch[text_col].to_pylist()]
+        allh = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        u, c = np.unique(allh, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.view(np.int64), pa.int64()), pa.array(c, pa.int64())],
+            names=["h", "cnt"],
+        )
+
+    def dups_only(tbl: pa.Table) -> pa.Table:
+        mask = np.asarray(tbl["sum(cnt)"].to_numpy(zero_copy_only=False)) >= 2
+        return tbl.select(["h"]).filter(pa.array(mask))
+
+    dups_ds = (
+        ds.map_batches(hash_count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .aggregate(Sum("cnt"))
+        .map_batches(dups_only, batch_format="pyarrow", batch_size=None)
+    )
+    chunks = []
+    n_dups = 0
+    for batch in dups_ds.iter_batches(batch_format="pyarrow"):
+        n_dups += batch.num_rows
+        if n_dups > dup_cap:
+            raise NotImplementedError(
+                "remove_dup_substrings: duplicated-window set exceeds "
+                "dup_cap; carry (doc, pos) rows through the hash "
+                "semi-join instead of the broadcast"
+            )
+        chunks.append(
+            np.asarray(batch["h"].to_numpy(zero_copy_only=False)).view(np.uint64)
+        )
+    dup_arr = (
+        np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.uint64)
+    )
+    dref = ray.put(dup_arr)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dref)
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_t, out_n, out_r = [], [], []
+        for t in texts:
+            t = t or ""
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            n = len(cps)
+            hs = window_hashes(t, window)
+            if not len(hs) or not len(dups):
+                out_t.append(t)
+                out_n.append(n)
+                out_r.append(0)
+                continue
+            hits = np.flatnonzero(np.isin(hs, dups))
+            if not len(hits):
+                out_t.append(t)
+                out_n.append(n)
+                out_r.append(0)
+                continue
+            cover = np.zeros(n + 1, np.int64)
+            np.add.at(cover, hits, 1)
+            np.add.at(cover, np.minimum(hits + window, n), -1)
+            covered = np.cumsum(cover[:-1]) > 0
+            kept = cps[~covered]
+            out_t.append(kept.tobytes().decode("utf-32-le"))
+            out_n.append(n)
+            out_r.append(int(covered.sum()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch.schema.field(id_col).type),
+                pa.array(out_t, pa.string()),
+                pa.array(out_n, pa.int64()),
+                pa.array(out_r, pa.int64()),
+            ],
+            names=[id_col, "cleaned_text", "n_chars", "n_removed"],
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

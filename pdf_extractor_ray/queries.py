@@ -4477,6 +4477,32 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_remove_dup_substrings(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022): same boilerplate-suffixed
+    corpus as substring_dup, but characters covered by any duplicated
+    50-char window are deleted (:func:`ops.substr.remove_dup_substrings`).
+    Oracle rebuilds each document character by character from the true
+    SQL substring duplicate set — full end-to-end text identity."""
+    from .ops.substr import remove_dup_substrings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_bp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = [
+            (t or "") + _BOILERPLATE if i % 3 == 0 else (t or "")
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    corpus = ds.map_batches(with_bp, batch_format="pyarrow")
+    out = remove_dup_substrings(corpus).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_redact_contaminated(sf_dir: str) -> pd.DataFrame:
     """Span-level decontamination (:func:`ops.text.redact_contaminated`):
     the benchmark is the 8-gram at token positions 6–13 of every tenth
@@ -5690,6 +5716,7 @@ QUERIES = {
     "snapshot_delta": q_snapshot_delta,
     "lang_spans": q_lang_spans,
     "redact_contaminated": q_redact_contaminated,
+    "remove_dup_substrings": q_remove_dup_substrings,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6043,6 +6070,46 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["remove_dup_substrings"] = """
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' (c) 2026 example media group - all rights reserved. subscribe to our newsletter today for more stories.'
+                ELSE text END AS text
+    FROM documents
+),
+w AS (
+    SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+           substring(text, CAST(i.i AS INT), 50) AS s
+    FROM corpus, LATERAL (SELECT unnest(range(1, length(text) - 48)) AS i) i
+),
+dup AS (
+    SELECT s FROM (SELECT s, count(*) AS n FROM w GROUP BY s) WHERE n >= 2
+),
+hits AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (s)),
+cov AS (
+    SELECT DISTINCT h.doc_id, h.i + o.o AS k
+    FROM hits h, (SELECT unnest(range(50)) AS o) o(o)
+),
+chars AS (
+    SELECT doc_id, CAST(t.k AS BIGINT) AS k,
+           substring(text, CAST(t.k AS INT), 1) AS ch
+    FROM corpus, LATERAL unnest(range(1, length(text) + 1)) t(k)
+),
+kept AS (
+    SELECT ch.doc_id, ch.k, ch.ch
+    FROM chars ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.k = ch.k
+    WHERE cov.k IS NULL
+)
+SELECT c2.doc_id,
+       coalesce((SELECT string_agg(ch, '' ORDER BY k)
+                 FROM kept WHERE kept.doc_id = c2.doc_id), '') AS cleaned_text,
+       CAST(length(c2.text) AS BIGINT) AS n_chars,
+       CAST(coalesce((SELECT count(*) FROM cov
+                      WHERE cov.doc_id = c2.doc_id), 0) AS BIGINT) AS n_removed
+FROM corpus c2 ORDER BY doc_id
 """
 
 ORACLE_SQL["redact_contaminated"] = r"""

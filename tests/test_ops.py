@@ -1232,3 +1232,50 @@ class TestReplicateByWeight:
         import pandas as pd
 
         pd.testing.assert_frame_equal(runs[0], runs[1])
+
+
+class TestRemoveDupSubstrings:
+    def test_boilerplate_excised_unique_survives(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.substr import remove_dup_substrings
+
+        bp = "x" * 60  # 60 identical chars shared by two docs
+        ua = " ".join(f"alpha{i}" for i in range(20))   # non-repeating prose
+        ub = " ".join(f"beta{i}" for i in range(20))
+        ug = " ".join(f"gamma{i}" for i in range(25))
+        rows = [
+            {"doc_id": 1, "text": ua + " " + bp},
+            {"doc_id": 2, "text": bp + " " + ub},
+            {"doc_id": 3, "text": ug},
+            {"doc_id": 4, "text": "tiny"},
+        ]
+        out = (
+            remove_dup_substrings(rd.from_items(rows).repartition(2), window=50)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # the shared 60-char run disappears from both docs
+        assert "x" not in out.loc[0, "cleaned_text"]
+        assert "x" not in out.loc[1, "cleaned_text"]
+        assert out.loc[0, "cleaned_text"].startswith("alpha0 alpha1")
+        assert out.loc[1, "cleaned_text"].endswith("beta18 beta19")
+        # doc 3 has unique windows only -> untouched
+        assert out.loc[2, "cleaned_text"] == rows[2]["text"]
+        assert out.loc[2, "n_removed"] == 0
+        # below-window doc passes through
+        assert out.loc[3, "cleaned_text"] == "tiny"
+        assert out.loc[3, "n_removed"] == 0
+        assert (out["n_removed"] >= 0).all()
+
+    def test_within_doc_repeat_counts(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.substr import remove_dup_substrings
+
+        seg = "abcdefghij" * 5  # 50 chars, appears twice IN ONE doc
+        rows = [{"doc_id": 1, "text": seg + "MIDDLEPART" + seg}]
+        out = remove_dup_substrings(
+            rd.from_items(rows), window=50
+        ).to_pandas()
+        assert "MIDDLEPART" in out.loc[0, "cleaned_text"]
+        assert out.loc[0, "n_removed"] >= 100
