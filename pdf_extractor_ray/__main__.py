@@ -314,6 +314,61 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_card(args) -> int:
+    """Dataset card: one JSON summary of a document corpus — size, token
+    stats, language mix, quality pass rate, exact-dup rate — composed
+    from the engine's own operators (each individually oracled)."""
+    _init_ray(args.num_cpus)
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .ops.dedup import exact_dedup_large
+    from .ops.quantiles import exact_quantiles
+    from .ops.text import gopher_rules_batch, langid_batch
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    n_docs = ds.count()
+    card: dict = {"input": args.input, "n_docs": n_docs}
+    if n_docs == 0:
+        print(json.dumps(card))
+        return 0
+
+    def lens(batch):
+        import pyarrow as pa
+
+        return pa.Table.from_arrays(
+            [pc.utf8_length(pc.fill_null(batch[args.text_col], "")).cast("int64")],
+            names=["n_chars"],
+        )
+
+    lens_ds = ds.map_batches(lens, batch_format="pyarrow").materialize()
+    card["chars_total"] = int(lens_ds.sum("n_chars") or 0)
+    card["chars_quantiles"] = dict(
+        exact_quantiles(lens_ds, "n_chars", [0.5, 0.9, 0.99])
+    )
+    lang_rows = (
+        ds.map_batches(langid_batch, batch_format="pyarrow")
+        .groupby("pred_lang")
+        .count()
+        .take_all()
+    )
+    card["languages"] = {r["pred_lang"]: r["count()"] for r in lang_rows}
+    passes = (
+        ds.map_batches(gopher_rules_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["passes"]), batch_format="pyarrow"
+        )
+        .sum("passes")
+    )
+    card["gopher_pass_rate"] = round(float(passes or 0) / n_docs, 4)
+    survivors = exact_dedup_large(
+        ds, text_col=args.text_col, id_col=args.id_col
+    ).count()
+    card["exact_dup_rate"] = round(1.0 - survivors / n_docs, 4)
+    print(json.dumps(card, sort_keys=True))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Corpus statistics: exact quantiles of a numeric column, HLL
     distinct count of a key column, and/or top-k words per group — the
@@ -519,6 +574,15 @@ def main(argv: list[str] | None = None) -> int:
     p_wet.add_argument("--records-per-blob", type=int, default=64)
     p_wet.add_argument("--num-cpus", type=int, default=None)
     p_wet.set_defaults(fn=cmd_wet)
+
+    p_card = sub.add_parser(
+        "card", help="dataset card: corpus summary JSON (size/langs/quality/dups)"
+    )
+    p_card.add_argument("--input", required=True, help="parquet path/glob")
+    p_card.add_argument("--text-col", default="text")
+    p_card.add_argument("--id-col", default="doc_id")
+    p_card.add_argument("--num-cpus", type=int, default=None)
+    p_card.set_defaults(fn=cmd_card)
 
     p_query = sub.add_parser(
         "query", help="run a registered analytics query ('list' to enumerate)"

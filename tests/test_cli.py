@@ -319,3 +319,21 @@ def test_cli_query(ray_session, tmp_path):
     assert t.num_rows == 500 and "split" in t.schema.names
     assert main(["query", "list"]) == 0
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_card(ray_session, capsys):
+    """`card` subcommand: one JSON corpus summary with size/lang/dup keys."""
+    import json as _json
+
+    from pdf_extractor_ray.__main__ import main
+
+    rc = main(["card", "--input", "/root/testdata/sf0.001/documents.parquet"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    card = _json.loads(line)
+    assert card["n_docs"] == 500
+    assert set(card) >= {
+        "chars_total", "chars_quantiles", "languages",
+        "gopher_pass_rate", "exact_dup_rate",
+    }
+    assert sum(card["languages"].values()) == 500
