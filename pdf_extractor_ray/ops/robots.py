@@ -40,9 +40,11 @@ def _rule_regex(value: str) -> re.Pattern | None:
 class RobotsPolicy:
     """Parsed rules for ONE selected user-agent group."""
 
-    __slots__ = ("rules",)
+    __slots__ = ("rules", "crawl_delay")
 
-    def __init__(self, rules: list[tuple[int, bool, re.Pattern | None]]):
+    def __init__(self, rules: list[tuple[int, bool, re.Pattern | None]],
+                 crawl_delay: int | None = None):
+        self.crawl_delay = crawl_delay
         self.rules = rules  # (value_len, is_allow, regex)
 
     def allowed(self, path: str) -> bool:
@@ -62,9 +64,10 @@ class RobotsPolicy:
 def parse_robots(text: str, agent: str = "graftbot") -> RobotsPolicy:
     """Parse a robots.txt body and select the group for ``agent``."""
     agent = agent.lower()
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    groups: list[tuple[list[str], list[tuple[bool, str]], int | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
+    cur_delay: int | None = None
     in_agent_run = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -76,22 +79,29 @@ def parse_robots(text: str, agent: str = "graftbot") -> RobotsPolicy:
         if field == "user-agent":
             if not in_agent_run:
                 if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                    groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
                 in_agent_run = True
             cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
             in_agent_run = False
             cur_rules.append((field == "allow", value))
+        elif field == "crawl-delay":
+            in_agent_run = False
+            try:  # integer seconds; fractional/garbage values are ignored
+                cur_delay = int(value)
+            except ValueError:
+                pass
         else:
-            in_agent_run = False  # crawl-delay etc. end the agent run
+            in_agent_run = False  # sitemap etc. end the agent run
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_rules, cur_delay))
 
     # Most specific agent token: longest agent string that is a prefix of
     # (or equals) our agent name; '*' has specificity 0.
     best_spec, selected = -1, []
-    for agents, rules in groups:
+    delays: list[int] = []
+    for agents, rules, delay in groups:
         spec = -1
         for a in agents:
             if a == "*":
@@ -100,13 +110,17 @@ def parse_robots(text: str, agent: str = "graftbot") -> RobotsPolicy:
                 spec = max(spec, len(a))
         if spec > best_spec and spec >= 0:
             best_spec, selected = spec, list(rules)
+            delays = [delay] if delay is not None else []
         elif spec == best_spec and spec >= 0:
             selected += rules  # all groups with the winning token apply
+            if delay is not None:
+                delays.append(delay)
     # Allow-first within the list so equal-length ties resolve to Allow
     # regardless of file order (RFC 9309 §2.2.2).
     selected.sort(key=lambda r: not r[0])
     return RobotsPolicy(
-        [(len(v), is_allow, _rule_regex(v)) for is_allow, v in selected]
+        [(len(v), is_allow, _rule_regex(v)) for is_allow, v in selected],
+        crawl_delay=min(delays) if delays else None,
     )
 
 

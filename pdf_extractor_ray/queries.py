@@ -4477,6 +4477,62 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_politeness_schedule(sf_dir: str) -> pd.DataFrame:
+    """Crawl-delay-aware fetch scheduling: per-host robots.txt bodies
+    (Crawl-delay 1 + k%4 seconds for hosts k%3 != 0, default 1 for the
+    rest) parsed by the RFC 9309 parser (:mod:`ops.robots`, round-4d
+    Crawl-delay support), urls ranked within host
+    (:func:`ops.segments.rank_per_key`), and each fetch slotted at
+    ``(rank-1) · delay`` seconds. Oracle: closed-form delays +
+    row_number."""
+    import ray
+
+    from .ops.robots import parse_robots
+    from .ops.segments import rank_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    # per-host robots bodies (the tiny side: parse once, broadcast)
+    delays = {}
+    for k in range(10):
+        body = "User-agent: *\nDisallow: /private/\n" + (
+            f"Crawl-delay: {1 + k % 4}\n" if k % 3 != 0 else ""
+        )
+        pol = parse_robots(body, agent="graftbot")
+        delays[f"site{k}"] = pol.crawl_delay if pol.crawl_delay is not None else 1
+    dref = ray.put(delays)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"site{i % 10}" for i in ids], pa.string()),
+                pa.array([f"https://site{i % 10}/p/{i:08d}" for i in ids],
+                         pa.string()),
+            ],
+            names=["host", "url"],
+        )
+
+    ranked = rank_per_key(
+        ds.map_batches(synth, batch_format="pyarrow"),
+        key_col="host",
+        within_cols=["url"],
+        carry_cols=["url"],
+    )
+
+    def slot(batch: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        hosts = batch["host"].to_pylist()
+        ranks = batch["rank"].to_numpy(zero_copy_only=False)
+        dl = np.fromiter((d[h] for h in hosts), dtype=np.int64, count=len(hosts))
+        return batch.append_column(
+            "slot_sec", pa.array((ranks - 1) * dl)
+        )
+
+    out = ranked.map_batches(slot, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["host", "rank"]).reset_index(drop=True)
+
+
 def q_remove_dup_substrings(sf_dir: str) -> pd.DataFrame:
     """ExactSubstr REMOVAL (Lee et al. 2022): same boilerplate-suffixed
     corpus as substring_dup, but characters covered by any duplicated
@@ -5717,6 +5773,7 @@ QUERIES = {
     "lang_spans": q_lang_spans,
     "redact_contaminated": q_redact_contaminated,
     "remove_dup_substrings": q_remove_dup_substrings,
+    "politeness_schedule": q_politeness_schedule,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6070,6 +6127,25 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["politeness_schedule"] = """
+WITH u AS (
+    SELECT 'site' || CAST(doc_id % 10 AS VARCHAR) AS host,
+           'https://site' || CAST(doc_id % 10 AS VARCHAR) || '/p/'
+               || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+           CASE WHEN (doc_id % 10) % 3 <> 0
+                THEN 1 + (doc_id % 10) % 4 ELSE 1 END AS delay
+    FROM documents
+),
+r AS (
+    SELECT host, url, delay,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url) AS BIGINT)
+               AS rank
+    FROM u
+)
+SELECT host, url, rank, CAST((rank - 1) * delay AS BIGINT) AS slot_sec
+FROM r ORDER BY host, rank
 """
 
 ORACLE_SQL["remove_dup_substrings"] = """

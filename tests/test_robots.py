@@ -107,3 +107,32 @@ class TestFilterStage:
             rd.from_arrow(tbl), {"p.com": "User-agent: *\nDisallow: /"}
         ).to_pandas()
         assert out["allowed"].tolist() == [False]
+
+
+class TestCrawlDelay:
+    def test_selected_group_delay(self):
+        from pdf_extractor_ray.ops.robots import parse_robots
+
+        body = (
+            "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n"
+            "User-agent: graftbot\nCrawl-delay: 3\nAllow: /\n"
+        )
+        assert parse_robots(body, agent="graftbot").crawl_delay == 3
+        assert parse_robots(body, agent="otherbot").crawl_delay == 10
+
+    def test_no_delay_is_none_and_garbage_ignored(self):
+        from pdf_extractor_ray.ops.robots import parse_robots
+
+        assert parse_robots("User-agent: *\nDisallow:\n").crawl_delay is None
+        assert parse_robots(
+            "User-agent: *\nCrawl-delay: fast\n"
+        ).crawl_delay is None
+
+    def test_min_across_winning_groups(self):
+        from pdf_extractor_ray.ops.robots import parse_robots
+
+        body = (
+            "User-agent: graftbot\nCrawl-delay: 7\n\n"
+            "User-agent: graftbot\nCrawl-delay: 4\n"
+        )
+        assert parse_robots(body, agent="graftbot").crawl_delay == 4
