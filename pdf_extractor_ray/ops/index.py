@@ -165,3 +165,56 @@ def lookup_postings(out_dir: str, token: str, num_buckets: int = 256):
         f"{out_dir}/bucket={bucket}", format="parquet"
     )
     return dataset.to_table(filter=pads.field("token") == token)
+
+
+def merge_posting_store(
+    store_dir: str,
+    new_ds,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+):
+    """Incremental index maintenance: fold a NEW batch of documents into
+    an existing :func:`write_posting_store` output, producing a merged
+    store at ``out_dir`` — the daily-crawl indexing loop (build once,
+    merge deltas) instead of a full rebuild.
+
+    Shape: the old store reads back bucket-partitioned (one read task per
+    bucket directory, already sorted); the new documents reduce to
+    (token, doc_id, tf) pairs with the SAME stable bucket hash; a union +
+    one (bucket, token, id) sort restores the store invariant. Same-key
+    rows from both sides merge by SUMMING tf (a re-crawled doc's counts
+    accumulate; exact re-ingests are the caller's dedup concern). The
+    exchange carries only posting rows — O(old postings + delta
+    postings), which at daily-delta scale is dominated by the EXISTING
+    store; a compaction that only rewrites touched buckets is the
+    documented next step (filter old-store read to the delta's bucket
+    set — same code path, pruned read).
+
+    Returns the bucket count written."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.normalize import stable_hash_mod
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(stable_hash_mod(toks, num_buckets), pa.int32())
+        )
+
+    old = rd.read_parquet(store_dir).map_batches(
+        lambda t: t.select(["token", id_col, "tf"]), batch_format="pyarrow"
+    )
+    new = token_doc_pairs(new_ds, text_col, id_col)
+    merged = (
+        old.union(new)
+        .groupby(["token", id_col])
+        .aggregate(Sum("tf", alias_name="tf"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+    )
+    merged.sort(["bucket", "token", id_col]).write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return num_buckets

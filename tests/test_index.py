@@ -136,3 +136,46 @@ class TestPostingStore:
             assert all(
                 int(stable_hash_mod([t], 4)[0]) == want_bucket for t in toks
             )
+
+
+class TestMergePostingStore:
+    def test_merge_equals_full_rebuild(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.index import (
+            lookup_postings, merge_posting_store, write_posting_store,
+        )
+
+        day1 = [
+            {"doc_id": 1, "text": "alpha beta alpha"},
+            {"doc_id": 2, "text": "beta gamma"},
+        ]
+        day2 = [
+            {"doc_id": 3, "text": "alpha delta"},
+            {"doc_id": 1, "text": "alpha"},  # re-crawl: tf accumulates
+        ]
+        store1 = str(tmp_path / "s1")
+        merged = str(tmp_path / "m")
+        full = str(tmp_path / "f")
+        nb = 8
+        write_posting_store(rd.from_items(day1), store1, num_buckets=nb)
+        merge_posting_store(
+            store1, rd.from_items(day2), merged, num_buckets=nb
+        )
+        # reference: one store built from the union with summed tf
+        write_posting_store(
+            rd.from_items(day1 + day2), full, num_buckets=nb
+        )
+        for tok in ("alpha", "beta", "gamma", "delta"):
+            got = (
+                lookup_postings(merged, tok, num_buckets=nb)
+                .to_pandas().groupby("doc_id")["tf"].sum().to_dict()
+            )
+            want = (
+                lookup_postings(full, tok, num_buckets=nb)
+                .to_pandas().groupby("doc_id")["tf"].sum().to_dict()
+            )
+            assert got == want, tok
+        # the accumulated re-crawl: doc 1 'alpha' tf = 2 + 1
+        a = lookup_postings(merged, "alpha", num_buckets=nb).to_pandas()
+        assert a.set_index("doc_id")["tf"].to_dict()[1] == 3
