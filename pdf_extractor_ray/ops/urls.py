@@ -332,3 +332,93 @@ def path_templates(ds, url_col: str = "url", k: int = 20):
             "rank": list(range(1, len(cand) + 1)),
         }
     ).astype({"cnt": "int64", "rank": "int32"})
+
+
+# UTS #39 confusables, the high-frequency Cyrillic/Greek → Latin subset
+# (spoofed-domain detection; the full table is data-driven, this is the
+# documented deterministic core).
+_CONFUSABLES = {
+    "а": "a",  # Cyrillic а
+    "е": "e",  # Cyrillic е
+    "о": "o",  # Cyrillic о
+    "р": "p",  # Cyrillic р
+    "с": "c",  # Cyrillic с
+    "х": "x",  # Cyrillic х
+    "у": "y",  # Cyrillic у
+    "ѕ": "s",  # Cyrillic ѕ
+    "і": "i",  # Cyrillic і
+    "ј": "j",  # Cyrillic ј
+    "ο": "o",  # Greek ο
+    "α": "a",  # Greek α
+    "ν": "v",  # Greek ν
+    "ɑ": "a",  # Latin ɑ
+    "‐": "-",  # hyphen
+    "−": "-",  # minus sign
+}
+_CONF_TRANS = str.maketrans(_CONFUSABLES)
+
+
+def homoglyph_skeleton(values: list) -> list[str]:
+    """Confusable-folded lowercase skeletons (UTS #39 §4 'skeleton'
+    restricted to the table above): two strings with the same skeleton
+    are visually confusable under this subset."""
+    return [(v or "").lower().translate(_CONF_TRANS) for v in values]
+
+
+def homoglyph_dedup(ds, col: str = "host"):
+    """Group values by homoglyph skeleton and flag spoof clusters —
+    skeletons carrying ≥2 DISTINCT raw spellings (the canonical
+    spoofed-domain signal). One (skeleton, value) exchange over
+    per-block-deduped pairs; per-segment resolution keeps the min raw
+    value as the cluster representative. → ``(host, skeleton, rep,
+    n_variants, is_spoofed)`` one row per distinct raw value."""
+    from .segments import sorted_segment_apply
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        vals = [v for v in batch[col].to_pylist()]
+        sk = homoglyph_skeleton(vals)
+        uniq = sorted({(s, v or "") for s, v in zip(sk, vals)})
+        return pa.Table.from_arrays(
+            [
+                pa.array([s for s, _ in uniq], pa.string()),
+                pa.array([v for _, v in uniq], pa.string()),
+            ],
+            names=["skeleton", col],
+        )
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        names = [col, "skeleton", "rep", "n_variants", "is_spoofed"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string())] * 3
+                + [pa.array([], pa.int64()), pa.array([], pa.bool_())],
+                names=names,
+            )
+        sk = np.asarray(batch["skeleton"].to_pylist(), dtype=object)
+        vals = np.asarray(batch[col].to_pylist(), dtype=object)
+        # distinct raw values per segment (pairs may repeat across blocks)
+        out_v, out_s, out_r, out_n = [], [], [], []
+        for s, e in zip(starts, ends):
+            seg_vals = sorted(set(vals[s:e]))
+            for v in seg_vals:
+                out_v.append(v)
+                out_s.append(sk[s])
+                out_r.append(seg_vals[0])
+                out_n.append(len(seg_vals))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_v, pa.string()),
+                pa.array(out_s, pa.string()),
+                pa.array(out_r, pa.string()),
+                pa.array(np.asarray(out_n, dtype=np.int64)),
+                pa.array([n > 1 for n in out_n], pa.bool_()),
+            ],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        key_col="skeleton",
+        block_fn=kernel,
+        within_cols=[col],
+    )

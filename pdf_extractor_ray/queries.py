@@ -4477,6 +4477,31 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_homoglyph_dedup(sf_dir: str) -> pd.DataFrame:
+    """Spoofed-host detection via UTS#39-subset confusable skeletons
+    (:func:`ops.urls.homoglyph_dedup`): every doc contributes host
+    ``site{i%20}.example.com``; docs with i%6==0 contribute a spoofed
+    variant with Cyrillic 'е'/'о' substituted. Spoof pairs share a
+    skeleton and flag ``is_spoofed``; oracle replays the fold with SQL
+    replace chains."""
+    from .ops.urls import homoglyph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for i in batch["doc_id"].to_pylist():
+            i = int(i)
+            h = f"site{i % 20}.example.com"
+            if i % 6 == 0:
+                h = h.replace("e", "е").replace("o", "о")
+            hosts.append(h)
+        return pa.Table.from_arrays([pa.array(hosts, pa.string())], names=["host"])
+
+    out = homoglyph_dedup(ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    return out.sort_values(["skeleton", "host"]).reset_index(drop=True)
+
+
 def q_politeness_schedule(sf_dir: str) -> pd.DataFrame:
     """Crawl-delay-aware fetch scheduling: per-host robots.txt bodies
     (Crawl-delay 1 + k%4 seconds for hosts k%3 != 0, default 1 for the
@@ -5774,6 +5799,7 @@ QUERIES = {
     "redact_contaminated": q_redact_contaminated,
     "remove_dup_substrings": q_remove_dup_substrings,
     "politeness_schedule": q_politeness_schedule,
+    "homoglyph_dedup": q_homoglyph_dedup,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6127,6 +6153,32 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["homoglyph_dedup"] = """
+WITH h AS (
+    SELECT DISTINCT
+        CASE WHEN doc_id % 6 = 0
+             THEN replace(replace('site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.com', 'e', 'е'), 'o', 'о')
+             ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+        END AS host
+    FROM documents
+),
+s AS (
+    SELECT host,
+           replace(replace(lower(host), 'е', 'e'), 'о', 'o') AS skeleton
+    FROM h
+),
+g AS (
+    SELECT skeleton, count(DISTINCT host) AS nv, min(host) AS rep
+    FROM s GROUP BY 1
+)
+SELECT s.host, s.skeleton, g.rep,
+       CAST(g.nv AS BIGINT) AS n_variants,
+       g.nv > 1 AS is_spoofed
+FROM s JOIN g USING (skeleton)
+ORDER BY s.skeleton, s.host
 """
 
 ORACLE_SQL["politeness_schedule"] = """

@@ -719,3 +719,30 @@ class TestKcore:
         path = [(f"p{i}", f"p{i+1}") for i in range(6)]
         ds = rd.from_items([{"src_host": u, "dst_host": v} for u, v in path])
         assert kcore(ds, k=2, rounds=10).num_rows == 0
+
+
+class TestHomoglyphDedup:
+    def test_spoof_clusters(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.urls import homoglyph_dedup, homoglyph_skeleton
+
+        assert homoglyph_skeleton(["gооgle.com", "GOOGLE.COM"]) == [
+            "google.com", "google.com",
+        ]
+        rows = [
+            {"host": "paypal.com"},
+            {"host": "pаypаl.com"},   # Cyrillic а ×2
+            {"host": "pαypαl.com"},   # Greek α ×2
+            {"host": "example.org"},
+        ] * 3
+        out = (
+            homoglyph_dedup(rd.from_items(rows).repartition(3))
+            .to_pandas().sort_values(["skeleton", "host"]).reset_index(drop=True)
+        )
+        pp = out[out["skeleton"] == "paypal.com"]
+        assert len(pp) == 3 and pp["n_variants"].tolist() == [3, 3, 3]
+        assert pp["is_spoofed"].all()
+        assert (pp["rep"] == "paypal.com").all()
+        ex = out[out["skeleton"] == "example.org"]
+        assert len(ex) == 1 and not ex["is_spoofed"].iloc[0]
