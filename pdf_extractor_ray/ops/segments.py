@@ -493,3 +493,69 @@ def strip_repeated_lines(
     return sorted_segment_apply(
         ds, key_col=id_col, block_fn=kernel, within_cols=[page_col]
     )
+
+
+def mode_per_key(ds, key_col: str, value_col: str):
+    """Exact mode — the most frequent ``value_col`` per key (ties → min
+    value) with its count: ``(key, mode, mode_count)``. The categorical
+    aggregate Ray Data lacks natively (dominant language per host,
+    majority label per cluster).
+
+    Two-stage: per-block pre-combined ``(key, value, cnt)`` partials fold
+    through one groupby-sum (the exchange carries distinct pairs per
+    block, never rows), then ONE (key, cnt desc, value asc) sort with a
+    segment-head gather picks each key's argmax.
+    """
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col].to_pylist(), dtype=object)
+        v = np.asarray(batch[value_col].to_pylist(), dtype=object)
+        keep = np.array([x is not None and y is not None for x, y in zip(k, v)])
+        if keep.any():
+            k, v = k[keep], v[keep]
+        else:
+            k = v = np.array([], dtype=object)
+        comp = np.char.add(
+            np.char.add(k.astype(str), "\x1f"), v.astype(str)
+        )
+        u, c = np.unique(comp, return_counts=True)
+        parts = np.char.partition(u.astype(str), "\x1f")
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(object), pa.string()),
+                pa.array(c, pa.int64()),
+            ],
+            names=["k", "v", "cnt"],
+        )
+
+    totals = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["k", "v"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["k", "v", "cnt"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def head(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        names = [key_col, "mode", "mode_count"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=names,
+            )
+        take = pa.array(starts)
+        return pa.Table.from_arrays(
+            [batch["k"].take(take), batch["v"].take(take),
+             batch["cnt"].take(take)],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        totals, key_col="k", block_fn=head,
+        within_cols=["cnt", "v"], descending=[True, False],
+    )

@@ -4477,6 +4477,32 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user dominant event type (:func:`ops.segments.mode_per_key`):
+    exact categorical mode with min-value tiebreak — the aggregate Ray
+    Data lacks natively. Oracle: count + row_number argmax."""
+    from .ops.segments import mode_per_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def as_str(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch["user_id"], pa.string()),
+                batch["event_type"].combine_chunks(),
+            ],
+            names=["user_id", "event_type"],
+        )
+
+    out = mode_per_key(
+        ds.map_batches(as_str, batch_format="pyarrow"),
+        key_col="user_id",
+        value_col="event_type",
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_homoglyph_dedup(sf_dir: str) -> pd.DataFrame:
     """Spoofed-host detection via UTS#39-subset confusable skeletons
     (:func:`ops.urls.homoglyph_dedup`): every doc contributes host
@@ -5800,6 +5826,7 @@ QUERIES = {
     "remove_dup_substrings": q_remove_dup_substrings,
     "politeness_schedule": q_politeness_schedule,
     "homoglyph_dedup": q_homoglyph_dedup,
+    "mode_per_user": q_mode_per_user,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6153,6 +6180,20 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["mode_per_user"] = """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id AS user_id,
+       event_type AS mode,
+       CAST(n AS BIGINT) AS mode_count
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1
+ORDER BY user_id
 """
 
 ORACLE_SQL["homoglyph_dedup"] = """

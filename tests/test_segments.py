@@ -382,3 +382,24 @@ class TestStripRepeatedLines:
             .to_pandas().sort_values("page_no").reset_index(drop=True)
         )
         assert out["cleaned_text"].tolist() == ["x\nx\na", "x\nb", "c"]
+
+
+class TestModePerKey:
+    def test_argmax_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.segments import mode_per_key
+
+        rows = (
+            [{"k": "u1", "v": "click"}] * 3
+            + [{"k": "u1", "v": "view"}] * 5
+            + [{"k": "u2", "v": "b"}, {"k": "u2", "v": "a"}]  # tie -> 'a'
+            + [{"k": "u3", "v": None}, {"k": "u3", "v": "solo"}]
+        )
+        out = (
+            mode_per_key(rd.from_items(rows).repartition(3), "k", "v")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(zip(out["k"], out["mode"], out["mode_count"])) == [
+            ("u1", "view", 5), ("u2", "a", 1), ("u3", "solo", 1),
+        ]
