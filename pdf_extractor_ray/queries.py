@@ -4477,6 +4477,45 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_idn_hosts(sf_dir: str) -> pd.DataFrame:
+    """IDN hostname decoding (:mod:`functions.punycode`, from-scratch RFC
+    3492 bootstring) + confusable skeletons: five host families per
+    doc_id%5 — two genuine IDNs, an ASCII passthrough, a punycoded
+    Cyrillic paypal spoof, and the plain target. The spoof's skeleton
+    collapses onto the target's. Oracle states the decoded unicode and
+    folded skeleton closed-form (the codec is independently
+    cross-checked against stdlib punycode in tests)."""
+    from .functions.punycode import idna_decode_host
+    from .ops.urls import homoglyph_skeleton
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    HOSTS = [
+        "xn--mnchen-3ya.example.com",
+        "xn--bcher-kva.shop.de",
+        "plain.example.com",
+        "xn--pypl-53dc.com",
+        "paypal.com",
+    ]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        hosts = [HOSTS[i % 5] for i in ids]
+        decoded = [idna_decode_host(h) for h in hosts]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(hosts, pa.string()),
+                pa.array(decoded, pa.string()),
+                pa.array(homoglyph_skeleton(decoded), pa.string()),
+            ],
+            names=["doc_id", "host", "decoded_host", "skeleton"],
+        )
+
+    out = ds.map_batches(decode, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
     """Per-user dominant event type (:func:`ops.segments.mode_per_key`):
     exact categorical mode with min-value tiebreak — the aggregate Ray
@@ -5827,6 +5866,7 @@ QUERIES = {
     "politeness_schedule": q_politeness_schedule,
     "homoglyph_dedup": q_homoglyph_dedup,
     "mode_per_user": q_mode_per_user,
+    "idn_hosts": q_idn_hosts,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6180,6 +6220,28 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["idn_hosts"] = """
+SELECT doc_id,
+       CASE doc_id % 5
+           WHEN 0 THEN 'xn--mnchen-3ya.example.com'
+           WHEN 1 THEN 'xn--bcher-kva.shop.de'
+           WHEN 2 THEN 'plain.example.com'
+           WHEN 3 THEN 'xn--pypl-53dc.com'
+           ELSE 'paypal.com' END AS host,
+       CASE doc_id % 5
+           WHEN 0 THEN 'münchen.example.com'
+           WHEN 1 THEN 'bücher.shop.de'
+           WHEN 2 THEN 'plain.example.com'
+           WHEN 3 THEN 'pаypаl.com'
+           ELSE 'paypal.com' END AS decoded_host,
+       CASE doc_id % 5
+           WHEN 0 THEN 'münchen.example.com'
+           WHEN 1 THEN 'bücher.shop.de'
+           WHEN 2 THEN 'plain.example.com'
+           ELSE 'paypal.com' END AS skeleton
+FROM documents ORDER BY doc_id
 """
 
 ORACLE_SQL["mode_per_user"] = """
