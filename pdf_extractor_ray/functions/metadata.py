@@ -76,3 +76,68 @@ def parse_head_meta(html: str) -> dict:
         "canonical": p.canonical,
         "og": p.og,
     }
+
+
+_JSONLD_RE = None
+
+
+def extract_jsonld(html: str) -> list[dict]:
+    """Parse every ``<script type="application/ld+json">`` block —
+    schema.org structured data, the machine-readable layer crawlers
+    index (products, articles, breadcrumbs). Tolerant: attribute order/
+    quoting varies, malformed JSON blocks are skipped (a bad block never
+    kills the page), a top-level JSON array contributes each element.
+    Returns the parsed dicts in document order."""
+    global _JSONLD_RE
+    import json
+    import re
+
+    if _JSONLD_RE is None:
+        _JSONLD_RE = re.compile(
+            r"<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>"
+            r"(.*?)</script>",
+            re.IGNORECASE | re.DOTALL,
+        )
+    out: list[dict] = []
+    for block in _JSONLD_RE.findall(html or ""):
+        try:
+            data = json.loads(block)
+        except ValueError:
+            continue
+        if isinstance(data, list):
+            out.extend(d for d in data if isinstance(d, dict))
+        elif isinstance(data, dict):
+            out.append(data)
+    return out
+
+
+def jsonld_batch(batch, html_col: str = "html", id_col: str = "doc_id"):
+    """Per-page JSON-LD summary rows: one row per (page, @type) with the
+    count of blocks of that type — the schema.org census a crawl product
+    ships. Pages without valid JSON-LD emit nothing."""
+    import pyarrow as pa
+
+    ids, types, counts = [], [], []
+    for i, payload in zip(batch[id_col].to_pylist(), batch[html_col].to_pylist()):
+        text = (
+            payload.decode("utf-8", errors="replace")
+            if isinstance(payload, (bytes, bytearray))
+            else (payload or "")
+        )
+        tally: dict[str, int] = {}
+        for d in extract_jsonld(text):
+            t = d.get("@type")
+            if isinstance(t, str):
+                tally[t] = tally.get(t, 0) + 1
+        for t in sorted(tally):
+            ids.append(i)
+            types.append(t)
+            counts.append(tally[t])
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(types, pa.string()),
+            pa.array(counts, pa.int64()),
+        ],
+        names=[id_col, "schema_type", "n_blocks"],
+    )

@@ -4477,6 +4477,57 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_jsonld_census(sf_dir: str) -> pd.DataFrame:
+    """schema.org JSON-LD census (:func:`functions.metadata.jsonld_batch`):
+    doc i carries an Article block (i%2==0), a Product block (i%3==0), a
+    two-element array block (i%5==0 → Article + BreadcrumbList), and a
+    MALFORMED block (i%7==0 — must be skipped, never kill the page).
+    Output one row per (doc, @type); oracle is the closed-form census."""
+    from .functions.metadata import jsonld_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        htmls = []
+        for i in ids:
+            parts = ["<html><head>"]
+            if i % 2 == 0:
+                parts.append(
+                    '<script type="application/ld+json">'
+                    '{"@type": "Article", "headline": "h%d"}</script>' % i
+                )
+            if i % 3 == 0:
+                parts.append(
+                    "<script type='application/ld+json'>"
+                    '{"@type": "Product", "sku": "%d"}</script>' % i
+                )
+            if i % 5 == 0:
+                parts.append(
+                    '<script type="application/ld+json">'
+                    '[{"@type": "Article"}, {"@type": "BreadcrumbList"}]'
+                    "</script>"
+                )
+            if i % 7 == 0:
+                parts.append(
+                    '<script type="application/ld+json">{broken json'
+                    "</script>"
+                )
+            parts.append("</head><body>x</body></html>")
+            htmls.append("".join(parts).encode())
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(htmls, pa.binary())],
+            names=["doc_id", "html"],
+        )
+
+    out = (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(jsonld_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "schema_type"]).reset_index(drop=True)
+
+
 def q_idn_hosts(sf_dir: str) -> pd.DataFrame:
     """IDN hostname decoding (:mod:`functions.punycode`, from-scratch RFC
     3492 bootstring) + confusable skeletons: five host families per
@@ -5867,6 +5918,7 @@ QUERIES = {
     "homoglyph_dedup": q_homoglyph_dedup,
     "mode_per_user": q_mode_per_user,
     "idn_hosts": q_idn_hosts,
+    "jsonld_census": q_jsonld_census,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6220,6 +6272,25 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["jsonld_census"] = """
+WITH t AS (
+    SELECT doc_id, 'Article' AS schema_type,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'Product',
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'BreadcrumbList',
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM documents
+)
+SELECT doc_id, schema_type, n_blocks FROM t
+WHERE n_blocks > 0 ORDER BY doc_id, schema_type
 """
 
 ORACLE_SQL["idn_hosts"] = """

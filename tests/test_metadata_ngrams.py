@@ -593,3 +593,36 @@ class TestRedactContaminated:
         )
         assert out.loc[0, "redacted_text"] == "e"
         assert out.loc[0, "n_redacted"] == 4
+
+
+class TestJsonLd:
+    def test_extract_variants(self):
+        from pdf_extractor_ray.functions.metadata import extract_jsonld
+
+        html = (
+            "<html><head>"
+            '<script type="application/ld+json">{"@type": "Article"}</script>'
+            "<SCRIPT TYPE='APPLICATION/LD+JSON'>"
+            '[{"@type": "A"}, {"@type": "B"}, 42]</SCRIPT>'
+            '<script type="application/ld+json">{oops</script>'
+            '<script type="text/javascript">{"@type": "NotLd"}</script>'
+            "</head></html>"
+        )
+        out = extract_jsonld(html)
+        assert [d["@type"] for d in out] == ["Article", "A", "B"]
+
+    def test_batch_rows(self, ray_session):
+        from pdf_extractor_ray.functions.metadata import jsonld_batch
+
+        tbl = pa.table(
+            {
+                "doc_id": [1, 2],
+                "html": [
+                    b'<script type="application/ld+json">{"@type": "P"}</script>'
+                    b'<script type="application/ld+json">{"@type": "P"}</script>',
+                    b"no structured data",
+                ],
+            }
+        )
+        out = jsonld_batch(tbl).to_pylist()
+        assert out == [{"doc_id": 1, "schema_type": "P", "n_blocks": 2}]
