@@ -141,3 +141,66 @@ def jsonld_batch(batch, html_col: str = "html", id_col: str = "doc_id"):
         ],
         names=[id_col, "schema_type", "n_blocks"],
     )
+
+
+_HREFLANG_RE = None
+
+
+def extract_hreflang(html: str) -> list[tuple[str, str]]:
+    """``<link rel="alternate" hreflang="..." href="...">`` pairs in
+    document order — the multilingual-variant declaration used to align
+    translated page sets (the parallel-corpus discovery signal). Tolerant
+    of attribute order and quoting; entries missing either attribute are
+    skipped."""
+    global _HREFLANG_RE
+    import re
+
+    if _HREFLANG_RE is None:
+        _HREFLANG_RE = re.compile(r"<link\b[^>]*>", re.IGNORECASE)
+    out: list[tuple[str, str]] = []
+    attr = re.compile(
+        r"""(rel|hreflang|href)\s*=\s*["']([^"']*)["']""", re.IGNORECASE
+    )
+    for tag in _HREFLANG_RE.findall(html or ""):
+        attrs = {k.lower(): v for k, v in attr.findall(tag)}
+        if attrs.get("rel", "").lower() == "alternate" and \
+                "hreflang" in attrs and "href" in attrs:
+            out.append((attrs["hreflang"], attrs["href"]))
+    return out
+
+
+def translation_sets_batch(batch, html_col: str = "html", url_col: str = "url"):
+    """Per-page translation-set rows: the set id is the MIN url of the
+    sorted variant set (self ∪ declared alternates) — pages declaring the
+    same variant set share an id, grouping mutually translated pages
+    WITHOUT a graph exchange (the declaration is the co-location).
+    → ``(url, set_id, n_variants, langs)`` with langs comma-joined
+    sorted."""
+    import pyarrow as pa
+
+    urls_out, sids, nvars, langs_out = [], [], [], []
+    for url, payload in zip(
+        batch[url_col].to_pylist(), batch[html_col].to_pylist()
+    ):
+        text = (
+            payload.decode("utf-8", errors="replace")
+            if isinstance(payload, (bytes, bytearray))
+            else (payload or "")
+        )
+        pairs = extract_hreflang(text)
+        if not pairs:
+            continue
+        variants = sorted({url} | {href for _, href in pairs})
+        urls_out.append(url)
+        sids.append(variants[0])
+        nvars.append(len(variants))
+        langs_out.append(",".join(sorted({lg for lg, _ in pairs})))
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls_out, pa.string()),
+            pa.array(sids, pa.string()),
+            pa.array(nvars, pa.int64()),
+            pa.array(langs_out, pa.string()),
+        ],
+        names=[url_col, "set_id", "n_variants", "langs"],
+    )

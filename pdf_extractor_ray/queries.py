@@ -4477,6 +4477,45 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_translation_sets(sf_dir: str) -> pd.DataFrame:
+    """Parallel-corpus discovery via hreflang
+    (:func:`functions.metadata.translation_sets_batch`): consecutive doc
+    triples form en/de/fr variant sets, each page declaring all three
+    alternates; pages with doc_id%11==0 declare nothing and vanish. Set
+    id = min variant url; oracle is the closed-form set table."""
+    from .functions.metadata import translation_sets_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    LANGS = ["de", "en", "fr"]
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        urls, htmls = [], []
+        for i in ids:
+            s, lang = i // 3, LANGS[i % 3]
+            urls.append(f"https://ex.com/s{s}/{lang}")
+            if i % 11 == 0:
+                htmls.append(b"<html><head></head></html>")
+                continue
+            links = "".join(
+                f'<link rel="alternate" hreflang="{lg}" '
+                f'href="https://ex.com/s{s}/{lg}">'
+                for lg in LANGS
+            )
+            htmls.append(f"<html><head>{links}</head></html>".encode())
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(htmls, pa.binary())],
+            names=["url", "html"],
+        )
+
+    out = (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(translation_sets_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def q_jsonld_census(sf_dir: str) -> pd.DataFrame:
     """schema.org JSON-LD census (:func:`functions.metadata.jsonld_batch`):
     doc i carries an Article block (i%2==0), a Product block (i%3==0), a
@@ -5919,6 +5958,7 @@ QUERIES = {
     "mode_per_user": q_mode_per_user,
     "idn_hosts": q_idn_hosts,
     "jsonld_census": q_jsonld_census,
+    "translation_sets": q_translation_sets,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6272,6 +6312,18 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["translation_sets"] = """
+SELECT 'https://ex.com/s' || CAST(doc_id // 3 AS VARCHAR) || '/'
+           || CASE doc_id % 3 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                              ELSE 'fr' END AS url,
+       'https://ex.com/s' || CAST(doc_id // 3 AS VARCHAR) || '/de' AS set_id,
+       CAST(3 AS BIGINT) AS n_variants,
+       'de,en,fr' AS langs
+FROM documents
+WHERE doc_id % 11 <> 0
+ORDER BY url
 """
 
 ORACLE_SQL["jsonld_census"] = """

@@ -626,3 +626,31 @@ class TestJsonLd:
         )
         out = jsonld_batch(tbl).to_pylist()
         assert out == [{"doc_id": 1, "schema_type": "P", "n_blocks": 2}]
+
+
+class TestHreflang:
+    def test_extract_and_sets(self, ray_session):
+        from pdf_extractor_ray.functions.metadata import (
+            extract_hreflang, translation_sets_batch,
+        )
+
+        html = (
+            '<link hreflang="de" rel="alternate" href="https://x/de">'
+            "<link rel='alternate' href='https://x/en' hreflang='en'>"
+            '<link rel="stylesheet" href="s.css">'
+            '<link rel="alternate" hreflang="fr">'  # missing href: skipped
+        )
+        assert extract_hreflang(html) == [
+            ("de", "https://x/de"), ("en", "https://x/en"),
+        ]
+        tbl = pa.table(
+            {
+                "url": ["https://x/en", "https://y/solo"],
+                "html": [html.encode(), b"<html>nothing</html>"],
+            }
+        )
+        out = translation_sets_batch(tbl).to_pylist()
+        assert out == [
+            {"url": "https://x/en", "set_id": "https://x/de",
+             "n_variants": 2, "langs": "de,en"}
+        ]
