@@ -204,3 +204,55 @@ def translation_sets_batch(batch, html_col: str = "html", url_col: str = "url"):
         ],
         names=[url_col, "set_id", "n_variants", "langs"],
     )
+
+
+_META_REFRESH_RE = None
+
+
+def extract_meta_refresh(html: str) -> str | None:
+    """The client-side redirect target of a ``<meta http-equiv="refresh"
+    content="N;url=...">`` tag, or None. Tolerant of attribute order,
+    case, whitespace around the semicolon, and 'URL='/'url=' casing —
+    the second redirect channel a crawler must follow besides HTTP 3xx."""
+    global _META_REFRESH_RE
+    import re
+
+    if _META_REFRESH_RE is None:
+        _META_REFRESH_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
+    attr = re.compile(
+        r"""(http-equiv|content)\s*=\s*["']([^"']*)["']""", re.IGNORECASE
+    )
+    for tag in _META_REFRESH_RE.findall(html or ""):
+        attrs = {k.lower(): v for k, v in attr.findall(tag)}
+        if attrs.get("http-equiv", "").lower() != "refresh":
+            continue
+        content = attrs.get("content", "")
+        m = re.search(r";\s*url\s*=\s*(\S+)", content, re.IGNORECASE)
+        if m:
+            return m.group(1).strip("'\"")
+    return None
+
+
+def meta_refresh_edges_batch(batch, html_col: str = "html", url_col: str = "url"):
+    """Pages → ``(src, dst)`` single-hop redirect edges from meta-refresh
+    tags (pages without one emit nothing) — feed
+    :func:`..ops.links.resolve_redirects` alongside HTTP 3xx edges."""
+    import pyarrow as pa
+
+    srcs, dsts = [], []
+    for url, payload in zip(
+        batch[url_col].to_pylist(), batch[html_col].to_pylist()
+    ):
+        text = (
+            payload.decode("utf-8", errors="replace")
+            if isinstance(payload, (bytes, bytearray))
+            else (payload or "")
+        )
+        target = extract_meta_refresh(text)
+        if target:
+            srcs.append(url)
+            dsts.append(target)
+    return pa.Table.from_arrays(
+        [pa.array(srcs, pa.string()), pa.array(dsts, pa.string())],
+        names=["src", "dst"],
+    )

@@ -4477,6 +4477,42 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_meta_refresh_chains(sf_dir: str) -> pd.DataFrame:
+    """Client-side redirect resolution end to end: meta-refresh tags
+    extracted from real HTML (:func:`functions.metadata.
+    meta_refresh_edges_batch`, attribute-order/quote tolerant), chains
+    resolved by pointer doubling (:func:`ops.links.resolve_redirects`).
+    Doc i (i%4 != 0) refreshes to doc i-1, terminating at i%4 == 0 —
+    chains of 1..3 hops, closed-form oracle."""
+    from .functions.metadata import meta_refresh_edges_batch
+    from .ops.links import resolve_redirects
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        urls, htmls = [], []
+        for i in ids:
+            urls.append(f"doc://{i:08d}")
+            if i % 4 == 0:
+                htmls.append(b"<html><head><title>t</title></head></html>")
+            else:
+                htmls.append(
+                    f'<html><head><meta content="0; url=doc://{i - 1:08d}" '
+                    f'http-equiv="Refresh"></head></html>'.encode()
+                )
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(htmls, pa.binary())],
+            names=["url", "html"],
+        )
+
+    edges = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        meta_refresh_edges_batch, batch_format="pyarrow"
+    )
+    out = resolve_redirects(edges).to_pandas()
+    return out.sort_values("src").reset_index(drop=True)
+
+
 def q_translation_sets(sf_dir: str) -> pd.DataFrame:
     """Parallel-corpus discovery via hreflang
     (:func:`functions.metadata.translation_sets_batch`): consecutive doc
@@ -5959,6 +5995,7 @@ QUERIES = {
     "idn_hosts": q_idn_hosts,
     "jsonld_census": q_jsonld_census,
     "translation_sets": q_translation_sets,
+    "meta_refresh_chains": q_meta_refresh_chains,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6312,6 +6349,15 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["meta_refresh_chains"] = """
+SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src,
+       'doc://' || lpad(CAST(doc_id - doc_id % 4 AS VARCHAR), 8, '0') AS final,
+       CAST(doc_id % 4 AS BIGINT) AS hops
+FROM documents
+WHERE doc_id % 4 <> 0
+ORDER BY src
 """
 
 ORACLE_SQL["translation_sets"] = """

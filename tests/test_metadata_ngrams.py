@@ -654,3 +654,20 @@ class TestHreflang:
             {"url": "https://x/en", "set_id": "https://x/de",
              "n_variants": 2, "langs": "de,en"}
         ]
+
+
+class TestMetaRefresh:
+    def test_extract_variants(self):
+        from pdf_extractor_ray.functions.metadata import extract_meta_refresh
+
+        assert extract_meta_refresh(
+            '<meta http-equiv="refresh" content="5; url=https://t/x">'
+        ) == "https://t/x"
+        assert extract_meta_refresh(
+            "<META CONTENT='0;URL=/next' HTTP-EQUIV='Refresh'>"
+        ) == "/next"
+        assert extract_meta_refresh(
+            '<meta http-equiv="refresh" content="30">'  # reload, no url
+        ) is None
+        assert extract_meta_refresh('<meta charset="utf-8">') is None
+        assert extract_meta_refresh("") is None
