@@ -4477,6 +4477,57 @@ def q_problem_flags(sf_dir: str) -> pd.DataFrame:
 # Crawl-archive formats (WARC — ISO 28500, the Common Crawl interchange)
 # ---------------------------------------------------------------------------
 
+def q_feed_items(sf_dir: str) -> pd.DataFrame:
+    """RSS/Atom discovery-feed parsing (:mod:`sources.feed`): doc i emits
+    an RSS 2.0 feed (even ids — element-text links, entity in title) or
+    an Atom feed (odd ids — href-attribute links, rel filtering) with two
+    items each; the from-scratch scanner yields every item row. Oracle is
+    the closed-form item table."""
+    import functools
+
+    from .sources.feed import feed_rows_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for i in batch["doc_id"].to_pylist():
+            i = int(i)
+            if i % 2 == 0:
+                blobs.append(
+                    (
+                        '<?xml version="1.0"?><rss version="2.0"><channel>'
+                        f"<item><title>Story {i} &amp; more</title>"
+                        f"<link>https://news/{i}/a</link>"
+                        f"<pubDate>day{i % 7}</pubDate></item>"
+                        f"<item><title>Extra {i}</title>"
+                        f"<link>https://news/{i}/b</link></item>"
+                        "</channel></rss>"
+                    ).encode()
+                )
+            else:
+                blobs.append(
+                    (
+                        '<?xml version="1.0"?><feed>'
+                        f"<entry><title>Post {i}</title>"
+                        f'<link rel="self" href="https://feed/{i}/self"/>'
+                        f'<link rel="alternate" href="https://blog/{i}/a"/>'
+                        f"<updated>t{i % 5}</updated></entry>"
+                        f"<entry><title>Note {i}</title>"
+                        f'<link href="https://blog/{i}/b"/></entry>'
+                        "</feed>"
+                    ).encode()
+                )
+        return pa.Table.from_arrays([pa.array(blobs, pa.binary())], names=["xml"])
+
+    out = (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(feed_rows_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["link"]).reset_index(drop=True)
+
+
 def q_meta_refresh_chains(sf_dir: str) -> pd.DataFrame:
     """Client-side redirect resolution end to end: meta-refresh tags
     extracted from real HTML (:func:`functions.metadata.
@@ -5996,6 +6047,7 @@ QUERIES = {
     "jsonld_census": q_jsonld_census,
     "translation_sets": q_translation_sets,
     "meta_refresh_chains": q_meta_refresh_chains,
+    "feed_items": q_feed_items,
     "crawl_budget": q_crawl_budget,
     "streaming_dedup": q_streaming_dedup,
     "incremental_admission": q_incremental_admission,
@@ -6349,6 +6401,30 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_dropped
 FROM documents, (SELECT unnest(range(4)) AS p) t
 ORDER BY doc_id, page_no
+"""
+
+ORACLE_SQL["feed_items"] = """
+WITH t AS (
+    SELECT 'rss' AS kind,
+           'Story ' || CAST(doc_id AS VARCHAR) || ' & more' AS title,
+           'https://news/' || CAST(doc_id AS VARCHAR) || '/a' AS link,
+           'day' || CAST(doc_id % 7 AS VARCHAR) AS published
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'rss', 'Extra ' || CAST(doc_id AS VARCHAR),
+           'https://news/' || CAST(doc_id AS VARCHAR) || '/b', NULL
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'atom', 'Post ' || CAST(doc_id AS VARCHAR),
+           'https://blog/' || CAST(doc_id AS VARCHAR) || '/a',
+           't' || CAST(doc_id % 5 AS VARCHAR)
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'atom', 'Note ' || CAST(doc_id AS VARCHAR),
+           'https://blog/' || CAST(doc_id AS VARCHAR) || '/b', NULL
+    FROM documents WHERE doc_id % 2 = 1
+)
+SELECT kind, title, link, published FROM t ORDER BY link
 """
 
 ORACLE_SQL["meta_refresh_chains"] = """
