@@ -122,38 +122,62 @@ def snapshot_delta(
         )
 
     changed = agg.map_batches(changed_only, batch_format="pyarrow").materialize()
-    if changed.count() > broadcast_cap:
-        raise NotImplementedError(
-            "snapshot_delta: changed set exceeds broadcast_cap; pair via "
-            "the attach_lookup semi-join as in snapshot_edit_distance"
+    if changed.count() <= broadcast_cap:
+        ckeys = pa.concat_arrays(
+            [
+                c
+                for b in changed.iter_batches(batch_format="pyarrow")
+                for c in b.column(key_col).chunks
+                if len(c)
+            ]
         )
-    ckeys = pa.concat_arrays(
-        [
-            c
-            for b in changed.iter_batches(batch_format="pyarrow")
-            for c in b.column(key_col).chunks
-            if len(c)
-        ]
-    )
-    cref = ray.put(ckeys)
+        cref = ray.put(ckeys)
 
-    def tag(ds, side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[key_col], value_set=ray.get(cref))
-            kept = batch.filter(mask)
-            n = kept.num_rows
-            return pa.Table.from_arrays(
-                [
-                    kept[key_col].combine_chunks().cast(pa.string()),
-                    pa.array(np.full(n, side, dtype=np.int8)),
-                    pc.fill_null(kept[content_col], "").cast(pa.string()),
-                ],
-                names=[key_col, "side", content_col],
-            )
+        def tag(ds, side: int):
+            def f(batch: pa.Table) -> pa.Table:
+                mask = pc.is_in(batch[key_col], value_set=ray.get(cref))
+                kept = batch.filter(mask)
+                n = kept.num_rows
+                return pa.Table.from_arrays(
+                    [
+                        kept[key_col].combine_chunks().cast(pa.string()),
+                        pa.array(np.full(n, side, dtype=np.int8)),
+                        pc.fill_null(kept[content_col], "").cast(pa.string()),
+                    ],
+                    names=[key_col, "side", content_col],
+                )
 
-        return ds.map_batches(f, batch_format="pyarrow")
+            return ds.map_batches(f, batch_format="pyarrow")
 
-    pairs = tag(old_ds, 1).union(tag(new_ds, 2)).repartition(
+        pairs = tag(old_ds, 1).union(tag(new_ds, 2))
+    else:
+        # over-cap regime: the same sorted-lookup semi-join
+        # snapshot_edit_distance uses — nothing changed-set-sized on the
+        # driver; only changed keys' payloads survive into the pair sort.
+        from .segments import attach_lookup
+
+        def tag_all(ds, side: int):
+            def f(batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                return pa.Table.from_arrays(
+                    [
+                        batch[key_col].combine_chunks().cast(pa.string()),
+                        pa.array(np.full(n, side, dtype=np.int8)),
+                        pc.fill_null(batch[content_col], "").cast(pa.string()),
+                    ],
+                    names=[key_col, "side", content_col],
+                )
+
+            return ds.map_batches(f, batch_format="pyarrow")
+
+        pairs = attach_lookup(
+            tag_all(old_ds, 1).union(tag_all(new_ds, 2)),
+            changed,
+            key_col=key_col,
+            val_cols=[],
+            carry_cols=["side", content_col],
+        )
+    pairs = pairs.repartition(
         max(8, int(ray.cluster_resources().get("CPU", 8)))
     )
 

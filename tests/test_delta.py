@@ -74,3 +74,31 @@ class TestSnapshotDelta:
         assert out.loc[0, "reconstructed"] == base[:100] + "XX" + base[100:]
         assert out.loc[1, "reconstructed"] == base.replace("dolor", "d0lor")
         assert (out["delta_bytes"] < out["bytes_new"]).all()
+
+    def test_regimes_agree(self, ray_session):
+        """broadcast_cap=0 forces the sorted-lookup pairing — identical
+        rows to the broadcast regime."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.delta import snapshot_delta
+
+        old = rd.from_items(
+            [{"url": f"u{i}", "text": f"body {i} " * 20} for i in range(20)]
+        ).repartition(3)
+        new = rd.from_items(
+            [
+                {"url": f"u{i}",
+                 "text": (f"body {i} " * 20) + ("X" if i % 3 == 0 else "")}
+                for i in range(20)
+            ]
+        ).repartition(4)
+        a = (
+            snapshot_delta(old, new)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        b = (
+            snapshot_delta(old, new, broadcast_cap=0)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert len(a) == 7  # i % 3 == 0 for i in 0..19

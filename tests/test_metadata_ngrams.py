@@ -671,3 +671,27 @@ class TestMetaRefresh:
         ) is None
         assert extract_meta_refresh('<meta charset="utf-8">') is None
         assert extract_meta_refresh("") is None
+
+
+class TestApportionDistributed:
+    def test_regimes_agree(self, ray_session):
+        """key_cap=0 forces the distributed rank regime — allocations
+        identical to the driver-side largest-remainder path."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.budget import apportion_budget
+
+        rows = [
+            {"host": f"h{i % 9}", "n_pages": 1 + i % 4} for i in range(200)
+        ]
+        ds = rd.from_items(rows).repartition(5)
+        a = apportion_budget(ds, budget=53).to_pandas()
+        a = a.sort_values("host").reset_index(drop=True)
+        b = (
+            apportion_budget(ds, budget=53, key_cap=0)
+            .to_pandas().sort_values("host").reset_index(drop=True)
+        )
+        for c in a.columns:
+            b[c] = b[c].astype(a[c].dtype)
+        assert a.equals(b)
+        assert b["alloc"].sum() == 53
