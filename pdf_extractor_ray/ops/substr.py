@@ -296,17 +296,17 @@ def remove_dup_substrings(
     )
     chunks = []
     n_dups = 0
+    over = False
     for batch in dups_ds.iter_batches(batch_format="pyarrow"):
         n_dups += batch.num_rows
         if n_dups > dup_cap:
-            raise NotImplementedError(
-                "remove_dup_substrings: duplicated-window set exceeds "
-                "dup_cap; carry (doc, pos) rows through the hash "
-                "semi-join instead of the broadcast"
-            )
+            over = True
+            break
         chunks.append(
             np.asarray(batch["h"].to_numpy(zero_copy_only=False)).view(np.uint64)
         )
+    if over:
+        return _remove_dups_semijoin(ds, dups_ds, window, text_col, id_col)
     dup_arr = (
         np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.uint64)
     )
@@ -352,3 +352,137 @@ def remove_dup_substrings(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def _remove_dups_semijoin(ds, dups_ds, window: int, text_col: str, id_col: str):
+    """Over-``dup_cap`` regime of :func:`remove_dup_substrings`: nothing
+    dup-set-sized on the driver. Three honest exchanges, all keyed on
+    columns the counting pass already shuffles:
+
+    1. every window emits a ``(h, id, pos)`` row (the corpus-sized
+       position stream — same order of bytes as the counting exchange);
+    2. positions semi-join the duplicated-hash table on ``h``
+       (:func:`..segments.attach_lookup`), leaving only the duplicated
+       MINORITY of positions;
+    3. per-doc position lists rebuild via one (id) sort and attach back
+       onto the corpus stream (matched docs strip, unmatched docs pass
+       through an anti-join side untouched).
+    """
+    from .segments import attach_lookup, sorted_segment_apply
+
+    dups_tbl = dups_ds.materialize()  # consumed once; keyed table side
+
+    def positions(batch: pa.Table) -> pa.Table:
+        ids_out, hs_out, pos_out = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            hs = window_hashes(t or "", window)
+            if not len(hs):
+                continue
+            ids_out.append(np.full(len(hs), i, dtype=np.int64))
+            hs_out.append(hs.view(np.int64))
+            pos_out.append(np.arange(len(hs), dtype=np.int64))
+        if not ids_out:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3, names=["h", id_col, "pos"]
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(hs_out)),
+                pa.array(np.concatenate(ids_out)),
+                pa.array(np.concatenate(pos_out)),
+            ],
+            names=["h", id_col, "pos"],
+        )
+
+    dup_pos = attach_lookup(
+        ds.map_batches(positions, batch_format="pyarrow"),
+        dups_tbl,
+        key_col="h",
+        val_cols=[],
+        carry_cols=[id_col, "pos"],
+    )
+
+    def pos_lists(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        names = [id_col, "poslist"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.int64()))],
+                names=names,
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = batch["pos"].to_numpy(zero_copy_only=False)
+        lists = [pos[s:e].tolist() for s, e in zip(starts, ends)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[starts]),
+                pa.array(lists, pa.list_(pa.int64())),
+            ],
+            names=names,
+        )
+
+    posagg = sorted_segment_apply(
+        dup_pos, key_col=id_col, block_fn=pos_lists, within_cols=["pos"]
+    ).materialize()  # O(docs with dups) rows; table side of two joins
+
+    def strip(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        plists = batch["poslist"].to_pylist()
+        out_t, out_n, out_r = [], [], []
+        for t, pl in zip(texts, plists):
+            t = t or ""
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            n = len(cps)
+            hits = np.asarray(pl, dtype=np.int64)
+            cover = np.zeros(n + 1, np.int64)
+            np.add.at(cover, hits, 1)
+            np.add.at(cover, np.minimum(hits + window, n), -1)
+            covered = np.cumsum(cover[:-1]) > 0
+            kept = cps[~covered]
+            out_t.append(kept.tobytes().decode("utf-32-le"))
+            out_n.append(n)
+            out_r.append(int(covered.sum()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch.schema.field(id_col).type),
+                pa.array(out_t, pa.string()),
+                pa.array(out_n, pa.int64()),
+                pa.array(out_r, pa.int64()),
+            ],
+            names=[id_col, "cleaned_text", "n_chars", "n_removed"],
+        )
+
+    def untouched(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = batch[text_col].combine_chunks()
+        texts = pc.fill_null(texts, "")
+        return pa.Table.from_arrays(
+            [
+                batch[id_col].combine_chunks(),
+                texts,
+                pc.utf8_length(texts).cast(pa.int64()),
+                pa.array(np.zeros(batch.num_rows, np.int64)),
+            ],
+            names=[id_col, "cleaned_text", "n_chars", "n_removed"],
+        )
+
+    with_dups = attach_lookup(
+        ds,
+        posagg,
+        key_col=id_col,
+        val_cols=["poslist"],
+        carry_cols=[text_col],
+    ).map_batches(strip, batch_format="pyarrow")
+    clean = attach_lookup(
+        ds,
+        posagg,
+        key_col=id_col,
+        val_cols=[],
+        carry_cols=[text_col],
+        anti=True,
+    ).map_batches(untouched, batch_format="pyarrow")
+    return with_dups.union(clean)

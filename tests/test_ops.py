@@ -1279,3 +1279,31 @@ class TestRemoveDupSubstrings:
         ).to_pandas()
         assert "MIDDLEPART" in out.loc[0, "cleaned_text"]
         assert out.loc[0, "n_removed"] >= 100
+
+    def test_semijoin_regime_matches_broadcast(self, ray_session):
+        """dup_cap=0 forces the positions semi-join — identical output to
+        the broadcast regime on every column."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.substr import remove_dup_substrings
+
+        bp = "z" * 70
+        rows = [
+            {"doc_id": 1, "text": " ".join(f"a{i}" for i in range(25)) + " " + bp},
+            {"doc_id": 2, "text": bp + " " + " ".join(f"b{i}" for i in range(25))},
+            {"doc_id": 3, "text": " ".join(f"c{i}" for i in range(30))},
+            {"doc_id": 4, "text": "short"},
+        ]
+        ds = rd.from_items(rows).repartition(2)
+        a = (
+            remove_dup_substrings(ds, window=50)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            remove_dup_substrings(ds, window=50, dup_cap=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = b[a.columns]
+        for c in a.columns:
+            b[c] = b[c].astype(a[c].dtype)
+        assert a.equals(b)
