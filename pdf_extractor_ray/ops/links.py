@@ -1239,53 +1239,122 @@ def kcore(
             names=["node", "d"],
         )
 
-    def degrees(e_ds):
-        parts = list(
+    def degrees_ds(e_ds):
+        return (
             e_ds.map_batches(
                 degree_partial, batch_format="pyarrow", batch_size=None
             )
             .groupby("node")
             .sum("d")
-            .iter_batches(batch_format="pyarrow")
         )
+
+    def collect_degrees(d_ds):
+        parts = list(d_ds.iter_batches(batch_format="pyarrow"))
         if not parts:
             return np.array([], dtype=str), np.array([], dtype=np.int64)
         rows = pa.concat_tables(parts)
-        if rows.num_rows > node_broadcast_cap:
-            raise NotImplementedError(
-                "kcore: node table exceeds node_broadcast_cap; swap the "
-                "broadcast for two attach_lookup degree joins per round"
-            )
         ns = rows["node"].to_numpy(zero_copy_only=False).astype(str)
         dg = rows["sum(d)"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(ns)
         return ns[o], dg[o]
 
+    def split_endpoints(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        return pa.Table.from_arrays(
+            [
+                batch["e"].combine_chunks(),
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(object), pa.string()),
+            ],
+            names=["e", "lo", "hi"],
+        )
+
     for _ in range(rounds):
-        ns, dg = degrees(edges)
-        alive = ns[dg >= k]
-        if len(alive) == len(ns):
-            break  # converged: further rounds are identity
-        aref = ray.put(alive)
+        d_ds = degrees_ds(edges).materialize()
+        n_nodes = d_ds.count()
+        if n_nodes <= node_broadcast_cap:
+            ns, dg = collect_degrees(d_ds)
+            alive = ns[dg >= k]
+            if len(alive) == len(ns):
+                break  # converged: further rounds are identity
+            aref = ray.put(alive)
 
-        def keep_edges(batch: pa.Table) -> pa.Table:
-            al = ray.get(aref)
-            parts = np.char.partition(
-                np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
-            )
-            li = np.searchsorted(al, parts[:, 0])
-            ri = np.searchsorted(al, parts[:, 2])
-            ok = (
-                (li < len(al)) & (ri < len(al))
-            )
-            ok[ok] &= (al[li[ok]] == parts[:, 0][ok]) & (
-                al[ri[ok]] == parts[:, 2][ok]
-            )
-            return batch.filter(pa.array(ok))
+            def keep_edges(batch: pa.Table) -> pa.Table:
+                al = ray.get(aref)
+                parts = np.char.partition(
+                    np.asarray(batch["e"].to_pylist(), dtype=object).astype(str),
+                    SEP,
+                )
+                li = np.searchsorted(al, parts[:, 0])
+                ri = np.searchsorted(al, parts[:, 2])
+                ok = (li < len(al)) & (ri < len(al))
+                ok[ok] &= (al[li[ok]] == parts[:, 0][ok]) & (
+                    al[ri[ok]] == parts[:, 2][ok]
+                )
+                return batch.filter(pa.array(ok))
 
-        edges = edges.map_batches(keep_edges, batch_format="pyarrow").materialize()
+            edges = edges.map_batches(
+                keep_edges, batch_format="pyarrow"
+            ).materialize()
+        else:
+            # over-cap round: nothing node-sized on the driver — the
+            # alive-node table filters edges through TWO sorted-lookup
+            # existence joins (one per endpoint), the same attach_lookup
+            # contract as pagerank's over-cap regime.
+            from .segments import attach_lookup
 
-    ns, dg = degrees(edges)
+            alive_ds = d_ds.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t["node"].combine_chunks().filter(
+                            pa.compute.greater_equal(
+                                t["sum(d)"].combine_chunks(), k
+                            )
+                        )
+                    ],
+                    names=["lo"],
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            n_alive = alive_ds.count()
+            if n_alive == n_nodes:
+                break
+            kept_lo = attach_lookup(
+                edges.map_batches(split_endpoints, batch_format="pyarrow"),
+                alive_ds,
+                key_col="lo",
+                val_cols=[],
+                carry_cols=["e", "hi"],
+            )
+            kept = attach_lookup(
+                kept_lo.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["hi"].combine_chunks(), t["e"].combine_chunks()],
+                        names=["lo", "e"],
+                    ),
+                    batch_format="pyarrow",
+                ),
+                alive_ds,
+                key_col="lo",
+                val_cols=[],
+                carry_cols=["e"],
+            )
+            edges = kept.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t["e"].combine_chunks()], names=["e"]
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+
+    final = degrees_ds(edges).materialize()
+    if final.count() > node_broadcast_cap:
+        raise NotImplementedError(
+            "kcore: the surviving core itself exceeds node_broadcast_cap; "
+            "write it with a Dataset sink instead of returning a table"
+        )
+    ns, dg = collect_degrees(final)
     keep = dg >= k
     return pa.Table.from_arrays(
         [

@@ -746,3 +746,30 @@ class TestHomoglyphDedup:
         assert (pp["rep"] == "paypal.com").all()
         ex = out[out["skeleton"] == "example.org"]
         assert len(ex) == 1 and not ex["is_spoofed"].iloc[0]
+
+    def test_semijoin_rounds_match_broadcast(self, ray_session):
+        """node_broadcast_cap=0 forces the attach_lookup rounds... except
+        the final collection needs SOME cap; use cap=0 for rounds via a
+        large graph check: compare against the broadcast result."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import kcore
+
+        rng = np.random.Generator(np.random.Philox(31))
+        pairs = [
+            (f"n{int(rng.integers(0, 12))}", f"n{int(rng.integers(0, 12))}")
+            for _ in range(50)
+        ] + [(f"p{j}", "n0") for j in range(6)]  # pendants peel round 1
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs]
+        ).repartition(3)
+        a = kcore(ds, k=3, rounds=15).to_pandas()
+        a = a.sort_values("node").reset_index(drop=True)
+        # a cap below the initial node count forces the semi-join rounds;
+        # the pendant-free core is small enough for the final collect.
+        b = (
+            kcore(ds, k=3, rounds=15, node_broadcast_cap=13)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert not a["node"].str.startswith("p").any()
