@@ -1066,18 +1066,16 @@ def triangle_count(
         edges.map_batches(degree_partial, batch_format="pyarrow", batch_size=None)
         .groupby("node")
         .sum("d")
-    )
+    ).materialize()
+    n_nodes = degs.count()
+    if n_nodes > node_broadcast_cap:
+        return _triangles_attached(edges, degs, n_edges, n_nodes, SEP,
+                                   node_broadcast_cap)
     deg_rows = pa.concat_tables(list(degs.iter_batches(batch_format="pyarrow")))
     nodes_sorted = deg_rows["node"].to_numpy(zero_copy_only=False).astype(str)
     degs_np = deg_rows["sum(d)"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(nodes_sorted)
     nodes_sorted, degs_np = nodes_sorted[order], degs_np[order]
-    n_nodes = len(nodes_sorted)
-    if n_nodes > node_broadcast_cap:
-        raise NotImplementedError(
-            "triangle_count: node table exceeds node_broadcast_cap; attach "
-            "degrees via two attach_lookup joins instead of the broadcast"
-        )
     deg_ref = ray.put((nodes_sorted, degs_np))
 
     def orient(batch: pa.Table) -> pa.Table:
@@ -1362,4 +1360,119 @@ def kcore(
             pa.array(dg[keep].astype(np.int64)),
         ],
         names=["node", "degree"],
+    )
+
+
+def _triangles_attached(edges, degs, n_edges: int, n_nodes: int, SEP: str,
+                        node_broadcast_cap: int) -> pa.Table:
+    """Over-cap regime of :func:`triangle_count`: degrees never land on
+    the driver. Both endpoints' degrees attach to each canonical edge via
+    two sorted-lookup joins (the pagerank over-cap contract); orientation
+    and the wedge ordering then read the ATTACHED columns — the oriented
+    edge table carries ``deg_dst`` so the (src)-keyed wedge sort orders
+    out-neighborhoods by (deg, id) without any lookup. The wedge→edge
+    closure check is the attach_lookup semi-join the under-cap path
+    already uses past its edge gate."""
+    from .segments import attach_lookup, sorted_segment_apply
+
+    def split(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(object), pa.string()),
+            ],
+            names=["a", "b"],
+        )
+
+    deg_tbl = degs.map_batches(
+        lambda t: t.rename_columns(["node", "deg"]), batch_format="pyarrow"
+    )
+    with_da = attach_lookup(
+        edges.map_batches(split, batch_format="pyarrow").map_batches(
+            lambda t: t.rename_columns(["node", "b"]), batch_format="pyarrow"
+        ),
+        deg_tbl,
+        key_col="node",
+        val_cols=["deg"],
+        carry_cols=["b"],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["node"], t["b"], t["deg"]], names=["a", "node", "da"]
+        ),
+        batch_format="pyarrow",
+    )
+    both = attach_lookup(
+        with_da,
+        deg_tbl,
+        key_col="node",
+        val_cols=["deg"],
+        carry_cols=["a", "da"],
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["node"].to_pylist(), dtype=object).astype(str)
+        a = np.asarray(batch["a"].to_pylist(), dtype=object).astype(str)
+        da = batch["da"].to_numpy(zero_copy_only=False)
+        db = batch["deg"].to_numpy(zero_copy_only=False)
+        fwd = (da < db) | ((da == db) & (a < b))
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
+        deg_dst = np.where(fwd, db, da)
+        return pa.Table.from_arrays(
+            [
+                pa.array(src.astype(object), pa.string()),
+                pa.array(dst.astype(object), pa.string()),
+                pa.array(deg_dst.astype(np.int64)),
+            ],
+            names=["src", "dst", "deg_dst"],
+        )
+
+    oriented = both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedge_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        dst = np.asarray(batch["dst"].to_pylist(), dtype=object).astype(str)
+        out = []
+        for s, e in zip(starts, ends):
+            seg = dst[s:e]  # already (deg_dst, dst)-ordered by the sort
+            if len(seg) < 2:
+                continue
+            i, j = np.triu_indices(len(seg), k=1)
+            out.append(np.char.add(np.char.add(seg[i], SEP), seg[j]))
+        keys = np.concatenate(out) if out else np.array([], dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(keys.astype(object), pa.string())], names=["k"]
+        )
+
+    wedges = sorted_segment_apply(
+        oriented, key_col="src", block_fn=wedge_block,
+        within_cols=["deg_dst", "dst"],
+    )
+
+    def probe_key(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"].to_pylist(), dtype=object).astype(str)
+        dst = np.asarray(batch["dst"].to_pylist(), dtype=object).astype(str)
+        return pa.Table.from_arrays(
+            [pa.array(np.char.add(np.char.add(src, SEP), dst).astype(object),
+                      pa.string())],
+            names=["k"],
+        )
+
+    closed = attach_lookup(
+        wedges,
+        oriented.map_batches(probe_key, batch_format="pyarrow"),
+        key_col="k",
+        val_cols=[],
+        carry_cols=[],
+    )
+    n_triangles = closed.count()
+    return pa.Table.from_arrays(
+        [
+            pa.array([n_nodes], pa.int64()),
+            pa.array([n_edges], pa.int64()),
+            pa.array([int(n_triangles)], pa.int64()),
+        ],
+        names=["n_nodes", "n_edges", "n_triangles"],
     )

@@ -773,3 +773,22 @@ class TestHomoglyphDedup:
         )
         assert a.equals(b)
         assert not a["node"].str.startswith("p").any()
+
+
+class TestTrianglesDistributed:
+    def test_regimes_agree(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import triangle_count
+
+        rng = np.random.Generator(np.random.Philox(13))
+        pairs = [
+            (f"n{int(rng.integers(0, 14))}", f"n{int(rng.integers(0, 14))}")
+            for _ in range(70)
+        ]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs]
+        ).repartition(3)
+        a = triangle_count(ds).to_pylist()[0]
+        b = triangle_count(ds, node_broadcast_cap=0).to_pylist()[0]
+        assert a == b
