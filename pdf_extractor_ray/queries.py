@@ -4693,6 +4693,63 @@ def q_idn_hosts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_group_sample(sf_dir: str) -> pd.DataFrame:
+    """Unbiased per-group sampling: at most 5 documents per language,
+    chosen by splitmix64(doc_id + salt) rank — :func:`ops.segments.
+    cap_per_key` over a hash order column instead of arrival order, so
+    the per-domain/per-language eval-set draw is deterministic AND
+    position-independent. Oracle replays the mix and the rank window."""
+    from .ops.segments import cap_per_key
+    from .ops.text import splitmix64_np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    # int64 reinterpretation does NOT preserve uint64 order; flip the sign
+    # bit so the signed sort order equals the unsigned hash order (the
+    # engine's standard trick, cf. deterministic_shuffle).
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = splitmix64_np(ids + np.uint64(41)) ^ np.uint64(1 << 63)
+        return batch.append_column("hv", pa.array(hv.view(np.int64)))
+
+    capped = cap_per_key(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        key_col="lang",
+        k=5,
+        order_cols=["hv", "doc_id"],
+    )
+    out = capped.select_columns(["lang", "doc_id"]).to_pandas()
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def q_percentile_rank(sf_dir: str) -> pd.DataFrame:
+    """Within-language percentile position of every document's n_chars
+    (:func:`ops.segments.rank_per_key`): dense 1-based rank and group
+    size as exact integers (callers derive rank/n; no floats cross the
+    oracle). The quantile-normalization step quality-mixing pipelines
+    apply before thresholding across languages."""
+    from .ops.segments import rank_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ranked = rank_per_key(
+        ds,
+        key_col="lang",
+        within_cols=["n_chars", "doc_id"],
+        carry_cols=["doc_id", "n_chars"],
+    )
+    # group sizes: a languages-sized aggregate, merged onto the rank rows
+    sizes = ds.groupby("lang").count().to_pandas().rename(
+        columns={"count()": "n_in_group"}
+    )
+    out = ranked.to_pandas().merge(sizes, on="lang")
+    out["n_in_group"] = out["n_in_group"].astype("int64")
+    return (
+        out[["lang", "doc_id", "n_chars", "rank", "n_in_group"]]
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
     """Per-user dominant event type (:func:`ops.segments.mode_per_key`):
     exact categorical mode with min-value tiebreak — the aggregate Ray
@@ -6043,6 +6100,8 @@ QUERIES = {
     "politeness_schedule": q_politeness_schedule,
     "homoglyph_dedup": q_homoglyph_dedup,
     "mode_per_user": q_mode_per_user,
+    "group_sample": q_group_sample,
+    "percentile_rank": q_percentile_rank,
     "idn_hosts": q_idn_hosts,
     "jsonld_census": q_jsonld_census,
     "translation_sets": q_translation_sets,
@@ -6487,6 +6546,24 @@ SELECT doc_id,
            WHEN 2 THEN 'plain.example.com'
            ELSE 'paypal.com' END AS skeleton
 FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["group_sample"] = _splitmix_sql(
+    "documents", "doc_id", 41, "doc_id, lang"
+) + """
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+    FROM h
+) WHERE rk <= 5 ORDER BY lang, doc_id
+"""
+
+ORACLE_SQL["percentile_rank"] = """
+SELECT lang, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_in_group
+FROM documents ORDER BY lang, rank
 """
 
 ORACLE_SQL["mode_per_user"] = """
