@@ -423,11 +423,19 @@ class TestMisc:
             if not any("֐" <= ch <= "׿" for ch in s):
                 # no RTL chars → at most EN levels → identity
                 assert out == s
-            # a space-delimited numeric token (digits at both ends) stays
+            # a space-delimited numeric token (digits at both ends, every
+            # separator SINGLE — UBA W4 only keeps a lone CS between two
+            # digits at EN level; "0..1" legitimately reverses) stays
             # contiguous and unreversed
             for tok in s.split():
-                if len(tok) >= 2 and tok[0].isdigit() and tok[-1].isdigit() and all(
-                    c.isdigit() or c in ".," for c in tok
+                if (
+                    len(tok) >= 2
+                    and tok[0].isdigit()
+                    and tok[-1].isdigit()
+                    and all(c.isdigit() or c in ".," for c in tok)
+                    and not any(
+                        a in ".," and b in ".," for a, b in zip(tok, tok[1:])
+                    )
                 ):
                     assert tok in out
 
