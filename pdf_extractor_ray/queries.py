@@ -2307,6 +2307,22 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("token").reset_index(drop=True)
 
 
+def q_compress_postings(sf_dir: str) -> pd.DataFrame:
+    """Varbyte delta compression of posting lists
+    (:func:`ops.index.compress_postings`): per token with df ≥ 3, the
+    gap-coded byte stream's length and byte-value sum (which pins the
+    exact encoding) plus first/last posting id. Same (token, doc_id)
+    exchange as the inverted index; the encode is a segment-local digit
+    matrix + masked flatten with zero per-group Python. The SQL oracle
+    replays the 7-bit little-endian group arithmetic exactly."""
+    from .ops.index import compress_postings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = compress_postings(ds, min_df=3).to_pandas()
+    df = df.drop(columns=["encoded"])  # binary column checked in unit tests
+    return df.sort_values("token").reset_index(drop=True)
+
+
 BM25_QUERIES = {
     "q1": "hash join",
     "q2": "window sort stream",
@@ -4102,6 +4118,41 @@ agg AS (
 SELECT token, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf,
        sample_postings
 FROM agg WHERE df >= 5 ORDER BY token
+"""
+
+ORACLE_SQL["compress_postings"] = r"""
+WITH pairs AS (
+    SELECT DISTINCT token, doc_id FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        FROM documents
+    )
+),
+gaps AS (
+    SELECT token, doc_id,
+           CASE WHEN lag(doc_id) OVER w IS NULL THEN doc_id + 1
+                ELSE doc_id - lag(doc_id) OVER w END AS g
+    FROM pairs
+    WINDOW w AS (PARTITION BY token ORDER BY doc_id)
+),
+-- varbyte: little-endian 7-bit groups, continuation bit 0x80 on all but
+-- the last byte; nb = number of groups, dsum = sum of the 7-bit digits
+-- (gaps here are < 2^35, so five groups suffice)
+enc AS (
+    SELECT token, doc_id, g,
+           CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4
+                ELSE 5 END AS nb,
+           (g % 128) + ((g // 128) % 128) + ((g // 16384) % 128)
+             + ((g // 2097152) % 128) + ((g // 268435456) % 128) AS dsum
+    FROM gaps
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       CAST(sum(dsum) + 128 * sum(nb - 1) AS BIGINT) AS byte_sum,
+       CAST(min(doc_id) AS BIGINT) AS first_id,
+       CAST(max(doc_id) AS BIGINT) AS last_id
+FROM enc GROUP BY token HAVING count(*) >= 3 ORDER BY token
 """
 
 ORACLE_SQL["bpe_pair_counts"] = r"""
@@ -6140,6 +6191,7 @@ QUERIES = {
     "word_topk": q_word_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "inverted_index": q_inverted_index,
+    "compress_postings": q_compress_postings,
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
     "dhash_dedup": q_dhash_dedup,

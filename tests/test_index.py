@@ -179,3 +179,123 @@ class TestMergePostingStore:
         # the accumulated re-crawl: doc 1 'alpha' tf = 2 + 1
         a = lookup_postings(merged, "alpha", num_buckets=nb).to_pandas()
         assert a.set_index("doc_id")["tf"].to_dict()[1] == 3
+
+
+class TestVarbyte:
+    def test_roundtrip_boundaries(self):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.index import varbyte_decode, varbyte_encode
+
+        # gap byte-width boundaries: 127/128, 16383/16384, 2097151/2097152
+        for ids in (
+            [0],
+            [126],  # first gap 127 → 1 byte
+            [127],  # first gap 128 → 2 bytes
+            [0, 127],  # second gap 127
+            [0, 128],  # second gap 128
+            [16382],
+            [16383],
+            [0, 16383, 16383 + 2097151, 16383 + 2097152 + 5],
+            list(range(0, 5000, 7)),
+            [2**40, 2**40 + 1, 2**50],
+        ):
+            buf = varbyte_encode(np.array(ids, dtype=np.int64))
+            out = varbyte_decode(buf)
+            assert out.tolist() == ids, ids
+
+    def test_roundtrip_random(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        from pdf_extractor_ray.ops.index import varbyte_decode, varbyte_encode
+
+        for _ in range(200):
+            n = int(rng.integers(0, 60))
+            ids = np.unique(rng.integers(0, 1 << int(rng.integers(7, 45)), n))
+            buf = varbyte_encode(ids)
+            assert varbyte_decode(buf).tolist() == ids.tolist()
+
+    def test_encode_sizes(self):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.index import varbyte_encode
+
+        assert varbyte_encode(np.array([], np.int64)) == b""
+        # id 0 → gap 1 → single byte 0x01
+        assert varbyte_encode(np.array([0], np.int64)) == b"\x01"
+        # id 127 → gap 128 → little-endian groups (0, 1): 0x80 0x01
+        assert varbyte_encode(np.array([127], np.int64)) == b"\x80\x01"
+
+    def test_rejects_unsorted(self):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.index import varbyte_encode
+
+        with pytest.raises(ValueError):
+            varbyte_encode(np.array([3, 3], np.int64))
+        with pytest.raises(ValueError):
+            varbyte_encode(np.array([-1, 2], np.int64))
+
+
+class TestCompressPostings:
+    def test_matches_brute_force(self, docs_ds):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.index import (
+            compress_postings,
+            varbyte_decode,
+            varbyte_encode,
+        )
+
+        out = compress_postings(docs_ds, min_df=1).to_pandas()
+        post = brute_force()
+        assert sorted(out["token"]) == sorted(post)
+        for row in out.itertuples():
+            ids = sorted(post[row.token])
+            buf = varbyte_encode(np.array(ids, np.int64))
+            assert row.df == len(ids)
+            assert row.n_bytes == len(buf)
+            assert row.byte_sum == sum(buf)
+            assert row.first_id == ids[0]
+            assert row.last_id == ids[-1]
+            assert bytes(row.encoded) == buf
+            assert varbyte_decode(bytes(row.encoded)).tolist() == ids
+
+    def test_min_df(self, docs_ds):
+        from pdf_extractor_ray.ops.index import compress_postings
+
+        out = compress_postings(docs_ds, min_df=3).to_pandas()
+        post = brute_force()
+        assert sorted(out["token"]) == sorted(
+            t for t, p in post.items() if len(p) >= 3
+        )
+
+    def test_many_blocks_large_ids(self, ray_session):
+        """Segments straddling blocks + multi-byte gaps through the
+        distributed path."""
+        import numpy as np
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.index import compress_postings, varbyte_encode
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for tok in ("alpha", "beta", "gamma"):
+            ids = np.unique(rng.integers(0, 1 << 30, 40))
+            rows += [(int(i), tok) for i in ids]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                }
+            )
+        ).repartition(9)
+        out = compress_postings(ds).to_pandas().set_index("token")
+        for tok in ("alpha", "beta", "gamma"):
+            ids = sorted({r[0] for r in rows if r[1] == tok})
+            buf = varbyte_encode(np.array(ids, np.int64))
+            assert bytes(out.loc[tok, "encoded"]) == buf
+            assert out.loc[tok, "n_bytes"] == len(buf)
+            assert out.loc[tok, "byte_sum"] == sum(buf)
