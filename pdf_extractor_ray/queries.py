@@ -2323,6 +2323,35 @@ def q_compress_postings(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("token").reset_index(drop=True)
 
 
+def q_linear_fit(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed OLS (:func:`ops.regress.linear_fit`): fit
+    ``n_chars ≈ β₀ + β₁·n_words + β₂·n_a`` (token count and 'a'-character
+    count) over the documents
+    table. One tiny partial row per block (the XᵀX upper triangle as
+    int64 sums), unbounded-int Bareiss/Cramer solve on the driver;
+    coefficients reported as UNREDUCED determinant rationals so the SQL
+    oracle replays the identical integer polynomial (no gcd or float
+    rounding conventions to agree on)."""
+    from .ops.regress import linear_fit_frame
+
+    ds = _read(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"], "")
+        return pa.table(
+            {
+                "n_words": pc.count_substring_regex(texts, r"\S+").cast(
+                    pa.int64()
+                ),
+                "n_a": pc.count_substring(texts, "a").cast(pa.int64()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    feat_ds = ds.map_batches(feats, batch_format="pyarrow")
+    return linear_fit_frame(feat_ds, ["n_words", "n_a"], "n_chars")
+
+
 BM25_QUERIES = {
     "q1": "hash join",
     "q2": "window sort stream",
@@ -4153,6 +4182,44 @@ SELECT token,
        CAST(min(doc_id) AS BIGINT) AS first_id,
        CAST(max(doc_id) AS BIGINT) AS last_id
 FROM enc GROUP BY token HAVING count(*) >= 3 ORDER BY token
+"""
+
+ORACLE_SQL["linear_fit"] = r"""
+WITH f AS (
+    SELECT CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS HUGEINT) AS x1,
+           CAST(length(coalesce(text, ''))
+                - length(replace(coalesce(text, ''), 'a', '')) AS HUGEINT) AS x2,
+           CAST(n_chars AS HUGEINT) AS y
+    FROM documents
+),
+s AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n, sum(x1) AS sx1, sum(x2) AS sx2,
+           sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+           sum(y) AS sy, sum(x1 * y) AS t1, sum(x2 * y) AS t2
+    FROM f
+),
+-- Cramer over A = [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]], b = [sy,t1,t2]
+d AS (
+    SELECT
+      n  * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+         + sx2 * (sx1 * s12 - s11 * sx2) AS den,
+      sy * (s11 * s22 - s12 * s12) - sx1 * (t1 * s22 - s12 * t2)
+         + sx2 * (t1 * s12 - s11 * t2) AS n0,
+      n  * (t1 * s22 - s12 * t2)  - sy  * (sx1 * s22 - s12 * sx2)
+         + sx2 * (sx1 * t2 - t1 * sx2) AS n1,
+      n  * (s11 * t2 - t1 * s12)  - sx1 * (sx1 * t2 - t1 * sx2)
+         + sy  * (sx1 * s12 - s11 * sx2) AS n2
+    FROM s
+)
+SELECT * FROM (
+    SELECT 'const' AS coef, CAST(n0 AS VARCHAR) AS num,
+           CAST(den AS VARCHAR) AS den FROM d
+    UNION ALL
+    SELECT 'n_words', CAST(n1 AS VARCHAR), CAST(den AS VARCHAR) FROM d
+    UNION ALL
+    SELECT 'n_a', CAST(n2 AS VARCHAR), CAST(den AS VARCHAR) FROM d
+)
+ORDER BY coef
 """
 
 ORACLE_SQL["bpe_pair_counts"] = r"""
@@ -6192,6 +6259,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "inverted_index": q_inverted_index,
     "compress_postings": q_compress_postings,
+    "linear_fit": q_linear_fit,
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
     "dhash_dedup": q_dhash_dedup,
