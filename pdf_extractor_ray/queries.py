@@ -4222,6 +4222,31 @@ SELECT * FROM (
 ORDER BY coef
 """
 
+ORACLE_SQL["cocitation"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+    UNION ALL
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com',
+           'site' || CAST(i % 20 AS VARCHAR) || '.example.com'
+    FROM base
+),
+e AS (SELECT DISTINCT src, dst FROM raw),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+keep AS (SELECT e.src, e.dst FROM e JOIN deg ON e.src = deg.src
+         WHERE deg.d <= 1024),
+p AS (
+    SELECT a.dst AS d1, b.dst AS d2, count(*) AS cnt
+    FROM keep a JOIN keep b ON a.src = b.src AND a.dst < b.dst
+    GROUP BY 1, 2
+)
+SELECT d1, d2, CAST(cnt AS BIGINT) AS cnt
+FROM p WHERE cnt >= 2
+ORDER BY cnt DESC, d1, d2 LIMIT 15
+"""
+
 ORACLE_SQL["bpe_pair_counts"] = r"""
 WITH words AS (
     SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word FROM documents
@@ -6068,6 +6093,25 @@ def q_triangles(sf_dir: str) -> pd.DataFrame:
     return triangle_count(edges).to_pandas()
 
 
+def q_cocitation(sf_dir: str) -> pd.DataFrame:
+    """Co-citation top pairs of the synthesized host link graph
+    (:func:`ops.links.cocitation_topk`): for each unordered target pair,
+    the number of distinct sources linking to both; one source-grouping
+    sort with vectorized triu pair emission and per-block pre-combine,
+    hub sources gated at ``src_out_cap`` (never binds on this graph —
+    oracle mirrors the gate anyway)."""
+    from .ops.links import cocitation_topk, link_graph
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    edges = link_graph(pages)
+    return (
+        cocitation_topk(edges, k=15, min_count=2, src_out_cap=1024)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
 def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
     """The END-TO-END curation composition (:mod:`ops.curate`): C4 clean →
     Gopher quality gate → exact dedup → byte-budgeted shard plan, one
@@ -6260,6 +6304,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "compress_postings": q_compress_postings,
     "linear_fit": q_linear_fit,
+    "cocitation": q_cocitation,
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
     "dhash_dedup": q_dhash_dedup,

@@ -792,3 +792,83 @@ class TestTrianglesDistributed:
         a = triangle_count(ds).to_pylist()[0]
         b = triangle_count(ds, node_broadcast_cap=0).to_pylist()[0]
         assert a == b
+
+
+class TestCocitation:
+    @staticmethod
+    def _brute(edges, cap, min_count, k):
+        from collections import defaultdict
+
+        outs = defaultdict(set)
+        for s, d in edges:
+            outs[s].add(d)
+        cnt = defaultdict(int)
+        for s, ds_ in outs.items():
+            if len(ds_) > cap:
+                continue
+            ds_ = sorted(ds_)
+            for i in range(len(ds_)):
+                for j in range(i + 1, len(ds_)):
+                    cnt[(ds_[i], ds_[j])] += 1
+        rows = [
+            (d1, d2, c) for (d1, d2), c in cnt.items() if c >= min_count
+        ]
+        rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return rows[:k]
+
+    def _run(self, edges, parts=7, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import cocitation_topk
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src_host": [e[0] for e in edges],
+                    "dst_host": [e[1] for e in edges],
+                }
+            )
+        ).repartition(parts)
+        out = cocitation_topk(ds, **kw).to_pandas()
+        return list(out.itertuples(index=False, name=None))
+
+    def test_brute_force_random(self):
+        import random
+
+        rng = random.Random(13)
+        hosts = [f"h{i}" for i in range(12)]
+        edges = [
+            (rng.choice(hosts), rng.choice(hosts)) for _ in range(300)
+        ]
+        got = self._run(edges, k=25, min_count=2, src_out_cap=1024)
+        # brute over the distinct edge set
+        want = self._brute(sorted(set(edges)), 1024, 2, 25)
+        assert got == want
+
+    def test_duplicate_edges_count_once(self):
+        edges = [("s1", "a"), ("s1", "b")] * 5 + [("s2", "a"), ("s2", "b")]
+        got = self._run(edges, k=5, min_count=2)
+        assert got == [("a", "b", 2)]
+
+    def test_hub_cap_skips_source(self):
+        # s_hub links to 6 targets (over cap 5); s1/s2 both link to a,b
+        edges = [("hub", f"t{i}") for i in range(6)]
+        edges += [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b")]
+        got = self._run(edges, k=10, min_count=1, src_out_cap=5)
+        want = self._brute(edges, 5, 1, 10)
+        assert got == want
+        assert all(not d1.startswith("t") for d1, _, _ in got)
+
+    def test_min_count_and_k_order(self):
+        edges = []
+        for s in ("s1", "s2", "s3"):
+            edges += [(s, "x"), (s, "y")]
+        edges += [("s1", "z"), ("s2", "z")]
+        got = self._run(edges, k=2, min_count=2)
+        # (x,y):3, (x,z):2, (y,z):2 → top-2 by (cnt desc, d1, d2)
+        assert got == [("x", "y", 3), ("x", "z", 2)]
+
+    def test_empty_result(self):
+        got = self._run([("s1", "a")], k=5, min_count=2)
+        assert got == []
