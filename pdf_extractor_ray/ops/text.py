@@ -1941,3 +1941,95 @@ def redact_contaminated(
         )
 
     return ds.map_batches(redact, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (UTF-8 bytes mis-decoded as cp1252)
+# ---------------------------------------------------------------------------
+#
+# The dominant real-crawl encoding corruption: a page's UTF-8 bytes were
+# decoded with Windows-1252 somewhere upstream, turning "é" into "Ã©" and
+# "—" into "â€”". The repair is the inverse round-trip — re-encode with a
+# WHATWG-style "sloppy" cp1252 (the five unmapped bytes 0x81 0x8D 0x8F
+# 0x90 0x9D pass through as C1 controls, as browsers and ftfy treat
+# them), then decode UTF-8 — accepted only when the full round-trip is
+# clean AND strictly shortens the text (every multi-byte sequence
+# collapses), so well-formed text is a fixed point. Up to 3 rounds
+# handles double-encoded mojibake. Same public construction as ftfy's
+# core heuristic (Speer, "ftfy: fixes text for you" — public code/paper);
+# implementation from scratch.
+
+# cp1252's 0x80–0x9F block (WHATWG windows-1252 index); the five holes
+# stay as the identity (sloppy mapping).
+_CP1252_DELTA = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8a: "Š", 0x8b: "‹", 0x8c: "Œ",
+    0x8e: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9a: "š", 0x9b: "›",
+    0x9c: "œ", 0x9e: "ž", 0x9f: "Ÿ",
+}
+_SLOPPY_DECODE_TABLE = {b: ch for b, ch in _CP1252_DELTA.items()}
+_SLOPPY_ENCODE_TABLE = {ord(ch): b for b, ch in _CP1252_DELTA.items()}
+
+
+def sloppy_cp1252_decode(data: bytes) -> str:
+    """Decode bytes as WHATWG windows-1252 (holes → C1 controls)."""
+    return data.decode("latin-1").translate(_SLOPPY_DECODE_TABLE)
+
+
+def _sloppy_cp1252_encode(s: str) -> bytes | None:
+    """Inverse of :func:`sloppy_cp1252_decode`; None if any character is
+    outside the (sloppy) cp1252 repertoire."""
+    try:
+        return s.translate(_SLOPPY_ENCODE_TABLE).encode("latin-1")
+    except (UnicodeEncodeError, TypeError):
+        return None
+
+
+def fix_mojibake(text: str, max_rounds: int = 3) -> tuple[str, int]:
+    """Repair UTF-8-as-cp1252 mojibake; returns (repaired, n_rounds).
+    A round applies only when the sloppy-cp1252 → UTF-8 round-trip is
+    clean and strictly shortens the text; clean text is a fixed point."""
+    rounds = 0
+    s = text or ""
+    for _ in range(max_rounds):
+        if s.isascii():
+            break
+        b = _sloppy_cp1252_encode(s)
+        if b is None:
+            break
+        try:
+            t = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if len(t) >= len(s):
+            break
+        s = t
+        rounds += 1
+    return s, rounds
+
+
+def fix_mojibake_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batch mojibake repair: ``text_col`` replaced by its repaired form
+    plus a ``fixed`` flag. The ``isascii`` fast path skips the repair
+    machinery for the overwhelming majority of rows (mojibake is a
+    minority corruption); the stage is shuffle-free and per-row, the
+    same corpus cost shape as the NFC pass above."""
+    texts = batch[text_col].to_pylist()
+    out, flags = [], []
+    for t in texts:
+        s, r = fix_mojibake(t or "")
+        out.append(s)
+        flags.append(r > 0)
+    cols, names = [], []
+    for name in batch.schema.names:
+        if name == text_col:
+            cols.append(pa.array(out, pa.string()))
+        else:
+            cols.append(batch[name].combine_chunks())
+        names.append(name)
+    cols.append(pa.array(flags, pa.bool_()))
+    names.append("fixed")
+    return pa.Table.from_arrays(cols, names=names)

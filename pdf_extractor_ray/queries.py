@@ -2352,6 +2352,40 @@ def q_linear_fit(sf_dir: str) -> pd.DataFrame:
     return linear_fit_frame(feat_ds, ["n_words", "n_a"], "n_chars")
 
 
+def q_fix_mojibake(sf_dir: str) -> pd.DataFrame:
+    """Mojibake repair (:func:`ops.text.fix_mojibake_batch`): over the
+    ASCII subset of documents, plant the cp1252 mis-decode of 'é—'
+    ('Ã©â€”') on every doc_id % 3 == 0 row, then run the general sloppy-
+    cp1252 → UTF-8 round-trip repair. The oracle states the closed form:
+    planted rows come back with the true suffix and fixed = true, all
+    others are fixed points. The repair itself is per-row, shuffle-free,
+    with an isascii fast path."""
+    from .ops.text import fix_mojibake_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    moji = "\u00c3\u00a9\u00e2\u20ac\u201d"  # 'Ã©â€”'
+
+    def plant(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"], "").to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = [i for i, t in enumerate(texts) if t.isascii()]
+        out_ids = [int(ids[i]) for i in keep]
+        out_txt = [
+            texts[i] + moji if ids[i] % 3 == 0 else texts[i] for i in keep
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    fixed = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        fix_mojibake_batch, batch_format="pyarrow"
+    )
+    return fixed.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 BM25_QUERIES = {
     "q1": "hash join",
     "q2": "window sort stream",
@@ -4245,6 +4279,16 @@ p AS (
 SELECT d1, d2, CAST(cnt AS BIGINT) AS cnt
 FROM p WHERE cnt >= 2
 ORDER BY cnt DESC, d1, d2 LIMIT 15
+"""
+
+ORACLE_SQL["fix_mojibake"] = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '') || 'é—'
+            ELSE coalesce(text, '') END AS text,
+       (doc_id % 3 = 0) AS fixed
+FROM documents
+WHERE strlen(coalesce(text, '')) = length(coalesce(text, ''))
+ORDER BY doc_id
 """
 
 ORACLE_SQL["bpe_pair_counts"] = r"""
@@ -6305,6 +6349,7 @@ QUERIES = {
     "compress_postings": q_compress_postings,
     "linear_fit": q_linear_fit,
     "cocitation": q_cocitation,
+    "fix_mojibake": q_fix_mojibake,
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
     "dhash_dedup": q_dhash_dedup,

@@ -695,3 +695,60 @@ class TestApportionDistributed:
             b[c] = b[c].astype(a[c].dtype)
         assert a.equals(b)
         assert b["alloc"].sum() == 53
+
+
+class TestFixMojibake:
+    def test_known_cases(self):
+        from pdf_extractor_ray.ops.text import fix_mojibake
+
+        assert fix_mojibake("Ã©â€”") == ("é—", 1)
+        assert fix_mojibake("â€žquoteâ€œ Ã¼ber") == ("„quote“ über", 1)
+        assert fix_mojibake("plain ascii") == ("plain ascii", 0)
+        assert fix_mojibake("") == ("", 0)
+        assert fix_mojibake("naïve café — fine") == ("naïve café — fine", 0)
+
+    def test_roundtrip_property(self):
+        """fix(mojibake(s)) == s for any s that is itself a repair fixed
+        point (including the sloppy-hole bytes 0x81/0x8D/0x8F/0x90/0x9D)."""
+        import random
+
+        from pdf_extractor_ray.ops.text import fix_mojibake, sloppy_cp1252_decode
+
+        rng = random.Random(23)
+        pool = "Łéü—€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸабвгдĀăņ中文字 abcdef"
+        checked = 0
+        for _ in range(500):
+            s = "".join(rng.choice(pool) for _ in range(rng.randrange(1, 25)))
+            if fix_mojibake(s)[0] != s:
+                continue  # s itself looks like mojibake — out of scope
+            m = sloppy_cp1252_decode(s.encode("utf-8"))
+            got, rounds = fix_mojibake(m)
+            assert got == s, (s, m, got)
+            assert rounds >= (1 if m != s else 0)
+            checked += 1
+        assert checked > 400
+
+    def test_double_encoded(self):
+        from pdf_extractor_ray.ops.text import fix_mojibake, sloppy_cp1252_decode
+
+        s = "héllo — wörld"
+        m1 = sloppy_cp1252_decode(s.encode("utf-8"))
+        m2 = sloppy_cp1252_decode(m1.encode("utf-8"))
+        assert fix_mojibake(m2) == (s, 2)
+
+    def test_batch(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import fix_mojibake_batch
+
+        batch = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["ok", "Ã©", None],
+            }
+        )
+        out = fix_mojibake_batch(batch)
+        assert out.column_names == ["doc_id", "text", "fixed"]
+        assert out["text"].to_pylist() == ["ok", "é", ""]
+        assert out["fixed"].to_pylist() == [False, True, False]
+        assert out["doc_id"].to_pylist() == [1, 2, 3]
