@@ -740,6 +740,24 @@ def q_hits(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("host").reset_index(drop=True)
 
 
+def q_communities(sf_dir: str) -> pd.DataFrame:
+    """Synchronous weighted label-propagation communities (2 rounds,
+    ties → min label, self loops ignored) over the synthesized host link
+    graph of Q ``link_graph`` — mirror-farm / spam-ring clustering.
+    Integer vote sums and a fixed round count make the labels bit-exact
+    at any layout and in SQL: the oracle unrolls both rounds as chained
+    CTEs with the same zero-weight keep-own-label sentinel
+    (:func:`ops.links.label_propagation`; each Ray round is one
+    sorted-lookup attach + one (node, lab) groupby-sum + one argmax
+    sort)."""
+    from .ops.links import label_propagation, link_graph
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    df = label_propagation(link_graph(pages), num_iters=2).to_pandas()
+    return df.sort_values("host").reset_index(drop=True)
+
+
 def q_retention(sf_dir: str) -> pd.DataFrame:
     """Weekly cohort retention: users cohorted by first-event week; each
     (cohort, offset) cell counts that cohort's distinct users active
@@ -3277,6 +3295,41 @@ ORACLE_SQL: dict[str, str] = {
                CAST(h2.s AS BIGINT) AS hub
         FROM a2 JOIN h2 ON a2.host = h2.host
         ORDER BY a2.host
+    """,
+    "communities": """
+        WITH base AS (SELECT doc_id AS i FROM documents),
+        rel AS (
+            SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+                   'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS dst
+            FROM base),
+        ext AS (
+            SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+                   'site' || CAST((i * 7 + j) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+            FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+        edges_all AS (SELECT * FROM rel UNION ALL SELECT * FROM ext),
+        edges AS (SELECT src, dst, count(*) AS w FROM edges_all GROUP BY 1, 2),
+        nodes AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        adj AS (SELECT src AS u, dst AS v, w FROM edges WHERE src <> dst
+                UNION ALL
+                SELECT dst AS u, src AS v, w FROM edges WHERE src <> dst),
+        l0 AS (SELECT host AS node, host AS lab FROM nodes),
+        v1 AS (SELECT a.u AS node, p.lab AS lab, CAST(a.w AS BIGINT) AS s
+               FROM adj a JOIN l0 p ON p.node = a.v
+               UNION ALL SELECT node, lab, 0 FROM l0),
+        s1 AS (SELECT node, lab, sum(s) AS s FROM v1 GROUP BY 1, 2),
+        l1 AS (SELECT node, lab FROM s1
+               QUALIFY row_number()
+                   OVER (PARTITION BY node ORDER BY s DESC, lab) = 1),
+        v2 AS (SELECT a.u AS node, p.lab AS lab, CAST(a.w AS BIGINT) AS s
+               FROM adj a JOIN l1 p ON p.node = a.v
+               UNION ALL SELECT node, lab, 0 FROM l1),
+        s2 AS (SELECT node, lab, sum(s) AS s FROM v2 GROUP BY 1, 2),
+        l2 AS (SELECT node, lab FROM s2
+               QUALIFY row_number()
+                   OVER (PARTITION BY node ORDER BY s DESC, lab) = 1)
+        SELECT node AS host, lab AS community FROM l2 ORDER BY host
     """,
     "retention": """
         WITH act AS (
@@ -6263,6 +6316,7 @@ QUERIES = {
     "link_graph": q_link_graph,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "communities": q_communities,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

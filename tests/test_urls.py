@@ -872,3 +872,88 @@ class TestCocitation:
     def test_empty_result(self):
         got = self._run([("s1", "a")], k=5, min_count=2)
         assert got == []
+
+
+class TestLabelPropagation:
+    """Synchronous weighted LPA (ops/links.py::label_propagation)."""
+
+    @staticmethod
+    def _brute(edges, iters):
+        import collections
+
+        adj = collections.defaultdict(list)
+        nodes = set()
+        for s, d, w in edges:
+            nodes.update([s, d])
+            if s != d:
+                adj[s].append((d, w))
+                adj[d].append((s, w))
+        lab = {n: n for n in nodes}
+        for _ in range(iters):
+            new = {}
+            for n in nodes:
+                score = collections.defaultdict(int)
+                score[lab[n]] = 0  # keep-own sentinel
+                for m, w in adj[n]:
+                    score[lab[m]] += w
+                new[n] = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            lab = new
+        return lab
+
+    @staticmethod
+    def _run(edges, iters, parts):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import label_propagation
+
+        tbl = pa.Table.from_pylist(
+            [{"src_host": s, "dst_host": d, "n_links": w} for s, d, w in edges]
+        )
+        out = label_propagation(
+            rd.from_arrow(tbl).repartition(parts), num_iters=iters
+        ).take_all()
+        return {r["host"]: r["community"] for r in out}
+
+    def test_two_triangles_and_self_loop(self, ray_session):
+        edges = [
+            ("a", "b", 3), ("b", "c", 3), ("a", "c", 3),
+            ("x", "y", 3), ("y", "z", 3), ("x", "z", 3),
+            ("c", "x", 1),
+            ("q", "q", 5),  # self-loop-only node keeps its own label
+        ]
+        got = self._run(edges, 2, 3)
+        assert got == self._brute(edges, 2)
+        assert got["q"] == "q"
+        assert got["a"] == got["b"] == got["c"]
+        assert got["x"] == got["y"] == got["z"]
+        assert got["a"] != got["x"]
+
+    def test_random_graphs_match_brute_force(self, ray_session):
+        rng = np.random.Generator(np.random.Philox(31))
+        for trial in range(3):
+            edges = [
+                (
+                    f"n{int(rng.integers(0, 12))}",
+                    f"n{int(rng.integers(0, 12))}",
+                    int(rng.integers(1, 4)),
+                )
+                for _ in range(40)
+            ]
+            for iters in (1, 3):
+                got = self._run(edges, iters, 3)
+                assert got == self._brute(edges, iters), (trial, iters)
+
+    def test_layout_independent(self, ray_session):
+        rng = np.random.Generator(np.random.Philox(37))
+        edges = [
+            (
+                f"n{int(rng.integers(0, 10))}",
+                f"n{int(rng.integers(0, 10))}",
+                int(rng.integers(1, 5)),
+            )
+            for _ in range(30)
+        ]
+        ref = self._run(edges, 2, 1)
+        assert self._run(edges, 2, 5) == ref
+        assert ref == self._brute(edges, 2)
