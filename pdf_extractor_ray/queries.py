@@ -758,6 +758,36 @@ def q_communities(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("host").reset_index(drop=True)
 
 
+def q_bitext_pairs(sf_dir: str) -> pd.DataFrame:
+    """Mutual-nearest-neighbor bitext mining between two embedding sets
+    (even vec_ids = "language A", odd = "language B"): a pair survives
+    only when each side is the other's cosine top-1. Scores are rounded
+    to 6 decimals before every argmax with smallest-id tiebreaks, and the
+    oracle casts the float32 vectors to DOUBLE so both engines compute
+    the same cosine to ~2e-16 (:func:`ops.bitext.mutual_nn_pairs`: B
+    broadcast once, ONE matmul pass over A emitting both argmax
+    reductions, |B|-keyed partial-argmax exchange, vectorized mutual
+    membership filter)."""
+    from .ops.bitext import mutual_nn_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def parity(rem: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch["vec_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(rem, pa.int64()),
+            )
+            return batch.filter(keep)
+
+        return fn
+
+    side_a = ds.map_batches(parity(0), batch_format="pyarrow")
+    side_b = ds.map_batches(parity(1), batch_format="pyarrow")
+    df = mutual_nn_pairs(side_a, side_b, round_decimals=6).to_pandas()
+    return df.sort_values("src_id").reset_index(drop=True)
+
+
 def q_retention(sf_dir: str) -> pd.DataFrame:
     """Weekly cohort retention: users cohorted by first-event week; each
     (cohort, offset) cell counts that cohort's distinct users active
@@ -3330,6 +3360,27 @@ ORACLE_SQL: dict[str, str] = {
                QUALIFY row_number()
                    OVER (PARTITION BY node ORDER BY s DESC, lab) = 1)
         SELECT node AS host, lab AS community FROM l2 ORDER BY host
+    """,
+    "bitext_pairs": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        a AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        s AS (
+            SELECT a.vec_id AS ai, b.vec_id AS bi,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS sc
+            FROM a CROSS JOIN b),
+        ab AS (SELECT ai, bi FROM s
+               QUALIFY row_number()
+                   OVER (PARTITION BY ai ORDER BY sc DESC, bi) = 1),
+        ba AS (SELECT ai, bi FROM s
+               QUALIFY row_number()
+                   OVER (PARTITION BY bi ORDER BY sc DESC, ai) = 1)
+        SELECT ab.ai AS src_id, ab.bi AS dst_id
+        FROM ab JOIN ba ON ab.ai = ba.ai AND ab.bi = ba.bi
+        ORDER BY src_id
     """,
     "retention": """
         WITH act AS (
@@ -6317,6 +6368,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "hits": q_hits,
     "communities": q_communities,
+    "bitext_pairs": q_bitext_pairs,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

@@ -1307,3 +1307,70 @@ class TestRemoveDupSubstrings:
         for c in a.columns:
             b[c] = b[c].astype(a[c].dtype)
         assert a.equals(b)
+
+
+class TestMutualNN:
+    """Bitext mining (ops/bitext.py::mutual_nn_pairs)."""
+
+    @staticmethod
+    def _brute(a_rows, b_rows, nd=6):
+        def norm(v):
+            v = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(v)
+            return v / n if n else v
+
+        best_b, best_a = {}, {}
+        for ai, av in a_rows:
+            scores = sorted(
+                ((round(float(norm(av) @ norm(bv)), nd), -bi) for bi, bv in b_rows),
+                reverse=True,
+            )
+            best_b[ai] = -scores[0][1]
+        for bi, bv in b_rows:
+            scores = sorted(
+                ((round(float(norm(av) @ norm(bv)), nd), -ai) for ai, av in a_rows),
+                reverse=True,
+            )
+            best_a[bi] = -scores[0][1]
+        return sorted(
+            (ai, bi) for ai, bi in best_b.items() if best_a.get(bi) == ai
+        )
+
+    @staticmethod
+    def _run(a_rows, b_rows, parts=3, **kw):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.bitext import mutual_nn_pairs
+
+        mk = lambda rows: rd.from_items(
+            [{"vec_id": i, "embedding": list(map(float, v))} for i, v in rows]
+        ).repartition(parts)
+        out = mutual_nn_pairs(mk(a_rows), mk(b_rows), **kw).take_all()
+        return sorted((r["src_id"], r["dst_id"]) for r in out)
+
+    def test_random_match_brute(self, ray_session):
+        rng = np.random.Generator(np.random.Philox(11))
+        a = [(i * 2, rng.normal(size=8)) for i in range(15)]
+        b = [(i * 2 + 1, rng.normal(size=8)) for i in range(9)]
+        assert self._run(a, b) == self._brute(a, b)
+
+    def test_identical_vectors_pair_up(self, ray_session):
+        vecs = [np.eye(6)[i % 6] + 0.01 * i for i in range(6)]
+        a = [(i, vecs[i]) for i in range(6)]
+        b = [(100 + i, vecs[i] * 3.0) for i in range(6)]  # scaled copies
+        got = self._run(a, b)
+        assert got == [(i, 100 + i) for i in range(6)]
+
+    def test_layout_independent(self, ray_session):
+        rng = np.random.Generator(np.random.Philox(13))
+        a = [(i, rng.normal(size=5)) for i in range(12)]
+        b = [(50 + i, rng.normal(size=5)) for i in range(7)]
+        assert self._run(a, b, parts=1) == self._run(a, b, parts=5)
+
+    def test_broadcast_cap_raises(self, ray_session):
+        a = [(0, [1.0, 0.0])]
+        b = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        import pytest
+
+        with pytest.raises(RuntimeError, match="b_broadcast_cap"):
+            self._run(a, b, b_broadcast_cap=1)
