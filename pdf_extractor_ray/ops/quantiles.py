@@ -452,3 +452,108 @@ def group_winsorize(
     return sorted_segment_apply(
         clean, key_col=group_col, block_fn=kernel, within_cols=[value_col]
     )
+
+
+def gini_concentration(
+    ds,
+    key_col: str,
+    weight_col: str,
+):
+    """Exact Gini coefficient of the per-key weight distribution — the
+    standard concentration number for a training mix ("how skewed is the
+    corpus across domains/sources?"; 0 = uniform, →1 = one key holds
+    everything).
+
+    Formula over the n per-key totals sorted ascending (1-based rank i):
+    ``G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x)``. Ties in x contribute a
+    fixed Σi regardless of intra-tie order, so the value is independent
+    of tiebreaks and of how a tie group straddles sorted blocks.
+
+    Exchange shape: one ``groupby(key).sum`` (keys-sized, the honest
+    exchange) → one keys-sized sort by total → one per-block partial
+    pass emitting ``(first_total, count, Σx, Σ local_i·x)`` — the same
+    block-offset scheme as :func:`..ops.shard.shard_plan` — combined on
+    the driver with Python big-ints (blocks-sized driver state, never
+    keys-sized rows beyond the partials).
+
+    Integer exactness: the per-block weighted sum (the QUADRATIC term,
+    which can exceed int64 long before the totals do) uses a fast int64
+    vectorized path when ``n_block² · max|x|`` provably fits 62 bits,
+    else an object-dtype exact fallback, and travels as a decimal
+    string; the driver combine and the final numerator/denominator are
+    Python ints. ``Σx`` itself must fit int64 — corpus bytes/tokens do
+    by orders of magnitude. The returned
+    ``gini`` is ``float(num)/float(den)`` — numerator and denominator
+    each rounded to float64 THEN divided, exactly what SQL's
+    ``CAST(a AS DOUBLE)/CAST(b AS DOUBLE)`` computes, so the oracle
+    reproduces the double bit-for-bit.
+
+    Returns a one-row pa.Table ``(n_keys, total, gini)``.
+    """
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.select_columns([key_col, weight_col])
+        .groupby(key_col)
+        .aggregate(Sum(weight_col, alias_name="x"))
+        .select_columns(["x"])
+        .sort("x")
+        .materialize()
+    )
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        names = ["first_x", "cnt", "s", "swx"]
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.string()),
+                ],
+                names=names,
+            )
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.int64)  # local 1-based ranks
+        mx = int(np.abs(x).max()) if n else 0
+        if mx and n * mx < (1 << 62) // max(n, 1):
+            swx = int(np.dot(i, x))
+        else:  # exact big-int fallback for extreme magnitudes
+            swx = int(np.dot(i.astype(object), x.astype(object)))
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(x[0])], pa.int64()),
+                pa.array([n], pa.int64()),
+                pa.array([int(x.sum(dtype=np.int64))], pa.int64()),
+                pa.array([str(swx)], pa.string()),
+            ],
+            names=names,
+        )
+
+    parts = totals.map_batches(
+        block_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    parts.sort(key=lambda r: (r["first_x"], r["cnt"]))
+    n_total = 0
+    s_total = 0
+    swx_total = 0
+    for r in parts:
+        # global Σ i·x for the block = local Σ i·x + offset · Σx
+        swx_total += int(r["swx"]) + n_total * int(r["s"])
+        n_total += int(r["cnt"])
+        s_total += int(r["s"])
+    if n_total == 0 or s_total == 0:
+        gini = 0.0
+    else:
+        num = 2 * swx_total - (n_total + 1) * s_total
+        den = n_total * s_total
+        gini = float(num) / float(den)
+    return pa.Table.from_arrays(
+        [
+            pa.array([n_total], pa.int64()),
+            pa.array([s_total], pa.int64()),
+            pa.array([gini], pa.float64()),
+        ],
+        names=["n_keys", "total", "gini"],
+    )

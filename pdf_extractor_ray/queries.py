@@ -788,6 +788,39 @@ def q_bitext_pairs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("src_id").reset_index(drop=True)
 
 
+def q_domain_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini concentration of corpus bytes across 50 synthetic
+    hosts (doc_id % 50, weight = n_chars) — the skew number a mixture
+    designer reads before capping domains. Integer-exact big-int
+    accumulation; the double is num/den cast exactly as SQL casts it
+    (:func:`ops.quantiles.gini_concentration`: keys-sized groupby-sum →
+    keys-sized sort → block-offset partial combine on the driver)."""
+    from .ops.quantiles import gini_concentration
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def host(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(
+                    pc.subtract(
+                        batch["doc_id"],
+                        pc.multiply(
+                            pc.divide(batch["doc_id"], pa.scalar(50, pa.int64())),
+                            pa.scalar(50, pa.int64()),
+                        ),
+                    ),
+                    pa.int64(),
+                ),
+                pc.cast(batch["n_chars"], pa.int64()),
+            ],
+            names=["host_bucket", "n_chars"],
+        )
+
+    buckets = ds.map_batches(host, batch_format="pyarrow")
+    return gini_concentration(buckets, "host_bucket", "n_chars").to_pandas()
+
+
 def q_retention(sf_dir: str) -> pd.DataFrame:
     """Weekly cohort retention: users cohorted by first-event week; each
     (cohort, offset) cell counts that cohort's distinct users active
@@ -3360,6 +3393,18 @@ ORACLE_SQL: dict[str, str] = {
                QUALIFY row_number()
                    OVER (PARTITION BY node ORDER BY s DESC, lab) = 1)
         SELECT node AS host, lab AS community FROM l2 ORDER BY host
+    """,
+    "domain_gini": """
+        WITH tot AS (
+            SELECT doc_id % 50 AS host_bucket, sum(n_chars) AS x
+            FROM documents GROUP BY 1),
+        r AS (SELECT x, row_number() OVER (ORDER BY x, host_bucket) AS i
+              FROM tot),
+        agg AS (SELECT count(*) AS n, sum(x) AS s, sum(i * x) AS swx FROM r)
+        SELECT n AS n_keys, CAST(s AS BIGINT) AS total,
+               CAST(2 * swx - (n + 1) * s AS DOUBLE)
+                   / CAST(n * s AS DOUBLE) AS gini
+        FROM agg
     """,
     "bitext_pairs": """
         WITH e AS (
@@ -6369,6 +6414,7 @@ QUERIES = {
     "hits": q_hits,
     "communities": q_communities,
     "bitext_pairs": q_bitext_pairs,
+    "domain_gini": q_domain_gini,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

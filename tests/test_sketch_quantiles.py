@@ -625,3 +625,59 @@ class TestGroupWinsorize:
                 for r in group_winsorize(ds, "lang", "n_chars").take_all()
             }
             assert got == self._brute(rows)
+
+
+class TestGiniConcentration:
+    """Exact Gini (ops/quantiles.py::gini_concentration)."""
+
+    @staticmethod
+    def _brute(weights):
+        x = sorted(weights)
+        n, s = len(x), sum(x)
+        if n == 0 or s == 0:
+            return 0.0
+        swx = sum((i + 1) * v for i, v in enumerate(x))
+        return float(2 * swx - (n + 1) * s) / float(n * s)
+
+    @staticmethod
+    def _run(rows, parts=4):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.quantiles import gini_concentration
+
+        ds = rd.from_items([{"k": k, "w": w} for k, w in rows]).repartition(parts)
+        t = gini_concentration(ds, "k", "w")
+        return t.to_pydict()
+
+    def test_matches_brute(self, ray_session):
+        rng = np.random.Generator(np.random.Philox(5))
+        rows = [(int(rng.integers(0, 13)), int(rng.integers(1, 500))) for _ in range(300)]
+        import collections
+
+        tot = collections.Counter()
+        for k, w in rows:
+            tot[k] += w
+        got = self._run(rows)
+        assert got["n_keys"] == [len(tot)]
+        assert got["total"] == [sum(tot.values())]
+        assert got["gini"] == [self._brute(list(tot.values()))]
+
+    def test_uniform_is_zero(self, ray_session):
+        got = self._run([(k, 10) for k in range(8)], parts=3)
+        assert got["gini"] == [0.0]
+
+    def test_layout_independent(self, ray_session):
+        rows = [(k, (k * 7) % 11 + 1) for k in range(40)]
+        assert self._run(rows, parts=1) == self._run(rows, parts=7)
+
+    def test_bigint_fallback_exact(self, ray_session):
+        # weights near 2^59 force the object-dtype exact path for the
+        # quadratic term while Σx still fits the int64 total column
+        rows = [(k, (1 << 59) + k) for k in range(6)]
+        got = self._run(rows, parts=2)
+        import collections
+
+        tot = collections.Counter()
+        for k, w in rows:
+            tot[k] += w
+        assert got["gini"] == [self._brute(list(tot.values()))]
