@@ -365,3 +365,158 @@ def merge_posting_store(
         out_dir, partition_cols=["bucket"]
     )
     return num_buckets
+
+
+def _vblen(x: np.ndarray) -> np.ndarray:
+    """Byte length of the 7-bit varint encoding of each value (≥0)."""
+    x = np.asarray(x, dtype=np.int64)
+    return np.where(x < 128, 1, np.where(x < 16384, 2, 3)).astype(np.int64)
+
+
+def _pair_lcp(flat: np.ndarray, offs: np.ndarray, prev_idx: np.ndarray,
+              cur_idx: np.ndarray) -> np.ndarray:
+    """Vectorized longest-common-prefix length (in bytes) for each
+    (prev_idx[i], cur_idx[i]) string pair over a flat uint8 buffer with
+    element offsets ``offs`` (len n+1). One flat gather + elementwise
+    compare + ``minimum.reduceat`` first-mismatch — no per-pair Python."""
+    if len(prev_idx) == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = offs[1:] - offs[:-1]
+    L = np.minimum(lens[prev_idx], lens[cur_idx])  # compare window per pair
+    total = int(L.sum())
+    if total == 0:
+        return np.zeros(len(prev_idx), dtype=np.int64)
+    seg_starts = np.concatenate(([0], np.cumsum(L)[:-1]))
+    j = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, L)
+    a = flat[np.repeat(offs[prev_idx], L) + j]
+    b = flat[np.repeat(offs[cur_idx], L) + j]
+    mism = a != b
+    # first mismatch position per segment (or L if none)
+    pos = np.where(mism, j, np.int64(1 << 60))
+    first = np.minimum.reduceat(pos, seg_starts)
+    first = np.where(L == 0, 0, first)
+    return np.minimum(first, L.astype(np.int64))
+
+
+def front_code_urls(
+    ds,
+    url_col: str = "url",
+    restart: int = 16,
+):
+    """Front coding of the globally sorted URL list — the classic
+    compressed representation of a crawl frontier / URL dictionary
+    (restart points every ``restart`` entries store the full string;
+    every other entry stores varint(lcp with the previous entry) +
+    varint(suffix length) + the suffix bytes).
+
+    Exchange shape: one global sort of the (deduplicated) URL column →
+    one blocks-sized partial pass collecting each sorted block's
+    ``(first_url, count, last_url)`` → driver computes global offsets
+    AND the previous-block-last-url map (both blocks-sized) → one
+    encode pass per block, fully vectorized (flat-buffer gather LCP,
+    ``minimum.reduceat`` first-mismatch, varint length arithmetic); the
+    URL bytes never leave their block.
+
+    Returns a Dataset with one row per sorted block: ``(first_url, n,
+    raw_bytes, enc_bytes, prefix_sum)`` — integer stats that pin the
+    encoding for the SQL oracle (lengths are UTF-8 bytes; equal to
+    chars on ASCII URL corpora, which the oracle uses).
+    """
+    from ray.data.aggregate import Count
+
+    deduped = (
+        ds.select_columns([url_col])
+        .groupby(url_col)
+        .aggregate(Count(alias_name="_c"))
+        .select_columns([url_col])
+    )
+    sorted_urls = deduped.sort(url_col).materialize()
+
+    def probe(batch: pa.Table) -> pa.Table:
+        names = ["first_url", "cnt", "last_url"]
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.string())],
+                names=names,
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array([batch[url_col][0].as_py()], pa.string()),
+                pa.array([batch.num_rows], pa.int64()),
+                pa.array([batch[url_col][-1].as_py()], pa.string()),
+            ],
+            names=names,
+        )
+
+    parts = sorted_urls.map_batches(
+        probe, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    parts.sort(key=lambda r: r["first_url"])
+    offsets: dict[str, int] = {}
+    prev_last: dict[str, str | None] = {}
+    running = 0
+    last: str | None = None
+    for r in parts:
+        offsets[r["first_url"]] = running
+        prev_last[r["first_url"]] = last
+        running += r["cnt"]
+        last = r["last_url"]
+    import ray
+
+    meta_ref = ray.put((offsets, prev_last, restart))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        names = ["first_url", "n", "raw_bytes", "enc_bytes", "prefix_sum"]
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string())] + [pa.array([], pa.int64())] * 4,
+                names=names,
+            )
+        offs_map, prevs, K = ray.get(meta_ref)
+        first = batch[url_col][0].as_py()
+        base = offs_map[first]
+        prev_str = prevs[first]
+        col = batch[url_col].combine_chunks().cast(pa.binary())
+        if prev_str is not None:
+            col = pa.concat_arrays(
+                [pa.array([prev_str.encode()], pa.binary()), col]
+            )
+            shift = 1
+        else:
+            shift = 0
+        buf = col.buffers()
+        offs = np.frombuffer(buf[1], np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        flat = np.frombuffer(buf[2], np.uint8)
+        n = batch.num_rows
+        gidx = base + np.arange(n, dtype=np.int64)  # global sorted index
+        is_restart = gidx % K == 0
+        cur = np.arange(n, dtype=np.int64) + shift
+        prev = cur - 1
+        need = ~is_restart & (prev >= 0)
+        lcp = np.zeros(n, dtype=np.int64)
+        lcp[need] = _pair_lcp(flat, offs, prev[need], cur[need])
+        lens = (offs[1:] - offs[:-1])[shift:]
+        # a row whose predecessor lives in an earlier block and has no
+        # broadcast entry can only be the global first row (prev None)
+        lcp[~need] = 0
+        suffix = lens - lcp
+        enc = np.where(
+            is_restart,
+            _vblen(lens) + lens,
+            _vblen(lcp) + _vblen(suffix) + suffix,
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array([first], pa.string()),
+                pa.array([n], pa.int64()),
+                pa.array([int(lens.sum())], pa.int64()),
+                pa.array([int(enc.sum())], pa.int64()),
+                pa.array([int(lcp.sum())], pa.int64()),
+            ],
+            names=names,
+        )
+
+    return sorted_urls.map_batches(encode, batch_format="pyarrow", batch_size=None)

@@ -788,6 +788,31 @@ def q_bitext_pairs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("src_id").reset_index(drop=True)
 
 
+def q_front_code(sf_dir: str) -> pd.DataFrame:
+    """Front coding of the sorted crawl-URL dictionary
+    (:func:`ops.index.front_code_urls`): restart row every 16 entries
+    stores the full string, others store varint(lcp)+varint(suffix)+
+    suffix. One summary row with the integer stats that pin the
+    encoding (raw/encoded byte totals, Σ lcp). The oracle replays the
+    row_number restart rule and a max-prefix-match lcp in SQL (URLs are
+    ASCII, so chars = bytes)."""
+    from .ops.index import front_code_urls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    blocks = front_code_urls(
+        pages.select_columns(["url"]), restart=16
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_urls": [int(blocks["n"].sum())],
+            "raw_bytes": [int(blocks["raw_bytes"].sum())],
+            "enc_bytes": [int(blocks["enc_bytes"].sum())],
+            "prefix_sum": [int(blocks["prefix_sum"].sum())],
+        }
+    )
+
+
 def q_domain_gini(sf_dir: str) -> pd.DataFrame:
     """Exact Gini concentration of corpus bytes across 50 synthetic
     hosts (doc_id % 50, weight = n_chars) — the skew number a mixture
@@ -3393,6 +3418,47 @@ ORACLE_SQL: dict[str, str] = {
                QUALIFY row_number()
                    OVER (PARTITION BY node ORDER BY s DESC, lab) = 1)
         SELECT node AS host, lab AS community FROM l2 ORDER BY host
+    """,
+    "front_code": """
+        WITH u AS (
+            SELECT DISTINCT 'http://site' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents),
+        s AS (SELECT url, row_number() OVER (ORDER BY url) - 1 AS rn
+              FROM u),
+        p AS (
+            SELECT c.url AS cu, c.rn, pr.url AS pu
+            FROM s c LEFT JOIN s pr ON pr.rn = c.rn - 1),
+        l AS (
+            SELECT rn, cu,
+                   CASE WHEN rn % 16 = 0 OR pu IS NULL THEN 0
+                        ELSE coalesce(list_max(list_transform(
+                            range(1, least(length(cu), length(pu)) + 1),
+                            i -> CASE WHEN substring(cu, 1, i)
+                                          = substring(pu, 1, i)
+                                 THEN i ELSE 0 END)), 0)
+                   END AS lcp
+            FROM p),
+        e AS (
+            SELECT length(cu) AS len, lcp,
+                   CASE WHEN rn % 16 = 0 THEN
+                       (CASE WHEN length(cu) < 128 THEN 1
+                             WHEN length(cu) < 16384 THEN 2 ELSE 3 END)
+                       + length(cu)
+                   ELSE
+                       (CASE WHEN lcp < 128 THEN 1
+                             WHEN lcp < 16384 THEN 2 ELSE 3 END)
+                       + (CASE WHEN length(cu) - lcp < 128 THEN 1
+                               WHEN length(cu) - lcp < 16384 THEN 2
+                               ELSE 3 END)
+                       + length(cu) - lcp
+                   END AS enc
+            FROM l)
+        SELECT count(*) AS n_urls,
+               CAST(sum(len) AS BIGINT) AS raw_bytes,
+               CAST(sum(enc) AS BIGINT) AS enc_bytes,
+               CAST(sum(lcp) AS BIGINT) AS prefix_sum
+        FROM e
     """,
     "domain_gini": """
         WITH tot AS (
@@ -6415,6 +6481,7 @@ QUERIES = {
     "communities": q_communities,
     "bitext_pairs": q_bitext_pairs,
     "domain_gini": q_domain_gini,
+    "front_code": q_front_code,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

@@ -3,6 +3,7 @@ segments straddling block boundaries (many small blocks)."""
 
 from collections import Counter, defaultdict
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -299,3 +300,73 @@ class TestCompressPostings:
             assert bytes(out.loc[tok, "encoded"]) == buf
             assert out.loc[tok, "n_bytes"] == len(buf)
             assert out.loc[tok, "byte_sum"] == sum(buf)
+
+
+class TestFrontCoding:
+    """Front-coded URL dictionary (ops/index.py::front_code_urls)."""
+
+    @staticmethod
+    def _brute(urls, K):
+        su = sorted(set(urls))
+
+        def vbl(x):
+            return 1 if x < 128 else (2 if x < 16384 else 3)
+
+        raw = enc = ps = 0
+        prev = None
+        for g, u in enumerate(su):
+            b = u.encode()
+            raw += len(b)
+            if g % K == 0:
+                enc += vbl(len(b)) + len(b)
+            else:
+                pb = prev.encode()
+                p = 0
+                while p < min(len(b), len(pb)) and b[p] == pb[p]:
+                    p += 1
+                ps += p
+                suf = len(b) - p
+                enc += vbl(p) + vbl(suf) + suf
+            prev = u
+        return {"n": len(su), "raw_bytes": raw, "enc_bytes": enc,
+                "prefix_sum": ps}
+
+    @staticmethod
+    def _run(urls, K=16, parts=4):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.index import front_code_urls
+
+        ds = rd.from_items([{"url": u} for u in urls]).repartition(parts)
+        out = front_code_urls(ds, restart=K).take_all()
+        return {k: sum(r[k] for r in out)
+                for k in ("n", "raw_bytes", "enc_bytes", "prefix_sum")}
+
+    def test_random_urls_match_brute(self, ray_session):
+        rng = np.random.Generator(np.random.Philox(23))
+        urls = [
+            f"http://h{int(rng.integers(0, 9))}.example.com/"
+            + "/".join(f"s{int(rng.integers(0, 5))}" for _ in range(int(rng.integers(1, 4))))
+            for _ in range(120)
+        ]
+        for K in (1, 4, 16):
+            assert self._run(urls, K) == self._brute(urls, K), K
+
+    def test_unicode_lcp_is_bytewise(self, ray_session):
+        urls = ["http://x/α1", "http://x/α2", "http://x/β", "http://x/a"]
+        assert self._run(urls, 16, parts=2) == self._brute(urls, 16)
+
+    def test_layout_independent(self, ray_session):
+        urls = [f"http://site{i % 7}.example.com/p/{i}" for i in range(60)]
+        assert self._run(urls, 8, parts=1) == self._run(urls, 8, parts=6)
+
+    def test_pair_lcp_kernel(self):
+        from pdf_extractor_ray.ops.index import _pair_lcp
+
+        strs = [b"abcdef", b"abcxyz", b"", b"abc", b"abcdef"]
+        flat = np.frombuffer(b"".join(strs), np.uint8)
+        offs = np.cumsum([0] + [len(s) for s in strs]).astype(np.int64)
+        prev = np.array([0, 1, 2, 3], dtype=np.int64)
+        cur = np.array([1, 2, 3, 4], dtype=np.int64)
+        got = _pair_lcp(flat, offs, prev, cur).tolist()
+        assert got == [3, 0, 0, 3]
