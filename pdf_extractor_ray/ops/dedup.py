@@ -1669,6 +1669,7 @@ def ngram_jaccard_dedup(
     pair_cap: int = 65536,
     demote_frequent: int = 0,
     candidate_cap: int = 2_000_000,
+    gram_fn=None,
 ):
     """EXACT word-n-gram Jaccard near-dup clustering via prefix filtering
     (AllPairs, Bayardo et al. 2007; length filter from PPJoin, Xiao et al.
@@ -1699,18 +1700,27 @@ def ngram_jaccard_dedup(
     verification minority and edge list are O(duplicates). Beyond
     ``pair_cap`` a bucket degrades to star+chain candidates (documented
     non-exact regime — a gram shared by >64k PREFIXES after demotion means
-    a pathological corpus). Ids flow in their native Arrow type."""
+    a pathological corpus). Ids flow in their native Arrow type.
+
+    ``gram_fn`` overrides the gram extractor (default: word n-grams) —
+    any callable mapping the ``text_col`` value to a sorted-unique
+    uint64 array reuses the whole prefix-filter/verify machinery (the
+    pq-gram structural dedup in ``ops/templates.py`` rides this)."""
     import math
 
     import ray
     from ray.data.aggregate import Sum
+
+    grams = gram_fn if gram_fn is not None else (
+        lambda t: _word_ngram_hashes(t, n)
+    )
 
     topk_ref = None
     if demote_frequent > 0:
 
         def gram_counts(batch: pa.Table) -> pa.Table:
             texts = batch[text_col].to_pylist()
-            all_g = [g for t in texts for g in (_word_ngram_hashes(t, n),) if len(g)]
+            all_g = [g for t in texts for g in (grams(t),) if len(g)]
             if not all_g:
                 return pa.Table.from_arrays(
                     [pa.array([], pa.uint64()), pa.array([], pa.int64())],
@@ -1741,7 +1751,7 @@ def ngram_jaccard_dedup(
         key_chunks: list = []
         size_chunks: list = []
         for i, t in enumerate(texts):
-            g = _word_ngram_hashes(t, n)
+            g = grams(t)
             length = len(g)
             if length == 0:
                 continue
@@ -1806,7 +1816,7 @@ def ngram_jaccard_dedup(
     )
     return _verify_cluster_annotate(
         ds, pairs, text_col, id_col, threshold,
-        lambda t: _word_ngram_hashes(t, n), candidate_cap=candidate_cap,
+        grams, candidate_cap=candidate_cap,
     )
 
 

@@ -788,6 +788,44 @@ def q_bitext_pairs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("src_id").reset_index(drop=True)
 
 
+def q_structural_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate page-TEMPLATE clustering by exact pq-gram-set
+    Jaccard (p=2, q=3; Augsten et al. 2005) over a planted HTML family:
+    doc i is ``html>body>[nav>a if i%3==0]+p×(i%4+1)`` — template drift
+    (extra paragraphs) stays in-cluster (J ≥ 0.69), the nav/no-nav split
+    stays out (J ≤ 0.53) at threshold 0.6. The engine hashes grams to
+    uint64 for the AllPairs prefix join; the oracle rebuilds the SAME
+    gram strings closed-form with DuckDB list ops and clusters with the
+    identical recursive min-label components
+    (:func:`ops.templates.structural_dedup` riding
+    :func:`ops.dedup.ngram_jaccard_dedup`'s machinery)."""
+    from .ops.templates import structural_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        htmls = [
+            b"<html><body>"
+            + (b"<nav><a></a></nav>" if i % 3 == 0 else b"")
+            + b"<p></p>" * (i % 4 + 1)
+            + b"</body></html>"
+            for i in ids
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(htmls, pa.binary())],
+            names=["doc_id", "html"],
+        )
+
+    pages = ds.map_batches(plant, batch_format="pyarrow")
+    out = (
+        structural_dedup(pages, threshold=0.6)
+        .select_columns(["doc_id", "cluster_id", "is_duplicate"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_front_code(sf_dir: str) -> pd.DataFrame:
     """Front coding of the sorted crawl-URL dictionary
     (:func:`ops.index.front_code_urls`): restart row every 16 entries
@@ -3418,6 +3456,56 @@ ORACLE_SQL: dict[str, str] = {
                QUALIFY row_number()
                    OVER (PARTITION BY node ORDER BY s DESC, lab) = 1)
         SELECT node AS host, lab AS community FROM l2 ORDER BY host
+    """,
+    "structural_dedup": """
+        WITH RECURSIVE d AS (
+            SELECT doc_id, doc_id % 3 = 0 AS nav, doc_id % 4 + 1 AS k
+            FROM documents),
+        base AS (
+            SELECT doc_id,
+                   ['*', '*']
+                       || CASE WHEN nav THEN ['nav'] ELSE [] END
+                       || list_transform(range(k), x -> 'p')
+                       || ['*', '*'] AS pad,
+                   nav
+            FROM d),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(
+                       ['*/#root|*/*/html', '*/#root|*/html/*',
+                        '*/#root|html/*/*', '#root/html|*/*/body',
+                        '#root/html|*/body/*', '#root/html|body/*/*',
+                        'body/p|*/*/*']
+                       || CASE WHEN nav THEN
+                           ['body/nav|*/*/a', 'body/nav|*/a/*',
+                            'body/nav|a/*/*', 'nav/a|*/*/*']
+                       ELSE [] END
+                       || list_transform(range(1, len(pad) - 1),
+                           i -> 'html/body|' || list_extract(pad, i)
+                                || '/' || list_extract(pad, i + 1)
+                                || '/' || list_extract(pad, i + 2))
+                   ) AS s
+            FROM base),
+        lens AS (SELECT doc_id, len(s) AS l FROM grams),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM grams),
+        inter AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        cand AS (
+            SELECT ia, ib FROM inter
+            JOIN lens la ON la.doc_id = ia
+            JOIN lens lb ON lb.doc_id = ib
+            WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.6),
+        edges AS (SELECT ia, ib FROM cand UNION SELECT ib, ia FROM cand),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM d
+            UNION
+            SELECT r.src, e.ib FROM reach r JOIN edges e ON r.dst = e.ia),
+        lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                FROM reach GROUP BY src)
+        SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
+        FROM lab ORDER BY doc_id
     """,
     "front_code": """
         WITH u AS (
@@ -6482,6 +6570,7 @@ QUERIES = {
     "bitext_pairs": q_bitext_pairs,
     "domain_gini": q_domain_gini,
     "front_code": q_front_code,
+    "structural_dedup": q_structural_dedup,
     "lineitem_filter": q_lineitem_filter,
     "extract_html": q_extract_html,
     "extract_mixed": q_extract_mixed,

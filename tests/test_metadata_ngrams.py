@@ -752,3 +752,96 @@ class TestFixMojibake:
         assert out["text"].to_pylist() == ["ok", "é", ""]
         assert out["fixed"].to_pylist() == [False, True, False]
         assert out["doc_id"].to_pylist() == [1, 2, 3]
+
+
+class TestPqGrams:
+    def test_parse_tag_tree_basic(self):
+        from pdf_extractor_ray.ops.templates import parse_tag_tree
+
+        labels, parents = parse_tag_tree(
+            b"<html><body><br><p>x</p></body></html>"
+        )
+        assert labels == [b"#root", b"html", b"body", b"br", b"p"]
+        assert parents == [-1, 0, 1, 2, 2]
+
+    def test_parse_tag_tree_recovery_and_rawtext(self):
+        from pdf_extractor_ray.ops.templates import parse_tag_tree
+
+        # stray </div> pops past the unclosed <span>; <p> lands at root
+        labels, parents = parse_tag_tree(b"<div><span></div><p></p>")
+        assert labels == [b"#root", b"div", b"span", b"p"]
+        assert parents == [-1, 0, 1, 0]
+        # tags inside <script> bodies are raw text, not structure
+        labels, parents = parse_tag_tree(
+            b"<div><script>if(a<b){}</script><p></p></div>"
+        )
+        assert labels == [b"#root", b"div", b"script", b"p"]
+        assert parents == [-1, 0, 1, 1]
+
+    def test_pqgram_profile_hand_computed(self):
+        # p=2, q=3 profile of #root -> a -> (b, c), per Augsten et al. 2005
+        from pdf_extractor_ray.ops.templates import pqgram_strings
+
+        got = pqgram_strings(b"<a><b></b><c></c></a>", p=2, q=3)
+        want = sorted(
+            [
+                b"*/#root|*/*/a",
+                b"*/#root|*/a/*",
+                b"*/#root|a/*/*",
+                b"#root/a|*/*/b",
+                b"#root/a|*/b/c",
+                b"#root/a|b/c/*",
+                b"#root/a|c/*/*",
+                b"a/b|*/*/*",
+                b"a/c|*/*/*",
+            ]
+        )
+        assert got == want
+
+    def test_structural_dedup_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.templates import (
+            pqgram_strings,
+            structural_dedup,
+        )
+
+        htmls = [
+            b"<html><body>"
+            + (b"<nav><a></a></nav>" if i % 3 == 0 else b"")
+            + b"<p></p>" * (i % 4 + 1)
+            + b"</body></html>"
+            for i in range(40)
+        ]
+        pages = pa.table({"doc_id": list(range(40)), "html": htmls})
+        out = (
+            structural_dedup(rd.from_arrow(pages).repartition(4), threshold=0.6)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # brute force: exact Jaccard over gram-string sets + min-label CC
+        sets = [set(pqgram_strings(h)) for h in htmls]
+        parent = list(range(40))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(40):
+            for j in range(i + 1, 40):
+                inter = len(sets[i] & sets[j])
+                if inter / (len(sets[i]) + len(sets[j]) - inter) >= 0.6:
+                    a, b = find(i), find(j)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        want = [find(i) for i in range(40)]
+        assert out["cluster_id"].tolist() == want
+        assert out["is_duplicate"].tolist() == [
+            i != c for i, c in enumerate(want)
+        ]
+        # the planted family must actually exercise both regimes
+        assert out["is_duplicate"].sum() > 0
+        assert out["cluster_id"].nunique() > 1
