@@ -27,6 +27,7 @@ has a single chained-CTE oracle (Q ``curate_corpus``).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -93,3 +94,173 @@ def curate_corpus(
     return shard_plan(
         deduped, shard_bytes=shard_bytes, size_col="n_bytes", key_col=id_col
     )
+
+
+def dsir_select(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "lang",
+    target_value: str = "en",
+    buckets: int = 128,
+    scale: int = 1_000_000,
+    keep_frac: float = 0.1,
+    tie_cap: int = 1_000_000,
+):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+    hashed-n-gram flavor, INTEGER-exact: documents are scored by how
+    target-like their hashed unigram profile is, and the top
+    ``ceil(keep_frac * n)`` are selected.
+
+    The published estimator scores ``sum_k c_k * (log p_k - log q_k)``
+    over hashed n-gram buckets; this engine follows the house
+    integer-surrogate rule (cf. :func:`.text.tfidf_top_terms`) and uses
+    per-bucket RATIONAL ratio weights instead of log-ratios::
+
+        w_b    = ((t_b + 1) * scale) // (r_b + 1)      # Laplace-smoothed
+        score  = sum over the document's tokens of w_bucket(token)
+
+    (t_b / r_b = bucket token counts in the target / raw corpus). Same
+    selection semantics — documents whose hashed profile concentrates in
+    target-heavy buckets rank first — with a bit-exact SQL oracle.
+    Tokens come from :func:`.text.split_words` (THE corpus tokenizer);
+    the bucket is :func:`.dedup._token_hash64` ``% buckets`` (the
+    SQL-replicable hash the simhash oracle already mirrors).
+
+    Shape: pass 1 streams per-block ``2 × buckets`` count partials into
+    a tiny ``groupby(bucket)`` (the only exchange, ≤ ``buckets`` rows
+    out); the weight vector broadcasts via ``ray.put``. Pass 2 scores
+    per-row, shuffle-free. The selection threshold is the k-th largest
+    score via :func:`.quantiles.exact_quantiles` (streaming counting
+    passes — no sort), and only the docs TIED at the threshold (gated by
+    ``tie_cap``, typically a handful) are collected to fix the boundary
+    by smallest-id, matching ``row_number() OVER (ORDER BY score DESC,
+    id)``. Returns a Dataset of ``(id, dsir_score, selected)``.
+
+    Scale note: int64 holds ``score <= L * scale * (T + 1)`` comfortably
+    for web documents at ``scale=1e6``; at 100 TB the weight vector is
+    still ``buckets`` ints (hashing is what makes DSIR scale-free in
+    vocabulary) and the counting-pass threshold avoids materializing or
+    sorting the score column."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _token_hash64
+    from .quantiles import exact_quantiles
+    from .text import split_words
+
+    def bucket_ids(batch: pa.Table) -> list:
+        words_list = split_words(pc.fill_null(batch[text_col], ""))
+        out = []
+        for doc in words_list.to_pylist():
+            toks = [w for w in doc if w] if doc else []
+            if toks:
+                out.append(
+                    np.fromiter(
+                        (_token_hash64(t) % buckets for t in toks),
+                        dtype=np.int64,
+                        count=len(toks),
+                    )
+                )
+            else:
+                out.append(np.zeros(0, dtype=np.int64))
+        return out
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        is_target = pc.equal(
+            pc.fill_null(batch[target_col], ""), target_value
+        ).to_numpy(zero_copy_only=False)
+        t_cnt = np.zeros(buckets, dtype=np.int64)
+        r_cnt = np.zeros(buckets, dtype=np.int64)
+        for tgt, bs in zip(is_target, bucket_ids(batch)):
+            if len(bs) == 0:
+                continue
+            c = np.bincount(bs, minlength=buckets)
+            r_cnt += c
+            if tgt:
+                t_cnt += c
+        nz = np.flatnonzero(r_cnt)
+        return pa.Table.from_arrays(
+            [
+                pa.array(nz, pa.int64()),
+                pa.array(t_cnt[nz], pa.int64()),
+                pa.array(r_cnt[nz], pa.int64()),
+            ],
+            names=["b", "t", "r"],
+        )
+
+    t_arr = np.zeros(buckets, dtype=np.int64)
+    r_arr = np.zeros(buckets, dtype=np.int64)
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("t"), Sum("r"))
+    )
+    for tbl in counts.iter_batches(batch_format="pyarrow"):
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        t_arr[b] += tbl["sum(t)"].to_numpy(zero_copy_only=False)
+        r_arr[b] += tbl["sum(r)"].to_numpy(zero_copy_only=False)
+    w = (t_arr + 1) * scale // (r_arr + 1)
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        scores = np.fromiter(
+            (int(wv[bs].sum()) for bs in bucket_ids(batch)),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.Table.from_arrays(
+            [batch[id_col].combine_chunks(), pa.array(scores, pa.int64())],
+            names=[id_col, "dsir_score"],
+        )
+
+    # (id, score) is two small columns — pin it so the threshold passes,
+    # the tie scan and the annotate pass don't re-run tokenization.
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    n = int(ds.count())
+    k = math.ceil(keep_frac * n)
+    if k >= n:
+        thr, cutoff_id = None, None
+    else:
+        # k-th LARGEST = value at ascending rank n-k+1; the +0.5 keeps
+        # ceil(q*n) at exactly n-k+1 against float representation.
+        [(_, thr)] = exact_quantiles(
+            scored, "dsir_score", [(n - k + 0.5) / n]
+        )
+        above = 0
+        ties: list = []
+        for tbl in scored.iter_batches(batch_format="pyarrow"):
+            s = tbl["dsir_score"]
+            above += pc.sum(
+                pc.greater(s, thr).cast(pa.int64())
+            ).as_py() or 0
+            ties.extend(
+                tbl.filter(pc.equal(s, thr))[id_col].to_pylist()
+            )
+            if len(ties) > tie_cap:
+                raise RuntimeError(
+                    f"score ties at threshold exceed tie_cap={tie_cap}; "
+                    "re-run with a larger scale (finer weights) or "
+                    "resolve the boundary with a distributed id-rank pass"
+                )
+        ties.sort()
+        cutoff_id = ties[k - above - 1]
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        if thr is None:
+            sel = pa.array([True] * batch.num_rows, pa.bool_())
+        else:
+            s = batch["dsir_score"]
+            sel = pc.or_(
+                pc.greater(s, thr),
+                pc.and_(
+                    pc.equal(s, thr),
+                    pc.less_equal(batch[id_col], cutoff_id),
+                ),
+            )
+        return batch.append_column("selected", sel)
+
+    return scored.map_batches(annotate, batch_format="pyarrow")

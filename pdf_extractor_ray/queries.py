@@ -6491,6 +6491,21 @@ def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
     return curate_corpus(lined, shard_bytes=20_000).to_pandas()
 
 
+def q_dsir_select(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance selection (:func:`ops.curate.dsir_select`):
+    hashed-unigram bucket counts over the English target slice vs the
+    whole corpus, integer-exact ratio weights, per-document scores, and
+    top-10% selection resolved exactly at the threshold (row_number
+    ORDER BY score DESC, doc_id semantics). The oracle rebuilds the
+    identical bucket hash (the simhash oracle's SQL token hash, mod
+    128), weights, scores and window-rank cut in DuckDB."""
+    from .ops.curate import dsir_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    df = dsir_select(ds).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
     """Top-20 bigrams by scaled-integer PMI with min-count 5
     (:func:`ops.text.pmi_topk`): two vocabulary count exchanges, unigram
@@ -6596,6 +6611,7 @@ QUERIES = {
     "snapshot_edit_distance": q_snapshot_edit_distance,
     "pmi_bigrams": q_pmi_bigrams,
     "curate_corpus": q_curate_corpus,
+    "dsir_select": q_dsir_select,
     "triangles": q_triangles,
     "dataset_split": q_dataset_split,
     "profile_table": q_profile_table,
@@ -7451,6 +7467,55 @@ SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST(t.n_triangles AS BIGINT) AS n_triangles
 FROM n, t
+"""
+
+ORACLE_SQL["dsir_select"] = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+    FROM documents
+),
+tok_hash AS (
+    SELECT tok, CAST(xor(m2, m2 >> 32) % 128 AS BIGINT) AS b
+    FROM (
+        SELECT tok,
+               CAST((CAST(xor(raw, raw >> 29) AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616 AS UBIGINT) AS m2
+        FROM (
+            SELECT tok,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT),
+                           list_transform(range(1, length(tok) + 1),
+                               i -> CAST(unicode(substring(tok, i, 1)) AS HUGEINT))),
+                       (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS raw
+            FROM (SELECT DISTINCT tok FROM toks)
+        )
+    )
+),
+tb AS (
+    SELECT th.b,
+           count(*) FILTER (WHERE t.lang = 'en') AS tc,
+           count(*) AS rc
+    FROM toks t JOIN tok_hash th USING (tok)
+    GROUP BY th.b
+),
+w AS (SELECT b, (tc + 1) * 1000000 // (rc + 1) AS w FROM tb),
+sc AS (
+    SELECT d.doc_id, CAST(coalesce(sum(w.w), 0) AS BIGINT) AS dsir_score
+    FROM documents d
+    LEFT JOIN toks tk ON tk.doc_id = d.doc_id
+    LEFT JOIN tok_hash th ON th.tok = tk.tok
+    LEFT JOIN w ON w.b = th.b
+    GROUP BY d.doc_id
+),
+kk AS (SELECT CAST(ceil(0.1 * count(*)) AS BIGINT) AS k FROM documents),
+ranked AS (
+    SELECT doc_id, dsir_score,
+           row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn
+    FROM sc
+)
+SELECT doc_id, dsir_score, rn <= (SELECT k FROM kk) AS selected
+FROM ranked ORDER BY doc_id
 """
 
 ORACLE_SQL["curate_corpus"] = r"""

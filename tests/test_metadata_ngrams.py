@@ -845,3 +845,79 @@ class TestPqGrams:
         # the planted family must actually exercise both regimes
         assert out["is_duplicate"].sum() > 0
         assert out["cluster_id"].nunique() > 1
+
+
+class TestDsirSelect:
+    def test_target_like_docs_selected(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.curate import dsir_select
+        from pdf_extractor_ray.ops.dedup import _token_hash64
+
+        texts, langs = [], []
+        for i in range(30):
+            if i % 3 == 0:
+                texts.append("alpha beta gamma delta " * 3)
+                langs.append("en")
+            elif i % 3 == 1:
+                texts.append("xx yy zz ww " * 3)
+                langs.append("zh")
+            else:  # German doc that reads English-like: must rank high
+                texts.append("alpha beta gamma " * 3)
+                langs.append("de")
+        tbl = pa.table(
+            {"doc_id": list(range(30)), "text": texts, "lang": langs}
+        )
+        out = (
+            dsir_select(
+                rd.from_arrow(tbl).repartition(3), keep_frac=0.5
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # brute force the integer surrogate
+        B, SCALE = 128, 1_000_000
+        t_cnt = [0] * B
+        r_cnt = [0] * B
+        docs = []
+        for txt, lang in zip(texts, langs):
+            bs = [_token_hash64(w) % B for w in txt.lower().split()]
+            docs.append(bs)
+            for b in bs:
+                r_cnt[b] += 1
+                if lang == "en":
+                    t_cnt[b] += 1
+        w = [(t_cnt[b] + 1) * SCALE // (r_cnt[b] + 1) for b in range(B)]
+        scores = [sum(w[b] for b in bs) for bs in docs]
+        assert out["dsir_score"].tolist() == scores
+        order = sorted(range(30), key=lambda i: (-scores[i], i))
+        want_sel = set(order[:15])
+        assert [i in want_sel for i in range(30)] == out[
+            "selected"
+        ].tolist()
+        # target-vocabulary docs win; the 'zh'-vocabulary docs never select
+        sel = set(out[out["selected"]]["doc_id"])
+        assert all(i in sel for i in range(0, 30, 3))
+        assert any(i in sel for i in range(2, 30, 3))
+        assert all(i not in sel for i in range(1, 30, 3))
+
+    def test_keep_all_and_empty_docs(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.curate import dsir_select
+
+        tbl = pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["alpha", None, ""],
+                "lang": ["en", None, "en"],
+            }
+        )
+        out = (
+            dsir_select(rd.from_arrow(tbl), keep_frac=1.0)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["selected"].all()
+        assert out["dsir_score"].tolist()[1:] == [0, 0]
