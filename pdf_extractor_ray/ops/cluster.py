@@ -86,23 +86,20 @@ def _assign(mat: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndar
     return assign, dists[np.arange(n), assign]
 
 
-def kmeans_clusters(
-    ds,
-    k: int = 5,
-    iters: int = 3,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> pa.Table:
-    """Run ``iters`` exact-integer Lloyd iterations; return one row per
-    cluster: ``(cluster_id, n_members, min_vec_id, checksum)`` where
-    checksum is ``sum(dist // SCALE)`` over members under the final
-    assignment."""
+def _fit_centroids(
+    ds, k: int, iters: int, vec_col: str, id_col: str
+) -> np.ndarray:
+    """The exact-integer Lloyd loop shared by :func:`kmeans_clusters` and
+    :func:`semdedup`: init = k lowest-id vectors, then ``iters`` one-pass
+    iterations of per-block (centroid, dim) int64 partial sums folded by
+    a Sum aggregate. Returns the final ``k × dim`` int64 centroid
+    matrix (quantized space)."""
     import ray
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     _, centroids = _bottom_k_rows(ds, k, vec_col, id_col)
     if len(centroids) == 0:
-        raise ValueError("kmeans_clusters: empty dataset")
+        raise ValueError("kmeans: empty dataset")
     k = len(centroids)
     dim = centroids.shape[1]
 
@@ -147,7 +144,24 @@ def kmeans_clusters(
         new_c = centroids.copy()
         new_c[mask] = sums[mask] // counts[mask, None]
         centroids = new_c
+    return centroids
 
+
+def kmeans_clusters(
+    ds,
+    k: int = 5,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Run ``iters`` exact-integer Lloyd iterations; return one row per
+    cluster: ``(cluster_id, n_members, min_vec_id, checksum)`` where
+    checksum is ``sum(dist // SCALE)`` over members under the final
+    assignment."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    centroids = _fit_centroids(ds, k, iters, vec_col, id_col)
     cref = ray.put(centroids)
 
     def final(batch: pa.Table) -> pa.Table:
@@ -181,3 +195,132 @@ def kmeans_clusters(
     )
     df = out.to_pandas()[["cluster_id", "n_members", "min_vec_id", "checksum"]]
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def semdedup(
+    ds,
+    k: int = 5,
+    iters: int = 3,
+    threshold_num: int = 999,
+    threshold_den: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
+    k-means clustering first, pairwise cosine only WITHIN each cluster
+    (the approximation that makes the paper tractable at corpus scale —
+    cross-cluster near-dups are out of contract by design).
+
+    Determinism/exactness: cluster assignment is the engine's
+    integer-exact Lloyd (:func:`_fit_centroids` / :func:`_assign`, the
+    ``kmeans_clusters`` oracle machinery). The cosine test runs over
+    SIGNED quantized vectors ``floor(e * SCALE)`` and is decided as an
+    exact integer inequality — ``dot >= 0 AND dot² · den² >= num² ·
+    |a|²·|b|²`` with Python big ints — so the SQL oracle (HUGEINT
+    arithmetic) reproduces every pair decision bit-for-bit. A float
+    matmul pre-filters candidates at ``τ − 1e-4`` (the float error bound
+    is ~1e-9 relative, so nothing below the band can pass the exact
+    test); only candidates pay big-int verification.
+
+    Within a cluster, duplicates group by connected components over the
+    above-threshold pairs; the representative is the lowest id (the
+    house dedup rule — the paper keeps the lowest-centroid-distance
+    member; min-id keeps the oracle a pure min-label reachability).
+
+    Returns a Dataset of ``(id, cluster_id, rep_id, is_duplicate)``.
+
+    Scale: the per-cluster kernel is O(|cluster|²) in FLOAT matmul (the
+    paper's own regime — it runs the same pairwise pass per cluster);
+    choose ``k`` so corpus/k fits a worker (SemDeDup uses k ≈ 11k for
+    LAION). Beyond that, the documented sub-shape is the embedding-LSH
+    bucketer (:func:`.dedup.embedding_dedup`) WITHIN each cluster."""
+    import ray
+
+    centroids = _fit_centroids(ds, k, iters, vec_col, id_col)
+    cref = ray.put(centroids)
+
+    def with_cluster(batch: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.list_(pa.float64())),
+                ],
+                names=[id_col, "cluster_id", "qvec"],
+            )
+        mat = _quantize(batch, vec_col)
+        assign, _d = _assign(mat, cen)
+        # signed quantization for the cosine space (no OFFSET shift —
+        # cosine is not translation-invariant)
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * SCALE).reshape(batch.num_rows, -1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    batch[id_col].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                pa.array(assign.astype(np.int64)),
+                pa.array(list(q), pa.list_(pa.float64())),
+            ],
+            names=[id_col, "cluster_id", "qvec"],
+        )
+
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    tau_f = threshold_num / threshold_den
+
+    def cluster_kernel(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        cid = group["cluster_id"][0].as_py()
+        n = len(ids)
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = np.asarray(group["qvec"].to_pylist(), dtype=np.float64)[order]
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        if n > 1:
+            norm = np.linalg.norm(q, axis=1)
+            norm[norm == 0] = 1.0
+            cos = (q @ q.T) / norm[:, None] / norm[None, :]
+            ii, jj = np.nonzero(np.triu(cos >= tau_f - 1e-4, 1))
+            qi = q.astype(np.int64)
+            for a, b in zip(ii.tolist(), jj.tolist()):
+                dot = int(np.dot(qi[a], qi[b]))
+                if dot < 0:
+                    continue
+                na2 = int(np.dot(qi[a], qi[a]))
+                nb2 = int(np.dot(qi[b], qi[b]))
+                # zero-norm quantized vectors have no cosine: never dups
+                if na2 == 0 or nb2 == 0:
+                    continue
+                if dot * dot * den2 >= num2 * na2 * nb2:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        reps = np.array([ids[find(i)] for i in range(n)], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(np.full(n, cid, dtype=np.int64)),
+                pa.array(reps),
+                pa.array(reps != ids),
+            ],
+            names=[id_col, "cluster_id", "rep_id", "is_duplicate"],
+        )
+
+    return (
+        ds.map_batches(with_cluster, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(cluster_kernel, batch_format="pyarrow")
+    )

@@ -2617,6 +2617,32 @@ def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     return kmeans_clusters(ds, k=5, iters=3).to_pandas()
 
 
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023) over embeddings ∪ exact copies
+    (vec_id+100k): integer-exact k-means (k=5, 2 Lloyd iterations), then
+    pairwise exact big-int cosine ≥ 999/1000 WITHIN each cluster, min-id
+    components. Exact copies always share their original's cluster (same
+    quantized vector → same assignment) and sit at cosine exactly 1; the
+    corpus has a wide margin around the threshold (max non-copy cosine
+    ≈0.6), so the float candidate pre-filters on either engine cannot
+    flip any pair decision — every compared decision is exact integer
+    arithmetic replayed by the DuckDB oracle."""
+    from .ops.cluster import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(batch["vec_id"], pa.scalar(100_000, pa.int64())),
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    out = semdedup(both, k=5, iters=2).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     """Iteration-0 of the distributed BPE trainer (Sennrich et al. 2016):
     the 100 most frequent adjacent symbol pairs (characters + end-of-word
@@ -6676,6 +6702,7 @@ QUERIES = {
     "fix_mojibake": q_fix_mojibake,
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup": q_semdedup,
     "dhash_dedup": q_dhash_dedup,
     "shard_plan": q_shard_plan,
     "count_min": q_count_min,
@@ -7850,6 +7877,83 @@ SELECT cid AS cluster_id,
        min(vec_id) AS min_vec_id,
        CAST(sum(dist // 1000000) AS BIGINT) AS checksum
 FROM af WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+)
+
+# SemDeDup: the kmeans assignment chain over the union corpus (2
+# unrolled Lloyd iterations), then within-cluster pairs decided by the
+# same exact integer cosine inequality the Ray kernel uses
+# (dot ≥ 0 ∧ dot²·den² ≥ num²·|a|²·|b|², HUGEINT), min-id reachability.
+ORACLE_SQL["semdedup"] = (
+    r"""
+WITH RECURSIVE corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings
+),
+q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               e -> CAST(floor((CAST(e AS DOUBLE) + 2) * 1000000) AS BIGINT)) AS v
+    FROM corpus
+),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+    FROM q ORDER BY vec_id LIMIT 5
+),"""
+    + ",".join(_KM_ASSIGN.format(i=i, j=i - 1) for i in (1, 2))
+    + r""",
+af AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+        SELECT q.vec_id, c.cid,
+               list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        FROM q CROSS JOIN c2 c
+    )
+),
+asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+qs AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS HUGEINT)) AS sv
+    FROM corpus
+),
+cand AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib, qa.sv AS va, qb.sv AS vb
+    FROM asg a
+    JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN corpus ca ON ca.vec_id = a.vec_id
+    JOIN corpus cb ON cb.vec_id = b.vec_id
+    JOIN qs qa ON qa.vec_id = a.vec_id
+    JOIN qs qb ON qb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(ca.embedding, cb.embedding) >= 0.9989
+),
+pairs AS (
+    SELECT ia, ib
+    FROM (
+        SELECT ia, ib,
+               list_sum(list_transform(list_zip(va, vb),
+                        p -> p[1] * p[2])) AS dot,
+               list_sum(list_transform(va, x -> x * x)) AS na2,
+               list_sum(list_transform(vb, x -> x * x)) AS nb2
+        FROM cand
+    )
+    WHERE dot >= 0 AND na2 > 0 AND nb2 > 0
+      AND dot * dot * 1000000 >= 998001 * na2 * nb2
+),
+edges AS (SELECT ia, ib FROM pairs UNION SELECT ib AS ia, ia AS ib FROM pairs),
+reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM corpus
+    UNION
+    SELECT r.src, e.ib FROM reach r JOIN edges e ON r.dst = e.ia
+),
+lab AS (SELECT src AS vec_id, min(dst) AS rep_id FROM reach GROUP BY src)
+SELECT l.vec_id, a.cid AS cluster_id, l.rep_id,
+       l.vec_id <> l.rep_id AS is_duplicate
+FROM lab l JOIN asg a ON a.vec_id = l.vec_id
+ORDER BY l.vec_id
 """
 )
 

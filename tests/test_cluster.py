@@ -6,7 +6,7 @@ import pyarrow as pa
 import pytest
 import ray
 
-from pdf_extractor_ray.ops.cluster import OFFSET, SCALE, kmeans_clusters
+from pdf_extractor_ray.ops.cluster import OFFSET, SCALE, kmeans_clusters, semdedup
 
 
 def make_vectors(n: int, dim: int = 8, seed: int = 7) -> list[list[float]]:
@@ -94,6 +94,121 @@ def test_kmeans_k_exceeding_n(ray_session):
     assert [r["n_members"] for r in out] == [1, 1]
     assert [r["min_vec_id"] for r in out] == [5, 9]
     assert all(r["checksum"] == 0 for r in out)
+
+
+def brute_semdedup(ids, vecs, k, iters, num=999, den=1000):
+    """Replay: integer-Lloyd assignment, then within-cluster exact
+    big-int cosine pairs + min-id union-find."""
+    q = {
+        i: [int(np.floor((np.float64(np.float32(x)) + OFFSET) * SCALE)) for x in v]
+        for i, v in zip(ids, vecs)
+    }
+    qs = {
+        i: [int(np.floor(np.float64(np.float32(x)) * SCALE)) for x in v]
+        for i, v in zip(ids, vecs)
+    }
+    order = sorted(ids)
+    cents = {c: list(q[order[c]]) for c in range(min(k, len(order)))}
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for _ in range(iters):
+        members = {c: [] for c in cents}
+        for i in ids:
+            best = min(cents, key=lambda c: (dist(q[i], cents[c]), c))
+            members[best].append(i)
+        for c, ms in members.items():
+            if ms:
+                dim = len(cents[c])
+                cents[c] = [
+                    sum(q[i][d] for i in ms) // len(ms) for d in range(dim)
+                ]
+    assign = {
+        i: min(cents, key=lambda c: (dist(q[i], cents[c]), c)) for i in ids
+    }
+    rep = {i: i for i in ids}
+
+    def find(x):
+        while rep[x] != x:
+            rep[x] = rep[rep[x]]
+            x = rep[x]
+        return x
+
+    sids = sorted(ids)
+    for ai in range(len(sids)):
+        for bi in range(ai + 1, len(sids)):
+            a, b = sids[ai], sids[bi]
+            if assign[a] != assign[b]:
+                continue
+            dot = sum(x * y for x, y in zip(qs[a], qs[b]))
+            na2 = sum(x * x for x in qs[a])
+            nb2 = sum(x * x for x in qs[b])
+            if dot < 0 or na2 == 0 or nb2 == 0:
+                continue
+            if dot * dot * den * den >= num * num * na2 * nb2:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    rep[max(ra, rb)] = min(ra, rb)
+    return [
+        {
+            "vec_id": i,
+            "cluster_id": assign[i],
+            "rep_id": find(i),
+            "is_duplicate": find(i) != i,
+        }
+        for i in sorted(ids)
+    ]
+
+
+class TestSemDedup:
+    """SemDeDup: within-cluster exact-cosine dedup vs a brute-force
+    replay; exact copies collapse to the lowest id, across block layouts."""
+
+    @pytest.mark.parametrize("nparts", [1, 5])
+    def test_matches_brute_force_with_planted_copies(self, ray_session, nparts):
+        ids = list(IDS)
+        vecs = [list(v) for v in VECS]
+        # exact copies of ids 0..9 under ids 100..109: same cluster,
+        # cosine exactly 1 -> duplicates with rep = original id
+        for i in range(10):
+            ids.append(100 + i)
+            vecs.append(list(VECS[i]))
+        tbl = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        got = (
+            semdedup(ds, k=3, iters=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+            .to_dict("records")
+        )
+        want = brute_semdedup(ids, vecs, k=3, iters=2)
+        assert got == want
+        by_id = {r["vec_id"]: r for r in got}
+        for i in range(10):
+            assert by_id[100 + i]["is_duplicate"]
+            assert by_id[100 + i]["rep_id"] == i
+            assert by_id[100 + i]["cluster_id"] == by_id[i]["cluster_id"]
+
+    def test_no_duplicates_when_threshold_unreachable(self, ray_session):
+        tbl = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(IDS, pa.int64()),
+                "embedding": pa.array(VECS, pa.list_(pa.float32())),
+            }
+        )
+        out = semdedup(
+            ray.data.from_arrow(tbl), k=2, iters=1
+        ).to_pandas()
+        # random gaussians: no pair at cosine >= 0.999
+        assert not out["is_duplicate"].any()
+        assert (out["rep_id"] == out["vec_id"]).all()
 
 
 class TestQuantizeEmbeddings:
