@@ -324,3 +324,89 @@ def semdedup(
         .groupby("cluster_id")
         .map_groups(cluster_kernel, batch_format="pyarrow")
     )
+
+
+def prototype_prune(
+    ds,
+    k: int = 5,
+    iters: int = 3,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """SSL-prototype pruning (Sorscher et al. 2022 "Beyond neural scaling
+    laws"; the diversification step of D4, Tirumala et al. 2023): cluster
+    by k-means, then within each cluster KEEP the ``keep_num/keep_den``
+    fraction FARTHEST from the centroid — prototypical (easy, redundant)
+    points are dropped, diverse points survive.
+
+    Exactness: assignment and distances are the engine's integer-exact
+    Lloyd (:func:`_fit_centroids` / :func:`_assign`), so the within-
+    cluster ordering ``(dist DESC, id ASC)`` and the integer keep count
+    ``ceil(n_cluster · keep_num / keep_den)`` are replayed bit-for-bit
+    by the DuckDB oracle.
+
+    Shape: fitting exchanges ``k × dim`` partial rows per block; the
+    ranking is ONE (cluster_id, dist, id) sort over 24-byte rows followed
+    by vectorized segment arithmetic (:func:`..segments.sorted_segment_apply`
+    — no per-group Python, fragments of clusters straddling block edges
+    are deferred and resolved exactly once). Nothing corpus-sized lands
+    on the driver at any point.
+
+    Returns a Dataset of ``(id, cluster_id, dist, rank, kept)``.
+    """
+    import ray
+
+    from .segments import sorted_segment_apply
+
+    centroids = _fit_centroids(ds, k, iters, vec_col, id_col)
+    cref = ray.put(centroids)
+
+    def with_dist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=[id_col, "cluster_id", "dist"],
+            )
+        mat = _quantize(batch, vec_col)
+        assign, dist = _assign(mat, ray.get(cref))
+        return pa.Table.from_arrays(
+            [
+                pa.array(batch[id_col].to_numpy(zero_copy_only=False), pa.int64()),
+                pa.array(assign.astype(np.int64)),
+                pa.array(dist),
+            ],
+            names=[id_col, "cluster_id", "dist"],
+        )
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        starts = starts.astype(np.int64)
+        ends = ends.astype(np.int64)
+        lens = ends - starts
+        total = int(lens.sum())
+        gstarts = np.cumsum(lens) - lens
+        within = np.arange(total, dtype=np.int64) - np.repeat(gstarts, lens)
+        idx = np.repeat(starts, lens) + within
+        take = pa.array(idx)
+        rank = within + 1
+        n_keep = np.repeat((lens * keep_num + keep_den - 1) // keep_den, lens)
+        return pa.Table.from_arrays(
+            [
+                batch[id_col].take(take),
+                batch["cluster_id"].take(take),
+                batch["dist"].take(take),
+                pa.array(rank),
+                pa.array(rank <= n_keep),
+            ],
+            names=[id_col, "cluster_id", "dist", "rank", "kept"],
+        )
+
+    assigned = ds.map_batches(with_dist, batch_format="pyarrow")
+    return sorted_segment_apply(
+        assigned,
+        key_col="cluster_id",
+        block_fn=kernel,
+        within_cols=["dist", id_col],
+        descending=[True, False],
+    )

@@ -2643,6 +2643,19 @@ def q_semdedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_prototype_prune(sf_dir: str) -> pd.DataFrame:
+    """D4 prototype pruning (Sorscher et al. 2022 / Tirumala et al. 2023)
+    over embeddings: integer-exact k-means (k=5, 2 Lloyd iterations),
+    then within each cluster keep the ceil(n/2) FARTHEST members (dist
+    DESC, vec_id ASC ties). Every distance is exact int64, so the oracle
+    replays the unrolled Lloyd chain and the window ranking verbatim."""
+    from .ops.cluster import prototype_prune
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = prototype_prune(ds, k=5, iters=2, keep_num=1, keep_den=2).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     """Iteration-0 of the distributed BPE trainer (Sennrich et al. 2016):
     the 100 most frequent adjacent symbol pairs (characters + end-of-word
@@ -6703,6 +6716,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
+    "prototype_prune": q_prototype_prune,
     "dhash_dedup": q_dhash_dedup,
     "shard_plan": q_shard_plan,
     "count_min": q_count_min,
@@ -7954,6 +7968,48 @@ SELECT l.vec_id, a.cid AS cluster_id, l.rep_id,
        l.vec_id <> l.rep_id AS is_duplicate
 FROM lab l JOIN asg a ON a.vec_id = l.vec_id
 ORDER BY l.vec_id
+"""
+)
+
+# D4 prototype pruning: the same unrolled-Lloyd assignment chain, then a
+# within-cluster (dist DESC, vec_id) window rank with an integer ceil keep
+# count — every compared value is exact int64.
+ORACLE_SQL["prototype_prune"] = (
+    r"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               e -> CAST(floor((CAST(e AS DOUBLE) + 2) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+    FROM q ORDER BY vec_id LIMIT 5
+),"""
+    + ",".join(_KM_ASSIGN.format(i=i, j=i - 1) for i in (1, 2))
+    + r""",
+af AS (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+        SELECT q.vec_id, c.cid,
+               list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        FROM q CROSS JOIN c2 c
+    )
+),
+asg AS (SELECT vec_id, cid, dist FROM af WHERE rn = 1),
+ranked AS (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY cid
+                              ORDER BY dist DESC, vec_id) AS rank,
+           count(*) OVER (PARTITION BY cid) AS n
+    FROM asg
+)
+SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist,
+       CAST(rank AS BIGINT) AS rank,
+       rank <= (n * 1 + 2 - 1) // 2 AS kept
+FROM ranked ORDER BY vec_id
 """
 )
 

@@ -6,7 +6,13 @@ import pyarrow as pa
 import pytest
 import ray
 
-from pdf_extractor_ray.ops.cluster import OFFSET, SCALE, kmeans_clusters, semdedup
+from pdf_extractor_ray.ops.cluster import (
+    OFFSET,
+    SCALE,
+    kmeans_clusters,
+    prototype_prune,
+    semdedup,
+)
 
 
 def make_vectors(n: int, dim: int = 8, seed: int = 7) -> list[list[float]]:
@@ -209,6 +215,88 @@ class TestSemDedup:
         # random gaussians: no pair at cosine >= 0.999
         assert not out["is_duplicate"].any()
         assert (out["rep_id"] == out["vec_id"]).all()
+
+
+def brute_prototype_prune(ids, vecs, k, iters, num, den):
+    """Replay: integer-Lloyd assignment + distances, then within-cluster
+    (dist DESC, id ASC) rank; keep ceil(n * num / den)."""
+    q = {
+        i: [int(np.floor((np.float64(np.float32(x)) + OFFSET) * SCALE)) for x in v]
+        for i, v in zip(ids, vecs)
+    }
+    order = sorted(ids)
+    cents = {c: list(q[order[c]]) for c in range(min(k, len(order)))}
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for _ in range(iters):
+        members = {c: [] for c in cents}
+        for i in ids:
+            best = min(cents, key=lambda c: (dist(q[i], cents[c]), c))
+            members[best].append(i)
+        for c, ms in members.items():
+            if ms:
+                dim = len(cents[c])
+                cents[c] = [
+                    sum(q[i][d] for i in ms) // len(ms) for d in range(dim)
+                ]
+    rows = []
+    for i in ids:
+        best = min(cents, key=lambda c: (dist(q[i], cents[c]), c))
+        rows.append((best, -dist(q[i], cents[best]), i))
+    out = []
+    for cid in sorted({r[0] for r in rows}):
+        group = sorted(r for r in rows if r[0] == cid)
+        n_keep = (len(group) * num + den - 1) // den
+        for rank, (c, negd, i) in enumerate(group, 1):
+            out.append(
+                {
+                    "vec_id": i,
+                    "cluster_id": c,
+                    "dist": -negd,
+                    "rank": rank,
+                    "kept": rank <= n_keep,
+                }
+            )
+    return sorted(out, key=lambda r: r["vec_id"])
+
+
+class TestPrototypePrune:
+    """D4 prototype pruning: within-cluster farthest-kept ranking vs a
+    brute-force replay, across block layouts and keep fractions."""
+
+    @pytest.mark.parametrize("nparts", [1, 5])
+    @pytest.mark.parametrize("num,den", [(1, 2), (3, 4)])
+    def test_matches_brute_force(self, ray_session, nparts, num, den):
+        tbl = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(IDS, pa.int64()),
+                "embedding": pa.array(VECS, pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        got = (
+            prototype_prune(ds, k=3, iters=2, keep_num=num, keep_den=den)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+            .to_dict("records")
+        )
+        assert got == brute_prototype_prune(IDS, VECS, k=3, iters=2, num=num, den=den)
+
+    def test_keep_all(self, ray_session):
+        tbl = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(IDS, pa.int64()),
+                "embedding": pa.array(VECS, pa.list_(pa.float32())),
+            }
+        )
+        out = prototype_prune(
+            ray.data.from_arrow(tbl), k=3, iters=1, keep_num=1, keep_den=1
+        ).to_pandas()
+        assert out["kept"].all()
+        assert len(out) == len(IDS)
 
 
 class TestQuantizeEmbeddings:
