@@ -557,3 +557,88 @@ def gini_concentration(
         ],
         names=["n_keys", "total", "gini"],
     )
+
+
+def global_ntile(
+    ds,
+    n_tiles: int,
+    score_col: str,
+    id_col: str = "doc_id",
+):
+    """Exact corpus-wide tier assignment (the "tier extraction" primitive
+    quality-bucketed curation pipelines need — FineWeb-Edu / DCLM style
+    quality tiers, but with exact rank semantics instead of sampled
+    thresholds): every row gets its global 1-based rank under
+    ``(score ASC, id ASC)`` and ``tier = (rank - 1) * n_tiles // n`` —
+    tier ``n_tiles - 1`` holds the top scores. Ties are broken by id, so
+    the assignment is deterministic and layout-independent.
+
+    Shape (shard_plan's distributed prefix scan, `ops/shard.py`): ONE
+    global sort over 16-byte ``(score, id)`` rows — the honest exchange,
+    rank is a global order statistic — then per-block ``(first_id,
+    n_rows)`` partials (one row per block to the driver), a driver
+    exclusive scan over ~num_blocks rows, and a second pass over the SAME
+    materialized blocks adding ``offset + arange``. Nothing corpus-sized
+    ever lands on the driver; at 10^12 rows the driver holds one row per
+    block.
+
+    Returns a Dataset of ``(id, score, rank, tier)``.
+    """
+    if n_tiles <= 0:
+        raise ValueError("global_ntile: n_tiles must be positive")
+
+    ordered = (
+        ds.select_columns([id_col, score_col])
+        .sort([score_col, id_col])
+        .materialize()
+    )
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                ],
+                names=["first_score", "first_id", "n_rows"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array([batch[score_col][0].as_py()], pa.int64()),
+                pa.array([batch[id_col][0].as_py()], pa.int64()),
+                pa.array([batch.num_rows], pa.int64()),
+            ],
+            names=["first_score", "first_id", "n_rows"],
+        )
+
+    partials = ordered.map_batches(
+        block_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    partials.sort(key=lambda r: (r["first_score"], r["first_id"]))
+    offsets: dict[int, int] = {}
+    running = 0
+    for r in partials:
+        offsets[r["first_id"]] = running
+        running += r["n_rows"]
+    total = running
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=[id_col, score_col, "rank", "tier"],
+            )
+        base = offsets[batch[id_col][0].as_py()]
+        rank0 = base + np.arange(batch.num_rows, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                batch[score_col],
+                pa.array(rank0 + 1),
+                pa.array(rank0 * n_tiles // total),
+            ],
+            names=[id_col, score_col, "rank", "tier"],
+        )
+
+    return ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -2656,6 +2656,37 @@ def q_prototype_prune(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_quality_tiers(sf_dir: str) -> pd.DataFrame:
+    """Tier extraction: exact corpus-wide quality tiers
+    (:func:`ops.quantiles.global_ntile`, 4 tiers) over an integer
+    alnum-permille score — ``1000 * ascii_alnum_chars // max(chars, 1)``,
+    fully vectorized Arrow kernels. Heavy score ties are broken by
+    doc_id, so the assignment is deterministic; the oracle is a
+    row_number window over the same integer score."""
+    from .ops.quantiles import global_ntile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        alnum = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^a-zA-Z0-9]", "")
+        ).cast(pa.int64())
+        chars = pc.utf8_length(text).cast(pa.int64())
+        s = pc.divide(
+            pc.multiply(alnum, pa.scalar(1000, pa.int64())),
+            pc.max_element_wise(chars, pa.scalar(1, pa.int64())),
+        )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], s], names=["doc_id", "score"]
+        )
+
+    out = global_ntile(
+        ds.map_batches(score, batch_format="pyarrow"), 4, score_col="score"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     """Iteration-0 of the distributed BPE trainer (Sennrich et al. 2016):
     the 100 most frequent adjacent symbol pairs (characters + end-of-word
@@ -6717,6 +6748,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "prototype_prune": q_prototype_prune,
+    "quality_tiers": q_quality_tiers,
     "dhash_dedup": q_dhash_dedup,
     "shard_plan": q_shard_plan,
     "count_min": q_count_min,
@@ -8012,6 +8044,24 @@ SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist,
 FROM ranked ORDER BY vec_id
 """
 )
+
+ORACLE_SQL["quality_tiers"] = r"""
+WITH s AS (
+    SELECT doc_id,
+           1000 * length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+               // greatest(length(coalesce(text, '')), 1) AS score
+    FROM documents
+),
+r AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score, doc_id) AS rank,
+           count(*) OVER () AS n
+    FROM s
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) * 4 // n AS BIGINT) AS tier
+FROM r ORDER BY doc_id
+"""
 
 ORACLE_SQL["dhash_dedup"] = r"""
 WITH ids AS (SELECT doc_id, doc_id % 7 AS g FROM documents),

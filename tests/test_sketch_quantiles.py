@@ -681,3 +681,58 @@ class TestGiniConcentration:
         for k, w in rows:
             tot[k] += w
         assert got["gini"] == [self._brute(list(tot.values()))]
+
+
+class TestGlobalNtile:
+    """Exact corpus-wide tier assignment: brute-force rank replay with
+    heavy ties, layout invariance, degenerate tile counts."""
+
+    @staticmethod
+    def _brute(ids, scores, n_tiles):
+        order = sorted(range(len(ids)), key=lambda i: (scores[i], ids[i]))
+        n = len(ids)
+        out = {}
+        for rank0, i in enumerate(order):
+            out[ids[i]] = {
+                "doc_id": ids[i],
+                "score": scores[i],
+                "rank": rank0 + 1,
+                "tier": rank0 * n_tiles // n,
+            }
+        return [out[i] for i in sorted(ids)]
+
+    @pytest.mark.parametrize("nparts", [1, 4, 11])
+    @pytest.mark.parametrize("n_tiles", [1, 4, 7])
+    def test_matches_brute_force(self, ray_session, nparts, n_tiles):
+        import ray
+
+        from pdf_extractor_ray.ops.quantiles import global_ntile
+
+        rng = np.random.Generator(np.random.Philox(23))
+        ids = list(range(83))
+        scores = [int(x) for x in rng.integers(0, 9, size=83)]  # heavy ties
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        got = (
+            global_ntile(ds, n_tiles, score_col="score")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .to_dict("records")
+        )
+        assert got == self._brute(ids, scores, n_tiles)
+
+    def test_invalid_tiles_raises(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.quantiles import global_ntile
+
+        tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                        "score": pa.array([0], pa.int64())})
+        with pytest.raises(ValueError):
+            global_ntile(ray.data.from_arrow(tbl), 0, score_col="score")
