@@ -1866,3 +1866,110 @@ def cluster_representatives(
         within_cols=[score_col, id_col],
         descending=[True, False],
     )
+
+
+def lsh_decontaminate(
+    ds,
+    bench_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    bench_cap: int = 200_000,
+):
+    """Document-level benchmark decontamination: flag every training
+    document whose exact k-char-shingle Jaccard with ANY benchmark
+    document is ≥ ``threshold`` (the near-dup complement of the 8-gram
+    Bloom :func:`..text.decontaminate_batch` — catches paraphrased /
+    lightly-edited eval contamination that exact n-gram membership
+    misses).
+
+    Shape — the broadcast-small-side regime, NOT a corpus shuffle:
+    benchmark suites are small by definition, so the bench side is
+    collected once (gated at ``bench_cap`` rows — ``take_all(limit)``
+    raises beyond it), indexed driver-side into (sorted band-key array,
+    band-key → bench-row buckets, per-row shingle sets), and broadcast
+    via ``ray.put``. The training corpus then streams through ONE
+    shuffle-free ``map_batches``: vectorized minhash signatures + band
+    keys (the minhash-dedup kernels), an ``np.isin`` probe against the
+    bench band keys, and exact Jaccard verification for the matched
+    minority only. Zero exchanges over the train side; at 10^12 train
+    rows the only non-stream state is the bench index.
+
+    Same-seed band salting on both sides restricts collisions to equal
+    band indices, exactly as in :func:`minhash_lsh_dedup`; LSH recall
+    applies (a true near-dup pair missing every band is not flagged) —
+    callers pick (n_perm, bands, threshold) with the standard S-curve.
+
+    Returns the train Dataset with a ``contaminated`` bool column.
+    """
+    import ray
+
+    rows_per_band = n_perm // bands
+    a, b = _perm_params(n_perm, seed)
+    band_salt = (
+        (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(_MIX)
+    )[None, :]
+
+    bench_rows = bench_ds.select_columns([id_col, text_col]).take_all(
+        limit=bench_cap
+    )
+    bench_texts = [r[text_col] for r in bench_rows]
+    bench_shingles = [_char_shingles(t, shingle_k) for t in bench_texts]
+    if bench_rows:
+        bsigs = minhash_signatures_batch(bench_texts, n_perm, a, b, shingle_k)
+        bkeys = _band_hashes(bsigs, bands, rows_per_band) ^ band_salt
+        flat = bkeys.ravel()
+        rows = np.repeat(np.arange(len(bench_rows), dtype=np.int64), bands)
+        order = np.argsort(flat, kind="stable")
+        flat, rows = flat[order], rows[order]
+        uniq, starts = np.unique(flat, return_index=True)
+        buckets = {
+            int(k): rows[s:e]
+            for k, s, e in zip(
+                uniq.tolist(),
+                starts.tolist(),
+                np.append(starts[1:], len(rows)).tolist(),
+            )
+        }
+    else:
+        uniq = np.zeros(0, dtype=np.uint64)
+        buckets = {}
+    index_ref = ray.put((uniq, buckets, bench_shingles))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("contaminated", pa.array([], pa.bool_()))
+        sorted_bkeys, bucket_map, shingles = ray.get(index_ref)
+        flags = np.zeros(n, dtype=bool)
+        if len(sorted_bkeys):
+            texts = batch[text_col].to_pylist()
+            sigs = minhash_signatures_batch(texts, n_perm, a, b, shingle_k)
+            bh = _band_hashes(sigs, bands, rows_per_band) ^ band_salt
+            hit = np.isin(bh, sorted_bkeys)
+            for i in np.nonzero(hit.any(axis=1))[0].tolist():
+                cands = np.unique(
+                    np.concatenate(
+                        [bucket_map[int(k)] for k in bh[i][hit[i]].tolist()]
+                    )
+                )
+                s1 = _char_shingles(texts[i], shingle_k)
+                for j in cands.tolist():
+                    s2 = shingles[j]
+                    inter = len(np.intersect1d(s1, s2, assume_unique=True))
+                    union = len(s1) + len(s2) - inter
+                    sim = (
+                        1.0
+                        if len(s1) == 0 and len(s2) == 0
+                        else (inter / union if union else 0.0)
+                    )
+                    if sim >= threshold:
+                        flags[i] = True
+                        break
+        return batch.append_column("contaminated", pa.array(flags))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

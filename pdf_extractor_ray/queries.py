@@ -2656,6 +2656,32 @@ def q_prototype_prune(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_cross_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Document-level benchmark decontamination
+    (:func:`ops.dedup.lsh_decontaminate`): bench side = every 25th
+    document (broadcast once), train side = the full corpus streaming
+    shuffle-free; contaminated ⇔ exact 5-char-shingle Jaccard ≥ 0.8 with
+    any bench doc. Bench members are exact copies of train docs (J = 1,
+    every band collides — LSH recall is certain), and natural cross
+    pairs sit far below 0.8, so the oracle's exact all-pairs Jaccard is
+    reproduced bit-for-bit."""
+    from .ops.dedup import lsh_decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 25 == 0))
+
+    bench = ds.map_batches(bench_filter, batch_format="pyarrow")
+    out = (
+        lsh_decontaminate(ds, bench, threshold=0.8)
+        .select_columns(["doc_id", "contaminated"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_quality_tiers(sf_dir: str) -> pd.DataFrame:
     """Tier extraction: exact corpus-wide quality tiers
     (:func:`ops.quantiles.global_ntile`, 4 tiers) over an integer
@@ -6749,6 +6775,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "prototype_prune": q_prototype_prune,
     "quality_tiers": q_quality_tiers,
+    "cross_decontaminate": q_cross_decontaminate,
     "dhash_dedup": q_dhash_dedup,
     "shard_plan": q_shard_plan,
     "count_min": q_count_min,
@@ -8044,6 +8071,32 @@ SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist,
 FROM ranked ORDER BY vec_id
 """
 )
+
+ORACLE_SQL["cross_decontaminate"] = r"""
+WITH corpus AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, length(t) - 3),
+                                        i -> substring(t, i, 5))) AS s
+    FROM corpus
+),
+lens AS (SELECT doc_id, len(s) AS l FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+exb AS (SELECT doc_id, g FROM ex WHERE doc_id % 25 = 0),
+inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+    FROM ex a JOIN exb b ON a.g = b.g
+    GROUP BY 1, 2
+),
+hits AS (
+    SELECT DISTINCT ia AS doc_id FROM inter
+    JOIN lens la ON la.doc_id = ia
+    JOIN lens lb ON lb.doc_id = ib
+    WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.8
+)
+SELECT c.doc_id, c.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+FROM corpus c ORDER BY c.doc_id
+"""
 
 ORACLE_SQL["quality_tiers"] = r"""
 WITH s AS (

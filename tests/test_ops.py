@@ -1374,3 +1374,82 @@ class TestMutualNN:
 
         with pytest.raises(RuntimeError, match="b_broadcast_cap"):
             self._run(a, b, b_broadcast_cap=1)
+
+
+class TestLshDecontaminate:
+    """Cross-corpus LSH decontamination: flags vs brute-force exact
+    Jaccard against the bench set, across layouts; cap gate; empty bench."""
+
+    TRAIN = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "completely different text about distributed query engines"),
+        (2, "the quick brown fox jumps over the lazy dog again and"),
+        (3, "a third unrelated document mentioning arrow and parquet"),
+        (4, "benchmark question what is the capital of france exactly"),
+        (5, "short padding text"),
+    ]
+    BENCH = [
+        (100, "the quick brown fox jumps over the lazy dog again and again"),
+        (101, "benchmark question what is the capital of france exactly"),
+    ]
+
+    @staticmethod
+    def _mk(rows):
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_matches_brute_force(self, ray_session, nparts):
+        from pdf_extractor_ray.ops.dedup import jaccard_ngrams, lsh_decontaminate
+
+        got = (
+            lsh_decontaminate(
+                self._mk(self.TRAIN).repartition(nparts),
+                self._mk(self.BENCH),
+                threshold=0.7,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = {
+            i: any(jaccard_ngrams(t, bt) >= 0.7 for _, bt in self.BENCH)
+            for i, t in self.TRAIN
+        }
+        assert dict(zip(got["doc_id"], got["contaminated"])) == want
+        # exact copies must be flagged; unrelated docs must not
+        assert want[0] and want[4] and not want[1] and not want[3]
+        # the lightly-edited near-dup of doc 0 is above 0.7 and flagged
+        assert want[2]
+
+    def test_bench_cap_raises(self, ray_session):
+        from pdf_extractor_ray.ops.dedup import lsh_decontaminate
+
+        with pytest.raises(ValueError):
+            lsh_decontaminate(
+                self._mk(self.TRAIN), self._mk(self.BENCH), bench_cap=1
+            ).to_pandas()
+
+    def test_empty_bench_flags_nothing(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.dedup import lsh_decontaminate
+
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        )
+        out = lsh_decontaminate(self._mk(self.TRAIN), empty).to_pandas()
+        assert not out["contaminated"].any()
