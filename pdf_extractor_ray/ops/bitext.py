@@ -30,8 +30,9 @@ replays the same rounding; see ``queries.py::q_bitext_pairs``).
 
 Scale assumption (documented, gated): |B| must fit the broadcast gate —
 true for the minority-language side of real bitext mining. For
-large × large mining, pre-bucket both sides by IVF list
-(:func:`..ops.ann.assign_lists`) and mine per bucket.
+large × large mining use :func:`mutual_nn_bucketed`: both sides stream
+through one shared-centroid assignment pass and each IVF bucket mines
+its own mutual pairs (same rounding/tie rules; within-bucket contract).
 """
 
 from __future__ import annotations
@@ -69,8 +70,8 @@ def mutual_nn_pairs(
     if b_tbl.num_rows > b_broadcast_cap:
         raise RuntimeError(
             f"side B has {b_tbl.num_rows} rows > b_broadcast_cap="
-            f"{b_broadcast_cap}; bucket both sides by IVF list and mine "
-            "per bucket"
+            f"{b_broadcast_cap}; use mutual_nn_bucketed (IVF-bucketed "
+            "large × large regime)"
         )
     b_ids = b_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(b_ids, kind="stable")  # ascending ids → argmax tiebreak
@@ -181,3 +182,105 @@ def mutual_nn_pairs(
         )
 
     return a_best.map_batches(mutual, batch_format="pyarrow")
+
+
+def mutual_nn_bucketed(
+    ds_a,
+    ds_b,
+    k_buckets: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+):
+    """The large × large bitext regime: mutual-top-1 cosine WITHIN IVF
+    buckets. Side B no longer broadcasts — both sides stream through one
+    assignment pass against shared integer-Lloyd centroids
+    (:func:`..cluster._fit_centroids` on side B), then each bucket
+    resolves its own exact mutual-NN with the SAME rounded-score /
+    smallest-id rules as :func:`mutual_nn_pairs`.
+
+    Contract (the standard IVF trade, documented not silent): a pair
+    whose two sides land in different buckets is missed, and "mutual"
+    means mutual WITHIN the bucket. With ``k_buckets=1`` the result
+    equals the exact path bit-for-bit; real translation pairs sit at
+    high cosine and co-locate by construction. Choose ``k_buckets`` so
+    (|A|+|B|)/k fits a worker — the per-bucket kernel is one matmul.
+
+    Returns a Dataset of ``(src_id, dst_id)``.
+    """
+    import ray
+
+    from .cluster import _assign, _fit_centroids, _quantize
+
+    centroids = _fit_centroids(ds_b, k_buckets, iters, vec_col, id_col)
+    cref = ray.put(centroids)
+    VLIST = pa.list_(pa.float64())
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [
+                        pa.array([], pa.int64()),
+                        pa.array([], pa.int8()),
+                        pa.array([], pa.int64()),
+                        pa.array([], VLIST),
+                    ],
+                    names=[id_col, "side", "bucket", "v"],
+                )
+            qmat = _quantize(batch, vec_col)
+            assign, _d = _assign(qmat, ray.get(cref))
+            vecs = _normalize(_decode_vectors(batch, vec_col))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(
+                        batch[id_col].to_numpy(zero_copy_only=False), pa.int64()
+                    ),
+                    pa.array(np.full(batch.num_rows, side, np.int8)),
+                    pa.array(assign.astype(np.int64)),
+                    pa.array(list(vecs), VLIST),
+                ],
+                names=[id_col, "side", "bucket", "v"],
+            )
+
+        return fn
+
+    both = ds_a.select_columns([id_col, vec_col]).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(
+        ds_b.select_columns([id_col, vec_col]).map_batches(
+            tag(1), batch_format="pyarrow"
+        )
+    )
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        names = ["src_id", "dst_id"]
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        if (side == 0).sum() == 0 or (side == 1).sum() == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=names,
+            )
+        vecs = np.asarray(group["v"].to_pylist(), dtype=np.float64)
+        a_sel = np.nonzero(side == 0)[0]
+        b_sel = np.nonzero(side == 1)[0]
+        a_ids, b_ids = ids[a_sel], ids[b_sel]
+        aord = np.argsort(a_ids, kind="stable")
+        bord = np.argsort(b_ids, kind="stable")
+        a_ids, b_ids = a_ids[aord], b_ids[bord]
+        a_mat = vecs[a_sel][aord]
+        b_mat = vecs[b_sel][bord]
+        sims = np.round(a_mat @ b_mat.T, round_decimals)
+        best_b = sims.argmax(axis=1)  # first max → min b_id (sorted)
+        best_a = sims.argmax(axis=0)  # first max → min a_id
+        keep = best_a[best_b] == np.arange(len(a_ids))
+        return pa.Table.from_arrays(
+            [pa.array(a_ids[keep]), pa.array(b_ids[best_b[keep]])],
+            names=names,
+        )
+
+    return both.groupby("bucket").map_groups(
+        bucket_kernel, batch_format="pyarrow"
+    )

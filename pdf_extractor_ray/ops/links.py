@@ -1192,9 +1192,11 @@ def kcore(
     Each round is ONE degree ``groupby`` over canonical edges plus a
     vectorized keep-filter with the (node, degree) table broadcast under
     ``node_broadcast_cap`` (the same dual-regime contract as pagerank/
-    HITS — above the cap each round becomes two sorted-lookup joins,
-    raised as NotImplementedError until a corpus needs it). Fixed-round
-    semantics keep the SQL oracle expressible as ``rounds`` chained CTEs.
+    HITS — above the cap each round becomes two sorted-lookup joins).
+    Fixed-round semantics keep the SQL oracle expressible as ``rounds``
+    chained CTEs. If the SURVIVING CORE itself exceeds the cap, the
+    result comes back as a Dataset of the same ``(node, degree)`` rows
+    instead of a driver table — sink it with ``write_parquet``.
     """
     import pyarrow.compute as pc
     import ray
@@ -1348,10 +1350,22 @@ def kcore(
 
     final = degrees_ds(edges).materialize()
     if final.count() > node_broadcast_cap:
-        raise NotImplementedError(
-            "kcore: the surviving core itself exceeds node_broadcast_cap; "
-            "write it with a Dataset sink instead of returning a table"
-        )
+        # The surviving core itself exceeds the driver gate: return it as
+        # a Dataset (one filtered streaming pass over the degree table) —
+        # callers sink it with write_parquet; nothing node-sized ever
+        # lands on the driver.
+        def core_rows(t: pa.Table) -> pa.Table:
+            keep = pa.compute.greater_equal(t["sum(d)"].combine_chunks(), k)
+            kept = t.filter(keep)
+            return pa.Table.from_arrays(
+                [
+                    kept["node"].combine_chunks(),
+                    kept["sum(d)"].combine_chunks().cast(pa.int64()),
+                ],
+                names=["node", "degree"],
+            )
+
+        return final.map_batches(core_rows, batch_format="pyarrow")
     ns, dg = collect_degrees(final)
     keep = dg >= k
     return pa.Table.from_arrays(

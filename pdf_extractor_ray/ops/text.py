@@ -801,9 +801,11 @@ def tfidf_top_terms(
     arrays deserialize zero-copy-ish from the object store, unlike a
     dict which would re-unpickle per task) under ``df_cap`` (the
     vocabulary bound — real web vocabularies at 100 TB exceed it, where
-    the documented swap is a semi-join of (doc, term, tf) rows against
-    the df table on term, the same key as the groupby). The scoring
-    pass is per-row, shuffle-free.
+    the regime switches to :func:`_tfidf_semijoin`: (doc, term, tf) rows
+    attach df via the sorted-lookup join on term, the same key as the
+    groupby, and top-k resolves in one per-doc rank sort — identical
+    output, zero driver-side vocabulary). The under-cap scoring pass is
+    per-row, shuffle-free.
 
     Tokenization is RE2 ``\\s+`` split on BOTH the engine and oracle
     sides (pyarrow uses RE2 too) — same contract as :func:`word_topk`;
@@ -833,18 +835,21 @@ def tfidf_top_terms(
 
     n_docs_i = int(ds.count())  # parquet inputs resolve this from metadata
 
-    df_tables = list(
+    df_agg = (
         ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
         .groupby("term")
         .aggregate(Sum("df"))
-        .iter_batches(batch_format="pyarrow")
+        .materialize()
     )
-    n_terms = sum(t.num_rows for t in df_tables)
+    n_terms = int(df_agg.count())
     if n_terms > df_cap:
-        raise RuntimeError(
-            f"vocabulary ({n_terms}) exceeds df_cap={df_cap}; "
-            "semi-join the (doc, term, tf) rows against the df table instead"
-        )
+        # Over-cap regime: NOTHING vocabulary-sized lands on the driver.
+        # (doc, term, tf) rows attach df via the sorted-lookup join on
+        # term (the SAME key as the df groupby), score per row, then one
+        # (doc, score desc, term) rank sort picks top-k per doc — the
+        # lm_bigram_score over-cap shape.
+        return _tfidf_semijoin(ds, df_agg, k, id_col, n_docs_i, doc_tokens)
+    df_tables = list(df_agg.iter_batches(batch_format="pyarrow"))
     terms_all, dfs_all = [], []
     for t in df_tables:
         terms_all.extend(t["term"].to_pylist())
@@ -886,6 +891,80 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _tfidf_semijoin(ds, df_agg, k, id_col, n_docs_i, doc_tokens):
+    """The over-``df_cap`` TF-IDF regime: (doc, term, tf) rows join the
+    (term, df) table with :func:`..segments.attach_lookup` (one sort on
+    term, the groupby's own key), per-row integer scoring, and top-k per
+    doc via :func:`..segments.rank_per_key` — identical output (values,
+    ties, schema) to the broadcast path, zero driver-side vocabulary."""
+    from .segments import attach_lookup, rank_per_key
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for i, toks in zip(batch[id_col].to_pylist(), doc_tokens(batch)):
+            tf: dict[str, int] = {}
+            for tok in toks:
+                tf[tok] = tf.get(tok, 0) + 1
+            ids.extend([i] * len(tf))
+            terms.extend(tf.keys())
+            tfs.extend(tf.values())
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, id_type),
+                pa.array(terms, pa.string()),
+                pa.array(tfs, pa.int64()),
+            ],
+            names=[id_col, "term", "tf"],
+        )
+
+    df_tbl = df_agg.map_batches(
+        lambda b: b.rename_columns(["term", "df"]), batch_format="pyarrow"
+    )
+    attached = attach_lookup(
+        ds.map_batches(tf_rows, batch_format="pyarrow"),
+        df_tbl,
+        key_col="term",
+        val_cols=["df"],
+        carry_cols=[id_col, "tf"],
+    )
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = tf * n_docs_i // np.maximum(df, 1)
+        return pa.Table.from_arrays(
+            [batch[id_col], batch["term"], pa.array(score)],
+            names=[id_col, "term", "score"],
+        )
+
+    ranked = rank_per_key(
+        attached.map_batches(score_rows, batch_format="pyarrow"),
+        key_col=id_col,
+        within_cols=["score", "term"],
+        carry_cols=["term", "score"],
+        descending=[True, False],
+    )
+
+    def top_k(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.less_equal(batch["rank"], pa.scalar(k)))
+        return pa.Table.from_arrays(
+            [
+                kept[id_col],
+                kept["term"],
+                kept["score"],
+                kept["rank"].cast(pa.int32()),
+            ],
+            names=[id_col, "term", "score", "rank"],
+        )
+
+    return ranked.map_batches(top_k, batch_format="pyarrow")
 
 
 def lm_bigram_score(

@@ -1453,3 +1453,64 @@ class TestLshDecontaminate:
         )
         out = lsh_decontaminate(self._mk(self.TRAIN), empty).to_pandas()
         assert not out["contaminated"].any()
+
+
+class TestMutualNNBucketed:
+    """The IVF-bucketed large × large regime: k=1 equals the exact path
+    bit-for-bit; planted identical pairs co-locate and pair up at k>1."""
+
+    @staticmethod
+    def _mk(rows, parts=3):
+        import ray.data as rd
+
+        return rd.from_items(
+            [{"vec_id": i, "embedding": list(map(float, v))} for i, v in rows]
+        ).repartition(parts)
+
+    def test_single_bucket_equals_exact(self, ray_session):
+        from pdf_extractor_ray.ops.bitext import mutual_nn_bucketed, mutual_nn_pairs
+
+        rng = np.random.Generator(np.random.Philox(31))
+        a = [(i * 2, rng.normal(size=8)) for i in range(15)]
+        b = [(i * 2 + 1, rng.normal(size=8)) for i in range(9)]
+        exact = sorted(
+            (r["src_id"], r["dst_id"])
+            for r in mutual_nn_pairs(self._mk(a), self._mk(b)).take_all()
+        )
+        bucketed = sorted(
+            (r["src_id"], r["dst_id"])
+            for r in mutual_nn_bucketed(
+                self._mk(a), self._mk(b), k_buckets=1, iters=1
+            ).take_all()
+        )
+        assert bucketed == exact and len(exact) > 0
+
+    def test_planted_pairs_colocate(self, ray_session):
+        from pdf_extractor_ray.ops.bitext import mutual_nn_bucketed
+
+        rng = np.random.Generator(np.random.Philox(37))
+        # two well-separated clouds; each A doc's translation is an
+        # identical B vector (cosine 1) — same bucket by construction
+        base = [rng.normal(size=8) + (0 if i % 2 else 12) for i in range(10)]
+        a = [(i, v) for i, v in enumerate(base)]
+        b = [(100 + i, v) for i, v in enumerate(base)]
+        out = sorted(
+            (r["src_id"], r["dst_id"])
+            for r in mutual_nn_bucketed(
+                self._mk(a), self._mk(b), k_buckets=2, iters=2
+            ).take_all()
+        )
+        assert out == [(i, 100 + i) for i in range(10)]
+
+    def test_empty_side_bucket(self, ray_session):
+        from pdf_extractor_ray.ops.bitext import mutual_nn_bucketed
+
+        rng = np.random.Generator(np.random.Philox(41))
+        # B has only one tight cloud; A spans two — buckets missing a B
+        # side must emit nothing (not crash)
+        a = [(i, rng.normal(size=4) + (0 if i < 5 else 30)) for i in range(10)]
+        b = [(100 + i, rng.normal(size=4)) for i in range(4)]
+        out = mutual_nn_bucketed(
+            self._mk(a), self._mk(b), k_buckets=2, iters=2
+        ).take_all()
+        assert all(r["dst_id"] >= 100 for r in out)

@@ -409,14 +409,35 @@ class TestTfidfTopTerms:
             exp += [(d, w, -negs, r) for r, (negs, w) in enumerate(best, 1)]
         assert got == exp  # doc 4 contributes no rows
 
-    def test_df_cap_raises(self, ray_session):
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_over_cap_semijoin_matches_broadcast(self, ray_session, nparts):
+        """df_cap=0 forces the sorted-lookup semi-join regime; output
+        (values, ties, schema) must equal the broadcast path exactly."""
         import ray.data as rd
 
         from pdf_extractor_ray.ops.text import tfidf_top_terms
 
-        tbl = pa.table({"doc_id": [1], "text": ["a b c d e"]})
-        with pytest.raises(RuntimeError, match="df_cap"):
-            tfidf_top_terms(rd.from_arrow(tbl), df_cap=2).take_all()
+        docs = {
+            1: "apple banana apple rare",
+            2: "banana banana cherry",
+            3: "apple cherry cherry cherry",
+            4: "",
+            5: "zeta zeta apple apple banana rare rare rare",
+        }
+        tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+        ds = rd.from_arrow(tbl).repartition(nparts)
+
+        def norm(rows):
+            return sorted(
+                (r["doc_id"], r["term"], r["score"], r["rank"]) for r in rows
+            )
+
+        broadcast = tfidf_top_terms(ds, k=2).take_all()
+        semijoin = tfidf_top_terms(ds, k=2, df_cap=0).take_all()
+        assert norm(semijoin) == norm(broadcast)
+        assert {type(r["rank"]) for r in semijoin} == {
+            type(r["rank"]) for r in broadcast
+        }
 
 
 class TestGroupQuantiles:

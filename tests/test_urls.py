@@ -720,6 +720,30 @@ class TestKcore:
         ds = rd.from_items([{"src_host": u, "dst_host": v} for u, v in path])
         assert kcore(ds, k=2, rounds=10).num_rows == 0
 
+    def test_over_cap_core_returns_dataset(self, ray_session):
+        """A surviving core above node_broadcast_cap comes back as a
+        Dataset with identical (node, degree) rows to the table path —
+        and every pruning round runs the sorted-lookup regime too."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import kcore
+
+        rng = np.random.Generator(np.random.Philox(29))
+        pairs = [
+            (f"n{int(rng.integers(0, 12))}", f"n{int(rng.integers(0, 12))}")
+            for _ in range(70)
+        ]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs]
+        ).repartition(3)
+        table = kcore(ds, k=2, rounds=10)
+        small = kcore(ds, k=2, rounds=10, node_broadcast_cap=1)
+        assert not isinstance(small, pa.Table)
+        got = {r["node"]: r["degree"] for r in small.take_all()}
+        want = {r["node"]: r["degree"] for r in table.to_pylist()}
+        assert got == want and len(got) > 0
+
 
 class TestHomoglyphDedup:
     def test_spoof_clusters(self, ray_session):
