@@ -185,7 +185,7 @@ def main() -> None:
         "warc_roundtrip", "ngram_topk", "latest_snapshot", "cdx_index",
         "bm25_search", "kmeans_clusters", "dhash_dedup", "shard_plan",
         "curate_corpus", "pmi_bigrams", "snapshot_delta", "triangles",
-        "http_stats",
+        "http_stats", "cross_decontaminate", "quality_tiers", "semdedup",
     )
     query_steal: dict[str, float] = {}
     for name in query_names:

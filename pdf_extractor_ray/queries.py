@@ -2713,6 +2713,62 @@ def q_quality_tiers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_tier_extract(sf_dir: str) -> pd.DataFrame:
+    """THE graft theme end-to-end — tier extraction over the flagship
+    pipeline: boilerplate-wrapped pages (every 3rd a real ``%PDF-1.4``
+    payload) → full extraction (routing, PDF codec, layout, validate) →
+    integer alnum-permille quality score on the EXTRACTED text → exact
+    global 4-tile tiers (:func:`ops.quantiles.global_ntile`) → per-tier
+    rollup. Extraction is byte-identical to the source text (the
+    extract_mixed invariant), so the oracle scores ``documents.text``
+    directly — any extraction, ranking, or rollup drift breaks the
+    match."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .ops.quantiles import global_ntile
+
+    pages = wrap_documents_as_pages(sf_dir, pdf_every=3, pdf_kind="real")
+    out = extraction_pipeline(pages).select_columns(
+        ["doc_id", "extracted_text"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["extracted_text"], "")
+        alnum = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^a-zA-Z0-9]", "")
+        ).cast(pa.int64())
+        chars = pc.utf8_length(text).cast(pa.int64())
+        s = pc.divide(
+            pc.multiply(alnum, pa.scalar(1000, pa.int64())),
+            pc.max_element_wise(chars, pa.scalar(1, pa.int64())),
+        )
+        one = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [batch["doc_id"], s, one], names=["doc_id", "score", "one"]
+        )
+
+    tiers = global_ntile(
+        out.map_batches(score, batch_format="pyarrow"), 4, score_col="score"
+    )
+    agg = (
+        tiers.map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("tier")
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Min("score", alias_name="min_score"),
+            Max("score", alias_name="max_score"),
+            Sum("score", alias_name="sum_score"),
+        )
+    )
+    df = agg.to_pandas().sort_values("tier").reset_index(drop=True)
+    return df[["tier", "n_docs", "min_score", "max_score", "sum_score"]]
+
+
 def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     """Iteration-0 of the distributed BPE trainer (Sennrich et al. 2016):
     the 100 most frequent adjacent symbol pairs (characters + end-of-word
@@ -6776,6 +6832,7 @@ QUERIES = {
     "prototype_prune": q_prototype_prune,
     "quality_tiers": q_quality_tiers,
     "cross_decontaminate": q_cross_decontaminate,
+    "tier_extract": q_tier_extract,
     "dhash_dedup": q_dhash_dedup,
     "shard_plan": q_shard_plan,
     "count_min": q_count_min,
@@ -8096,6 +8153,27 @@ hits AS (
 )
 SELECT c.doc_id, c.doc_id IN (SELECT doc_id FROM hits) AS contaminated
 FROM corpus c ORDER BY c.doc_id
+"""
+
+ORACLE_SQL["tier_extract"] = r"""
+WITH s AS (
+    SELECT doc_id,
+           1000 * length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+               // greatest(length(coalesce(text, '')), 1) AS score
+    FROM documents
+),
+r AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score, doc_id) AS rank,
+           count(*) OVER () AS n
+    FROM s
+)
+SELECT CAST((rank - 1) * 4 // n AS BIGINT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM r GROUP BY 1 ORDER BY 1
 """
 
 ORACLE_SQL["quality_tiers"] = r"""
