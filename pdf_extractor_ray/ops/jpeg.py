@@ -1450,3 +1450,175 @@ def encode_tiff_gray(
         ext += struct.pack("<" + "I" * n_strips, *offsets)
         ext += struct.pack("<" + "I" * n_strips, *counts)
     return bytes(header) + bytes(ifd) + bytes(ext) + b"".join(strips)
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (APP1 TIFF IFDs) — image-curation metadata without decode
+# ---------------------------------------------------------------------------
+
+_EXIF_ASCII = {0x010F: "make", 0x0110: "model", 0x0132: "datetime"}
+_EXIF_SHORT = {0x0112: "orientation"}
+_EXIF_SUB = {0xA002: "pixel_x", 0xA003: "pixel_y", 0x8827: "iso"}
+
+
+def _read_ifd_entries(payload: bytes, bo: str, ifd_off: int) -> dict[int, tuple]:
+    """One IFD → {tag: (type, [values])}; ASCII kept as raw bytes,
+    RATIONAL as (num, den) pairs. Truncated entries are skipped — EXIF in
+    the wild is best-effort."""
+    out: dict[int, tuple] = {}
+    if ifd_off + 2 > len(payload):
+        return out
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    for e in range(n_entries):
+        off = ifd_off + 2 + e * 12
+        if off + 12 > len(payload):
+            break
+        tag, typ = struct.unpack(bo + "HH", payload[off : off + 4])
+        (count,) = struct.unpack(bo + "I", payload[off + 4 : off + 8])
+        if typ not in type_size or count > 1 << 20:
+            continue
+        sz = type_size[typ] * count
+        if sz <= 4:
+            raw = payload[off + 8 : off + 8 + sz]
+        else:
+            (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+            raw = payload[voff : voff + sz]
+        if len(raw) != sz:
+            continue
+        if typ == 2:
+            out[tag] = (typ, [raw])
+        elif typ == 5:
+            vals = struct.unpack(bo + "II" * count, raw)
+            out[tag] = (typ, list(zip(vals[0::2], vals[1::2])))
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            out[tag] = (typ, list(struct.unpack(bo + fmt * count, raw)))
+    return out
+
+
+def parse_exif(payload: bytes) -> dict:
+    """EXIF fields from a JPEG (APP1 ``Exif\\0\\0`` segment) or a bare
+    TIFF blob: orientation, make, model, datetime, pixel_x, pixel_y, iso
+    — ``None`` where absent, ``has_exif=False`` when no EXIF structure
+    exists at all. Parses IFD0 + the Exif sub-IFD (tag 0x8769) with the
+    engine's own TIFF IFD reader; never decodes pixels, so it is safe on
+    any image the decoders reject."""
+    tiff = None
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        tiff = payload
+    elif payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = payload[pos + 10 : pos + 2 + seg_len]
+                break
+            if marker == 0xDA:  # SOS: no APP segments past here
+                break
+            pos += 2 + seg_len
+    out: dict = {k: None for k in ("orientation", "make", "model", "datetime",
+                                   "pixel_x", "pixel_y", "iso")}
+    out["has_exif"] = False
+    if tiff is None or len(tiff) < 8:
+        return out
+    bo = "<" if tiff[:2] == b"II" else ">"
+    try:
+        (ifd_off,) = struct.unpack(bo + "I", tiff[4:8])
+        ifd0 = _read_ifd_entries(tiff, bo, ifd_off)
+    except struct.error:
+        return out
+    if not ifd0:
+        return out
+    out["has_exif"] = True
+    for tag, name in _EXIF_ASCII.items():
+        if tag in ifd0 and ifd0[tag][0] == 2:
+            out[name] = ifd0[tag][1][0].split(b"\x00")[0].decode(
+                "ascii", errors="replace"
+            )
+    for tag, name in _EXIF_SHORT.items():
+        if tag in ifd0 and ifd0[tag][1]:
+            out[name] = int(ifd0[tag][1][0])
+    if 0x8769 in ifd0 and ifd0[0x8769][1]:
+        sub = _read_ifd_entries(tiff, bo, int(ifd0[0x8769][1][0]))
+        for tag, name in _EXIF_SUB.items():
+            if tag in sub and sub[tag][1]:
+                v = sub[tag][1][0]
+                out[name] = int(v[0] // max(v[1], 1)) if sub[tag][0] == 5 else int(v)
+    return out
+
+
+def build_exif_app1(
+    orientation: int | None = None,
+    make: str | None = None,
+    model: str | None = None,
+    datetime: str | None = None,
+    pixel_x: int | None = None,
+    pixel_y: int | None = None,
+    iso: int | None = None,
+) -> bytes:
+    """Fixture-grade APP1 segment (little-endian TIFF, IFD0 + Exif
+    sub-IFD) — splice after a JPEG's SOI to plant EXIF."""
+    def entries(pairs):  # [(tag, typ, values)] sorted by tag
+        return sorted(pairs, key=lambda p: p[0])
+
+    ifd0 = []
+    if make is not None:
+        ifd0.append((0x010F, 2, make.encode() + b"\x00"))
+    if model is not None:
+        ifd0.append((0x0110, 2, model.encode() + b"\x00"))
+    if orientation is not None:
+        ifd0.append((0x0112, 3, struct.pack("<H", orientation)))
+    if datetime is not None:
+        ifd0.append((0x0132, 2, datetime.encode() + b"\x00"))
+    sub = []
+    if iso is not None:
+        sub.append((0x8827, 3, struct.pack("<H", iso)))
+    if pixel_x is not None:
+        sub.append((0xA002, 4, struct.pack("<I", pixel_x)))
+    if pixel_y is not None:
+        sub.append((0xA003, 4, struct.pack("<I", pixel_y)))
+
+    def encode_ifd(items, base_off, extra_tail=b""):
+        """items: [(tag, typ, raw_value_bytes)]; base_off = offset of this
+        IFD within the TIFF blob. Returns (ifd_bytes, tail_bytes)."""
+        n = len(items)
+        tail_off = base_off + 2 + n * 12 + 4 + len(extra_tail)
+        body = struct.pack("<H", n)
+        tail = bytearray(extra_tail)
+        counts = {2: lambda r: len(r), 3: lambda r: len(r) // 2, 4: lambda r: len(r) // 4}
+        for tag, typ, raw in entries(items):
+            count = counts[typ](raw)
+            body += struct.pack("<HHI", tag, typ, count)
+            if len(raw) <= 4:
+                body += raw.ljust(4, b"\x00")
+            else:
+                body += struct.pack("<I", tail_off + len(tail) - len(extra_tail))
+                tail += raw
+        body += struct.pack("<I", 0)  # next IFD
+        return body, bytes(tail)
+
+    # layout: header(8) | IFD0 | ifd0-tail | subIFD | sub-tail
+    # two-pass: first size IFD0 to learn where the sub IFD lands
+    ifd0_items = list(ifd0)
+    sub_ptr_entry = []
+    if sub:
+        sub_ptr_entry = [(0x8769, 4, struct.pack("<I", 0))]  # patched below
+    body0, tail0 = encode_ifd(ifd0_items + sub_ptr_entry, 8)
+    sub_off = 8 + len(body0) + len(tail0)
+    if sub:
+        body0, tail0 = encode_ifd(
+            ifd0_items + [(0x8769, 4, struct.pack("<I", sub_off))], 8
+        )
+        body1, tail1 = encode_ifd(sub, sub_off)
+    else:
+        body1, tail1 = b"", b""
+    tiff = b"II*\x00" + struct.pack("<I", 8) + body0 + tail0 + body1 + tail1
+    seg = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg

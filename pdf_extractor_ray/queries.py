@@ -2713,6 +2713,59 @@ def q_quality_tiers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_exif_census(sf_dir: str) -> pd.DataFrame:
+    """EXIF metadata census over a synthetic JPEG corpus: per doc a real
+    baseline JPEG with a planted APP1 Exif segment (orientation / make /
+    pixel_x / iso closed-form in doc_id; every 7th doc carries none),
+    parsed back by the engine's own TIFF-IFD reader
+    (:func:`ops.jpeg.parse_exif`) in one stateless shuffle-free pass —
+    the image-curation metadata path that never decodes pixels."""
+    from .ops.jpeg import build_exif_app1, encode_jpeg_gray, parse_exif
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    base = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            if i % 7 == 0:
+                payloads.append(base)
+            else:
+                app1 = build_exif_app1(
+                    orientation=i % 8 + 1,
+                    make=f"cam{i % 3}",
+                    pixel_x=16 + i % 5,
+                    iso=100 * (i % 4 + 1),
+                )
+                payloads.append(base[:2] + app1 + base[2:])
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    def census(batch: pa.Table) -> pa.Table:
+        metas = [parse_exif(p) for p in batch["payload"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array([m["orientation"] for m in metas], pa.int64()),
+                pa.array([m["make"] for m in metas], pa.string()),
+                pa.array([m["pixel_x"] for m in metas], pa.int64()),
+                pa.array([m["iso"] for m in metas], pa.int64()),
+                pa.array([m["has_exif"] for m in metas], pa.bool_()),
+            ],
+            names=["doc_id", "orientation", "make", "pixel_x", "iso", "has_exif"],
+        )
+
+    out = (
+        ds.map_batches(build, batch_format="pyarrow")
+        .map_batches(census, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_tier_extract(sf_dir: str) -> pd.DataFrame:
     """THE graft theme end-to-end — tier extraction over the flagship
     pipeline: boilerplate-wrapped pages (every 3rd a real ``%PDF-1.4``
@@ -6833,6 +6886,7 @@ QUERIES = {
     "quality_tiers": q_quality_tiers,
     "cross_decontaminate": q_cross_decontaminate,
     "tier_extract": q_tier_extract,
+    "exif_census": q_exif_census,
     "dhash_dedup": q_dhash_dedup,
     "shard_plan": q_shard_plan,
     "count_min": q_count_min,
@@ -8153,6 +8207,17 @@ hits AS (
 )
 SELECT c.doc_id, c.doc_id IN (SELECT doc_id FROM hits) AS contaminated
 FROM corpus c ORDER BY c.doc_id
+"""
+
+ORACLE_SQL["exif_census"] = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 8 + 1 END AS orientation,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'cam' || CAST(doc_id % 3 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 16 + doc_id % 5 END AS pixel_x,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 100 * (doc_id % 4 + 1) END AS iso,
+       doc_id % 7 <> 0 AS has_exif
+FROM documents ORDER BY doc_id
 """
 
 ORACLE_SQL["tier_extract"] = r"""

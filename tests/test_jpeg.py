@@ -304,3 +304,83 @@ class TestTiff:
         good[idx : idx + 12] = struct.pack("<HHII", 258, 3, 1, 16)
         with pytest.raises(NotImplementedError):
             decode_tiff(bytes(good))
+
+
+class TestExif:
+    """APP1 Exif parse/build roundtrip + hostile/absent structures."""
+
+    def test_roundtrip_all_fields(self):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.jpeg import (
+            build_exif_app1,
+            encode_jpeg_gray,
+            parse_exif,
+        )
+
+        jpg = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+        app1 = build_exif_app1(
+            orientation=6,
+            make="CamCo",
+            model="X1",
+            datetime="2024:01:02 03:04:05",
+            pixel_x=1600,
+            pixel_y=1200,
+            iso=200,
+        )
+        got = parse_exif(jpg[:2] + app1 + jpg[2:])
+        assert got == {
+            "orientation": 6,
+            "make": "CamCo",
+            "model": "X1",
+            "datetime": "2024:01:02 03:04:05",
+            "pixel_x": 1600,
+            "pixel_y": 1200,
+            "iso": 200,
+            "has_exif": True,
+        }
+
+    def test_partial_fields_and_no_exif(self):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.jpeg import (
+            build_exif_app1,
+            encode_jpeg_gray,
+            parse_exif,
+        )
+
+        jpg = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+        assert parse_exif(jpg)["has_exif"] is False
+        app1 = build_exif_app1(orientation=1)
+        got = parse_exif(jpg[:2] + app1 + jpg[2:])
+        assert got["orientation"] == 1 and got["make"] is None
+        assert got["has_exif"] is True
+
+    def test_bare_tiff_and_hostile_bytes(self):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.jpeg import encode_tiff_gray, parse_exif
+
+        tiff = encode_tiff_gray(np.zeros((4, 4), np.uint8))
+        got = parse_exif(tiff)
+        assert got["has_exif"] is True and got["orientation"] is None
+        for hostile in (b"", b"\xff\xd8", b"II*\x00", b"II*\x00" + b"\xff" * 6,
+                        b"garbage not an image at all"):
+            out = parse_exif(hostile)
+            assert out["has_exif"] is False
+
+    def test_truncated_app1_survives(self):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.jpeg import (
+            build_exif_app1,
+            encode_jpeg_gray,
+            parse_exif,
+        )
+
+        jpg = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+        app1 = build_exif_app1(orientation=3, make="T", pixel_x=9)
+        doc = jpg[:2] + app1 + jpg[2:]
+        for cut in (12, 20, len(app1) // 2):
+            out = parse_exif(doc[: 2 + cut])
+            assert isinstance(out, dict)  # never raises
