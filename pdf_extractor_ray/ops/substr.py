@@ -269,9 +269,9 @@ def remove_dup_substrings(
     duplicated-hash set comes from the one honest ``groupby(hash)``
     exchange and broadcasts under ``dup_cap``; the removal pass is
     per-document (position hits → coverage-diff char mask → rebuild).
-    Above ``dup_cap`` the membership test must become the documented
-    hash-partitioned semi-join carrying POSITIONS (doc, pos, hash) —
-    raised as NotImplementedError until a corpus needs it."""
+    Above ``dup_cap`` the membership test switches to the hash-partitioned
+    positions semi-join (doc, pos, hash) — see the over-cap regime below,
+    equivalence-tested with a lowered cap against the broadcast path."""
     import ray
     from ray.data.aggregate import Sum
 

@@ -2828,8 +2828,8 @@ def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
     marker chr(31)) weighted by word-TYPE frequency. This is the exchange
     the whole trainer rests on — the merge loop itself iterates the
     vocabulary-bounded word-type table on the driver
-    (:func:`ops.bpe.bpe_train`, equivalence-tested against a brute-force
-    reference; the loop is not SQL-expressible)."""
+    (:func:`ops.bpe.bpe_train`; the full loop is oracled by Q ``bpe_train``'s
+    unrolled per-round SQL replica)."""
     from .ops.bpe import bpe_pair_counts
 
     ds = _read(sf_dir, "documents", columns=["text"])
@@ -8361,3 +8361,153 @@ SELECT e.token,
 FROM est e LEFT JOIN tc ON tc.tok = e.token
 ORDER BY e.token
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training — the full merge loop, oracle-checked.
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_round_ctes(n_rounds: int, min_count: int = 2) -> str:
+    """Shared CTE chain replicating :func:`ops.bpe.bpe_train` round by round
+    in pure SQL: per-round pair counts over the word-TYPE table, best-pair
+    selection (count DESC, then (left, right) codepoint-ascending — DuckDB's
+    binary UTF-8 collation equals Python's codepoint order), and greedy
+    left-to-right merge application via run-parity window functions (within
+    each maximal run of consecutive pair hits, keep the 1st, 3rd, … — the
+    exact left-to-right pairing `merge_word` performs; for left ≠ right all
+    runs have length 1).  ``MATERIALIZED`` on the per-round tables is load-
+    bearing: each round references its predecessor twice, and DuckDB's
+    default CTE inlining would otherwise duplicate the whole upstream chain
+    2^rounds times."""
+    parts = [
+        r"""toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word FROM documents
+),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+syms_0 AS MATERIALIZED (
+    SELECT word, cnt, list_append(regexp_extract_all(word, '.'), chr(31)) AS syms
+    FROM wf
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""pairs_{r} AS (
+    SELECT syms[i] AS l, syms[i + 1] AS r2, sum(cnt) AS pcnt
+    FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM syms_{p})
+    GROUP BY 1, 2
+),
+best_{r} AS MATERIALIZED (
+    SELECT l, r2, pcnt FROM pairs_{r}
+    WHERE pcnt >= {min_count}
+    ORDER BY pcnt DESC, l, r2 LIMIT 1
+),
+pos_{r} AS (
+    SELECT word, cnt,
+           unnest(syms) AS sym,
+           unnest(range(1, len(syms) + 1)) AS i
+    FROM syms_{p}
+),
+mk_{r} AS (
+    SELECT word, cnt, i, sym,
+           coalesce(sym = (SELECT l FROM best_{r})
+                    AND lead(sym) OVER (PARTITION BY word ORDER BY i)
+                        = (SELECT r2 FROM best_{r}), FALSE) AS hit
+    FROM pos_{r}
+),
+rn_{r} AS (
+    SELECT word, cnt, i, sym, hit,
+           i - row_number() OVER (PARTITION BY word, hit ORDER BY i) AS grp
+    FROM mk_{r}
+),
+gr_{r} AS (
+    SELECT word, cnt, i, sym, hit,
+           CASE WHEN hit THEN
+               row_number() OVER (PARTITION BY word, hit, grp ORDER BY i) % 2 = 1
+           ELSE FALSE END AS keep
+    FROM rn_{r}
+),
+ab_{r} AS (
+    SELECT word, cnt, i, sym, keep,
+           coalesce(lag(keep) OVER (PARTITION BY word ORDER BY i), FALSE)
+               AS absorbed
+    FROM gr_{r}
+),
+syms_{r} AS MATERIALIZED (
+    SELECT word, any_value(cnt) AS cnt,
+           list(CASE WHEN keep THEN sym || (SELECT r2 FROM best_{r})
+                     ELSE sym END ORDER BY i) AS syms
+    FROM ab_{r} WHERE NOT absorbed
+    GROUP BY word
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _gen_bpe_train_sql(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, l, r2, pcnt FROM best_{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return f"""WITH {_bpe_round_ctes(n_rounds)},
+merged AS (
+{union}
+)
+SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r2 AS "right",
+       CAST(pcnt AS BIGINT) AS pair_count
+FROM merged ORDER BY rank"""
+
+
+def _gen_bpe_tokenize_sql(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    return f"""WITH {_bpe_round_ctes(n_rounds)},
+lens AS (SELECT word, len(syms) AS wlen FROM syms_{n_rounds}),
+doctoks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+    FROM documents
+),
+per_doc AS (
+    SELECT t.doc_id, sum(l.wlen) AS n
+    FROM doctoks t JOIN lens l USING (word) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(p.n, 0) AS INTEGER) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """The FULL distributed BPE merge loop (Sennrich et al. 2016), not just
+    iteration zero: corpus word-type frequencies via one vocabulary-sized
+    exchange, then 8 driver-side merge rounds over the word-TYPE table
+    (vocabulary-bounded, never corpus-bounded — see ops/bpe.py docstring for
+    the 100-TB decomposition). Oracled by an unrolled 8-round SQL replica of
+    the trainer: per-round pair counts, deterministic best-pair selection,
+    and greedy left-to-right merge application via run-parity windows."""
+    from .ops.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, num_merges=_BPE_TRAIN_ROUNDS, min_count=2)
+
+
+def q_bpe_tokenize(sf_dir: str) -> pd.DataFrame:
+    """Train 8 merges on the corpus, then ENCODE the corpus with them
+    (:class:`ops.bpe.BpeEncoder` — merge ranks compiled once per worker,
+    per-worker word-type memo): per-document subword counts. Encoder ≡
+    trainer evolution for in-vocabulary words (new symbols only ever form
+    higher-rank pairs, and leftmost-first single merges equal left-to-right
+    greedy within equal-symbol runs), which the shared SQL chain verifies
+    end-to-end."""
+    from .ops.bpe import bpe_apply, bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, num_merges=_BPE_TRAIN_ROUNDS, min_count=2)
+    out = bpe_apply(ds, merges).select_columns(["doc_id", "n_bpe_tokens"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["bpe_train"] = q_bpe_train
+QUERIES["bpe_tokenize"] = q_bpe_tokenize
+ORACLE_SQL["bpe_train"] = _gen_bpe_train_sql()
+ORACLE_SQL["bpe_tokenize"] = _gen_bpe_tokenize_sql()

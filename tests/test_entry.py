@@ -51,7 +51,15 @@ class TestEntry:
         assert len(qs) >= 15
 
     @pytest.mark.parametrize(
-        "name", ["problem_flags", "token_stats", "orders_topk", "exact_dedup"]
+        "name",
+        [
+            "problem_flags",
+            "token_stats",
+            "orders_topk",
+            "exact_dedup",
+            "bpe_train",
+            "bpe_tokenize",
+        ],
     )
     def test_query_matches_oracle_sf0001(self, entrymod, oracle_con, name):
         qs, sqls = entrymod.queries(), entrymod.oracle_sql()
