@@ -8511,3 +8511,162 @@ QUERIES["bpe_train"] = q_bpe_train
 QUERIES["bpe_tokenize"] = q_bpe_tokenize
 ORACLE_SQL["bpe_train"] = _gen_bpe_train_sql()
 ORACLE_SQL["bpe_tokenize"] = _gen_bpe_tokenize_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: reciprocal-rank fusion of the BM25 and dense-ANN arms.
+# ---------------------------------------------------------------------------
+
+HYBRID_DEPTH = 20
+
+
+def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval (:mod:`ops.fuse`): the SAME query strings run
+    through BOTH ranked arms — integer-exact BM25 (:mod:`ops.search`) and
+    dense cosine ANN over hashed-trigram embeddings (:mod:`ops.ann` /
+    :mod:`ops.embed`, 6-decimal score quantization for float-order-free
+    ranks) — each arm returning its per-query top-20, fused with
+    integer-exact reciprocal-rank fusion (``Σ 1_000_000 // (60 + rank)``,
+    Cormack et al. 2009) into a top-10. Both arms are distributed corpus
+    scans; the fusion sees only O(queries × depth) rows."""
+    from .ops.ann import brute_force_topk
+    from .ops.embed import HashedNgramEmbedder, embed_documents
+    from .ops.fuse import rrf_fuse
+    from .ops.search import bm25_topk
+
+    qids = sorted(BM25_QUERIES)
+    lex = bm25_topk(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        BM25_QUERIES,
+        k=HYBRID_DEPTH,
+    ).to_pandas()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["vec_id", "text"])
+
+    embedded = embed_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            rename, batch_format="pyarrow"
+        ),
+        dim=64,
+        projection="identity",
+    )
+    embedder = HashedNgramEmbedder(dim=64, projection="identity")
+    queries = np.stack([embedder.embed_one(BM25_QUERIES[q]) for q in qids])
+    dense = brute_force_topk(
+        embedded, queries, k=HYBRID_DEPTH, query_ids=qids, round_decimals=6
+    ).rename(columns={"vec_id": "doc_id"})
+    return rrf_fuse({"lex": lex, "dense": dense}, k=10)
+
+
+def _gen_hybrid_sql() -> str:
+    qvals = ",\n    ".join(
+        f"('{q}', '{BM25_QUERIES[q]}')" for q in sorted(BM25_QUERIES)
+    )
+    qterm_vals = ",\n    ".join(
+        f"('{q}', '{t}')"
+        for q in sorted(BM25_QUERIES)
+        for t in dict.fromkeys(BM25_QUERIES[q].lower().split())
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n,
+           (SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS a
+),
+q(query_id, term) AS (VALUES
+    {qterm_vals}),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+    SELECT q.query_id, tf.doc_id,
+           10000 * (2 * s.n - 2 * dfv.df + 1) * (20 * s.a) * tf.tf
+           // ((2 * dfv.df + 1) * (8 * s.a * tf.tf + 3 * s.a + 9 * dl.dl)) AS w
+    FROM q JOIN tf USING (term) JOIN dfv USING (term)
+         JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+lrank AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY sum(w) DESC, doc_id) AS r
+    FROM w GROUP BY 1, 2
+),
+lex AS (SELECT query_id, doc_id, r FROM lrank WHERE r <= {HYBRID_DEPTH}),
+corpus AS (SELECT doc_id, lower(text) AS t FROM documents),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(t) - 1),
+                                 i -> substring(t, i, 3))) AS g
+    FROM corpus
+),
+qs(query_id, t) AS (VALUES
+    {qvals}),
+qgrams AS (
+    SELECT query_id,
+           unnest(list_transform(range(1, length(t) - 1),
+                                 i -> substring(t, i, 3))) AS g
+    FROM qs
+),
+gh AS (
+    SELECT g,
+           CAST(list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                   list_transform(range(1, length(g) + 1),
+                       i -> CAST(unicode(substring(g, i, 1)) AS HUGEINT))),
+               (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                          * 1099511628211) % 18446744073709551616) AS UBIGINT)
+           % 64 AS dim
+    FROM (SELECT DISTINCT g FROM (SELECT g FROM grams UNION SELECT g FROM qgrams))
+),
+dims AS (
+    SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS c
+    FROM grams JOIN gh USING (g) GROUP BY 1, 2
+),
+qdims AS (
+    SELECT query_id, dim, CAST(count(*) AS DOUBLE) AS c
+    FROM qgrams JOIN gh USING (g) GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM dims GROUP BY 1),
+qnorms AS (SELECT query_id, sqrt(sum(c * c)) AS nrm FROM qdims GROUP BY 1),
+dots AS (
+    SELECT q.query_id, d.doc_id, sum(q.c * d.c) AS dot
+    FROM qdims q JOIN dims d ON q.dim = d.dim
+    GROUP BY 1, 2
+),
+dscored AS (
+    SELECT query_id, doc_id, dot / (nq.nrm * nd.nrm) AS score
+    FROM dots JOIN qnorms nq USING (query_id) JOIN norms nd USING (doc_id)
+),
+drank AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS r
+    FROM dscored
+),
+dense AS (SELECT query_id, doc_id, r FROM drank WHERE r <= {HYBRID_DEPTH}),
+fused AS (
+    SELECT query_id, doc_id,
+           coalesce(1000000 // (60 + l.r), 0)
+           + coalesce(1000000 // (60 + d.r), 0) AS s
+    FROM lex l FULL OUTER JOIN dense d USING (query_id, doc_id)
+),
+final AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+    FROM fused
+)
+SELECT query_id, doc_id, CAST(s AS BIGINT) AS rrf_score, CAST(r AS INTEGER) AS rank
+FROM final WHERE r <= 10 ORDER BY query_id, rank
+"""
+
+
+QUERIES["hybrid_search"] = q_hybrid_search
+ORACLE_SQL["hybrid_search"] = _gen_hybrid_sql()

@@ -80,3 +80,43 @@ def test_bm25_empty_query_raises(ray_session):
     ds = ray.data.from_arrow(tbl)
     with pytest.raises(ValueError):
         bm25_topk(ds, {"q": "   "})
+
+
+class TestRrfFuse:
+    def test_fusion_semantics(self):
+        import pandas as pd
+
+        from pdf_extractor_ray.ops.fuse import rrf_fuse
+
+        lex = pd.DataFrame(
+            {"query_id": ["q", "q"], "doc_id": [1, 2], "rank": [1, 2]}
+        )
+        dense = pd.DataFrame(
+            {"query_id": ["q", "q"], "doc_id": [2, 3], "rank": [1, 2]}
+        )
+        out = rrf_fuse({"lex": lex, "dense": dense}, k=10)
+        by_doc = dict(zip(out["doc_id"], out["rrf_score"]))
+        s1, s2 = 1_000_000 // 61, 1_000_000 // 62
+        # doc 2 appears in both arms; docs 1 and 3 in one arm each.
+        assert by_doc == {1: s1, 2: s2 + s1, 3: s2}
+        assert list(out.sort_values("rank")["doc_id"]) == [2, 1, 3]
+
+    def test_tie_breaks_by_doc_id_and_k_truncates(self):
+        import pandas as pd
+
+        from pdf_extractor_ray.ops.fuse import rrf_fuse
+
+        arm = pd.DataFrame(
+            {"query_id": ["q"] * 3, "doc_id": [9, 3, 7], "rank": [1, 1, 1]}
+        )
+        out = rrf_fuse({"a": arm}, k=2)
+        assert list(out["doc_id"]) == [3, 7]
+        assert list(out["rank"]) == [1, 2]
+
+    def test_empty_arms_raise(self):
+        import pytest as _pytest
+
+        from pdf_extractor_ray.ops.fuse import rrf_fuse
+
+        with _pytest.raises(ValueError):
+            rrf_fuse({})
