@@ -8670,3 +8670,46 @@ FROM final WHERE r <= 10 ORDER BY query_id, rank
 
 QUERIES["hybrid_search"] = q_hybrid_search
 ORACLE_SQL["hybrid_search"] = _gen_hybrid_sql()
+
+
+# ---------------------------------------------------------------------------
+# Distributed suffix array (prefix doubling) — global suffix ranks.
+# ---------------------------------------------------------------------------
+
+
+def q_suffix_array(sf_dir: str) -> pd.DataFrame:
+    """Global suffix-array ranks via distributed Manber–Myers prefix
+    doubling (:mod:`ops.suffix`): every ``(doc, pos)`` suffix ranked in
+    one corpus-wide lexicographic order (ties across documents broken by
+    ``(doc_id, pos)``), built in ⌈log₂ max-doc-len⌉ rounds each moving
+    only 24-byte integer rows — the structure exact-substring dedup (Lee
+    et al. 2022) is defined over. Output restricted to the first three
+    documents' positions; the RANKS remain global. Oracle: DuckDB sorts
+    the actual suffix strings."""
+    from .ops.suffix import suffix_ranks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ranks = suffix_ranks(ds)
+
+    def head_docs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["doc_id"], 3))
+
+    out = ranks.map_batches(head_docs, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+QUERIES["suffix_array"] = q_suffix_array
+ORACLE_SQL["suffix_array"] = """
+WITH pos AS (
+    SELECT doc_id, unnest(range(0, length(text))) AS p, text FROM documents
+),
+r AS (
+    SELECT doc_id, p,
+           row_number() OVER (
+               ORDER BY substring(text, CAST(p AS INTEGER) + 1), doc_id, p
+           ) AS srank
+    FROM pos
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(srank AS BIGINT) AS srank
+FROM r WHERE doc_id < 3 ORDER BY doc_id, pos
+"""
