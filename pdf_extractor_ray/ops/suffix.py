@@ -55,14 +55,16 @@ def _empty(names: list[str]) -> pa.Table:
     )
 
 
-def suffix_ranks(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Global suffix ranks over every ``(doc, pos)`` suffix in ``ds``.
+def _prefix_double(ds, text_col: str, id_col: str, keep_tables: bool):
+    """Core prefix-doubling loop.
 
-    Returns a Dataset with columns ``(doc_id, pos, srank)`` where
-    ``srank`` is the 1-based global row number of suffix ``text[pos:]``
-    under lexicographic codepoint order, ties (byte-identical suffixes
-    across documents) broken by ``(doc_id, pos)`` — exactly
-    ``row_number() OVER (ORDER BY suffix, doc_id, pos)``.
+    Returns ``(final, n_total, tables)`` where ``final`` is the rank
+    dataset ``(skey, rank)`` (dense ranks, equal for byte-identical
+    suffixes), and ``tables`` — when ``keep_tables`` — is the list of
+    ``(m, Dataset(skey, rank))`` snapshots with ranks by the first
+    ``min(m, len)`` characters, for every power of two ``m`` reached
+    (the binary-lifting ladder LCP queries descend). ``final is None``
+    with ``n_total == 0`` for an empty corpus.
     """
     import ray
 
@@ -91,7 +93,7 @@ def suffix_ranks(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
     n_total = exploded.count()
     if n_total == 0:
-        return ray.data.from_arrow(_empty([id_col, "pos", "srank"]))
+        return None, 0, []
 
     # --- Per-block partials: the codepoint alphabet (σ × num_blocks rows
     # to the driver, never the corpus) and the max position (= max doc
@@ -128,9 +130,14 @@ def suffix_ranks(ds, text_col: str = "text", id_col: str = "doc_id"):
     cur = exploded.map_batches(init_rank, batch_format="pyarrow")
 
     # --- Doubling rounds.
+    tables: list[tuple[int, object]] = []
     h = 1
+    ran = False
     while h < max_len:
+        ran = True
         by_key = cur.sort("skey").materialize()
+        if keep_tables:
+            tables.append((h, by_key))
 
         # Halo: the first h rows of every block, broadcast — covers any
         # (skey + h) reference that crosses a block boundary.
@@ -174,9 +181,33 @@ def suffix_ranks(ds, text_col: str = "text", id_col: str = "doc_id"):
         paired = by_key.map_batches(shift, batch_format="pyarrow", batch_size=None)
 
         cur, n_distinct = _dense_rank_pairs(paired, n_total)
+        h *= 2
         if n_distinct == n_total:
             break
-        h *= 2
+
+    if keep_tables:
+        if ran:
+            tables.append((h, cur))
+        else:  # every doc has length ≤ 1: the initial ranks are final
+            cur = cur.materialize()
+            tables.append((1, cur))
+    return cur, n_total, tables
+
+
+def suffix_ranks(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Global suffix ranks over every ``(doc, pos)`` suffix in ``ds``.
+
+    Returns a Dataset with columns ``(doc_id, pos, srank)`` where
+    ``srank`` is the 1-based global row number of suffix ``text[pos:]``
+    under lexicographic codepoint order, ties (byte-identical suffixes
+    across documents) broken by ``(doc_id, pos)`` — exactly
+    ``row_number() OVER (ORDER BY suffix, doc_id, pos)``.
+    """
+    import ray
+
+    cur, n_total, _ = _prefix_double(ds, text_col, id_col, keep_tables=False)
+    if n_total == 0:
+        return ray.data.from_arrow(_empty([id_col, "pos", "srank"]))
 
     # --- Final row number: sort by (rank, skey) — skey IS (doc, pos), so
     # the tiebreak matches `ORDER BY suffix, doc_id, pos` — then assign
@@ -289,3 +320,253 @@ def _dense_rank_pairs(paired, n_total: int):
         assign, batch_format="pyarrow", batch_size=None
     ).materialize()
     return out, n_distinct
+
+
+def longest_repeats(
+    ds,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_docs_cap: int = 2_000_000,
+):
+    """Top-``k`` longest repeated substrings in the corpus.
+
+    The longest substring occurring ≥ 2 times (anywhere, overlaps and
+    cross-document occurrences included) is the maximum LCP between
+    suffixes ADJACENT in suffix-array order — so this computes the LCP of
+    every adjacent pair and returns the ``k`` largest, with both
+    occurrences' coordinates. Returns a pa.Table
+    ``(lcp, doc_id, pos, doc_id2, pos2)`` ordered by
+    ``(lcp DESC, doc_id, pos)``.
+
+    LCP is computed by **binary lifting over the doubling ladder** the
+    suffix sort already built: descend m = H, H/2, ..., 1; at each level,
+    look up both pairs' ranks at offset ``l`` into the rank-by-first-
+    ``min(m, len)``-chars table ``T_m`` (two native hash joins over
+    24-byte rows — the honest exchanges), and advance ``l += m`` on rank
+    equality. Rank equality where a suffix is shorter than ``m`` implies
+    the two tails are byte-identical, so the final exact LCP is
+    ``min(l, rem_a, rem_b)`` — no per-level length checks needed.
+    Keeping the ladder costs ⌈log₂ max-doc-len⌉ × corpus-positions rows
+    in the object store: the documented trade for an exchange-parallel
+    LCP (Kasai's O(n) scan is inherently sequential).
+
+    Document lengths (for ``rem``) ride a broadcast under
+    ``broadcast_docs_cap`` documents; above the cap they join in as a
+    regular dataset — both regimes share the same arithmetic.
+    """
+    import ray
+
+    cur, n_total, tables = _prefix_double(ds, text_col, id_col, keep_tables=True)
+    out_names = ["lcp", id_col, "pos", id_col + "2", "pos2"]
+    if n_total < 2:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()) for _ in out_names], names=out_names
+        )
+
+    final = cur.sort(["rank", "skey"]).materialize()
+
+    # --- Adjacent pairs: block-internal pairs + driver-stitched block
+    # boundaries (one (first, last) row per block).
+    def internal_pairs(batch: pa.Table) -> pa.Table:
+        keys = batch["skey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(keys[:-1]), pa.array(keys[1:])], names=["a", "b"]
+        )
+
+    def block_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(["f_r", "first_skey", "last_skey"])
+        return pa.Table.from_arrays(
+            [
+                pa.array([batch["rank"][0].as_py()], pa.int64()),
+                pa.array([batch["skey"][0].as_py()], pa.int64()),
+                pa.array([batch["skey"][-1].as_py()], pa.int64()),
+            ],
+            names=["f_r", "first_skey", "last_skey"],
+        )
+
+    edges = final.map_batches(
+        block_edges, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    edges.sort(key=lambda r: (r["f_r"], r["first_skey"]))
+    ba = [e1["last_skey"] for e1 in edges[:-1]]
+    bb = [e2["first_skey"] for e2 in edges[1:]]
+    boundary = pa.Table.from_arrays(
+        [pa.array(ba, pa.int64()), pa.array(bb, pa.int64())], names=["a", "b"]
+    )
+    pairs = (
+        final.map_batches(internal_pairs, batch_format="pyarrow", batch_size=None)
+        .union(ray.data.from_arrow(boundary))
+        .map_batches(
+            lambda b: b.append_column(
+                "l", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    # --- Binary-lifting descent over the ladder, largest level first.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(32, cpus))
+    for m, tbl in sorted(tables, key=lambda t: -t[0]):
+
+        def as_lookup(name):
+            def f(batch: pa.Table) -> pa.Table:
+                return batch.rename_columns(["jkey", name])
+
+            return f
+
+        def add_keys(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            l = batch["l"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [batch["a"], batch["b"], batch["l"], pa.array(a + l), pa.array(b + l)],
+                names=["a", "b", "l", "ka", "kb"],
+            )
+
+        looked = (
+            pairs.map_batches(add_keys, batch_format="pyarrow")
+            .join(
+                tbl.map_batches(as_lookup("ra"), batch_format="pyarrow"),
+                join_type="left_outer",
+                num_partitions=nparts,
+                on=("ka",),
+                right_on=("jkey",),
+            )
+            .join(
+                tbl.map_batches(as_lookup("rb"), batch_format="pyarrow"),
+                join_type="left_outer",
+                num_partitions=nparts,
+                on=("kb",),
+                right_on=("jkey",),
+            )
+        )
+
+        def advance(batch: pa.Table, m=m) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty(["a", "b", "l"])
+            ra = batch["ra"].to_numpy(zero_copy_only=False)
+            rb = batch["rb"].to_numpy(zero_copy_only=False)
+            l = batch["l"].to_numpy(zero_copy_only=False).copy()
+            ok = ~(pa.compute.is_null(batch["ra"]).to_numpy(zero_copy_only=False))
+            ok &= ~(pa.compute.is_null(batch["rb"]).to_numpy(zero_copy_only=False))
+            eq = np.zeros(len(l), dtype=bool)
+            eq[ok] = ra[ok] == rb[ok]
+            l[eq] += m
+            return pa.Table.from_arrays(
+                [batch["a"], batch["b"], pa.array(l)], names=["a", "b", "l"]
+            )
+
+        # The per-level materialize is load-bearing: a fully lazy ladder
+        # schedules all 2·levels JoinOperators at once and their
+        # aggregator pools starve each other (observed deadlock at 8
+        # CPUs). One barrier per level keeps exactly one join pair live.
+        pairs = looked.map_batches(advance, batch_format="pyarrow").materialize()
+
+    # --- Exact LCP: cap by both suffixes' remaining lengths.
+    lens_ds = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b[id_col],
+                pa.array(
+                    [len(t) if t else 0 for t in b[text_col].to_pylist()],
+                    pa.int64(),
+                ),
+            ],
+            names=["ldoc", "dlen"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_docs = lens_ds.count()
+    mask = (1 << _POS_BITS) - 1
+
+    if n_docs <= broadcast_docs_cap:
+        rows = lens_ds.take_all()
+        dk = np.array([r["ldoc"] for r in rows], dtype=np.int64)
+        dv = np.array([r["dlen"] for r in rows], dtype=np.int64)
+        o = np.argsort(dk)
+        lens_ref = ray.put((dk[o], dv[o]))
+
+        def cap(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty(["a", "b", "lcp"])
+            dks, dvs = ray.get(lens_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            l = batch["l"].to_numpy(zero_copy_only=False)
+            rem_a = dvs[np.searchsorted(dks, a >> _POS_BITS)] - (a & mask)
+            rem_b = dvs[np.searchsorted(dks, b >> _POS_BITS)] - (b & mask)
+            return pa.Table.from_arrays(
+                [batch["a"], batch["b"], pa.array(np.minimum(l, np.minimum(rem_a, rem_b)))],
+                names=["a", "b", "lcp"],
+            )
+
+        capped = pairs.map_batches(cap, batch_format="pyarrow")
+    else:
+        # Over-cap regime: the lengths join in like any other dataset.
+        def split_docs(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [batch["a"], batch["b"], batch["l"],
+                 pa.array(a >> _POS_BITS), pa.array(b >> _POS_BITS)],
+                names=["a", "b", "l", "da", "db"],
+            )
+
+        def la(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["ldoc", "len_a"])
+
+        def lb(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["ldoc2", "len_b"])
+
+        joined = (
+            pairs.map_batches(split_docs, batch_format="pyarrow")
+            .join(lens_ds.map_batches(la, batch_format="pyarrow"),
+                  join_type="inner", num_partitions=nparts,
+                  on=("da",), right_on=("ldoc",))
+            .join(lens_ds.map_batches(lb, batch_format="pyarrow"),
+                  join_type="inner", num_partitions=nparts,
+                  on=("db",), right_on=("ldoc2",))
+        )
+
+        def cap2(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty(["a", "b", "lcp"])
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            l = batch["l"].to_numpy(zero_copy_only=False)
+            rem_a = batch["len_a"].to_numpy(zero_copy_only=False) - (a & mask)
+            rem_b = batch["len_b"].to_numpy(zero_copy_only=False) - (b & mask)
+            return pa.Table.from_arrays(
+                [batch["a"], batch["b"], pa.array(np.minimum(l, np.minimum(rem_a, rem_b)))],
+                names=["a", "b", "lcp"],
+            )
+
+        capped = joined.map_batches(cap2, batch_format="pyarrow")
+
+    # --- Global top-k: per-block partials, tiny driver merge.
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(["a", "b", "lcp"])
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        lcp = batch["lcp"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((a, -lcp))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    rows = capped.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    rows.sort(key=lambda r: (-r["lcp"], r["a"] >> _POS_BITS, r["a"] & mask))
+    rows = rows[:k]
+    return pa.Table.from_arrays(
+        [
+            pa.array([r["lcp"] for r in rows], pa.int64()),
+            pa.array([r["a"] >> _POS_BITS for r in rows], pa.int64()),
+            pa.array([r["a"] & mask for r in rows], pa.int64()),
+            pa.array([r["b"] >> _POS_BITS for r in rows], pa.int64()),
+            pa.array([r["b"] & mask for r in rows], pa.int64()),
+        ],
+        names=out_names,
+    )

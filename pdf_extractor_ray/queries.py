@@ -8713,3 +8713,54 @@ r AS (
 SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(srank AS BIGINT) AS srank
 FROM r WHERE doc_id < 3 ORDER BY doc_id, pos
 """
+
+
+def q_longest_repeats(sf_dir: str) -> pd.DataFrame:
+    """Top-20 longest repeated substrings in the corpus — the maximum-LCP
+    adjacent pairs of the distributed suffix array (:mod:`ops.suffix`),
+    with LCPs computed by binary lifting over the doubling ladder the
+    sort already built (two 24-byte-row hash joins per level, exact
+    end-capping by suffix lengths). Overlapping and cross-document
+    repeats included — this is the exact question Lee et al.'s
+    ExactSubstr dedup asks with its 50-token threshold. Oracle: DuckDB
+    ranks the real suffix strings and scans each adjacent pair for its
+    first mismatch."""
+    from .ops.suffix import longest_repeats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return longest_repeats(ds, k=20).to_pandas()
+
+
+QUERIES["longest_repeats"] = q_longest_repeats
+ORACLE_SQL["longest_repeats"] = """
+WITH pos AS (
+    SELECT doc_id, unnest(range(0, length(text))) AS p, text FROM documents
+),
+sfx AS (
+    SELECT doc_id, p, substring(text, CAST(p AS INTEGER) + 1) AS s FROM pos
+),
+ord AS (
+    SELECT doc_id, p, s,
+           row_number() OVER (ORDER BY s, doc_id, p) AS rn
+    FROM sfx
+),
+pairs AS (
+    SELECT o1.doc_id AS d1, o1.p AS p1, o2.doc_id AS d2, o2.p AS p2,
+           o1.s AS s1, o2.s AS s2
+    FROM ord o1 JOIN ord o2 ON o2.rn = o1.rn + 1
+),
+lcps AS (
+    SELECT d1, p1, d2, p2,
+           coalesce(
+               (SELECT min(i) FROM
+                    unnest(range(1, least(length(s1), length(s2)) + 1)) AS t(i)
+                WHERE substring(s1, CAST(i AS INTEGER), 1)
+                      <> substring(s2, CAST(i AS INTEGER), 1)),
+               least(length(s1), length(s2)) + 1) - 1 AS lcp
+    FROM pairs
+)
+SELECT CAST(lcp AS BIGINT) AS lcp,
+       d1 AS doc_id, CAST(p1 AS BIGINT) AS pos,
+       d2 AS doc_id2, CAST(p2 AS BIGINT) AS pos2
+FROM lcps ORDER BY lcp DESC, doc_id, pos LIMIT 20
+"""

@@ -43,3 +43,58 @@ class TestSuffixRanks:
     def test_single_block_matches_many_blocks(self, ray_session):
         docs = [(i, f"common tail {i % 3}") for i in range(20)]
         assert run(docs, nparts=1) == run(docs, nparts=13) == brute_ranks(docs)
+
+
+def brute_repeats(docs, k=20):
+    sfx = sorted((t[p:], d, p) for d, t in docs for p in range(len(t)))
+
+    def lcp(x, y):
+        n = min(len(x), len(y))
+        for i in range(n):
+            if x[i] != y[i]:
+                return i
+        return n
+
+    rows = []
+    for (s1, d1, p1), (s2, d2, p2) in zip(sfx, sfx[1:]):
+        rows.append((lcp(s1, s2), d1, p1, d2, p2))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    return rows[:k]
+
+
+class TestLongestRepeats:
+    def _check(self, docs, k=20, **kw):
+        from pdf_extractor_ray.ops.suffix import longest_repeats
+
+        tbl = pa.Table.from_pylist([{"doc_id": d, "text": t} for d, t in docs])
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        out = longest_repeats(ds, k=k, **kw)
+        got = list(
+            zip(
+                out["lcp"].to_pylist(),
+                out["doc_id"].to_pylist(),
+                out["pos"].to_pylist(),
+                out["doc_id2"].to_pylist(),
+                out["pos2"].to_pylist(),
+            )
+        )
+        assert got == brute_repeats(docs, k=k)
+
+    def test_cross_doc_repeat_and_overlap(self, ray_session):
+        self._check(
+            [
+                (0, "the quick brown fox jumps"),
+                (1, "a quick brown fox runs"),
+                (2, "aaaaaa"),
+                (3, "unrelated zzz"),
+            ]
+        )
+
+    def test_identical_docs_full_tie(self, ray_session):
+        # Byte-identical documents: every suffix pair ties fully; the
+        # end-cap min(l, rem) must stop the lifted advance exactly.
+        self._check([(0, "same text here"), (1, "same text here"), (2, "x")])
+
+    def test_over_cap_lengths_join_regime(self, ray_session):
+        docs = [(i, f"shared shard body {i % 2}") for i in range(8)]
+        self._check(docs, broadcast_docs_cap=2)
