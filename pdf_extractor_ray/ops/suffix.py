@@ -327,7 +327,6 @@ def longest_repeats(
     k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_docs_cap: int = 2_000_000,
 ):
     """Top-``k`` longest repeated substrings in the corpus.
 
@@ -341,21 +340,25 @@ def longest_repeats(
 
     LCP is computed by **binary lifting over the doubling ladder** the
     suffix sort already built: descend m = H, H/2, ..., 1; at each level,
-    look up both pairs' ranks at offset ``l`` into the rank-by-first-
-    ``min(m, len)``-chars table ``T_m`` (two native hash joins over
-    24-byte rows — the honest exchanges), and advance ``l += m`` on rank
-    equality. Rank equality where a suffix is shorter than ``m`` implies
-    the two tails are byte-identical, so the final exact LCP is
-    ``min(l, rem_a, rem_b)`` — no per-level length checks needed.
-    Keeping the ladder costs ⌈log₂ max-doc-len⌉ × corpus-positions rows
-    in the object store: the documented trade for an exchange-parallel
-    LCP (Kasai's O(n) scan is inherently sequential).
-
-    Document lengths (for ``rem``) ride a broadcast under
-    ``broadcast_docs_cap`` documents; above the cap they join in as a
-    regular dataset — both regimes share the same arithmetic.
+    look both suffixes up at offset ``l`` in the rank-by-first-
+    ``min(m, len)``-chars table ``T_m`` and advance ``l += m`` on rank
+    equality. Each lookup is ONE :func:`..segments.attach_lookup` sorted
+    exchange over 24-byte rows — the engine's join (chosen over
+    ``Dataset.join`` for the same empty-partition-schema reason that
+    function documents). Document lengths attach to the pair rows ONCE
+    up front (two more sorted lookups), so out-of-range offsets are
+    detected locally — the lookup key is clamped to the always-present
+    suffix head and the advance masked — and no broadcast or size gate
+    is needed at any corpus scale. Rank equality where a suffix is
+    shorter than ``m`` implies the two tails are byte-identical, so the
+    final exact LCP is ``min(l, rem_a, rem_b)``. Keeping the ladder
+    costs ⌈log₂ max-doc-len⌉ × corpus-positions rows in the object
+    store: the documented trade for an exchange-parallel LCP (Kasai\'s
+    O(n) scan is inherently sequential).
     """
     import ray
+
+    from .segments import attach_lookup
 
     cur, n_total, tables = _prefix_double(ds, text_col, id_col, keep_tables=True)
     out_names = ["lcp", id_col, "pos", id_col + "2", "pos2"]
@@ -395,156 +398,161 @@ def longest_repeats(
     boundary = pa.Table.from_arrays(
         [pa.array(ba, pa.int64()), pa.array(bb, pa.int64())], names=["a", "b"]
     )
-    pairs = (
-        final.map_batches(internal_pairs, batch_format="pyarrow", batch_size=None)
-        .union(ray.data.from_arrow(boundary))
-        .map_batches(
-            lambda b: b.append_column(
-                "l", pa.array(np.zeros(b.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    mask = (1 << _POS_BITS) - 1
 
-    # --- Binary-lifting descent over the ladder, largest level first.
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    nparts = max(2, min(32, cpus))
-    for m, tbl in sorted(tables, key=lambda t: -t[0]):
+    def with_doc_a(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        return batch.append_column("da", pa.array(a >> _POS_BITS))
 
-        def as_lookup(name):
-            def f(batch: pa.Table) -> pa.Table:
-                return batch.rename_columns(["jkey", name])
+    def with_doc_b(batch: pa.Table) -> pa.Table:
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return batch.append_column("db", pa.array(b >> _POS_BITS))
 
-            return f
+    raw_pairs = final.map_batches(
+        internal_pairs, batch_format="pyarrow", batch_size=None
+    ).union(ray.data.from_arrow(boundary))
 
-        def add_keys(batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            l = batch["l"].to_numpy(zero_copy_only=False)
-            return pa.Table.from_arrays(
-                [batch["a"], batch["b"], batch["l"], pa.array(a + l), pa.array(b + l)],
-                names=["a", "b", "l", "ka", "kb"],
-            )
-
-        looked = (
-            pairs.map_batches(add_keys, batch_format="pyarrow")
-            .join(
-                tbl.map_batches(as_lookup("ra"), batch_format="pyarrow"),
-                join_type="left_outer",
-                num_partitions=nparts,
-                on=("ka",),
-                right_on=("jkey",),
-            )
-            .join(
-                tbl.map_batches(as_lookup("rb"), batch_format="pyarrow"),
-                join_type="left_outer",
-                num_partitions=nparts,
-                on=("kb",),
-                right_on=("jkey",),
-            )
-        )
-
-        def advance(batch: pa.Table, m=m) -> pa.Table:
-            if batch.num_rows == 0:
-                return _empty(["a", "b", "l"])
-            ra = batch["ra"].to_numpy(zero_copy_only=False)
-            rb = batch["rb"].to_numpy(zero_copy_only=False)
-            l = batch["l"].to_numpy(zero_copy_only=False).copy()
-            ok = ~(pa.compute.is_null(batch["ra"]).to_numpy(zero_copy_only=False))
-            ok &= ~(pa.compute.is_null(batch["rb"]).to_numpy(zero_copy_only=False))
-            eq = np.zeros(len(l), dtype=bool)
-            eq[ok] = ra[ok] == rb[ok]
-            l[eq] += m
-            return pa.Table.from_arrays(
-                [batch["a"], batch["b"], pa.array(l)], names=["a", "b", "l"]
-            )
-
-        # The per-level materialize is load-bearing: a fully lazy ladder
-        # schedules all 2·levels JoinOperators at once and their
-        # aggregator pools starve each other (observed deadlock at 8
-        # CPUs). One barrier per level keeps exactly one join pair live.
-        pairs = looked.map_batches(advance, batch_format="pyarrow").materialize()
-
-    # --- Exact LCP: cap by both suffixes' remaining lengths.
+    # --- Attach both documents\' lengths to each pair row ONCE (sorted
+    # lookups against the doc-length table) — rem is then a local
+    # computation at every level and at the final cap, with no broadcast
+    # gate or over-cap regime to maintain.
     lens_ds = ds.select_columns([id_col, text_col]).map_batches(
         lambda b: pa.Table.from_arrays(
             [
-                b[id_col],
+                b[id_col].combine_chunks().cast(pa.int64()),
                 pa.array(
                     [len(t) if t else 0 for t in b[text_col].to_pylist()],
                     pa.int64(),
                 ),
             ],
-            names=["ldoc", "dlen"],
+            names=["da", "len_a"],
         ),
         batch_format="pyarrow",
     ).materialize()
-    n_docs = lens_ds.count()
-    mask = (1 << _POS_BITS) - 1
 
-    if n_docs <= broadcast_docs_cap:
-        rows = lens_ds.take_all()
-        dk = np.array([r["ldoc"] for r in rows], dtype=np.int64)
-        dv = np.array([r["dlen"] for r in rows], dtype=np.int64)
-        o = np.argsort(dk)
-        lens_ref = ray.put((dk[o], dv[o]))
+    def relabel_b(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["db", "len_b"])
 
-        def cap(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _empty(["a", "b", "lcp"])
-            dks, dvs = ray.get(lens_ref)
+    pairs = attach_lookup(
+        raw_pairs.map_batches(with_doc_a, batch_format="pyarrow"),
+        lens_ds,
+        key_col="da",
+        val_cols=["len_a"],
+        carry_cols=["a", "b"],
+    )
+    pairs = attach_lookup(
+        pairs.map_batches(with_doc_b, batch_format="pyarrow"),
+        lens_ds.map_batches(relabel_b, batch_format="pyarrow"),
+        key_col="db",
+        val_cols=["len_b"],
+        carry_cols=["a", "b", "len_a"],
+    )
+    pairs = pairs.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b["a"],
+                b["b"],
+                b["len_a"],
+                b["len_b"],
+                pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            ],
+            names=["a", "b", "len_a", "len_b", "l"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # --- Binary-lifting descent over the ladder, largest level first.
+    for m, tbl in sorted(tables, key=lambda t: -t[0]):
+
+        def add_keys(batch: pa.Table) -> pa.Table:
             a = batch["a"].to_numpy(zero_copy_only=False)
             b = batch["b"].to_numpy(zero_copy_only=False)
             l = batch["l"].to_numpy(zero_copy_only=False)
-            rem_a = dvs[np.searchsorted(dks, a >> _POS_BITS)] - (a & mask)
-            rem_b = dvs[np.searchsorted(dks, b >> _POS_BITS)] - (b & mask)
+            la = batch["len_a"].to_numpy(zero_copy_only=False)
+            lb = batch["len_b"].to_numpy(zero_copy_only=False)
+            # Clamp out-of-range offsets to the (always present) suffix
+            # head; the advance step re-derives validity from the
+            # lengths, so the clamped lookup result is ignored.
+            va = l < la - (a & mask)
+            vb = l < lb - (b & mask)
             return pa.Table.from_arrays(
-                [batch["a"], batch["b"], pa.array(np.minimum(l, np.minimum(rem_a, rem_b)))],
-                names=["a", "b", "lcp"],
+                [
+                    batch["a"],
+                    batch["b"],
+                    batch["l"],
+                    batch["len_a"],
+                    batch["len_b"],
+                    pa.array(np.where(va, a + l, a)),
+                    pa.array(np.where(vb, b + l, b)),
+                ],
+                names=["a", "b", "l", "len_a", "len_b", "ka", "kb"],
             )
 
-        capped = pairs.map_batches(cap, batch_format="pyarrow")
-    else:
-        # Over-cap regime: the lengths join in like any other dataset.
-        def split_docs(batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            return pa.Table.from_arrays(
-                [batch["a"], batch["b"], batch["l"],
-                 pa.array(a >> _POS_BITS), pa.array(b >> _POS_BITS)],
-                names=["a", "b", "l", "da", "db"],
-            )
+        def as_lookup(cols):
+            def f(batch: pa.Table) -> pa.Table:
+                return batch.rename_columns(cols)
 
-        def la(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(["ldoc", "len_a"])
+            return f
 
-        def lb(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(["ldoc2", "len_b"])
-
-        joined = (
-            pairs.map_batches(split_docs, batch_format="pyarrow")
-            .join(lens_ds.map_batches(la, batch_format="pyarrow"),
-                  join_type="inner", num_partitions=nparts,
-                  on=("da",), right_on=("ldoc",))
-            .join(lens_ds.map_batches(lb, batch_format="pyarrow"),
-                  join_type="inner", num_partitions=nparts,
-                  on=("db",), right_on=("ldoc2",))
+        looked = attach_lookup(
+            pairs.map_batches(add_keys, batch_format="pyarrow"),
+            tbl.map_batches(as_lookup(["ka", "ra"]), batch_format="pyarrow"),
+            key_col="ka",
+            val_cols=["ra"],
+            carry_cols=["a", "b", "l", "len_a", "len_b", "kb"],
+        )
+        looked = attach_lookup(
+            looked,
+            tbl.map_batches(as_lookup(["kb", "rb"]), batch_format="pyarrow"),
+            key_col="kb",
+            val_cols=["rb"],
+            carry_cols=["a", "b", "l", "len_a", "len_b", "ra"],
         )
 
-        def cap2(batch: pa.Table) -> pa.Table:
+        def advance(batch: pa.Table, m=m) -> pa.Table:
             if batch.num_rows == 0:
-                return _empty(["a", "b", "lcp"])
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()) for _ in range(5)],
+                    names=["a", "b", "len_a", "len_b", "l"],
+                )
             a = batch["a"].to_numpy(zero_copy_only=False)
             b = batch["b"].to_numpy(zero_copy_only=False)
-            l = batch["l"].to_numpy(zero_copy_only=False)
-            rem_a = batch["len_a"].to_numpy(zero_copy_only=False) - (a & mask)
-            rem_b = batch["len_b"].to_numpy(zero_copy_only=False) - (b & mask)
+            la = batch["len_a"].to_numpy(zero_copy_only=False)
+            lb = batch["len_b"].to_numpy(zero_copy_only=False)
+            ra = batch["ra"].to_numpy(zero_copy_only=False)
+            rb = batch["rb"].to_numpy(zero_copy_only=False)
+            l = batch["l"].to_numpy(zero_copy_only=False).copy()
+            eq = (l < la - (a & mask)) & (l < lb - (b & mask)) & (ra == rb)
+            l[eq] += m
             return pa.Table.from_arrays(
-                [batch["a"], batch["b"], pa.array(np.minimum(l, np.minimum(rem_a, rem_b)))],
-                names=["a", "b", "lcp"],
+                [batch["a"], batch["b"], batch["len_a"], batch["len_b"], pa.array(l)],
+                names=["a", "b", "len_a", "len_b", "l"],
             )
 
-        capped = joined.map_batches(cap2, batch_format="pyarrow")
+        # One barrier per level keeps exactly one sorted exchange pair
+        # live at a time (a fully lazy ladder oversubscribes the
+        # executor with every level\'s sorts at once).
+        pairs = looked.map_batches(advance, batch_format="pyarrow").materialize()
+
+    # --- Exact LCP: cap by both suffixes\' remaining lengths.
+    def cap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(["a", "b", "lcp"])
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        l = batch["l"].to_numpy(zero_copy_only=False)
+        rem_a = batch["len_a"].to_numpy(zero_copy_only=False) - (a & mask)
+        rem_b = batch["len_b"].to_numpy(zero_copy_only=False) - (b & mask)
+        return pa.Table.from_arrays(
+            [
+                batch["a"],
+                batch["b"],
+                pa.array(np.minimum(l, np.minimum(rem_a, rem_b))),
+            ],
+            names=["a", "b", "lcp"],
+        )
+
+    capped = pairs.map_batches(cap, batch_format="pyarrow")
 
     # --- Global top-k: per-block partials, tiny driver merge.
     def partial_topk(batch: pa.Table) -> pa.Table:

@@ -8764,3 +8764,154 @@ SELECT CAST(lcp AS BIGINT) AS lcp,
        d2 AS doc_id2, CAST(p2 AS BIGINT) AS pos2
 FROM lcps ORDER BY lcp DESC, doc_id, pos LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (gear CDC) — storage-level dedup.
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Gear content-defined chunking (:mod:`ops.cdc`, FastCDC's
+    position-local core): every document split at window-hash zero-bit
+    boundaries, chunk identity = (length, polynomial fingerprint).
+    Output: the first three documents' chunk records with each chunk's
+    GLOBAL copy count (the one groupby exchange). Oracle: DuckDB replays
+    the splitmix gear, the 16-char window sum, every cut, and the
+    per-chunk fold."""
+    from .ops.cdc import cdc_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = cdc_chunks(ds).materialize()
+    counts = chunks.groupby(["length", "chunk_hash"]).count()
+
+    def head_docs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["doc_id"], 3))
+
+    rows = chunks.map_batches(head_docs, batch_format="pyarrow").to_pandas()
+    wanted = pa.array(np.unique(rows["chunk_hash"].to_numpy()))
+
+    def only_wanted(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["chunk_hash"], value_set=wanted))
+
+    cnt = counts.map_batches(only_wanted, batch_format="pyarrow").to_pandas()
+    out = rows.merge(
+        cnt.rename(columns={"count()": "n_copies"}),
+        on=["length", "chunk_hash"],
+        how="left",
+    )
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return (
+        out[["doc_id", "start", "length", "chunk_hash", "n_copies"]]
+        .sort_values(["doc_id", "start"])
+        .reset_index(drop=True)
+    )
+
+
+def q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus chunk-store dedup summary over the same gear chunking:
+    total vs distinct chunk counts and character volumes — the dedup
+    ratio a content-addressed 100 TB archive would realize."""
+    from .ops.cdc import cdc_dedup_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_dedup_stats(ds).to_pandas()
+
+
+_CDC_CHAIN = r"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+p AS (SELECT doc_id, unnest(range(0, n)) AS i, text FROM d),
+cpt AS (
+    SELECT doc_id, i,
+           unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS c
+    FROM p
+),
+m1 AS (
+    SELECT doc_id, i,
+           CAST((CAST(c AS HUGEINT) + 11400714819323198485)
+                % 18446744073709551616 AS UBIGINT) AS x
+    FROM cpt
+),
+m1x AS (SELECT doc_id, i, xor(x, x >> 30) AS a FROM m1),
+m2 AS (
+    SELECT doc_id, i,
+           CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
+              + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT)
+                * 4294967296) % 18446744073709551616 AS UBIGINT) AS x
+    FROM m1x
+),
+m2x AS (SELECT doc_id, i, xor(x, x >> 27) AS a FROM m2),
+m3 AS (
+    SELECT doc_id, i,
+           CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
+              + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT)
+                * 4294967296) % 18446744073709551616 AS UBIGINT) AS x
+    FROM m2x
+),
+gear AS (SELECT doc_id, i, xor(x, x >> 31) AS hv FROM m3),
+pw(j, wt) AS (VALUES
+    (0, 1), (1, 2), (2, 4), (3, 8), (4, 16), (5, 32), (6, 64), (7, 128),
+    (8, 256), (9, 512), (10, 1024), (11, 2048), (12, 4096), (13, 8192),
+    (14, 16384), (15, 32768)),
+win AS (
+    SELECT a.doc_id, a.i,
+           CAST(sum(CAST(g.hv AS HUGEINT) * pw.wt)
+                % 18446744073709551616 AS UBIGINT) AS h
+    FROM gear a
+    JOIN pw ON TRUE
+    JOIN gear g ON g.doc_id = a.doc_id AND g.i = a.i - pw.j
+    WHERE a.i >= 15
+    GROUP BY 1, 2
+),
+cuts AS (
+    SELECT w.doc_id, w.i
+    FROM win w JOIN d USING (doc_id)
+    WHERE w.i < d.n - 1 AND w.h % 32 = 0
+),
+starts AS (
+    SELECT doc_id, 0 AS s FROM d
+    UNION ALL
+    SELECT doc_id, i + 1 AS s FROM cuts
+),
+chk AS (
+    SELECT st.doc_id, st.s,
+           coalesce(lead(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+                    d.n) AS e,
+           d.text
+    FROM starts st JOIN d USING (doc_id)
+),
+fold AS (
+    SELECT doc_id, s, e - s AS length,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(range(1, e - s + 1),
+                       k -> CAST(unicode(substring(
+                           text, CAST(s + k AS INTEGER), 1)) AS HUGEINT))),
+               (acc, b) -> (acc * 1099511628211 + b)
+                           % 18446744073709551616) AS UBIGINT) AS hv
+    FROM chk
+),
+counts AS (SELECT length, hv, count(*) AS n_copies FROM fold GROUP BY 1, 2)
+"""
+
+QUERIES["cdc_chunks"] = q_cdc_chunks
+QUERIES["cdc_dedup"] = q_cdc_dedup
+ORACLE_SQL["cdc_chunks"] = _CDC_CHAIN + """
+SELECT f.doc_id, CAST(f.s AS BIGINT) AS start,
+       CAST(f.length AS BIGINT) AS length,
+       CAST(CAST(f.hv AS HUGEINT)
+            - CASE WHEN f.hv >= 9223372036854775808
+                   THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+            AS BIGINT) AS chunk_hash,
+       CAST(c.n_copies AS BIGINT) AS n_copies
+FROM fold f JOIN counts c USING (length, hv)
+WHERE f.doc_id < 3 ORDER BY f.doc_id, f.s
+"""
+ORACLE_SQL["cdc_dedup"] = _CDC_CHAIN + """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM fold) AS total_chunks,
+       (SELECT CAST(count(*) AS BIGINT) FROM counts) AS distinct_chunks,
+       (SELECT CAST(sum(length) AS BIGINT) FROM fold) AS total_chars,
+       (SELECT CAST(sum(length) AS BIGINT) FROM counts) AS distinct_chars
+"""

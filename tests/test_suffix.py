@@ -95,6 +95,6 @@ class TestLongestRepeats:
         # end-cap min(l, rem) must stop the lifted advance exactly.
         self._check([(0, "same text here"), (1, "same text here"), (2, "x")])
 
-    def test_over_cap_lengths_join_regime(self, ray_session):
+    def test_many_docs_many_blocks(self, ray_session):
         docs = [(i, f"shared shard body {i % 2}") for i in range(8)]
-        self._check(docs, broadcast_docs_cap=2)
+        self._check(docs)
