@@ -520,3 +520,174 @@ def front_code_urls(
         )
 
     return sorted_urls.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Elias-Fano posting-list encoding.
+# ---------------------------------------------------------------------------
+#
+# The quasi-succinct index representation (Vigna, WSDM 2013; Elias 1974):
+# n strictly ascending ids below a universe u = last + 1 split at
+# ``l = floor(log2(u / n))`` into an ``n*l``-bit LOW stream (each id's low
+# ``l`` bits, LSB-first) and a HIGH stream of unary-coded bucket gaps —
+# bit ``(id >> l) + i`` set for the i-th id — totalling
+# ``n*l + (last >> l) + n`` bits ≈ within 0.5 bit/element of the
+# information-theoretic minimum, while supporting O(1) access/skip (the
+# reason EF, not varbyte, is the modern inverted-index layout).
+#
+# Scale shape: identical to :func:`compress_postings` — the one
+# (token, doc_id) sort, then a segment-local fully vectorized encode:
+# per-element bit positions are computed arithmetically and both bit
+# streams are built with two ``np.bitwise_or.at`` scatters (the low
+# stream loops over BIT INDEX, ≤ 64 vectorized passes, never over
+# elements or groups). Output is vocabulary-sized.
+
+_U64_ONE = np.uint64(1)
+
+
+def _bit_length_i64(q: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length`` for int64 ``q >= 1`` (float log2
+    candidate, then exact integer correction of the ±1 ulp edge)."""
+    q = np.asarray(q, dtype=np.int64)
+    bl = np.floor(np.log2(q.astype(np.float64))).astype(np.int64) + 1
+    qu = q.astype(np.uint64)
+    # candidate too high: 2^(bl-1) > q
+    bl -= (_U64_ONE << np.minimum(bl - 1, 63).astype(np.uint64)) > qu
+    # candidate too low: 2^bl <= q  (bl < 63 guards the shift)
+    bl += ((bl < 63) & ((_U64_ONE << np.minimum(bl, 63).astype(np.uint64)) <= qu))
+    return bl
+
+
+def _ef_low_width(n: np.ndarray, last: np.ndarray) -> np.ndarray:
+    """l = floor(log2(u/n)) with u = last+1, via bit_length(u // n) - 1
+    (equal because no power of two lies in (floor(u/n), u/n])."""
+    return _bit_length_i64((last + 1) // n) - 1
+
+
+def ef_encode(ids: np.ndarray) -> tuple[bytes, bytes, int]:
+    """Encode one strictly ascending list of non-negative int64 ids →
+    ``(low_bytes, high_bytes, l)`` with the universe fixed at
+    ``ids[-1] + 1`` (stored alongside as ``df``/``last_id`` columns)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if len(ids) == 0:
+        return b"", b"", 0
+    if ids[0] < 0 or (len(ids) > 1 and (np.diff(ids) <= 0).any()):
+        raise ValueError("posting list must be strictly ascending and >= 0")
+    n = len(ids)
+    l = int(_ef_low_width(np.array([n]), ids[-1:])[0])
+    lu = np.uint64(l)
+    v = ids.astype(np.uint64)
+    low = np.zeros((n * l + 7) // 8, dtype=np.uint8)
+    pos0 = np.arange(n, dtype=np.int64) * l
+    for b in range(l):
+        p = pos0 + b
+        bits = ((v >> np.uint64(b)) & _U64_ONE).astype(np.uint8)
+        np.bitwise_or.at(low, p >> 3, bits << (p & 7).astype(np.uint8))
+    hp = (v >> lu).astype(np.int64) + np.arange(n, dtype=np.int64)
+    high = np.zeros((int(hp[-1]) + 1 + 7) // 8, dtype=np.uint8)
+    np.bitwise_or.at(high, hp >> 3, np.uint8(1) << (hp & 7).astype(np.uint8))
+    return low.tobytes(), high.tobytes(), l
+
+
+def ef_decode(low: bytes, high: bytes, n: int, l: int) -> np.ndarray:
+    """Exact inverse of :func:`ef_encode` given the stored ``n`` and
+    ``l`` (numpy ``unpackbits``; per-list, verification/unit-test path)."""
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    hi_bits = np.unpackbits(np.frombuffer(high, np.uint8), bitorder="little")
+    highs = np.flatnonzero(hi_bits)[:n] - np.arange(n, dtype=np.int64)
+    lows = np.zeros(n, dtype=np.int64)
+    if l:
+        lo_bits = np.unpackbits(np.frombuffer(low, np.uint8), bitorder="little")
+        pos0 = np.arange(n, dtype=np.int64) * l
+        for b in range(l):
+            lows |= lo_bits[pos0 + b].astype(np.int64) << b
+    return (highs << l) | lows
+
+
+def ef_postings(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+):
+    """Per-token Elias-Fano-encoded posting lists: one row per token with
+    ``df`` ≥ ``min_df`` carrying both encoded bit streams plus the
+    parameters a reader needs (``low_width`` = l, ``df``, and the exact
+    ``encoded_bits = df*l + (last_id >> l) + df``) and ``first_id`` /
+    ``last_id``. Doc ids must be non-negative integers."""
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        tokens = batch["token"].to_numpy(zero_copy_only=False)[starts]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) and not np.issubdtype(ids.dtype, np.integer):
+            raise TypeError("ef_postings requires integer doc ids")
+        ids = ids.astype(np.int64, copy=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("ef_postings requires non-negative doc ids")
+        nseg = len(starts)
+        n_seg = (ends - starts).astype(np.int64)
+        last = ids[ends - 1]
+        l_seg = _ef_low_width(n_seg, last)
+
+        low_bytes = (n_seg * l_seg + 7) >> 3
+        hi_bits = (last >> l_seg) + n_seg  # last set position + 1
+        hi_bytes = (hi_bits + 7) >> 3
+        lb_off = np.concatenate(([0], np.cumsum(low_bytes)))
+        hb_off = np.concatenate(([0], np.cumsum(hi_bytes)))
+
+        # element gather over the (possibly non-tiling) complete segments
+        tot = int(n_seg.sum())
+        excl = np.cumsum(n_seg) - n_seg
+        pos_in_seg = np.arange(tot, dtype=np.int64) - np.repeat(excl, n_seg)
+        v = ids[pos_in_seg + np.repeat(starts, n_seg)].astype(np.uint64)
+        g = np.repeat(np.arange(nseg, dtype=np.int64), n_seg)
+        l_e = l_seg[g].astype(np.uint64)
+
+        low_buf = np.zeros(int(lb_off[-1]), dtype=np.uint8)
+        low_v = v & ((_U64_ONE << l_e) - _U64_ONE)
+        bit0 = lb_off[g] * 8 + pos_in_seg * l_seg[g]
+        max_l = int(l_seg.max()) if nseg else 0
+        for b in range(max_l):
+            sel = l_seg[g] > b
+            p = bit0[sel] + b
+            bits = ((low_v[sel] >> np.uint64(b)) & _U64_ONE).astype(np.uint8)
+            np.bitwise_or.at(low_buf, p >> 3, bits << (p & 7).astype(np.uint8))
+
+        hi_buf = np.zeros(int(hb_off[-1]), dtype=np.uint8)
+        p = hb_off[g] * 8 + (v >> l_e).astype(np.int64) + pos_in_seg
+        np.bitwise_or.at(hi_buf, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+
+        def as_binary(buf: np.ndarray, offs: np.ndarray) -> pa.Array:
+            return pa.Array.from_buffers(
+                pa.binary(),
+                nseg,
+                [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(buf.tobytes())],
+            )
+
+        keep = n_seg >= min_df
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(tokens.astype(object), pa.string()),
+                pa.array(n_seg, pa.int64()),
+                pa.array(l_seg, pa.int64()),
+                pa.array(n_seg * l_seg + hi_bits, pa.int64()),
+                pa.array(ids[starts], pa.int64()),
+                pa.array(last, pa.int64()),
+                as_binary(low_buf, lb_off),
+                as_binary(hi_buf, hb_off),
+            ],
+            names=[
+                "token", "df", "low_width", "encoded_bits",
+                "first_id", "last_id", "low", "high",
+            ],
+        )
+        return tbl.filter(pa.array(keep))
+
+    return sorted_segment_apply(
+        token_doc_pairs(ds, text_col, id_col),
+        key_col="token",
+        block_fn=kernel,
+        within_cols=[id_col],
+    )

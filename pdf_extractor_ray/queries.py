@@ -8915,3 +8915,80 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM fold) AS total_chunks,
        (SELECT CAST(sum(length) AS BIGINT) FROM fold) AS total_chars,
        (SELECT CAST(sum(length) AS BIGINT) FROM counts) AS distinct_chars
 """
+
+
+# ---------------------------------------------------------------------------
+# Elias-Fano posting-list encoding.
+# ---------------------------------------------------------------------------
+
+
+def q_ef_postings(sf_dir: str) -> pd.DataFrame:
+    """Elias-Fano posting lists (:func:`ops.index.ef_postings`, the
+    quasi-succinct inverted-index layout): per token with df ≥ 3, the
+    split parameter ``low_width``, the exact ``encoded_bits`` size, and —
+    verified END TO END — aggregates of the ids DECODED back out of the
+    two encoded bit streams (``dec_first``/``dec_last``/``dec_sum``), so
+    the encode/decode chain is checked against ids the oracle recomputes
+    from raw text, not against itself. Same single (token, doc_id)
+    exchange as `compress_postings`; the decode pass is per-list numpy on
+    the vocabulary-sized result (verification path, not the hot path)."""
+    from .ops.index import ef_decode, ef_postings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lows = batch["low"].to_pylist()
+        highs = batch["high"].to_pylist()
+        dfs = batch["df"].to_numpy(zero_copy_only=False)
+        ls = batch["low_width"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(lows), np.int64)
+        last = np.empty(len(lows), np.int64)
+        tot = np.empty(len(lows), np.int64)
+        for i, (lo, hi) in enumerate(zip(lows, highs)):
+            ids = ef_decode(lo, hi, int(dfs[i]), int(ls[i]))
+            first[i], last[i], tot[i] = ids[0], ids[-1], int(ids.sum())
+        return pa.table(
+            {
+                "token": batch["token"],
+                "df": batch["df"],
+                "low_width": batch["low_width"],
+                "encoded_bits": batch["encoded_bits"],
+                "dec_first": pa.array(first, pa.int64()),
+                "dec_last": pa.array(last, pa.int64()),
+                "dec_sum": pa.array(tot, pa.int64()),
+            }
+        )
+
+    out = (
+        ef_postings(ds, min_df=3)
+        .map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("token").reset_index(drop=True)
+
+
+QUERIES["ef_postings"] = q_ef_postings
+ORACLE_SQL["ef_postings"] = r"""
+WITH pairs AS (
+    SELECT DISTINCT token, doc_id FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        FROM documents
+    )
+),
+g AS (
+    SELECT token, count(*) AS df, min(doc_id) AS f, max(doc_id) AS la,
+           sum(doc_id) AS s
+    FROM pairs GROUP BY token HAVING count(*) >= 3
+),
+-- l = floor(log2(u/n)) with u = la+1; equals bit_length(u // n) - 1
+-- because no power of two lies in (floor(u/n), u/n]
+lv AS (SELECT *, length(bin((la + 1) // df)) - 1 AS l FROM g)
+SELECT token,
+       CAST(df AS BIGINT) AS df,
+       CAST(l AS BIGINT) AS low_width,
+       CAST(df * l + (la >> l) + df AS BIGINT) AS encoded_bits,
+       CAST(f AS BIGINT) AS dec_first,
+       CAST(la AS BIGINT) AS dec_last,
+       CAST(s AS BIGINT) AS dec_sum
+FROM lv ORDER BY token
+"""

@@ -370,3 +370,77 @@ class TestFrontCoding:
         cur = np.array([1, 2, 3, 4], dtype=np.int64)
         got = _pair_lcp(flat, offs, prev, cur).tolist()
         assert got == [3, 0, 0, 3]
+
+
+class TestEliasFano:
+    def test_known_vector(self):
+        # Vigna's worked example shape: ids [5,8,8..] must be strictly
+        # ascending; use [2,3,5,7,11,24] → n=6, u=25, l=floor(log2(25/6))=2
+        from pdf_extractor_ray.ops.index import ef_decode, ef_encode
+
+        ids = np.array([2, 3, 5, 7, 11, 24], dtype=np.int64)
+        low, high, l = ef_encode(ids)
+        assert l == 2
+        # low bits (l=2, LSB-first): 10 11 01 11 11 00 → bytes
+        lows = [v & 3 for v in ids]
+        exp = 0
+        for i, lv in enumerate(lows):
+            exp |= lv << (2 * i)
+        assert int.from_bytes(low, "little") == exp
+        # high positions: (v>>2)+i = 0,1,3,4,6,11
+        hi_bits = np.unpackbits(np.frombuffer(high, np.uint8), bitorder="little")
+        assert list(np.flatnonzero(hi_bits)) == [0, 1, 3, 4, 6, 11]
+        assert (ef_decode(low, high, len(ids), l) == ids).all()
+
+    def test_roundtrip_regimes(self):
+        from pdf_extractor_ray.ops.index import ef_decode, ef_encode
+
+        rng = np.random.RandomState(3)
+        cases = [
+            np.array([0], dtype=np.int64),
+            np.array([0, 1, 2, 3], dtype=np.int64),  # dense: l=0
+            np.array([10**12], dtype=np.int64),  # huge universe, n=1
+            np.sort(rng.choice(10**9, 500, replace=False)).astype(np.int64),
+            np.arange(0, 10000, 1, dtype=np.int64),
+        ]
+        for ids in cases:
+            low, high, l = ef_encode(ids)
+            back = ef_decode(low, high, len(ids), l)
+            assert (back == ids).all()
+            n, last = len(ids), int(ids[-1])
+            assert len(low) == (n * l + 7) // 8
+            assert len(high) == ((last >> l) + n + 7) // 8
+
+    def test_rejects_descending_and_negative(self):
+        from pdf_extractor_ray.ops.index import ef_encode
+
+        with pytest.raises(ValueError):
+            ef_encode(np.array([3, 2], dtype=np.int64))
+        with pytest.raises(ValueError):
+            ef_encode(np.array([-1, 2], dtype=np.int64))
+
+    def test_dataset_kernel_matches_per_list(self, docs_ds):
+        from pdf_extractor_ray.ops.index import ef_decode, ef_encode, ef_postings
+
+        out = ef_postings(docs_ds, min_df=1).to_pandas()
+        post = brute_force()
+        assert set(out["token"]) == set(post)
+        for _, r in out.iterrows():
+            ids = np.array(sorted(post[r["token"]]), dtype=np.int64)
+            low, high, l = ef_encode(ids)
+            assert r["df"] == len(ids)
+            assert r["low_width"] == l
+            assert bytes(r["low"]) == low
+            assert bytes(r["high"]) == high
+            assert r["encoded_bits"] == len(ids) * l + (int(ids[-1]) >> l) + len(ids)
+            back = ef_decode(
+                bytes(r["low"]), bytes(r["high"]), int(r["df"]), int(r["low_width"])
+            )
+            assert (back == ids).all()
+
+    def test_min_df_filter(self, docs_ds):
+        from pdf_extractor_ray.ops.index import ef_postings
+
+        out = ef_postings(docs_ds, min_df=3).to_pandas()
+        post = brute_force()
+        assert set(out["token"]) == {t for t, d in post.items() if len(d) >= 3}
