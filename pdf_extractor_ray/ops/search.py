@@ -213,3 +213,191 @@ def bm25_topk(
         ],
         names=["query_id", id_col, "score", "rank"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+# The second classic index operation after ranked retrieval: exact token
+# phrase matching via positional postings intersection ("to be or not to
+# be" must match those tokens ADJACENT, not merely co-occurring). The
+# engine's inverted index (`ops/index.py`) stores tf-level postings; this
+# op supplies the positions tier, query-driven: positions are emitted for
+# the O(phrase length) query tokens only — never a corpus-wide positional
+# index — so the exchange is O(occurrences of phrase tokens), the
+# selective minority at web scale.
+#
+# Two equivalence-tested regimes (same contract as the engine's other
+# dual-regime ops):
+#
+# - block-local (default): each document's tokens are co-resident in its
+#   block, so the positional intersect runs inside ONE shuffle-free
+#   map_batches pass: for phrase token j at document position p, a match
+#   starts at p - j iff ALL m phrase slots vote for that start — counted
+#   vectorized with one np.unique over (doc, start) keys per block.
+# - positions exchange (`via="positions"`): the textbook distributed
+#   intersect for when token positions arrive as an exploded table (e.g.
+#   read back from a posting store): the same (doc, start, slot) votes
+#   become rows, one groupby(doc, start) counts slots, count == m is a
+#   match. Used above `block_cap` document tokens or on demand.
+#
+# A start can never be double-voted by one slot (one token owns one
+# position), and negative/overflow starts are impossible matches (slot j
+# would need a token at a position outside the document), so count == m is
+# exact. Overlapping occurrences all count. No counterpart in the
+# reference repo; tokenization is THE corpus tokenization
+# (`ops/text.py:split_words`), mirrored by every SQL oracle.
+
+
+def _phrase_votes(batch: pa.Table, phrase_tokens: list[str],
+                  text_col: str, id_col: str):
+    """Vectorized (doc_id, start, slot) votes for one block: slot j votes
+    for start p - j wherever phrase token j sits at document position p."""
+    from .text import split_words
+
+    texts = pc.fill_null(batch[text_col], "")
+    words_list = split_words(texts)
+    w = words_list.flatten()
+    reps = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(w, "").to_numpy(zero_copy_only=False)
+    # Document positions count nonempty tokens only (split_words edge "").
+    bounds = np.concatenate(([0], np.cumsum(reps)))
+    csum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+    pos_all = csum[:-1][: len(w)] if len(w) else np.empty(0, np.int64)
+    # position of token t within its doc = csum[t] - csum[doc_start]
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+    pos_in_doc = pos_all - csum[bounds[:-1]][doc_idx] if len(w) else pos_all
+    wv = w.to_numpy(zero_copy_only=False)
+    out_doc, out_start, out_slot = [], [], []
+    for j, tok in enumerate(phrase_tokens):
+        hit = nonempty & (wv == tok)
+        if not hit.any():
+            continue
+        out_doc.append(doc_idx[hit])
+        out_start.append(pos_in_doc[hit] - j)
+        out_slot.append(np.full(int(hit.sum()), j, np.int64))
+    if not out_doc:
+        e = np.empty(0, np.int64)
+        return ids, e, e, e
+    return (
+        ids,
+        np.concatenate(out_doc),
+        np.concatenate(out_start),
+        np.concatenate(out_slot),
+    )
+
+
+def phrase_search(ds, phrase: str, text_col: str = "text",
+                  id_col: str = "doc_id", via: str = "local"):
+    """Exact token-phrase occurrence counts per document.
+
+    Returns a Dataset of ``(id_col, n_matches, first_pos)`` rows for
+    documents with >= 1 occurrence. ``via="local"`` intersects inside the
+    block (shuffle-free); ``via="positions"`` routes the votes through the
+    distributed groupby intersect — identical output (equivalence-tested).
+    """
+    phrase_tokens = [t for t in phrase.lower().split() if t]
+    if not phrase_tokens:
+        raise ValueError("empty phrase")
+    m = len(phrase_tokens)
+
+    if via == "local":
+
+        def match_block(batch: pa.Table) -> pa.Table:
+            id_type = batch.schema.field(id_col).type
+            ids, doc, start, slot = _phrase_votes(
+                batch, phrase_tokens, text_col, id_col
+            )
+            if len(doc) == 0:
+                return pa.Table.from_arrays(
+                    [
+                        pa.array([], id_type),
+                        pa.array([], pa.int64()),
+                        pa.array([], pa.int64()),
+                    ],
+                    names=[id_col, "n_matches", "first_pos"],
+                )
+            valid = start >= 0
+            doc, start, slot = doc[valid], start[valid], slot[valid]
+            # one vote per (doc, start, slot) by construction; a match is
+            # a (doc, start) key holding all m slots.
+            key = (doc << 32) | start  # positions < 2^32 per document
+            uk, cnt = np.unique(key, return_counts=True)
+            mk = uk[cnt == m]
+            if len(mk) == 0:
+                return pa.Table.from_arrays(
+                    [
+                        pa.array([], id_type),
+                        pa.array([], pa.int64()),
+                        pa.array([], pa.int64()),
+                    ],
+                    names=[id_col, "n_matches", "first_pos"],
+                )
+            mdoc = mk >> 32
+            mstart = mk & 0xFFFFFFFF
+            udoc = np.unique(mdoc)
+            seg = np.searchsorted(mdoc, udoc)
+            n_matches = np.diff(np.append(seg, len(mdoc)))
+            first = mstart[seg]  # np.unique sorts keys: first start per doc
+            return pa.Table.from_arrays(
+                [
+                    pa.array(ids[udoc]).cast(id_type),
+                    pa.array(n_matches, pa.int64()),
+                    pa.array(first, pa.int64()),
+                ],
+                names=[id_col, "n_matches", "first_pos"],
+            )
+
+        return ds.map_batches(
+            match_block, batch_format="pyarrow", batch_size=None
+        ).sort(id_col)
+
+    if via != "positions":
+        raise ValueError(f"unknown via={via!r}")
+
+    def vote_rows(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        ids, doc, start, slot = _phrase_votes(
+            batch, phrase_tokens, text_col, id_col
+        )
+        valid = start >= 0
+        doc, start, slot = doc[valid], start[valid], slot[valid]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[doc] if len(doc) else [], id_type)
+                if len(doc)
+                else pa.array([], id_type),
+                pa.array(start, pa.int64()),
+                pa.array(slot, pa.int64()),
+            ],
+            names=[id_col, "start", "slot"],
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    votes = ds.map_batches(vote_rows, batch_format="pyarrow", batch_size=None)
+
+    def full_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["count()"], m))
+
+    hits = (
+        votes.groupby([id_col, "start"])
+        .count()
+        .map_batches(full_only, batch_format="pyarrow", batch_size=None)
+    )
+    agg = hits.groupby(id_col).aggregate(Count(), Min("start"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                batch["count()"].cast(pa.int64()),
+                batch["min(start)"].cast(pa.int64()),
+            ],
+            names=[id_col, "n_matches", "first_pos"],
+        )
+
+    return agg.map_batches(
+        rename, batch_format="pyarrow", batch_size=None
+    ).sort(id_col)

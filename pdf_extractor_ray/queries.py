@@ -8992,3 +8992,60 @@ SELECT token,
        CAST(s AS BIGINT) AS dec_sum
 FROM lv ORDER BY token
 """
+
+
+def q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Positional phrase search (:func:`ops.search.phrase_search`): exact
+    token-adjacency matching via positional postings intersection — slot j
+    of the phrase votes for start p-j at each hit position p, a start with
+    all m slots is a match. The default regime intersects block-locally
+    (documents are row-resident: zero exchange); the ``positions`` regime
+    routes votes through the distributed groupby intersect and is
+    equivalence-tested in tests/test_search.py. Occurrences are planted:
+    every doc carries ``doc_id % 4`` trailing copies of the phrase."""
+    from .ops.search import phrase_search
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [
+            (t or "") + " needle in haystack" * (i % 4)
+            for i, t in zip(ids, texts)
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    pages = ds.map_batches(plant, batch_format="pyarrow")
+    return phrase_search(pages, "needle in haystack").to_pandas()
+
+
+QUERIES["phrase_search"] = q_phrase_search
+ORACLE_SQL["phrase_search"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           coalesce(text, '') || repeat(' needle in haystack', doc_id % 4)
+               AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM d
+),
+t AS (
+    SELECT doc_id, CAST(i AS BIGINT) - 1 AS p, l[CAST(i AS INT)] AS tok
+    FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM toks)
+),
+m AS (
+    SELECT a.doc_id, a.p AS start
+    FROM t a
+    JOIN t b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    JOIN t c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+    WHERE a.tok = 'needle' AND b.tok = 'in' AND c.tok = 'haystack'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""

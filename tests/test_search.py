@@ -120,3 +120,103 @@ class TestRrfFuse:
 
         with _pytest.raises(ValueError):
             rrf_fuse({})
+
+
+class TestPhraseSearch:
+    """Positional phrase search: brute force, regime equivalence, layouts."""
+
+    DOCS = [
+        (0, "the needle in haystack again needle in haystack"),
+        (1, "needle in haystack"),
+        (2, "needle in the haystack"),  # gap: no match
+        (3, ""),
+        (4, None),
+        (5, "Needle IN Haystack needle in"),  # case fold
+        (6, "in haystack needle"),  # wrong order
+        (7, "needle needle in haystack"),  # match at 1
+        (8, "a a a a"),  # repeated-token doc
+        (9, "x needle in haystack y needle in haystack"),
+    ]
+
+    @staticmethod
+    def brute(docs, phrase):
+        toks = phrase.lower().split()
+        out = {}
+        for d, t in docs:
+            w = [x for x in (t or "").lower().split() if x]
+            starts = [
+                s
+                for s in range(len(w) - len(toks) + 1)
+                if w[s : s + len(toks)] == toks
+            ]
+            if starts:
+                out[d] = (len(starts), starts[0])
+        return out
+
+    def _ds(self, docs, nparts):
+        import ray
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in docs], pa.int64()),
+                pa.array([r[1] for r in docs], pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+        return ray.data.from_arrow(t).repartition(nparts)
+
+    @pytest.mark.parametrize("via", ["local", "positions"])
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_matches_brute_force(self, via, nparts):
+        from pdf_extractor_ray.ops.search import phrase_search
+
+        ds = self._ds(self.DOCS, nparts)
+        got = phrase_search(ds, "needle in haystack", via=via).to_pandas()
+        want = self.brute(self.DOCS, "needle in haystack")
+        assert {
+            int(r.doc_id): (int(r.n_matches), int(r.first_pos))
+            for r in got.itertuples()
+        } == want
+
+    @pytest.mark.parametrize("via", ["local", "positions"])
+    def test_overlapping_repeated_token_phrase(self, via):
+        from pdf_extractor_ray.ops.search import phrase_search
+
+        ds = self._ds(self.DOCS, 2)
+        got = phrase_search(ds, "a a", via=via).to_pandas()
+        want = self.brute(self.DOCS, "a a")  # doc 8: starts 0,1,2
+        assert {
+            int(r.doc_id): (int(r.n_matches), int(r.first_pos))
+            for r in got.itertuples()
+        } == want
+        assert want[8] == (3, 0)
+
+    def test_single_token_phrase_and_empty_raises(self):
+        from pdf_extractor_ray.ops.search import phrase_search
+
+        ds = self._ds(self.DOCS, 2)
+        got = phrase_search(ds, "needle").to_pandas()
+        want = self.brute(self.DOCS, "needle")
+        assert {
+            int(r.doc_id): (int(r.n_matches), int(r.first_pos))
+            for r in got.itertuples()
+        } == want
+        with pytest.raises(ValueError):
+            phrase_search(ds, "   ")
+
+    def test_string_ids_flow_through(self):
+        import ray
+
+        from pdf_extractor_ray.ops.search import phrase_search
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array(["u1", "u2"], pa.string()),
+                pa.array(["needle in haystack", "nothing here"], pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+        ds = ray.data.from_arrow(t)
+        for via in ("local", "positions"):
+            got = phrase_search(ds, "needle in haystack", via=via).to_pandas()
+            assert list(got["doc_id"]) == ["u1"]
