@@ -1205,9 +1205,27 @@ def _bloom_mask(bits: np.ndarray, h: np.ndarray, m_bits: int, k: int) -> np.ndar
     return mask
 
 
+def _pair_keep(s1: np.ndarray, s2: np.ndarray, threshold: float,
+               measure: str) -> bool:
+    """Shared exact pair decision for the verified dedup tails.
+
+    ``jaccard``: |∩|/|∪| >= t.  ``containment``: |∩| >= t * min(|A|,|B|)
+    — the asymmetric criterion that catches a small document mostly
+    contained in a larger one (quotes, partial scrapes), where Jaccard
+    is diluted by the size gap. Both treat two empty sets as a match."""
+    if len(s1) == 0 and len(s2) == 0:
+        return True
+    inter = len(np.intersect1d(s1, s2, assume_unique=True))
+    if measure == "containment":
+        small = min(len(s1), len(s2))
+        return small > 0 and inter >= threshold * small - 1e-9
+    union = len(s1) + len(s2) - inter
+    return union > 0 and inter / union >= threshold
+
+
 def _verify_pairs_semijoin(
     ds, pairs, text_col, id_col, threshold, set_fn, num_partitions=None,
-    bloom_bits: int = 1 << 27,
+    bloom_bits: int = 1 << 27, measure: str = "jaccard",
 ):
     """Over-the-gate exact-Jaccard verification with NOTHING corpus- or
     candidate-sized on the driver: the candidate-pair Dataset is verified
@@ -1280,12 +1298,7 @@ def _verify_pairs_semijoin(
         for ba, bb in zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
             s1 = np.frombuffer(ba, np.uint64)
             s2 = np.frombuffer(bb, np.uint64)
-            if len(s1) == 0 and len(s2) == 0:
-                keep.append(True)
-                continue
-            inter = len(np.intersect1d(s1, s2, assume_unique=True))
-            union = len(s1) + len(s2) - inter
-            keep.append(union > 0 and inter / union >= threshold)
+            keep.append(_pair_keep(s1, s2, threshold, measure))
         return batch.select(["id_a", "id_b"]).filter(pa.array(keep))
 
     return j.map_batches(verify, batch_format="pyarrow")
@@ -1296,6 +1309,7 @@ def _verify_cluster_annotate(
     candidate_cap: int = 2_000_000,
     text_bytes_cap: int = 2 << 30,
     num_partitions=None,
+    measure: str = "jaccard",
 ):
     """Shared tail of the Jaccard-verified dedup ops: exact-Jaccard-verify
     the candidate pairs (``set_fn(text) -> sorted unique uint64`` is the
@@ -1358,15 +1372,10 @@ def _verify_cluster_annotate(
                 # appears in many pairs), then exact set-intersection
                 # Jaccard per pair.
                 sh = {d: set_fn(lookup[d]) for d in set(ia) | set(ib)}
-                keep = []
-                for u, v in zip(ia, ib):
-                    s1, s2 = sh[u], sh[v]
-                    if len(s1) == 0 and len(s2) == 0:
-                        keep.append(True)
-                        continue
-                    inter = len(np.intersect1d(s1, s2, assume_unique=True))
-                    union = len(s1) + len(s2) - inter
-                    keep.append(union > 0 and inter / union >= threshold)
+                keep = [
+                    _pair_keep(sh[u], sh[v], threshold, measure)
+                    for u, v in zip(ia, ib)
+                ]
                 return batch.filter(pa.array(keep))
 
             verified = pairs.map_batches(verify, batch_format="pyarrow")
@@ -1374,7 +1383,8 @@ def _verify_cluster_annotate(
     if verified is None:
         del cand_ids  # over the gate: nothing candidate-sized on the driver
         verified = _verify_pairs_semijoin(
-            ds, pairs, text_col, id_col, threshold, set_fn, num_partitions
+            ds, pairs, text_col, id_col, threshold, set_fn, num_partitions,
+            measure=measure,
         )
     labels = connected_components(verified)
     return _annotate_clusters(ds, labels, id_col)
@@ -1817,6 +1827,109 @@ def ngram_jaccard_dedup(
     return _verify_cluster_annotate(
         ds, pairs, text_col, id_col, threshold,
         grams, candidate_cap=candidate_cap,
+    )
+
+
+def containment_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    pair_cap: int = 65536,
+    candidate_cap: int = 2_000_000,
+):
+    """EXACT set-containment near-dup clustering: a pair qualifies when
+    ``|A ∩ B| >= t * min(|A|, |B|)`` over word-n-gram shingle sets — the
+    asymmetric criterion (set-containment join; Agrawal et al., Melnik &
+    Garcia-Molina) that catches a SMALL document mostly contained in a
+    larger one: quotes, partial scrapes, article+comments rehosts. Jaccard
+    misses these (the size gap dilutes the union); containment is the
+    standard complement in crawl curation.
+
+    Candidate generation is gram-bucket pairing over the FULL shingle set
+    (no prefix filter — containment admits no symmetric prefix bound: a
+    tiny A ⊂ huge B shares only A-chosen grams), recall-exact because a
+    qualifying pair shares >= ceil(t*min) >= 1 gram. Buckets ride the
+    shared :func:`_sorted_bucket_pairs` sort+segment pass; a gram bucket
+    past ``pair_cap`` degrades to star+chain (same documented pathological
+    regime as the AllPairs join — the Zipf-head knob there is
+    ``demote_frequent``; here hot grams simply cost candidates, never
+    recall). Verification and clustering are the shared size-gated tail
+    (:func:`_verify_cluster_annotate`) with the containment decision —
+    broadcast dict under the caps, Bloom + hash-partitioned semi-join
+    above them. Ids flow in their native Arrow type.
+
+    Scale: signature rows are ~L per doc of 20 bytes (the inverted-index
+    exchange the engine already pays in ``ops/index.py``); pairs and the
+    verify minority are O(duplicates). No counterpart in the reference
+    repo (its similarity surface is per-page word-set Jaccard,
+    ``src/services/validation/similarity_calculator.py:177``)."""
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        texts = batch[text_col].to_pylist()
+        rep_idx: list = []
+        key_chunks: list = []
+        size_chunks: list = []
+        for i, t in enumerate(texts):
+            g = _word_ngram_hashes(t, n)
+            if len(g) == 0:
+                continue
+            rep_idx.extend([i] * len(g))
+            key_chunks.append(g)
+            size_chunks.append(np.full(len(g), len(g), dtype=np.int32))
+        if not rep_idx:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], batch.schema.field(id_col).type),
+                    pa.array([], pa.uint64()),
+                    pa.array([], pa.int32()),
+                ],
+                names=[id_col, "bkey", "L"],
+            )
+        return pa.Table.from_arrays(
+            [
+                ids.take(pa.array(rep_idx)),
+                pa.array(np.concatenate(key_chunks)),
+                pa.array(np.concatenate(size_chunks)),
+            ],
+            names=[id_col, "bkey", "L"],
+        )
+
+    def extract(batch: pa.Table):
+        return (
+            batch["bkey"].to_numpy(),
+            batch[id_col].to_numpy(zero_copy_only=False),
+            {"L": batch["L"].to_numpy()},
+        )
+
+    def kernel(ids, extras):
+        del extras  # no symmetric length filter exists for containment
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = len(ids)
+        if m < 2:
+            return ids[:0], ids[:0]
+        if m <= pair_cap:
+            ia, ib = np.triu_indices(m, 1)
+            return ids[ia], ids[ib]
+        star_a = np.full(m - 1, ids[0])
+        return (
+            np.concatenate([star_a, ids[1:-1]]),
+            np.concatenate([ids[1:], ids[2:]]),
+        )
+
+    pairs = _sorted_bucket_pairs(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        extract,
+        kernel,
+        id_col,
+    )
+    return _verify_cluster_annotate(
+        ds, pairs, text_col, id_col, threshold,
+        lambda t: _word_ngram_hashes(t, n),
+        candidate_cap=candidate_cap, measure="containment",
     )
 
 

@@ -9049,3 +9049,95 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
        CAST(min(start) AS BIGINT) AS first_pos
 FROM m GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_containment_dedup(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric set-containment dedup (:func:`ops.dedup.containment_dedup`):
+    |A∩B| >= t*min(|A|,|B|) over word-3-gram shingles — catches small docs
+    mostly contained in larger ones (quotes, partial scrapes) that Jaccard
+    dilutes away. Fixture plants a word-prefix child (containment 1.0,
+    must cluster) for every doc_id % 5 == 0 and an every-other-word decoy
+    (disjoint shingle windows, must NOT cluster) for doc_id % 5 == 2; the
+    oracle recomputes exact all-pairs containment + reachability in SQL."""
+    from .ops.dedup import containment_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_i, out_t = [], []
+        for i, t in zip(ids, texts):
+            out_i.append(i)
+            out_t.append(t or "")
+            w = [x for x in re.split(r"\s+", t or "") if x]
+            if i % 5 == 0:
+                k = max(4, (len(w) * 3) // 5)
+                out_i.append(i + 300000)
+                out_t.append(" ".join(w[:k]))
+            elif i % 5 == 2:
+                out_i.append(i + 600000)
+                out_t.append(" ".join(w[::2]))
+        return pa.Table.from_arrays(
+            [pa.array(out_i, pa.int64()), pa.array(out_t, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    out = containment_dedup(corpus, threshold=0.8, n=3)
+    return (
+        out.to_pandas()[["doc_id", "cluster_id", "is_duplicate"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["containment_dedup"] = q_containment_dedup
+ORACLE_SQL["containment_dedup"] = r"""
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+    UNION ALL
+    SELECT doc_id + 300000,
+           lower(array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+                 greatest(4, (len(regexp_extract_all(text, '\S+')) * 3) // 5)),
+                 ' '))
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 600000,
+           lower(array_to_string(
+                 list_transform(
+                     range(1, len(regexp_extract_all(text, '\S+')) + 1, 2),
+                     i -> regexp_extract_all(text, '\S+')[CAST(i AS INT)]),
+                 ' '))
+    FROM documents WHERE doc_id % 5 = 2
+),
+toks AS (SELECT doc_id, regexp_extract_all(t, '\S+') AS w FROM corpus),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+    FROM toks
+),
+lens AS (SELECT doc_id, len(s) AS l FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT ia, ib FROM inter
+    JOIN lens la ON la.doc_id = ia
+    JOIN lens lb ON lb.doc_id = ib
+    WHERE CAST(i AS DOUBLE) >= 0.8 * least(la.l, lb.l) - 1e-9
+),
+edges AS (SELECT ia, ib FROM cand UNION SELECT ib, ia FROM cand),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT r.src, e.ib FROM reach r JOIN edges e ON r.dst = e.ia
+),
+lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
+FROM lab ORDER BY doc_id
+"""

@@ -1514,3 +1514,113 @@ class TestMutualNNBucketed:
             self._mk(a), self._mk(b), k_buckets=2, iters=2
         ).take_all()
         assert all(r["dst_id"] >= 100 for r in out)
+
+
+class TestContainmentDedup:
+    """Asymmetric set-containment dedup: brute force, asymmetry vs
+    Jaccard, over-cap semi-join regime, string ids."""
+
+    @staticmethod
+    def _brute(docs, threshold=0.8, n=3):
+        def grams(t):
+            w = (t or "").lower().split()
+            return {tuple(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+        ids = [d for d, _ in docs]
+        sets = {d: grams(t) for d, t in docs}
+        parent = {d: d for d in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                s1, s2 = sets[a], sets[b]
+                if not s1 or not s2:
+                    continue
+                inter = len(s1 & s2)
+                if inter >= threshold * min(len(s1), len(s2)) - 1e-9:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        return {d: find(d) for d in ids}
+
+    @staticmethod
+    def _canon(out):
+        return (
+            out.select_columns(["doc_id", "cluster_id", "is_duplicate"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def _docs(self):
+        rng = np.random.Generator(np.random.Philox(31))
+        vocab = [f"w{j:03d}" for j in range(500)]
+        docs = []
+        for i in range(40):
+            words = rng.choice(vocab, size=30, replace=False).tolist()
+            docs.append((i, " ".join(words)))
+            if i % 4 == 0:  # small doc fully contained in doc i
+                docs.append((i + 1000, " ".join(words[:12])))
+            if i % 4 == 1:  # every-other-word decoy: disjoint windows
+                docs.append((i + 2000, " ".join(words[::2])))
+        return docs
+
+    @pytest.mark.parametrize("nparts", [1, 4])
+    def test_matches_brute_force(self, ray_session, nparts):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import containment_dedup
+
+        docs = self._docs()
+        ds = rd.from_items(
+            [{"doc_id": d, "text": t} for d, t in docs]
+        ).repartition(nparts)
+        got = self._canon(containment_dedup(ds, threshold=0.8))
+        want = self._brute(docs)
+        assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+        # prefix children clustered with parents; decoys are singletons
+        assert all(want[i + 1000] == i for i in range(0, 40, 4))
+        assert all(want[i + 2000] == i + 2000 for i in range(1, 40, 4))
+
+    def test_catches_containment_jaccard_misses(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import (
+            containment_dedup,
+            ngram_jaccard_dedup,
+        )
+
+        big = " ".join(f"t{j:02d}" for j in range(60))
+        small = " ".join(f"t{j:02d}" for j in range(15))  # ⊂ big, J ≈ 0.22
+        ds = rd.from_items(
+            [{"doc_id": 0, "text": big}, {"doc_id": 1, "text": small}]
+        )
+        cont = self._canon(containment_dedup(ds, threshold=0.8))
+        jacc = (
+            ngram_jaccard_dedup(ds, threshold=0.8)
+            .select_columns(["doc_id", "is_duplicate"])
+            .to_pandas()
+        )
+        assert int(cont["is_duplicate"].sum()) == 1
+        assert int(jacc["is_duplicate"].sum()) == 0
+
+    def test_overcap_semijoin_matches_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import containment_dedup
+
+        docs = self._docs()
+        ds = rd.from_items(
+            [{"doc_id": f"u{d}", "text": t} for d, t in docs]
+        ).repartition(4)
+        base = self._canon(containment_dedup(ds, threshold=0.8))
+        over = self._canon(
+            containment_dedup(ds, threshold=0.8, candidate_cap=1)
+        )
+        assert base.equals(over)
+        assert int(base["is_duplicate"].sum()) == 10
