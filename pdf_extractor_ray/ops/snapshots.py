@@ -302,3 +302,110 @@ def snapshot_edit_distance(
     return sorted_segment_apply(
         pairs, key_col=key_col, block_fn=kernel, within_cols=["side"]
     )
+
+
+def change_rate(
+    ds,
+    now_us: int,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "text",
+):
+    """Per-url change-rate estimation over the capture history — the
+    recrawl-scheduling statistic (Cho & Garcia-Molina, "Estimating
+    frequency of change"): how often a page's content actually changed
+    across its captures, and how stale it is now.
+
+    Per url (captures ordered by ``ts_col``):
+
+    * ``n_caps``     — number of captures,
+    * ``n_changes``  — adjacent capture pairs with differing content,
+    * ``span_us``    — last_ts - first_ts,
+    * ``age_us``     — ``now_us`` - last_ts,
+    * ``priority_milli`` — ``(n_changes * age_us * 1000) // span_us``
+      (0 when span or changes are 0): the integer-exact staleness score
+      a recrawl frontier ranks by — expected changes accumulated since
+      the last capture, in thousandths.
+
+    Shape: payloads reduce to 8-byte sha1-prefix hashes inside
+    ``map_batches`` (content NEVER shuffles — the module's standing
+    rule); the one exchange is the (url, ts, hash) sort feeding
+    :func:`..segments.sorted_segment_apply`, whose kernel computes every
+    per-url statistic vectorized across segments (adjacent-diff prefix
+    sums + gathers at segment bounds). Result is O(distinct urls) rows.
+    ``now_us`` is an explicit parameter — the engine bans wall-clock
+    reads for byte-identity (SURVEY §7.3)."""
+    from .segments import sorted_segment_apply
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        contents = batch[content_col].to_pylist()
+        hashes = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.sha1(
+                        c.encode() if isinstance(c, str) else bytes(c or b"")
+                    ).digest()[:8],
+                    "big",
+                    signed=True,
+                )
+                for c in contents
+            ),
+            dtype=np.int64,
+            count=len(contents),
+        )
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.string()), ts.combine_chunks(), pa.array(hashes)],
+            names=[key_col, "ts_us", "h"],
+        )
+
+    rows = ds.map_batches(project, batch_format="pyarrow")
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.string()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                ],
+                names=[key_col, "n_caps", "n_changes", "span_us", "age_us",
+                       "priority_milli"],
+            )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy()
+        h = batch["h"].to_numpy()
+        d = (h[1:] != h[:-1]).astype(np.int64)
+        dc = np.concatenate(([0], np.cumsum(d)))
+        n_caps = ends - starts
+        n_changes = dc[ends - 1] - dc[starts]
+        first_ts, last_ts = ts[starts], ts[ends - 1]
+        span = last_ts - first_ts
+        age = now_us - last_ts
+        prio = np.zeros(len(starts), np.int64)
+        ok = (span > 0) & (n_changes > 0)
+        prio[ok] = (n_changes[ok] * age[ok] * 1000) // span[ok]
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys[starts], pa.string()),
+                pa.array(n_caps, pa.int64()),
+                pa.array(n_changes, pa.int64()),
+                pa.array(span, pa.int64()),
+                pa.array(age, pa.int64()),
+                pa.array(prio, pa.int64()),
+            ],
+            names=[key_col, "n_caps", "n_changes", "span_us", "age_us",
+                   "priority_milli"],
+        )
+
+    # Tie-break equal timestamps by content hash so the adjacent-diff count
+    # is deterministic (duplicate (url, ts) captures have no defined order).
+    return sorted_segment_apply(
+        rows, key_col, kernel, within_cols=["ts_us", "h"]
+    )

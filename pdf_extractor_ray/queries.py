@@ -9141,3 +9141,84 @@ lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
 SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
 FROM lab ORDER BY doc_id
 """
+
+
+def q_change_rate(sf_dir: str) -> pd.DataFrame:
+    """Recrawl change-rate estimation (:func:`ops.snapshots.change_rate`):
+    per-url capture history → n_changes / span / staleness priority
+    (Cho & Garcia-Molina recrawl scheduling). Fixture: 2 + doc_id % 4
+    captures a day apart; content changes every capture (mode 0), every
+    second capture (mode 1), or never (mode 2) by doc_id % 3. Content
+    reduces to 8-byte hashes in-block; the one exchange is the
+    (url, ts, hash) sort under the shared sorted-segment scaffold."""
+    from .ops.snapshots import change_rate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    BASE = 1_700_000_000_000_000
+    DAY = 86_400_000_000
+
+    def versions(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        url, ts, txt = [], [], []
+        for i, t in zip(ids, texts):
+            base = t or ""
+            for v in range(2 + i % 4):
+                url.append(f"doc://{i:08d}")
+                ts.append(BASE + i * 1_000_000 + v * DAY)
+                if i % 3 == 0:
+                    txt.append(f"{base} v{v}")
+                elif i % 3 == 1:
+                    txt.append(f"{base} v{v // 2}")
+                else:
+                    txt.append(base)
+        return pa.Table.from_arrays(
+            [
+                pa.array(url, pa.string()),
+                pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                pa.array(txt, pa.string()),
+            ],
+            names=["url", "warc_ts", "text"],
+        )
+
+    caps = ds.map_batches(versions, batch_format="pyarrow")
+    out = change_rate(caps, now_us=BASE + 30 * DAY)
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+QUERIES["change_rate"] = q_change_rate
+ORACLE_SQL["change_rate"] = r"""
+WITH caps AS (
+    SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+           1700000000000000 + doc_id * 1000000 + v * 86400000000 AS ts,
+           CASE doc_id % 3
+               WHEN 0 THEN coalesce(text, '') || ' v' || CAST(v AS VARCHAR)
+               WHEN 1 THEN coalesce(text, '') || ' v' || CAST(v // 2 AS VARCHAR)
+               ELSE coalesce(text, '')
+           END AS content
+    FROM (SELECT doc_id, text, unnest(range(2 + doc_id % 4)) AS v
+          FROM documents)
+),
+d AS (
+    SELECT url, ts, content,
+           lag(content) OVER (PARTITION BY url ORDER BY ts) AS prev
+    FROM caps
+),
+agg AS (
+    SELECT url, count(*) AS n_caps,
+           sum(CASE WHEN prev IS NOT NULL AND content <> prev
+                    THEN 1 ELSE 0 END) AS n_changes,
+           max(ts) - min(ts) AS span_us,
+           (1700000000000000 + 30 * 86400000000) - max(ts) AS age_us
+    FROM d GROUP BY url
+)
+SELECT url,
+       CAST(n_caps AS BIGINT) AS n_caps,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(span_us AS BIGINT) AS span_us,
+       CAST(age_us AS BIGINT) AS age_us,
+       CAST(CASE WHEN span_us > 0 AND n_changes > 0
+                 THEN (n_changes * age_us * 1000) // span_us
+                 ELSE 0 END AS BIGINT) AS priority_milli
+FROM agg ORDER BY url
+"""

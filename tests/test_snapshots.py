@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyarrow as pa
+import pytest
 
 
 def _versions_table():
@@ -176,3 +177,86 @@ class TestSnapshotEditDistance:
         )
         assert a.equals(b)
         assert (a["edit_distance"] == 1).all() and len(a) == 8
+
+
+class TestChangeRate:
+    """Recrawl change-rate estimation: brute force + layouts + ties."""
+
+    DAY = 86_400_000_000
+    BASE = 1_700_000_000_000_000
+
+    def _rows(self):
+        rows = []
+        for v in range(4):  # a: changes every capture
+            rows.append(("a", self.BASE + v * self.DAY, f"a v{v}"))
+        for v in range(3):  # b: never changes
+            rows.append(("b", self.BASE + v * self.DAY, "same"))
+        rows.append(("c", self.BASE, "only"))  # single capture
+        rows.append(("d", self.BASE, "x"))
+        rows.append(("d", self.BASE + 2 * self.DAY, "y"))
+        return rows
+
+    @pytest.mark.parametrize("nparts", [1, 4])
+    def test_matches_brute_force(self, ray_session, nparts):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import change_rate
+
+        rows = self._rows()
+        now = self.BASE + 10 * self.DAY
+        ds = rd.from_items(
+            [{"url": u, "warc_ts": t, "text": c} for u, t, c in rows]
+        ).repartition(nparts)
+        got = (
+            change_rate(ds, now, ts_col="warc_ts")
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        # brute force
+        from collections import defaultdict
+
+        hist = defaultdict(list)
+        for u, t, c in rows:
+            hist[u].append((t, c))
+        want = {}
+        for u, caps in hist.items():
+            caps.sort()
+            ch = sum(
+                1 for i in range(1, len(caps)) if caps[i][1] != caps[i - 1][1]
+            )
+            span = caps[-1][0] - caps[0][0]
+            age = now - caps[-1][0]
+            prio = (ch * age * 1000) // span if span > 0 and ch > 0 else 0
+            want[u] = (len(caps), ch, span, age, prio)
+        assert {
+            r.url: (
+                int(r.n_caps),
+                int(r.n_changes),
+                int(r.span_us),
+                int(r.age_us),
+                int(r.priority_milli),
+            )
+            for r in got.itertuples()
+        } == want
+
+    def test_equal_ts_ties_are_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import change_rate
+
+        rows = [
+            {"url": "t", "warc_ts": self.BASE, "text": "p"},
+            {"url": "t", "warc_ts": self.BASE, "text": "q"},
+            {"url": "t", "warc_ts": self.BASE + self.DAY, "text": "q"},
+        ]
+        outs = []
+        for nparts in (1, 2, 3):
+            ds = rd.from_items(rows).repartition(nparts)
+            outs.append(
+                change_rate(ds, self.BASE + 2 * self.DAY, ts_col="warc_ts")
+                .to_pandas()
+                .sort_values("url")
+                .reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
