@@ -2112,3 +2112,134 @@ def fix_mojibake_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     cols.append(pa.array(flags, pa.bool_()))
     names.append("fixed")
     return pa.Table.from_arrays(cols, names=names)
+
+
+# int64 safety guard for the drift score's cross products; tests shrink it
+# to force the Python-int object path (scores stay exact either way, but a
+# score past int64 raises at the Arrow boundary by design — callers at that
+# scale keep the object path's exactness by pre-scaling counts).
+_DRIFT_INT64_GUARD = 1 << 62
+
+
+def term_drift(old_ds, new_ds, k: int = 25, text_col: str = "text",
+               int64_guard: int = _DRIFT_INT64_GUARD):
+    """Exact corpus term drift between two snapshots: the ``k`` tokens
+    whose occurrence RATE moved most between the old and new corpus,
+    ranked by the integer-exact cross-multiplied rate delta
+
+        score = | c_old * N_new  -  c_new * N_old |
+
+    (``N_side`` = total token occurrences of that side). This is the
+    numerator of the two-proportion z / χ² statistic with the
+    denominator dropped — dropping it keeps the score a BIGINT/HUGEINT
+    expressible bit-for-bit in SQL (the engine's standing integer-exact
+    trick, cf. BM25's rational IDF) while preserving the "absolute rate
+    change weighted by corpus size" ordering that drift monitoring
+    ranks by. Ties break token-ascending.
+
+    Shape: per-block vectorized token counts pre-combine per side (the
+    word_topk regime — nothing row-level enters an exchange), one
+    ``groupby(token)`` sum over vocabulary-sized (token, c_old, c_new)
+    rows; side totals ride as ``""`` sentinel rows (never a real token);
+    scoring is one vectorized pass with a guarded int64 fast path
+    (Python-int object fallback past 2^62 — the domain_gini pattern);
+    final top-k is per-block partials merged from blocks × k rows."""
+    from ray.data.aggregate import Sum
+
+    def counts(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            texts = pc.fill_null(batch[text_col], "")
+            words = split_words(texts).flatten()
+            w = words.to_numpy(zero_copy_only=False)
+            w = w[w != ""]
+            u, c = (
+                np.unique(w.astype(str), return_counts=True)
+                if len(w)
+                else (np.array([], object), np.array([], np.int64))
+            )
+            tok = np.concatenate([u.astype(object), np.array([""], object)])
+            cnt = np.concatenate([c.astype(np.int64), [int(c.sum())]])
+            zero = np.zeros(len(tok), np.int64)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(tok, pa.string()),
+                    pa.array(cnt if side == 0 else zero, pa.int64()),
+                    pa.array(cnt if side == 1 else zero, pa.int64()),
+                ],
+                names=["token", "c_old", "c_new"],
+            )
+
+        return f
+
+    both = (
+        old_ds.map_batches(counts(0), batch_format="pyarrow", batch_size=None)
+        .union(
+            new_ds.map_batches(
+                counts(1), batch_format="pyarrow", batch_size=None
+            )
+        )
+        .groupby("token")
+        .aggregate(Sum("c_old"), Sum("c_new"))
+        .materialize()
+    )
+
+    def sentinel_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["token"], ""))
+
+    tot = pa.concat_tables(
+        both.map_batches(
+            sentinel_only, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    )  # exactly one sentinel row after the groupby
+    n_old = int(tot["sum(c_old)"][0].as_py()) if tot.num_rows else 0
+    n_new = int(tot["sum(c_new)"][0].as_py()) if tot.num_rows else 0
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch["token"], ""))
+        toks = np.asarray(batch["token"].to_pylist(), dtype=object)
+        a = batch["sum(c_old)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["sum(c_new)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (
+            (int(a.max()) * n_new >= int64_guard)
+            or (int(b.max()) * n_old >= int64_guard)
+        ):
+            score = np.array(
+                [abs(int(x) * n_new - int(y) * n_old) for x, y in zip(a, b)],
+                dtype=object,
+            )
+            order = sorted(
+                range(len(score)), key=lambda i: (-score[i], toks[i])
+            )[:k]
+            order = np.asarray(order, np.int64)
+            score_out = [int(score[i]) for i in order]
+        else:
+            score = np.abs(a * n_new - b * n_old)
+            order = np.lexsort((toks, -score))[:k]
+            score_out = score[order].tolist()
+        return pa.Table.from_arrays(
+            [
+                pa.array(toks[order].astype(str), pa.string()),
+                pa.array(a[order], pa.int64()),
+                pa.array(b[order], pa.int64()),
+                pa.array(score_out, pa.int64()),
+            ],
+            names=["token", "c_old", "c_new", "score"],
+        )
+
+    import pandas as pd
+
+    partials = both.map_batches(
+        score_topk, batch_format="pyarrow", batch_size=None
+    ).take_all()  # ≤ blocks × k rows
+    partials.sort(key=lambda r: (-r["score"], r["token"]))
+    head = partials[:k]
+    return pd.DataFrame(
+        {
+            "token": [r["token"] for r in head],
+            "c_old": [r["c_old"] for r in head],
+            "c_new": [r["c_new"] for r in head],
+            "score": [r["score"] for r in head],
+            "rank": list(range(1, len(head) + 1)),
+        }
+    ).astype({"c_old": "int64", "c_new": "int64", "score": "int64",
+              "rank": "int32"})

@@ -9222,3 +9222,80 @@ SELECT url,
                  ELSE 0 END AS BIGINT) AS priority_milli
 FROM agg ORDER BY url
 """
+
+
+def q_term_drift(sf_dir: str) -> pd.DataFrame:
+    """Corpus term drift (:func:`ops.text.term_drift`): top tokens by the
+    integer-exact cross-multiplied rate delta |c_old*N_new - c_new*N_old|
+    between two snapshots of the corpus. Fixture plants drift: the new
+    side appends ' trending topic now' to even doc_ids, the old side
+    appends ' legacy term' to odd ones; the oracle replays counts and the
+    HUGEINT score with a row_number rank."""
+    from .ops.text import term_drift
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(new: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            out = []
+            for i, t in zip(ids, texts):
+                base = t or ""
+                if new and i % 2 == 0:
+                    out.append(base + " trending topic now")
+                elif not new and i % 2 == 1:
+                    out.append(base + " legacy term")
+                else:
+                    out.append(base)
+            return pa.Table.from_arrays(
+                [pa.array(out, pa.string())], names=["text"]
+            )
+
+        return f
+
+    old_ds = ds.map_batches(side(False), batch_format="pyarrow")
+    new_ds = ds.map_batches(side(True), batch_format="pyarrow")
+    return term_drift(old_ds, new_ds, k=25)
+
+
+QUERIES["term_drift"] = q_term_drift
+ORACLE_SQL["term_drift"] = r"""
+WITH old_side AS (
+    SELECT CASE WHEN doc_id % 2 = 1
+                THEN coalesce(text, '') || ' legacy term'
+                ELSE coalesce(text, '') END AS t
+    FROM documents
+),
+new_side AS (
+    SELECT CASE WHEN doc_id % 2 = 0
+                THEN coalesce(text, '') || ' trending topic now'
+                ELSE coalesce(text, '') END AS t
+    FROM documents
+),
+ota AS (SELECT unnest(regexp_extract_all(lower(t), '\S+')) AS token
+        FROM old_side),
+nta AS (SELECT unnest(regexp_extract_all(lower(t), '\S+')) AS token
+        FROM new_side),
+oc AS (SELECT token, count(*) AS a FROM ota GROUP BY 1),
+nc AS (SELECT token, count(*) AS b FROM nta GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM ota) AS n_old,
+               (SELECT count(*) FROM nta) AS n_new),
+j AS (
+    SELECT coalesce(oc.token, nc.token) AS token,
+           coalesce(a, 0) AS a, coalesce(b, 0) AS b
+    FROM oc FULL OUTER JOIN nc ON oc.token = nc.token
+),
+s AS (
+    SELECT token, a, b, abs(a * n_new - b * n_old) AS score
+    FROM j, tot
+)
+SELECT token,
+       CAST(a AS BIGINT) AS c_old,
+       CAST(b AS BIGINT) AS c_new,
+       CAST(score AS BIGINT) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, token) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 25
+ORDER BY rank
+"""

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import collections
 
+import pytest
 import pyarrow as pa
 
 from pdf_extractor_ray.functions.metadata import parse_head_meta
@@ -921,3 +922,71 @@ class TestDsirSelect:
         )
         assert out["selected"].all()
         assert out["dsir_score"].tolist()[1:] == [0, 0]
+
+
+class TestTermDrift:
+    """Integer-exact rate-delta drift: brute force, ties, layouts,
+    big-int fallback."""
+
+    @staticmethod
+    def _brute(old_texts, new_texts, k):
+        from collections import Counter
+
+        oc = Counter(w for t in old_texts for w in (t or "").lower().split())
+        nc = Counter(w for t in new_texts for w in (t or "").lower().split())
+        n_old, n_new = sum(oc.values()), sum(nc.values())
+        rows = [
+            (tok, oc[tok], nc[tok], abs(oc[tok] * n_new - nc[tok] * n_old))
+            for tok in set(oc) | set(nc)
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        return rows[:k]
+
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_matches_brute_force(self, ray_session, nparts):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import term_drift
+
+        old_texts = [
+            "alpha beta gamma alpha",
+            "beta beta legacy legacy",
+            "",
+            None,
+        ]
+        new_texts = ["alpha beta gamma trending", "trending trending beta"]
+        old = rd.from_items([{"text": t} for t in old_texts]).repartition(
+            nparts
+        )
+        new = rd.from_items([{"text": t} for t in new_texts]).repartition(
+            nparts
+        )
+        got = term_drift(old, new, k=4)
+        want = self._brute(old_texts, new_texts, 4)
+        assert [
+            (r.token, int(r.c_old), int(r.c_new), int(r.score))
+            for r in got.itertuples()
+        ] == want
+        assert list(got["rank"]) == [1, 2, 3, 4]
+
+    def test_object_fallback_matches_int64_path(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import term_drift
+
+        old = rd.from_items(
+            [{"text": "x " * 50 + "y legacy"}, {"text": "y y z"}]
+        ).repartition(2)
+        new = rd.from_items([{"text": "x y y trending trending"}])
+        base = term_drift(old, new, k=5)
+        over = term_drift(old, new, k=5, int64_guard=1)  # force object path
+        assert base.equals(over)
+
+    def test_empty_sides(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import term_drift
+
+        empty = rd.from_items([{"text": ""}])
+        out = term_drift(empty, empty, k=5)
+        assert len(out) == 0
