@@ -9299,3 +9299,64 @@ FROM s
 QUALIFY rank <= 25
 ORDER BY rank
 """
+
+
+def q_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease quality scoring
+    (:func:`ops.text.readability_batch`): integer-exact clamped
+    milli-score from RE2-vectorized word / sentence / vowel-group counts,
+    one shuffle-free pass. Fixture appends two plain sentences to every
+    third doc so both the sentence count and the readable flag vary."""
+    from .ops.text import readability_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [
+            (t or "")
+            + (" The cat sat on the mat. It was flat." if i % 3 == 0 else "")
+            for i, t in zip(ids, texts)
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        readability_batch, batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["readability"] = q_readability
+ORACLE_SQL["readability"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           coalesce(text, '') || CASE WHEN doc_id % 3 = 0
+               THEN ' The cat sat on the mat. It was flat.' ELSE '' END AS t
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z]+')) AS BIGINT) AS w,
+           greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT),
+                    1) AS s,
+           CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+               AS y
+    FROM d
+),
+f AS (
+    SELECT doc_id, w, s, y,
+           CASE WHEN w > 0
+                THEN greatest(206835 * s * w - 1015 * w * w - 84600 * y * s,
+                              0) // (s * w)
+                ELSE 0 END AS flesch_milli
+    FROM c
+)
+SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syll,
+       CAST(flesch_milli AS BIGINT) AS flesch_milli,
+       flesch_milli >= 30000 AS readable
+FROM f ORDER BY doc_id
+"""

@@ -990,3 +990,48 @@ class TestTermDrift:
         empty = rd.from_items([{"text": ""}])
         out = term_drift(empty, empty, k=5)
         assert len(out) == 0
+
+
+class TestReadability:
+    """Flesch milli-score: hand-computed vectors, clamping, nulls."""
+
+    def test_hand_computed(self):
+        from pdf_extractor_ray.ops.text import readability_batch
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([0, 1, 2, 3], pa.int64()),
+                pa.array(
+                    [
+                        "The cat sat. It was flat! Was it?",
+                        "",
+                        None,
+                        "Incomprehensibility notwithstanding, "
+                        "parallelization necessitates disambiguation.",
+                    ],
+                    pa.string(),
+                ),
+            ],
+            names=["doc_id", "text"],
+        )
+        out = readability_batch(t).to_pandas()
+        # doc 0: W=8, S=3, Y=8 → (206835*24 - 1015*64 - 84600*24)//24
+        w, s, y = 8, 3, 8
+        want = max(206835 * s * w - 1015 * w * w - 84600 * y * s, 0) // (s * w)
+        assert out.loc[0, "flesch_milli"] == want and out.loc[0, "readable"]
+        assert out.loc[1, "flesch_milli"] == 0 and not out.loc[1, "readable"]
+        assert out.loc[2, "flesch_milli"] == 0  # null text
+        assert out.loc[3, "flesch_milli"] == 0  # clamped negative
+
+    def test_sentence_floor_is_one(self):
+        from pdf_extractor_ray.ops.text import readability_batch
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([0], pa.int64()),
+                pa.array(["no terminator here at all"], pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+        out = readability_batch(t).to_pandas()
+        assert out.loc[0, "n_sents"] == 1 and out.loc[0, "n_words"] == 5
