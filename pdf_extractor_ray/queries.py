@@ -9360,3 +9360,64 @@ SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syll,
        flesch_milli >= 30000 AS readable
 FROM f ORDER BY doc_id
 """
+
+
+def q_frequent_pairs(sf_dir: str) -> pd.DataFrame:
+    """A-Priori frequent token pairs (:func:`ops.itemsets.frequent_pairs`):
+    pairs of tokens co-occurring in >= support documents, two passes with
+    the frequent-item broadcast between them. Fixture plants co-members:
+    ' kiwi mango' / ' kiwi papaya' / ' mango papaya guava' on doc_id % 5
+    in {0,1,2}; the oracle replays both passes with distinct-doc joins."""
+    from .ops.itemsets import frequent_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        tails = {0: " kiwi mango", 1: " kiwi papaya", 2: " mango papaya guava"}
+        out = [
+            (t or "") + tails.get(i % 5, "") for i, t in zip(ids, texts)
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(out, pa.string())], names=["text"]
+        )
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    return frequent_pairs(corpus, support=50, k=20)
+
+
+QUERIES["frequent_pairs"] = q_frequent_pairs
+ORACLE_SQL["frequent_pairs"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           coalesce(text, '') || CASE doc_id % 5
+               WHEN 0 THEN ' kiwi mango'
+               WHEN 1 THEN ' kiwi papaya'
+               WHEN 2 THEN ' mango papaya guava'
+               ELSE '' END AS t
+    FROM documents
+),
+pairs AS (
+    SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(t), '\S+')) AS token
+        FROM d
+    )
+),
+freq AS (
+    SELECT token FROM pairs GROUP BY token HAVING count(*) >= 50
+),
+fp AS (SELECT p.doc_id, p.token FROM pairs p JOIN freq USING (token)),
+pp AS (
+    SELECT a.token AS t1, b.token AS t2, count(*) AS cnt
+    FROM fp a JOIN fp b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2
+    HAVING count(*) >= 50
+)
+SELECT t1, t2, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, t1 || ' ' || t2)
+            AS INTEGER) AS rank
+FROM pp
+QUALIFY rank <= 20
+ORDER BY rank
+"""

@@ -1035,3 +1035,81 @@ class TestReadability:
         )
         out = readability_batch(t).to_pandas()
         assert out.loc[0, "n_sents"] == 1 and out.loc[0, "n_words"] == 5
+
+
+class TestFrequentPairs:
+    """A-Priori frequent pairs: brute force, support pruning, cap."""
+
+    DOCS = (
+        ["apple banana cherry"] * 5
+        + ["apple banana"] * 3
+        + ["banana date"] * 4
+        + ["rare pair only once"]
+        + ["apple apple banana banana"] * 2
+        + ["", None]
+    )
+
+    @staticmethod
+    def _brute(docs, support, k):
+        from collections import Counter
+        from itertools import combinations
+
+        sets = [set((t or "").lower().split()) for t in docs]
+        ic = Counter(tok for s in sets for tok in s)
+        freq = {t for t, c in ic.items() if c >= support}
+        pc_ = Counter(
+            tuple(sorted(p))
+            for s in sets
+            for p in combinations(sorted(s & freq), 2)
+        )
+        rows = [(a, b, c) for (a, b), c in pc_.items() if c >= support]
+        rows.sort(key=lambda r: (-r[2], r[0] + " " + r[1]))
+        return rows[:k]
+
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_matches_brute_force(self, ray_session, nparts):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.itemsets import frequent_pairs
+
+        ds = rd.from_items(
+            [{"text": t} for t in self.DOCS]
+        ).repartition(nparts)
+        got = frequent_pairs(ds, support=4, k=10)
+        want = self._brute(self.DOCS, 4, 10)
+        assert [
+            (r.t1, r.t2, int(r.cnt)) for r in got.itertuples()
+        ] == want
+        assert want[0] == ("apple", "banana", 10)
+
+    def test_support_prunes_items_before_pairing(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.itemsets import frequent_pairs
+
+        # "date" appears in 4 docs; at support=5 it is not a frequent
+        # item, so (banana, date) must not surface even as a candidate.
+        ds = rd.from_items([{"text": t} for t in self.DOCS])
+        got = frequent_pairs(ds, support=5, k=10)
+        assert ("banana", "date") not in set(zip(got["t1"], got["t2"]))
+
+    def test_frequent_cap_raises_typed(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.itemsets import (
+            FrequentSetOverflow,
+            frequent_pairs,
+        )
+
+        ds = rd.from_items([{"text": t} for t in self.DOCS])
+        with pytest.raises(FrequentSetOverflow):
+            frequent_pairs(ds, support=2, k=5, frequent_cap=1)
+
+    def test_no_frequent_items_is_empty(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.itemsets import frequent_pairs
+
+        ds = rd.from_items([{"text": "each word distinct here"}])
+        out = frequent_pairs(ds, support=2, k=5)
+        assert len(out) == 0
