@@ -168,3 +168,101 @@ def cohort_retention(
         .groupby(["cohort", "offset"])
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def transition_counts(
+    ds,
+    k: int = 25,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+):
+    """Markov transition heavy hitters: the ``k`` most frequent adjacent
+    ``(src, dst)`` state pairs across all per-user ordered event streams
+    (first-order clickstream transition matrix, trimmed to its head) —
+    ranked by (count desc, src, dst). Returns a pandas DataFrame
+    ``(src, dst, cnt, rank)``.
+
+    Shape: ONE sort by (user, ts, state) under the sorted-segment
+    scaffold; the kernel reads adjacency vectorized off the sorted block
+    (positions not at a segment start pair with their predecessor) and
+    pre-combines pair counts per block before one pair-vocabulary
+    ``groupby``; top-k is per-block partials merged from blocks × k
+    rows. Equal timestamps tie-break by state for determinism (the
+    oracle mirrors the same ORDER BY)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .segments import sorted_segment_apply
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch[user_col], ts.combine_chunks(), batch[state_col]],
+            names=[user_col, "ts_us", "state"],
+        )
+
+    rows = ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+    def kernel(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if len(starts) == 0 or batch.num_rows < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["pair", "cnt"],
+            )
+        st = np.asarray(batch["state"].to_pylist(), dtype=object)
+        # adjacency positions: every covered row except each segment head,
+        # via one coverage prefix sum (no per-segment Python)
+        n = batch.num_rows
+        cover = np.zeros(n + 1, np.int64)
+        np.add.at(cover, starts, 1)
+        np.add.at(cover, ends, -1)
+        inseg = np.cumsum(cover[:n]) > 0
+        head_pos = np.zeros(n, bool)
+        head_pos[starts] = True
+        idx = np.flatnonzero(inseg & ~head_pos)
+        if len(idx) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["pair", "cnt"],
+            )
+        keys = np.char.add(
+            np.char.add(st[idx - 1].astype(str), "\x1f"), st[idx].astype(str)
+        )
+        u, c = np.unique(keys, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()),
+             pa.array(c.astype(np.int64))],
+            names=["pair", "cnt"],
+        )
+
+    partials = sorted_segment_apply(
+        rows, user_col, kernel, within_cols=["ts_us", "state"]
+    )
+    totals = partials.groupby("pair").aggregate(Sum("cnt"))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["pair"].to_pylist(), dtype=object)
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -c))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(p[order].astype(str), pa.string()),
+             pa.array(c[order], pa.int64())],
+            names=["pair", "cnt"],
+        )
+
+    head = totals.map_batches(
+        topk_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # <= blocks x k
+    head.sort(key=lambda r: (-r["cnt"], r["pair"]))
+    head = head[:k]
+    return pd.DataFrame(
+        {
+            "src": [r["pair"].split("\x1f", 1)[0] for r in head],
+            "dst": [r["pair"].split("\x1f", 1)[1] for r in head],
+            "cnt": [r["cnt"] for r in head],
+            "rank": list(range(1, len(head) + 1)),
+        }
+    ).astype({"cnt": "int64", "rank": "int32"})

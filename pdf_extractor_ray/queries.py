@@ -9421,3 +9421,38 @@ FROM pp
 QUALIFY rank <= 20
 ORDER BY rank
 """
+
+
+def q_page_transitions(sf_dir: str) -> pd.DataFrame:
+    """Clickstream transition heavy hitters
+    (:func:`ops.funnel.transition_counts`): the most frequent adjacent
+    (src, dst) event-type pairs across per-user ordered streams — the
+    first-order Markov transition matrix head. One (user, ts, state) sort
+    under the sorted-segment scaffold, per-block pre-combined pair counts,
+    one pair-vocabulary groupby, partial top-k."""
+    from .ops.funnel import transition_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return transition_counts(ds, k=25)
+
+
+QUERIES["page_transitions"] = q_page_transitions
+ORACLE_SQL["page_transitions"] = r"""
+WITH e AS (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_type
+           ) AS prev
+    FROM events
+),
+p AS (
+    SELECT prev AS src, event_type AS dst, count(*) AS cnt
+    FROM e WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, src || chr(31) || dst)
+            AS INTEGER) AS rank
+FROM p
+QUALIFY rank <= 25
+ORDER BY rank
+"""

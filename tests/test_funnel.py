@@ -98,3 +98,61 @@ class TestCohortRetention:
         want = collections.Counter((coh[u], w - coh[u]) for u, w in act)
         assert got == dict(want)
         assert all(off >= 0 for _, off in got)
+
+
+class TestTransitionCounts:
+    """Markov transition top-k: brute force, boundaries, layouts."""
+
+    EVENTS = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "view"), (2, 4, "click"),
+        (3, 5, "view"),  # single-event user: no transitions
+        (4, 1, "error"), (4, 1, "click"),  # equal ts: state tie-break
+    ]
+
+    @staticmethod
+    def _brute(events, k):
+        from collections import Counter, defaultdict
+
+        per_user = defaultdict(list)
+        for u, t, s in events:
+            per_user[u].append((t, s))
+        c = Counter()
+        for caps in per_user.values():
+            caps.sort()
+            for i in range(1, len(caps)):
+                c[(caps[i - 1][1], caps[i][1])] += 1
+        rows = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(a, b, n) for (a, b), n in rows]
+
+    @pytest.mark.parametrize("nparts", [1, 4])
+    def test_matches_brute_force(self, ray_session, nparts):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.funnel import transition_counts
+
+        ds = rd.from_items(
+            [
+                {"user_id": u, "ts": t * 1_000_000, "event_type": s}
+                for u, t, s in self.EVENTS
+            ]
+        ).repartition(nparts)
+        got = transition_counts(ds, k=10)
+        want = self._brute(self.EVENTS, 10)
+        assert [
+            (r.src, r.dst, int(r.cnt)) for r in got.itertuples()
+        ] == want
+        assert ("view", "click") == want[0][:2] and want[0][2] == 3
+
+    def test_single_user_stream_never_crosses_users(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.funnel import transition_counts
+
+        # adjacent rows from DIFFERENT users must not pair
+        rows = [
+            {"user_id": 1, "ts": 1, "event_type": "a"},
+            {"user_id": 2, "ts": 2, "event_type": "b"},
+        ]
+        out = transition_counts(rd.from_items(rows), k=5)
+        assert len(out) == 0
