@@ -9456,3 +9456,40 @@ FROM p
 QUALIFY rank <= 25
 ORDER BY rank
 """
+
+
+def q_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Link reciprocity of the synthesized host graph
+    (:func:`ops.links.reciprocity`): fraction of distinct non-self
+    directed edges whose reverse exists, in integer milli-units; one
+    unordered-key groupby over the distinct edge list."""
+    from .ops.links import link_graph, reciprocity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    return reciprocity(link_graph(pages))
+
+
+QUERIES["reciprocity"] = q_reciprocity
+ORACLE_SQL["reciprocity"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+    UNION ALL
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com',
+           'site' || CAST(i % 20 AS VARCHAR) || '.example.com'
+    FROM base
+),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+r AS (
+    SELECT count(*) AS n FROM e a
+    JOIN e b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(r.n AS BIGINT) AS n_reciprocal,
+       CAST(1000 * r.n // (SELECT count(*) FROM e) AS BIGINT)
+           AS reciprocity_milli
+FROM r
+"""

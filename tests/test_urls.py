@@ -981,3 +981,38 @@ class TestLabelPropagation:
         ref = self._run(edges, 2, 1)
         assert self._run(edges, 2, 5) == ref
         assert ref == self._brute(edges, 2)
+
+
+class TestReciprocity:
+    """Global reciprocity: brute force on a hand graph, self-loop and
+    duplicate handling, layouts."""
+
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_hand_graph(self, ray_session, nparts):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import reciprocity
+
+        # a<->b reciprocal; a->c one-way; c->c self loop (dropped);
+        # b<->c reciprocal
+        edges = [
+            ("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"),
+            ("b", "c"), ("c", "b"),
+        ]
+        ds = rd.from_items(
+            [{"src_host": s, "dst_host": d} for s, d in edges]
+        ).repartition(nparts)
+        out = reciprocity(ds)
+        assert out.loc[0, "n_edges"] == 5
+        assert out.loc[0, "n_reciprocal"] == 4
+        assert out.loc[0, "reciprocity_milli"] == 4000 // 5
+
+    def test_empty_graph(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import reciprocity
+
+        ds = rd.from_items([{"src_host": "x", "dst_host": "x"}])
+        out = reciprocity(ds)
+        assert out.loc[0, "n_edges"] == 0
+        assert out.loc[0, "reciprocity_milli"] == 0
