@@ -256,3 +256,76 @@ def meta_refresh_edges_batch(batch, html_col: str = "html", url_col: str = "url"
         [pa.array(srcs, pa.string()), pa.array(dsts, pa.string())],
         names=["src", "dst"],
     )
+
+
+_ITEMSCOPE_RE = None
+_ITEMTYPE_RE = None
+_ITEMPROP_RE = None
+
+
+def extract_microdata(html: str) -> tuple[list[str], int]:
+    """Microdata census for one page: the itemtype values of every
+    ``itemscope`` declaration (schema.org URL tail, e.g. ``Product``)
+    plus the page's total ``itemprop`` attribute count.
+
+    Microdata is the second of schema.org's three carriers (JSON-LD and
+    RDFa are the others; :func:`extract_jsonld` covers the first) and
+    still the majority carrier on commerce pages. Attribute-order and
+    quote tolerant, same scanning contract as the sibling extractors:
+    compiled regex over the raw markup, no DOM build."""
+    global _ITEMSCOPE_RE, _ITEMPROP_RE, _ITEMTYPE_RE
+    import re
+
+    if _ITEMSCOPE_RE is None:
+        _ITEMSCOPE_RE = re.compile(
+            r"<[a-zA-Z][^>]*\bitemscope\b[^>]*>", re.IGNORECASE
+        )
+        _ITEMTYPE_RE = re.compile(
+            r"""\bitemtype\s*=\s*["']([^"'<>]+)["']""", re.IGNORECASE
+        )
+        _ITEMPROP_RE = re.compile(
+            r"""\bitemprop\s*=\s*["'][^"'<>]+["']""", re.IGNORECASE
+        )
+    types = []
+    for tag in _ITEMSCOPE_RE.findall(html):
+        m = _ITEMTYPE_RE.search(tag)
+        if not m:
+            continue
+        tail = m.group(1).rstrip("/").rsplit("/", 1)[-1].strip()
+        if tail:
+            types.append(tail)
+    return types, len(_ITEMPROP_RE.findall(html))
+
+
+def microdata_batch(batch, html_col: str = "html", id_col: str = "doc_id"):
+    """Per-page microdata summary rows: one row per (page, itemtype) with
+    the count of itemscope declarations of that type and the page's total
+    itemprop count carried on each row. Pages without microdata emit
+    nothing. One stateless shuffle-free pass."""
+    import pyarrow as pa
+
+    ids, types, counts, props = [], [], [], []
+    for i, payload in zip(batch[id_col].to_pylist(), batch[html_col].to_pylist()):
+        text = (
+            payload.decode("utf-8", errors="replace")
+            if isinstance(payload, (bytes, bytearray))
+            else (payload or "")
+        )
+        tlist, n_props = extract_microdata(text)
+        tally: dict[str, int] = {}
+        for t in tlist:
+            tally[t] = tally.get(t, 0) + 1
+        for t in sorted(tally):
+            ids.append(i)
+            types.append(t)
+            counts.append(tally[t])
+            props.append(n_props)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(types, pa.string()),
+            pa.array(counts, pa.int64()),
+            pa.array(props, pa.int64()),
+        ],
+        names=[id_col, "item_type", "n_items", "n_props"],
+    )

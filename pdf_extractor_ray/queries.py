@@ -9493,3 +9493,74 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
            AS reciprocity_milli
 FROM r
 """
+
+
+def q_microdata_census(sf_dir: str) -> pd.DataFrame:
+    """Microdata (itemscope/itemtype/itemprop) census
+    (:func:`functions.metadata.microdata_batch`): schema.org's second
+    carrier next to JSON-LD (Q `jsonld_census`). Fixture plants Product /
+    Offer / Review scopes — including an uppercase ITEMSCOPE and a
+    reversed-attribute-order tag — on doc_id % 4 in {0,1,2}; one
+    stateless shuffle-free pass."""
+    from .functions.metadata import microdata_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        htmls = []
+        for i in ids:
+            if i % 4 == 0:
+                body = (
+                    '<div itemscope itemtype="https://schema.org/Product">'
+                    '<span itemprop="name">x</span>'
+                    "<span itemprop='price'>1</span></div>"
+                )
+            elif i % 4 == 1:
+                body = (
+                    '<div itemscope itemtype="https://schema.org/Product">'
+                    '<b itemprop="sku">a</b></div>'
+                    "<div itemscope itemtype='https://schema.org/Product/'>"
+                    '<b itemprop="sku">b</b></div>'
+                    '<div itemscope itemtype="https://schema.org/Offer">'
+                    '<i itemprop="price">2</i></div>'
+                )
+            elif i % 4 == 2:
+                body = (
+                    '<div itemtype="https://schema.org/Review" ITEMSCOPE>'
+                    '<span itemprop="author">c</span></div>'
+                )
+            else:
+                body = "<p>plain</p>"
+            htmls.append(f"<html><body>{body}</body></html>".encode())
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(htmls, pa.binary())],
+            names=["doc_id", "html"],
+        )
+
+    pages = ds.map_batches(plant, batch_format="pyarrow")
+    out = pages.map_batches(microdata_batch, batch_format="pyarrow")
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "item_type"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["microdata_census"] = q_microdata_census
+ORACLE_SQL["microdata_census"] = """
+WITH rows_out AS (
+    SELECT doc_id, 'Product' AS item_type, 1 AS n_items, 2 AS n_props
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, 'Offer', 1, 3 FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, 'Product', 2, 3 FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, 'Review', 1, 1 FROM documents WHERE doc_id % 4 = 2
+)
+SELECT doc_id, item_type,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_props AS BIGINT) AS n_props
+FROM rows_out ORDER BY doc_id, item_type
+"""

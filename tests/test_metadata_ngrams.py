@@ -1113,3 +1113,46 @@ class TestFrequentPairs:
         ds = rd.from_items([{"text": "each word distinct here"}])
         out = frequent_pairs(ds, support=2, k=5)
         assert len(out) == 0
+
+
+class TestMicrodata:
+    """Microdata census: tolerance cases and batch shape."""
+
+    def test_extract_tolerances(self):
+        from pdf_extractor_ray.functions.metadata import extract_microdata
+
+        html = (
+            '<div itemscope itemtype="https://schema.org/Product">'
+            '<span itemprop="name">X</span><span itemprop=\'price\'>1</span>'
+            "</div>"
+            "<div ITEMSCOPE itemtype='https://schema.org/Offer/'></div>"
+            '<div itemtype="https://schema.org/Review" itemscope>'
+            '<b itemprop="sku">2</b></div>'
+            "<div itemscope>no type</div>"
+        )
+        types, props = extract_microdata(html)
+        assert types == ["Product", "Offer", "Review"]
+        assert props == 3
+
+    def test_batch_rows_sorted_and_sparse(self):
+        from pdf_extractor_ray.functions.metadata import microdata_batch
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([1, 2], pa.int64()),
+                pa.array(
+                    [
+                        b'<div itemscope itemtype="s/B"></div>'
+                        b'<div itemscope itemtype="s/A"></div>'
+                        b'<div itemscope itemtype="s/A"></div>',
+                        b"<p>none</p>",
+                    ],
+                    pa.binary(),
+                ),
+            ],
+            names=["doc_id", "html"],
+        )
+        out = microdata_batch(t).to_pandas()
+        assert list(out["item_type"]) == ["A", "B"]  # sorted per page
+        assert list(out["n_items"]) == [2, 1]
+        assert list(out["doc_id"]) == [1, 1]  # page 2 emits nothing
