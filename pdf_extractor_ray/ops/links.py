@@ -1802,3 +1802,94 @@ def reciprocity(edges, src_col: str = "src_host", dst_col: str = "dst_host"):
             "reciprocity_milli": [milli],
         }
     ).astype("int64")
+
+
+def bipartite_components(
+    edges,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    driver_edge_cap: int = 2_000_000,
+):
+    """Per-component bipartiteness of the undirected(ized) graph — odd-cycle
+    detection, the classic two-sidedness test (host↔resource graphs,
+    suspected mirror pairs, crawler trap rings).
+
+    Reduction, not a new traversal: a component is bipartite iff in the
+    DOUBLE COVER graph (v → v⁰/v¹; edge (u,v) → (u⁰,v¹) and (u¹,v⁰)) no
+    node's two copies land in the same component — the standard
+    bipartite-double-cover characterization. Both component computations
+    run through :func:`..dedup.connected_components`, inheriting its
+    enforced regimes unchanged (driver union-find ≤ ``driver_edge_cap``
+    edges, sorted-lookup min-label propagation with pointer jumping
+    above; string ids via the dense-rank mapping stage). Self-loops are
+    odd cycles by definition and handled by the same reduction
+    (v⁰—v¹ connects the copies directly).
+
+    Returns a pandas DataFrame ``(component, n_nodes, is_bipartite)``,
+    component = min node id, sorted by component. Driver state is the
+    CC label frames — O(nodes incident to edges), the same bound every
+    CC consumer in the engine already accepts."""
+    import pandas as pd
+
+    from .dedup import connected_components
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].combine_chunks()
+        b = batch[dst_col].combine_chunks()
+        return pa.Table.from_arrays(
+            [a, b], names=["id_a", "id_b"]
+        )
+
+    pairs = edges.map_batches(to_pairs, batch_format="pyarrow",
+                              batch_size=None)
+    base = connected_components(pairs, driver_edge_cap=driver_edge_cap)
+    if len(base) == 0:
+        return pd.DataFrame(
+            {"component": [], "n_nodes": [], "is_bipartite": []}
+        )
+
+    int_ids = pa.types.is_integer(pairs.schema().types[0])
+
+    def cover(batch: pa.Table) -> pa.Table:
+        if int_ids:
+            a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            id_a = pa.array(np.concatenate([2 * a, 2 * a + 1]))
+            id_b = pa.array(np.concatenate([2 * b + 1, 2 * b]))
+        else:
+            a = np.asarray(batch["id_a"].to_pylist(), dtype=object)
+            b = np.asarray(batch["id_b"].to_pylist(), dtype=object)
+            a0 = np.char.add(a.astype(str), "\x1f0").astype(object)
+            a1 = np.char.add(a.astype(str), "\x1f1").astype(object)
+            b0 = np.char.add(b.astype(str), "\x1f0").astype(object)
+            b1 = np.char.add(b.astype(str), "\x1f1").astype(object)
+            id_a = pa.array(np.concatenate([a0, a1]), pa.string())
+            id_b = pa.array(np.concatenate([b1, b0]), pa.string())
+        return pa.Table.from_arrays([id_a, id_b], names=["id_a", "id_b"])
+
+    cov = connected_components(
+        pairs.map_batches(cover, batch_format="pyarrow", batch_size=None),
+        driver_edge_cap=driver_edge_cap,
+    )
+    lab = dict(zip(cov["node"], cov["label"]))
+    if int_ids:
+        same = {
+            v: lab.get(2 * int(v)) == lab.get(2 * int(v) + 1)
+            for v in base["node"]
+        }
+    else:
+        same = {
+            v: lab.get(f"{v}\x1f0") == lab.get(f"{v}\x1f1")
+            for v in base["node"]
+        }
+    df = base.copy()
+    df["odd"] = df["node"].map(same)
+    agg = (
+        df.groupby("label")
+        .agg(n_nodes=("node", "size"), any_odd=("odd", "any"))
+        .reset_index()
+        .rename(columns={"label": "component"})
+    )
+    agg["is_bipartite"] = ~agg["any_odd"]
+    agg = agg.drop(columns=["any_odd"]).sort_values("component")
+    return agg.reset_index(drop=True).astype({"n_nodes": "int64"})

@@ -9564,3 +9564,63 @@ SELECT doc_id, item_type,
        CAST(n_props AS BIGINT) AS n_props
 FROM rows_out ORDER BY doc_id, item_type
 """
+
+
+def q_bipartite_check(sf_dir: str) -> pd.DataFrame:
+    """Per-component bipartiteness
+    (:func:`ops.links.bipartite_components`): odd-cycle detection via the
+    bipartite-double-cover reduction — both component computations run
+    through the engine's enforced connected-components regimes. Fixture:
+    blocks of 10 consecutive doc_ids form 10-rings (even → bipartite);
+    every third block gains a (0,2) chord closing a triangle (odd →
+    non-bipartite). Oracle: recursive parity reachability in SQL."""
+    from .ops.links import bipartite_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        a, b = [], []
+        for i in ids:
+            if i % 10 < 9:
+                a.append(i)
+                b.append(i + 1)
+            else:
+                a.append(i)
+                b.append(i - 9)
+            if i % 10 == 0 and (i // 10) % 3 == 0:
+                a.append(i)
+                b.append(i + 2)
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+            names=["src_host", "dst_host"],
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return bipartite_components(e)
+
+
+QUERIES["bipartite_check"] = q_bipartite_check
+ORACLE_SQL["bipartite_check"] = """
+WITH RECURSIVE base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT i AS a, i + 1 AS b FROM base WHERE i % 10 < 9
+    UNION ALL
+    SELECT i, i - 9 FROM base WHERE i % 10 = 9
+    UNION ALL
+    SELECT i, i + 2 FROM base WHERE i % 10 = 0 AND (i // 10) % 3 = 0
+),
+e AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+reach(src, dst, par) AS (
+    SELECT v, v, 0 FROM nodes
+    UNION
+    SELECT r.src, e.b, 1 - r.par FROM reach r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS v, min(dst) AS component FROM reach GROUP BY src),
+odd AS (SELECT DISTINCT src AS v FROM reach WHERE src = dst AND par = 1)
+SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+       bool_and(odd.v IS NULL) AS is_bipartite
+FROM comp LEFT JOIN odd USING (v)
+GROUP BY component ORDER BY component
+"""

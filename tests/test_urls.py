@@ -1016,3 +1016,62 @@ class TestReciprocity:
         out = reciprocity(ds)
         assert out.loc[0, "n_edges"] == 0
         assert out.loc[0, "reciprocity_milli"] == 0
+
+
+class TestBipartiteComponents:
+    """Double-cover bipartiteness: brute force, self loops, string ids,
+    distributed regime (cap lowered) equivalence."""
+
+    EDGES = [
+        (0, 1), (1, 2), (2, 3), (3, 0),      # even 4-ring: bipartite
+        (10, 11), (11, 12), (12, 10),        # triangle: odd
+        (20, 21),                            # path: bipartite
+        (30, 30),                            # self loop: odd by definition
+        (40, 41), (41, 42), (42, 43), (43, 44), (44, 40),  # odd 5-ring
+    ]
+    WANT = {0: (4, True), 10: (3, False), 20: (2, True),
+            30: (1, False), 40: (5, False)}
+
+    def _check(self, df, string_ids=False):
+        got = {
+            (int(str(r.component).lstrip("n")) if string_ids
+             else int(r.component)): (int(r.n_nodes), bool(r.is_bipartite))
+            for r in df.itertuples()
+        }
+        assert got == self.WANT
+
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_int_ids(self, ray_session, nparts):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import bipartite_components
+
+        ds = rd.from_items(
+            [{"src_host": a, "dst_host": b} for a, b in self.EDGES]
+        ).repartition(nparts)
+        self._check(bipartite_components(ds))
+
+    def test_string_ids(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import bipartite_components
+
+        ds = rd.from_items(
+            [
+                {"src_host": f"n{a}", "dst_host": f"n{b}"}
+                for a, b in self.EDGES
+            ]
+        )
+        self._check(bipartite_components(ds), string_ids=True)
+
+    def test_distributed_regime_matches_driver(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import bipartite_components
+
+        ds = rd.from_items(
+            [{"src_host": a, "dst_host": b} for a, b in self.EDGES]
+        ).repartition(3)
+        base = bipartite_components(ds)
+        over = bipartite_components(ds, driver_edge_cap=1)
+        assert base.equals(over)
