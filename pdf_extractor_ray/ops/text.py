@@ -2297,3 +2297,55 @@ def readability_batch(batch: pa.Table, text_col: str = "text",
         names=[id_col, "n_words", "n_sents", "n_syll", "flesch_milli",
                "readable"],
     )
+
+
+_SCRIPTS = (
+    ("arabic", r"\p{Arabic}"),
+    ("cjk", r"\p{Han}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("latin", r"\p{Latin}"),
+)
+
+
+def script_mix_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Unicode script distribution per document — the script-mix census
+    that complements langid (``langid_batch``) and homoglyph spoof
+    detection (``ops/urls.py``): per-script character counts (RE2
+    ``\\p{Script}`` classes, identical in the SQL oracle's RE2), the
+    dominant script (max count, ties alphabetical), and an integer mixed
+    flag: ``is_mixed`` when non-dominant script characters are >= 10% of
+    all script characters (cross-multiplied, no floats). Zero-script
+    documents report dominant ``none``. One stateless shuffle-free
+    pass."""
+    texts = pc.fill_null(batch[text_col], "")
+    counts = {
+        name: pc.count_substring_regex(texts, pat)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        for name, pat in _SCRIPTS
+    }
+    names = [n for n, _ in _SCRIPTS]
+    mat = np.stack([counts[n] for n in names])  # scripts × rows
+    total = mat.sum(axis=0)
+    # argmax with alphabetical tie-break: names are stacked sorted, and
+    # np.argmax returns the FIRST maximal index.
+    top = np.argmax(mat, axis=0)
+    mx = mat[top, np.arange(mat.shape[1])]
+    dominant = np.where(total > 0, np.asarray(names, object)[top], "none")
+    mixed = (total - mx) * 10 >= total
+    mixed &= total > 0
+    cols = [batch[id_col]]
+    names_out = [id_col]
+    for n in names:
+        cols.append(pa.array(counts[n], pa.int64()))
+        names_out.append(f"n_{n}")
+    cols.extend(
+        [
+            pa.array(total, pa.int64()),
+            pa.array(dominant.astype(object), pa.string()),
+            pa.array(mixed),
+        ]
+    )
+    names_out.extend(["n_script_chars", "dominant_script", "is_mixed"])
+    return pa.Table.from_arrays(cols, names=names_out)

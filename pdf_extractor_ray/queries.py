@@ -9624,3 +9624,72 @@ SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
 FROM comp LEFT JOIN odd USING (v)
 GROUP BY component ORDER BY component
 """
+
+
+def q_script_mix(sf_dir: str) -> pd.DataFrame:
+    """Unicode script census (:func:`ops.text.script_mix_batch`):
+    per-script char counts via RE2 \\p{Script} classes (bit-identical in
+    DuckDB's RE2), dominant script with alphabetical ties, integer-exact
+    >=10% mixed flag. Fixture plants Cyrillic / Han / Arabic tails on
+    doc_id % 4 in {1,2,3}."""
+    from .ops.text import script_mix_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tails = {1: " Привет мир", 2: " 世界和平", 3: " مرحبا بالعالم"}
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [
+            (t or "") + tails.get(i % 4, "") for i, t in zip(ids, texts)
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        script_mix_batch, batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["script_mix"] = q_script_mix
+ORACLE_SQL["script_mix"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           coalesce(text, '') || CASE doc_id % 4
+               WHEN 1 THEN ' Привет мир'
+               WHEN 2 THEN ' 世界和平'
+               WHEN 3 THEN ' مرحبا بالعالم'
+               ELSE '' END AS t
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '\p{Arabic}')) AS BIGINT)
+               AS n_arabic,
+           CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT) AS n_cjk,
+           CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT)
+               AS n_cyrillic,
+           CAST(len(regexp_extract_all(t, '\p{Latin}')) AS BIGINT)
+               AS n_latin
+    FROM d
+),
+f AS (
+    SELECT *,
+           n_arabic + n_cjk + n_cyrillic + n_latin AS n_script_chars,
+           greatest(n_arabic, n_cjk, n_cyrillic, n_latin) AS mx
+    FROM c
+)
+SELECT doc_id, n_arabic, n_cjk, n_cyrillic, n_latin,
+       CAST(n_script_chars AS BIGINT) AS n_script_chars,
+       CASE WHEN n_script_chars = 0 THEN 'none'
+            WHEN n_arabic = mx THEN 'arabic'
+            WHEN n_cjk = mx THEN 'cjk'
+            WHEN n_cyrillic = mx THEN 'cyrillic'
+            ELSE 'latin' END AS dominant_script,
+       n_script_chars > 0
+           AND (n_script_chars - mx) * 10 >= n_script_chars AS is_mixed
+FROM f ORDER BY doc_id
+"""

@@ -1156,3 +1156,57 @@ class TestMicrodata:
         assert list(out["item_type"]) == ["A", "B"]  # sorted per page
         assert list(out["n_items"]) == [2, 1]
         assert list(out["doc_id"]) == [1, 1]  # page 2 emits nothing
+
+
+class TestScriptMix:
+    """Script census: dominance, alphabetical ties, mixed flag edges."""
+
+    def test_vectors(self):
+        from pdf_extractor_ray.ops.text import script_mix_batch
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([0, 1, 2, 3, 4], pa.int64()),
+                pa.array(
+                    [
+                        "hello world",      # pure latin
+                        "Привет hello",     # cyrillic 6 vs latin 5: mixed
+                        "纯中文字符",        # pure cjk
+                        "123 !!!",          # no script chars
+                        "ab мир",           # tie 2-2? latin 2, cyr 3
+                    ],
+                    pa.string(),
+                ),
+            ],
+            names=["doc_id", "text"],
+        )
+        out = script_mix_batch(t).to_pandas()
+        assert list(out["dominant_script"]) == [
+            "latin", "cyrillic", "cjk", "none", "cyrillic",
+        ]
+        assert list(out["is_mixed"]) == [False, True, False, False, True]
+        assert out.loc[1, "n_cyrillic"] == 6 and out.loc[1, "n_latin"] == 5
+
+    def test_alphabetical_tie_break(self):
+        from pdf_extractor_ray.ops.text import script_mix_batch
+
+        # equal arabic and latin counts → 'arabic' (alphabetical)
+        t = pa.Table.from_arrays(
+            [pa.array([0], pa.int64()), pa.array(["ab مر"], pa.string())],
+            names=["doc_id", "text"],
+        )
+        out = script_mix_batch(t).to_pandas()
+        assert out.loc[0, "n_arabic"] == 2 == out.loc[0, "n_latin"]
+        assert out.loc[0, "dominant_script"] == "arabic"
+
+    def test_exact_ten_percent_boundary_is_mixed(self):
+        from pdf_extractor_ray.ops.text import script_mix_batch
+
+        # 9 latin + 1 cyrillic: (10-9)*10 == 10 → mixed (>= semantics)
+        t = pa.Table.from_arrays(
+            [pa.array([0], pa.int64()),
+             pa.array(["abcdefghi м"], pa.string())],
+            names=["doc_id", "text"],
+        )
+        out = script_mix_batch(t).to_pandas()
+        assert bool(out.loc[0, "is_mixed"])
