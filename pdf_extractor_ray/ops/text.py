@@ -2349,3 +2349,50 @@ def script_mix_batch(batch: pa.Table, text_col: str = "text",
     )
     names_out.extend(["n_script_chars", "dominant_script", "is_mixed"])
     return pa.Table.from_arrays(cols, names=names_out)
+
+
+def markup_density_batch(batch: pa.Table, html_col: str = "html",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Markup-density features per page — the classic boilerplate prior
+    (Boilerpipe/jusText gate their block classifiers on it): tag count,
+    total character count, visible-text character count after one
+    tag-strip pass, and the integer-exact visible-text fraction
+    ``1000 * text_chars // html_chars``. All three kernels are RE2 /
+    Arrow string ops (count, replace, length), mirrored 1:1 by the SQL
+    oracle; one stateless shuffle-free pass. Binary payloads are decoded
+    utf-8-replace in-block."""
+    col = batch[html_col]
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        texts = pa.array(
+            [
+                (v or b"").decode("utf-8", errors="replace")
+                for v in col.to_pylist()
+            ],
+            pa.string(),
+        )
+    else:
+        texts = pc.fill_null(col, "")
+    n_tags = pc.count_substring_regex(texts, r"<[^>]*>").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    html_chars = pc.utf8_length(texts).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    stripped = pc.replace_substring_regex(texts, r"<[^>]*>", "")
+    text_chars = pc.utf8_length(stripped).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    ratio = np.zeros(len(n_tags), np.int64)
+    ok = html_chars > 0
+    ratio[ok] = 1000 * text_chars[ok] // html_chars[ok]
+    return pa.Table.from_arrays(
+        [
+            batch[id_col],
+            pa.array(n_tags, pa.int64()),
+            pa.array(html_chars, pa.int64()),
+            pa.array(text_chars, pa.int64()),
+            pa.array(ratio, pa.int64()),
+        ],
+        names=[id_col, "n_tags", "html_chars", "text_chars",
+               "text_ratio_milli"],
+    )

@@ -9693,3 +9693,73 @@ SELECT doc_id, n_arabic, n_cjk, n_cyrillic, n_latin,
            AND (n_script_chars - mx) * 10 >= n_script_chars AS is_mixed
 FROM f ORDER BY doc_id
 """
+
+
+def q_markup_density(sf_dir: str) -> pd.DataFrame:
+    """Markup-density census (:func:`ops.text.markup_density_batch`):
+    tag count, char counts before/after one tag-strip pass, integer
+    visible-text fraction. Fixture wraps each doc in boilerplate whose
+    tag weight varies with doc_id % 3 (nav-heavy / plain / bare)."""
+    from .ops.text import markup_density_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            body = t or ""
+            if i % 3 == 0:
+                h = (
+                    "<html><head><title>t</title></head><body>"
+                    "<nav><ul><li><a href='/a'>A</a></li>"
+                    "<li><a href='/b'>B</a></li></ul></nav>"
+                    f"<main><p>{body}</p></main>"
+                    "<footer><span>c</span></footer></body></html>"
+                )
+            elif i % 3 == 1:
+                h = f"<html><body><p>{body}</p></body></html>"
+            else:
+                h = body
+            out.append(h)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "html"],
+        )
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        markup_density_batch, batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["markup_density"] = q_markup_density
+ORACLE_SQL["markup_density"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           CASE doc_id % 3
+               WHEN 0 THEN '<html><head><title>t</title></head><body>'
+                   || '<nav><ul><li><a href=''/a''>A</a></li>'
+                   || '<li><a href=''/b''>B</a></li></ul></nav>'
+                   || '<main><p>' || coalesce(text, '') || '</p></main>'
+                   || '<footer><span>c</span></footer></body></html>'
+               WHEN 1 THEN '<html><body><p>' || coalesce(text, '')
+                   || '</p></body></html>'
+               ELSE coalesce(text, '') END AS h
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags,
+           CAST(length(h) AS BIGINT) AS html_chars,
+           CAST(length(regexp_replace(h, '<[^>]*>', '', 'g')) AS BIGINT)
+               AS text_chars
+    FROM d
+)
+SELECT doc_id, n_tags, html_chars, text_chars,
+       CAST(CASE WHEN html_chars > 0
+                 THEN 1000 * text_chars // html_chars
+                 ELSE 0 END AS BIGINT) AS text_ratio_milli
+FROM c ORDER BY doc_id
+"""

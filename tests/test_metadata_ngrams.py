@@ -1210,3 +1210,39 @@ class TestScriptMix:
         )
         out = script_mix_batch(t).to_pandas()
         assert bool(out.loc[0, "is_mixed"])
+
+
+class TestMarkupDensity:
+    """Markup density: hand vectors, binary decode, empty payloads."""
+
+    def test_hand_vectors(self):
+        from pdf_extractor_ray.ops.text import markup_density_batch
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([0, 1, 2], pa.int64()),
+                pa.array(
+                    ["<p>hi</p>", "plain text", ""], pa.string()
+                ),
+            ],
+            names=["doc_id", "html"],
+        )
+        out = markup_density_batch(t).to_pandas()
+        assert list(out["n_tags"]) == [2, 0, 0]
+        assert list(out["html_chars"]) == [9, 10, 0]
+        assert list(out["text_chars"]) == [2, 10, 0]
+        assert list(out["text_ratio_milli"]) == [2000 // 9, 1000, 0]
+
+    def test_binary_payload_decodes(self):
+        from pdf_extractor_ray.ops.text import markup_density_batch
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([0, 1], pa.int64()),
+                pa.array([b"<b>x</b>", None], pa.binary()),
+            ],
+            names=["doc_id", "html"],
+        )
+        out = markup_density_batch(t).to_pandas()
+        assert out.loc[0, "n_tags"] == 2 and out.loc[0, "text_chars"] == 1
+        assert out.loc[1, "html_chars"] == 0
