@@ -135,6 +135,7 @@ def pagerank(
     scale: int = 10**12,
     damping_pct: int = 85,
     node_broadcast_cap: int = 100_000,
+    seeds: list[str] | None = None,
 ):
     """Fixed-point PageRank over a weighted edge Dataset — the classic
     iterative link-quality prior, expressed as ``num_iters`` rounds of
@@ -160,6 +161,15 @@ def pagerank(
     above the cap each iteration is one sorted-lookup join + one
     groupby-sum, nothing node- or edge-sized on the driver. Both regimes
     are bit-identical (integer arithmetic; equivalence-tested).
+
+    ``seeds`` turns the computation into TRUSTRANK (Gyöngyi et al.
+    2004): teleport mass and the initial rank concentrate uniformly on
+    the seed set (``(100−d)·scale // (100·|S|)`` / ``scale // |S|`` for
+    seed nodes, 0 elsewhere) instead of spreading over all nodes —
+    trust flows out from the whitelist along links. The seed list is a
+    whitelist (small by construction) and broadcasts into both regimes;
+    seeds absent from the graph waste their mass (documented, mirrored
+    by the SQL oracle). Default ``None`` is classic PageRank.
     """
     import functools
 
@@ -193,13 +203,18 @@ def pagerank(
             lambda b: b.append_column("rank", pa.array([], pa.int64())),
             batch_format="pyarrow",
         )
-    teleport = ((100 - damping_pct) * scale) // (100 * n_nodes)
-    r0 = scale // n_nodes
+    seed_set = sorted(set(seeds)) if seeds else None
+    if seed_set:
+        teleport = ((100 - damping_pct) * scale) // (100 * len(seed_set))
+        r0 = scale // len(seed_set)
+    else:
+        teleport = ((100 - damping_pct) * scale) // (100 * n_nodes)
+        r0 = scale // n_nodes
 
     if n_nodes <= node_broadcast_cap:
         return _pagerank_broadcast(
             edges, num_iters, src_col, dst_col, weight_col,
-            r0, teleport, damping_pct, n_nodes,
+            r0, teleport, damping_pct, n_nodes, seed_set,
         )
 
     outdeg = (
@@ -210,10 +225,20 @@ def pagerank(
         )
     )
 
-    # ranks: (host, rank); initialized uniformly.
+    # ranks: (host, rank); uniform, or seed-concentrated for TrustRank.
+    seed_np = (
+        np.asarray(seed_set, dtype=object) if seed_set is not None else None
+    )
+
+    def _per_node(b: pa.Table, amount: int) -> np.ndarray:
+        if seed_np is None:
+            return np.full(len(b), amount, np.int64)
+        hs = np.asarray(b["host"].to_pylist(), dtype=object)
+        return np.where(np.isin(hs, seed_np), amount, 0).astype(np.int64)
+
     ranks = nodes.map_batches(
         lambda b: b.append_column(
-            "rank", pa.array(np.full(len(b), r0, np.int64), pa.int64())
+            "rank", pa.array(_per_node(b, r0), pa.int64())
         ),
         batch_format="pyarrow",
     )
@@ -273,7 +298,8 @@ def pagerank(
                     [
                         b["host"],
                         pa.array(
-                            b["inflow"].to_numpy(zero_copy_only=False) + teleport,
+                            b["inflow"].to_numpy(zero_copy_only=False)
+                            + _per_node(b, teleport),
                             pa.int64(),
                         ),
                     ],
@@ -287,7 +313,7 @@ def pagerank(
 
 def _pagerank_broadcast(
     edges, num_iters, src_col, dst_col, weight_col,
-    r0, teleport, dp, n_nodes,
+    r0, teleport, dp, n_nodes, seed_set=None,
 ):
     """Small-node-table PageRank regime: outdeg and ranks broadcast via
     ``ray.put`` once per iteration; each pass emits PER-BLOCK contrib
@@ -331,7 +357,12 @@ def _pagerank_broadcast(
         nodes.update(b["host"].to_pylist())
     nodes.update(outdeg)
 
-    ranks = {h: r0 for h in nodes}
+    seed_f = frozenset(seed_set) if seed_set is not None else None
+
+    def in_seed(h):
+        return seed_f is None or h in seed_f
+
+    ranks = {h: (r0 if in_seed(h) else 0) for h in nodes}
     for _ in range(num_iters):
         state_ref = ray.put((ranks, outdeg))
 
@@ -351,7 +382,7 @@ def _pagerank_broadcast(
                 names=["host", "contrib"],
             )
 
-        nxt = {h: teleport for h in nodes}
+        nxt = {h: (teleport if in_seed(h) else 0) for h in nodes}
         for b in edges.map_batches(
             contrib_partial, batch_format="pyarrow"
         ).iter_batches(batch_format="pyarrow", batch_size=None):

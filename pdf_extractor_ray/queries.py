@@ -9763,3 +9763,72 @@ SELECT doc_id, n_tags, html_chars, text_chars,
                  ELSE 0 END AS BIGINT) AS text_ratio_milli
 FROM c ORDER BY doc_id
 """
+
+
+def q_trustrank(sf_dir: str) -> pd.DataFrame:
+    """TrustRank (Gyöngyi et al. 2004) over the shared host link fixture
+    (:func:`ops.links.pagerank` with ``seeds``): teleport mass and the
+    initial rank concentrate on a 4-host whitelist, trust flows along
+    links in the same integer fixed-point arithmetic as Q `pagerank` —
+    bit-exactly SQL-oracled by unrolling the two rounds."""
+    from .ops.links import link_graph, pagerank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    seeds = [f"site{i}.example.com" for i in (0, 5, 10, 15)]
+    out = pagerank(link_graph(pages), num_iters=2, seeds=seeds)
+    return out.to_pandas().sort_values("host").reset_index(drop=True)
+
+
+QUERIES["trustrank"] = q_trustrank
+ORACLE_SQL["trustrank"] = """
+WITH base AS (SELECT doc_id AS i FROM documents),
+rel AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM base),
+ext AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR)
+               || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+edges_all AS (SELECT * FROM rel UNION ALL SELECT * FROM ext),
+edges AS (SELECT src, dst, count(*) AS w FROM edges_all GROUP BY 1, 2),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+seeds AS (
+    SELECT 'site' || CAST(s AS VARCHAR) || '.example.com' AS host
+    FROM (SELECT unnest([0, 5, 10, 15]) AS s)
+),
+outdeg AS (SELECT src AS host, sum(w) AS od FROM edges GROUP BY 1),
+r0 AS (
+    SELECT n.host,
+           CASE WHEN s.host IS NOT NULL
+                THEN CAST(1000000000000 AS HUGEINT) // 4
+                ELSE CAST(0 AS HUGEINT) END AS r
+    FROM nodes n LEFT JOIN seeds s ON n.host = s.host),
+it1 AS (
+    SELECT n.host,
+        CASE WHEN n.host IN (SELECT host FROM seeds)
+             THEN CAST(15 * 1000000000000 AS HUGEINT) // (100 * 4)
+             ELSE CAST(0 AS HUGEINT) END
+        + coalesce(
+            (SELECT sum((85 * p.r * e.w) // (100 * o.od))
+               FROM edges e
+               JOIN r0 p ON e.src = p.host
+               JOIN outdeg o ON o.host = e.src
+              WHERE e.dst = n.host), 0) AS r
+    FROM nodes n),
+it2 AS (
+    SELECT n.host,
+        CASE WHEN n.host IN (SELECT host FROM seeds)
+             THEN CAST(15 * 1000000000000 AS HUGEINT) // (100 * 4)
+             ELSE CAST(0 AS HUGEINT) END
+        + coalesce(
+            (SELECT sum((85 * p.r * e.w) // (100 * o.od))
+               FROM edges e
+               JOIN it1 p ON e.src = p.host
+               JOIN outdeg o ON o.host = e.src
+              WHERE e.dst = n.host), 0) AS r
+    FROM nodes n)
+SELECT host, CAST(r AS BIGINT) AS rank FROM it2 ORDER BY host
+"""

@@ -1075,3 +1075,71 @@ class TestBipartiteComponents:
         base = bipartite_components(ds)
         over = bipartite_components(ds, driver_edge_cap=1)
         assert base.equals(over)
+
+
+class TestTrustRank:
+    """Seeded PageRank: hand-computed trust flow, regime equivalence,
+    classic PageRank unchanged by seeds=None."""
+
+    EDGES = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("d", "a", 2)]
+
+    def _ds(self, rd):
+        return rd.from_items(
+            [
+                {"src_host": s, "dst_host": d, "n_links": w}
+                for s, d, w in self.EDGES
+            ]
+        )
+
+    def test_hand_computed_two_rounds(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import pagerank
+
+        out = (
+            pagerank(self._ds(rd), num_iters=2, seeds=["a"])
+            .to_pandas()
+            .set_index("host")["rank"]
+        )
+        S = 10**12
+        # round 1: a = teleport 0.15S; b = 85% of S (a's only outlink)
+        # round 2: a = 0.15S; b = 85% of 0.15S; c = 85% of 0.85S; d = 0
+        assert out["a"] == (15 * S) // 100
+        assert out["b"] == (85 * ((15 * S) // 100)) // 100
+        assert out["c"] == (85 * ((85 * S) // 100)) // 100
+        assert out["d"] == 0
+
+    def test_regimes_identical(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import pagerank
+
+        ds = self._ds(rd)
+        a = (
+            pagerank(ds, num_iters=2, seeds=["a", "d"])
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        b = (
+            pagerank(ds, num_iters=2, seeds=["a", "d"], node_broadcast_cap=0)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_absent_seed_wastes_mass(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import pagerank
+
+        out = (
+            pagerank(self._ds(rd), num_iters=1, seeds=["a", "zzz-absent"])
+            .to_pandas()
+            .set_index("host")["rank"]
+        )
+        S = 10**12
+        # normalization is by |seeds| = 2; the absent seed's share is lost
+        assert out["a"] == (15 * S) // 200
+        assert out["b"] == (85 * (S // 2)) // 100
