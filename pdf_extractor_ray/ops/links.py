@@ -1924,3 +1924,314 @@ def bipartite_components(
     agg["is_bipartite"] = ~agg["any_odd"]
     agg = agg.drop(columns=["any_odd"]).sort_values("component")
     return agg.reset_index(drop=True).astype({"n_nodes": "int64"})
+
+
+def local_clustering(
+    edges_ds,
+    u_col: str = "src_host",
+    v_col: str = "dst_host",
+    node_broadcast_cap: int = 5_000_000,
+):
+    """Per-node local clustering coefficient of the undirected simple
+    graph under the directed edge list — the Watts–Strogatz statistic
+    (link-farm rings cluster near 1.0, hub-and-spoke navigation near 0).
+    Returns ``(host, deg, tri, lcc_milli)`` sorted by host: ``tri`` =
+    triangles through the node, ``lcc_milli = 2000 * tri // (deg *
+    (deg - 1))`` (integer-exact milli-units of ``2·tri/(deg·(deg−1))``;
+    0 when ``deg < 2``). A pandas DataFrame under
+    ``node_broadcast_cap`` nodes, a Ray Dataset (same columns) above.
+
+    Same degree-orientation construction as :func:`triangle_count`
+    (each triangle found exactly once as a closed wedge) but every wedge
+    CARRIES its apex so a closed triangle credits all three endpoints,
+    and the out-neighbor (deg, id) ordering the wedge keys need comes
+    from the segment sort itself (``within_cols=[d_dst, dst]``), not a
+    per-block broadcast gather. Exchanges: canonical-edge dedup groupby,
+    degree groupby, ONE sort grouping oriented edges by source, the
+    closing-edge check (broadcast ``is_in`` under the cap, sorted-lookup
+    :func:`..ops.segments.attach_lookup` semi-join above), one
+    ``groupby(node).sum`` over credit partials. Over the cap NOTHING is
+    driver-side: orientation degrees attach via two sorted-lookup joins
+    and the final deg⋈tri attach is a third — the output stays a
+    streaming Dataset because a per-node frame would itself be
+    O(nodes) driver state. Payload-free: host strings and small ints.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from .segments import attach_lookup, sorted_segment_apply
+
+    SEP = "\x1f"
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[u_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[v_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        fwd = u < v
+        lo = np.where(fwd, u, v)
+        hi = np.where(fwd, v, u)
+        pairs = np.unique(np.char.add(np.char.add(lo, SEP), hi))
+        return pa.Table.from_arrays(
+            [pa.array(pairs.astype(object), pa.string()),
+             pa.array(np.ones(len(pairs), np.int64))],
+            names=["e", "one"],
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("e")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays([t["e"].combine_chunks()],
+                                           names=["e"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        nodes = np.concatenate([parts[:, 0], parts[:, 2]])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(un.astype(object), pa.string()),
+             pa.array(cn, pa.int64())],
+            names=["node", "d"],
+        )
+
+    degs = (
+        edges.map_batches(degree_partial, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("node")
+        .sum("d")
+    ).materialize()
+    n_nodes = degs.count()
+    small = n_nodes <= node_broadcast_cap
+
+    def split_pairs(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        return pa.Table.from_arrays(
+            [pa.array(parts[:, 0].astype(object), pa.string()),
+             pa.array(parts[:, 2].astype(object), pa.string())],
+            names=["a", "b"],
+        )
+
+    if small:
+        deg_rows = pa.concat_tables(
+            list(degs.iter_batches(batch_format="pyarrow")))
+        nodes_sorted = (
+            deg_rows["node"].to_numpy(zero_copy_only=False).astype(str))
+        degs_np = (
+            deg_rows["sum(d)"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        order = np.argsort(nodes_sorted)
+        nodes_sorted, degs_np = nodes_sorted[order], degs_np[order]
+        deg_ref = ray.put((nodes_sorted, degs_np))
+
+        def orient_b(batch: pa.Table) -> pa.Table:
+            ns, dg = ray.get(deg_ref)
+            t = split_pairs(batch)
+            a = t["a"].to_numpy(zero_copy_only=False).astype(str)
+            b = t["b"].to_numpy(zero_copy_only=False).astype(str)
+            da = dg[np.searchsorted(ns, a)]
+            db = dg[np.searchsorted(ns, b)]
+            fwd = (da < db) | ((da == db) & (a < b))
+            src = np.where(fwd, a, b)
+            dst = np.where(fwd, b, a)
+            dd = np.where(fwd, db, da)
+            return pa.Table.from_arrays(
+                [pa.array(src.astype(object), pa.string()),
+                 pa.array(dst.astype(object), pa.string()),
+                 pa.array(dd, pa.int64())],
+                names=["src", "dst", "d_dst"],
+            )
+
+        oriented = edges.map_batches(
+            orient_b, batch_format="pyarrow").materialize()
+    else:
+        pairs = edges.map_batches(split_pairs, batch_format="pyarrow")
+        with_da = attach_lookup(
+            pairs,
+            degs.map_batches(
+                lambda t: t.rename_columns(["a", "d_a"]),
+                batch_format="pyarrow"),
+            key_col="a", val_cols=["d_a"], carry_cols=["b"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["b"].combine_chunks(), t["a"].combine_chunks(),
+                 t["d_a"].combine_chunks()],
+                names=["b", "a", "d_a"]),
+            batch_format="pyarrow",
+        )
+        with_both = attach_lookup(
+            with_da, degs.map_batches(
+                lambda t: t.rename_columns(["b", "d"]),
+                batch_format="pyarrow"),
+            key_col="b", val_cols=["d"], carry_cols=["a", "d_a"],
+        )
+
+        def orient_a(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+            da = batch["d_a"].to_numpy(zero_copy_only=False)
+            db = batch["d"].to_numpy(zero_copy_only=False)
+            fwd = (da < db) | ((da == db) & (a < b))
+            src = np.where(fwd, a, b)
+            dst = np.where(fwd, b, a)
+            dd = np.where(fwd, db, da)
+            return pa.Table.from_arrays(
+                [pa.array(src.astype(object), pa.string()),
+                 pa.array(dst.astype(object), pa.string()),
+                 pa.array(dd.astype(np.int64), pa.int64())],
+                names=["src", "dst", "d_dst"],
+            )
+
+        oriented = with_both.map_batches(
+            orient_a, batch_format="pyarrow").materialize()
+
+    def wedge_block(batch: pa.Table, starts: np.ndarray,
+                    ends: np.ndarray) -> pa.Table:
+        src = np.asarray(batch["src"].to_pylist(), dtype=object).astype(str)
+        dst = np.asarray(batch["dst"].to_pylist(), dtype=object).astype(str)
+        keys, apex = [], []
+        for s, e in zip(starts, ends):
+            seg = dst[s:e]  # already (d_dst, dst)-ordered by the sort
+            if len(seg) < 2:
+                continue
+            i, j = np.triu_indices(len(seg), k=1)
+            keys.append(np.char.add(np.char.add(seg[i], SEP), seg[j]))
+            apex.append(np.repeat(src[s], len(i)))
+        k = np.concatenate(keys) if keys else np.array([], dtype=object)
+        u = np.concatenate(apex) if apex else np.array([], dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(k.astype(object), pa.string()),
+             pa.array(u.astype(object), pa.string())],
+            names=["k", "u"],
+        )
+
+    wedges = sorted_segment_apply(
+        oriented, key_col="src", block_fn=wedge_block,
+        within_cols=["d_dst", "dst"],
+    )
+
+    def probe_key(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"].to_pylist(), dtype=object).astype(str)
+        dst = np.asarray(batch["dst"].to_pylist(), dtype=object).astype(str)
+        return pa.Table.from_arrays(
+            [pa.array(np.char.add(np.char.add(src, SEP), dst).astype(object),
+                      pa.string())],
+            names=["k"],
+        )
+
+    if n_edges <= node_broadcast_cap:
+        ekeys = pa.concat_arrays(
+            [
+                c
+                for b in oriented.map_batches(
+                    probe_key, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+                for c in b.column("k").chunks
+                if len(c)
+            ]
+        )
+        eref = ray.put(ekeys)
+
+        def closed_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["k"],
+                                         value_set=ray.get(eref)))
+
+        closed = wedges.map_batches(closed_only, batch_format="pyarrow")
+    else:
+        closed = attach_lookup(
+            wedges,
+            oriented.map_batches(probe_key, batch_format="pyarrow"),
+            key_col="k",
+            val_cols=[],
+            carry_cols=["u"],
+        )
+
+    def credit_partial(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["k"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        u = np.asarray(batch["u"].to_pylist(), dtype=object).astype(str)
+        nodes = np.concatenate([u, parts[:, 0], parts[:, 2]])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(un.astype(object), pa.string()),
+             pa.array(cn, pa.int64())],
+            names=["node", "t"],
+        )
+
+    credits = (
+        closed.map_batches(credit_partial, batch_format="pyarrow",
+                           batch_size=None)
+        .groupby("node")
+        .sum("t")
+    )
+
+    if small:
+        tri_map = {
+            r["node"]: int(r["sum(t)"])
+            for b in credits.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+        tri = np.array([tri_map.get(n, 0) for n in nodes_sorted],
+                       dtype=np.int64)
+        denom = degs_np * (degs_np - 1)
+        lcc = np.where(denom > 0, (2000 * tri) // np.maximum(denom, 1), 0)
+        return pd.DataFrame(
+            {
+                "host": nodes_sorted,
+                "deg": degs_np,
+                "tri": tri,
+                "lcc_milli": lcc.astype(np.int64),
+            }
+        ).reset_index(drop=True)
+
+    # over-cap regime: zero-credit rows union in so every node appears,
+    # then one attach of deg and an in-block finalize — fully streaming
+    zero = degs.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["node"].combine_chunks(),
+             pa.array(np.zeros(t.num_rows, np.int64))],
+            names=["node", "t"]),
+        batch_format="pyarrow",
+    )
+    tri_all = (
+        credits.map_batches(
+            lambda t: t.rename_columns(["node", "t"]),
+            batch_format="pyarrow")
+        .union(zero)
+        .groupby("node")
+        .sum("t")
+    )
+    joined = attach_lookup(
+        tri_all.map_batches(
+            lambda t: t.rename_columns(["node", "tri"]),
+            batch_format="pyarrow"),
+        degs.map_batches(
+            lambda t: t.rename_columns(["node", "d"]),
+            batch_format="pyarrow"),
+        key_col="node", val_cols=["d"], carry_cols=["tri"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri = batch["tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = d * (d - 1)
+        lcc = np.where(denom > 0, (2000 * tri) // np.maximum(denom, 1), 0)
+        return pa.Table.from_arrays(
+            [batch["node"].combine_chunks(), pa.array(d),
+             pa.array(tri), pa.array(lcc.astype(np.int64))],
+            names=["host", "deg", "tri", "lcc_milli"],
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow").sort("host")

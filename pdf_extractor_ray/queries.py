@@ -9832,3 +9832,57 @@ it2 AS (
     FROM nodes n)
 SELECT host, CAST(r AS BIGINT) AS rank FROM it2 ORDER BY host
 """
+
+
+def q_local_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-node local clustering coefficient (Watts–Strogatz) over the
+    synthesized host link graph of Q ``link_graph``
+    (:func:`ops.links.local_clustering`): triangles through each host
+    found once as degree-oriented closed wedges crediting all three
+    endpoints, coefficient in integer-exact milli-units — link-farm
+    rings score near 1000, hub-and-spoke navigation near 0."""
+    from .ops.links import link_graph, local_clustering
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    return local_clustering(link_graph(pages))
+
+
+QUERIES["local_clustering"] = q_local_clustering
+ORACLE_SQL["local_clustering"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+),
+ue AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM raw WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+    GROUP BY 1
+),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM ue e1
+    JOIN ue e2 ON e2.a = e1.b
+    JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+cred AS (
+    SELECT node, count(*) AS t
+    FROM (SELECT x AS node FROM tris
+          UNION ALL SELECT y FROM tris
+          UNION ALL SELECT z FROM tris)
+    GROUP BY 1
+)
+SELECT deg.node AS host, deg.d AS deg,
+       CAST(coalesce(cred.t, 0) AS BIGINT) AS tri,
+       CAST(CASE WHEN deg.d >= 2
+                 THEN 2000 * coalesce(cred.t, 0) // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_milli
+FROM deg LEFT JOIN cred ON cred.node = deg.node
+ORDER BY host
+"""

@@ -1143,3 +1143,77 @@ class TestTrustRank:
         # normalization is by |seeds| = 2; the absent seed's share is lost
         assert out["a"] == (15 * S) // 200
         assert out["b"] == (85 * (S // 2)) // 100
+
+
+class TestLocalClustering:
+    """ops/links.py local_clustering: brute-force parity on random
+    graphs, both cap regimes agree, star and clique extremes."""
+
+    def _brute(self, pairs):
+        import itertools
+
+        adj = {}
+        for u, v in pairs:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        rows = {}
+        for n in adj:
+            d = len(adj[n])
+            tri = sum(
+                1
+                for a, b in itertools.combinations(sorted(adj[n]), 2)
+                if b in adj[a]
+            )
+            lcc = (2000 * tri) // (d * (d - 1)) if d >= 2 else 0
+            rows[n] = (d, tri, lcc)
+        return rows
+
+    def test_random_graphs_both_regimes(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import local_clustering
+
+        for seed in (5, 23):
+            rng = np.random.Generator(np.random.Philox(seed))
+            pairs = [
+                (f"n{int(rng.integers(0, 14))}", f"n{int(rng.integers(0, 14))}")
+                for _ in range(90)
+            ]
+            ds = rd.from_items(
+                [{"src_host": u, "dst_host": v} for u, v in pairs]
+            ).repartition(4)
+            want = self._brute(pairs)
+            small = local_clustering(ds)
+            got = {
+                r.host: (r.deg, r.tri, r.lcc_milli)
+                for r in small.itertuples()
+            }
+            assert got == want
+            big = local_clustering(ds, node_broadcast_cap=0)
+            got_big = {
+                r["host"]: (r["deg"], r["tri"], r["lcc_milli"])
+                for r in big.take_all()
+            }
+            assert got_big == want
+
+    def test_extremes(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import local_clustering
+
+        star = rd.from_items(
+            [{"src_host": "hub", "dst_host": f"leaf{i}"} for i in range(6)]
+        )
+        df = local_clustering(star)
+        hub = df[df.host == "hub"].iloc[0]
+        assert hub.deg == 6 and hub.tri == 0 and hub.lcc_milli == 0
+        assert (df[df.host != "hub"].lcc_milli == 0).all()
+
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d")]
+        ds = rd.from_items([{"src_host": u, "dst_host": v} for u, v in k4])
+        df = local_clustering(ds)
+        assert (df.lcc_milli == 1000).all()
+        assert (df.tri == 3).all()
