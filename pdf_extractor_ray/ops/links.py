@@ -2235,3 +2235,180 @@ def local_clustering(
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow").sort("host")
+
+
+def harmonic_centrality(
+    edges_ds,
+    radius: int = 3,
+    u_col: str = "src_host",
+    v_col: str = "dst_host",
+):
+    """Exact radius-bounded harmonic centrality of the undirected(ized)
+    host graph: ``H_R(v) = Σ_{u≠v, d(v,u) ≤ R} 1000 // d(v,u)`` in
+    integer-exact milli-units, plus the ball size ``n_reached``. The
+    radius-R truncation is the standard scale regime for web graphs
+    (full closeness needs all-pairs BFS; HyperBall et al. approximate
+    exactly this truncated sum) — pair cardinality is Σ_v |ball_R(v)|
+    rows IN THE DATASET, never driver state.
+
+    Rounds are pure Dataset algebra, each: one sort co-locating the
+    distance-(k−1) frontier with the adjacency lists on the middle node
+    (a sorted-block cross-product kernel — the only join shape that
+    handles the many-to-many middle), then one ``groupby(pair).min(d)``
+    keeping shortest distances. The SQL oracle UNROLLS the rounds as
+    chained CTEs, so every distance — and thus every milli score — is
+    bit-exact. Returns a pandas DataFrame ``(host, n_reached,
+    harmonic_milli)`` sorted by host.
+    """
+    import pandas as pd
+
+    from .segments import sorted_segment_apply
+
+    SEP = "\x1f"
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[u_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[v_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        a = np.concatenate([u, v])
+        b = np.concatenate([v, u])
+        keys = np.unique(np.char.add(np.char.add(a, SEP), b))
+        return pa.Table.from_arrays(
+            [pa.array(keys.astype(object), pa.string()),
+             pa.array(np.ones(len(keys), np.int64))],
+            names=["k", "one"],
+        )
+
+    adj = (
+        edges_ds.map_batches(sym, batch_format="pyarrow")
+        .groupby("k")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["k"].combine_chunks()], names=["k"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )  # distinct directed closure of the undirected edge set
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["k"].combine_chunks(),
+             pa.array(np.ones(batch.num_rows, np.int64))],
+            names=["k", "d"],
+        )
+
+    pairs = adj.map_batches(seed, batch_format="pyarrow")
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["k"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        return pa.Table.from_arrays(
+            [pa.array(parts[:, 0].astype(object), pa.string()),
+             pa.array(parts[:, 2].astype(object), pa.string()),
+             pa.array(np.zeros(len(parts), np.int64))],
+            names=["mid", "other", "d"],
+        )
+
+    adj_tagged = adj.map_batches(
+        adj_rows, batch_format="pyarrow").materialize()
+
+    for k in range(2, radius + 1):
+        kk = k
+
+        def front_rows(batch: pa.Table, kk=kk) -> pa.Table:
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array(d == kk - 1))
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.string()),
+                     pa.array([], pa.int64())],
+                    names=["mid", "other", "d"],
+                )
+            parts = np.char.partition(
+                np.asarray(t["k"].to_pylist(), dtype=object).astype(str), SEP
+            )
+            # frontier (v, u, d): co-locate on the middle node u
+            return pa.Table.from_arrays(
+                [pa.array(parts[:, 2].astype(object), pa.string()),
+                 pa.array(parts[:, 0].astype(object), pa.string()),
+                 pa.array(np.full(t.num_rows, kk - 1, np.int64))],
+                names=["mid", "other", "d"],
+            )
+
+        unioned = adj_tagged.union(
+            pairs.map_batches(front_rows, batch_format="pyarrow")
+        )
+
+        def cross_block(batch: pa.Table, starts: np.ndarray,
+                        ends: np.ndarray, kk=kk) -> pa.Table:
+            other = np.asarray(
+                batch["other"].to_pylist(), dtype=object).astype(str)
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            keys = []
+            for s, e in zip(starts, ends):
+                seg_o, seg_d = other[s:e], d[s:e]
+                w = seg_o[seg_d == 0]          # adjacency of mid
+                v = seg_o[seg_d == kk - 1]     # frontier sources
+                if len(w) == 0 or len(v) == 0:
+                    continue
+                vv = np.repeat(v, len(w))
+                ww = np.tile(w, len(v))
+                m = vv != ww
+                keys.append(np.char.add(np.char.add(vv[m], SEP), ww[m]))
+            ks = np.concatenate(keys) if keys else np.array([], dtype=object)
+            return pa.Table.from_arrays(
+                [pa.array(ks.astype(object), pa.string()),
+                 pa.array(np.full(len(ks), kk, np.int64))],
+                names=["k", "d"],
+            )
+
+        expanded = sorted_segment_apply(
+            unioned, key_col="mid", block_fn=cross_block,
+            within_cols=["d", "other"],
+        )
+        pairs = pairs.union(expanded).groupby("k").min("d").map_batches(
+            lambda t: t.rename_columns(["k", "d"]),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["host", "n_reached", "harmonic_milli"],
+            )
+        parts = np.char.partition(
+            np.asarray(batch["k"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = parts[:, 0]
+        un, inv = np.unique(v, return_inverse=True)
+        milli = np.zeros(len(un), np.int64)
+        cnt = np.zeros(len(un), np.int64)
+        np.add.at(milli, inv, 1000 // d)
+        np.add.at(cnt, inv, 1)
+        return pa.Table.from_arrays(
+            [pa.array(un.astype(object), pa.string()),
+             pa.array(cnt), pa.array(milli)],
+            names=["host", "n_reached", "harmonic_milli"],
+        )
+
+    out = (
+        pairs.map_batches(score_partial, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("host")
+        .sum(["n_reached", "harmonic_milli"])
+    )
+    df = out.to_pandas().rename(
+        columns={"sum(n_reached)": "n_reached",
+                 "sum(harmonic_milli)": "harmonic_milli"}
+    )
+    return (
+        df.sort_values("host")
+        .reset_index(drop=True)
+        .astype({"n_reached": "int64", "harmonic_milli": "int64"})
+    )

@@ -9886,3 +9886,57 @@ SELECT deg.node AS host, deg.d AS deg,
 FROM deg LEFT JOIN cred ON cred.node = deg.node
 ORDER BY host
 """
+
+
+def q_harmonic(sf_dir: str) -> pd.DataFrame:
+    """Exact radius-3 harmonic centrality over the synthesized host link
+    graph of Q ``link_graph`` (:func:`ops.links.harmonic_centrality`):
+    per-host ball size and Σ 1000//d(v,u) in integer milli-units — the
+    truncated-closeness statistic HyperBall approximates at web scale,
+    here exact via two unrolled frontier-expansion rounds (sorted-block
+    cross products + groupby-min), bit-exact in SQL."""
+    from .ops.links import harmonic_centrality, link_graph
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    return harmonic_centrality(link_graph(pages), radius=3)
+
+
+QUERIES["harmonic"] = q_harmonic
+ORACLE_SQL["harmonic"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+),
+sym AS (
+    SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM raw
+        UNION ALL
+        SELECT dst AS a, src AS b FROM raw
+    ) WHERE a <> b
+),
+d1 AS (SELECT a AS v, b AS u, 1 AS d FROM sym),
+p2 AS (
+    SELECT d1.v AS v, s.b AS u, 2 AS d
+    FROM d1 JOIN sym s ON s.a = d1.u
+    WHERE s.b <> d1.v
+),
+a2 AS (
+    SELECT v, u, min(d) AS d
+    FROM (SELECT * FROM d1 UNION ALL SELECT * FROM p2) GROUP BY v, u
+),
+p3 AS (
+    SELECT a2.v AS v, s.b AS u, 3 AS d
+    FROM a2 JOIN sym s ON s.a = a2.u
+    WHERE a2.d = 2 AND s.b <> a2.v
+),
+a3 AS (
+    SELECT v, u, min(d) AS d
+    FROM (SELECT * FROM a2 UNION ALL SELECT * FROM p3) GROUP BY v, u
+)
+SELECT v AS host, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(1000 // d) AS BIGINT) AS harmonic_milli
+FROM a3 GROUP BY v ORDER BY host
+"""

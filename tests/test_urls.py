@@ -1217,3 +1217,66 @@ class TestLocalClustering:
         df = local_clustering(ds)
         assert (df.lcc_milli == 1000).all()
         assert (df.tri == 3).all()
+
+
+class TestHarmonicCentrality:
+    """ops/links.py harmonic_centrality: brute-force BFS parity on
+    random graphs at several radii; path-graph closed form."""
+
+    def _brute(self, pairs, radius):
+        adj = {}
+        for u, v in pairs:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        rows = {}
+        for s in adj:
+            dist = {s: 0}
+            frontier = [s]
+            for d in range(1, radius + 1):
+                nxt = []
+                for x in frontier:
+                    for y in adj[x]:
+                        if y not in dist:
+                            dist[y] = d
+                            nxt.append(y)
+                frontier = nxt
+            reached = {u: d for u, d in dist.items() if u != s}
+            rows[s] = (len(reached), sum(1000 // d for d in reached.values()))
+        return rows
+
+    def test_random_graphs(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import harmonic_centrality
+
+        for seed, radius in ((7, 2), (19, 3)):
+            rng = np.random.Generator(np.random.Philox(seed))
+            pairs = [
+                (f"n{int(rng.integers(0, 16))}", f"n{int(rng.integers(0, 16))}")
+                for _ in range(40)
+            ]
+            ds = rd.from_items(
+                [{"src_host": u, "dst_host": v} for u, v in pairs]
+            ).repartition(3)
+            want = self._brute(pairs, radius)
+            df = harmonic_centrality(ds, radius=radius)
+            got = {
+                r.host: (r.n_reached, r.harmonic_milli)
+                for r in df.itertuples()
+            }
+            assert got == want
+
+    def test_path_graph(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import harmonic_centrality
+
+        path = [(f"p{i}", f"p{i+1}") for i in range(5)]
+        ds = rd.from_items([{"src_host": u, "dst_host": v} for u, v in path])
+        df = harmonic_centrality(ds, radius=3)
+        row = df[df.host == "p0"].iloc[0]
+        assert row.n_reached == 3 and row.harmonic_milli == 1000 + 500 + 333
+        mid = df[df.host == "p2"].iloc[0]
+        assert mid.n_reached == 5
