@@ -2412,3 +2412,147 @@ def harmonic_centrality(
         .reset_index(drop=True)
         .astype({"n_reached": "int64", "harmonic_milli": "int64"})
     )
+
+
+def ra_link_prediction(
+    edges_ds,
+    k: int = 20,
+    hub_cap: int = 10_000,
+    u_col: str = "src_host",
+    v_col: str = "dst_host",
+):
+    """Resource-Allocation link prediction (Zhou–Lü–Zhang 2009) over the
+    undirected(ized) host graph: for every NON-adjacent unordered pair
+    (a, b) sharing a common neighbor, ``ra_micro = Σ_{z ∈ N(a)∩N(b)}
+    10^6 // deg(z)`` — integer-exact micro-units — plus the common-
+    neighbor count; top-k pairs by (ra_micro desc, pair). The classic
+    "which links are missing" primitive for crawl frontier seeding and
+    mirror discovery.
+
+    Shape: degrees never broadcast — ``deg(z)`` IS the segment length in
+    the ONE sort grouping the symmetric adjacency by z, where a
+    vectorized triu kernel emits each z's neighbor pairs with their
+    credit. Wedge cardinality is Σ deg(z)², so nodes with ``deg(z) >
+    hub_cap`` are skipped — the standard LP truncation (each such z
+    contributes ≤ 10^6/hub_cap per pair); the cap is replicated in the
+    SQL oracle, not silent. Then one ``groupby(pair).sum``, a
+    sorted-lookup ANTI-join dropping existing edges
+    (:func:`..ops.segments.attach_lookup`), and a top-k sort. Returns a
+    pandas DataFrame ``(host_a, host_b, cn, ra_micro, rank)``.
+    """
+    import pandas as pd
+
+    from .segments import attach_lookup, sorted_segment_apply
+
+    SEP = "\x1f"
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[u_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[v_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        fwd = u < v
+        lo = np.where(fwd, u, v)
+        hi = np.where(fwd, v, u)
+        pairs = np.unique(np.char.add(np.char.add(lo, SEP), hi))
+        return pa.Table.from_arrays(
+            [pa.array(pairs.astype(object), pa.string()),
+             pa.array(np.ones(len(pairs), np.int64))],
+            names=["e", "one"],
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("e")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["e"].combine_chunks()], names=["e"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str), SEP
+        )
+        z = np.concatenate([parts[:, 0], parts[:, 2]])
+        x = np.concatenate([parts[:, 2], parts[:, 0]])
+        return pa.Table.from_arrays(
+            [pa.array(z.astype(object), pa.string()),
+             pa.array(x.astype(object), pa.string())],
+            names=["z", "x"],
+        )
+
+    adj = edges.map_batches(adj_rows, batch_format="pyarrow")
+
+    def pair_block(batch: pa.Table, starts: np.ndarray,
+                   ends: np.ndarray) -> pa.Table:
+        x = np.asarray(batch["x"].to_pylist(), dtype=object).astype(str)
+        keys, cred = [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2 or d > hub_cap:
+                continue
+            seg = x[s:e]  # sorted by the within_cols sort: seg[i] < seg[j]
+            i, j = np.triu_indices(d, k=1)
+            keys.append(np.char.add(np.char.add(seg[i], SEP), seg[j]))
+            cred.append(np.full(len(i), 10**6 // d, np.int64))
+        ks = np.concatenate(keys) if keys else np.array([], dtype=object)
+        cs = (np.concatenate(cred) if cred
+              else np.array([], dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(ks.astype(object), pa.string()),
+             pa.array(cs, pa.int64()),
+             pa.array(np.ones(len(ks), np.int64))],
+            names=["p", "ra", "one"],
+        )
+
+    wedges = sorted_segment_apply(
+        adj, key_col="z", block_fn=pair_block, within_cols=["x"]
+    )
+    scored = (
+        wedges.groupby("p")
+        .sum(["ra", "one"])
+        .map_batches(
+            lambda t: t.rename_columns(["p", "ra_micro", "cn"]),
+            batch_format="pyarrow",
+        )
+    )
+    scored = scored.materialize()
+    if scored.schema() is None or scored.count() == 0:
+        return pd.DataFrame(
+            {
+                "host_a": pd.array([], dtype="object"),
+                "host_b": pd.array([], dtype="object"),
+                "cn": pd.array([], dtype="int64"),
+                "ra_micro": pd.array([], dtype="int64"),
+                "rank": pd.array([], dtype="int64"),
+            }
+        )
+    missing = attach_lookup(
+        scored,
+        edges.map_batches(
+            lambda t: t.rename_columns(["p"]), batch_format="pyarrow"),
+        key_col="p", val_cols=[], carry_cols=["ra_micro", "cn"],
+        anti=True,
+    )
+    top = missing.sort(["ra_micro", "p"], descending=[True, False]).limit(k)
+    rows = top.take_all()
+    hosts_a, hosts_b, cns, ras = [], [], [], []
+    for r in rows:
+        a, _, b = r["p"].partition(SEP)
+        hosts_a.append(a)
+        hosts_b.append(b)
+        cns.append(int(r["cn"]))
+        ras.append(int(r["ra_micro"]))
+    return pd.DataFrame(
+        {
+            "host_a": hosts_a,
+            "host_b": hosts_b,
+            "cn": pd.array(cns, dtype="int64"),
+            "ra_micro": pd.array(ras, dtype="int64"),
+            "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+        }
+    )

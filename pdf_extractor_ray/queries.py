@@ -9940,3 +9940,63 @@ SELECT v AS host, CAST(count(*) AS BIGINT) AS n_reached,
        CAST(sum(1000 // d) AS BIGINT) AS harmonic_milli
 FROM a3 GROUP BY v ORDER BY host
 """
+
+
+def q_link_prediction(sf_dir: str) -> pd.DataFrame:
+    """Resource-Allocation link prediction (Zhou–Lü–Zhang 2009) over the
+    synthesized host link graph of Q ``link_graph``
+    (:func:`ops.links.ra_link_prediction`): top-20 non-adjacent host
+    pairs by Σ 10^6 // deg(common neighbor), integer micro-units —
+    crawl-frontier seeding / mirror discovery. Degrees are never
+    broadcast (deg(z) is the segment length in the one adjacency sort);
+    existing edges drop via the sorted-lookup anti-join."""
+    from .ops.links import link_graph, ra_link_prediction
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    return ra_link_prediction(link_graph(pages), k=20, hub_cap=10_000)
+
+
+QUERIES["link_prediction"] = q_link_prediction
+ORACLE_SQL["link_prediction"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+),
+ue AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM raw WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+    GROUP BY 1
+),
+adj AS (
+    SELECT a AS z, b AS x FROM ue UNION ALL SELECT b AS z, a AS x FROM ue
+),
+wp AS (
+    SELECT a1.x AS a, a2.x AS b, a1.z AS z
+    FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x
+    JOIN deg dz ON dz.node = a1.z
+    WHERE dz.d <= 10000
+),
+sc AS (
+    SELECT wp.a, wp.b,
+           CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(1000000 // dz.d) AS BIGINT) AS ra_micro
+    FROM wp JOIN deg dz ON dz.node = wp.z
+    GROUP BY wp.a, wp.b
+),
+miss AS (
+    SELECT sc.* FROM sc
+    LEFT JOIN ue ON ue.a = sc.a AND ue.b = sc.b
+    WHERE ue.a IS NULL
+)
+SELECT a AS host_a, b AS host_b, cn, ra_micro,
+       CAST(row_number() OVER (
+            ORDER BY ra_micro DESC, a || chr(31) || b) AS BIGINT) AS rank
+FROM miss QUALIFY rank <= 20 ORDER BY rank
+"""

@@ -1280,3 +1280,67 @@ class TestHarmonicCentrality:
         assert row.n_reached == 3 and row.harmonic_milli == 1000 + 500 + 333
         mid = df[df.host == "p2"].iloc[0]
         assert mid.n_reached == 5
+
+
+class TestRALinkPrediction:
+    """ops/links.py ra_link_prediction: brute force on random graphs,
+    hub_cap exclusion, adjacency anti-join."""
+
+    def _brute(self, pairs, hub_cap=10_000):
+        adj = {}
+        for u, v in pairs:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        scores = {}
+        for z, nbrs in adj.items():
+            if len(nbrs) > hub_cap:
+                continue
+            credit = 10**6 // len(nbrs)
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    key = (ns[i], ns[j])
+                    cn, ra = scores.get(key, (0, 0))
+                    scores[key] = (cn + 1, ra + credit)
+        return {
+            k: v for k, v in scores.items()
+            if k[1] not in adj[k[0]]
+        }
+
+    def test_random_graph(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import ra_link_prediction
+
+        rng = np.random.Generator(np.random.Philox(31))
+        pairs = [
+            (f"n{int(rng.integers(0, 12))}", f"n{int(rng.integers(0, 12))}")
+            for _ in range(40)
+        ]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs]
+        ).repartition(3)
+        want = self._brute(pairs)
+        df = ra_link_prediction(ds, k=1000)
+        got = {
+            (r.host_a, r.host_b): (r.cn, r.ra_micro) for r in df.itertuples()
+        }
+        assert got == want
+        # ranking is (ra desc, pair asc)
+        ras = list(df.ra_micro)
+        assert ras == sorted(ras, reverse=True)
+
+    def test_hub_cap(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import ra_link_prediction
+
+        star = [("hub", f"leaf{i}") for i in range(6)]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in star])
+        df = ra_link_prediction(ds, k=100)
+        assert len(df) == 15 and (df.ra_micro == 10**6 // 6).all()
+        df2 = ra_link_prediction(ds, k=100, hub_cap=5)
+        assert len(df2) == 0
