@@ -2086,3 +2086,177 @@ def lsh_decontaminate(
         return batch.append_column("contaminated", pa.array(flags))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    ds,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 4,
+    max_dist: int = 3,
+):
+    """Sorted-Neighborhood blocking (Hernández–Stolfo 1995) for fuzzy
+    key dedup — the classic entity-resolution primitive for near-equal
+    crawl URLs (session ids, tracking params, trailing digits): sort on
+    the key, compare each row only to its ``window`` successors in the
+    GLOBAL sorted order, keep pairs with Levenshtein distance ≤
+    ``max_dist``. Candidate cardinality is exactly ``n·window`` — no
+    quadratic blow-up, no hashing recall loss for typo-class
+    near-duplicates (which LSH famously misses: one edit changes most
+    shingles of a short string).
+
+    Shape: ONE global sort on ``(key, id)`` (the honest exchange — the
+    neighborhood IS a global order statistic), then the shard_plan
+    prefix scan (per-block ``(first_key, first_id, n)`` partials, a
+    driver exclusive scan over ~num_blocks rows) assigns global ranks;
+    each row lands in rank-bands of size ``window`` and is emitted to
+    its own band's group and the previous one, so every pair within
+    ``window`` ranks appears in EXACTLY one group (the group of the
+    smaller element's band). One more sort groups the bands; the
+    in-segment kernel compares ≤ 2·window rows. Nothing corpus-sized
+    lands on the driver. Returns a Dataset
+    ``(id_a, id_b, key_a, key_b, dist)``.
+    """
+    from .segments import sorted_segment_apply
+
+    def lev_capped(a: str, b: str, cap: int) -> int:
+        """Banded Levenshtein after common-affix stripping: O(len·cap)
+        per pair instead of O(len²), returns cap+1 once exceeded — the
+        candidate stage's per-pair budget is window·cap·len, and sorted
+        neighbors share long prefixes so the band is usually tiny."""
+        i = 0
+        n, m = len(a), len(b)
+        while i < n and i < m and a[i] == b[i]:
+            i += 1
+        j = 0
+        while j < n - i and j < m - i and a[n - 1 - j] == b[m - 1 - j]:
+            j += 1
+        a, b = a[i:n - j], b[i:m - j]
+        n, m = len(a), len(b)
+        if abs(n - m) > cap:
+            return cap + 1
+        if n == 0 or m == 0:
+            return max(n, m)
+        prev = list(range(m + 1))
+        for r in range(1, n + 1):
+            cur = [r] + [0] * m
+            lo = max(1, r - cap)
+            hi = min(m, r + cap)
+            if lo > 1:
+                cur[lo - 1] = cap + 1
+            best = cap + 1
+            ca = a[r - 1]
+            for c in range(lo, hi + 1):
+                cur[c] = min(
+                    prev[c] + 1 if c >= r - cap else cap + 1,
+                    cur[c - 1] + 1,
+                    prev[c - 1] + (ca != b[c - 1]),
+                )
+                best = min(best, cur[c])
+            if hi < m:
+                cur[hi + 1 :] = [cap + 1] * (m - hi)
+            if best > cap:
+                return cap + 1
+            prev = cur
+        return prev[m]
+
+    if window < 1:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 1")
+
+    ordered = (
+        ds.select_columns([id_col, key_col])
+        .sort([key_col, id_col])
+        .materialize()
+    )
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["first_key", "first_id", "n_rows"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array([batch[key_col][0].as_py()], pa.string()),
+                pa.array([int(batch[id_col][0].as_py())], pa.int64()),
+                pa.array([batch.num_rows], pa.int64()),
+            ],
+            names=["first_key", "first_id", "n_rows"],
+        )
+
+    partials = ordered.map_batches(
+        block_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    partials.sort(key=lambda r: (r["first_key"], r["first_id"]))
+    offsets: dict[int, int] = {}
+    running = 0
+    for r in partials:
+        offsets[(r["first_key"], r["first_id"])] = running
+        running += r["n_rows"]
+
+    def banded(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["g", "rank", "key", "id"],
+            )
+        base = offsets[
+            (batch[key_col][0].as_py(), int(batch[id_col][0].as_py()))
+        ]
+        rank = base + np.arange(batch.num_rows, dtype=np.int64)
+        band = rank // window
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        keys = batch[key_col].combine_chunks().cast(pa.string())
+        # own band's group, and the previous band's group (band ≥ 1)
+        prev_mask = band >= 1
+        g = np.concatenate([band, band[prev_mask] - 1])
+        rk = np.concatenate([rank, rank[prev_mask]])
+        idv = pa.concat_arrays([ids, ids.filter(pa.array(prev_mask))])
+        kv = pa.concat_arrays([keys, keys.filter(pa.array(prev_mask))])
+        return pa.Table.from_arrays(
+            [pa.array(g, pa.int64()), pa.array(rk, pa.int64()), kv, idv],
+            names=["g", "rank", "key", "id"],
+        )
+
+    rows = ordered.map_batches(banded, batch_format="pyarrow",
+                               batch_size=None)
+
+    def pair_block(batch: pa.Table, starts: np.ndarray,
+                   ends: np.ndarray) -> pa.Table:
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        rank = batch["rank"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch["key"].to_pylist(), dtype=object)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        ia, ib, ka, kb, dd = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            gr = int(g[s])
+            for i in range(s, e):
+                if rank[i] // window != gr:
+                    break  # only pairs anchored in the group's own band
+                hi = min(e, i + 1 + window)
+                ki = str(keys[i])
+                for j in range(i + 1, hi):
+                    if rank[j] - rank[i] > window:
+                        break
+                    kj = str(keys[j])
+                    if abs(len(ki) - len(kj)) > max_dist:
+                        continue
+                    d = lev_capped(ki, kj, max_dist)
+                    if d <= max_dist:
+                        ia.append(int(ids[i]))
+                        ib.append(int(ids[j]))
+                        ka.append(ki)
+                        kb.append(kj)
+                        dd.append(d)
+        return pa.Table.from_arrays(
+            [pa.array(ia, pa.int64()), pa.array(ib, pa.int64()),
+             pa.array(ka, pa.string()), pa.array(kb, pa.string()),
+             pa.array(dd, pa.int64())],
+            names=["id_a", "id_b", "key_a", "key_b", "dist"],
+        )
+
+    return sorted_segment_apply(
+        rows, key_col="g", block_fn=pair_block, within_cols=["rank"]
+    )

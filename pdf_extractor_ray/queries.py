@@ -10000,3 +10000,57 @@ SELECT a AS host_a, b AS host_b, cn, ra_micro,
             ORDER BY ra_micro DESC, a || chr(31) || b) AS BIGINT) AS rank
 FROM miss QUALIFY rank <= 20 ORDER BY rank
 """
+
+
+def q_sorted_neighborhood(sf_dir: str) -> pd.DataFrame:
+    """Sorted-Neighborhood fuzzy URL dedup (Hernández–Stolfo blocking,
+    :func:`ops.dedup.sorted_neighborhood_pairs`): one global sort on the
+    URL key, each row compared only to its 4 successors, pairs kept at
+    capped-banded Levenshtein ≤ 2 — the typo-class near-dup regime LSH
+    shingling misses on short keys. Candidates are exactly n·window;
+    the oracle is a rank self-join with DuckDB's native levenshtein."""
+    from .ops.dedup import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [
+            f"https://www.example.com/article/{i // 3}/v{i % 3}"
+            for i in ids
+        ]
+        return pa.Table.from_arrays(
+            [batch["doc_id"].combine_chunks(),
+             pa.array(urls, pa.string())],
+            names=["doc_id", "url"],
+        )
+
+    pairs = sorted_neighborhood_pairs(
+        ds.map_batches(to_urls, batch_format="pyarrow"),
+        key_col="url", window=4, max_dist=2,
+    )
+    df = pairs.to_pandas()
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+QUERIES["sorted_neighborhood"] = q_sorted_neighborhood
+ORACLE_SQL["sorted_neighborhood"] = r"""
+WITH u AS (
+    SELECT doc_id,
+           'https://www.example.com/article/'
+               || CAST(doc_id // 3 AS VARCHAR)
+               || '/v' || CAST(doc_id % 3 AS VARCHAR) AS url
+    FROM documents
+),
+r AS (
+    SELECT doc_id, url,
+           row_number() OVER (ORDER BY url, doc_id) AS rk
+    FROM u
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.url AS key_a, b.url AS key_b,
+       CAST(levenshtein(a.url, b.url) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
+WHERE levenshtein(a.url, b.url) <= 2
+ORDER BY id_a, id_b
+"""

@@ -1624,3 +1624,69 @@ class TestContainmentDedup:
         )
         assert base.equals(over)
         assert int(base["is_duplicate"].sum()) == 10
+
+
+class TestSortedNeighborhood:
+    """ops/dedup.py sorted_neighborhood_pairs: brute-force parity
+    (global sort + window + capped Levenshtein) on random URL-ish keys
+    across block layouts; window-1 adjacency sanity."""
+
+    @staticmethod
+    def _lev(a, b):
+        n, m = len(a), len(b)
+        dp = list(range(m + 1))
+        for i in range(1, n + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, m + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[m]
+
+    def _brute(self, rows, window, max_dist):
+        srt = sorted(rows, key=lambda r: (r[1], r[0]))
+        out = set()
+        for i in range(len(srt)):
+            for j in range(i + 1, min(len(srt), i + 1 + window)):
+                d = self._lev(srt[i][1], srt[j][1])
+                if d <= max_dist:
+                    out.add((srt[i][0], srt[j][0], d))
+        return out
+
+    def test_random_keys(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(13))
+        from pdf_extractor_ray.ops.dedup import sorted_neighborhood_pairs
+
+        rows = []
+        for i in range(120):
+            stem = int(rng.integers(0, 25))
+            suffix = "".join(
+                chr(97 + int(c)) for c in rng.integers(0, 4, size=3))
+            rows.append((i, f"https://ex.com/a/{stem}/{suffix}"))
+        for window, max_dist, parts in ((1, 2, 3), (4, 3, 5), (7, 5, 2)):
+            ds = rd.from_items(
+                [{"doc_id": i, "url": k} for i, k in rows]
+            ).repartition(parts)
+            got = {
+                (r["id_a"], r["id_b"], r["dist"])
+                for r in sorted_neighborhood_pairs(
+                    ds, key_col="url", window=window, max_dist=max_dist
+                ).take_all()
+            }
+            assert got == self._brute(rows, window, max_dist)
+
+    def test_exact_duplicates_found(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import sorted_neighborhood_pairs
+
+        items = [{"doc_id": i, "url": "https://same.example.com/x"}
+                 for i in range(5)]
+        ds = rd.from_items(items)
+        pairs = sorted_neighborhood_pairs(
+            ds, key_col="url", window=4, max_dist=0).take_all()
+        assert len(pairs) == 10  # all C(5,2) within window 4
+        assert all(r["dist"] == 0 for r in pairs)
