@@ -106,3 +106,86 @@ def shard_plan(
     )
     df = out.to_pandas()[["shard_id", "n_docs", "total_bytes", "first_doc"]]
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def rendezvous_shards(
+    ds,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    n_shards_new: int | None = None,
+):
+    """Rendezvous (highest-random-weight, Thaler–Ravishankar 1996)
+    consistent-hash shard assignment, plus the resharding-movement
+    census when growing to ``n_shards_new``: every key goes to
+    ``argmax_s splitmix64(key·64 + s)`` (ties → smaller s), so adding a
+    shard moves ONLY the keys whose new shard wins — the ~1/(S+1)
+    minimal-movement property that makes reshards cheap at 10^12 keys,
+    versus mod-hashing's (S)/(S+1) reshuffle. ``n_shards_new`` must stay
+    ≤ 64 (the key·64 packing keeps every (key, s) weight distinct and
+    SQL-replicable via the repo's HUGEINT splitmix oracle).
+
+    Shape: shuffle-free — per-batch vectorized weight matrices (rows ×
+    shards) pick both assignments, fixed-size per-shard partial counts
+    reduce through one tiny ``groupby(shard)``; nothing key-cardinality
+    ever aggregates. Returns a pandas DataFrame ``(shard, n_old, n_new,
+    moved_in, moved_out)`` for shards 0..n_shards_new-1.
+    """
+    import pandas as pd
+
+    from .text import splitmix64_np
+
+    S_old = int(n_shards)
+    S_new = int(n_shards_new if n_shards_new is not None else n_shards)
+    S_max = max(S_old, S_new)
+    if S_max > 64 or S_old < 1 or S_new < 1:
+        raise ValueError("rendezvous_shards: 1 <= shards <= 64")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 5,
+                names=["shard", "n_old", "n_new", "moved_in", "moved_out"],
+            )
+        keys = ids[:, None].astype(np.uint64) * np.uint64(64) + np.arange(
+            S_max, dtype=np.uint64
+        )[None, :]
+        w = splitmix64_np(keys.ravel()).reshape(len(ids), S_max)
+        old = np.argmax(w[:, :S_old], axis=1)
+        new = np.argmax(w[:, :S_new], axis=1)
+        moved = old != new
+        n_old = np.bincount(old, minlength=S_max)
+        n_new = np.bincount(new, minlength=S_max)
+        m_in = np.bincount(new[moved], minlength=S_max)
+        m_out = np.bincount(old[moved], minlength=S_max)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.arange(S_max, dtype=np.int64)),
+                pa.array(n_old.astype(np.int64)),
+                pa.array(n_new.astype(np.int64)),
+                pa.array(m_in.astype(np.int64)),
+                pa.array(m_out.astype(np.int64)),
+            ],
+            names=["shard", "n_old", "n_new", "moved_in", "moved_out"],
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .sum(["n_old", "n_new", "moved_in", "moved_out"])
+        .to_pandas()
+    )
+    out = out.rename(
+        columns={
+            "sum(n_old)": "n_old",
+            "sum(n_new)": "n_new",
+            "sum(moved_in)": "moved_in",
+            "sum(moved_out)": "moved_out",
+        }
+    )
+    keep = out[out.shard < max(S_old, S_new)]
+    return (
+        keep.sort_values("shard")
+        .reset_index(drop=True)
+        .astype("int64")
+    )

@@ -10054,3 +10054,61 @@ FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
 WHERE levenshtein(a.url, b.url) <= 2
 ORDER BY id_a, id_b
 """
+
+
+def q_rendezvous(sf_dir: str) -> pd.DataFrame:
+    """Rendezvous (highest-random-weight) consistent-hash sharding of
+    doc ids over 8 shards, plus the movement census when growing to 9
+    (:func:`ops.shard.rendezvous_shards`): shuffle-free vectorized
+    weight argmax per batch, fixed-size partial counts. HRW's minimal-
+    movement property is visible in the result — every moved key lands
+    on the new shard (moved_in = 0 for shards 0–7), ~1/9 of keys move
+    versus mod-hashing's 8/9. Bit-exact splitmix64 SQL oracle."""
+    from .ops.shard import rendezvous_shards
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return rendezvous_shards(ds, id_col="doc_id", n_shards=8,
+                             n_shards_new=9)
+
+
+QUERIES["rendezvous"] = q_rendezvous
+ORACLE_SQL["rendezvous"] = _splitmix_sql(
+    "(SELECT doc_id, unnest(range(9)) AS s FROM documents) rz",
+    "doc_id * 64 + s", 0, "doc_id, s"
+) + r""",
+old AS (
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY hv DESC, s) AS r
+        FROM h WHERE s < 8
+    ) WHERE r = 1
+),
+new AS (
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY hv DESC, s) AS r
+        FROM h
+    ) WHERE r = 1
+),
+mv AS (
+    SELECT old.s AS s_old, new.s AS s_new
+    FROM old JOIN new ON old.doc_id = new.doc_id
+    WHERE old.s <> new.s
+),
+spine AS (SELECT unnest(range(9)) AS shard)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(n.c, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(mi.c, 0) AS BIGINT) AS moved_in,
+       CAST(coalesce(mo.c, 0) AS BIGINT) AS moved_out
+FROM spine
+LEFT JOIN (SELECT s, count(*) AS c FROM old GROUP BY s) o ON o.s = shard
+LEFT JOIN (SELECT s, count(*) AS c FROM new GROUP BY s) n ON n.s = shard
+LEFT JOIN (SELECT s_new AS s, count(*) AS c FROM mv GROUP BY 1) mi
+       ON mi.s = shard
+LEFT JOIN (SELECT s_old AS s, count(*) AS c FROM mv GROUP BY 1) mo
+       ON mo.s = shard
+ORDER BY shard
+"""

@@ -50,3 +50,58 @@ def test_shard_plan_invalid_budget_raises(ray_session):
     tbl = pa.Table.from_pydict({"doc_id": [0], "n_chars": [1]})
     with pytest.raises(ValueError):
         shard_plan(ray.data.from_arrow(tbl), shard_bytes=0)
+
+
+class TestRendezvousShards:
+    """ops/shard.py rendezvous_shards: brute-force HRW parity, the
+    minimal-movement invariant, and layout independence."""
+
+    def _brute(self, ids, s_old, s_new):
+        from pdf_extractor_ray.ops.text import splitmix64_np
+
+        rows = {}
+        for i in ids:
+            w = splitmix64_np(
+                np.uint64(i) * np.uint64(64)
+                + np.arange(max(s_old, s_new), dtype=np.uint64)
+            )
+            rows[i] = (int(np.argmax(w[:s_old])), int(np.argmax(w[:s_new])))
+        return rows
+
+    def test_parity_and_movement(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.shard import rendezvous_shards
+
+        ids = list(range(400))
+        want = self._brute(ids, 8, 9)
+        for parts in (1, 5):
+            ds = rd.from_items([{"doc_id": i} for i in ids]).repartition(parts)
+            df = rendezvous_shards(ds, n_shards=8, n_shards_new=9)
+            n_old = np.zeros(9, np.int64)
+            n_new = np.zeros(9, np.int64)
+            m_in = np.zeros(9, np.int64)
+            m_out = np.zeros(9, np.int64)
+            for o, n in want.values():
+                n_old[o] += 1
+                n_new[n] += 1
+                if o != n:
+                    m_in[n] += 1
+                    m_out[o] += 1
+            assert list(df.n_old) == list(n_old)
+            assert list(df.n_new) == list(n_new)
+            assert list(df.moved_in) == list(m_in)
+            assert list(df.moved_out) == list(m_out)
+            # HRW minimal movement: every move lands on the NEW shard
+            assert (df.moved_in[:8] == 0).all()
+            assert int(df.moved_in[8]) == int(df.moved_out.sum())
+
+    def test_bounds(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.shard import rendezvous_shards
+
+        ds = rd.from_items([{"doc_id": 1}])
+        with _pytest.raises(ValueError, match="<= 64"):
+            rendezvous_shards(ds, n_shards=65)
