@@ -2396,3 +2396,49 @@ def markup_density_batch(batch: pa.Table, html_col: str = "html",
         names=[id_col, "n_tags", "html_chars", "text_chars",
                "text_ratio_milli"],
     )
+
+
+_SOFT404_TITLE_RE = (
+    r"(?i)<title[^>]*>[^<]*"
+    r"(not found|does not exist|no longer available|error 404)"
+)
+_SOFT404_BODY_RE = (
+    r"(?i)(could not be found|page you requested was not found"
+    r"|no longer exists|page was not found)"
+)
+
+
+def soft404_batch(
+    batch: pa.Table,
+    status_col: str = "status",
+    html_col: str = "html",
+) -> pa.Table:
+    """Soft-404 detection — the crawl-quality classic: servers that
+    answer HTTP 200 for missing pages poison a corpus with boilerplate
+    error pages that dedup can't catch (each URL's error page embeds its
+    own URL). A page is flagged when its STATUS says 200 but its markup
+    says "not found": ``reason`` 1 = error-title match, 2 = error-body
+    phrase match (title wins), 0 = clean; ``soft404 = reason > 0``.
+    Entirely vectorized Arrow regex kernels (two
+    ``match_substring_regex`` passes), shuffle-free, stateless —
+    append-column semantics preserve the input row order.
+    """
+    import pyarrow.compute as pc
+
+    html = batch[html_col]
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        html = pc.cast(html, pa.string())
+    html = pc.fill_null(html, "")
+    status = batch[status_col].combine_chunks().cast(pa.int64())
+    t_hit = pc.match_substring_regex(html, _SOFT404_TITLE_RE)
+    b_hit = pc.match_substring_regex(html, _SOFT404_BODY_RE)
+    ok200 = pc.equal(status, pa.scalar(200, pa.int64()))
+    t = pc.and_(ok200, pc.fill_null(t_hit, False))
+    b = pc.and_(ok200, pc.fill_null(b_hit, False))
+    reason = pc.if_else(
+        t, pa.scalar(1, pa.int64()),
+        pc.if_else(b, pa.scalar(2, pa.int64()), pa.scalar(0, pa.int64())),
+    )
+    soft = pc.cast(pc.greater(reason, pa.scalar(0, pa.int64())), pa.int64())
+    out = batch.append_column("soft404", soft)
+    return out.append_column("reason", reason)

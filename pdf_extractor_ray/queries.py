@@ -10112,3 +10112,66 @@ LEFT JOIN (SELECT s_old AS s, count(*) AS c FROM mv GROUP BY 1) mo
        ON mo.s = shard
 ORDER BY shard
 """
+
+
+def q_soft404(sf_dir: str) -> pd.DataFrame:
+    """Soft-404 detection (:func:`ops.text.soft404_batch`) over fetches
+    whose status follows ``i % 5`` (200/200/301/404/500) and whose markup
+    plants an error title (``i % 7 == 0``), an error-body phrase
+    (``i % 7 == 1``), or a lowercase error title (``i % 7 == 2``) — a
+    page is a soft 404 only when the status says 200 but the markup says
+    "not found". Two vectorized Arrow regex passes, shuffle-free;
+    oracle is the closed form from doc_id arithmetic."""
+    from .ops.text import soft404_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    STATUSES = [200, 200, 301, 404, 500]
+
+    def fixture(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        htmls, sts = [], []
+        for i in ids:
+            v = i % 7
+            if v == 0:
+                body = ("<title>404 - Page Not Found</title>"
+                        "<p>We are sorry.</p>")
+            elif v == 1:
+                body = (f"<title>Document #{i:06d}</title>"
+                        "<p>The page you requested could not be found.</p>")
+            elif v == 2:
+                body = ("<TITLE>Sorry, page not found</TITLE>"
+                        "<p>try the homepage</p>")
+            else:
+                body = (f"<title>Document #{i:06d}</title>"
+                        f"<p>welcome to page {i}</p>")
+            htmls.append(f"<html>{body}</html>")
+            sts.append(STATUSES[i % 5])
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(sts, pa.int64()),
+             pa.array(htmls, pa.string())],
+            names=["doc_id", "status", "html"],
+        )
+
+    out = (
+        ds.map_batches(fixture, batch_format="pyarrow")
+        .map_batches(soft404_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "status", "soft404", "reason"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["soft404"] = q_soft404
+ORACLE_SQL["soft404"] = r"""
+SELECT doc_id,
+       CAST([200, 200, 301, 404, 500][CAST(doc_id % 5 AS INTEGER) + 1]
+            AS BIGINT) AS status,
+       CAST(CASE WHEN doc_id % 5 < 2 AND doc_id % 7 < 3
+                 THEN 1 ELSE 0 END AS BIGINT) AS soft404,
+       CAST(CASE WHEN doc_id % 5 >= 2 THEN 0
+                 WHEN doc_id % 7 IN (0, 2) THEN 1
+                 WHEN doc_id % 7 = 1 THEN 2
+                 ELSE 0 END AS BIGINT) AS reason
+FROM documents ORDER BY doc_id
+"""

@@ -128,3 +128,46 @@ class TestMarkdownStructure:
         )
         text, _ = extract_html(html)
         assert "> a quoted passage with enough words" in text
+
+
+class TestSoft404:
+    """ops/text.py soft404_batch: status gating, title-over-body
+    precedence, binary html, null tolerance."""
+
+    def test_rules(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import soft404_batch
+
+        rows = [
+            (1, 200, "<title>404 - Not Found</title>x"),          # title
+            (2, 200, "<title>ok</title>page was not found here"),  # body
+            (3, 404, "<title>404 - Not Found</title>x"),          # real 404
+            (4, 200, "<title>Document 404123</title>fine"),       # clean
+            (5, 200, None),                                        # null
+            (6, 200, "<title>it does not exist</title>"
+                     "page you requested was not found"),          # both→1
+        ]
+        t = pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.string())],
+            names=["doc_id", "status", "html"],
+        )
+        out = soft404_batch(t).to_pylist()
+        got = {r["doc_id"]: (r["soft404"], r["reason"]) for r in out}
+        assert got == {1: (1, 1), 2: (1, 2), 3: (0, 0), 4: (0, 0),
+                       5: (0, 0), 6: (1, 1)}
+
+    def test_binary_column(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import soft404_batch
+
+        t = pa.Table.from_arrays(
+            [pa.array([9], pa.int64()), pa.array([200], pa.int64()),
+             pa.array([b"<title>gone: no longer available</title>"],
+                      pa.binary())],
+            names=["doc_id", "status", "html"],
+        )
+        assert soft404_batch(t).to_pylist()[0]["soft404"] == 1
