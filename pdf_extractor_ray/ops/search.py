@@ -401,3 +401,112 @@ def phrase_search(ds, phrase: str, text_col: str = "text",
     return agg.map_batches(
         rename, batch_format="pyarrow", batch_size=None
     ).sort(id_col)
+
+
+def proximity_topk(
+    ds,
+    terms: list[str],
+    k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Minimal-window proximity ranking (the classic "all query terms
+    near each other" relevance signal, Clarke et al.'s cover semantics):
+    for every document containing ALL ``terms`` (bag semantics, any
+    order), the length of the shortest token span covering every term —
+    top-k by ``(window ASC, id ASC)``. Exact and integer-valued, so the
+    SQL oracle (a per-doc positions cross-join min) matches bit-for-bit.
+
+    Shape: one vectorized pass per block extracts (doc, pos, slot)
+    occurrence votes with the single-sourced corpus tokenization
+    (:func:`..ops.text.split_words`); the two-pointer cover scan runs
+    per MATCHED document over its query-term occurrences only (the
+    matched minority — never the token stream); candidates are one
+    small ``(id, window)`` row per matched doc, ranked by ONE top-k
+    sort. Returns a pandas DataFrame ``(doc_id, window, rank)``.
+    """
+    import pandas as pd
+
+    from .text import split_words
+
+    uniq = list(dict.fromkeys(t.lower() for t in terms if t))
+    m = len(uniq)
+    if m == 0:
+        raise ValueError("proximity_topk: no terms")
+    slot_of = {t: j for j, t in enumerate(uniq)}
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        words_list = split_words(texts)
+        w = words_list.flatten()
+        reps = pc.list_value_length(words_list).to_numpy(
+            zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(w, "").to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(([0], np.cumsum(reps)))
+        csum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        pos_all = (csum[:-1][: len(w)] if len(w)
+                   else np.empty(0, np.int64))
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        pos_in_doc = (pos_all - csum[bounds[:-1]][doc_idx]
+                      if len(w) else pos_all)
+        wv = w.to_numpy(zero_copy_only=False)
+        hit_doc, hit_pos, hit_slot = [], [], []
+        for tok, j in slot_of.items():
+            hit = nonempty & (wv == tok)
+            if hit.any():
+                hit_doc.append(doc_idx[hit])
+                hit_pos.append(pos_in_doc[hit])
+                hit_slot.append(np.full(int(hit.sum()), j, np.int64))
+        if not hit_doc:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=[id_col, "window"],
+            )
+        d = np.concatenate(hit_doc)
+        p = np.concatenate(hit_pos)
+        s = np.concatenate(hit_slot)
+        order = np.lexsort((p, d))
+        d, p, s = d[order], p[order], s[order]
+        starts = np.searchsorted(d, np.unique(d))
+        ends = np.append(starts[1:], len(d))
+        out_ids, out_win = [], []
+        for a, b in zip(starts, ends):
+            sp, ss = p[a:b], s[a:b]
+            counts = np.zeros(m, np.int64)
+            covered = 0
+            best = -1
+            lo = 0
+            for hi in range(len(sp)):
+                if counts[ss[hi]] == 0:
+                    covered += 1
+                counts[ss[hi]] += 1
+                while covered == m:
+                    win = int(sp[hi] - sp[lo] + 1)
+                    if best < 0 or win < best:
+                        best = win
+                    counts[ss[lo]] -= 1
+                    if counts[ss[lo]] == 0:
+                        covered -= 1
+                    lo += 1
+            if best > 0:
+                out_ids.append(int(ids[d[a]]))
+                out_win.append(best)
+        return pa.Table.from_arrays(
+            [pa.array(out_ids, pa.int64()), pa.array(out_win, pa.int64())],
+            names=[id_col, "window"],
+        )
+
+    top = (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .sort(["window", id_col])
+        .limit(k)
+    )
+    rows = top.take_all()
+    return pd.DataFrame(
+        {
+            id_col: pd.array([r[id_col] for r in rows], dtype="int64"),
+            "window": pd.array([r["window"] for r in rows], dtype="int64"),
+            "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+        }
+    )

@@ -10175,3 +10175,80 @@ SELECT doc_id,
                  ELSE 0 END AS BIGINT) AS reason
 FROM documents ORDER BY doc_id
 """
+
+
+def q_proximity_search(sf_dir: str) -> pd.DataFrame:
+    """Minimal-window proximity ranking
+    (:func:`ops.search.proximity_topk`) for the 3-term query
+    ``qqalpha qqbeta qqgamma`` over docs with planted occurrences at
+    doc_id-derived gaps (docs with ``i % 11 == 0`` miss the third term
+    and must be excluded; ``i % 6 == 0`` plants a tight reversed cover
+    of window 3). Exact two-pointer cover scan over the matched
+    minority; oracle is a per-doc positions cross-join min."""
+    from .ops.search import proximity_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        texts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            base = t or ""
+            if i % 11 == 0:
+                suffix = " qqalpha qqbeta"
+            else:
+                suffix = (
+                    " qqalpha" + " pad" * (i % 5)
+                    + " qqbeta" + " pad" * (i % 3)
+                    + " qqgamma"
+                )
+                if i % 6 == 0:
+                    suffix += " qqgamma qqbeta qqalpha"
+            out.append(base + suffix)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    return proximity_topk(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        terms=["qqalpha", "qqbeta", "qqgamma"],
+        k=25,
+    )
+
+
+QUERIES["proximity_search"] = q_proximity_search
+ORACLE_SQL["proximity_search"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           coalesce(text, '')
+           || CASE WHEN doc_id % 11 = 0 THEN ' qqalpha qqbeta'
+                   ELSE ' qqalpha' || repeat(' pad', CAST(doc_id % 5 AS INT))
+                        || ' qqbeta' || repeat(' pad', CAST(doc_id % 3 AS INT))
+                        || ' qqgamma'
+                        || CASE WHEN doc_id % 6 = 0
+                                THEN ' qqgamma qqbeta qqalpha' ELSE '' END
+              END AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM d
+),
+t AS (
+    SELECT doc_id, CAST(i AS BIGINT) - 1 AS p, l[CAST(i AS INT)] AS tok
+    FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM toks)
+),
+win AS (
+    SELECT a.doc_id,
+           min(greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) + 1) AS w
+    FROM t a
+    JOIN t b ON b.doc_id = a.doc_id AND b.tok = 'qqbeta'
+    JOIN t c ON c.doc_id = a.doc_id AND c.tok = 'qqgamma'
+    WHERE a.tok = 'qqalpha'
+    GROUP BY a.doc_id
+)
+SELECT doc_id, CAST(w AS BIGINT) AS window,
+       CAST(row_number() OVER (ORDER BY w, doc_id) AS BIGINT) AS rank
+FROM win QUALIFY rank <= 25 ORDER BY rank
+"""

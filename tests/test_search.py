@@ -1,6 +1,7 @@
 """BM25 retrieval op: integer-exact scores vs a brute-force reference
 computed with Python bigints, plus determinism across block layouts."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 import ray
@@ -220,3 +221,48 @@ class TestPhraseSearch:
         for via in ("local", "positions"):
             got = phrase_search(ds, "needle in haystack", via=via).to_pandas()
             assert list(got["doc_id"]) == ["u1"]
+
+
+class TestProximityTopk:
+    """ops/search.py proximity_topk: brute-force cross-join min parity
+    on random token streams; missing-term exclusion; ordering."""
+
+    def test_random(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.search import proximity_topk
+
+        rng = np.random.Generator(np.random.Philox(77))
+        vocab = ["qa", "qb", "qc", "x", "y"]
+        docs = []
+        for i in range(60):
+            toks = [vocab[int(j)] for j in rng.integers(0, 5, size=12)]
+            docs.append((i, " ".join(toks)))
+        want = {}
+        for i, t in docs:
+            toks = t.split()
+            pos = {q: [p for p, w in enumerate(toks) if w == q]
+                   for q in ("qa", "qb", "qc")}
+            if all(pos.values()):
+                want[i] = min(
+                    max(c) - min(c) + 1
+                    for c in itertools.product(*pos.values())
+                )
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]).repartition(4)
+        df = proximity_topk(ds, ["qa", "qb", "qc"], k=1000)
+        got = dict(zip(df.doc_id, df.window))
+        assert got == want
+        wins = list(df.window)
+        assert wins == sorted(wins)
+
+    def test_case_and_duplicate_terms(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.search import proximity_topk
+
+        ds = rd.from_items([{"doc_id": 1, "text": "QA z z QB qa"}])
+        df = proximity_topk(ds, ["qa", "qb", "QA"], k=5)
+        assert list(df.window) == [2]  # dedup terms; lowercase match
