@@ -2556,3 +2556,203 @@ def ra_link_prediction(
             "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
         }
     )
+
+
+def salsa_scores(
+    edges,
+    num_iters: int = 2,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    scale: int = 10**12,
+):
+    """Fixed-point SALSA (Lempel–Moran 2000) over the distinct directed
+    edge set — the degree-normalized cousin of HITS whose hub/authority
+    chains are random walks on the bipartite support graph, famously
+    robust to the tightly-knit-community effect that inflates HITS.
+
+    Integer fixed-point at ``scale``: authorities start uniform
+    (``scale // n_auth`` on nodes with indegree), then each iteration is
+    two half-steps of per-edge floor contributions —
+    ``h(j) = Σ_{(j,i)∈E} a(i) // indeg(i)`` and
+    ``a'(i) = Σ_{(j,i)∈E} h(j) // outdeg(j)`` — order-independent
+    integer sums, bit-exact at any layout and in SQL (the oracle
+    unrolls the rounds as chained CTEs with the same ``//``).
+
+    ONE regime, scale-safe at every size: the static degree columns
+    attach onto the edge list once (two sorted-lookup joins,
+    :func:`..ops.segments.attach_lookup`), then each half-step is one
+    score attach + one groupby-sum — nodes and edges never land on the
+    driver. Returns a Dataset ``(host, hub, auth)`` over all endpoint
+    nodes (0 where a side doesn't apply).
+    """
+    from .segments import attach_lookup
+
+    def distinct_edges(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_pylist(), dtype=object).astype(str)
+        d = np.asarray(batch[dst_col].to_pylist(), dtype=object).astype(str)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        k = np.unique(np.char.add(np.char.add(s, "\x1f"), d))
+        return pa.Table.from_arrays(
+            [pa.array(k.astype(object), pa.string()),
+             pa.array(np.ones(len(k), np.int64))],
+            names=["k", "one"],
+        )
+
+    def split_k(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["k"].to_pylist(), dtype=object).astype(str),
+            "\x1f",
+        )
+        return pa.Table.from_arrays(
+            [pa.array(parts[:, 0].astype(object), pa.string()),
+             pa.array(parts[:, 2].astype(object), pa.string())],
+            names=["src", "dst"],
+        )
+
+    e = (
+        edges.map_batches(distinct_edges, batch_format="pyarrow")
+        .groupby("k")
+        .sum("one")
+        .map_batches(split_k, batch_format="pyarrow")
+        .materialize()
+    )
+    outdeg = (
+        e.groupby("src")
+        .count()
+        .map_batches(lambda t: t.rename_columns(["src", "od"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    indeg = (
+        e.groupby("dst")
+        .count()
+        .map_batches(lambda t: t.rename_columns(["dst", "idg"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    n_auth = indeg.count()
+    if n_auth == 0:
+        import ray.data as rd
+
+        return rd.from_items([])
+
+    # static degree attach, once: (src, dst, od, idg)
+    e_od = attach_lookup(e, outdeg, key_col="src", val_cols=["od"],
+                         carry_cols=["dst"])
+    e_full = attach_lookup(
+        e_od, indeg, key_col="dst", val_cols=["idg"],
+        carry_cols=["src", "od"],
+    ).materialize()
+
+    a = indeg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["dst"].combine_chunks(),
+             pa.array(np.full(t.num_rows, scale // n_auth, np.int64))],
+            names=["dst", "a"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    h = None
+    for _ in range(num_iters):
+        withs = attach_lookup(
+            e_full, a, key_col="dst", val_cols=["a"],
+            carry_cols=["src", "od", "idg"],
+        )
+
+        def h_contrib(batch: pa.Table) -> pa.Table:
+            av = batch["a"].to_numpy(zero_copy_only=False)
+            dg = batch["idg"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [batch["src"].combine_chunks(),
+                 pa.array(av // dg, pa.int64())],
+                names=["src", "c"],
+            )
+
+        h = (
+            withs.map_batches(h_contrib, batch_format="pyarrow")
+            .groupby("src")
+            .sum("c")
+            .map_batches(lambda t: t.rename_columns(["src", "h"]),
+                         batch_format="pyarrow")
+            .materialize()
+        )
+        withh = attach_lookup(
+            e_full, h, key_col="src", val_cols=["h"],
+            carry_cols=["dst", "od", "idg"],
+        )
+
+        def a_contrib(batch: pa.Table) -> pa.Table:
+            hv = batch["h"].to_numpy(zero_copy_only=False)
+            od = batch["od"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [batch["dst"].combine_chunks(),
+                 pa.array(hv // od, pa.int64())],
+                names=["dst", "c"],
+            )
+
+        a = (
+            withh.map_batches(a_contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .sum("c")
+            .map_batches(lambda t: t.rename_columns(["dst", "a"]),
+                         batch_format="pyarrow")
+            .materialize()
+        )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        hs = np.concatenate([
+            np.asarray(batch["src"].to_pylist(), dtype=object),
+            np.asarray(batch["dst"].to_pylist(), dtype=object),
+        ])
+        return pa.Table.from_arrays(
+            [pa.array(np.unique(hs.astype(str)).astype(object),
+                      pa.string())],
+            names=["host"],
+        )
+
+    nodes = (
+        e.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["host"].combine_chunks()], names=["host"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def zeros2(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.Table.from_arrays(
+            [t["host"].combine_chunks(), z, z],
+            names=["host", "hub", "auth"],
+        )
+
+    h_rows = h.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["src"].combine_chunks(),
+             t["h"].combine_chunks(),
+             pa.array(np.zeros(t.num_rows, np.int64))],
+            names=["host", "hub", "auth"]),
+        batch_format="pyarrow",
+    )
+    a_rows = a.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["dst"].combine_chunks(),
+             pa.array(np.zeros(t.num_rows, np.int64)),
+             t["a"].combine_chunks()],
+            names=["host", "hub", "auth"]),
+        batch_format="pyarrow",
+    )
+    return (
+        nodes.map_batches(zeros2, batch_format="pyarrow")
+        .union(h_rows)
+        .union(a_rows)
+        .groupby("host")
+        .sum(["hub", "auth"])
+        .map_batches(
+            lambda t: t.rename_columns(["host", "hub", "auth"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -10252,3 +10252,69 @@ SELECT doc_id, CAST(w AS BIGINT) AS window,
        CAST(row_number() OVER (ORDER BY w, doc_id) AS BIGINT) AS rank
 FROM win QUALIFY rank <= 25 ORDER BY rank
 """
+
+
+def q_salsa(sf_dir: str) -> pd.DataFrame:
+    """Fixed-point SALSA hub/authority scores (2 iterations, scale
+    10^12) over the synthesized host link graph of Q ``link_graph``
+    (:func:`ops.links.salsa_scores`): degree-normalized random-walk
+    chains, per-edge floor contributions — bit-exact at any layout and
+    in SQL via unrolled CTE rounds. One scale-safe regime: static
+    degrees attach to edges once, each half-step is one sorted-lookup
+    attach + one groupby-sum."""
+    from .ops.links import link_graph, salsa_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    df = salsa_scores(link_graph(pages), num_iters=2).to_pandas()
+    return df.sort_values("host").reset_index(drop=True)
+
+
+QUERIES["salsa"] = q_salsa
+ORACLE_SQL["salsa"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+na AS (SELECT count(*) AS n FROM idg),
+a0 AS (
+    SELECT dst AS host, CAST(1000000000000 // n AS BIGINT) AS a
+    FROM idg, na
+),
+h1 AS (
+    SELECT e.src AS host, sum(a0.a // idg.d) AS h
+    FROM e JOIN a0 ON a0.host = e.dst JOIN idg ON idg.dst = e.dst
+    GROUP BY e.src
+),
+a1 AS (
+    SELECT e.dst AS host, sum(h1.h // od.d) AS a
+    FROM e JOIN h1 ON h1.host = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+),
+h2 AS (
+    SELECT e.src AS host, sum(a1.a // idg.d) AS h
+    FROM e JOIN a1 ON a1.host = e.dst JOIN idg ON idg.dst = e.dst
+    GROUP BY e.src
+),
+a2 AS (
+    SELECT e.dst AS host, sum(h2.h // od.d) AS a
+    FROM e JOIN h2 ON h2.host = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+),
+nodes AS (
+    SELECT DISTINCT host FROM (
+        SELECT src AS host FROM e UNION ALL SELECT dst FROM e)
+)
+SELECT n.host,
+       CAST(coalesce(h2.h, 0) AS BIGINT) AS hub,
+       CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
+FROM nodes n
+LEFT JOIN h2 ON h2.host = n.host
+LEFT JOIN a2 ON a2.host = n.host
+ORDER BY n.host
+"""

@@ -1344,3 +1344,45 @@ class TestRALinkPrediction:
         assert len(df) == 15 and (df.ra_micro == 10**6 // 6).all()
         df2 = ra_link_prediction(ds, k=100, hub_cap=5)
         assert len(df2) == 0
+
+
+class TestSalsa:
+    """ops/links.py salsa_scores: numpy fixed-point reference parity on
+    random directed graphs; duplicate edges collapse; self-loops drop."""
+
+    def _ref(self, pairs, iters=2, scale=10**12):
+        e = sorted({(u, v) for u, v in pairs if u != v})
+        od, idg = {}, {}
+        for u, v in e:
+            od[u] = od.get(u, 0) + 1
+            idg[v] = idg.get(v, 0) + 1
+        a = {v: scale // len(idg) for v in idg}
+        h = {}
+        for _ in range(iters):
+            h = {}
+            for u, v in e:
+                h[u] = h.get(u, 0) + a.get(v, 0) // idg[v]
+            a = {}
+            for u, v in e:
+                a[v] = a.get(v, 0) + h.get(u, 0) // od[u]
+        nodes = sorted({u for u, _ in e} | {v for _, v in e})
+        return {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+
+    def test_random(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import salsa_scores
+
+        rng = np.random.Generator(np.random.Philox(3))
+        pairs = [
+            (f"h{int(rng.integers(0, 10))}", f"h{int(rng.integers(0, 10))}")
+            for _ in range(50)
+        ] * 2  # duplicates must collapse
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs]
+        ).repartition(4)
+        got = {
+            r["host"]: (r["hub"], r["auth"])
+            for r in salsa_scores(ds, num_iters=2).take_all()
+        }
+        assert got == self._ref(pairs)
