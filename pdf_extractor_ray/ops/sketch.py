@@ -280,3 +280,172 @@ def count_min_estimates(ds, probes: list[str], text_col: str = "text") -> pa.Tab
         ],
         names=["token", "cm_estimate", "exact_count", "overestimate"],
     )
+
+
+def hyperball(
+    edges_ds,
+    radius: int = 2,
+    p: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """HyperBall (Boldi–Rosa–Vigna 2011): per-node HyperLogLog sketches
+    of the radius-``radius`` OUT-ball, the web-graph-scale way to get
+    neighborhood functions / centralities where exact all-pairs BFS is
+    impossible. Each node starts with its own splitmix64 hash in one
+    register; every round each node max-merges its successors' register
+    tables — after R rounds node v's sketch covers every node reachable
+    in ≤ R hops.
+
+    Node ids must be int64 (string graphs go through the dense-rank
+    mapping stage the repo's CC path documents). State is SPARSE rows
+    ``(node, reg, val)`` — ≤ 2^p per node, ≤ 16·n at the default p=4 —
+    and each round is ONE sort co-locating successor state with the
+    reversed adjacency (sorted-block cross product, the same
+    many-to-many shape as :func:`..ops.links.harmonic_centrality`)
+    plus one ``groupby(node, reg).max`` — nothing ever driver-sized.
+    The artifact returned is the exact integer register table (Dataset,
+    sorted consumers decide), bit-exactly SQL-replicable: estimates
+    come from :func:`hll_estimate` per node downstream.
+    """
+    from .segments import sorted_segment_apply
+
+    def distinct_edges(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) and (int(max(s.max(), d.max())) >= 1 << 32
+                       or int(min(s.min(), d.min())) < 0):
+            raise ValueError(
+                "hyperball: node ids must be in [0, 2^32) — run the "
+                "dense-rank mapping stage first")
+        k = np.unique((s.astype(np.uint64) << np.uint64(32))
+                      | d.astype(np.uint64))
+        return pa.Table.from_arrays(
+            [pa.array(k.astype(np.int64)),
+             pa.array(np.ones(len(k), np.int64))],
+            names=["k", "one"],
+        )
+
+    e = (
+        edges_ds.map_batches(distinct_edges, batch_format="pyarrow")
+        .groupby("k")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["k"].combine_chunks()], names=["k"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = (k >> np.uint64(32)).astype(np.int64)
+        dst = (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # reversed: successor w is the co-location key, v receives
+        return pa.Table.from_arrays(
+            [pa.array(dst), pa.array(src),
+             pa.array(np.full(len(k), -1, np.int64)),
+             pa.array(np.zeros(len(k), np.int64)),
+             pa.array(np.zeros(len(k), np.int64))],
+            names=["mid", "v", "reg", "val", "tag"],
+        )
+
+    adj = e.map_batches(adj_rows, batch_format="pyarrow").materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nodes = np.unique(np.concatenate(
+            [(k >> np.uint64(32)), k & np.uint64(0xFFFFFFFF)]
+        )).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(nodes), pa.array(np.ones(len(nodes), np.int64))],
+            names=["node", "one"],
+        )
+
+    def seed(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        from .text import splitmix64_np
+
+        hv = splitmix64_np(nodes.astype(np.uint64))
+        reg, rho = hll_rho(hv, p)
+        return pa.Table.from_arrays(
+            [pa.array(nodes), pa.array(reg.astype(np.int64)),
+             pa.array(rho.astype(np.int64))],
+            names=["node", "reg", "val"],
+        )
+
+    state = (
+        e.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("node")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["node"].combine_chunks()], names=["node"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def state_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch["node"].combine_chunks().cast(pa.int64()),
+             pa.array(np.full(n, -1, np.int64)),
+             batch["reg"].combine_chunks().cast(pa.int64()),
+             batch["val"].combine_chunks().cast(pa.int64()),
+             pa.array(np.ones(n, np.int64))],
+            names=["mid", "v", "reg", "val", "tag"],
+        )
+
+    def cross_block(batch: pa.Table, starts: np.ndarray,
+                    ends: np.ndarray) -> pa.Table:
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        reg = batch["reg"].to_numpy(zero_copy_only=False)
+        val = batch["val"].to_numpy(zero_copy_only=False)
+        out_n, out_r, out_v = [], [], []
+        for s, e_ in zip(starts, ends):
+            t = tag[s:e_]
+            recv = v[s:e_][t == 0]          # predecessors of mid
+            sreg = reg[s:e_][t == 1]        # mid's register rows
+            sval = val[s:e_][t == 1]
+            if len(recv) == 0 or len(sreg) == 0:
+                continue
+            out_n.append(np.repeat(recv, len(sreg)))
+            out_r.append(np.tile(sreg, len(recv)))
+            out_v.append(np.tile(sval, len(recv)))
+        if out_n:
+            nn = np.concatenate(out_n)
+            rr = np.concatenate(out_r)
+            vv = np.concatenate(out_v)
+        else:
+            nn = rr = vv = np.array([], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(nn.astype(np.int64)), pa.array(rr.astype(np.int64)),
+             pa.array(vv.astype(np.int64))],
+            names=["node", "reg", "val"],
+        )
+
+    for _ in range(radius):
+        contrib = sorted_segment_apply(
+            adj.union(state.map_batches(state_rows,
+                                        batch_format="pyarrow")),
+            key_col="mid", block_fn=cross_block,
+            within_cols=["tag", "reg", "val", "v"],
+        )
+        state = (
+            state.union(contrib)
+            .groupby(["node", "reg"])
+            .max("val")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "reg", "val"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return state.sort(["node", "reg"])

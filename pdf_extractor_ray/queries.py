@@ -10318,3 +10318,82 @@ LEFT JOIN h2 ON h2.host = n.host
 LEFT JOIN a2 ON a2.host = n.host
 ORDER BY n.host
 """
+
+
+_HB_EDGES_SQL = (
+    "(SELECT doc_id % 50 AS src, (doc_id * 7 + j) % 50 AS dst "
+    "FROM (SELECT doc_id, unnest(range(doc_id % 4)) AS j FROM documents))"
+)
+
+
+def q_hyperball(sf_dir: str) -> pd.DataFrame:
+    """HyperBall radius-2 out-ball sketches (Boldi–Rosa–Vigna 2011,
+    :func:`ops.sketch.hyperball`, p=4) over a numeric 50-node graph
+    synthesized from doc_id arithmetic: per-node sparse HLL register
+    rows, each round ONE sorted-block cross product merging successor
+    registers + one groupby-max. The returned artifact is the exact
+    integer register table, so the oracle replays both merge rounds in
+    SQL bit-for-bit (same splitmix64 + leading-zero formulas as Q
+    ``distinct_sketch``)."""
+    from .ops.sketch import hyperball
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = ids % 4
+        src = np.repeat(ids % 50, deg)
+        offs = np.concatenate([np.arange(d) for d in deg]) if len(ids) \
+            else np.array([], dtype=np.int64)
+        dst = (np.repeat(ids * 7, deg) + offs) % 50
+        return pa.Table.from_arrays(
+            [pa.array(src.astype(np.int64)),
+             pa.array(dst.astype(np.int64))],
+            names=["src", "dst"],
+        )
+
+    out = hyperball(
+        ds.map_batches(to_edges, batch_format="pyarrow"),
+        radius=2, p=4,
+    ).to_pandas()
+    return out.sort_values(["node", "reg"]).reset_index(drop=True)
+
+
+QUERIES["hyperball"] = q_hyperball
+ORACLE_SQL["hyperball"] = _splitmix_sql(
+    "(SELECT DISTINCT node FROM ("
+    "  SELECT src AS node FROM " + _HB_EDGES_SQL + " WHERE src <> dst"
+    "  UNION ALL"
+    "  SELECT dst FROM " + _HB_EDGES_SQL + " WHERE src <> dst)) nd",
+    "node", 0, "node"
+) + r""",
+e AS (
+    SELECT DISTINCT src, dst FROM """ + _HB_EDGES_SQL + r""" WHERE src <> dst
+),
+s0 AS (
+    SELECT node,
+           CAST(hv >> 60 AS BIGINT) AS reg,
+           CAST(coalesce(list_min(list_filter(range(1, 61),
+               i -> (((hv % 1152921504606846976) >> (60 - i)) & 1) = 1)),
+               61) AS BIGINT) AS val
+    FROM h
+),
+s1 AS (
+    SELECT node, reg, max(val) AS val FROM (
+        SELECT * FROM s0
+        UNION ALL
+        SELECT e.src AS node, s.reg, s.val
+        FROM e JOIN s0 s ON s.node = e.dst
+    ) GROUP BY node, reg
+),
+s2 AS (
+    SELECT node, reg, max(val) AS val FROM (
+        SELECT * FROM s1
+        UNION ALL
+        SELECT e.src AS node, s.reg, s.val
+        FROM e JOIN s1 s ON s.node = e.dst
+    ) GROUP BY node, reg
+)
+SELECT CAST(node AS BIGINT) AS node, reg, val
+FROM s2 ORDER BY node, reg
+"""

@@ -757,3 +757,61 @@ class TestGlobalNtile:
                         "score": pa.array([0], pa.int64())})
         with pytest.raises(ValueError):
             global_ntile(ray.data.from_arrow(tbl), 0, score_col="score")
+
+
+class TestHyperBall:
+    """ops/sketch.py hyperball: brute-force ball-merge parity on random
+    graphs; saturation at large radius equals reachability sets; id
+    bounds guard."""
+
+    def _brute(self, pairs, radius, p):
+        from pdf_extractor_ray.ops.sketch import hll_rho
+        from pdf_extractor_ray.ops.text import splitmix64_np
+
+        e = sorted({(u, v) for u, v in pairs if u != v})
+        nodes = sorted({u for u, _ in e} | {v for _, v in e})
+        reach = {v: {v} for v in nodes}
+        for _ in range(radius):
+            nxt = {v: set(r) for v, r in reach.items()}
+            for u, v in e:
+                nxt[u] |= reach[v]
+            reach = nxt
+        out = {}
+        for v in nodes:
+            ids = np.array(sorted(reach[v]), dtype=np.uint64)
+            reg, rho = hll_rho(splitmix64_np(ids), p)
+            regs = {}
+            for r_, q in zip(reg, rho):
+                regs[int(r_)] = max(regs.get(int(r_), 0), int(q))
+            for r_, q in sorted(regs.items()):
+                out[(v, r_)] = q
+        return out
+
+    def test_random_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import hyperball
+
+        rng = np.random.Generator(np.random.Philox(9))
+        pairs = [
+            (int(rng.integers(0, 20)), int(rng.integers(0, 20)))
+            for _ in range(60)
+        ]
+        ds = rd.from_items(
+            [{"src": u, "dst": v} for u, v in pairs]).repartition(4)
+        for radius in (1, 3):
+            got = {
+                (r["node"], r["reg"]): r["val"]
+                for r in hyperball(ds, radius=radius, p=4).take_all()
+            }
+            assert got == self._brute(pairs, radius, 4)
+
+    def test_id_guard(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.sketch import hyperball
+
+        ds = rd.from_items([{"src": 1 << 33, "dst": 2}])
+        with _pytest.raises(Exception, match="dense-rank|2\\^32"):
+            hyperball(ds, radius=1).take_all()
