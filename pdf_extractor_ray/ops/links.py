@@ -2756,3 +2756,334 @@ def salsa_scores(
             batch_format="pyarrow",
         )
     )
+
+
+def _ktruss_driver(edge_keys, k: int, rounds: int, sep: str):
+    """Driver-regime synchronous truss peel (numpy, exact): the same
+    degree-orientation wedge enumeration as the distributed rounds, on
+    a collected canonical edge list — the under-cap fast path mirroring
+    ``connected_components``' driver union-find regime."""
+    parts = np.char.partition(
+        np.asarray(edge_keys, dtype=object).astype(str), sep)
+    a, b = parts[:, 0], parts[:, 2]
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    n = len(nodes)
+    for _ in range(rounds):
+        if len(ia) == 0:
+            break
+        deg = np.bincount(np.concatenate([ia, ib]), minlength=n)
+        key = deg * np.int64(n) + np.arange(n)  # (deg, id) total order
+        fwd = key[ia] < key[ib]
+        src = np.where(fwd, ia, ib)
+        dst = np.where(fwd, ib, ia)
+        order = np.lexsort((key[dst], src))
+        src, dst = src[order], dst[order]
+        starts = np.searchsorted(src, np.unique(src))
+        ends = np.append(starts[1:], len(src))
+        wk, wu = [], []
+        for s, e in zip(starts, ends):
+            seg = dst[s:e]
+            if len(seg) < 2:
+                continue
+            i, j = np.triu_indices(len(seg), k=1)
+            wk.append(seg[i] * np.int64(n) + seg[j])
+            wu.append(np.full(len(i), src[s], np.int64))
+        if not wk:
+            ia = ib = np.array([], dtype=np.int64)
+            break
+        wkv = np.concatenate(wk)
+        wuv = np.concatenate(wu)
+        ekeys = src * np.int64(n) + dst
+        closed = np.isin(wkv, ekeys)
+        wkv, wuv = wkv[closed], wuv[closed]
+        v, w = wkv // n, wkv % n
+        u = wuv
+
+        def canon_pack(x, y):
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            return lo * np.int64(n) + hi
+
+        allk = np.concatenate(
+            [canon_pack(u, v), canon_pack(u, w), canon_pack(v, w)])
+        un, cn = np.unique(allk, return_counts=True)
+        keep = un[cn >= k - 2]
+        cp = canon_pack(ia, ib)
+        m = np.isin(cp, keep)
+        ia, ib = ia[m], ib[m]
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    rows = sorted(zip(nodes[lo], nodes[hi]))
+    return rows
+
+
+def ktruss_edges(
+    edges_ds,
+    k: int = 4,
+    rounds: int = 3,
+    u_col: str = "src_host",
+    v_col: str = "dst_host",
+    driver_edge_cap: int = 500_000,
+):
+    """Fixed-round k-truss peel (Cohen 2008) of the undirected simple
+    graph: ``rounds`` synchronous rounds each dropping every edge in
+    fewer than ``k−2`` triangles — the standard dense-core detector for
+    link farms and mirror rings, strictly stronger than k-core. A fixed
+    round count (like the repo's PageRank/label-propagation) keeps the
+    result bit-exact and lets the SQL oracle UNROLL the peels as
+    chained CTEs; full convergence is the ``rounds → ∞`` limit and the
+    synchronous rounds are monotone (each is a superset of the fixed
+    point).
+
+    Per round the triangle enumeration is the same degree-orientation
+    construction as :func:`triangle_count` — each surviving triangle
+    found once as a closed wedge, then credited to ALL THREE of its
+    edges — one ``groupby(edge).sum`` scores support, and edges below
+    ``k−2`` drop in-block. Exchanges per round: degree groupby, one
+    orientation sort, the closing-edge sorted-lookup semi-join
+    (:func:`..ops.segments.attach_lookup`), one support groupby.
+
+    Regimes (size-gated like ``connected_components``): at ≤
+    ``driver_edge_cap`` canonical edges the peel runs as one vectorized
+    numpy pass on the driver (same algorithm, equivalence-tested);
+    above it every round is the distributed exchange set over the
+    monotonically shrinking survivor edge list. Returns a pandas
+    DataFrame ``(host_a, host_b)`` of surviving edges, sorted.
+    """
+    import pandas as pd
+
+    from .segments import attach_lookup, sorted_segment_apply
+
+    if k < 3:
+        raise ValueError("ktruss_edges: k must be >= 3")
+
+    SEP = "\x1f"
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[u_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[v_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        fwd = u < v
+        lo = np.where(fwd, u, v)
+        hi = np.where(fwd, v, u)
+        pairs = np.unique(np.char.add(np.char.add(lo, SEP), hi))
+        return pa.Table.from_arrays(
+            [pa.array(pairs.astype(object), pa.string()),
+             pa.array(np.ones(len(pairs), np.int64))],
+            names=["e", "one"],
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("e")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["e"].combine_chunks()], names=["e"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    if edges.count() <= driver_edge_cap:
+        keys = [
+            x
+            for bt in edges.iter_batches(batch_format="pyarrow")
+            for x in bt["e"].to_pylist()
+        ]
+        if not keys:
+            return pd.DataFrame({"host_a": [], "host_b": []})
+        rows = _ktruss_driver(keys, k, rounds, SEP)
+        return pd.DataFrame(
+            {
+                "host_a": [r[0] for r in rows],
+                "host_b": [r[1] for r in rows],
+            }
+        )
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str),
+            SEP,
+        )
+        nodes = np.concatenate([parts[:, 0], parts[:, 2]])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(un.astype(object), pa.string()),
+             pa.array(cn, pa.int64())],
+            names=["node", "d"],
+        )
+
+    def split_pairs(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str),
+            SEP,
+        )
+        return pa.Table.from_arrays(
+            [pa.array(parts[:, 0].astype(object), pa.string()),
+             pa.array(parts[:, 2].astype(object), pa.string())],
+            names=["a", "b"],
+        )
+
+    for _ in range(rounds):
+        if edges.count() == 0:
+            break
+        degs = (
+            edges.map_batches(degree_partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("node")
+            .sum("d")
+            .map_batches(lambda t: t.rename_columns(["node", "d"]),
+                         batch_format="pyarrow")
+        )
+        pairs = edges.map_batches(split_pairs, batch_format="pyarrow")
+        with_da = attach_lookup(
+            pairs,
+            degs.map_batches(
+                lambda t: t.rename_columns(["a", "d_a"]),
+                batch_format="pyarrow"),
+            key_col="a", val_cols=["d_a"], carry_cols=["b"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["b"].combine_chunks(), t["a"].combine_chunks(),
+                 t["d_a"].combine_chunks()],
+                names=["b", "a", "d_a"]),
+            batch_format="pyarrow",
+        )
+        with_both = attach_lookup(
+            with_da,
+            degs.map_batches(
+                lambda t: t.rename_columns(["b", "d_b"]),
+                batch_format="pyarrow"),
+            key_col="b", val_cols=["d_b"], carry_cols=["a", "d_a"],
+        )
+
+        def orient(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+            da = batch["d_a"].to_numpy(zero_copy_only=False)
+            db = batch["d_b"].to_numpy(zero_copy_only=False)
+            fwd = (da < db) | ((da == db) & (a < b))
+            src = np.where(fwd, a, b)
+            dst = np.where(fwd, b, a)
+            dd = np.where(fwd, db, da)
+            return pa.Table.from_arrays(
+                [pa.array(src.astype(object), pa.string()),
+                 pa.array(dst.astype(object), pa.string()),
+                 pa.array(dd.astype(np.int64), pa.int64())],
+                names=["src", "dst", "d_dst"],
+            )
+
+        oriented = with_both.map_batches(
+            orient, batch_format="pyarrow").materialize()
+
+        def wedge_block(batch: pa.Table, starts: np.ndarray,
+                        ends: np.ndarray) -> pa.Table:
+            src = np.asarray(
+                batch["src"].to_pylist(), dtype=object).astype(str)
+            dst = np.asarray(
+                batch["dst"].to_pylist(), dtype=object).astype(str)
+            keys, apex = [], []
+            for s, e_ in zip(starts, ends):
+                seg = dst[s:e_]
+                if len(seg) < 2:
+                    continue
+                i, j = np.triu_indices(len(seg), k=1)
+                keys.append(np.char.add(np.char.add(seg[i], SEP), seg[j]))
+                apex.append(np.repeat(src[s], len(i)))
+            ks = (np.concatenate(keys) if keys
+                  else np.array([], dtype=object))
+            us = (np.concatenate(apex) if apex
+                  else np.array([], dtype=object))
+            return pa.Table.from_arrays(
+                [pa.array(ks.astype(object), pa.string()),
+                 pa.array(us.astype(object), pa.string())],
+                names=["w", "u"],
+            )
+
+        wedges = sorted_segment_apply(
+            oriented, key_col="src", block_fn=wedge_block,
+            within_cols=["d_dst", "dst"],
+        )
+
+        def probe_key(batch: pa.Table) -> pa.Table:
+            src = np.asarray(
+                batch["src"].to_pylist(), dtype=object).astype(str)
+            dst = np.asarray(
+                batch["dst"].to_pylist(), dtype=object).astype(str)
+            return pa.Table.from_arrays(
+                [pa.array(
+                    np.char.add(np.char.add(src, SEP), dst).astype(object),
+                    pa.string())],
+                names=["w"],
+            )
+
+        closed = attach_lookup(
+            wedges,
+            oriented.map_batches(probe_key, batch_format="pyarrow"),
+            key_col="w", val_cols=[], carry_cols=["u"],
+        )
+
+        def edge_credits(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()),
+                     pa.array([], pa.int64())],
+                    names=["e", "s"],
+                )
+            parts = np.char.partition(
+                np.asarray(batch["w"].to_pylist(),
+                           dtype=object).astype(str), SEP)
+            u = np.asarray(batch["u"].to_pylist(), dtype=object).astype(str)
+            v, w = parts[:, 0], parts[:, 2]
+
+            def ckey(x, y):
+                # np.minimum lacks a unicode loop; select instead
+                swap = x > y
+                lo = np.where(swap, y, x)
+                hi = np.where(swap, x, y)
+                return np.char.add(np.char.add(lo, SEP), hi)
+
+            # canonical keys of the three edges of each triangle (wedge
+            # pairs are (degree, id)-ordered, not lexicographic)
+            e1 = ckey(u, v)
+            e2 = ckey(u, w)
+            e3 = ckey(v, w)
+            allk = np.concatenate([e1, e2, e3])
+            un, cn = np.unique(allk, return_counts=True)
+            return pa.Table.from_arrays(
+                [pa.array(un.astype(object), pa.string()),
+                 pa.array(cn, pa.int64())],
+                names=["e", "s"],
+            )
+
+        support = (
+            closed.map_batches(edge_credits, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("e")
+            .sum("s")
+        )
+
+        def keep(batch: pa.Table) -> pa.Table:
+            s = batch["sum(s)"].to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array(s >= k - 2))
+            return pa.Table.from_arrays(
+                [t["e"].combine_chunks()], names=["e"])
+
+        edges = support.map_batches(
+            keep, batch_format="pyarrow").materialize()
+
+    parts_rows = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        for e_ in b["e"].to_pylist():
+            a, _, c = e_.partition(SEP)
+            parts_rows.append((a, c))
+    parts_rows.sort()
+    return pd.DataFrame(
+        {
+            "host_a": [r[0] for r in parts_rows],
+            "host_b": [r[1] for r in parts_rows],
+        }
+    )

@@ -10397,3 +10397,81 @@ s2 AS (
 SELECT CAST(node AS BIGINT) AS node, reg, val
 FROM s2 ORDER BY node, reg
 """
+
+
+def q_ktruss(sf_dir: str) -> pd.DataFrame:
+    """3-truss edges after 3 synchronous peel rounds
+    (:func:`ops.links.ktruss_edges`) over the synthesized host link
+    graph of Q ``link_graph`` — the dense-core detector for link farms:
+    an edge survives only while it sits in ≥ 1 triangle among
+    survivors (k−2 = 1; the fixture graph holds no 4-truss, so k=3
+    keeps the oracle evidence non-empty). Each round re-runs the
+    degree-oriented closed-wedge enumeration crediting all three
+    triangle edges; the oracle unrolls the three rounds as chained
+    3-way-join CTEs."""
+    from .ops.links import ktruss_edges, link_graph
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    return ktruss_edges(link_graph(pages), k=3, rounds=3)
+
+
+QUERIES["ktruss"] = q_ktruss
+ORACLE_SQL["ktruss"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+),
+e0 AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM raw WHERE src <> dst
+),
+t1 AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s1 AS (
+    SELECT a, b, count(*) AS s FROM (
+        SELECT x AS a, y AS b FROM t1
+        UNION ALL SELECT x, z FROM t1
+        UNION ALL SELECT y, z FROM t1) GROUP BY a, b
+),
+e1 AS (
+    SELECT e.a, e.b FROM e0 e
+    JOIN s1 ON s1.a = e.a AND s1.b = e.b WHERE s1.s >= 1
+),
+t2 AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e1 JOIN e1 e2 ON e2.a = e1.b
+    JOIN e1 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s2 AS (
+    SELECT a, b, count(*) AS s FROM (
+        SELECT x AS a, y AS b FROM t2
+        UNION ALL SELECT x, z FROM t2
+        UNION ALL SELECT y, z FROM t2) GROUP BY a, b
+),
+e2r AS (
+    SELECT e.a, e.b FROM e1 e
+    JOIN s2 ON s2.a = e.a AND s2.b = e.b WHERE s2.s >= 1
+),
+t3 AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e2r e1 JOIN e2r e2 ON e2.a = e1.b
+    JOIN e2r e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s3 AS (
+    SELECT a, b, count(*) AS s FROM (
+        SELECT x AS a, y AS b FROM t3
+        UNION ALL SELECT x, z FROM t3
+        UNION ALL SELECT y, z FROM t3) GROUP BY a, b
+),
+e3r AS (
+    SELECT e.a, e.b FROM e2r e
+    JOIN s3 ON s3.a = e.a AND s3.b = e.b WHERE s3.s >= 1
+)
+SELECT a AS host_a, b AS host_b FROM e3r ORDER BY 1, 2
+"""

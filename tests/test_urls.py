@@ -1386,3 +1386,87 @@ class TestSalsa:
             for r in salsa_scores(ds, num_iters=2).take_all()
         }
         assert got == self._ref(pairs)
+
+
+class TestKTruss:
+    """ops/links.py ktruss_edges: brute-force synchronous peel parity on
+    random graphs; clique preservation; k<3 guard."""
+
+    def _brute(self, pairs, k, rounds):
+        edges = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+        for _ in range(rounds):
+            adj = {}
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {
+                e: len(adj[e[0]] & adj[e[1]])
+                for e in edges
+            }
+            nxt = {e for e in edges if sup[e] >= k - 2}
+            if nxt == edges:
+                break
+            edges = nxt
+        return sorted(edges)
+
+    def test_random_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import ktruss_edges
+
+        for seed, k in ((5, 3), (17, 4), (23, 5)):
+            rng = np.random.Generator(np.random.Philox(seed))
+            pairs = [
+                (f"n{int(rng.integers(0, 12))}",
+                 f"n{int(rng.integers(0, 12))}")
+                for _ in range(70)
+            ]
+            ds = rd.from_items(
+                [{"src_host": u, "dst_host": v} for u, v in pairs]
+            ).repartition(3)
+            df = ktruss_edges(ds, k=k, rounds=6)
+            got = list(zip(df.host_a, df.host_b))
+            assert got == self._brute(pairs, k, 6)
+
+    def test_distributed_regime_equivalence(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import ktruss_edges
+
+        k4 = list(itertools.combinations([f"c{i}" for i in range(4)], 2))
+        tail = [("c0", "t1"), ("t1", "t2"), ("t2", "c1"), ("c1", "c0")]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in k4 + tail])
+        small = ktruss_edges(ds, k=4, rounds=2)
+        big = ktruss_edges(ds, k=4, rounds=2, driver_edge_cap=0)
+        assert list(zip(small.host_a, small.host_b)) == \
+            list(zip(big.host_a, big.host_b))
+        assert list(zip(small.host_a, small.host_b)) == \
+            self._brute(k4 + tail, 4, 2)
+
+    def test_clique_survives(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import ktruss_edges
+
+        k5 = list(itertools.combinations([f"c{i}" for i in range(5)], 2))
+        extra = [("c0", "x"), ("x", "y")]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in k5 + extra])
+        df = ktruss_edges(ds, k=5, rounds=4)
+        assert len(df) == 10 and not (df.host_a == "x").any() \
+            and not (df.host_b == "x").any()
+
+    def test_k_guard(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import ktruss_edges
+
+        ds = rd.from_items([{"src_host": "a", "dst_host": "b"}])
+        with _pytest.raises(ValueError, match=">= 3"):
+            ktruss_edges(ds, k=2)
