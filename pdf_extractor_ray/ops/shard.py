@@ -189,3 +189,135 @@ def rendezvous_shards(
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+def zorder_layout(
+    ds,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    bits: int = 21,
+):
+    """Z-order (Morton) layout clustering — the lakehouse data-layout
+    primitive (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the bits of
+    two int columns so rows close in BOTH dimensions land in the same
+    output bucket, making min/max pruning effective on either column.
+    ``z = Σ_i ((x>>i & 1) << 2i) | ((y>>i & 1) << 2i+1)`` over ``bits``
+    bits per column (values must fit; raises otherwise), bucket =
+    exact global NTILE of the z-value (ties → id) via
+    :func:`..ops.quantiles.global_ntile`'s distributed prefix scan.
+
+    Returns a Dataset ``(id, z, bucket)`` plus effectiveness evidence:
+    per-bucket min/max of BOTH source columns land in the companion
+    stats frame from :func:`zorder_bucket_stats`. Shape: one vectorized
+    interleave pass, ONE (z, id) sort — the honest exchange, layout IS
+    a global order — and the per-block prefix-scan partials.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("zorder_layout: bits must be in [1, 31]")
+    lim = 1 << bits
+
+    def interleave(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and (x.min() < 0 or y.min() < 0 or x.max() >= lim
+                       or y.max() >= lim):
+            raise ValueError(
+                f"zorder_layout: values must be in [0, 2^{bits})")
+        z = np.zeros(len(x), np.int64)
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return pa.Table.from_arrays(
+            [batch[id_col].combine_chunks().cast(pa.int64()),
+             pa.array(z)],
+            names=[id_col, "z"],
+        )
+
+    from .quantiles import global_ntile
+
+    zs = ds.map_batches(interleave, batch_format="pyarrow")
+    return global_ntile(zs, n_buckets, score_col="z", id_col=id_col)
+
+
+def zorder_bucket_stats(
+    ds,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    bits: int = 21,
+):
+    """Per-bucket min/max spans of BOTH source columns under the z-order
+    layout of :func:`zorder_layout` — the pruning-effectiveness census a
+    lakehouse optimizer reads (tight per-bucket ranges on either column
+    ⇒ min/max skipping works). One extra sorted-lookup attach of the
+    bucket onto the source rows, per-block partial min/max, one tiny
+    ``groupby(bucket)``. Returns a pandas DataFrame ``(bucket, n_rows,
+    x_min, x_max, y_min, y_max)``.
+    """
+    from .segments import attach_lookup
+
+    assignment = zorder_layout(
+        ds, x_col, y_col, id_col=id_col, n_buckets=n_buckets, bits=bits
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t[id_col].combine_chunks(), t["tier"].combine_chunks()],
+            names=[id_col, "bucket"]),
+        batch_format="pyarrow",
+    )
+    src = ds.map_batches(
+        lambda t, xc=x_col, yc=y_col, ic=id_col: pa.Table.from_arrays(
+            [t[ic].combine_chunks().cast(pa.int64()),
+             t[xc].combine_chunks().cast(pa.int64()),
+             t[yc].combine_chunks().cast(pa.int64())],
+            names=[ic, "x", "y"]),
+        batch_format="pyarrow",
+    )
+    joined = attach_lookup(
+        src, assignment, key_col=id_col, val_cols=["bucket"],
+        carry_cols=["x", "y"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        un, inv = np.unique(b, return_inverse=True)
+        n = len(un)
+        xmin = np.full(n, np.iinfo(np.int64).max)
+        xmax = np.full(n, np.iinfo(np.int64).min)
+        ymin = np.full(n, np.iinfo(np.int64).max)
+        ymax = np.full(n, np.iinfo(np.int64).min)
+        cnt = np.zeros(n, np.int64)
+        np.minimum.at(xmin, inv, x)
+        np.maximum.at(xmax, inv, x)
+        np.minimum.at(ymin, inv, y)
+        np.maximum.at(ymax, inv, y)
+        np.add.at(cnt, inv, 1)
+        return pa.Table.from_arrays(
+            [pa.array(un.astype(np.int64)), pa.array(cnt),
+             pa.array(xmin), pa.array(xmax),
+             pa.array(ymin), pa.array(ymax)],
+            names=["bucket", "n_rows", "x_min", "x_max", "y_min", "y_max"],
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Min("x_min", alias_name="x_min"),
+            Max("x_max", alias_name="x_max"),
+            Min("y_min", alias_name="y_min"),
+            Max("y_max", alias_name="y_max"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values("bucket").reset_index(drop=True).astype("int64")
+    )

@@ -10475,3 +10475,56 @@ e3r AS (
 )
 SELECT a AS host_a, b AS host_b FROM e3r ORDER BY 1, 2
 """
+
+
+_ZEXPR = " + ".join(
+    f"(((x >> {i}) & 1) * {1 << (2 * i)}) + "
+    f"(((y >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(7)
+)
+
+
+def q_zorder(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) layout clustering with per-bucket pruning stats
+    (:func:`ops.shard.zorder_bucket_stats`, 8 buckets, 7 bits/dim) over
+    two doc_id-derived dimensions — the lakehouse OPTIMIZE ZORDER
+    primitive: bit-interleaved sort keys give every bucket tight min/max
+    spans on BOTH columns, which is exactly what the oracle recomputes
+    (same interleave expression, same exact NTILE with id ties)."""
+    from .ops.shard import zorder_bucket_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def dims(batch: pa.Table) -> pa.Table:
+        i = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(i), pa.array(i % 97), pa.array((i * 31) % 89)],
+            names=["doc_id", "x", "y"],
+        )
+
+    return zorder_bucket_stats(
+        ds.map_batches(dims, batch_format="pyarrow"),
+        x_col="x", y_col="y", n_buckets=8, bits=7,
+    )
+
+
+QUERIES["zorder"] = q_zorder
+ORACLE_SQL["zorder"] = r"""
+WITH d AS (
+    SELECT doc_id, doc_id % 97 AS x, (doc_id * 31) % 89 AS y
+    FROM documents
+),
+z AS (SELECT doc_id, x, y, """ + _ZEXPR + r""" AS z FROM d),
+r AS (
+    SELECT doc_id, x, y, z,
+           row_number() OVER (ORDER BY z, doc_id) AS rk,
+           count(*) OVER () AS n
+    FROM z
+),
+b AS (SELECT *, (rk - 1) * 8 // n AS bucket FROM r)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM b GROUP BY bucket ORDER BY bucket
+"""

@@ -105,3 +105,58 @@ class TestRendezvousShards:
         ds = rd.from_items([{"doc_id": 1}])
         with _pytest.raises(ValueError, match="<= 64"):
             rendezvous_shards(ds, n_shards=65)
+
+
+class TestZorder:
+    """ops/shard.py zorder_layout / zorder_bucket_stats: brute-force
+    Morton parity, locality effectiveness vs 1-D sort, bounds guard."""
+
+    @staticmethod
+    def _morton(x, y, bits=7):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    def test_assignment_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.shard import zorder_layout
+
+        rows = [(i, (i * 13) % 64, (i * 29) % 64) for i in range(200)]
+        ds = rd.from_items(
+            [{"doc_id": i, "x": x, "y": y} for i, x, y in rows]
+        ).repartition(4)
+        out = {r["doc_id"]: (r["z"], r["tier"])
+               for r in zorder_layout(ds, "x", "y", n_buckets=4,
+                                      bits=7).take_all()}
+        zs = sorted((self._morton(x, y), i) for i, x, y in rows)
+        want = {}
+        for rk, (z, i) in enumerate(zs):
+            want[i] = (z, rk * 4 // len(zs))
+        assert out == want
+
+    def test_locality_beats_1d(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.shard import zorder_bucket_stats
+
+        rows = [(i, i % 64, (i * 37) % 64) for i in range(512)]
+        ds = rd.from_items(
+            [{"doc_id": i, "x": x, "y": y} for i, x, y in rows])
+        st = zorder_bucket_stats(ds, "x", "y", n_buckets=8, bits=7)
+        # z-order bounds BOTH dims well below the full 0..63 span
+        assert (st.x_max - st.x_min).max() < 63
+        assert (st.y_max - st.y_min).max() < 63
+        assert int(st.n_rows.sum()) == 512
+
+    def test_bounds_guard(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.shard import zorder_layout
+
+        ds = rd.from_items([{"doc_id": 1, "x": 200, "y": 0}])
+        with _pytest.raises(Exception, match="2\\^7"):
+            zorder_layout(ds, "x", "y", bits=7).take_all()
