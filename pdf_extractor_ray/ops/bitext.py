@@ -284,3 +284,71 @@ def mutual_nn_bucketed(
     return both.groupby("bucket").map_groups(
         bucket_kernel, batch_format="pyarrow"
     )
+
+
+def hard_negatives(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    ref_broadcast_cap: int = 2_000_000,
+):
+    """Hard-negative mining — the contrastive-training data op: for
+    every embedding, the single most-similar embedding with a DIFFERENT
+    label (cosine, rounded to 6 decimals, smallest-id tiebreak). These
+    near-boundary cross-class pairs are what dense-retriever and
+    contrastive fine-tuning batches want instead of random negatives.
+
+    Shape mirrors :func:`mutual_nn_pairs`: the reference side (ids,
+    labels, L2-normalized matrix, id-sorted so numpy's first-argmax IS
+    the min-id tiebreak) broadcasts once via ``ray.put`` under
+    ``ref_broadcast_cap`` rows (typed error above — the IVF-bucketed
+    large × large regime is the documented scale path), then ONE
+    shuffle-free matmul pass per block masks same-label columns with
+    −inf and reduces. Returns a Dataset ``(vec_id, label, neg_id,
+    neg_label)``; rows whose label has no complement are dropped.
+    """
+    import ray
+
+    refs = ds.select_columns([id_col, label_col, vec_col]).to_arrow_refs()
+    tables = [ray.get(r) for r in refs]
+    nonempty = [t for t in tables if t.num_rows] or tables[:1]
+    r_tbl = pa.concat_tables(nonempty, promote_options="permissive")
+    if r_tbl.num_rows > ref_broadcast_cap:
+        raise RuntimeError(
+            f"hard_negatives: reference side has {r_tbl.num_rows} rows > "
+            f"ref_broadcast_cap={ref_broadcast_cap}; bucket by IVF list "
+            "first (mutual_nn_bucketed's regime)"
+        )
+    r_ids = r_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_lab = r_tbl[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(r_ids, kind="stable")
+    r_ids, r_lab = r_ids[order], r_lab[order]
+    r_mat = _normalize(_decode_vectors(r_tbl, vec_col))[order]
+    ref = ray.put((r_ids, r_lab, r_mat))
+
+    def topneg(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64())] * 4,
+            names=[id_col, label_col, "neg_id", "neg_label"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids_r, lab_r, mat_r = ray.get(ref)
+        a_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_lab = batch[label_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        a_mat = _normalize(_decode_vectors(batch, vec_col))
+        sims = np.round(a_mat @ mat_r.T, 6)
+        sims[a_lab[:, None] == lab_r[None, :]] = -np.inf
+        best = sims.argmax(axis=1)  # first max → min ref id (ids sorted)
+        has = np.isfinite(sims[np.arange(len(a_ids)), best])
+        if not has.any():
+            return empty
+        return pa.Table.from_arrays(
+            [pa.array(a_ids[has]), pa.array(a_lab[has]),
+             pa.array(ids_r[best[has]]), pa.array(lab_r[best[has]])],
+            names=[id_col, label_col, "neg_id", "neg_label"],
+        )
+
+    return ds.map_batches(topneg, batch_format="pyarrow")

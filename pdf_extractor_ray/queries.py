@@ -10528,3 +10528,38 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
 FROM b GROUP BY bucket ORDER BY bucket
 """
+
+
+def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training
+    (:func:`ops.bitext.hard_negatives`): per embedding, the most-similar
+    embedding with a DIFFERENT label — cosine rounded to 6 decimals,
+    min-id ties, reference matrix broadcast once, one shuffle-free
+    matmul pass with same-label columns masked. Oracle is the
+    DOUBLE-cast label-mismatch join with a QUALIFY argmax."""
+    from .ops.bitext import hard_negatives
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    df = hard_negatives(ds).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLE_SQL["hard_negatives"] = r"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT a.vec_id AS ai, a.label AS la, b.vec_id AS bi, b.label AS lb,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sc
+    FROM e a JOIN e b ON a.label <> b.label
+)
+SELECT ai AS vec_id, CAST(la AS BIGINT) AS label,
+       bi AS neg_id, CAST(lb AS BIGINT) AS neg_label
+FROM s
+QUALIFY row_number() OVER (PARTITION BY ai ORDER BY sc DESC, bi) = 1
+ORDER BY vec_id
+"""

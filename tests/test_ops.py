@@ -1690,3 +1690,61 @@ class TestSortedNeighborhood:
             ds, key_col="url", window=4, max_dist=0).take_all()
         assert len(pairs) == 10  # all C(5,2) within window 4
         assert all(r["dist"] == 0 for r in pairs)
+
+
+class TestHardNegatives:
+    """ops/bitext.py hard_negatives: brute-force parity, same-label
+    masking, single-label drop, broadcast cap."""
+
+    def test_parity(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(21))
+        from pdf_extractor_ray.ops.bitext import hard_negatives
+
+        n, d = 40, 8
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        labs = [int(x) for x in rng.integers(0, 3, size=n)]
+        items = [
+            {"vec_id": i, "embedding": [float(v) for v in vecs[i]],
+             "label": labs[i]}
+            for i in range(n)
+        ]
+        ds = rd.from_items(items).repartition(3)
+        got = {
+            r["vec_id"]: (r["neg_id"], r["neg_label"])
+            for r in hard_negatives(ds).take_all()
+        }
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = np.round(norm @ norm.T, 6)
+        want = {}
+        for i in range(n):
+            best, bid = None, None
+            for j in range(n):
+                if labs[j] == labs[i]:
+                    continue
+                if best is None or sims[i, j] > best:
+                    best, bid = sims[i, j], j
+            want[i] = (bid, labs[bid])
+        assert got == want
+
+    def test_single_label_drops(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.bitext import hard_negatives
+
+        items = [{"vec_id": i, "embedding": [1.0, 0.0], "label": 7}
+                 for i in range(4)]
+        out = hard_negatives(rd.from_items(items)).take_all()
+        assert out == []
+
+    def test_cap(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.bitext import hard_negatives
+
+        items = [{"vec_id": i, "embedding": [1.0, 0.0], "label": i % 2}
+                 for i in range(5)]
+        with _pytest.raises(RuntimeError, match="ref_broadcast_cap"):
+            hard_negatives(rd.from_items(items), ref_broadcast_cap=2)
