@@ -3087,3 +3087,147 @@ def ktruss_edges(
             "host_b": [r[1] for r in parts_rows],
         }
     )
+
+
+def degree_assortativity(
+    edges_ds,
+    u_col: str = "src_host",
+    v_col: str = "dst_host",
+):
+    """Exact degree assortativity (Newman 2002) of the undirected simple
+    graph — do hubs link to hubs? Web graphs are famously
+    DISassortative (r < 0); spam farms skew positive. Over the
+    symmetric closure (each undirected edge counted in both directions)
+    the endpoint-degree distributions are identical, so Pearson's r is
+    the EXACT RATIONAL ``num/den`` with ``num = n·Σxy − (Σx)²`` and
+    ``den = n·Σx² − (Σx)²`` — no square root, hence integer-exact:
+    ``r_milli = sign · (1000·|num|) // |den|`` (magnitude-truncating
+    division, matching SQL's ``//``).
+
+    Shape: canonical-edge dedup groupby, degree groupby, two
+    sorted-lookup attaches (:func:`..ops.segments.attach_lookup`)
+    putting both endpoint degrees on each edge, per-block moment
+    partials (guarded int64 fast path, Python-int fallback past the
+    overflow bound) reduced on the driver — one row per block. Returns
+    a one-row pandas DataFrame
+    ``(n_pairs, sx, sxx, sxy, num, den, r_milli)``.
+    """
+    import pandas as pd
+
+    from .segments import attach_lookup
+
+    SEP = "\x1f"
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[u_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[v_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        fwd = u < v
+        lo = np.where(fwd, u, v)
+        hi = np.where(fwd, v, u)
+        pairs = np.unique(np.char.add(np.char.add(lo, SEP), hi))
+        return pa.Table.from_arrays(
+            [pa.array(pairs.astype(object), pa.string()),
+             pa.array(np.ones(len(pairs), np.int64))],
+            names=["e", "one"],
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("e")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["e"].combine_chunks()], names=["e"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str),
+            SEP,
+        )
+        nodes = np.concatenate([parts[:, 0], parts[:, 2]])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(un.astype(object), pa.string()),
+             pa.array(cn, pa.int64())],
+            names=["node", "d"],
+        )
+
+    degs = (
+        edges.map_batches(degree_partial, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("node")
+        .sum("d")
+    )
+
+    def sym_rows(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["e"].to_pylist(), dtype=object).astype(str),
+            SEP,
+        )
+        a = np.concatenate([parts[:, 0], parts[:, 2]])
+        b = np.concatenate([parts[:, 2], parts[:, 0]])
+        return pa.Table.from_arrays(
+            [pa.array(a.astype(object), pa.string()),
+             pa.array(b.astype(object), pa.string())],
+            names=["u", "v"],
+        )
+
+    sym = edges.map_batches(sym_rows, batch_format="pyarrow")
+    with_x = attach_lookup(
+        sym,
+        degs.map_batches(lambda t: t.rename_columns(["u", "x"]),
+                         batch_format="pyarrow"),
+        key_col="u", val_cols=["x"], carry_cols=["v"],
+    )
+    with_xy = attach_lookup(
+        with_x,
+        degs.map_batches(lambda t: t.rename_columns(["v", "y"]),
+                         batch_format="pyarrow"),
+        key_col="v", val_cols=["y"], carry_cols=["u", "x"],
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        # int64 fast path is safe while n·max_deg² < 2^62 per block
+        if n and int(x.max()) ** 2 * n < (1 << 62):
+            sx = int(x.sum())
+            sxy = int((x * y).sum())
+            sxx = int((x * x).sum())
+        else:
+            sx = sum(int(v) for v in x)
+            sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+            sxx = sum(int(v) ** 2 for v in x)
+        return pa.Table.from_arrays(
+            [pa.array([n], pa.int64()), pa.array([sx], pa.int64()),
+             pa.array([sxy], pa.int64()), pa.array([sxx], pa.int64())],
+            names=["n", "sx", "sxy", "sxx"],
+        )
+
+    rows = with_xy.map_batches(
+        moments, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = sum(r["n"] for r in rows)
+    sx = sum(int(r["sx"]) for r in rows)
+    sxy = sum(int(r["sxy"]) for r in rows)
+    sxx = sum(int(r["sxx"]) for r in rows)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    if den == 0:
+        r_milli = 0
+    else:
+        sign = -1 if (num < 0) != (den < 0) else 1
+        r_milli = sign * ((1000 * abs(num)) // abs(den))
+    return pd.DataFrame(
+        {
+            "n_pairs": [n], "sx": [sx], "sxx": [sxx], "sxy": [sxy],
+            "num": [num], "den": [den], "r_milli": [r_milli],
+        }
+    ).astype("int64")

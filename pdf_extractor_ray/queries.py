@@ -10563,3 +10563,57 @@ FROM s
 QUALIFY row_number() OVER (PARTITION BY ai ORDER BY sc DESC, bi) = 1
 ORDER BY vec_id
 """
+
+
+def q_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Exact degree assortativity (Newman 2002) of the synthesized host
+    link graph (:func:`ops.links.degree_assortativity`): over the
+    symmetric edge closure Pearson's r is the exact rational num/den —
+    no square root — so the milli-unit statistic is integer-exact
+    (truncating division matches SQL ``//``). Web graphs run
+    disassortative; spam farms skew positive."""
+    from .ops.links import degree_assortativity, link_graph
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    return degree_assortativity(link_graph(pages))
+
+
+QUERIES["assortativity"] = q_assortativity
+ORACLE_SQL["assortativity"] = r"""
+WITH base AS (SELECT doc_id AS i FROM documents),
+raw AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)
+),
+ue AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM raw WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+    GROUP BY 1
+),
+sym AS (SELECT a AS u, b AS v FROM ue UNION ALL SELECT b, a FROM ue),
+j AS (
+    SELECT da.d AS x, db.d AS y
+    FROM sym JOIN deg da ON da.node = sym.u JOIN deg db ON db.node = sym.v
+),
+m AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(x * y) AS HUGEINT) AS sxy,
+           CAST(sum(x * x) AS HUGEINT) AS sxx
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, CAST(sx AS BIGINT) AS sx,
+       CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+       CAST(n * sxy - sx * sx AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE (1000 * (n * sxy - sx * sx))
+                      // (n * sxx - sx * sx) END AS BIGINT) AS r_milli
+FROM m
+"""

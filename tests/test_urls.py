@@ -1470,3 +1470,64 @@ class TestKTruss:
         ds = rd.from_items([{"src_host": "a", "dst_host": "b"}])
         with _pytest.raises(ValueError, match=">= 3"):
             ktruss_edges(ds, k=2)
+
+
+class TestAssortativity:
+    """ops/links.py degree_assortativity: exact rational parity with a
+    brute-force reference; sign behavior on star (disassortative) vs
+    two-clique (assortative-ish) graphs."""
+
+    def _brute(self, pairs):
+        edges = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs, ys = [], []
+        for a, b in edges:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        n = len(xs)
+        sx = sum(xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num = n * sxy - sx * sx
+        den = n * sxx - sx * sx
+        if den == 0:
+            rm = 0
+        else:
+            sign = -1 if (num < 0) else 1
+            rm = sign * ((1000 * abs(num)) // abs(den))
+        return n, sx, sxx, sxy, num, den, rm
+
+    def test_random_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import degree_assortativity
+
+        for seed in (2, 29):
+            rng = np.random.Generator(np.random.Philox(seed))
+            pairs = [
+                (f"n{int(rng.integers(0, 15))}",
+                 f"n{int(rng.integers(0, 15))}")
+                for _ in range(60)
+            ]
+            ds = rd.from_items(
+                [{"src_host": u, "dst_host": v} for u, v in pairs]
+            ).repartition(3)
+            df = degree_assortativity(ds)
+            got = tuple(int(df[c].iloc[0]) for c in
+                        ("n_pairs", "sx", "sxx", "sxy",
+                         "num", "den", "r_milli"))
+            assert got == self._brute(pairs)
+
+    def test_star_is_disassortative(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import degree_assortativity
+
+        star = [("hub", f"l{i}") for i in range(8)]
+        df = degree_assortativity(
+            rd.from_items([{"src_host": u, "dst_host": v}
+                           for u, v in star]))
+        assert int(df.r_milli.iloc[0]) == -1000  # perfect anti-correlation
