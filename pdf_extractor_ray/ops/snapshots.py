@@ -409,3 +409,94 @@ def change_rate(
     return sorted_segment_apply(
         rows, key_col, kernel, within_cols=["ts_us", "h"]
     )
+
+
+def revisit_savings(
+    ds,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "text",
+):
+    """WARC revisit-record storage accounting: per url (captures
+    ordered by timestamp), bytes actually stored when every capture
+    whose payload digest equals the PREVIOUS capture's is written as a
+    zero-payload ``revisit`` record — Common Crawl / IA's dedup
+    convention — versus raw bytes. The savings census a crawl-storage
+    planner reads.
+
+    Shape follows :func:`change_rate`: payloads reduce in-block to
+    8-byte sha1 prefixes plus byte lengths (content NEVER shuffles);
+    ONE (url, ts, hash) sort feeds the sorted-segment kernel, which is
+    vectorized across segments (adjacent-diff masks + ``add.reduceat``
+    at segment bounds). Returns a Dataset ``(url, n_caps, total_bytes,
+    stored_bytes, saved_bytes)`` — O(distinct urls) rows.
+    """
+    from .segments import sorted_segment_apply
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        contents = batch[content_col].to_pylist()
+        raw = [
+            c.encode() if isinstance(c, str) else bytes(c or b"")
+            for c in contents
+        ]
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.sha1(r).digest()[:8], "big",
+                               signed=True)
+                for r in raw
+            ),
+            dtype=np.int64,
+            count=len(raw),
+        )
+        nbytes = np.fromiter((len(r) for r in raw), dtype=np.int64,
+                             count=len(raw))
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.string()), ts.combine_chunks(),
+             pa.array(hashes), pa.array(nbytes)],
+            names=[key_col, "ts_us", "h", "nb"],
+        )
+
+    rows = ds.map_batches(project, batch_format="pyarrow")
+
+    def kernel(batch: pa.Table, starts: np.ndarray,
+               ends: np.ndarray) -> pa.Table:
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        nb = batch["nb"].to_numpy(zero_copy_only=False)
+        if len(h) == 0 or len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string())]
+                + [pa.array([], pa.int64())] * 4,
+                names=[key_col, "n_caps", "total_bytes", "stored_bytes",
+                       "saved_bytes"],
+            )
+        changed = np.empty(len(h), dtype=bool)
+        changed[0] = True
+        changed[1:] = h[1:] != h[:-1]
+        changed[starts] = True  # first capture of each url stores
+        stored = np.where(changed, nb, 0)
+        # prefix-sum gathers: blocks may carry deferred fragment rows
+        # past the last complete segment — reduceat would swallow them
+        cs_nb = np.concatenate(([0], np.cumsum(nb)))
+        cs_st = np.concatenate(([0], np.cumsum(stored)))
+        tot = cs_nb[ends] - cs_nb[starts]
+        st = cs_st[ends] - cs_st[starts]
+        cnt = ends - starts
+        return pa.Table.from_arrays(
+            [pa.array(keys[starts].astype(object), pa.string()),
+             pa.array(cnt.astype(np.int64)),
+             pa.array(tot.astype(np.int64)),
+             pa.array(st.astype(np.int64)),
+             pa.array((tot - st).astype(np.int64))],
+            names=[key_col, "n_caps", "total_bytes", "stored_bytes",
+                   "saved_bytes"],
+        )
+
+    return sorted_segment_apply(
+        rows, key_col=key_col, block_fn=kernel,
+        within_cols=["ts_us", "h"],
+    )

@@ -10617,3 +10617,58 @@ SELECT CAST(n AS BIGINT) AS n_pairs, CAST(sx AS BIGINT) AS sx,
                       // (n * sxx - sx * sx) END AS BIGINT) AS r_milli
 FROM m
 """
+
+
+def q_revisit_savings(sf_dir: str) -> pd.DataFrame:
+    """WARC revisit-dedup storage accounting
+    (:func:`ops.snapshots.revisit_savings`) over a synthesized capture
+    history — url ``u(i%80)`` captured at ts=i with payload
+    ``content (i // 160)`` (so roughly every other capture of a url is
+    an unchanged revisit): bytes stored under the
+    revisit-record convention vs raw bytes, per url. Payloads reduce to
+    hashes in-block; the oracle replays the lag-window comparison on
+    the content strings themselves."""
+    from .ops.snapshots import revisit_savings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def captures(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = [f"u{i % 80}" for i in ids]
+        texts = [f"content {i // 160}" for i in ids]
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()),
+             pa.array(ids, pa.int64()),
+             pa.array(texts, pa.string())],
+            names=["url", "warc_ts", "text"],
+        )
+
+    out = revisit_savings(
+        ds.map_batches(captures, batch_format="pyarrow")
+    ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+QUERIES["revisit_savings"] = q_revisit_savings
+ORACLE_SQL["revisit_savings"] = r"""
+WITH c AS (
+    SELECT 'u' || CAST(doc_id % 80 AS VARCHAR) AS url,
+           doc_id AS ts,
+           'content ' || CAST(doc_id // 160 AS VARCHAR) AS content
+    FROM documents
+),
+lagged AS (
+    SELECT url, ts, content,
+           length(content) AS nb,
+           lag(content) OVER (PARTITION BY url ORDER BY ts) AS prev
+    FROM c
+)
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_caps,
+       CAST(sum(nb) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN prev IS NULL OR prev <> content
+                     THEN nb ELSE 0 END) AS BIGINT) AS stored_bytes,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev = content
+                     THEN nb ELSE 0 END) AS BIGINT) AS saved_bytes
+FROM lagged GROUP BY url ORDER BY url
+"""

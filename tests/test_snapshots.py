@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -260,3 +261,66 @@ class TestChangeRate:
                 .reset_index(drop=True)
             )
         assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+class TestRevisitSavings:
+    """ops/snapshots.py revisit_savings: brute-force lag parity across
+    layouts, all-same and all-distinct extremes, binary payloads."""
+
+    def _brute(self, rows):
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for url, ts, c in rows:
+            per[url].append((ts, c))
+        out = {}
+        for url, caps in per.items():
+            caps.sort()
+            prev = None
+            tot = st = 0
+            for _, c in caps:
+                b = len(c.encode() if isinstance(c, str) else c)
+                tot += b
+                if prev is None or prev != c:
+                    st += b
+                prev = c
+            out[url] = (len(caps), tot, st, tot - st)
+        return out
+
+    def test_random_layouts(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.Generator(np.random.Philox(41))
+        rows = [
+            (f"u{int(rng.integers(0, 9))}", int(t),
+             f"pay{int(rng.integers(0, 3))}x")
+            for t in range(120)
+        ]
+        from pdf_extractor_ray.ops.snapshots import revisit_savings
+
+        want = self._brute(rows)
+        for parts in (1, 6):
+            ds = rd.from_items(
+                [{"url": u, "warc_ts": t, "text": c} for u, t, c in rows]
+            ).repartition(parts)
+            got = {
+                r["url"]: (r["n_caps"], r["total_bytes"],
+                           r["stored_bytes"], r["saved_bytes"])
+                for r in revisit_savings(ds).take_all()
+            }
+            assert got == want
+
+    def test_extremes(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.snapshots import revisit_savings
+
+        same = [{"url": "a", "warc_ts": t, "text": "zz"} for t in range(5)]
+        out = revisit_savings(rd.from_items(same)).take_all()[0]
+        assert (out["total_bytes"], out["stored_bytes"],
+                out["saved_bytes"]) == (10, 2, 8)
+
+        uniq = [{"url": "b", "warc_ts": t, "text": f"v{t}"}
+                for t in range(4)]
+        out = revisit_savings(rd.from_items(uniq)).take_all()[0]
+        assert out["saved_bytes"] == 0 and out["stored_bytes"] == 8
