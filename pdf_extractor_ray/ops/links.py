@@ -3231,3 +3231,170 @@ def degree_assortativity(
             "num": [num], "den": [den], "r_milli": [r_milli],
         }
     ).astype("int64")
+
+
+def random_walks(
+    edges_ds,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """Deterministic DeepWalk-style random-walk corpus over the
+    undirected(ized) graph — the input stage of graph-embedding
+    training (DeepWalk/node2vec): ``walks_per_node`` walks start at
+    every node and take ``walk_len − 1`` steps, step ``t`` of walk
+    ``w`` choosing ``neighbors[splitmix64(walk_id·1024 + t) mod deg]``
+    over the id-sorted neighbor list. splitmix64 replaces the RNG, so
+    the corpus is bit-reproducible at any layout AND in SQL (the
+    oracle replays every pick with the repo's HUGEINT splitmix chain).
+
+    Node ids must be int64 (dense-rank mapping for strings);
+    ``walks_per_node ≤ 1024`` keeps walk ids unique under the packing.
+    Shape: adjacency lists build with ONE sort (sorted-segment kernel →
+    Arrow list column, unique per node); each step is one sorted-lookup
+    attach of the list onto the walker frontier
+    (:func:`..ops.segments.attach_lookup`) + a vectorized modular
+    gather — walkers are n·walks_per_node rows, never driver-side.
+    Returns a Dataset ``(walk_id, step, node)``.
+    """
+    from .segments import attach_lookup, sorted_segment_apply
+    from .text import splitmix64_np
+
+    if not 1 <= walks_per_node <= 1024:
+        raise ValueError("random_walks: walks_per_node must be in [1,1024]")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) and (int(max(s.max(), d.max())) >= 1 << 32
+                       or int(min(s.min(), d.min())) < 0):
+            raise ValueError("random_walks: node ids must be in [0, 2^32)")
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        k = np.unique((a.astype(np.uint64) << np.uint64(32))
+                      | b.astype(np.uint64))
+        return pa.Table.from_arrays(
+            [pa.array(k.astype(np.int64)),
+             pa.array(np.ones(len(k), np.int64))],
+            names=["k", "one"],
+        )
+
+    e = (
+        edges_ds.map_batches(sym, batch_format="pyarrow")
+        .groupby("k")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["k"].combine_chunks()], names=["k"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.Table.from_arrays(
+            [pa.array((k >> np.uint64(32)).astype(np.int64)),
+             pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64))],
+            names=["node", "nbr"],
+        )
+
+    def list_block(batch: pa.Table, starts: np.ndarray,
+                   ends: np.ndarray) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False)
+        nbrs = batch["nbr"].to_numpy(zero_copy_only=False)
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.int64()))],
+                names=["node", "adj"],
+            )
+        heads = nodes[starts].astype(np.int64)
+        if np.all(ends[:-1] == starts[1:]):
+            # segments contiguous: one zero-copy slice builds the lists;
+            # fragment rows past ends[-1] are excluded by the offsets
+            offsets = np.concatenate((starts, [ends[-1]]))
+            adj = pa.ListArray.from_arrays(
+                pa.array((offsets - starts[0]).astype(np.int32)),
+                pa.array(nbrs[starts[0]:ends[-1]].astype(np.int64)),
+            )
+        else:  # defensive: gather per segment
+            flat = np.concatenate(
+                [nbrs[s:e] for s, e in zip(starts, ends)])
+            lens = (ends - starts).astype(np.int32)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            adj = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)),
+                pa.array(flat.astype(np.int64)),
+            )
+        return pa.Table.from_arrays(
+            [pa.array(heads), adj], names=["node", "adj"],
+        )
+
+    adj_ds = sorted_segment_apply(
+        e.map_batches(unpack, batch_format="pyarrow"),
+        key_col="node", block_fn=list_block, within_cols=["nbr"],
+    ).materialize()
+
+    def start_walkers(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # walk_id = node·1024 + w (w < walks_per_node ≤ 1024)
+        wids = (np.repeat(nodes, walks_per_node).astype(np.int64) * 1024
+                + np.tile(np.arange(walks_per_node, dtype=np.int64),
+                          len(nodes)))
+        cur = np.repeat(nodes, walks_per_node).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(wids), pa.array(cur)],
+            names=["walk_id", "node"],
+        )
+
+    walkers = adj_ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["node"].combine_chunks()], names=["node"]),
+        batch_format="pyarrow",
+    ).map_batches(start_walkers, batch_format="pyarrow").materialize()
+
+    def emit_step(step: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.Table.from_arrays(
+                [batch["walk_id"].combine_chunks(),
+                 pa.array(np.full(n, step, np.int64)),
+                 batch["node"].combine_chunks()],
+                names=["walk_id", "step", "node"],
+            )
+        return f
+
+    out = walkers.map_batches(emit_step(0), batch_format="pyarrow")
+
+    for t in range(1, walk_len):
+        attached = attach_lookup(
+            walkers, adj_ds, key_col="node", val_cols=["adj"],
+            carry_cols=["walk_id"],
+        )
+
+        def step_pick(batch: pa.Table, t=t) -> pa.Table:
+            wid = batch["walk_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            adj = batch["adj"].combine_chunks()
+            offs = adj.offsets.to_numpy(zero_copy_only=False)
+            flat = adj.flatten().to_numpy(zero_copy_only=False)
+            deg = (offs[1:] - offs[:-1]).astype(np.int64)
+            hv = splitmix64_np(
+                wid.astype(np.uint64) * np.uint64(1024) + np.uint64(t))
+            # NOTE: key packs walk_id·1024 + t; t < 1024 by walk_len cap
+            idx = (hv % deg.astype(np.uint64)).astype(np.int64)
+            nxt = flat[offs[:-1] + idx].astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(wid), pa.array(nxt)],
+                names=["walk_id", "node"],
+            )
+
+        walkers = attached.map_batches(
+            step_pick, batch_format="pyarrow").materialize()
+        out = out.union(
+            walkers.map_batches(emit_step(t), batch_format="pyarrow"))
+
+    return out

@@ -10672,3 +10672,108 @@ SELECT url,
                      THEN nb ELSE 0 END) AS BIGINT) AS saved_bytes
 FROM lagged GROUP BY url ORDER BY url
 """
+
+
+def _sm_step_sql(t: int) -> str:
+    """Inline splitmix64 chain for random-walk step ``t`` (uniquely
+    prefixed CTEs so several steps coexist in one query): hashes
+    ``walk_id·1024 + t`` and picks the hv-indexed neighbor from the
+    id-sorted adjacency list — the same mix constants as
+    :func:`_splitmix_sql`."""
+    p = f"s{t}"
+    return f"""
+{p}a AS (
+    SELECT walk_id,
+           CAST((CAST(walk_id * 1024 + {t} AS HUGEINT)
+                 + 11400714819323198485)
+                % 18446744073709551616 AS UBIGINT) AS x
+    FROM w{t - 1}
+),
+{p}b AS (SELECT walk_id, xor(x, x >> 30) AS a FROM {p}a),
+{p}c AS (
+    SELECT walk_id,
+           CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
+                 + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT)
+                   * 4294967296)
+                % 18446744073709551616 AS UBIGINT) AS x
+    FROM {p}b
+),
+{p}d AS (SELECT walk_id, xor(x, x >> 27) AS a FROM {p}c),
+{p}e AS (
+    SELECT walk_id,
+           CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
+                 + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT)
+                   * 4294967296)
+                % 18446744073709551616 AS UBIGINT) AS x
+    FROM {p}d
+),
+{p}f AS (SELECT walk_id, xor(x, x >> 31) AS hv FROM {p}e),
+w{t} AS (
+    SELECT p.walk_id,
+           adj.l[CAST(s.hv % len(adj.l) AS INT) + 1] AS node
+    FROM {p}f s
+    JOIN w{t - 1} p ON p.walk_id = s.walk_id
+    JOIN adj ON adj.node = p.node
+)"""
+
+
+def q_random_walks(sf_dir: str) -> pd.DataFrame:
+    """Deterministic DeepWalk corpus (:func:`ops.links.random_walks`,
+    walk_len 3, 2 walks/node) over the numeric 50-node doc-derived
+    graph of Q ``hyperball``: step t of walk w picks
+    ``neighbors[splitmix64(walk_id·1024+t) mod deg]`` on the id-sorted
+    adjacency — bit-reproducible at any layout and replayed pick-by-pick
+    in SQL via inlined HUGEINT splitmix chains."""
+    from .ops.links import random_walks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = ids % 4
+        src = np.repeat(ids % 50, deg)
+        offs = np.concatenate([np.arange(d) for d in deg]) if len(ids) \
+            else np.array([], dtype=np.int64)
+        dst = (np.repeat(ids * 7, deg) + offs) % 50
+        return pa.Table.from_arrays(
+            [pa.array(src.astype(np.int64)),
+             pa.array(dst.astype(np.int64))],
+            names=["src", "dst"],
+        )
+
+    out = random_walks(
+        ds.map_batches(to_edges, batch_format="pyarrow"),
+        walk_len=3, walks_per_node=2,
+    ).to_pandas()
+    return (
+        out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+QUERIES["random_walks"] = q_random_walks
+ORACLE_SQL["random_walks"] = r"""
+WITH e AS (
+    SELECT DISTINCT src, dst FROM """ + _HB_EDGES_SQL + r""" WHERE src <> dst
+),
+sym AS (
+    SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL SELECT dst AS a, src AS b FROM e
+    )
+),
+adj AS (
+    SELECT a AS node, list(b ORDER BY b) AS l FROM sym GROUP BY a
+),
+w0 AS (
+    SELECT node * 1024 + w AS walk_id, node
+    FROM adj, unnest(range(2)) AS t(w)
+),""" + _sm_step_sql(1) + "," + _sm_step_sql(2) + r"""
+SELECT walk_id, CAST(0 AS BIGINT) AS step, CAST(node AS BIGINT) AS node
+FROM w0
+UNION ALL
+SELECT walk_id, 1, CAST(node AS BIGINT) FROM w1
+UNION ALL
+SELECT walk_id, 2, CAST(node AS BIGINT) FROM w2
+ORDER BY walk_id, step
+"""

@@ -1531,3 +1531,67 @@ class TestAssortativity:
             rd.from_items([{"src_host": u, "dst_host": v}
                            for u, v in star]))
         assert int(df.r_milli.iloc[0]) == -1000  # perfect anti-correlation
+
+
+class TestRandomWalks:
+    """ops/links.py random_walks: deterministic splitmix replay parity,
+    symmetric closure (no dead ends), id guard."""
+
+    def _brute(self, pairs, walk_len, wpn):
+        from pdf_extractor_ray.ops.text import splitmix64_np
+
+        adj = {}
+        for u, v in pairs:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        adj = {n: sorted(s) for n, s in adj.items()}
+        rows = {}
+        for n in adj:
+            for w in range(wpn):
+                wid = n * 1024 + w
+                cur = n
+                rows[(wid, 0)] = cur
+                for t in range(1, walk_len):
+                    hv = int(splitmix64_np(
+                        np.array([wid * 1024 + t], dtype=np.uint64))[0])
+                    nbrs = adj[cur]
+                    cur = nbrs[hv % len(nbrs)]
+                    rows[(wid, t)] = cur
+        return rows
+
+    def test_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import random_walks
+
+        rng = np.random.Generator(np.random.Philox(55))
+        pairs = [
+            (int(rng.integers(0, 15)), int(rng.integers(0, 15)))
+            for _ in range(40)
+        ]
+        want = self._brute(pairs, 4, 2)
+        for parts in (1, 4):
+            ds = rd.from_items(
+                [{"src": u, "dst": v} for u, v in pairs]
+            ).repartition(parts)
+            got = {
+                (r["walk_id"], r["step"]): r["node"]
+                for r in random_walks(ds, walk_len=4,
+                                      walks_per_node=2).take_all()
+            }
+            assert got == want
+
+    def test_guards(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import random_walks
+
+        ds = rd.from_items([{"src": 0, "dst": 1}])
+        with _pytest.raises(ValueError, match="1024"):
+            random_walks(ds, walks_per_node=2000)
+        big = rd.from_items([{"src": 1 << 33, "dst": 1}])
+        with _pytest.raises(Exception, match="2\\^32"):
+            random_walks(big).take_all()
