@@ -186,6 +186,8 @@ def main() -> None:
         "bm25_search", "kmeans_clusters", "dhash_dedup", "shard_plan",
         "curate_corpus", "pmi_bigrams", "snapshot_delta", "triangles",
         "http_stats", "cross_decontaminate", "quality_tiers", "semdedup",
+        "sorted_neighborhood", "rendezvous", "zorder", "soft404",
+        "proximity_search", "revisit_savings", "hard_negatives",
     )
     query_steal: dict[str, float] = {}
     for name in query_names:
