@@ -141,3 +141,127 @@ def quantize_embeddings(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def quantization_recall(
+    ds,
+    n_queries: int = 10,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Quantization-distortion evaluation — the serving-infra question
+    "how much ANN recall does int8 cost?": for the ``n_queries``
+    lowest-id vectors, overlap@k between inner-product top-k under the
+    engine's fixed-point integer embedding map and top-k under its int8
+    symmetric quantization (:func:`quantize_embeddings`'s formula).
+    Both rankings are INTEGER-exact (int64 dot products, score-desc /
+    id-asc ties), so overlap counts are bit-exact and SQL-replicable
+    (``list_dot_product`` on BIGINT lists is double-exact here: |c| <
+    2^20 per element, 64 dims → sums < 2^53).
+
+    Shape: query matrices broadcast once (``ray.put``); per block two
+    integer matmuls + per-query partial top-k rows (queries × arms × k
+    per block) — the ANN brute-force exchange pattern; the driver
+    merges blocks × queries × 2k rows. Self-matches are excluded.
+    Returns a pandas DataFrame ``(vec_id, overlap)`` sorted by vec_id.
+    """
+    import pandas as pd
+    import ray
+
+    from .cluster import OFFSET, SCALE, _quantize
+
+    center = int(OFFSET * SCALE)
+
+    def bottom_partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return batch
+        keep = np.argsort(ids, kind="stable")[:n_queries]
+        return batch.take(pa.array(keep))
+
+    qrows = pa.concat_tables(
+        list(
+            ds.select_columns([id_col, vec_col])
+            .map_batches(bottom_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="permissive",
+    )
+    order = np.argsort(
+        qrows[id_col].to_numpy(zero_copy_only=False), kind="stable"
+    )[:n_queries]
+    qrows = qrows.take(pa.array(order))
+    q_ids = qrows[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def int8_of(c: np.ndarray) -> np.ndarray:
+        m = np.abs(c).max(axis=1)
+        safe = np.maximum(m, 1)
+        q = np.sign(c) * ((127 * np.abs(c)) // safe[:, None])
+        q[m == 0] = 0
+        return q.astype(np.int64)
+
+    c_q = _quantize(qrows, vec_col) - center
+    q_q = int8_of(c_q)
+    ref = ray.put((q_ids, c_q, q_q))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        qids, cq, qq = ray.get(ref)
+        out_q, out_arm, out_id, out_sc = [], [], [], []
+        if batch.num_rows:
+            ids = batch[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            c = _quantize(batch, vec_col) - center
+            q = int8_of(c)
+            se = c @ cq.T          # (n, Q) exact int64
+            sq = q @ qq.T
+            for arm, scores in ((0, se), (1, sq)):
+                for j in range(len(qids)):
+                    col = scores[:, j]
+                    mask = ids != qids[j]
+                    cand_ids = ids[mask]
+                    cand = col[mask]
+                    if len(cand) == 0:
+                        continue
+                    o = np.lexsort((cand_ids, -cand))[:k]
+                    out_q.append(np.full(len(o), qids[j], np.int64))
+                    out_arm.append(np.full(len(o), arm, np.int64))
+                    out_id.append(cand_ids[o])
+                    out_sc.append(cand[o])
+        if out_q:
+            a = np.concatenate
+            cols = [a(out_q), a(out_arm), a(out_id), a(out_sc)]
+        else:
+            cols = [np.array([], dtype=np.int64)] * 4
+        return pa.Table.from_arrays(
+            [pa.array(x) for x in cols],
+            names=["qid", "arm", "cid", "score"],
+        )
+
+    rows = pa.concat_tables(
+        list(
+            ds.map_batches(topk_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="permissive",
+    )
+    qid = rows["qid"].to_numpy(zero_copy_only=False)
+    arm = rows["arm"].to_numpy(zero_copy_only=False)
+    cid = rows["cid"].to_numpy(zero_copy_only=False)
+    sc = rows["score"].to_numpy(zero_copy_only=False)
+    overlaps = {}
+    for j, qv in enumerate(q_ids):
+        sets = []
+        for a_ in (0, 1):
+            m = (qid == qv) & (arm == a_)
+            o = np.lexsort((cid[m], -sc[m]))[:k]
+            sets.append(set(cid[m][o].tolist()))
+        overlaps[int(qv)] = len(sets[0] & sets[1])
+    return pd.DataFrame(
+        {
+            id_col: pd.array(sorted(overlaps), dtype="int64"),
+            "overlap": pd.array(
+                [overlaps[i] for i in sorted(overlaps)], dtype="int64"),
+        }
+    )

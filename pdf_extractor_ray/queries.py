@@ -10777,3 +10777,72 @@ UNION ALL
 SELECT walk_id, 2, CAST(node AS BIGINT) FROM w2
 ORDER BY walk_id, step
 """
+
+
+def q_quantization_recall(sf_dir: str) -> pd.DataFrame:
+    """Int8 quantization-distortion eval
+    (:func:`ops.embed.quantization_recall`): overlap@10 between exact
+    fixed-point inner-product top-10 and int8-quantized top-10 for the
+    ten lowest-id embeddings — both rankings integer-exact (score desc,
+    id asc), self excluded, so the oracle replays every dot product
+    with BIGINT list arithmetic."""
+    from .ops.embed import quantization_recall
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return quantization_recall(ds, n_queries=10, k=10)
+
+
+QUERIES["quantization_recall"] = q_quantization_recall
+ORACLE_SQL["quantization_recall"] = r"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               CAST(floor((CAST(x AS DOUBLE) + 2.0) * 1000000) AS BIGINT)
+               - 2000000) AS c
+    FROM embeddings
+),
+mx AS (
+    SELECT vec_id, c,
+           list_max(list_transform(c, y -> abs(y))) AS m
+    FROM e
+),
+qt AS (
+    SELECT vec_id, c,
+           CASE WHEN m = 0
+                THEN list_transform(c, y -> CAST(0 AS BIGINT))
+                ELSE list_transform(c, y ->
+                     CASE WHEN y < 0 THEN -((127 * (-y)) // m)
+                          ELSE (127 * y) // m END)
+           END AS q
+    FROM mx
+),
+qs AS (SELECT vec_id, c, q FROM qt ORDER BY vec_id LIMIT 10),
+se AS (
+    SELECT qs.vec_id AS qid, t.vec_id AS cid,
+           CAST(list_dot_product(qs.c, t.c) AS BIGINT) AS sc
+    FROM qs JOIN qt t ON t.vec_id <> qs.vec_id
+),
+te AS (
+    SELECT qid, cid FROM se
+    QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY sc DESC, cid) <= 10
+),
+sq AS (
+    SELECT qs.vec_id AS qid, t.vec_id AS cid,
+           CAST(list_dot_product(qs.q, t.q) AS BIGINT) AS sc
+    FROM qs JOIN qt t ON t.vec_id <> qs.vec_id
+),
+tq AS (
+    SELECT qid, cid FROM sq
+    QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY sc DESC, cid) <= 10
+),
+ov AS (
+    SELECT te.qid, count(*) AS n
+    FROM te JOIN tq ON tq.qid = te.qid AND tq.cid = te.cid
+    GROUP BY te.qid
+)
+SELECT qs.vec_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS overlap
+FROM qs LEFT JOIN ov ON ov.qid = qs.vec_id
+ORDER BY qs.vec_id
+"""

@@ -94,3 +94,55 @@ class TestJsonlSource:
         )
         texts = dict(zip(out["url"].to_pylist(), out["extracted_text"].to_pylist()))
         assert texts["u://3"] == "main content of document 3 with enough words"
+
+
+class TestQuantizationRecall:
+    """ops/embed.py quantization_recall: brute-force parity across
+    layouts; identical-arm case gives full overlap."""
+
+    def test_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.cluster import OFFSET, SCALE
+        from pdf_extractor_ray.ops.embed import quantization_recall
+
+        rng = np.random.Generator(np.random.Philox(61))
+        n, d, Q, K = 60, 8, 4, 5
+        vecs = (rng.normal(size=(n, d)) * 0.3).astype(np.float32)
+        items = [
+            {"vec_id": i, "embedding": [float(v) for v in vecs[i]]}
+            for i in range(n)
+        ]
+        c = np.floor((vecs.astype(np.float64) + OFFSET) * SCALE).astype(
+            np.int64) - int(OFFSET * SCALE)
+        m = np.abs(c).max(axis=1)
+        q = np.sign(c) * ((127 * np.abs(c)) // np.maximum(m, 1)[:, None])
+        want = {}
+        for qi in range(Q):
+            sets = []
+            for mat in (c, q):
+                sc = mat @ mat[qi].T
+                order = sorted(
+                    (j for j in range(n) if j != qi),
+                    key=lambda j: (-sc[j], j))
+                sets.append(set(order[:K]))
+            want[qi] = len(sets[0] & sets[1])
+        for parts in (1, 5):
+            ds = rd.from_items(items).repartition(parts)
+            df = quantization_recall(ds, n_queries=Q, k=K)
+            got = dict(zip(df.vec_id, df.overlap))
+            assert got == want
+
+    def test_identity_when_unquantized(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.embed import quantization_recall
+
+        # axis-aligned unit-ish vectors: int8 preserves the ranking
+        items = [
+            {"vec_id": i, "embedding": [0.4 if j == i % 4 else 0.0
+                                        for j in range(4)]}
+            for i in range(12)
+        ]
+        df = quantization_recall(rd.from_items(items), n_queries=3, k=4)
+        assert (df.overlap == 4).all()
