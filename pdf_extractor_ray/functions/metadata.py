@@ -23,6 +23,7 @@ class _HeadParser(HTMLParser):
         self.description: str | None = None
         self.canonical: str | None = None
         self.og: dict[str, str] = {}
+        self.tw: dict[str, str] = {}
         self._in_title = False
         self.done = False
 
@@ -41,6 +42,8 @@ class _HeadParser(HTMLParser):
                 self.description = content
             elif prop.startswith("og:"):
                 self.og.setdefault(prop[3:], content)
+            elif name.startswith("twitter:"):
+                self.tw.setdefault(name[8:], content)
         elif tag == "link":
             rels = a.get("rel", "").lower().split()
             if "canonical" in rels and self.canonical is None:
@@ -75,6 +78,7 @@ def parse_head_meta(html: str) -> dict:
         "description": p.description,
         "canonical": p.canonical,
         "og": p.og,
+        "twitter": p.tw,
     }
 
 
@@ -328,4 +332,37 @@ def microdata_batch(batch, html_col: str = "html", id_col: str = "doc_id"):
             pa.array(props, pa.int64()),
         ],
         names=[id_col, "item_type", "n_items", "n_props"],
+    )
+
+
+def opengraph_batch(batch, html_col: str = "html", id_col: str = "doc_id"):
+    """OpenGraph / Twitter-card census — the social-metadata carrier next
+    to JSON-LD (Q jsonld_census) and microdata (Q microdata_census): per
+    page the count of distinct ``og:*`` properties, distinct
+    ``twitter:*`` names, and whether the page carries a COMPLETE og card
+    (title + type + image + url — the og protocol's required four).
+    First-wins duplicate semantics match the head parser. One stateless
+    shuffle-free pass."""
+    import pyarrow as pa
+
+    ids = batch[id_col].to_pylist()
+    htmls = batch[html_col].to_pylist()
+    n_og, n_tw, complete = [], [], []
+    required = ("title", "type", "image", "url")
+    for h in htmls:
+        if isinstance(h, bytes):
+            h = h.decode("utf-8", "replace")
+        meta = parse_head_meta(h or "")
+        og, tw = meta["og"], meta["twitter"]
+        n_og.append(len(og))
+        n_tw.append(len(tw))
+        complete.append(int(all(r in og for r in required)))
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(n_og, pa.int64()),
+            pa.array(n_tw, pa.int64()),
+            pa.array(complete, pa.int64()),
+        ],
+        names=[id_col, "n_og", "n_twitter", "og_complete"],
     )

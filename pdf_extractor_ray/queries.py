@@ -10846,3 +10846,78 @@ SELECT qs.vec_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS overlap
 FROM qs LEFT JOIN ov ON ov.qid = qs.vec_id
 ORDER BY qs.vec_id
 """
+
+
+def q_opengraph_census(sf_dir: str) -> pd.DataFrame:
+    """OpenGraph / Twitter-card census
+    (:func:`functions.metadata.opengraph_batch`): per page the distinct
+    og:* property count, twitter:* name count, and whether the
+    protocol's four required og tags are all present — planted by
+    ``doc_id % 5`` across quote/case/duplicate variants (duplicates are
+    first-wins, matching the head parser). One stateless shuffle-free
+    pass; oracle is the closed form."""
+    from .functions.metadata import opengraph_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        htmls = []
+        for i in ids:
+            v = i % 5
+            if v == 0:
+                head = (
+                    '<meta property="og:title" content="t">'
+                    '<meta property="og:type" content="article">'
+                    '<meta property="og:image" content="i.png">'
+                    '<meta property="og:url" content="u">'
+                    '<meta name="twitter:card" content="summary">'
+                )
+            elif v == 1:
+                head = (
+                    '<meta PROPERTY="og:title" content="t">'
+                    "<meta property='og:image' content='i'/>"
+                )
+            elif v == 2:
+                head = (
+                    "<meta name='twitter:card' content='summary'>"
+                    '<meta name="twitter:title" content="tt">'
+                )
+            elif v == 3:
+                head = (
+                    '<meta property="og:title" content="a">'
+                    '<meta property="og:title" content="b">'
+                    '<meta property="og:url" content="u">'
+                )
+            else:
+                head = "<meta name='viewport' content='x'>"
+            htmls.append(
+                f"<html><head><title>d{i}</title>{head}</head>"
+                f"<body><p>p</p></body></html>"
+            )
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(htmls, pa.string())],
+            names=["doc_id", "html"],
+        )
+
+    from .functions.metadata import opengraph_batch as _ogb
+
+    out = (
+        ds.map_batches(plant, batch_format="pyarrow")
+        .map_batches(_ogb, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["opengraph_census"] = q_opengraph_census
+ORACLE_SQL["opengraph_census"] = r"""
+SELECT doc_id,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 4 WHEN 1 THEN 2
+                            WHEN 3 THEN 2 ELSE 0 END AS BIGINT) AS n_og,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 2 THEN 2
+                            ELSE 0 END AS BIGINT) AS n_twitter,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS og_complete
+FROM documents ORDER BY doc_id
+"""

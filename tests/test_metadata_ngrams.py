@@ -41,7 +41,8 @@ class TestHeadMeta:
 
     def test_missing_head_is_all_none(self):
         m = parse_head_meta("<body><p>x</p></body>")
-        assert m == {"title": None, "description": None, "canonical": None, "og": {}}
+        assert m == {"title": None, "description": None, "canonical": None,
+                     "og": {}, "twitter": {}}
 
     def test_first_description_wins(self):
         m = parse_head_meta(
@@ -1246,3 +1247,47 @@ class TestMarkupDensity:
         out = markup_density_batch(t).to_pandas()
         assert out.loc[0, "n_tags"] == 2 and out.loc[0, "text_chars"] == 1
         assert out.loc[1, "html_chars"] == 0
+
+
+class TestOpengraphCensus:
+    """functions/metadata.py opengraph_batch: counts, completeness,
+    first-wins duplicates, case/quote tolerance, binary html."""
+
+    def test_counts(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.metadata import opengraph_batch
+
+        pages = [
+            (1, '<head><meta property="og:title" content="a">'
+                '<meta property="og:type" content="b">'
+                '<meta property="og:image" content="c">'
+                '<meta property="og:url" content="d"></head>'),
+            (2, "<head><meta PROPERTY='og:title' content='x'/>"
+                '<meta name="twitter:card" content="s"></head>'),
+            (3, '<head><meta property="og:title" content="1">'
+                '<meta property="og:title" content="2"></head>'),
+            (4, b"<head><meta name='twitter:site' content='@x'></head>"),
+            (5, "<head></head>"),
+        ]
+        t = pa.Table.from_arrays(
+            [pa.array([p[0] for p in pages], pa.int64()),
+             pa.array([p[1] if isinstance(p[1], str) else None
+                       for p in pages], pa.string())],
+            names=["doc_id", "html"],
+        )
+        # binary variant separately
+        out = {r["doc_id"]: (r["n_og"], r["n_twitter"], r["og_complete"])
+               for r in opengraph_batch(t).to_pylist()}
+        assert out[1] == (4, 0, 1)
+        assert out[2] == (1, 1, 0)
+        assert out[3] == (1, 0, 0)   # first-wins duplicate
+        assert out[5] == (0, 0, 0)
+
+        tb = pa.Table.from_arrays(
+            [pa.array([4], pa.int64()),
+             pa.array([pages[3][1]], pa.binary())],
+            names=["doc_id", "html"],
+        )
+        r = opengraph_batch(tb).to_pylist()[0]
+        assert (r["n_og"], r["n_twitter"]) == (0, 1)
