@@ -3398,3 +3398,573 @@ def random_walks(
             walkers.map_batches(emit_step(t), batch_format="pyarrow"))
 
     return out
+
+
+def _tarjan_scc(src: np.ndarray, dst: np.ndarray):
+    """Driver-regime SCC: iterative Tarjan over integer-indexed edges.
+    Returns the lowlink-independent component label array (min member
+    index per SCC is applied by the caller)."""
+    n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    order = np.argsort(src, kind="stable")
+    s, d = src[order], dst[order]
+    starts = np.searchsorted(s, np.arange(n))
+    ends = np.searchsorted(s, np.arange(n), side="right")
+    index = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    comp = np.full(n, -1, np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    stack: list[int] = []
+    counter = 0
+    n_comp = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, starts[root])]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, ei = work[-1]
+            if ei < ends[v]:
+                work[-1] = (v, ei + 1)
+                w = int(d[ei])
+                if index[w] == -1:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, starts[w]))
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp[w] = n_comp
+                        if w == v:
+                            break
+                    n_comp += 1
+    return comp
+
+
+def strongly_connected_components(
+    edges_ds,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    driver_edge_cap: int = 2_000_000,
+    max_rounds: int = 64,
+    max_peels: int = 64,
+):
+    """Strongly connected components of the directed host graph — the
+    primitive behind Broder et al.'s bow-tie web census (the giant CORE
+    SCC vs IN/OUT tendrils). Component label = lexicographically
+    smallest member, so the labeling is layout-independent and
+    SQL-checkable (the oracle grows the transitive closure with a
+    recursive CTE and groups mutual-reachability pairs).
+
+    Regimes (size-gated like ``connected_components``): at ≤
+    ``driver_edge_cap`` distinct edges an iterative Tarjan runs on the
+    driver over integer-indexed edges. Above the cap the distributed
+    FW-BW / coloring loop (Fleischer et al.; Orzan) runs: per peel, (1)
+    trim — edge-free nodes finalize as singleton SCCs, (2) forward
+    min-label propagation to fixpoint colors each node with the
+    smallest node reaching it (per round ONE sorted-segment lookup +
+    ONE groupby-min with pointer jumping — the connected-components
+    exchange shape of ``ops/dedup.py``, directed), (3) the same kernel
+    runs backward on the intra-color subgraph, and nodes whose forward
+    and backward labels agree are exactly the color roots' SCCs — they
+    finalize and drop with their incident edges. Every peel finalizes
+    at least the global-minimum live node's SCC; a condensation CHAIN
+    of K SCCs needs K peels (``max_peels`` guards the known FW-BW
+    worst case; ``max_rounds`` bounds each fixpoint, which pointer
+    jumping keeps at O(log diameter)). Every exchange is edges-sized;
+    string hosts ride the order-preserving dense-rank mapping so the
+    min rank is the lexicographically smallest host, making both
+    regimes bit-identical. Returns a pandas DataFrame ``(node, scc)``
+    sorted by node.
+    """
+    import pandas as pd
+
+    from .segments import attach_lookup
+
+    SEP = "\x1f"
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[src_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[dst_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        k = np.unique(np.char.add(np.char.add(u, SEP), v))
+        return pa.Table.from_arrays(
+            [pa.array(k.astype(object), pa.string()),
+             pa.array(np.ones(len(k), np.int64))],
+            names=["k", "one"],
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("k")
+        .sum("one")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["k"].combine_chunks()], names=["k"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    if n_edges <= driver_edge_cap:
+        keys = [
+            x
+            for bt in edges.iter_batches(batch_format="pyarrow")
+            for x in bt["k"].to_pylist()
+        ]
+        if not keys:
+            return pd.DataFrame({"node": [], "scc": []})
+        parts = np.char.partition(
+            np.asarray(keys, dtype=object).astype(str), SEP)
+        a, b = parts[:, 0], parts[:, 2]
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        comp = _tarjan_scc(inv[: len(a)], inv[len(a):])
+        lab = {}
+        for i, c in enumerate(comp):
+            cur = lab.get(int(c))
+            nm = nodes[i]
+            if cur is None or nm < cur:
+                lab[int(c)] = nm
+        return (
+            pd.DataFrame(
+                {"node": nodes, "scc": [lab[int(c)] for c in comp]})
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    # ---- distributed FW-BW / Orzan-coloring regime ----
+    # Orzan coloring: forward min-label propagation to fixpoint colors
+    # each node with the SMALLEST node that can reach it; a node owning
+    # its own color is that class's root, and SCC(root) is exactly the
+    # members of its class that can reach the root WITHIN the class (the
+    # FW ∩ BW intersection of Fleischer et al.). Finalized SCCs drop
+    # with their incident edges and the loop repeats; the global minimum
+    # live node always roots its class, so every peel finalizes >= 1
+    # SCC, and edge-free survivors finalize immediately as singletons
+    # (the trim step), which collapses tendrils without a peel each.
+    #
+    # Each min-label fixpoint round reuses the connected-components
+    # exchange shape (ops/dedup.py, round 3): keep / edge / pointer-jump
+    # messages fold into ONE sorted-segment lookup
+    # (:func:`..segments.sorted_segment_apply`) + ONE ``groupby.min``,
+    # so chains contract in O(log diameter) rounds; convergence is the
+    # exact label-sum fixpoint from per-block string partials (labels
+    # are monotone non-increasing under min), never a node-sized driver
+    # pull. String hosts pass through the same order-preserving
+    # dense-rank mapping as ``_cc_distributed_mapped`` so the propagated
+    # min rank ≡ the lexicographically smallest host.
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from .segments import sorted_segment_apply
+
+    def split(batch: pa.Table) -> pa.Table:
+        parts = np.char.partition(
+            np.asarray(batch["k"].to_pylist(), dtype=object).astype(str),
+            SEP,
+        )
+        return pa.Table.from_arrays(
+            [pa.array(parts[:, 0].astype(object), pa.string()),
+             pa.array(parts[:, 2].astype(object), pa.string())],
+            names=["src", "dst"],
+        )
+
+    edges_s = edges.map_batches(split, batch_format="pyarrow")
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        hs = np.concatenate([
+            np.asarray(batch["src"].to_pylist(), dtype=object),
+            np.asarray(batch["dst"].to_pylist(), dtype=object),
+        ])
+        return pa.Table.from_arrays(
+            [pa.array(np.unique(hs.astype(str)).astype(object),
+                      pa.string())],
+            names=["node"],
+        )
+
+    nodes_sorted = (
+        edges_s.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+        .select_columns(["node"])
+        .sort("node")
+        .materialize()
+    )
+
+    # Dense ranks: per-block (first_key, n) metadata -> cumulative
+    # offsets (O(blocks) on the driver, not O(nodes)).
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["first", "n"],
+            )
+        return pa.Table.from_arrays(
+            [t["node"].slice(0, 1).combine_chunks(),
+             pa.array([t.num_rows])],
+            names=["first", "n"],
+        )
+
+    metas = sorted(
+        nodes_sorted.map_batches(
+            block_meta, batch_size=None, batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["first"],
+    )
+    offsets: dict = {}
+    acc = 0
+    for r in metas:
+        offsets[r["first"]] = acc
+        acc += r["n"]
+    n_nodes = acc
+    oref = ray.put(offsets)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("nid", pa.array([], pa.int64()))
+        off = ray.get(oref)[t["node"][0].as_py()]
+        return t.append_column(
+            "nid", pa.array(off + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    node_index = nodes_sorted.map_batches(
+        add_rank, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+
+    def rekey(*names):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(list(names))
+
+        return f
+
+    e1 = attach_lookup(
+        edges_s,
+        node_index.map_batches(rekey("src", "nid_s"),
+                               batch_format="pyarrow"),
+        key_col="src", val_cols=["nid_s"], carry_cols=["dst"],
+    )
+    e2 = attach_lookup(
+        e1,
+        node_index.map_batches(rekey("dst", "nid_d"),
+                               batch_format="pyarrow"),
+        key_col="dst", val_cols=["nid_d"], carry_cols=["nid_s"],
+    )
+    int_edges = e2.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["nid_s"].combine_chunks(), t["nid_d"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # rank -> host translation array; same driver bound as the returned
+    # frame (the function's contract is a driver-resident result).
+    rank_ids = np.empty(n_nodes, dtype=object)
+    for bt in node_index.iter_batches(batch_format="pyarrow"):
+        rank_ids[bt["nid"].to_numpy()] = np.asarray(
+            bt["node"].to_pylist(), dtype=object)
+
+    SENT = np.iinfo(np.int64).max
+    # Per-round block-count cap: groupby/sort output blocks scale with
+    # INPUT blocks, and each round unions two label-derived row sets, so
+    # without a coalesce the block count doubles per round (measured:
+    # 17 -> 41 -> 89 -> ... on a 5-node fixture, round time tripling).
+    # repartition here is the cheap streaming split/merge, not a shuffle.
+    part_cap = max(
+        int_edges.num_blocks(),
+        int(ray.cluster_resources().get("CPU", 8)),
+    )
+
+    def sever(ds):
+        # Loop-carried datasets must not just coalesce blocks but also
+        # drop their lazy-plan history: iterated derivation grows the
+        # logical plan graph even across materialize() (measured on a
+        # 5-node fixture: flat row/block counts, round time doubling —
+        # 1 s/round at round 0, 30 s/round by round 12). Rebuilding from
+        # the materialized block REFS is zero-copy and keeps every
+        # round's plan O(1).
+        return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+    def label_sum(lab_ds) -> int:
+        # Exact per-block partial sums riding as strings (ops/dedup.py
+        # _label_sum): one tiny row per block, O(blocks) take_all.
+        def block_sum(t: pa.Table) -> pa.Table:
+            arr = t["label"].to_numpy(zero_copy_only=False)
+            s = int(arr.sum(dtype=object)) if len(arr) else 0
+            return pa.Table.from_arrays([pa.array([str(s)])], names=["s"])
+
+        parts = lab_ds.map_batches(
+            block_sum, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+        return sum(int(r["s"]) for r in parts)
+
+    def lookup_kernel(
+        batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+    ) -> pa.Table:
+        # Identical shape to the CC kernel (ops/dedup.py lookup_kernel):
+        # per complete key segment, the table row's label (query rows
+        # carry the SENT sentinel, so min picks the table row) is
+        # emitted once as the keep message and once per query row to
+        # its dst — pure reduceat/gather arithmetic, no per-group loop.
+        lab = batch["lab"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        has = batch["has_dst"].to_numpy(zero_copy_only=False).astype(bool)
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        lens = (ends - starts).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["node", "cand"],
+            )
+        gstarts = np.cumsum(lens) - lens
+        within = np.arange(total, dtype=np.int64) - np.repeat(gstarts, lens)
+        abs_idx = np.repeat(starts.astype(np.int64), lens) + within
+        seg_lab = np.minimum.reduceat(lab[abs_idx], gstarts)
+        seg_lab = np.minimum(seg_lab, keys[starts.astype(np.int64)])
+        q = has[abs_idx]
+        seg_of_row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        node_out = np.concatenate(
+            [keys[starts.astype(np.int64)], dst[abs_idx][q]])
+        cand_out = np.concatenate([seg_lab, seg_lab[seg_of_row[q]]])
+        return pa.Table.from_arrays(
+            [pa.array(node_out.astype(np.int64)),
+             pa.array(cand_out.astype(np.int64))],
+            names=["node", "cand"],
+        )
+
+    def tab_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t["node"].combine_chunks(),
+             pa.array(np.zeros(n, np.int64)),
+             pa.array(np.zeros(n, np.int8)),
+             t["label"].combine_chunks()],
+            names=["key", "dst", "has_dst", "lab"],
+        )
+
+    def jump_q(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t["label"].combine_chunks(),
+             t["node"].combine_chunks(),
+             pa.array(np.ones(n, np.int8)),
+             pa.array(np.full(n, SENT, np.int64))],
+            names=["key", "dst", "has_dst", "lab"],
+        )
+
+    def minlab_fixpoint(nodes_ds, edges_int, src_name, dst_name):
+        """Directed min-label propagation along ``src_name -> dst_name``
+        to fixpoint: label(v) = the smallest node with a path to v (the
+        identity-seeded transitive min). Sound with pointer jumping —
+        label(v) reaches v and label(label(v)) reaches label(v)."""
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.Table.from_arrays(
+                [t[src_name].combine_chunks(),
+                 t[dst_name].combine_chunks(),
+                 pa.array(np.ones(n, np.int8)),
+                 pa.array(np.full(n, SENT, np.int64))],
+                names=["key", "dst", "has_dst", "lab"],
+            )
+
+        edge_q = edges_int.map_batches(
+            edge_rows, batch_format="pyarrow").materialize()
+        labels = nodes_ds.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["node"].combine_chunks(), t["node"].combine_chunks()],
+                names=["node", "label"]),
+            batch_format="pyarrow",
+        ).materialize()
+        prev = label_sum(labels)
+        for _ in range(max_rounds):
+            tab = labels.map_batches(tab_rows, batch_format="pyarrow")
+            jq = labels.map_batches(jump_q, batch_format="pyarrow")
+            msgs = sorted_segment_apply(
+                tab.union(edge_q, jq), "key", lookup_kernel)
+            labels = sever(
+                msgs.groupby("node")
+                .aggregate(Min("cand", alias_name="label"))
+                .repartition(part_cap)
+            )
+            tot = label_sum(labels)
+            if tot == prev:
+                return labels
+            prev = tot
+        raise RuntimeError(
+            "strongly_connected_components: min-label fixpoint did not "
+            f"converge within max_rounds={max_rounds}"
+        )
+
+    live_nodes = node_index.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["nid"].combine_chunks()], names=["node"]),
+        batch_format="pyarrow",
+    ).materialize()
+    live_edges = int_edges
+    out_nodes: list = []
+    out_sccs: list = []
+
+    for _peel in range(max_peels):
+        if live_nodes.count() == 0:
+            break
+        if live_edges.count() == 0:
+            # Every survivor is edge-free: all singleton SCCs.
+            for bt in live_nodes.iter_batches(batch_format="pyarrow"):
+                ids = bt["node"].to_numpy(zero_copy_only=False)
+                out_nodes.append(ids)
+                out_sccs.append(ids)
+            break
+        # Trim: live nodes with no incident live edge are singleton SCCs.
+        with_edge = (
+            live_edges.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [pa.concat_arrays([
+                        t["src"].combine_chunks(),
+                        t["dst"].combine_chunks()])],
+                    names=["node"]),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Count())
+            .select_columns(["node"])
+            .materialize()
+        )
+        isolated = attach_lookup(
+            live_nodes, with_edge, key_col="node",
+            val_cols=[], carry_cols=[], anti=True,
+        )
+        for bt in isolated.iter_batches(batch_format="pyarrow"):
+            ids = bt["node"].to_numpy(zero_copy_only=False)
+            out_nodes.append(ids)
+            out_sccs.append(ids)
+        live_nodes = sever(attach_lookup(
+            live_nodes, with_edge, key_col="node",
+            val_cols=[], carry_cols=[],
+        ).repartition(part_cap))
+        if live_nodes.count() == 0:
+            break
+
+        colors = minlab_fixpoint(live_nodes, live_edges, "src", "dst")
+        # Intra-color subgraph: attach each endpoint's color, keep
+        # color-equal edges (two sorted-lookup exchanges per peel).
+        c1 = attach_lookup(
+            live_edges.map_batches(rekey("node", "dst"),
+                                   batch_format="pyarrow"),
+            colors.map_batches(rekey("node", "f"),
+                               batch_format="pyarrow"),
+            key_col="node", val_cols=["f"], carry_cols=["dst"],
+        )
+        c2 = attach_lookup(
+            c1.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t["dst"].combine_chunks(),
+                     t["node"].combine_chunks(),
+                     t["f"].combine_chunks()],
+                    names=["node", "src", "f_src"]),
+                batch_format="pyarrow",
+            ),
+            colors.map_batches(rekey("node", "f_dst"),
+                               batch_format="pyarrow"),
+            key_col="node", val_cols=["f_dst"],
+            carry_cols=["src", "f_src"],
+        )
+        intra = sever(c2.map_batches(
+            lambda t: (lambda m: pa.Table.from_arrays(
+                [t["src"].combine_chunks().filter(m),
+                 t["node"].combine_chunks().filter(m)],
+                names=["src", "dst"]))(
+                pc.equal(t["f_src"].combine_chunks(),
+                         t["f_dst"].combine_chunks())),
+            batch_format="pyarrow",
+        ).repartition(part_cap))
+
+        back = minlab_fixpoint(live_nodes, intra, "dst", "src")
+        fb = attach_lookup(
+            colors.map_batches(rekey("node", "f"),
+                               batch_format="pyarrow"),
+            back.map_batches(rekey("node", "b"),
+                             batch_format="pyarrow"),
+            key_col="node", val_cols=["b"], carry_cols=["f"],
+        )
+        done = fb.map_batches(
+            lambda t: (lambda m: pa.Table.from_arrays(
+                [t["node"].combine_chunks().filter(m),
+                 t["f"].combine_chunks().filter(m)],
+                names=["node", "scc"]))(
+                pc.equal(t["f"].combine_chunks(),
+                         t["b"].combine_chunks())),
+            batch_format="pyarrow",
+        ).materialize()
+        for bt in done.iter_batches(batch_format="pyarrow"):
+            out_nodes.append(bt["node"].to_numpy(zero_copy_only=False))
+            out_sccs.append(bt["scc"].to_numpy(zero_copy_only=False))
+
+        done_nodes = done.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["node"].combine_chunks()], names=["node"]),
+            batch_format="pyarrow",
+        )
+        live_nodes = sever(attach_lookup(
+            live_nodes, done_nodes, key_col="node",
+            val_cols=[], carry_cols=[], anti=True,
+        ).repartition(part_cap))
+        if live_nodes.count() == 0:
+            break
+        k1 = attach_lookup(
+            live_edges.map_batches(rekey("node", "dst"),
+                                   batch_format="pyarrow"),
+            live_nodes, key_col="node", val_cols=[], carry_cols=["dst"],
+        ).materialize()
+        if k1.count() == 0:
+            live_edges = ray.data.from_arrow([pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["src", "dst"])])
+            continue
+        live_edges = sever(attach_lookup(
+            k1.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t["dst"].combine_chunks(),
+                     t["node"].combine_chunks()],
+                    names=["node", "src"]),
+                batch_format="pyarrow",
+            ),
+            live_nodes, key_col="node", val_cols=[], carry_cols=["src"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["src"].combine_chunks(), t["node"].combine_chunks()],
+                names=["src", "dst"]),
+            batch_format="pyarrow",
+        ).repartition(part_cap))
+    else:
+        raise RuntimeError(
+            "strongly_connected_components: peel loop did not finish "
+            f"within max_peels={max_peels} (a chain of K condensation "
+            "SCCs needs K peels — raise max_peels)"
+        )
+
+    if not out_nodes:
+        return pd.DataFrame({"node": [], "scc": []})
+    node_r = np.concatenate(out_nodes).astype(np.int64)
+    scc_r = np.concatenate(out_sccs).astype(np.int64)
+    return (
+        pd.DataFrame({"node": rank_ids[node_r], "scc": rank_ids[scc_r]})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )

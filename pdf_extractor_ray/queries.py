@@ -10921,3 +10921,75 @@ SELECT doc_id,
            AS og_complete
 FROM documents ORDER BY doc_id
 """
+
+
+def q_scc(sf_dir: str) -> pd.DataFrame:
+    """Strongly connected components of a synthesized bow-tie host graph
+    (:func:`ops.links.strongly_connected_components`) — the primitive
+    behind Broder et al.'s web-census (giant CORE SCC vs IN/OUT
+    tendrils). Fixture plants a 10-cycle core (one SCC), a second
+    10-cycle bridged ONE-WAY into the core (a distinct SCC — the IN
+    side), and 10 OUT tendril singletons; component label is the
+    lexicographically smallest member, bit-exact against the
+    recursive-CTE mutual-reachability oracle."""
+    from .ops.links import strongly_connected_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        src, dst = [], []
+        for i in ids:
+            v = int(i) % 30
+            if v < 10:
+                src.append(f"c{v}")
+                dst.append(f"c{(v + 1) % 10}")
+            elif v < 20:
+                k = v - 10
+                src.append(f"b{k}")
+                dst.append(f"b{(k + 1) % 10}")
+                src.append(f"b{k}")
+                dst.append(f"c{k}")
+            else:
+                k = v - 20
+                src.append(f"c{k}")
+                dst.append(f"t{k}")
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string())],
+            names=["src_host", "dst_host"],
+        )
+
+    return strongly_connected_components(
+        ds.map_batches(edges, batch_format="pyarrow"))
+
+
+QUERIES["scc"] = q_scc
+ORACLE_SQL["scc"] = r"""
+WITH RECURSIVE base AS (SELECT doc_id % 30 AS v FROM documents),
+raw AS (
+    SELECT CASE WHEN v < 10 THEN 'c' || CAST(v AS VARCHAR)
+                WHEN v < 20 THEN 'b' || CAST(v - 10 AS VARCHAR)
+                ELSE 'c' || CAST(v - 20 AS VARCHAR) END AS src,
+           CASE WHEN v < 10 THEN 'c' || CAST((v + 1) % 10 AS VARCHAR)
+                WHEN v < 20 THEN 'b' || CAST((v - 9) % 10 AS VARCHAR)
+                ELSE 't' || CAST(v - 20 AS VARCHAR) END AS dst
+    FROM base
+    UNION ALL
+    SELECT 'b' || CAST(v - 10 AS VARCHAR), 'c' || CAST(v - 10 AS VARCHAR)
+    FROM base WHERE v >= 10 AND v < 20
+),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b
+),
+mutual AS (
+    SELECT r1.a AS node, r1.b AS w
+    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+    UNION
+    SELECT v, v FROM nodes
+)
+SELECT node, min(w) AS scc FROM mutual GROUP BY node ORDER BY node
+"""

@@ -1595,3 +1595,66 @@ class TestRandomWalks:
         big = rd.from_items([{"src": 1 << 33, "dst": 1}])
         with _pytest.raises(Exception, match="2\\^32"):
             random_walks(big).take_all()
+
+
+class TestSCC:
+    """ops/links.py strongly_connected_components: transitive-closure
+    brute parity (driver Tarjan), distributed ColorSCC equivalence."""
+
+    def _brute(self, pairs):
+        edges = {(u, v) for u, v in pairs if u != v}
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        reach = {v: {v} for v in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for u, v in edges:
+                new = reach[v] - reach[u]
+                if new:
+                    reach[u] |= new
+                    changed = True
+        out = {}
+        for v in nodes:
+            members = [w for w in nodes if v in reach[w] and w in reach[v]]
+            out[v] = min(members)
+        return out
+
+    def test_driver_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import (
+            strongly_connected_components,
+        )
+
+        for seed in (3, 13, 31):
+            rng = np.random.Generator(np.random.Philox(seed))
+            pairs = [
+                (f"n{int(rng.integers(0, 12))}",
+                 f"n{int(rng.integers(0, 12))}")
+                for _ in range(30)
+            ]
+            ds = rd.from_items(
+                [{"src_host": u, "dst_host": v} for u, v in pairs]
+            ).repartition(3)
+            df = strongly_connected_components(ds)
+            got = dict(zip(df.node, df.scc))
+            assert got == self._brute(pairs)
+
+    def test_distributed_equivalence(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import (
+            strongly_connected_components,
+        )
+
+        # two 2-cycles bridged one-way + a tail (2 peels + a trim)
+        pairs = [("a", "b"), ("b", "a"),
+                 ("b", "c"), ("c", "d"), ("d", "c"),
+                 ("d", "e")]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs])
+        small = strongly_connected_components(ds)
+        big = strongly_connected_components(ds, driver_edge_cap=0)
+        assert list(zip(small.node, small.scc)) == \
+            list(zip(big.node, big.scc))
+        assert dict(zip(small.node, small.scc)) == self._brute(pairs)
