@@ -701,7 +701,7 @@ def connected_components(
     import ray
     from ray.data.aggregate import Min
 
-    from .segments import sorted_segment_apply
+    from .segments import sever_lineage, sorted_segment_apply
 
     pairs_mat = pairs_ds.materialize()
     n_pairs = pairs_mat.count()
@@ -860,14 +860,18 @@ def connected_components(
             names=["node", "cand"],
         )
 
+    # labels is referenced TWICE per round (tab + jq), so without
+    # severing, the lazy plan graph doubles per round and planning time
+    # follows even at flat row counts; the block-count cap stops the
+    # matching groupby output-block doubling (see segments.sever_lineage).
+    label_blocks = max(edge_q.num_blocks(), labels.num_blocks())
     for _ in range(max_rounds):
         tab = labels.map_batches(tab_rows, batch_format="pyarrow")
         jq = labels.map_batches(jump_q, batch_format="pyarrow")
         msgs = sorted_segment_apply(tab.union(edge_q, jq), "key", lookup_kernel)
-        labels = (
-            msgs.groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .materialize()
+        labels = sever_lineage(
+            msgs.groupby("node").aggregate(Min("cand", alias_name="label")),
+            num_blocks=label_blocks,
         )
         total = _label_sum(labels)
         if total == prev_total:

@@ -772,7 +772,7 @@ def bfs_depth(edges_ds, seeds: list, max_rounds: int = 8,
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    from .segments import attach_lookup
+    from .segments import attach_lookup, sever_lineage
 
     dist = rd.from_arrow(
         pa.Table.from_arrays(
@@ -819,11 +819,12 @@ def bfs_depth(edges_ds, seeds: list, max_rounds: int = 8,
             ),
             batch_format="pyarrow",
         )
-        dist = (
+        # Loop-carried: cap blocks + drop plan history (see sever_lineage).
+        dist = sever_lineage(
             dist.union(msgs)
             .groupby("node")
-            .aggregate(Min("depth", alias_name="depth"))
-            .materialize()
+            .aggregate(Min("depth", alias_name="depth")),
+            num_blocks=edges_keyed.num_blocks(),
         )
         if rounds is None:
             cur = table_stats(dist)
@@ -873,7 +874,7 @@ def resolve_redirects(
     """
     import ray.data as rd
 
-    from .segments import attach_lookup
+    from .segments import attach_lookup, sever_lineage
 
     n_edges = edges_ds.count()
     if n_edges <= driver_edge_cap:
@@ -986,7 +987,8 @@ def resolve_redirects(
             ),
             batch_format="pyarrow",
         ).union(terminals)
-        P = (
+        # Loop-carried: cap blocks + drop plan history (see sever_lineage).
+        P = sever_lineage(
             attach_lookup(
                 P,
                 lookup,
@@ -1004,8 +1006,8 @@ def resolve_redirects(
                     names=["node", "cur", "hops"],
                 ),
                 batch_format="pyarrow",
-            )
-            .materialize()
+            ),
+            num_blocks=P.num_blocks(),
         )
         cur = probe(P)
         if cur == prev:
@@ -1233,6 +1235,8 @@ def kcore(
     import ray
     from ray.data.aggregate import Sum
 
+    from .segments import sever_lineage
+
     SEP = "\x1f"
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -1326,9 +1330,10 @@ def kcore(
                 )
                 return batch.filter(pa.array(ok))
 
-            edges = edges.map_batches(
-                keep_edges, batch_format="pyarrow"
-            ).materialize()
+            edges = sever_lineage(
+                edges.map_batches(keep_edges, batch_format="pyarrow"),
+                num_blocks=edges.num_blocks(),
+            )
         else:
             # over-cap round: nothing node-sized on the driver — the
             # alive-node table filters edges through TWO sorted-lookup
@@ -1372,12 +1377,15 @@ def kcore(
                 val_cols=[],
                 carry_cols=["e"],
             )
-            edges = kept.map_batches(
-                lambda t: pa.Table.from_arrays(
-                    [t["e"].combine_chunks()], names=["e"]
+            edges = sever_lineage(
+                kept.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["e"].combine_chunks()], names=["e"]
+                    ),
+                    batch_format="pyarrow",
                 ),
-                batch_format="pyarrow",
-            ).materialize()
+                num_blocks=edges.num_blocks(),
+            )
 
     final = degrees_ds(edges).materialize()
     if final.count() > node_broadcast_cap:
@@ -1652,7 +1660,7 @@ def label_propagation(
     """
     import pyarrow.compute as pc
 
-    from .segments import attach_lookup, sorted_segment_apply
+    from .segments import attach_lookup, sever_lineage, sorted_segment_apply
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         s = batch[src_col].combine_chunks().cast(pa.string())
@@ -1671,7 +1679,7 @@ def label_propagation(
             names=["u", "v", "w"],
         )
 
-    adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
     def emit_nodes(batch: pa.Table) -> pa.Table:
         hs = np.concatenate(
@@ -1761,12 +1769,17 @@ def label_propagation(
                 batch_format="pyarrow",
             )
         )
-        labels = sorted_segment_apply(
-            totals,
-            key_col="node",
-            block_fn=head,
-            within_cols=["s", "lab"],
-            descending=[True, False],
+        # labels is referenced twice per round (votes + sentinel):
+        # sever or the plan graph doubles per round (see sever_lineage).
+        labels = sever_lineage(
+            sorted_segment_apply(
+                totals,
+                key_col="node",
+                block_fn=head,
+                within_cols=["s", "lab"],
+                descending=[True, False],
+            ),
+            num_blocks=adj.num_blocks(),
         )
 
     return labels.map_batches(
@@ -2262,7 +2275,7 @@ def harmonic_centrality(
     """
     import pandas as pd
 
-    from .segments import sorted_segment_apply
+    from .segments import sever_lineage, sorted_segment_apply
 
     SEP = "\x1f"
 
@@ -2369,10 +2382,14 @@ def harmonic_centrality(
             unioned, key_col="mid", block_fn=cross_block,
             within_cols=["d", "other"],
         )
-        pairs = pairs.union(expanded).groupby("k").min("d").map_batches(
-            lambda t: t.rename_columns(["k", "d"]),
-            batch_format="pyarrow",
-        ).materialize()
+        # Loop-carried: cap blocks + drop plan history (see sever_lineage).
+        pairs = sever_lineage(
+            pairs.union(expanded).groupby("k").min("d").map_batches(
+                lambda t: t.rename_columns(["k", "d"]),
+                batch_format="pyarrow",
+            ),
+            num_blocks=adj_tagged.num_blocks(),
+        )
 
     def score_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -2585,7 +2602,7 @@ def salsa_scores(
     driver. Returns a Dataset ``(host, hub, auth)`` over all endpoint
     nodes (0 where a side doesn't apply).
     """
-    from .segments import attach_lookup
+    from .segments import attach_lookup, sever_lineage
 
     def distinct_edges(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch[src_col].to_pylist(), dtype=object).astype(str)
@@ -2669,13 +2686,12 @@ def salsa_scores(
                 names=["src", "c"],
             )
 
-        h = (
+        h = sever_lineage(
             withs.map_batches(h_contrib, batch_format="pyarrow")
             .groupby("src")
             .sum("c")
             .map_batches(lambda t: t.rename_columns(["src", "h"]),
                          batch_format="pyarrow")
-            .materialize()
         )
         withh = attach_lookup(
             e_full, h, key_col="src", val_cols=["h"],
@@ -2691,13 +2707,12 @@ def salsa_scores(
                 names=["dst", "c"],
             )
 
-        a = (
+        a = sever_lineage(
             withh.map_batches(a_contrib, batch_format="pyarrow")
             .groupby("dst")
             .sum("c")
             .map_batches(lambda t: t.rename_columns(["dst", "a"]),
                          batch_format="pyarrow")
-            .materialize()
         )
 
     def endpoints(batch: pa.Table) -> pa.Table:
@@ -2853,7 +2868,7 @@ def ktruss_edges(
     """
     import pandas as pd
 
-    from .segments import attach_lookup, sorted_segment_apply
+    from .segments import attach_lookup, sever_lineage, sorted_segment_apply
 
     if k < 3:
         raise ValueError("ktruss_edges: k must be >= 3")
@@ -3072,8 +3087,12 @@ def ktruss_edges(
             return pa.Table.from_arrays(
                 [t["e"].combine_chunks()], names=["e"])
 
-        edges = support.map_batches(
-            keep, batch_format="pyarrow").materialize()
+        # edges is referenced three times per round (degrees, pairs,
+        # probe): sever or the plan graph grows 3x per round.
+        edges = sever_lineage(
+            support.map_batches(keep, batch_format="pyarrow"),
+            num_blocks=edges.num_blocks(),
+        )
 
     parts_rows = []
     for b in edges.iter_batches(batch_format="pyarrow"):
@@ -3258,7 +3277,7 @@ def random_walks(
     gather — walkers are n·walks_per_node rows, never driver-side.
     Returns a Dataset ``(walk_id, step, node)``.
     """
-    from .segments import attach_lookup, sorted_segment_apply
+    from .segments import attach_lookup, sever_lineage, sorted_segment_apply
     from .text import splitmix64_np
 
     if not 1 <= walks_per_node <= 1024:
@@ -3392,8 +3411,12 @@ def random_walks(
                 names=["walk_id", "node"],
             )
 
-        walkers = attached.map_batches(
-            step_pick, batch_format="pyarrow").materialize()
+        # walkers is referenced twice per step (next attach + out):
+        # sever or the plan graph doubles per step (see sever_lineage).
+        walkers = sever_lineage(
+            attached.map_batches(step_pick, batch_format="pyarrow"),
+            num_blocks=walkers.num_blocks(),
+        )
         out = out.union(
             walkers.map_batches(emit_step(t), batch_format="pyarrow"))
 
@@ -3572,7 +3595,7 @@ def strongly_connected_components(
     import ray
     from ray.data.aggregate import Count, Min
 
-    from .segments import sorted_segment_apply
+    from .segments import sever_lineage, sorted_segment_apply
 
     def split(batch: pa.Table) -> pa.Table:
         parts = np.char.partition(
@@ -3691,14 +3714,9 @@ def strongly_connected_components(
     )
 
     def sever(ds):
-        # Loop-carried datasets must not just coalesce blocks but also
-        # drop their lazy-plan history: iterated derivation grows the
-        # logical plan graph even across materialize() (measured on a
-        # 5-node fixture: flat row/block counts, round time doubling —
-        # 1 s/round at round 0, 30 s/round by round 12). Rebuilding from
-        # the materialized block REFS is zero-copy and keeps every
-        # round's plan O(1).
-        return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())
+        # Loop-carried datasets drop their lazy-plan history each round
+        # (see :func:`..segments.sever_lineage` for the measurement).
+        return sever_lineage(ds)
 
     def label_sum(lab_ds) -> int:
         # Exact per-block partial sums riding as strings (ops/dedup.py

@@ -308,7 +308,7 @@ def hyperball(
     sorted consumers decide), bit-exactly SQL-replicable: estimates
     come from :func:`hll_estimate` per node downstream.
     """
-    from .segments import sorted_segment_apply
+    from .segments import sever_lineage, sorted_segment_apply
 
     def distinct_edges(batch: pa.Table) -> pa.Table:
         s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -437,15 +437,18 @@ def hyperball(
             key_col="mid", block_fn=cross_block,
             within_cols=["tag", "reg", "val", "v"],
         )
-        state = (
+        # state is referenced twice per round (cross-product input +
+        # union): sever or the plan graph doubles per round
+        # (see segments.sever_lineage).
+        state = sever_lineage(
             state.union(contrib)
             .groupby(["node", "reg"])
             .max("val")
             .map_batches(
                 lambda t: t.rename_columns(["node", "reg", "val"]),
                 batch_format="pyarrow",
-            )
-            .materialize()
+            ),
+            num_blocks=adj.num_blocks(),
         )
 
     return state.sort(["node", "reg"])

@@ -135,7 +135,12 @@ def _prefix_double(ds, text_col: str, id_col: str, keep_tables: bool):
     ran = False
     while h < max_len:
         ran = True
-        by_key = cur.sort("skey").materialize()
+        # cur's plan accretes across doubling rounds even through
+        # materialize(); sever keeps each round's plan O(1)
+        # (see segments.sever_lineage). Sort output stays range-ordered:
+        # from_arrow_refs preserves block order.
+        from .segments import sever_lineage
+        by_key = sever_lineage(cur.sort("skey"))
         if keep_tables:
             tables.append((h, by_key))
 
