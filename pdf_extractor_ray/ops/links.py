@@ -175,7 +175,7 @@ def pagerank(
 
     from ray.data.aggregate import Sum
 
-    from .segments import attach_lookup
+    from .segments import attach_lookup, sever_lineage
 
     def emit_nodes(batch: pa.Table) -> pa.Table:
         hs = np.concatenate(
@@ -308,6 +308,9 @@ def pagerank(
                 batch_format="pyarrow",
             )
         )
+        # Single-ref per iteration (linear plan growth) but long
+        # num_iters runs still accrete: sever keeps each pass O(1).
+        ranks = sever_lineage(ranks)
     return ranks
 
 
@@ -441,7 +444,7 @@ def hits_scores(
 
     from ray.data.aggregate import Count, Sum
 
-    from .segments import attach_lookup
+    from .segments import attach_lookup, sever_lineage
 
     def emit_nodes(batch: pa.Table) -> pa.Table:
         hs = np.concatenate(
@@ -528,8 +531,8 @@ def hits_scores(
         )
 
     for _ in range(num_iters):
-        auth = half_round(hub, src_col, dst_col)
-        hub = half_round(auth, dst_col, src_col)
+        auth = sever_lineage(half_round(hub, src_col, dst_col))
+        hub = sever_lineage(half_round(auth, dst_col, src_col))
 
     merged = attach_lookup(
         auth.map_batches(
