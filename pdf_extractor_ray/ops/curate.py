@@ -264,3 +264,82 @@ def dsir_select(
         return batch.append_column("selected", sel)
 
     return scored.map_batches(annotate, batch_format="pyarrow")
+
+
+def k_anonymity(
+    ds,
+    quasi_cols: list,
+    k: int = 5,
+    id_col: str = "doc_id",
+):
+    """k-anonymity census over a quasi-identifier column set (Sweeney
+    2002): each row learns the size of its quasi-identifier equivalence
+    class and whether that class reaches ``k`` — the release-gate
+    question for publishing crawl-derived metadata (a row whose
+    (host, lang, length-bucket, …) combination is shared by fewer than
+    k rows re-identifies its source).
+
+    Shape (the engine's standard aggregation discipline): quasi columns
+    pack into one separator-joined key in-block; per-block (key, cnt)
+    partials pre-combine BEFORE the single ``groupby(key).sum``
+    exchange, so the shuffle carries one row per distinct class per
+    block, never the corpus; class sizes attach back via ONE
+    sorted-lookup exchange (:func:`.segments.attach_lookup`). Returns a
+    Dataset ``(id_col, group_size, k_anonymous)``; no driver-side state
+    at any size.
+    """
+    from .segments import attach_lookup
+
+    SEP = "\x1f"
+
+    def pack_key(batch: pa.Table) -> pa.Table:
+        cols = [
+            np.asarray(batch[c].to_pylist(), dtype=object).astype(str)
+            for c in quasi_cols
+        ]
+        key = cols[0]
+        for c in cols[1:]:
+            key = np.char.add(np.char.add(key, SEP), c)
+        return pa.Table.from_arrays(
+            [batch[id_col].combine_chunks(),
+             pa.array(key.astype(object), pa.string())],
+            names=["id", "qkey"],
+        )
+
+    keyed = ds.map_batches(pack_key, batch_format="pyarrow").materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch["qkey"].to_pylist(), dtype=object).astype(str)
+        u, c = np.unique(ks, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()),
+             pa.array(c.astype(np.int64))],
+            names=["qkey", "cnt"],
+        )
+
+    sizes = (
+        keyed.map_batches(count_partial, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("qkey")
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["qkey", "group_size"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    out = attach_lookup(
+        keyed, sizes, key_col="qkey", val_cols=["group_size"],
+        carry_cols=["id"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        gs = batch["group_size"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch["id"].combine_chunks(),
+             pa.array(gs.astype(np.int64)),
+             pa.array((gs >= k).astype(np.int64))],
+            names=[id_col, "group_size", "k_anonymous"],
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

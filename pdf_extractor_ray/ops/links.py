@@ -3989,3 +3989,113 @@ def strongly_connected_components(
         .sort_values("node")
         .reset_index(drop=True)
     )
+
+
+def diameter_bound(
+    edges_ds,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_rounds: int = 16,
+):
+    """Double-sweep BFS lower bound on the diameter of the UNDIRECTED
+    host graph (Magnien-Latapy-Habib 2009): BFS from the
+    lexicographically smallest host gives its eccentricity; a second
+    BFS from the farthest node found (max depth, min-host tiebreak)
+    gives a diameter lower bound — exact on trees, empirically tight
+    on web graphs, at 2 BFS costs instead of n.
+
+    Shape: one symmetric-closure dedup groupby; two
+    :func:`bfs_depth` runs (per round one sorted-lookup gather + one
+    groupby-min); start node and both extremes reduce from per-block
+    ``(max_depth, min_node_at_max)`` partials — O(blocks) driver rows,
+    never node-sized. Nodes outside the start's component don't bound
+    the sweep (BFS emits reachable nodes only) — the bound is for the
+    start's component, the giant one on real host graphs. Returns a
+    one-row pandas DataFrame
+    ``(start, ecc_start, far_node, diameter_lb)``.
+    """
+    import pandas as pd
+
+    SEP = "\x1f"
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[src_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[dst_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        a = np.concatenate([u, v])
+        b = np.concatenate([v, u])
+        keys = np.unique(np.char.add(np.char.add(a, SEP), b))
+        return pa.Table.from_arrays(
+            [pa.array(keys.astype(object), pa.string()),
+             pa.array(np.ones(len(keys), np.int64))],
+            names=["k", "one"],
+        )
+
+    closure = (
+        edges_ds.map_batches(sym, batch_format="pyarrow")
+        .groupby("k")
+        .sum("one")
+        .map_batches(
+            lambda t: (lambda parts: pa.Table.from_arrays(
+                [pa.array(parts[:, 0].astype(object), pa.string()),
+                 pa.array(parts[:, 2].astype(object), pa.string())],
+                names=["src", "dst"]))(
+                np.char.partition(
+                    np.asarray(t["k"].to_pylist(),
+                               dtype=object).astype(str), SEP)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays([pa.array([], pa.string())],
+                                        names=["m"])
+        u = np.asarray(t["src"].to_pylist(), dtype=object).astype(str)
+        return pa.Table.from_arrays(
+            [pa.array([str(np.sort(u)[0])], pa.string())], names=["m"])
+
+    mins = [r["m"] for r in closure.map_batches(
+        min_partial, batch_size=None, batch_format="pyarrow").take_all()]
+    if not mins:
+        return pd.DataFrame(
+            {"start": [], "ecc_start": [], "far_node": [],
+             "diameter_lb": []})
+    start = min(mins)
+
+    def extreme(depth_ds) -> tuple:
+        # per-block (max depth, min node at that depth) partials
+        def part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.string())],
+                    names=["d", "n"],
+                )
+            d = t["depth"].to_numpy(zero_copy_only=False)
+            n = np.asarray(t["node"].to_pylist(), dtype=object).astype(str)
+            dm = int(d.max())
+            return pa.Table.from_arrays(
+                [pa.array([dm], pa.int64()),
+                 pa.array([str(np.sort(n[d == dm])[0])], pa.string())],
+                names=["d", "n"],
+            )
+
+        best_d, best_n = -1, None
+        for r in depth_ds.map_batches(
+            part, batch_size=None, batch_format="pyarrow"
+        ).take_all():
+            if r["d"] > best_d or (r["d"] == best_d and r["n"] < best_n):
+                best_d, best_n = r["d"], r["n"]
+        return best_d, best_n
+
+    d1 = bfs_depth(closure, seeds=[start], max_rounds=max_rounds,
+                   src_col="src", dst_col="dst")
+    ecc1, far = extreme(d1)
+    d2 = bfs_depth(closure, seeds=[far], max_rounds=max_rounds,
+                   src_col="src", dst_col="dst")
+    ecc2, _ = extreme(d2)
+    return pd.DataFrame(
+        {"start": [start], "ecc_start": [int(ecc1)],
+         "far_node": [far], "diameter_lb": [int(ecc2)]})

@@ -2442,3 +2442,54 @@ def soft404_batch(
     soft = pc.cast(pc.greater(reason, pa.scalar(0, pa.int64())), pa.int64())
     out = batch.append_column("soft404", soft)
     return out.append_column("reason", reason)
+
+
+def char_entropy_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-document Shannon entropy over character (codepoint)
+    frequencies — the standard compressibility proxy for crawl-quality
+    filtering: machine-generated/repetitive pages sit far below, and
+    base64/binary-as-text blobs far above, the natural-language band
+    (~3.8–4.3 bits/char for English).
+
+    Vectorized across the whole batch: all texts join into ONE
+    utf-32 buffer decoded by numpy, a single lexsort over
+    (doc, codepoint) yields per-(doc, char) run-length counts, and
+    ``H = log2(n) − (Σ c·log2 c)/n`` evaluates with two scatter-adds —
+    no per-row Python beyond the C-level join. Shuffle-free map stage.
+    Returns ``(id_col, n_chars, entropy_micro)`` with the entropy in
+    rounded micro-bits (int64), 0 for empty/null text — the same
+    fixed-precision convention as the cosine ops (round 6).
+    """
+    ids = batch[id_col].combine_chunks()
+    texts = batch[text_col].to_pylist()
+    n_docs = len(texts)
+    lens = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return pa.Table.from_arrays(
+            [ids, pa.array(lens), pa.array(np.zeros(n_docs, np.int64))],
+            names=[id_col, "n_chars", "entropy_micro"],
+        )
+    joined = "".join(t for t in texts if t)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    order = np.lexsort((codes, doc_of))
+    ds_, cs_ = doc_of[order], codes[order]
+    # run boundaries of (doc, char)
+    new_run = np.empty(total, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_counts = np.diff(np.append(run_starts, total)).astype(np.float64)
+    run_docs = ds_[run_starts]
+    s = np.zeros(n_docs, np.float64)  # Σ c·log2(c) per doc
+    np.add.at(s, run_docs, run_counts * np.log2(run_counts))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = np.where(lens > 0, np.log2(np.maximum(lens, 1)) - s / np.maximum(lens, 1), 0.0)
+    micro = np.round(h * 1e6).astype(np.int64)
+    return pa.Table.from_arrays(
+        [ids, pa.array(lens), pa.array(micro)],
+        names=[id_col, "n_chars", "entropy_micro"],
+    )

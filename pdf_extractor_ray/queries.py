@@ -10993,3 +10993,116 @@ mutual AS (
 )
 SELECT node, min(w) AS scc FROM mutual GROUP BY node ORDER BY node
 """
+
+
+def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity census (:func:`ops.curate.k_anonymity`) over the
+    quasi-identifier tuple (lang, source, n_chars // 100): per-doc
+    equivalence-class size and the >=k release flag, per-block
+    pre-combined (key, cnt) partials through one groupby + one
+    sorted-lookup attach."""
+    from .ops.curate import k_anonymity
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars"])
+
+    def quasi(batch: pa.Table) -> pa.Table:
+        nb = batch["n_chars"].to_numpy(zero_copy_only=False) // 100
+        return pa.Table.from_arrays(
+            [batch["doc_id"].combine_chunks(),
+             batch["lang"].combine_chunks(),
+             batch["source"].combine_chunks(),
+             pa.array(nb.astype(np.int64))],
+            names=["doc_id", "lang", "source", "len_bucket"],
+        )
+
+    out = k_anonymity(
+        ds.map_batches(quasi, batch_format="pyarrow"),
+        quasi_cols=["lang", "source", "len_bucket"],
+        k=5,
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["k_anonymity"] = q_k_anonymity
+ORACLE_SQL["k_anonymity"] = r"""
+SELECT doc_id,
+       COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100)
+           AS group_size,
+       CASE WHEN COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100)
+                 >= 5 THEN 1 ELSE 0 END AS k_anonymous
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_diameter(sf_dir: str) -> pd.DataFrame:
+    """Double-sweep diameter lower bound
+    (:func:`ops.links.diameter_bound`) on a synthesized host graph: a
+    10-node path p0–p9 with a 3-node branch q0–q2 hanging off p3.
+    Start = lexicographic min p0 (ecc 9 at p9); second sweep from p9
+    re-reaches depth 9 → diameter_lb 9 (exact: the path IS the
+    diameter). Closed-form oracle."""
+    from .ops.links import diameter_bound
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in batch["doc_id"].to_pylist():
+            v = int(i) % 9
+            src.append(f"p{v}")
+            dst.append(f"p{v + 1}")
+            w = int(i) % 3
+            src.append("p3" if w == 0 else f"q{w - 1}")
+            dst.append(f"q{w}")
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string())],
+            names=["src_host", "dst_host"],
+        )
+
+    return diameter_bound(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+QUERIES["diameter"] = q_diameter
+ORACLE_SQL["diameter"] = """
+SELECT 'p0' AS start, CAST(9 AS BIGINT) AS ecc_start,
+       'p9' AS far_node, CAST(9 AS BIGINT) AS diameter_lb
+"""
+
+
+def q_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc character-entropy quality signal
+    (:func:`ops.text.char_entropy_batch`): Shannon bits/char in rounded
+    micro-units over codepoint frequencies, one vectorized shuffle-free
+    map stage. Oracle recomputes H = log2(n) - sum(c*log2 c)/n from
+    string_split character counts."""
+    from .ops.text import char_entropy_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(char_entropy_batch, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["char_entropy"] = q_char_entropy
+ORACLE_SQL["char_entropy"] = r"""
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+cnt AS (
+    SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM chars GROUP BY doc_id, ch
+),
+h AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+           log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS ent
+    FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_chars, 0) AS n_chars,
+       CAST(COALESCE(round(h.ent * 1000000), 0) AS BIGINT)
+           AS entropy_micro
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

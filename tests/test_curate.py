@@ -61,3 +61,62 @@ class TestCurateCorpus:
         # shards are contiguous in id order and ids are 0..k
         assert plan["shard_id"].tolist() == list(range(len(plan)))
         assert plan["first_doc"].is_monotonic_increasing
+
+
+class TestKAnonymity:
+    """ops/curate.py k_anonymity: brute-force group sizes, flag
+    threshold, block-layout invariance."""
+
+    def _rows(self):
+        rows = []
+        for i in range(30):
+            rows.append({
+                "doc_id": i,
+                "lang": ["en", "de", "fr"][i % 3],
+                "source": ["web", "pdf"][(i // 3) % 2],
+                "len_bucket": (i // 6) % 2,
+            })
+        return rows
+
+    def _brute(self, rows, k):
+        from collections import Counter
+        sizes = Counter(
+            (r["lang"], r["source"], r["len_bucket"]) for r in rows)
+        return {
+            r["doc_id"]: (
+                sizes[(r["lang"], r["source"], r["len_bucket"])],
+                int(sizes[(r["lang"], r["source"], r["len_bucket"])] >= k),
+            )
+            for r in rows
+        }
+
+    def test_parity_and_layouts(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.curate import k_anonymity
+
+        rows = self._rows()
+        for k in (2, 5, 100):
+            want = self._brute(rows, k)
+            for parts in (1, 4):
+                ds = rd.from_items(rows).repartition(parts)
+                df = k_anonymity(
+                    ds, quasi_cols=["lang", "source", "len_bucket"], k=k
+                ).to_pandas()
+                got = {
+                    int(r.doc_id): (int(r.group_size), int(r.k_anonymous))
+                    for r in df.itertuples()
+                }
+                assert got == want, (k, parts)
+
+    def test_single_row_never_anonymous(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.curate import k_anonymity
+
+        ds = rd.from_items(
+            [{"doc_id": 1, "lang": "en", "source": "web", "len_bucket": 0}])
+        df = k_anonymity(
+            ds, quasi_cols=["lang", "source", "len_bucket"], k=2
+        ).to_pandas()
+        assert int(df.group_size[0]) == 1 and int(df.k_anonymous[0]) == 0

@@ -453,3 +453,50 @@ class TestMisc:
 
     def test_safe_filename(self):
         assert safe_filename("My: Title!", "doc") == "My_Title_doc.md"
+
+
+class TestCharEntropy:
+    """ops/text.py char_entropy_batch: closed-form values, null/empty
+    handling, vectorized-vs-brute parity."""
+
+    def test_closed_forms(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import char_entropy_batch
+
+        batch = pa.table({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["aaaa",          # H = 0
+                     "abab",          # H = 1
+                     "abcd",          # H = 2
+                     "",              # empty -> 0
+                     None],           # null -> 0
+        })
+        out = char_entropy_batch(batch).to_pylist()
+        got = {r["doc_id"]: (r["n_chars"], r["entropy_micro"]) for r in out}
+        assert got == {1: (4, 0), 2: (4, 1_000_000), 3: (4, 2_000_000),
+                       4: (0, 0), 5: (0, 0)}
+
+    def test_brute_parity(self):
+        import math
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf_extractor_ray.ops.text import char_entropy_batch
+
+        rng = np.random.Generator(np.random.Philox(7))
+        texts = [
+            "".join(chr(97 + int(rng.integers(0, 6)))
+                    for _ in range(int(rng.integers(1, 40))))
+            for _ in range(20)
+        ]
+        batch = pa.table({"doc_id": list(range(20)), "text": texts})
+        out = {r["doc_id"]: r["entropy_micro"]
+               for r in char_entropy_batch(batch).to_pylist()}
+        for i, t in enumerate(texts):
+            n = len(t)
+            s = sum(c * math.log2(c) for c in Counter(t).values())
+            want = round((math.log2(n) - s / n) * 1e6)
+            assert out[i] == want, i

@@ -1658,3 +1658,71 @@ class TestSCC:
         assert list(zip(small.node, small.scc)) == \
             list(zip(big.node, big.scc))
         assert dict(zip(small.node, small.scc)) == self._brute(pairs)
+
+
+class TestDiameterBound:
+    """ops/links.py diameter_bound: brute double-sweep parity on random
+    graphs; exactness on a tree."""
+
+    def _brute(self, pairs):
+        adj = {}
+        for u, v in pairs:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        if not adj:
+            return None
+
+        def bfs(s):
+            dist = {s: 0}
+            frontier = [s]
+            while frontier:
+                nxt = []
+                for x in frontier:
+                    for y in adj[x]:
+                        if y not in dist:
+                            dist[y] = dist[x] + 1
+                            nxt.append(y)
+                frontier = nxt
+            return dist
+
+        start = min(adj)
+        d1 = bfs(start)
+        ecc1 = max(d1.values())
+        far = min(n for n, d in d1.items() if d == ecc1)
+        d2 = bfs(far)
+        return start, ecc1, far, max(d2.values())
+
+    def test_random_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import diameter_bound
+
+        for seed in (5, 17):
+            rng = np.random.Generator(np.random.Philox(seed))
+            pairs = [
+                (f"n{int(rng.integers(0, 9))}", f"n{int(rng.integers(0, 9))}")
+                for _ in range(14)
+            ]
+            want = self._brute(pairs)
+            ds = rd.from_items(
+                [{"src_host": u, "dst_host": v} for u, v in pairs]
+            ).repartition(3)
+            df = diameter_bound(ds)
+            got = (df.start[0], int(df.ecc_start[0]), df.far_node[0],
+                   int(df.diameter_lb[0]))
+            assert got == want, seed
+
+    def test_tree_exact(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import diameter_bound
+
+        # two 3-edge chains joined at c: diameter = 3 + 3 = 6, exact on trees
+        pairs = [("c", "a1"), ("c", "a2"), ("a1", "b1"), ("b1", "x1"),
+                 ("a2", "b2"), ("b2", "x2")]
+        df = diameter_bound(
+            rd.from_items([{"src_host": u, "dst_host": v}
+                           for u, v in pairs]))
+        assert int(df.diameter_lb[0]) == 6
