@@ -410,3 +410,122 @@ def prototype_prune(
         within_cols=["dist", id_col],
         descending=[True, False],
     )
+
+
+def kcenter_coreset(ds, k: int = 4, vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985) — the diversity-maximizing subset rule used for
+    coreset-based training-data selection: start from the lowest-id
+    vector, then ``k−1`` times add the point FARTHEST from the chosen
+    set (its min distance to any chosen center), a 2-approximation of
+    the optimal k-center cover.
+
+    All arithmetic on the module's exact integer quantization grid
+    (same ``floor((e+OFFSET)·SCALE)`` as k-means), so selection —
+    including ties, broken by lowest id — is bit-exact against the
+    unrolled SQL oracle. Shape: the carried per-point min-distance
+    column updates in ONE shuffle-free map pass per round (only the
+    NEWEST center ships, via ``ray.put``); the next center reduces
+    from per-block ``(max dist, min id, vector)`` partials — O(blocks)
+    driver rows per round, k passes total, zero exchanges. The carried
+    dataset severs its plan per round (:func:`.segments.sever_lineage`).
+    Returns a pandas DataFrame ``(sel_order, vec_id, dist)`` where
+    ``dist`` is the integer squared distance from the previously
+    selected set at selection time (0 for the seed) — the coverage
+    radius sequence.
+    """
+    import ray
+
+    from .segments import sever_lineage
+
+    IMAX = np.iinfo(np.int64).max
+
+    def init(batch: pa.Table) -> pa.Table:
+        mat = _quantize(batch, vec_col)
+        n = len(mat)
+        return pa.Table.from_arrays(
+            [batch[id_col].combine_chunks().cast(pa.int64()),
+             pa.array(list(mat), pa.list_(pa.int64())),
+             pa.array(np.full(n, IMAX, np.int64))],
+            names=["id", "v", "mind"],
+        )
+
+    state = ds.map_batches(init, batch_format="pyarrow").materialize()
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.int64()))],
+                names=["id", "v"])
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(ids))
+        return t.select(["id", "v"]).slice(i, 1)
+
+    best_id, best_vec = None, None
+    for r in state.map_batches(
+        seed_partial, batch_size=None, batch_format="pyarrow"
+    ).take_all():
+        if best_id is None or r["id"] < best_id:
+            best_id, best_vec = r["id"], np.asarray(r["v"], np.int64)
+    if best_id is None:
+        import pandas as pd
+        return pd.DataFrame({"sel_order": [], "vec_id": [], "dist": []})
+
+    chosen = [(0, int(best_id), 0)]
+    for sel in range(1, k):
+        cref = ray.put(best_vec)
+
+        def update(t: pa.Table, cref=cref) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            c = ray.get(cref)
+            vs = t["v"].combine_chunks()
+            flat = vs.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(t.num_rows, -1)
+            diff = mat - c[None, :]
+            d = np.einsum("ij,ij->i", diff, diff)
+            mind = np.minimum(
+                t["mind"].to_numpy(zero_copy_only=False), d)
+            return pa.Table.from_arrays(
+                [t["id"].combine_chunks(), vs, pa.array(mind)],
+                names=["id", "v", "mind"],
+            )
+
+        state = sever_lineage(
+            state.map_batches(update, batch_format="pyarrow"))
+
+        def far_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.list_(pa.int64()))],
+                    names=["d", "id", "v"])
+            d = t["mind"].to_numpy(zero_copy_only=False)
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            dm = int(d.max())
+            at = np.flatnonzero(d == dm)
+            i = int(at[np.argmin(ids[at])])
+            return pa.Table.from_arrays(
+                [pa.array([dm], pa.int64()),
+                 pa.array([int(ids[i])], pa.int64()),
+                 t["v"].combine_chunks().slice(i, 1)],
+                names=["d", "id", "v"])
+
+        best = None
+        for r in state.map_batches(
+            far_partial, batch_size=None, batch_format="pyarrow"
+        ).take_all():
+            key = (-r["d"], r["id"])
+            if best is None or key < best[0]:
+                best = (key, r)
+        best_id = best[1]["id"]
+        best_vec = np.asarray(best[1]["v"], np.int64)
+        chosen.append((sel, int(best_id), int(best[1]["d"])))
+
+    import pandas as pd
+    return pd.DataFrame(
+        {"sel_order": [c[0] for c in chosen],
+         "vec_id": [c[1] for c in chosen],
+         "dist": [c[2] for c in chosen]})

@@ -11106,3 +11106,58 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+def q_kcenter_coreset(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset selection
+    (:func:`ops.cluster.kcenter_coreset`, k=4) over the embeddings
+    table on the exact integer quantization grid — bit-exact selection
+    order, farthest distances, and lowest-id tie-breaks vs the
+    unrolled SQL replay."""
+    from .ops.cluster import kcenter_coreset
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kcenter_coreset(ds, k=4)
+
+
+QUERIES["kcenter_coreset"] = q_kcenter_coreset
+
+_KC_STEP = r"""
+d{i} AS (
+    SELECT p.vec_id, p.v,
+           LEAST(p.d, (SELECT list_sum(list_transform(list_zip(p.v, s.v),
+                       x -> (x[1] - x[2]) * (x[1] - x[2])))
+                       FROM s{j} s)) AS d
+    FROM d{j} p
+    WHERE p.vec_id <> (SELECT vec_id FROM s{j})
+),
+s{i} AS (SELECT vec_id, v, d FROM d{i} ORDER BY d DESC, vec_id LIMIT 1)"""
+
+ORACLE_SQL["kcenter_coreset"] = (
+    r"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               e -> CAST(floor((CAST(e AS DOUBLE) + 2) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+s0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+d0 AS (
+    SELECT q.vec_id, q.v,
+           CAST(9223372036854775807 AS BIGINT) AS d
+    FROM q
+),"""
+    + ",".join(_KC_STEP.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + r"""
+SELECT CAST(0 AS BIGINT) AS sel_order,
+       CAST((SELECT vec_id FROM s0) AS BIGINT) AS vec_id,
+       CAST(0 AS BIGINT) AS dist
+UNION ALL SELECT CAST(1 AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(d AS BIGINT) FROM s1
+UNION ALL SELECT CAST(2 AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(d AS BIGINT) FROM s2
+UNION ALL SELECT CAST(3 AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(d AS BIGINT) FROM s3
+ORDER BY sel_order
+"""
+)

@@ -351,3 +351,65 @@ class TestQuantizeEmbeddings:
         )
         r = quantize_embeddings(rd.from_arrow(tbl)).take_all()[0]
         assert r["scale"] == 0 and r["q_sum"] == 0 and r["err_sum"] == 0
+
+
+class TestKCenterCoreset:
+    """ops/cluster.py kcenter_coreset: brute greedy parity on the same
+    quantization grid; lowest-id tie-breaks; seed = min id."""
+
+    @staticmethod
+    def _brute(ids, vecs, k):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.cluster import OFFSET, SCALE
+        q = np.floor((np.asarray(vecs, np.float64) + OFFSET) * SCALE
+                     ).astype(np.int64)
+        order = np.argsort(ids)
+        ids = np.asarray(ids)[order]
+        q = q[order]
+        sel = [0]
+        out = [(0, int(ids[0]), 0)]
+        mind = np.full(len(ids), np.iinfo(np.int64).max, np.int64)
+        for s in range(1, k):
+            diff = q - q[sel[-1]][None, :]
+            mind = np.minimum(mind, np.einsum("ij,ij->i", diff, diff))
+            dm = mind.copy()
+            dm[sel] = -1
+            best = int(np.max(dm))
+            cand = np.flatnonzero(dm == best)
+            i = int(cand[np.argmin(ids[cand])])
+            sel.append(i)
+            out.append((s, int(ids[i]), best))
+        return out
+
+    def test_random_parity(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.cluster import kcenter_coreset
+
+        rng = np.random.Generator(np.random.Philox(11))
+        ids = list(range(20))
+        vecs = rng.normal(0, 0.5, size=(20, 8)).clip(-1.9, 1.9)
+        rows = [{"vec_id": i, "embedding": list(map(float, v))}
+                for i, v in zip(ids, vecs)]
+        for parts in (1, 4):
+            df = kcenter_coreset(
+                rd.from_items(rows).repartition(parts), k=5)
+            got = list(zip(df.sel_order, df.vec_id, df.dist))
+            want = self._brute(ids, vecs, 5)
+            assert [(int(a), int(b), int(c)) for a, b, c in got] == want
+
+    def test_tiebreak_lowest_id(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.cluster import kcenter_coreset
+
+        # two identical far points: the lower id must be picked first
+        rows = [
+            {"vec_id": 0, "embedding": [0.0, 0.0]},
+            {"vec_id": 7, "embedding": [1.0, 0.0]},
+            {"vec_id": 3, "embedding": [1.0, 0.0]},
+        ]
+        df = kcenter_coreset(rd.from_items(rows), k=2)
+        assert list(df.vec_id) == [0, 3]
