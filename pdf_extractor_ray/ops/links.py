@@ -4099,3 +4099,134 @@ def diameter_bound(
     return pd.DataFrame(
         {"start": [start], "ecc_start": [int(ecc1)],
          "far_node": [far], "diameter_lb": [int(ecc2)]})
+
+
+def attack_robustness(
+    edges_ds,
+    pcts: tuple = (0, 10, 30),
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+):
+    """Targeted-attack robustness census (Albert-Jeong-Barabási 2000):
+    remove the top p% highest-degree hosts (degree DESC, host ASC
+    tiebreak) and measure the giant connected component of what
+    remains — scale-free web graphs survive random failure but
+    collapse under targeted hub removal; the census quantifies how
+    hub-dependent a crawl frontier is.
+
+    Shape: symmetric-closure dedup groupby once; ONE degree groupby +
+    ONE (degree desc, host) sort of the nodes-sized degree table,
+    reused across fractions via ``limit(k)``; per fraction the removal
+    set drops incident edges through two anti semi-lookups
+    (:func:`..ops.segments.attach_lookup`) and components come from
+    :func:`..ops.dedup.connected_components` (bounded driver
+    union-find under its cap, distributed min-label rounds above).
+    Returns a pandas DataFrame ``(pct_removed, n_nodes, n_removed,
+    giant_size, giant_milli)`` with ``giant_milli = 1000·giant //
+    surviving nodes``.
+    """
+    import pandas as pd
+
+    from .dedup import connected_components
+    from .segments import attach_lookup
+
+    SEP = "\x1f"
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[src_col].to_pylist(), dtype=object).astype(str)
+        v = np.asarray(batch[dst_col].to_pylist(), dtype=object).astype(str)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        a = np.concatenate([u, v])
+        b = np.concatenate([v, u])
+        keys = np.unique(np.char.add(np.char.add(a, SEP), b))
+        return pa.Table.from_arrays(
+            [pa.array(keys.astype(object), pa.string()),
+             pa.array(np.ones(len(keys), np.int64))],
+            names=["k", "one"],
+        )
+
+    closure = (
+        edges_ds.map_batches(sym, batch_format="pyarrow")
+        .groupby("k")
+        .sum("one")
+        .map_batches(
+            lambda t: (lambda parts: pa.Table.from_arrays(
+                [pa.array(parts[:, 0].astype(object), pa.string()),
+                 pa.array(parts[:, 2].astype(object), pa.string())],
+                names=["src", "dst"]))(
+                np.char.partition(
+                    np.asarray(t["k"].to_pylist(),
+                               dtype=object).astype(str), SEP)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    degrees = (
+        closure.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["src"].combine_chunks(),
+                 pa.array(np.ones(t.num_rows, np.int64))],
+                names=["node", "d"]),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .sum("d")
+        .map_batches(lambda t: t.rename_columns(["node", "d"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    n_nodes = degrees.count()
+    if n_nodes == 0:
+        return pd.DataFrame(
+            {"pct_removed": [], "n_nodes": [], "n_removed": [],
+             "giant_size": [], "giant_milli": []})
+    ranked = degrees.sort(["d", "node"], descending=[True, False]
+                          ).materialize()
+
+    rows = []
+    for pct in pcts:
+        k = (n_nodes * int(pct)) // 100
+        n_rem = n_nodes - k
+        if k == 0:
+            kept = closure
+        else:
+            removal = ranked.limit(k).select_columns(["node"])
+            e1 = attach_lookup(
+                closure.map_batches(
+                    lambda t: t.rename_columns(["node", "dst"]),
+                    batch_format="pyarrow"),
+                removal, key_col="node", val_cols=[], carry_cols=["dst"],
+                anti=True,
+            )
+            kept = attach_lookup(
+                e1.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["dst"].combine_chunks(),
+                         t["node"].combine_chunks()],
+                        names=["node", "src"]),
+                    batch_format="pyarrow"),
+                removal, key_col="node", val_cols=[], carry_cols=["src"],
+                anti=True,
+            ).map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t["src"].combine_chunks(),
+                     t["node"].combine_chunks()],
+                    names=["src", "dst"]),
+                batch_format="pyarrow",
+            )
+        pairs = kept.map_batches(
+            lambda t: t.rename_columns(["id_a", "id_b"]),
+            batch_format="pyarrow",
+        )
+        labels = connected_components(pairs)
+        if len(labels):
+            giant = int(labels.groupby("label").size().max())
+        else:
+            giant = 1 if n_rem > 0 else 0
+        rows.append((int(pct), int(n_nodes), int(k), giant,
+                     (1000 * giant) // n_rem if n_rem else 0))
+    return pd.DataFrame(
+        rows, columns=["pct_removed", "n_nodes", "n_removed",
+                       "giant_size", "giant_milli"])

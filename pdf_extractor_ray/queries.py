@@ -11161,3 +11161,43 @@ UNION ALL SELECT CAST(3 AS BIGINT), CAST(vec_id AS BIGINT),
 ORDER BY sel_order
 """
 )
+
+
+def q_attack_robustness(sf_dir: str) -> pd.DataFrame:
+    """Targeted-attack robustness census
+    (:func:`ops.links.attack_robustness`): hub h with 10 spokes plus a
+    6-node chain hanging off the hub. Removing the top 10% (the hub)
+    collapses the giant component 17 → 6; at 30% the chain's head
+    nodes go too (degree-2, host-asc tiebreak) leaving the c4–c5 pair.
+    Closed-form oracle."""
+    from .ops.links import attack_robustness
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in batch["doc_id"].to_pylist():
+            src += ["h", f"c{int(i) % 5}", "h"]
+            dst += [f"s{int(i) % 10}", f"c{int(i) % 5 + 1}", "c0"]
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string())],
+            names=["src_host", "dst_host"],
+        )
+
+    return attack_robustness(
+        ds.map_batches(edges, batch_format="pyarrow"), pcts=(0, 10, 30))
+
+
+QUERIES["attack_robustness"] = q_attack_robustness
+ORACLE_SQL["attack_robustness"] = """
+WITH rows_(pct_removed, n_nodes, n_removed, giant_size, giant_milli)
+  AS (VALUES (0, 17, 0, 17, 1000),
+             (10, 17, 1, 6, 375),
+             (30, 17, 5, 2, 166))
+SELECT CAST(pct_removed AS BIGINT) AS pct_removed,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(giant_size AS BIGINT) AS giant_size,
+       CAST(giant_milli AS BIGINT) AS giant_milli
+FROM rows_ ORDER BY pct_removed
+"""

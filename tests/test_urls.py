@@ -1726,3 +1726,70 @@ class TestDiameterBound:
             rd.from_items([{"src_host": u, "dst_host": v}
                            for u, v in pairs]))
         assert int(df.diameter_lb[0]) == 6
+
+
+class TestAttackRobustness:
+    """ops/links.py attack_robustness: brute parity (degrees, top-k
+    removal, giant component) on random graphs; hub collapse."""
+
+    def _brute(self, pairs, pcts):
+        adj = {}
+        for u, v in pairs:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        nodes = sorted(adj)
+        n = len(nodes)
+        by_rank = sorted(nodes, key=lambda x: (-len(adj[x]), x))
+        out = []
+        for pct in pcts:
+            k = (n * pct) // 100
+            gone = set(by_rank[:k])
+            seen, giant = set(), 0
+            for s in nodes:
+                if s in gone or s in seen:
+                    continue
+                comp, stack = 0, [s]
+                seen.add(s)
+                while stack:
+                    x = stack.pop()
+                    comp += 1
+                    for y in adj[x]:
+                        if y not in gone and y not in seen:
+                            seen.add(y)
+                            stack.append(y)
+                giant = max(giant, comp)
+            nr = n - k
+            out.append((pct, n, k, giant, (1000 * giant) // nr if nr else 0))
+        return out
+
+    def test_random_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import attack_robustness
+
+        rng = np.random.Generator(np.random.Philox(23))
+        pairs = [
+            (f"n{int(rng.integers(0, 12))}", f"n{int(rng.integers(0, 12))}")
+            for _ in range(20)
+        ]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs]
+        ).repartition(3)
+        df = attack_robustness(ds, pcts=(0, 20, 50))
+        got = [tuple(int(x) for x in r)
+               for r in df.itertuples(index=False)]
+        assert got == self._brute(pairs, (0, 20, 50))
+
+    def test_hub_collapse(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import attack_robustness
+
+        pairs = [("h", f"s{i}") for i in range(9)]
+        df = attack_robustness(
+            rd.from_items([{"src_host": u, "dst_host": v}
+                           for u, v in pairs]),
+            pcts=(0, 10))
+        assert list(df.giant_size) == [10, 1]
