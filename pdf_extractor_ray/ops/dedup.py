@@ -2264,3 +2264,180 @@ def sorted_neighborhood_pairs(
     return sorted_segment_apply(
         rows, key_col="g", block_fn=pair_block, within_cols=["rank"]
     )
+
+
+def lsh_eval_perms(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Permutation constants for :func:`minhash_lsh_recall`, derived with
+    the SQL-replayable splitmix64 finalizer instead of the Philox stream
+    `_perm_params` uses — the eval's oracle inlines these exact values."""
+    from .text import splitmix64_np
+
+    base = np.uint64((int(seed) * _MIX) % (1 << 64))
+    idx = np.arange(n_perm, dtype=np.uint64)
+    a = splitmix64_np(base + np.uint64(2) * idx + np.uint64(1))
+    b = splitmix64_np(base + np.uint64(2) * idx + np.uint64(2))
+    return a | np.uint64(1), b  # odd multipliers
+
+
+def minhash_lsh_recall(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+    seed: int = 7,
+    pair_cap: int = 1 << 20,
+):
+    """Candidate-recall / precision eval of the MinHash-LSH bucket stage
+    against the EXACT shingle-Jaccard ground truth — the operator-quality
+    harness answering "what does an (n_perm, bands) configuration
+    actually catch?" before a corpus-scale dedup run (sibling of the
+    int8 eval :func:`..embed.quantization_recall`).
+
+    Truth arm: the deterministic AllPairs/PPJoin prefix filter (every
+    pair with exact hashed-shingle Jaccard ≥ threshold is guaranteed to
+    surface — :func:`ngram_jaccard_dedup`'s machinery with char
+    shingles) verified by :func:`_verify_pairs_semijoin`. LSH arm: the
+    production signature → band → `_sorted_bucket_pairs` chain, but
+    with splitmix64-derived permutation constants
+    (:func:`lsh_eval_perms`) so the ENTIRE chain — FNV shingles,
+    wrap-around ``(a·h + b) mod 2^61−1`` minhash, FNV band fold, salt
+    XOR, bucket pairs — replays in HUGEINT SQL. Both pair sets dedupe
+    through a two-key groupby (candidate-minority-sized) and intersect
+    via one semi-join lookup. Returns one row
+    ``(n_true, n_candidates, n_hit, recall_milli, precision_milli)``.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from .segments import attach_lookup
+
+    a, b = lsh_eval_perms(n_perm, seed)
+    rows_per_band = n_perm // bands
+    band_salt = (
+        (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(_MIX)
+    )[None, :]
+
+    def lsh_signatures(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[id_col].combine_chunks()
+        texts = batch[text_col].to_pylist()
+        sigs = minhash_signatures_batch(texts, n_perm, a, b, shingle_k)
+        bh = _band_hashes(sigs, bands, rows_per_band)
+        bkey = bh ^ band_salt
+        rep = ids.take(pa.array(np.repeat(np.arange(n), bands)))
+        return pa.Table.from_arrays(
+            [rep, pa.array(bkey.ravel())], names=[id_col, "bkey"]
+        )
+
+    lsh_pairs = _sorted_bucket_pairs(
+        ds.map_batches(lsh_signatures, batch_format="pyarrow"),
+        lambda t: (t["bkey"].to_numpy(),
+                   t[id_col].to_numpy(zero_copy_only=False), {}),
+        lambda ids, extras: _bucket_pairs_arrays(ids, pair_cap),
+        id_col,
+    )
+
+    grams = lambda t: _char_shingles(t, shingle_k)  # noqa: E731
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        texts = batch[text_col].to_pylist()
+        rep_idx: list = []
+        key_chunks: list = []
+        size_chunks: list = []
+        for i, t in enumerate(texts):
+            g = grams(t)
+            length = len(g)
+            if length == 0:
+                continue
+            p = length - math.ceil(threshold * length - 1e-9) + 1
+            rep_idx.extend([i] * p)
+            key_chunks.append(g[:p])
+            size_chunks.append(np.full(p, length, dtype=np.int32))
+        if not rep_idx:
+            return pa.Table.from_arrays(
+                [pa.array([], batch.schema.field(id_col).type),
+                 pa.array([], pa.uint64()), pa.array([], pa.int32())],
+                names=[id_col, "bkey", "L"],
+            )
+        return pa.Table.from_arrays(
+            [ids.take(pa.array(rep_idx)),
+             pa.array(np.concatenate(key_chunks)),
+             pa.array(np.concatenate(size_chunks))],
+            names=[id_col, "bkey", "L"],
+        )
+
+    def allpairs_kernel(ids, extras):
+        sizes = extras["L"]
+        order = np.argsort(ids, kind="stable")
+        ids, sizes = ids[order], sizes[order]
+        m = len(ids)
+        if m < 2:
+            return ids[:0], ids[:0]
+        ia, ib = np.triu_indices(m, 1)
+        la = sizes[ia].astype(np.float64)
+        lb = sizes[ib].astype(np.float64)
+        keep = np.minimum(la, lb) >= threshold * np.maximum(la, lb) - 1e-9
+        return ids[ia[keep]], ids[ib[keep]]
+
+    truth_cand = _sorted_bucket_pairs(
+        ds.map_batches(prefix_rows, batch_format="pyarrow"),
+        lambda t: (t["bkey"].to_numpy(),
+                   t[id_col].to_numpy(zero_copy_only=False),
+                   {"L": t["L"].to_numpy()}),
+        allpairs_kernel,
+        id_col,
+    )
+    truth_cand = truth_cand.materialize()
+    # An all-empty candidate set leaves downstream lazy maps without an
+    # inferable schema (attach_lookup needs one); zero candidates means
+    # zero true pairs, so short-circuit.
+    truth_pairs = (
+        _verify_pairs_semijoin(
+            ds, truth_cand, text_col, id_col, threshold, grams)
+        if truth_cand.count() else None
+    )
+
+    def canon_distinct(pairs_ds):
+        def canon(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string())], names=["pk"])
+            lo = pc.min_element_wise(t["id_a"], t["id_b"])
+            hi = pc.max_element_wise(t["id_a"], t["id_b"])
+            pk = pc.binary_join_element_wise(
+                pc.cast(lo, pa.string()), pc.cast(hi, pa.string()), "|")
+            return pa.Table.from_arrays([pk], names=["pk"])
+
+        return (
+            pairs_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby("pk")
+            .count()
+            .select_columns(["pk"])
+            .materialize()
+        )
+
+    lsh_d = canon_distinct(lsh_pairs)
+    n_cand = lsh_d.count()
+    if truth_pairs is None:
+        n_true = n_hit = 0
+    else:
+        truth_d = canon_distinct(truth_pairs)
+        n_true = truth_d.count()
+        if n_true == 0 or n_cand == 0:
+            n_hit = 0
+        else:
+            n_hit = attach_lookup(
+                truth_d, lsh_d, key_col="pk", val_cols=[], carry_cols=[]
+            ).count()
+    return pd.DataFrame({
+        "n_true": [int(n_true)],
+        "n_candidates": [int(n_cand)],
+        "n_hit": [int(n_hit)],
+        "recall_milli": [(1000 * n_hit) // n_true if n_true else 0],
+        "precision_milli": [(1000 * n_hit) // n_cand if n_cand else 0],
+    })

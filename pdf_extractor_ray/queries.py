@@ -11201,3 +11201,135 @@ SELECT CAST(pct_removed AS BIGINT) AS pct_removed,
        CAST(giant_milli AS BIGINT) AS giant_milli
 FROM rows_ ORDER BY pct_removed
 """
+
+
+def q_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidate recall/precision eval
+    (:func:`ops.dedup.minhash_lsh_recall`, n_perm=8 / bands=4 /
+    t=0.7) over documents ∪ perturbed copies — the full signature →
+    band → bucket chain replayed in HUGEINT SQL against the exact
+    hashed-shingle Jaccard ground truth (splitmix64-derived perm
+    constants inlined into the oracle)."""
+    from .ops.dedup import minhash_lsh_recall
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = [i for i in batch["doc_id"].to_pylist() if i % 5 == 0]
+        texts = [
+            " ".join(t.split()[:-1])
+            for i, t in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist())
+            if i % 5 == 0
+        ]
+        return pa.Table.from_arrays(
+            [pa.array([i + 100_000 for i in ids], pa.int64()),
+             pa.array(texts, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    return minhash_lsh_recall(both, n_perm=8, bands=4, threshold=0.7)
+
+
+QUERIES["lsh_recall"] = q_lsh_recall
+
+
+def _lsh_recall_oracle() -> str:
+    from .ops.dedup import _MIX, lsh_eval_perms
+
+    a, b = lsh_eval_perms(8, 7)
+    perm_vals = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(8))
+    salt_vals = ", ".join(
+        f"({bi}, {int(((bi + 1) * _MIX) % (1 << 64))})" for bi in range(4))
+    FNV = ("(CAST(xor(CAST(acc AS UBIGINT), CAST({x} AS UBIGINT)) AS HUGEINT)"
+           " * 1099511628211) % 18446744073709551616")
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, lower(text) AS t FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           lower(array_to_string(list_slice(regexp_extract_all(text, '\\S+'),
+                 1, len(regexp_extract_all(text, '\\S+')) - 1), ' '))
+    FROM documents WHERE doc_id % 5 = 0
+),
+win AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, length(t) - 3),
+                  i -> substring(t, i, 5)))) AS g
+    FROM corpus
+),
+hh AS (
+    SELECT DISTINCT doc_id,
+        CAST(list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                list_transform(range(1, length(g) + 1),
+                    i -> CAST(unicode(substring(g, i, 1)) AS HUGEINT))),
+            (acc, c) -> {FNV.format(x='c')}) AS UBIGINT) AS h
+    FROM win
+),
+perm(i, a, b) AS (VALUES {perm_vals}),
+salt(bi, s) AS (VALUES {salt_vals}),
+mh AS (
+    -- (a*h) mod 2^64 via 32-bit limb split: a = hi*2^32 + lo keeps every
+    -- intermediate under 2^97, inside INT128 range
+    SELECT doc_id, p.i,
+           min(CAST((((CAST(p.a AS HUGEINT) % 4294967296)
+                          * CAST(h AS HUGEINT)
+                      + ((CAST(p.a AS HUGEINT) // 4294967296)
+                             * CAST(h AS HUGEINT) % 4294967296)
+                          * 4294967296)
+                     % 18446744073709551616 + p.b)
+                    % 18446744073709551616
+                    % 2305843009213693951 AS UBIGINT)) AS v
+    FROM hh CROSS JOIN perm p GROUP BY doc_id, p.i
+),
+band AS (
+    SELECT doc_id, i // 2 AS bi, list(v ORDER BY i) AS vs
+    FROM mh GROUP BY doc_id, i // 2
+),
+bh AS (
+    SELECT doc_id, bi,
+        CAST(list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                list_transform(vs, x -> CAST(x AS HUGEINT))),
+            (acc, c) -> {FNV.format(x='c')}) AS UBIGINT) AS f
+    FROM band
+),
+bk AS (SELECT doc_id, xor(bh.f, CAST(s.s AS UBIGINT)) AS k
+       FROM bh JOIN salt s ON s.bi = bh.bi),
+cpairs AS (
+    SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+    FROM bk x JOIN bk y ON x.k = y.k AND x.doc_id < y.doc_id
+),
+lens AS (SELECT doc_id, count(*) AS l FROM hh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i
+    FROM hh x JOIN hh y ON x.h = y.h AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT ia, ib FROM inter
+    JOIN lens la ON la.doc_id = ia
+    JOIN lens lb ON lb.doc_id = ib
+    WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.7
+),
+hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cpairs),
+agg AS (
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cpairs) AS n_candidates,
+           (SELECT count(*) FROM hit) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_true > 0 THEN (1000 * n_hit) // n_true
+                 ELSE 0 END AS BIGINT) AS recall_milli,
+       CAST(CASE WHEN n_candidates > 0 THEN (1000 * n_hit) // n_candidates
+                 ELSE 0 END AS BIGINT) AS precision_milli
+FROM agg
+"""
+
+
+ORACLE_SQL["lsh_recall"] = _lsh_recall_oracle()

@@ -1748,3 +1748,49 @@ class TestHardNegatives:
                  for i in range(5)]
         with _pytest.raises(RuntimeError, match="ref_broadcast_cap"):
             hard_negatives(rd.from_items(items), ref_broadcast_cap=2)
+
+
+class TestLshRecall:
+    """ops/dedup.py minhash_lsh_recall: planted dup caught, disjoint
+    corpus empty, layout invariance."""
+
+    def test_planted_and_layouts(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import minhash_lsh_recall
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base + " again"},       # near-dup of 0
+            {"doc_id": 2, "text": "completely different words here "
+                                  "about databases and query engines"},
+            {"doc_id": 3, "text": "unrelated third text on graph "
+                                  "algorithms and sorted exchanges"},
+        ]
+        prev = None
+        for parts in (1, 3):
+            df = minhash_lsh_recall(
+                rd.from_items(rows).repartition(parts),
+                n_perm=8, bands=4, threshold=0.7)
+            row = tuple(int(x) for x in df.iloc[0])
+            assert row[0] == 1            # one true pair (0,1)
+            assert row[2] <= row[1]       # hits <= candidates
+            assert row[3] in (0, 1000)    # recall over a single pair
+            if prev is not None:
+                assert row == prev        # layout invariant
+            prev = row
+
+    def test_disjoint_zero(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.dedup import minhash_lsh_recall
+
+        rows = [
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 1, "text": "one two three four five six seven"},
+        ]
+        df = minhash_lsh_recall(rd.from_items(rows),
+                                n_perm=8, bands=4, threshold=0.7)
+        assert int(df.n_true[0]) == 0 and int(df.recall_milli[0]) == 0
