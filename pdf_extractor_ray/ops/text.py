@@ -2493,3 +2493,44 @@ def char_entropy_batch(
         [ids, pa.array(lens), pa.array(micro)],
         names=[id_col, "n_chars", "entropy_micro"],
     )
+
+
+def grouped_split(
+    ds,
+    group_col: str,
+    cuts: list | None = None,
+    last: str = "test",
+):
+    """Leakage-controlled train/val/test assignment: every row of a
+    GROUP (a registered domain, a source site, a dedup cluster) lands
+    in the same split, so near-duplicate pages within a domain can
+    never straddle train and validation — the contamination mode a
+    per-row split (:func:`dataset_split`) cannot prevent.
+
+    The split key is ``splitmix64(FNV-1a(group))`` against the same
+    exact integer rational thresholds as :func:`dataset_split`; both
+    hashes are SQL-replayable, per-row, streaming, and identical at
+    every parallelism level. Adds a ``split`` column.
+    """
+    if cuts is None:
+        cuts = [("train", 4, 5), ("val", 9, 10)]
+    names = [c[0] for c in cuts] + [last]
+    thr = np.array([(c[1] << 64) // c[2] for c in cuts], dtype=np.uint64)
+    if list(thr) != sorted(thr):
+        raise ValueError("grouped_split: cuts must be cumulative increasing")
+    names_arr = np.array(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch[group_col].to_pylist()
+        fnv = np.array(
+            [_fnv1a((k or "").encode("utf-8", errors="ignore"))
+             for k in keys],
+            dtype=np.uint64,
+        )
+        hv = splitmix64_np(fnv)
+        idx = np.searchsorted(thr, hv, side="right")
+        return batch.append_column(
+            "split", pa.array(names_arr[idx].astype(object), pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -11333,3 +11333,37 @@ FROM agg
 
 
 ORACLE_SQL["lsh_recall"] = _lsh_recall_oracle()
+
+
+def q_grouped_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-controlled train/val/test split
+    (:func:`ops.text.grouped_split`): every document of a source group
+    lands in the same split via splitmix64(FNV-1a(source)) against
+    exact rational thresholds — near-dups within a group can never
+    straddle train and val. Bit-exact SQL replay of both hashes."""
+    from .ops.text import grouped_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = grouped_split(ds, group_col="source")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["grouped_split"] = q_grouped_split
+ORACLE_SQL["grouped_split"] = _splitmix_sql(
+    """(SELECT doc_id, source,
+        CAST(list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                list_transform(range(1, length(source) + 1),
+                    i -> CAST(unicode(substring(source, i, 1)) AS HUGEINT))),
+            (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT))
+                         AS HUGEINT) * 1099511628211)
+                        % 18446744073709551616) AS UBIGINT) AS fk
+        FROM documents) f""",
+    "fk", 0, "doc_id, source",
+) + """
+SELECT doc_id, source,
+       CASE WHEN hv < CAST(14757395258967641292 AS UBIGINT) THEN 'train'
+            WHEN hv < CAST(16602069666338596454 AS UBIGINT) THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""

@@ -500,3 +500,41 @@ class TestCharEntropy:
             s = sum(c * math.log2(c) for c in Counter(t).values())
             want = round((math.log2(n) - s / n) * 1e6)
             assert out[i] == want, i
+
+
+class TestGroupedSplit:
+    """ops/text.py grouped_split: group cohesion, threshold math,
+    layout invariance."""
+
+    def test_cohesion_and_layouts(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import grouped_split
+
+        rows = [{"doc_id": i, "dom": f"d{i % 7}.com"} for i in range(50)]
+        prev = None
+        for parts in (1, 5):
+            ds = rd.from_items(rows).repartition(parts)
+            df = grouped_split(ds, group_col="dom").to_pandas()
+            by_dom = df.groupby("dom")["split"].nunique()
+            assert (by_dom == 1).all()        # one split per group
+            got = dict(zip(df.doc_id, df.split))
+            if prev is not None:
+                assert got == prev            # layout invariant
+            prev = got
+
+    def test_matches_reference_hash(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.text import (
+            _fnv1a, grouped_split, splitmix64_np,
+        )
+        import numpy as np
+
+        rows = [{"doc_id": 0, "dom": "example.com"}]
+        df = grouped_split(rd.from_items(rows), group_col="dom").to_pandas()
+        hv = splitmix64_np(
+            np.array([_fnv1a(b"example.com")], dtype=np.uint64))[0]
+        want = ("train" if hv < (4 << 64) // 5
+                else "val" if hv < (9 << 64) // 10 else "test")
+        assert df.split[0] == want
