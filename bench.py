@@ -71,7 +71,8 @@ def ensure_corpus(sf_dir: str, n_pages: int, num_cpus: int) -> str:
     return corpus_dir
 
 
-def run_headline(corpus_dir: str, out_dir: str, num_cpus: int = 32):
+def run_headline(corpus_dir: str, out_dir: str, num_cpus: int = 32,
+                 stats_path: str | None = None):
     import ray.data as rd
 
     from pdf_extractor_ray.pipelines.extract import extraction_pipeline
@@ -83,6 +84,9 @@ def run_headline(corpus_dir: str, out_dir: str, num_cpus: int = 32):
     ds = rd.read_parquet(corpus_dir, override_num_blocks=num_cpus * 8)
     result = extraction_pipeline(ds)
     result.write_parquet(out_dir)
+    if stats_path:
+        with open(stats_path, "w") as fh:
+            fh.write(result.stats())
 
 
 def corpus_stats(corpus_dir: str) -> tuple[int, int]:
@@ -166,7 +170,8 @@ def main() -> None:
     log(f"headline: {rows} pages, {in_bytes/1e6:.0f} MB parquet, num_cpus={num_cpus}")
     s0 = steal_ticks()
     t0 = time.time()
-    run_headline(corpus_dir, "/tmp/graft_bench/out", num_cpus)
+    run_headline(corpus_dir, "/tmp/graft_bench/out", num_cpus,
+                 stats_path=os.environ.get("GRAFT_STATS_PATH"))
     headline_sec = time.time() - t0
     headline_steal = steal_pct(steal_ticks() - s0, headline_sec)
 
