@@ -4230,3 +4230,59 @@ def attack_robustness(
     return pd.DataFrame(
         rows, columns=["pct_removed", "n_nodes", "n_removed",
                        "giant_size", "giant_milli"])
+
+
+def bowtie_census(
+    edges_ds,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_rounds: int = 32,
+):
+    """Broder et al.'s bow-tie census of the directed host graph: the
+    giant strongly connected component is the CORE; IN = nodes that
+    reach the CORE but aren't in it; OUT = nodes the CORE reaches;
+    OTHER = tendrils/tubes/disconnected. The 2000 web census made this
+    the canonical large-scale picture of the web — the census tells a
+    crawler operator how much of the frontier is upstream (IN feeds
+    discovery) vs downstream (OUT is reachable anyway).
+
+    Shape: :func:`strongly_connected_components` labels SCCs (its dual
+    regime, driver-frame contract); the giant SCC's members seed one
+    forward and one reversed :func:`bfs_depth` (per round one
+    sorted-lookup gather + one groupby-min); category counts reduce
+    from the reachable-set frames. Ties for the giant SCC break by
+    lexicographically smallest label. Returns one row ``(n_nodes,
+    n_core, n_in, n_out, n_other, core_milli)``.
+    """
+    import pandas as pd
+
+    scc_df = strongly_connected_components(
+        edges_ds, src_col=src_col, dst_col=dst_col)
+    if not len(scc_df):
+        return pd.DataFrame(
+            {"n_nodes": [0], "n_core": [0], "n_in": [0], "n_out": [0],
+             "n_other": [0], "core_milli": [0]})
+    sizes = scc_df.groupby("scc").size()
+    top = sizes.max()
+    core_label = min(sizes[sizes == top].index)
+    core = set(scc_df.node[scc_df.scc == core_label])
+    n_nodes = len(scc_df)
+
+    seeds = sorted(core)
+    fwd = bfs_depth(edges_ds, seeds=seeds, max_rounds=max_rounds,
+                    src_col=src_col, dst_col=dst_col)
+    rev = bfs_depth(edges_ds, seeds=seeds, max_rounds=max_rounds,
+                    src_col=dst_col, dst_col=src_col)
+    reach_out = {r["node"] for b in fwd.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist()}
+    reach_in = {r["node"] for b in rev.iter_batches(batch_format="pyarrow")
+                for r in b.to_pylist()}
+    n_core = len(core)
+    n_out = len(reach_out - core)
+    n_in = len(reach_in - core)
+    n_other = n_nodes - n_core - n_out - n_in
+    return pd.DataFrame({
+        "n_nodes": [n_nodes], "n_core": [n_core], "n_in": [n_in],
+        "n_out": [n_out], "n_other": [n_other],
+        "core_milli": [(1000 * n_core) // n_nodes],
+    })

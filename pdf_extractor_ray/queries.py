@@ -11367,3 +11367,50 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM h ORDER BY doc_id
 """
+
+
+def q_bowtie(sf_dir: str) -> pd.DataFrame:
+    """Bow-tie census (:func:`ops.links.bowtie_census`) on a planted
+    Broder graph: a 12-cycle CORE, a 6-cycle IN ring bridged one-way
+    into the core, 6 OUT tendrils, and a disconnected pair (OTHER).
+    Closed-form oracle: (26, 12, 6, 6, 2, 461)."""
+    from .ops.links import bowtie_census
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in batch["doc_id"].to_pylist():
+            v = int(i) % 30
+            if v < 12:
+                src.append(f"c{v:02d}")
+                dst.append(f"c{(v + 1) % 12:02d}")
+            elif v < 18:
+                k = v - 12
+                src += [f"b{k}", f"b{k}"]
+                dst += [f"b{(k + 1) % 6}", f"c{k:02d}"]
+            elif v < 24:
+                k = v - 18
+                src.append(f"c{k:02d}")
+                dst.append(f"t{k}")
+            elif v < 26:
+                src.append("d0")
+                dst.append("d1")
+            else:
+                k = v - 26
+                src.append(f"c{k:02d}")
+                dst.append(f"c{(k + 1) % 12:02d}")
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string())],
+            names=["src_host", "dst_host"],
+        )
+
+    return bowtie_census(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+QUERIES["bowtie"] = q_bowtie
+ORACLE_SQL["bowtie"] = """
+SELECT CAST(26 AS BIGINT) AS n_nodes, CAST(12 AS BIGINT) AS n_core,
+       CAST(6 AS BIGINT) AS n_in, CAST(6 AS BIGINT) AS n_out,
+       CAST(2 AS BIGINT) AS n_other, CAST(461 AS BIGINT) AS core_milli
+"""

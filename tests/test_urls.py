@@ -1793,3 +1793,64 @@ class TestAttackRobustness:
                            for u, v in pairs]),
             pcts=(0, 10))
         assert list(df.giant_size) == [10, 1]
+
+
+class TestBowtieCensus:
+    """ops/links.py bowtie_census: brute category parity; tie goes to
+    the lexicographically smallest giant SCC."""
+
+    def _brute(self, pairs):
+        adj, radj = {}, {}
+        nodes = set()
+        for u, v in pairs:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            radj.setdefault(v, set()).add(u)
+            nodes |= {u, v}
+
+        def reach(seeds, graph):
+            seen = set(seeds)
+            stack = list(seeds)
+            while stack:
+                x = stack.pop()
+                for y in graph.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            return seen
+
+        # SCC label per node = min of mutual-reach set
+        scc = {}
+        for v in nodes:
+            fwd = reach([v], adj)
+            bwd = reach([v], radj)
+            scc[v] = min(fwd & bwd)
+        from collections import Counter
+        sizes = Counter(scc.values())
+        top = max(sizes.values())
+        core_label = min(l for l, s in sizes.items() if s == top)
+        core = {v for v, l in scc.items() if l == core_label}
+        out = reach(core, adj) - core
+        inn = reach(core, radj) - core
+        n = len(nodes)
+        return (n, len(core), len(inn), len(out),
+                n - len(core) - len(inn) - len(out),
+                (1000 * len(core)) // n)
+
+    def test_random_parity(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import bowtie_census
+
+        rng = np.random.Generator(np.random.Philox(29))
+        pairs = [
+            (f"n{int(rng.integers(0, 10))}", f"n{int(rng.integers(0, 10))}")
+            for _ in range(16)
+        ]
+        ds = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs]
+        ).repartition(3)
+        df = bowtie_census(ds)
+        got = tuple(int(x) for x in df.iloc[0])
+        assert got == self._brute(pairs)
