@@ -11414,3 +11414,78 @@ SELECT CAST(26 AS BIGINT) AS n_nodes, CAST(12 AS BIGINT) AS n_core,
        CAST(6 AS BIGINT) AS n_in, CAST(6 AS BIGINT) AS n_out,
        CAST(2 AS BIGINT) AS n_other, CAST(461 AS BIGINT) AS core_milli
 """
+
+
+def q_community_modularity(sf_dir: str) -> pd.DataFrame:
+    """Newman modularity of the 2-round label-propagation partition over
+    the synthesized host link graph (:func:`ops.links.modularity` on
+    Q ``communities``' own output) — exact rational
+    ``(4m·intra − Σd_c²)/(4m²)`` in magnitude-truncating milli-units,
+    degree moment carried as a string (it outgrows int64 at corpus
+    scale). The oracle replays both LP rounds AND the modularity math
+    in HUGEINT."""
+    from .ops.links import label_propagation, link_graph, modularity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    edges = link_graph(pages).materialize()
+    labels = label_propagation(edges, num_iters=2)
+    return modularity(edges, labels)
+
+
+QUERIES["community_modularity"] = q_community_modularity
+ORACLE_SQL["community_modularity"] = """
+WITH base AS (SELECT doc_id AS i FROM documents),
+rel AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS dst
+    FROM base),
+ext AS (
+    SELECT 'site' || CAST(i % 20 AS VARCHAR) || '.example.com' AS src,
+           'site' || CAST((i * 7 + j) % 20 AS VARCHAR)
+               || '.example.com' AS dst
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+edges_all AS (SELECT * FROM rel UNION ALL SELECT * FROM ext),
+edges AS (SELECT src, dst, count(*) AS w FROM edges_all GROUP BY 1, 2),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+adj AS (SELECT src AS u, dst AS v, w FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS u, src AS v, w FROM edges WHERE src <> dst),
+l0 AS (SELECT host AS node, host AS lab FROM nodes),
+v1 AS (SELECT a.u AS node, p.lab AS lab, CAST(a.w AS BIGINT) AS s
+       FROM adj a JOIN l0 p ON p.node = a.v
+       UNION ALL SELECT node, lab, 0 FROM l0),
+s1 AS (SELECT node, lab, sum(s) AS s FROM v1 GROUP BY 1, 2),
+l1 AS (SELECT node, lab FROM s1
+       QUALIFY row_number()
+           OVER (PARTITION BY node ORDER BY s DESC, lab) = 1),
+v2 AS (SELECT a.u AS node, p.lab AS lab, CAST(a.w AS BIGINT) AS s
+       FROM adj a JOIN l1 p ON p.node = a.v
+       UNION ALL SELECT node, lab, 0 FROM l1),
+s2_ AS (SELECT node, lab, sum(s) AS s FROM v2 GROUP BY 1, 2),
+l2 AS (SELECT node, lab FROM s2_
+       QUALIFY row_number()
+           OVER (PARTITION BY node ORDER BY s DESC, lab) = 1),
+can AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM edges WHERE src <> dst),
+mm AS (SELECT count(*) AS m FROM can),
+ii AS (SELECT count(*) AS c FROM can
+       JOIN l2 a ON a.node = can.lo JOIN l2 b ON b.node = can.hi
+       WHERE a.lab = b.lab),
+dg AS (SELECT node, count(*) AS d FROM
+        (SELECT lo AS node FROM can UNION ALL SELECT hi FROM can)
+       GROUP BY node),
+cd AS (SELECT l2.lab, CAST(SUM(d) AS HUGEINT) AS dc
+       FROM dg JOIN l2 ON l2.node = dg.node GROUP BY 1),
+sq AS (SELECT SUM(dc * dc) AS s FROM cd)
+SELECT CAST(mm.m AS BIGINT) AS n_edges,
+       CAST(ii.c AS BIGINT) AS n_intra,
+       CAST(sq.s AS VARCHAR) AS sum_deg_sq_str,
+       CAST(CASE WHEN 4 * CAST(mm.m AS HUGEINT) * ii.c - sq.s >= 0
+            THEN (1000 * (4 * CAST(mm.m AS HUGEINT) * ii.c - sq.s))
+                 // (4 * CAST(mm.m AS HUGEINT) * mm.m)
+            ELSE -((1000 * (sq.s - 4 * CAST(mm.m AS HUGEINT) * ii.c))
+                 // (4 * CAST(mm.m AS HUGEINT) * mm.m))
+            END AS BIGINT) AS q_milli
+FROM mm, ii, sq
+"""

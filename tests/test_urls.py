@@ -1854,3 +1854,62 @@ class TestBowtieCensus:
         df = bowtie_census(ds)
         got = tuple(int(x) for x in df.iloc[0])
         assert got == self._brute(pairs)
+
+
+class TestModularity:
+    """ops/links.py modularity: brute rational parity, perfect-partition
+    extremes."""
+
+    def _brute(self, pairs, labels):
+        edges = set()
+        for u, v in pairs:
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+        m = len(edges)
+        intra = sum(1 for a, b in edges if labels[a] == labels[b])
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        dc = {}
+        for n, d in deg.items():
+            dc[labels[n]] = dc.get(labels[n], 0) + d
+        s2 = sum(d * d for d in dc.values())
+        num = 4 * m * intra - s2
+        den = 4 * m * m
+        q = (1000 * num) // den if num >= 0 else -((1000 * -num) // den)
+        return m, intra, str(s2), q
+
+    def test_two_cliques(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import modularity
+
+        # two triangles + one bridge; labels = the natural split
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+        labels = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+        edges = rd.from_items(
+            [{"src_host": u, "dst_host": v} for u, v in pairs])
+        lab_ds = rd.from_items(
+            [{"host": n, "community": c} for n, c in labels.items()])
+        df = modularity(edges, lab_ds)
+        got = (int(df.n_edges[0]), int(df.n_intra[0]),
+               df.sum_deg_sq_str[0], int(df.q_milli[0]))
+        assert got == self._brute(pairs, labels)
+        assert got[3] > 300  # clear community structure
+
+    def test_single_community_zero_or_negative(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.links import modularity
+
+        pairs = [("a", "b"), ("b", "c")]
+        labels = {"a": "a", "b": "a", "c": "a"}
+        df = modularity(
+            rd.from_items([{"src_host": u, "dst_host": v}
+                           for u, v in pairs]),
+            rd.from_items([{"host": n, "community": c}
+                           for n, c in labels.items()]))
+        # all edges intra but one community: Q = 1 - 1 = 0
+        assert int(df.q_milli[0]) == 0
