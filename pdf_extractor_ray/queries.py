@@ -11489,3 +11489,183 @@ SELECT CAST(mm.m AS BIGINT) AS n_edges,
             END AS BIGINT) AS q_milli
 FROM mm, ii, sq
 """
+
+
+# --- Luby MIS / greedy matching (round 4, this session) -------------------
+# Round-synchronous symmetry breaking over the 20-host link graph with
+# deterministic per-round splitmix64 priorities; the oracle unrolls the
+# rounds as chained CTEs around the shared HUGEINT splitmix chain.
+
+_GRAPH_EDGES_SQL = """
+base AS (SELECT doc_id AS i FROM documents),
+ext AS (
+    SELECT i % 20 AS s, (i * 7 + j) % 20 AS d
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+edges AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+          FROM ext WHERE s <> d),
+gnodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges
+           UNION SELECT DISTINCT v FROM edges)"""
+
+
+def _sm_cte(prefix: str, src: str, key: str, carry: str, out: str) -> str:
+    """splitmix64 finalizer as five chained CTEs (same HUGEINT
+    decomposition as :func:`_splitmix_sql`, but embeddable mid-query
+    with a name prefix): ``{out}`` exposes ``{carry}, hv``."""
+    c = f"{carry}, " if carry else ""
+    p = prefix
+    return f"""
+{p}m1 AS (
+    SELECT {c}CAST((CAST({key} AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS x
+    FROM {src}),
+{p}m1x AS (SELECT {c}xor(x, x >> 30) AS a FROM {p}m1),
+{p}m2 AS (
+    SELECT {c}CAST((CAST(a % 4294967296 AS HUGEINT) * 13787848793156543929
+          + CAST(((a >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296)
+         % 18446744073709551616 AS UBIGINT) AS x
+    FROM {p}m1x),
+{p}m2x AS (SELECT {c}xor(x, x >> 27) AS a FROM {p}m2),
+{p}m3 AS (
+    SELECT {c}CAST((CAST(a % 4294967296 AS HUGEINT) * 10723151780598845931
+          + CAST(((a >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296)
+         % 18446744073709551616 AS UBIGINT) AS x
+    FROM {p}m2x),
+{out} AS MATERIALIZED (SELECT {c}xor(x, x >> 31) AS hv FROM {p}m3)"""
+
+
+def _luby_mis_sql(rounds: int = 8) -> str:
+    parts = ["WITH" + _GRAPH_EDGES_SQL + ","]
+    parts.append(
+        _sm_cte(
+            "p",
+            f"(SELECT node, t.r FROM gnodes, range({rounds}) t(r))",
+            "node + 1000003 * r",
+            "node, r",
+            "pr",
+        )
+        + ","
+    )
+    parts.append("u0 AS MATERIALIZED (SELECT node FROM gnodes), e0 AS MATERIALIZED (SELECT u, v FROM edges)")
+    for r in range(rounds):
+        parts.append(f""",
+b{r} AS MATERIALIZED (SELECT DISTINCT CASE WHEN p1.hv > p2.hv
+                              OR (p1.hv = p2.hv AND e.u > e.v)
+                         THEN e.u ELSE e.v END AS node
+         FROM e{r} e JOIN pr p1 ON p1.node = e.u AND p1.r = {r}
+                     JOIN pr p2 ON p2.node = e.v AND p2.r = {r}),
+w{r} AS MATERIALIZED (SELECT node FROM u{r} WHERE node NOT IN (SELECT node FROM b{r})),
+rm{r} AS MATERIALIZED (SELECT node FROM w{r}
+          UNION SELECT e.v FROM e{r} e JOIN w{r} w ON e.u = w.node
+          UNION SELECT e.u FROM e{r} e JOIN w{r} w ON e.v = w.node),
+u{r + 1} AS MATERIALIZED (SELECT node FROM u{r}
+             WHERE node NOT IN (SELECT node FROM rm{r})),
+e{r + 1} AS MATERIALIZED (SELECT u, v FROM e{r}
+             WHERE u NOT IN (SELECT node FROM rm{r})
+               AND v NOT IN (SELECT node FROM rm{r}))""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT node, {r} AS mis_round FROM w{r}" for r in range(rounds)
+    )
+    parts.append(f"\n{sel}\nORDER BY node")
+    return "".join(parts)
+
+
+def _greedy_matching_sql(rounds: int = 8) -> str:
+    parts = ["WITH" + _GRAPH_EDGES_SQL + ","]
+    parts.append(
+        _sm_cte(
+            "q1",
+            f"(SELECT u, v, t.r FROM edges, range({rounds}) t(r))",
+            "u + 1000003 * r",
+            "u, v, r",
+            "q1h",
+        )
+        + ",\nq1r AS (SELECT u, v, r, hv AS hv1 FROM q1h),"
+    )
+    parts.append(
+        _sm_cte("q2", "q1r", "hv1 + v", "u, v, r", "pe") + ","
+    )
+    parts.append("me0 AS MATERIALIZED (SELECT u, v FROM edges)")
+    for r in range(rounds):
+        parts.append(f""",
+n{r} AS MATERIALIZED (SELECT node, u, v FROM (
+            SELECT e.u AS node, e.u AS u, e.v AS v, p.hv AS hv
+            FROM me{r} e JOIN pe p ON p.u = e.u AND p.v = e.v AND p.r = {r}
+            UNION ALL
+            SELECT e.v, e.u, e.v, p.hv
+            FROM me{r} e JOIN pe p ON p.u = e.u AND p.v = e.v AND p.r = {r})
+         QUALIFY row_number() OVER (PARTITION BY node ORDER BY hv, u, v) = 1),
+m{r} AS MATERIALIZED (SELECT u, v FROM n{r} GROUP BY u, v HAVING count(*) = 2),
+mrm{r} AS MATERIALIZED (SELECT u AS node FROM m{r} UNION SELECT v FROM m{r}),
+me{r + 1} AS MATERIALIZED (SELECT u, v FROM me{r}
+              WHERE u NOT IN (SELECT node FROM mrm{r})
+                AND v NOT IN (SELECT node FROM mrm{r}))""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT u, v, {r} AS match_round FROM m{r}" for r in range(rounds)
+    )
+    parts.append(f"\n{sel}\nORDER BY u, v")
+    return "".join(parts)
+
+
+def _host_int_edges(sf_dir: str):
+    """The Q ``link_graph`` host graph with hosts mapped to their site
+    index (``siteK.example.com`` → K, int64) — the integer node ids the
+    symmetry-breaking primitives operate on."""
+    from .ops.links import link_graph
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    edges = link_graph(pages)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        u = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["src_host"], r"site(?P<k>\d+)\."), "k"
+            ),
+            pa.int64(),
+        )
+        v = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["dst_host"], r"site(?P<k>\d+)\."), "k"
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays([u, v], names=["u", "v"])
+
+    return edges.map_batches(to_int, batch_format="pyarrow")
+
+
+def q_luby_mis(sf_dir: str) -> pd.DataFrame:
+    """Maximal independent set over the synthesized host graph via
+    Luby's algorithm with deterministic per-round splitmix64 node
+    priorities (:func:`ops.mis.luby_mis`): per round every live edge
+    emits its higher-priority-loser locally (zero joins — priorities
+    are hashes of the ids the edge row carries), winners fall out of a
+    sentinel groupby-max, and the removal wave is one semi-join + two
+    anti-joins, all over bare int64 node ids. Fixed hashed rounds make
+    the result bit-exact at any block layout and in SQL (the oracle
+    unrolls 8 rounds as chained CTEs around the shared HUGEINT
+    splitmix64 chain)."""
+    from .ops.mis import luby_mis
+
+    df = luby_mis(_host_int_edges(sf_dir), num_rounds=8).to_pandas()
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def q_greedy_matching(sf_dir: str) -> pd.DataFrame:
+    """Maximal matching over the synthesized host graph via
+    round-synchronous local-minimum edge selection (Israeli & Itai;
+    :func:`ops.mis.greedy_matching`): an edge joins when its two-stage
+    splitmix64 priority is the minimum at BOTH endpoints — one
+    ``sorted_segment_apply`` argmin over two (node, priority) rows per
+    live edge, a both-heads groupby, and the same anti-join removal
+    wave as Q ``luby_mis``. Bit-exact in SQL by unrolling the rounds."""
+    from .ops.mis import greedy_matching
+
+    df = greedy_matching(_host_int_edges(sf_dir), num_rounds=8).to_pandas()
+    return df.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+QUERIES["luby_mis"] = q_luby_mis
+QUERIES["greedy_matching"] = q_greedy_matching
+ORACLE_SQL["luby_mis"] = _luby_mis_sql()
+ORACLE_SQL["greedy_matching"] = _greedy_matching_sql()
