@@ -11669,3 +11669,64 @@ QUERIES["luby_mis"] = q_luby_mis
 QUERIES["greedy_matching"] = q_greedy_matching
 ORACLE_SQL["luby_mis"] = _luby_mis_sql()
 ORACLE_SQL["greedy_matching"] = _greedy_matching_sql()
+
+
+def q_edit_join(sf_dir: str) -> pd.DataFrame:
+    """Exact edit-distance similarity join (Ed-Join prefix filtering,
+    banded-DP verify — :func:`ops.editjoin.edit_distance_join`) over
+    synthesized entity keys: doc i gets key ``md5(i//3)[:8] + '-' +
+    (i//3)`` with i%3 ∈ {as-is, last-char substituted, last-char
+    dropped}, so every planted triple is pairwise distance 1 while
+    distinct hash prefixes keep cross-triple pairs out. FULL recall at
+    k=1 is guaranteed by the count/prefix filter (one edit rewrites ≤ q
+    positional grams); the oracle is the brute-force DuckDB
+    ``levenshtein`` cross join — any hash-prefix near-collision both
+    engines find identically."""
+    from .ops.editjoin import edit_distance_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch["doc_id"].to_pylist()
+        keys = []
+        for i in ids:
+            g = i // 3
+            base = hashlib.md5(str(g).encode()).hexdigest()[:8] + "-" + str(g)
+            if i % 3 == 1:
+                base = base[:-1] + "x"
+            elif i % 3 == 2:
+                base = base[:-1]
+            keys.append(base)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(keys, pa.string())],
+            names=["doc_id", "key"],
+        )
+
+    pairs = edit_distance_join(
+        ds.map_batches(to_keys, batch_format="pyarrow"), "key", k=1
+    )
+    df = pairs.to_pandas()
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+QUERIES["edit_join"] = q_edit_join
+ORACLE_SQL["edit_join"] = """
+WITH names AS MATERIALIZED (
+    SELECT doc_id,
+           CASE doc_id % 3
+               WHEN 1 THEN substr(base, 1, length(base) - 1) || 'x'
+               WHEN 2 THEN substr(base, 1, length(base) - 1)
+               ELSE base END AS key
+    FROM (SELECT doc_id,
+                 substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 8)
+                     || '-' || CAST(doc_id // 3 AS VARCHAR) AS base
+          FROM documents))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key AS key_a, b.key AS key_b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+FROM names a JOIN names b
+  ON a.doc_id < b.doc_id AND abs(length(a.key) - length(b.key)) <= 1
+WHERE levenshtein(a.key, b.key) <= 1
+ORDER BY id_a, id_b
+"""
