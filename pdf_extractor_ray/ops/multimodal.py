@@ -665,3 +665,57 @@ def audio_fingerprint_dedup(
     return sorted_segment_apply(
         fps, key_col="fingerprint", block_fn=annotate, within_cols=["media_id"]
     )
+
+
+class SceneCutDetector:
+    """Actor-pool ``map_batches`` stage for shot-boundary detection —
+    the standard first pass of any video curation pipeline (dedup by
+    shot, thumbnail pick, scene-level captioning). Per consecutive
+    frame pair it computes the INTEGER sum of absolute luma differences
+    (SAD) and flags a cut when the mean per-pixel difference exceeds
+    ``threshold`` luma units: ``sad > threshold * n_pixels`` compared
+    in exact int64 on both engines — no float thresholds, so the
+    closed-form fixture oracle is bit-exact. A real histogram/SSIM
+    detector drops into ``__call__`` with its state in ``__init__``."""
+
+    def __init__(self, threshold: int = 8):
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .video import decode_video
+
+        ids, fnos, sads, cuts = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames, _ = decode_video(payload)
+            for t in range(1, len(frames)):
+                a = frames[t - 1].astype(np.int64)
+                b = frames[t].astype(np.int64)
+                sad = int(np.abs(a - b).sum())
+                ids.append(mid)
+                fnos.append(t)
+                sads.append(sad)
+                cuts.append(sad > self.threshold * a.size)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(fnos, pa.int32()),
+                pa.array(sads, pa.int64()),
+                pa.array(cuts, pa.bool_()),
+            ],
+            names=["media_id", "frame_no", "sad", "is_cut"],
+        )
+
+
+def scene_cut_pipeline(ds, threshold: int = 8, batch_size: int = 32,
+                       concurrency=(1, 4)):
+    """Shot-boundary pipeline: actor pool, small batches (frame pairs
+    are the widest transient state), payload dropped at the output."""
+    return ds.map_batches(
+        SceneCutDetector,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"threshold": threshold},
+        concurrency=concurrency,
+    )

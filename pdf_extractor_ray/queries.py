@@ -11730,3 +11730,53 @@ FROM names a JOIN names b
 WHERE levenshtein(a.key, b.key) <= 1
 ORDER BY id_a, id_b
 """
+
+
+def q_scene_cuts(sf_dir: str) -> pd.DataFrame:
+    """Shot-boundary detection over real Y4M video payloads
+    (:class:`ops.multimodal.SceneCutDetector` actor pool): doc i
+    becomes a 6-frame 8×8 video whose frames are constant
+    ``(i*17 + (f//2)*53) % 256`` — the scene changes every 2 frames,
+    so per-pair SAD has the closed form ``64·|v_f − v_{f-1}|`` and the
+    integer cut rule (mean per-pixel diff > 8) is replayed exactly in
+    SQL. Odd frame pairs are in-scene (SAD 0), even pairs are
+    candidate cuts of data-dependent strength."""
+    from .ops.multimodal import scene_cut_pipeline
+    from .ops.video import encode_y4m
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            frames = [
+                np.full((8, 8), (i * 17 + (f // 2) * 53) % 256, np.uint8)
+                for f in range(6)
+            ]
+            payloads.append(encode_y4m(frames))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = scene_cut_pipeline(ds.map_batches(to_video, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+
+
+QUERIES["scene_cuts"] = q_scene_cuts
+ORACLE_SQL["scene_cuts"] = """
+WITH f AS (
+    SELECT doc_id, unnest(range(1, 6)) AS frame_no FROM documents),
+v AS (
+    SELECT doc_id, frame_no,
+           (doc_id * 17 + (frame_no // 2) * 53) % 256 AS cur,
+           (doc_id * 17 + ((frame_no - 1) // 2) * 53) % 256 AS prev
+    FROM f)
+SELECT doc_id AS media_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(64 * abs(cur - prev) AS BIGINT) AS sad,
+       64 * abs(cur - prev) > 8 * 64 AS is_cut
+FROM v ORDER BY media_id, frame_no
+"""

@@ -3,6 +3,7 @@ AVI): exact frame round-trips, colourspace variants, frame sampling,
 hostile inputs, declared-unsupported compression."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from pdf_extractor_ray.ops.video import (
@@ -146,3 +147,67 @@ class TestMJPEG:
         payload[idx : idx + 4] = b"H264"
         with pytest.raises(VideoError, match="unsupported"):
             decode_video(bytes(payload))
+
+
+class TestSceneCuts:
+    def test_sad_and_cut_flags_y4m(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.multimodal import scene_cut_pipeline
+        from pdf_extractor_ray.ops.video import encode_y4m
+
+        frames = [
+            np.full((4, 4), v, np.uint8) for v in (10, 10, 200, 200, 205)
+        ]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([1], pa.int64()),
+                pa.array([encode_y4m(frames)], pa.binary()),
+            ],
+            names=["media_id", "payload"],
+        )
+        df = (
+            scene_cut_pipeline(ray.data.from_arrow(tab))
+            .to_pandas()
+            .sort_values("frame_no")
+        )
+        assert df["sad"].tolist() == [0, 16 * 190, 0, 16 * 5]
+        # mean diff per pixel: 0, 190, 0, 5 → cut only at frame 2
+        assert df["is_cut"].tolist() == [False, True, False, False]
+
+    def test_threshold_boundary_is_strict(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.multimodal import scene_cut_pipeline
+        from pdf_extractor_ray.ops.video import encode_y4m
+
+        # mean diff exactly == threshold must NOT flag (strict >)
+        frames = [np.full((4, 4), 0, np.uint8), np.full((4, 4), 8, np.uint8)]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([1], pa.int64()),
+                pa.array([encode_y4m(frames)], pa.binary()),
+            ],
+            names=["media_id", "payload"],
+        )
+        df = scene_cut_pipeline(ray.data.from_arrow(tab)).to_pandas()
+        assert df["sad"].tolist() == [16 * 8]
+        assert df["is_cut"].tolist() == [False]
+
+    def test_avi_container_path(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.multimodal import scene_cut_pipeline
+        from pdf_extractor_ray.ops.video import encode_avi
+
+        frames = [np.full((8, 8), 0, np.uint8), np.full((8, 8), 255, np.uint8)]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([7], pa.int64()),
+                pa.array([encode_avi(frames)], pa.binary()),
+            ],
+            names=["media_id", "payload"],
+        )
+        df = scene_cut_pipeline(ray.data.from_arrow(tab)).to_pandas()
+        assert df["sad"].tolist() == [64 * 255]
+        assert df["is_cut"].tolist() == [True]
