@@ -719,3 +719,77 @@ def scene_cut_pipeline(ds, threshold: int = 8, batch_size: int = 32,
         fn_constructor_kwargs={"threshold": threshold},
         concurrency=concurrency,
     )
+
+
+class SpectralProbeExtractor:
+    """Actor-pool ``map_batches`` stage computing an EXACT spectral
+    probe bank per audio window: the DFT energies at the three bins
+    whose basis functions are integer-valued — DC (k=0), the quarter
+    band (k=N/4, cos/sin ∈ {−1,0,1}) and Nyquist (k=N/2, (−1)^n) —
+    the integer skeleton of a Goertzel/DTMF detector. Everything stays
+    int64 (sums of int16 windows, then squares), so the closed-form
+    fixture oracle is bit-exact — no FFT float drift. A real Goertzel
+    bank at arbitrary bins drops into ``__call__``; its coefficient
+    table belongs in ``__init__``.
+
+    Output: one row per (media_id, win) with ``e_dc = (Σx)²``,
+    ``e_q = (Σ x·cos(πn/2))² + (Σ x·sin(πn/2))²``, ``e_ny =
+    (Σ (−1)ⁿ x)²`` — phase restarts at each window start."""
+
+    def __init__(self, window: int = 128, n_windows: int = 8):
+        self.window = int(window)
+        self.n_windows = int(n_windows)
+        n = self.window
+        base = np.arange(n)
+        self._sign_ny = np.where(base % 2 == 0, 1, -1).astype(np.int64)
+        self._cos_q = np.select(
+            [base % 4 == 0, base % 4 == 2], [1, -1], 0
+        ).astype(np.int64)
+        self._sin_q = np.select(
+            [base % 4 == 1, base % 4 == 3], [1, -1], 0
+        ).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, wins, e_dc, e_q, e_ny = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            samples, _ = decode_audio(payload)
+            x = samples.astype(np.int64)
+            for w in range(self.n_windows):
+                seg = x[w * self.window : (w + 1) * self.window]
+                if len(seg) == 0:
+                    break
+                sl = slice(0, len(seg))
+                s0 = int(seg.sum())
+                c4 = int((seg * self._cos_q[sl]).sum())
+                s4 = int((seg * self._sin_q[sl]).sum())
+                ny = int((seg * self._sign_ny[sl]).sum())
+                ids.append(mid)
+                wins.append(w)
+                e_dc.append(s0 * s0)
+                e_q.append(c4 * c4 + s4 * s4)
+                e_ny.append(ny * ny)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(wins, pa.int32()),
+                pa.array(e_dc, pa.int64()),
+                pa.array(e_q, pa.int64()),
+                pa.array(e_ny, pa.int64()),
+            ],
+            names=["media_id", "win", "e_dc", "e_q", "e_ny"],
+        )
+
+
+def spectral_pipeline(ds, window: int = 128, n_windows: int = 8,
+                      batch_size: int = 64, concurrency=(1, 4)):
+    """Spectral-probe pipeline: actor pool with the coefficient table
+    built once per actor; payload dropped at the stage output."""
+    return ds.map_batches(
+        SpectralProbeExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"window": window, "n_windows": n_windows},
+        concurrency=concurrency,
+    )

@@ -11780,3 +11780,58 @@ SELECT doc_id AS media_id,
        64 * abs(cur - prev) > 8 * 64 AS is_cut
 FROM v ORDER BY media_id, frame_no
 """
+
+
+def q_spectral_probes(sf_dir: str) -> pd.DataFrame:
+    """Integer spectral-probe bank over real audio codecs
+    (:class:`ops.multimodal.SpectralProbeExtractor`): doc i is the
+    1024-sample signal ``(i*37 + t*13) % 2048 − 1024`` as PCM WAV
+    (even docs) or FLAC (odd docs — lossless, so both decode to the
+    same samples), 8 windows of 128. The three probe bins (DC, N/4,
+    Nyquist) have integer basis functions, so window energies are
+    exact int64 and the oracle recomputes them straight from the
+    closed form."""
+    from .ops.flac import encode_flac
+    from .ops.multimodal import encode_wav, spectral_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            sig = ((i * 37 + np.arange(1024) * 13) % 2048 - 1024).astype(np.int16)
+            payloads.append(
+                encode_wav(sig) if i % 2 == 0 else encode_flac(sig, blocksize=256)
+            )
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = spectral_pipeline(ds.map_batches(to_audio, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values(["media_id", "win"]).reset_index(drop=True)
+
+
+QUERIES["spectral_probes"] = q_spectral_probes
+ORACLE_SQL["spectral_probes"] = """
+WITH wins AS (SELECT doc_id, unnest(range(8)) AS win FROM documents),
+t AS (SELECT doc_id, win, unnest(range(128)) AS j FROM wins),
+s AS (SELECT doc_id, win, j,
+             (doc_id * 37 + (win * 128 + j) * 13) % 2048 - 1024 AS v
+      FROM t),
+agg AS (SELECT doc_id, win,
+               SUM(v) AS s0,
+               SUM(CASE WHEN j % 2 = 0 THEN v ELSE -v END) AS sn2,
+               SUM(CASE WHEN j % 4 = 0 THEN v
+                        WHEN j % 4 = 2 THEN -v ELSE 0 END) AS c4,
+               SUM(CASE WHEN j % 4 = 1 THEN v
+                        WHEN j % 4 = 3 THEN -v ELSE 0 END) AS s4
+        FROM s GROUP BY 1, 2)
+SELECT doc_id AS media_id, CAST(win AS INTEGER) AS win,
+       CAST(s0 * s0 AS BIGINT) AS e_dc,
+       CAST(c4 * c4 + s4 * s4 AS BIGINT) AS e_q,
+       CAST(sn2 * sn2 AS BIGINT) AS e_ny
+FROM agg ORDER BY media_id, win
+"""

@@ -4,6 +4,7 @@ container handling, decode_audio routing."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from pdf_extractor_ray.ops.adpcm import (
@@ -209,3 +210,83 @@ class TestAudioFingerprint:
         w = np.abs(sig.astype(np.int64)).reshape(32, 32).sum(axis=1)
         fp = int(sum(1 << (i - 1) for i in range(1, 32) if w[i] > w[i - 1]))
         assert out.loc[0, "fingerprint"] == fp
+
+
+class TestSpectralProbes:
+    def test_pure_tones_land_in_their_bins(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.multimodal import (
+            encode_wav,
+            spectral_pipeline,
+        )
+
+        n = 128
+        t = np.arange(n)
+        dc = np.full(n, 100, np.int16)  # all energy at k=0
+        ny = (100 * ((-1) ** t)).astype(np.int16)  # k = N/2
+        quarter = np.zeros(n, np.int16)  # cos(pi n / 2): k = N/4
+        quarter[t % 4 == 0] = 100
+        quarter[t % 4 == 2] = -100
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([0, 1, 2], pa.int64()),
+                pa.array(
+                    [encode_wav(dc), encode_wav(ny), encode_wav(quarter)],
+                    pa.binary(),
+                ),
+            ],
+            names=["media_id", "payload"],
+        )
+        df = (
+            spectral_pipeline(ray.data.from_arrow(tab), n_windows=1)
+            .to_pandas()
+            .sort_values("media_id")
+        )
+        s = 100 * n  # Σ|basis·x| per aligned bin
+        assert df["e_dc"].tolist() == [s * s, 0, 0]
+        assert df["e_ny"].tolist() == [0, s * s, 0]
+        # quarter tone: Σ x·cos = 100·(n/2) on the n/2 nonzero positions
+        cq = 100 * (n // 2)
+        assert df["e_q"].tolist() == [0, 0, cq * cq]
+
+    def test_matches_numpy_fft(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.multimodal import (
+            encode_wav,
+            spectral_pipeline,
+        )
+
+        rng = np.random.RandomState(5)
+        sig = rng.randint(-1000, 1000, 128).astype(np.int16)
+        tab = pa.Table.from_arrays(
+            [pa.array([9], pa.int64()), pa.array([encode_wav(sig)], pa.binary())],
+            names=["media_id", "payload"],
+        )
+        df = spectral_pipeline(ray.data.from_arrow(tab), n_windows=1).to_pandas()
+        spec = np.fft.rfft(sig.astype(np.float64))
+        assert df["e_dc"][0] == pytest.approx(abs(spec[0]) ** 2)
+        assert df["e_q"][0] == pytest.approx(abs(spec[32]) ** 2)
+        assert df["e_ny"][0] == pytest.approx(abs(spec[64]) ** 2)
+
+    def test_short_tail_window(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.multimodal import (
+            encode_wav,
+            spectral_pipeline,
+        )
+
+        sig = np.full(130, 7, np.int16)  # 1 full window + 2-sample tail
+        tab = pa.Table.from_arrays(
+            [pa.array([3], pa.int64()), pa.array([encode_wav(sig)], pa.binary())],
+            names=["media_id", "payload"],
+        )
+        df = (
+            spectral_pipeline(ray.data.from_arrow(tab), n_windows=8)
+            .to_pandas()
+            .sort_values("win")
+        )
+        assert df["win"].tolist() == [0, 1]
+        assert df["e_dc"].tolist() == [(7 * 128) ** 2, (7 * 2) ** 2]
