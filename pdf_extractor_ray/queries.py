@@ -11835,3 +11835,73 @@ SELECT doc_id AS media_id, CAST(win AS INTEGER) AS win,
        CAST(sn2 * sn2 AS BIGINT) AS e_ny
 FROM agg ORDER BY media_id, win
 """
+
+
+def q_association_rules(sf_dir: str) -> pd.DataFrame:
+    """Directed association rules (A-Priori step 2,
+    :func:`ops.itemsets.association_rules`) over the same planted
+    co-member corpus as Q ``frequent_pairs``: exact integer confidence
+    and lift in milli-units with floor division on both engines, rules
+    kept at conf >= 300‰. The oracle replays both passes with
+    distinct-doc joins and states the same milli arithmetic."""
+    from .ops.itemsets import association_rules
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        tails = {0: " kiwi mango", 1: " kiwi papaya", 2: " mango papaya guava"}
+        out = [(t or "") + tails.get(i % 5, "") for i, t in zip(ids, texts)]
+        return pa.Table.from_arrays([pa.array(out, pa.string())], names=["text"])
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    return association_rules(corpus, support=50, min_conf_milli=300)
+
+
+QUERIES["association_rules"] = q_association_rules
+ORACLE_SQL["association_rules"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           coalesce(text, '') || CASE doc_id % 5
+               WHEN 0 THEN ' kiwi mango'
+               WHEN 1 THEN ' kiwi papaya'
+               WHEN 2 THEN ' mango papaya guava'
+               ELSE '' END AS t
+    FROM documents
+),
+n AS (SELECT count(*) AS n FROM d),
+toks AS (
+    SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(t), '\S+')) AS token
+        FROM d
+    )
+),
+fcnt AS (
+    SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    HAVING count(*) >= 50
+),
+fp AS (SELECT p.doc_id, p.token FROM toks p JOIN fcnt USING (token)),
+pp AS (
+    SELECT a.token AS t1, b.token AS t2, count(*) AS cnt
+    FROM fp a JOIN fp b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2
+    HAVING count(*) >= 50
+),
+dirs AS (
+    SELECT t1 AS a, t2 AS c, cnt FROM pp
+    UNION ALL
+    SELECT t2, t1, cnt FROM pp
+)
+SELECT a AS antecedent, c AS consequent,
+       CAST(d2.cnt AS BIGINT) AS pair_cnt,
+       CAST(fa.cnt AS BIGINT) AS ante_cnt,
+       CAST(fc.cnt AS BIGINT) AS cons_cnt,
+       CAST(1000 * d2.cnt // fa.cnt AS BIGINT) AS conf_milli,
+       CAST(1000 * d2.cnt * n.n // (fa.cnt * fc.cnt) AS BIGINT) AS lift_milli
+FROM dirs d2
+JOIN fcnt fa ON fa.token = d2.a
+JOIN fcnt fc ON fc.token = d2.c, n
+WHERE 1000 * d2.cnt // fa.cnt >= 300
+ORDER BY antecedent, consequent
+"""

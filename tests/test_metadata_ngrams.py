@@ -1291,3 +1291,66 @@ class TestOpengraphCensus:
         )
         r = opengraph_batch(tb).to_pylist()[0]
         assert (r["n_og"], r["n_twitter"]) == (0, 1)
+
+
+class TestAssociationRules:
+    def test_rules_vs_brute_force(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.itemsets import association_rules
+
+        docs = []
+        for i in range(60):
+            t = "alpha beta" if i % 2 == 0 else "alpha gamma"
+            if i % 3 == 0:
+                t += " beta delta"
+            docs.append(t)
+        tab = pa.Table.from_arrays(
+            [pa.array(docs, pa.string())], names=["text"]
+        )
+        got = association_rules(
+            ray.data.from_arrow(tab).repartition(4),
+            support=10,
+            min_conf_milli=100,
+        )
+        # brute force
+        from collections import Counter
+
+        sets = [set(t.split()) for t in docs]
+        icnt = Counter(tok for s in sets for tok in s)
+        freq = {t for t, c in icnt.items() if c >= 10}
+        pcnt = Counter()
+        for s in sets:
+            f = sorted(s & freq)
+            for x in range(len(f)):
+                for y in range(x + 1, len(f)):
+                    pcnt[(f[x], f[y])] += 1
+        exp = []
+        n = len(docs)
+        for (t1, t2), c in pcnt.items():
+            if c < 10:
+                continue
+            for a, b in ((t1, t2), (t2, t1)):
+                conf = 1000 * c // icnt[a]
+                if conf >= 100:
+                    exp.append(
+                        (a, b, c, icnt[a], icnt[b], conf,
+                         1000 * c * n // (icnt[a] * icnt[b]))
+                    )
+        exp.sort()
+        got_rows = sorted(
+            tuple(r) for r in got.itertuples(index=False, name=None)
+        )
+        assert got_rows == exp
+
+    def test_empty_corpus_returns_typed_empty(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.itemsets import association_rules
+
+        tab = pa.Table.from_arrays(
+            [pa.array(["", ""], pa.string())], names=["text"]
+        )
+        df = association_rules(ray.data.from_arrow(tab), support=1)
+        assert len(df) == 0
+        assert df["pair_cnt"].dtype == "int64"
