@@ -86,3 +86,97 @@ def sliding_window_counts(
         .groupby(key_col)
         .map_groups(window, batch_format="pandas")
     )
+
+
+def out_of_order_stats(
+    ds,
+    user_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+):
+    """Per-key late-event census — the watermark-sizing statistic every
+    event-time streaming pipeline needs (Flink/Beam allowed-lateness
+    tuning): processing order is ``seq_col`` (ingest id), event time is
+    ``ts_col``; an event is LATE when its timestamp is strictly below
+    the running maximum of previously-ingested events for the same key,
+    and its skew is that running max minus its own timestamp.
+
+    Shape: ONE (user, seq) sort under :func:`..ops.segments.
+    sorted_segment_apply`; the kernel computes segment-reset running
+    maxima with pandas ``groupby(...).cummax()`` / ``.shift()`` —
+    single C passes vectorized ACROSS segments, no per-group Python —
+    then reduces each segment with prefix-sum gathers. Integer µs
+    arithmetic end to end, so the window-function oracle is bit-exact.
+
+    Returns a Dataset ``(user_id, n_events, n_late, max_skew_us)``.
+    """
+    from .segments import sorted_segment_apply
+
+    proj = ds.select_columns([user_col, seq_col, ts_col])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                batch[user_col].combine_chunks().cast(pa.int64()),
+                batch[seq_col].combine_chunks().cast(pa.int64()),
+                ts.cast(pa.int64()),
+            ],
+            names=["user", "seq", "ts_us"],
+        )
+
+    def census(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        names = ["user_id", "n_events", "n_late", "max_skew_us"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4, names=names
+            )
+        user = batch["user"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        n = len(user)
+        seg = np.zeros(n, np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1  # rows before starts[0] (deferred) get -1
+        s = pd.Series(ts)
+        g = s.groupby(seg)
+        prev_max = g.cummax().groupby(seg).shift(1)
+        late = (s < prev_max).to_numpy()
+        skew = np.where(late, (prev_max - s).fillna(0).to_numpy(), 0).astype(
+            np.int64
+        )
+        cs_late = np.concatenate([[0], np.cumsum(late.astype(np.int64))])
+        out_user = user[starts]
+        n_events = (ends - starts).astype(np.int64)
+        n_late = cs_late[ends] - cs_late[starts]
+        # per-segment max skew via reduceat over [starts, ends) slices;
+        # guard empty trailing slice semantics by masking zero-late segs
+        max_skew = np.maximum.reduceat(
+            np.concatenate([skew, [0]]), starts
+        ) if len(starts) else np.array([], np.int64)
+        # reduceat(x, starts) reduces starts[i]..starts[i+1]-1 and the
+        # final start..end-of-array: rows past ends[-1] are deferred
+        # fragments belonging to the NEXT block's first segment — mask
+        # them out of the last segment's reduction explicitly.
+        tail = ends[-1]
+        if tail < n:
+            last = slice(starts[-1], tail)
+            max_skew = max_skew.copy()
+            max_skew[-1] = skew[last].max() if tail > starts[-1] else 0
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_user, pa.int64()),
+                pa.array(n_events, pa.int64()),
+                pa.array(n_late, pa.int64()),
+                pa.array(max_skew.astype(np.int64), pa.int64()),
+            ],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        proj.map_batches(to_us, batch_format="pyarrow"),
+        key_col="user",
+        block_fn=census,
+        within_cols=["seq"],
+    )

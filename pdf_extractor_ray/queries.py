@@ -11905,3 +11905,51 @@ JOIN fcnt fc ON fc.token = d2.c, n
 WHERE 1000 * d2.cnt // fa.cnt >= 300
 ORDER BY antecedent, consequent
 """
+
+
+def q_out_of_order(sf_dir: str) -> pd.DataFrame:
+    """Per-user late-event census (:func:`ops.windows.out_of_order_stats`)
+    — the watermark-sizing statistic: events process in ingest order
+    (event_id) while event time is a deterministically perturbed
+    ``ts + (event_id % 5) minutes``, so some streams run ahead and the
+    following events arrive late. Integer-µs runner maxima make the
+    window-function oracle bit-exact."""
+    from .ops.windows import out_of_order_stats
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        eid = batch["event_id"].combine_chunks().cast(pa.int64()).to_numpy()
+        skewed = pa.array(ts + (eid % 5) * 60_000_000, pa.int64())
+        eid = pa.array(eid, pa.int64())
+        return pa.Table.from_arrays(
+            [batch["user_id"], eid, skewed], names=["user_id", "event_id", "ts"]
+        )
+
+    out = out_of_order_stats(ds.map_batches(perturb, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["out_of_order"] = q_out_of_order
+ORACLE_SQL["out_of_order"] = """
+WITH e AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) + (event_id % 5) * 60000000 AS ts_us
+    FROM events),
+w AS (
+    SELECT user_id, ts_us,
+           max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+    FROM e)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ts_us < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       CAST(coalesce(max(CASE WHEN ts_us < prev_max
+                          THEN prev_max - ts_us END), 0) AS BIGINT)
+           AS max_skew_us
+FROM w GROUP BY user_id ORDER BY user_id
+"""

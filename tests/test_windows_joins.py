@@ -179,3 +179,73 @@ class TestRangeJoin:
             broadcast_range_join(None, [(0, 10, "a"), (5, 15, "b")], "v")
         with pytest.raises(ValueError, match="empty"):
             broadcast_range_join(None, [(10, 10, "a")], "v")
+
+
+class TestOutOfOrderStats:
+    def _brute(self, rows):
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for u, seq, ts in rows:
+            per[u].append((seq, ts))
+        out = {}
+        for u, evs in per.items():
+            evs.sort()
+            run, n_late, max_skew = None, 0, 0
+            for _, ts in evs:
+                if run is not None and ts < run:
+                    n_late += 1
+                    max_skew = max(max_skew, run - ts)
+                run = ts if run is None else max(run, ts)
+            out[u] = (len(evs), n_late, max_skew)
+        return out
+
+    @pytest.mark.parametrize("parts", [1, 3, 11])
+    def test_matches_brute_force_any_layout(self, ray_session, parts):
+        import ray
+
+        from pdf_extractor_ray.ops.windows import out_of_order_stats
+
+        rng = np.random.RandomState(5)
+        rows = [
+            (int(rng.randint(0, 9)), seq, int(rng.randint(0, 1000)))
+            for seq in range(400)
+        ]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.int64()),
+                pa.array([r[1] for r in rows], pa.int64()),
+                pa.array([r[2] for r in rows], pa.int64()),
+            ],
+            names=["user_id", "event_id", "ts"],
+        )
+        got = (
+            out_of_order_stats(ray.data.from_arrow(tab).repartition(parts))
+            .to_pandas()
+            .sort_values("user_id")
+        )
+        exp = self._brute(rows)
+        assert len(got) == len(exp)
+        for r in got.itertuples():
+            assert exp[int(r.user_id)] == (
+                int(r.n_events),
+                int(r.n_late),
+                int(r.max_skew_us),
+            )
+
+    def test_all_in_order_stream(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.windows import out_of_order_stats
+
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([1, 1, 1], pa.int64()),
+                pa.array([0, 1, 2], pa.int64()),
+                pa.array([10, 20, 30], pa.int64()),
+            ],
+            names=["user_id", "event_id", "ts"],
+        )
+        df = out_of_order_stats(ray.data.from_arrow(tab)).to_pandas()
+        assert df["n_late"].tolist() == [0]
+        assert df["max_skew_us"].tolist() == [0]
