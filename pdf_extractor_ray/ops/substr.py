@@ -486,3 +486,109 @@ def _remove_dups_semijoin(ds, dups_ds, window: int, text_col: str, id_col: str):
         anti=True,
     ).map_batches(untouched, batch_format="pyarrow")
     return with_dups.union(clean)
+
+
+def _sam_stats(s: str) -> tuple[int, int]:
+    """Suffix-automaton pass over one string (Blumer et al. 1985 /
+    Crochemore; the textbook online construction): returns
+    ``(n_distinct_substrings, max_repeated_len)`` in O(len·alphabet).
+
+    - distinct substrings = Σ over states of ``len(v) − len(link(v))``
+      (each state's interval of right-extension lengths).
+    - max repeated length = the longest substring occurring >= 2 times
+      = max ``len(v)`` over states whose endpos-class size >= 2
+      (occurrence counts propagate up suffix links from the clone-free
+      terminal states).
+    """
+    # state arrays: transition dicts, suffix link, max length, clone flag
+    trans: list[dict[str, int]] = [{}]
+    link = [-1]
+    length = [0]
+    cloned = [False]
+    last = 0
+    for ch in s:
+        cur = len(trans)
+        trans.append({})
+        link.append(-1)
+        length.append(length[last] + 1)
+        cloned.append(False)
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(trans)
+                trans.append(dict(trans[q]))
+                link.append(link[q])
+                length.append(length[p] + 1)
+                cloned.append(True)
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    n_states = len(trans)
+    n_distinct = sum(
+        length[v] - length[link[v]] for v in range(1, n_states)
+    )
+    # occurrence counts: 1 per non-clone state, summed up suffix links
+    # in order of decreasing length (counting sort by length).
+    cnt = [0 if cloned[v] else 1 for v in range(n_states)]
+    cnt[0] = 0
+    order = sorted(range(1, n_states), key=length.__getitem__, reverse=True)
+    for v in order:
+        if link[v] > 0:
+            cnt[link[v]] += cnt[v]
+    max_rep = 0
+    for v in range(1, n_states):
+        if cnt[v] >= 2 and length[v] > max_rep:
+            max_rep = length[v]
+    return n_distinct, max_rep
+
+
+def distinct_substring_census(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 64,
+):
+    """Per-document substring-complexity census: the number of DISTINCT
+    substrings and the longest repeated substring of the first
+    ``max_chars`` characters — memorization/compressibility signals
+    (a low distinct count or a long internal repeat marks boilerplate
+    and template spam; cf. the ExactSubstr dedup family, Lee et al.
+    2022). One suffix automaton per document inside ``map_batches`` —
+    per-document linear construction, the same per-row compute pattern
+    as the extract stage; no exchange at all.
+
+    Returns a Dataset ``(doc_id, n_chars, n_distinct, max_repeat_len)``.
+    """
+
+    def census(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        nch, nd, mr = [], [], []
+        for t in texts:
+            t = (t or "")[:max_chars]
+            d, m = _sam_stats(t)
+            nch.append(len(t))
+            nd.append(d)
+            mr.append(m)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(nch, pa.int64()),
+                pa.array(nd, pa.int64()),
+                pa.array(mr, pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "n_distinct", "max_repeat_len"],
+        )
+
+    return ds.map_batches(census, batch_format="pyarrow")

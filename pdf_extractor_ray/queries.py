@@ -11953,3 +11953,41 @@ SELECT user_id,
            AS max_skew_us
 FROM w GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_substring_census(sf_dir: str) -> pd.DataFrame:
+    """Per-document substring complexity over the first 64 characters
+    (:func:`ops.substr.distinct_substring_census`): distinct-substring
+    count and longest repeated substring via one suffix automaton per
+    doc — memorization/boilerplate signals. The oracle explodes every
+    (start, length) substring of the truncated text in SQL and counts
+    distinct / repeated directly."""
+    from .ops.substr import distinct_substring_census
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = distinct_substring_census(ds, max_chars=64).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["substring_census"] = q_substring_census
+ORACLE_SQL["substring_census"] = """
+WITH d AS MATERIALIZED (
+    SELECT doc_id, substr(coalesce(text, ''), 1, 64) AS t FROM documents),
+x AS MATERIALIZED (
+    SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+y AS MATERIALIZED (
+    SELECT x.doc_id, substr(x.t, x.i, j.l) AS s
+    FROM x, LATERAL (SELECT unnest(range(1, length(x.t) - x.i + 2)) AS l) j),
+per AS (
+    SELECT doc_id, count(DISTINCT s) AS n_distinct FROM y GROUP BY doc_id),
+reps AS (
+    SELECT doc_id, coalesce(max(length(s)), 0) AS max_repeat_len
+    FROM (SELECT doc_id, s FROM y GROUP BY doc_id, s HAVING count(*) >= 2)
+    GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(length(d.t) AS BIGINT) AS n_chars,
+       CAST(coalesce(per.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(reps.max_repeat_len, 0) AS BIGINT) AS max_repeat_len
+FROM d LEFT JOIN per USING (doc_id) LEFT JOIN reps USING (doc_id)
+ORDER BY doc_id
+"""

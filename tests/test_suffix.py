@@ -98,3 +98,58 @@ class TestLongestRepeats:
     def test_many_docs_many_blocks(self, ray_session):
         docs = [(i, f"shared shard body {i % 2}") for i in range(8)]
         self._check(docs)
+
+
+class TestDistinctSubstringCensus:
+    def test_vs_brute_force(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.substr import distinct_substring_census
+
+        texts = ["abcabc", "", "aaaa", "abcd", None, "xyxyxyzz"]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(list(range(len(texts))), pa.int64()),
+                pa.array(texts, pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+        df = (
+            distinct_substring_census(ray.data.from_arrow(tab))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+
+        def brute(s):
+            from collections import Counter
+
+            c = Counter(
+                s[i:j] for i in range(len(s)) for j in range(i + 1, len(s) + 1)
+            )
+            mr = max((len(x) for x, n in c.items() if n >= 2), default=0)
+            return len(c), mr
+
+        for r in df.itertuples():
+            s = texts[int(r.doc_id)] or ""
+            nd, mr = brute(s)
+            assert (int(r.n_chars), int(r.n_distinct), int(r.max_repeat_len)) == (
+                len(s), nd, mr
+            )
+
+    def test_truncation_cap(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.substr import distinct_substring_census
+
+        tab = pa.Table.from_arrays(
+            [pa.array([1], pa.int64()), pa.array(["ab" * 100], pa.string())],
+            names=["doc_id", "text"],
+        )
+        df = distinct_substring_census(
+            ray.data.from_arrow(tab), max_chars=8
+        ).to_pandas()
+        # "abababab": distinct substrings of length l: 2 each (shifted),
+        # except l where only one fits... brute: ab,ba,a,b, aba,bab, ...
+        assert df["n_chars"][0] == 8
+        assert df["n_distinct"][0] == 2 * 8 - 1  # known for (ab)^4: 15
+        assert df["max_repeat_len"][0] == 6  # "ababab" occurs twice
