@@ -11991,3 +11991,81 @@ SELECT d.doc_id,
 FROM d LEFT JOIN per USING (doc_id) LEFT JOIN reps USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def q_boruvka_msf(sf_dir: str) -> pd.DataFrame:
+    """Minimum spanning forest of the weighted host graph via Borůvka
+    rounds (:func:`ops.mst.boruvka_msf`): every component picks its
+    minimum (w, u, v)-ordered outgoing edge per round, the chosen
+    component graph merges through the engine's connected-components
+    regimes, and the total edge order makes the forest UNIQUE — so the
+    oracle replays KRUSKAL instead (a sequential recursive CTE adding
+    one edge per rank with a CASE label merge): two genuinely
+    different algorithms agreeing on the same unique object."""
+    from .ops.links import link_graph
+    from .ops.mst import boruvka_msf
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    edges = link_graph(pages)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        u = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["src_host"], r"site(?P<k>\d+)\."), "k"
+            ),
+            pa.int64(),
+        )
+        v = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["dst_host"], r"site(?P<k>\d+)\."), "k"
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [u, v, b["n_links"].combine_chunks().cast(pa.int64())],
+            names=["u", "v", "w"],
+        )
+
+    msf = boruvka_msf(edges.map_batches(to_int, batch_format="pyarrow"))
+    df = msf.to_pandas()[["u", "v", "w"]]
+    return df.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+QUERIES["boruvka_msf"] = q_boruvka_msf
+ORACLE_SQL["boruvka_msf"] = """
+WITH RECURSIVE base AS (SELECT doc_id AS i FROM documents),
+ext AS (
+    SELECT i % 20 AS s, (i * 7 + j) % 20 AS d
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+wedges AS MATERIALIZED (
+    SELECT least(s, d) AS u, greatest(s, d) AS v, count(*) AS w
+    FROM ext WHERE s <> d GROUP BY 1, 2),
+ranked AS MATERIALIZED (
+    SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS r FROM wedges),
+gnodes AS MATERIALIZED (
+    -- DISTINCT over UNION ALL, not UNION of two DISTINCTs: DuckDB 1.0
+    -- fails to dedup the latter when inlined into a recursive anchor
+    SELECT DISTINCT node FROM (
+        SELECT u AS node FROM wedges UNION ALL SELECT v FROM wedges)),
+m AS (SELECT count(*) AS m FROM ranked),
+steps AS (
+    SELECT 1 AS r, node, node AS lab FROM gnodes
+    UNION ALL
+    SELECT r + 1, node,
+           CASE WHEN lab = lu OR lab = lv THEN least(lu, lv) ELSE lab END
+    FROM (
+        SELECT s.r, s.node, s.lab,
+               max(CASE WHEN s.node = e.u THEN s.lab END) OVER () AS lu,
+               max(CASE WHEN s.node = e.v THEN s.lab END) OVER () AS lv
+        FROM steps s JOIN ranked e ON e.r = s.r
+    )
+    WHERE r <= (SELECT m FROM m)
+)
+SELECT e.u, e.v, CAST(e.w AS BIGINT) AS w
+FROM ranked e
+JOIN steps su ON su.r = e.r AND su.node = e.u
+JOIN steps sv ON sv.r = e.r AND sv.node = e.v
+WHERE su.lab <> sv.lab
+ORDER BY u, v
+"""
