@@ -277,3 +277,80 @@ def boruvka_msf(edges, num_rounds: int = 8, u_col: str = "u",
     for p in forest_parts[1:]:
         out = out.union(p)
     return out
+
+
+def single_linkage_clusters(edges, threshold: int, u_col: str = "u",
+                            v_col: str = "v", w_col: str = "w",
+                            num_rounds: int = 8):
+    """Single-linkage clustering at distance ``threshold`` the MST way:
+    clusters are the connected components of the spanning forest's
+    edges with ``w <= threshold`` — equal, by the classic single-
+    linkage/MST property, to components of the FULL subgraph at that
+    threshold, but the CC input is the forest (``n − 1`` edges), not
+    the edge set: the standard trick that makes threshold sweeps cheap
+    at crawl scale (one Borůvka run, many cuts).
+
+    Returns a Dataset ``(node, cluster)`` covering every node incident
+    to any edge (nodes with no under-threshold edge cluster alone).
+    The oracle can therefore verify with a reachability closure over
+    the THRESHOLDED subgraph — a different derivation of the same
+    unique partition.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    from .dedup import connected_components
+
+    forest = boruvka_msf(edges, num_rounds=num_rounds, u_col=u_col,
+                         v_col=v_col, w_col=w_col)
+    kept = forest.map_batches(
+        lambda b: b.filter(pc.less_equal(b["w"], threshold)).select(
+            ["u", "v"]
+        ).rename_columns(["id_a", "id_b"]),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(kept)
+
+    nodes = (
+        canonical_weighted_edges(edges, u_col, v_col, w_col)
+        .map_batches(
+            lambda b: _int_cols(
+                ["node"],
+                [np.unique(np.concatenate([
+                    b["u"].to_numpy(zero_copy_only=False),
+                    b["v"].to_numpy(zero_copy_only=False),
+                ])).astype(np.int64)],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda b: b.select(["node"]), batch_format="pyarrow")
+    )
+    from .segments import attach_lookup, sever_lineage
+
+    nodes = sever_lineage(nodes)
+    map_ds = ray.data.from_arrow(
+        _int_cols(
+            ["node", "cluster"],
+            [
+                labels["node"].to_numpy().astype(np.int64)
+                if len(labels) else np.array([], np.int64),
+                labels["label"].to_numpy().astype(np.int64)
+                if len(labels) else np.array([], np.int64),
+            ],
+        )
+    )
+    mapped = attach_lookup(
+        nodes, map_ds, key_col="node", val_cols=["cluster"], carry_cols=[]
+    )
+    unmapped = attach_lookup(
+        nodes, map_ds, key_col="node", val_cols=[], carry_cols=[], anti=True
+    ).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b["node"], b["node"]], names=["node", "cluster"]
+        ),
+        batch_format="pyarrow",
+    )
+    return mapped.union(unmapped)

@@ -12069,3 +12069,72 @@ JOIN steps sv ON sv.r = e.r AND sv.node = e.v
 WHERE su.lab <> sv.lab
 ORDER BY u, v
 """
+
+
+def q_single_linkage(sf_dir: str) -> pd.DataFrame:
+    """Single-linkage clustering of the weighted host graph at a
+    corpus-scaled threshold ``3·n_docs // 100``
+    (:func:`ops.mst.single_linkage_clusters`): the engine cuts the
+    Borůvka forest at the threshold and runs connected components over
+    the n−1 forest edges; the oracle computes components of the FULL
+    thresholded subgraph with a reachability closure — the classic
+    MST/single-linkage equivalence checked across two derivations."""
+    from .ops.links import link_graph
+    from .ops.mst import single_linkage_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    edges = link_graph(pages)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        u = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["src_host"], r"site(?P<k>\d+)\."), "k"
+            ),
+            pa.int64(),
+        )
+        v = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["dst_host"], r"site(?P<k>\d+)\."), "k"
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [u, v, b["n_links"].combine_chunks().cast(pa.int64())],
+            names=["u", "v", "w"],
+        )
+
+    out = single_linkage_clusters(
+        edges.map_batches(to_int, batch_format="pyarrow"),
+        threshold=3 * n_docs // 100,
+    )
+    df = out.to_pandas()
+    return df.sort_values("node").reset_index(drop=True)
+
+
+QUERIES["single_linkage"] = q_single_linkage
+ORACLE_SQL["single_linkage"] = """
+WITH RECURSIVE base AS (SELECT doc_id AS i FROM documents),
+ext AS (
+    SELECT i % 20 AS s, (i * 7 + j) % 20 AS d
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+wedges AS MATERIALIZED (
+    SELECT least(s, d) AS u, greatest(s, d) AS v, count(*) AS w
+    FROM ext WHERE s <> d GROUP BY 1, 2),
+tau AS (SELECT 3 * count(*) // 100 AS t FROM documents),
+keep AS MATERIALIZED (
+    SELECT u, v FROM wedges, tau WHERE w <= t),
+gnodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM (
+        SELECT u AS node FROM wedges UNION ALL SELECT v FROM wedges)),
+sym AS MATERIALIZED (
+    SELECT u, v FROM keep UNION SELECT v, u FROM keep),
+reach(src, dst) AS (
+    SELECT node, node FROM gnodes
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN sym e ON r.dst = e.u
+)
+SELECT src AS node, CAST(min(dst) AS BIGINT) AS cluster
+FROM reach GROUP BY src ORDER BY node
+"""

@@ -85,3 +85,51 @@ class TestBoruvkaMsf:
         )
         can = canonical_weighted_edges(ds).to_pandas().sort_values(["u", "v"])
         assert can.values.tolist() == [[0, 1, 7], [0, 2, 5]]
+
+
+class TestSingleLinkage:
+    def test_equals_thresholded_subgraph_components(self, ray_session):
+        from pdf_extractor_ray.ops.mst import single_linkage_clusters
+
+        rng = np.random.RandomState(2)
+        n, m = 30, 80
+        u = rng.randint(0, n, m).astype(np.int64)
+        v = rng.randint(0, n, m).astype(np.int64)
+        w = rng.randint(1, 20, m).astype(np.int64)
+        ds = ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(u), pa.array(v), pa.array(w)], names=["u", "v", "w"]
+            )
+        ).repartition(4)
+        tau = 6
+        got = single_linkage_clusters(ds, threshold=tau).to_pandas()
+        got_map = dict(zip(got["node"].astype(int), got["cluster"].astype(int)))
+
+        # brute: components of the FULL subgraph with summed weights <= tau
+        agg = _agg_edges(u, v, w)
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = {x for e in agg for x in e}
+        for (a, b), ww in agg.items():
+            if ww <= tau:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        exp = {x: find(x) for x in nodes}
+        # normalize both to min-member representative
+        from collections import defaultdict
+
+        def canon(mapping):
+            groups = defaultdict(set)
+            for k, lab in mapping.items():
+                groups[lab].add(k)
+            return {frozenset(g) for g in groups.values()}
+
+        assert canon(got_map) == canon(exp)
+        assert set(got_map) == nodes
