@@ -592,3 +592,65 @@ def distinct_substring_census(
         )
 
     return ds.map_batches(census, batch_format="pyarrow")
+
+
+def _lz_phrases(s: str) -> int:
+    """Greedy LZ77 factorization phrase count (Lempel & Ziv 1976;
+    sources may start anywhere strictly before the current position,
+    overlap with the target allowed): at each position take the longest
+    prefix of the remainder that occurs starting earlier, else emit a
+    literal. The phrase count is a classic compressibility measure —
+    low counts mark templated/repetitive boilerplate.
+
+    Greedy length is monotone (any occurrence of length l contains one
+    of length l−1), so the scan extends incrementally; ``str.find``
+    gives "first occurrence index < pos ⟺ some source starts before
+    pos"."""
+    n = len(s)
+    pos = 0
+    phrases = 0
+    while pos < n:
+        l = 1
+        # extend while the longer prefix still occurs starting earlier
+        while pos + l < n and s.find(s[pos : pos + l + 1]) < pos:
+            l += 1
+        if s.find(s[pos : pos + l]) >= pos:
+            l = 1  # literal
+        phrases += 1
+        pos += l
+    return phrases
+
+
+def lz_census(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 64,
+):
+    """Per-document LZ77 phrase census of the first ``max_chars``
+    characters — the factorization-count compressibility signal that
+    complements :func:`distinct_substring_census` (few phrases ⟺ high
+    internal redundancy ⟺ boilerplate/template spam). Pure per-row
+    ``map_batches`` compute, no exchange.
+
+    Returns a Dataset ``(doc_id, n_chars, n_phrases)``.
+    """
+
+    def census(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        nch, nph = [], []
+        for t in texts:
+            t = (t or "")[:max_chars]
+            nch.append(len(t))
+            nph.append(_lz_phrases(t))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(nch, pa.int64()),
+                pa.array(nph, pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "n_phrases"],
+        )
+
+    return ds.map_batches(census, batch_format="pyarrow")

@@ -12138,3 +12138,53 @@ reach(src, dst) AS (
 SELECT src AS node, CAST(min(dst) AS BIGINT) AS cluster
 FROM reach GROUP BY src ORDER BY node
 """
+
+
+def q_lz_census(sf_dir: str) -> pd.DataFrame:
+    """Per-document LZ77 phrase count over the first 64 characters
+    (:func:`ops.substr.lz_census`) — greedy factorization with
+    overlap-allowed earlier sources, the compressibility twin of Q
+    ``substring_census``. The oracle precomputes, per position, the
+    longest prefix occurring earlier (window over the exploded
+    substring table) and replays the greedy walk as a recursive CTE."""
+    from .ops.substr import lz_census
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = lz_census(ds, max_chars=64).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["lz_census"] = q_lz_census
+ORACLE_SQL["lz_census"] = """
+WITH RECURSIVE d AS MATERIALIZED (
+    SELECT doc_id, substr(coalesce(text, ''), 1, 64) AS t FROM documents),
+x AS MATERIALIZED (
+    SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+y AS MATERIALIZED (
+    SELECT x.doc_id, x.i, j.l, substr(x.t, x.i, j.l) AS s
+    FROM x, LATERAL (SELECT unnest(range(1, length(x.t) - x.i + 2)) AS l) j),
+mt AS MATERIALIZED (
+    SELECT doc_id, i AS pos, l,
+           min(i) OVER (PARTITION BY doc_id, l, s) AS first_i
+    FROM y),
+lm AS MATERIALIZED (
+    SELECT doc_id, pos, max(l) AS lmax FROM mt
+    WHERE first_i < pos GROUP BY 1, 2),
+walk(doc_id, pos, nph) AS (
+    SELECT doc_id, 1, 0 FROM d WHERE length(t) > 0
+    UNION ALL
+    SELECT w.doc_id,
+           w.pos + greatest(coalesce(lm.lmax, 1), 1),
+           w.nph + 1
+    FROM walk w
+    JOIN d ON d.doc_id = w.doc_id
+    LEFT JOIN lm ON lm.doc_id = w.doc_id AND lm.pos = w.pos
+    WHERE w.pos <= length(d.t)
+)
+SELECT d.doc_id,
+       CAST(length(d.t) AS BIGINT) AS n_chars,
+       CAST(coalesce(mx.nph, 0) AS BIGINT) AS n_phrases
+FROM d LEFT JOIN (SELECT doc_id, max(nph) AS nph FROM walk GROUP BY doc_id) mx
+    USING (doc_id)
+ORDER BY doc_id
+"""

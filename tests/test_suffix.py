@@ -153,3 +153,54 @@ class TestDistinctSubstringCensus:
         assert df["n_chars"][0] == 8
         assert df["n_distinct"][0] == 2 * 8 - 1  # known for (ab)^4: 15
         assert df["max_repeat_len"][0] == 6  # "ababab" occurs twice
+
+
+class TestLzCensus:
+    def test_vs_brute_force(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.substr import lz_census
+
+        texts = ["abababab", "", "aaaa", "abcdefgh", "xyxyxzzz", None]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(list(range(len(texts))), pa.int64()),
+                pa.array(texts, pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+        df = (
+            lz_census(ray.data.from_arrow(tab))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+
+        def brute(s):
+            n, pos, k = len(s), 0, 0
+            while pos < n:
+                best = 1
+                for l in range(1, n - pos + 1):
+                    if s.find(s[pos : pos + l]) < pos:
+                        best = l
+                if s.find(s[pos : pos + best]) >= pos:
+                    best = 1
+                k += 1
+                pos += best
+            return k
+
+        for r in df.itertuples():
+            s = texts[int(r.doc_id)] or ""
+            assert (int(r.n_chars), int(r.n_phrases)) == (len(s), brute(s))
+
+    def test_known_values(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.substr import lz_census
+
+        # 'aaaa' -> 'a' + 'aaa' (overlap-allowed source) = 2 phrases
+        tab = pa.Table.from_arrays(
+            [pa.array([0], pa.int64()), pa.array(["aaaa"], pa.string())],
+            names=["doc_id", "text"],
+        )
+        df = lz_census(ray.data.from_arrow(tab)).to_pandas()
+        assert df["n_phrases"][0] == 2
