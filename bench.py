@@ -193,6 +193,8 @@ def main() -> None:
         "http_stats", "cross_decontaminate", "quality_tiers", "semdedup",
         "sorted_neighborhood", "rendezvous", "zorder", "soft404",
         "proximity_search", "revisit_savings", "hard_negatives",
+        "edit_join", "out_of_order", "substring_census", "lz_census",
+        "association_rules", "scene_cuts", "spectral_probes",
     )
     query_steal: dict[str, float] = {}
     for name in query_names:

@@ -206,10 +206,18 @@ def edit_distance_join(
 
     rows = proj.map_batches(emit_prefix, batch_format="pyarrow")
 
+    # Verification runs INSIDE the segment kernel: the keys are already
+    # co-located in the bucket rows, so candidates dedup in-block and
+    # verify before any exchange — the groupby then dedups only the
+    # MATCHED minority across buckets. (Measured: the naive alternative
+    # — a global groupby carrying candidate key strings with Max
+    # aggregators — cost 30 s for 554k candidate rows at sf0.1; this
+    # shape does the same work in under 2 s.)
     def pair_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False)
         keys = np.asarray(batch["key"].to_pylist(), dtype=object)
-        ia, ib, ka, kb = [], [], [], []
+        seen: set = set()
+        ia, ib, ka, kb, dd = [], [], [], [], []
         for s, e in zip(starts, ends):
             for x in range(s, e):
                 kx, lx = str(keys[x]), len(str(keys[x]))
@@ -218,42 +226,19 @@ def edit_distance_join(
                     if abs(lx - len(ky)) > k:
                         continue
                     a_id, b_id = int(ids[x]), int(ids[y])
+                    a_key, b_key = kx, ky
                     if a_id > b_id:
                         a_id, b_id = b_id, a_id
-                        ia.append(a_id), ib.append(b_id)
-                        ka.append(ky), kb.append(kx)
-                    else:
-                        ia.append(a_id), ib.append(b_id)
-                        ka.append(kx), kb.append(ky)
-        return pa.Table.from_arrays(
-            [
-                pa.array(ia, pa.int64()),
-                pa.array(ib, pa.int64()),
-                pa.array(ka, pa.string()),
-                pa.array(kb, pa.string()),
-            ],
-            names=["id_a", "id_b", "key_a", "key_b"],
-        )
-
-    cands = sorted_segment_apply(
-        rows, key_col="bucket", block_fn=pair_block, within_cols=["id"]
-    )
-
-    def verify(t: pa.Table) -> pa.Table:
-        # groupby output: one row per distinct (id_a, id_b) candidate.
-        t = t.rename_columns(["id_a", "id_b", "key_a", "key_b"])
-        ia, ib, ka, kb, dd = [], [], [], [], []
-        for a_id, b_id, a_key, b_key in zip(
-            t["id_a"].to_pylist(),
-            t["id_b"].to_pylist(),
-            t["key_a"].to_pylist(),
-            t["key_b"].to_pylist(),
-        ):
-            d = lev_banded(str(a_key), str(b_key), k)
-            if d <= k:
-                ia.append(a_id), ib.append(b_id)
-                ka.append(a_key), kb.append(b_key)
-                dd.append(d)
+                        a_key, b_key = ky, kx
+                    if (a_id, b_id) in seen:
+                        continue
+                    seen.add((a_id, b_id))
+                    d = lev_banded(a_key, b_key, k)
+                    if d > k:
+                        continue
+                    ia.append(a_id), ib.append(b_id)
+                    ka.append(a_key), kb.append(b_key)
+                    dd.append(d)
         return pa.Table.from_arrays(
             [
                 pa.array(ia, pa.int64()),
@@ -265,12 +250,23 @@ def edit_distance_join(
             names=["id_a", "id_b", "key_a", "key_b", "dist"],
         )
 
-    from ray.data.aggregate import Max
+    matched = sorted_segment_apply(
+        rows, key_col="bucket", block_fn=pair_block, within_cols=["id"]
+    )
+
+    from ray.data.aggregate import Max, Min
 
     return (
-        cands.groupby(["id_a", "id_b"])
+        matched.groupby(["id_a", "id_b"])
         .aggregate(
-            Max("key_a", alias_name="key_a"), Max("key_b", alias_name="key_b")
+            Min("dist", alias_name="dist"),
+            Max("key_a", alias_name="key_a"),
+            Max("key_b", alias_name="key_b"),
         )
-        .map_batches(verify, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["id_a", "id_b", "dist", "key_a", "key_b"]
+            ).select(["id_a", "id_b", "key_a", "key_b", "dist"]),
+            batch_format="pyarrow",
+        )
     )

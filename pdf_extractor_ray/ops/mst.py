@@ -354,3 +354,83 @@ def single_linkage_clusters(edges, threshold: int, u_col: str = "u",
         batch_format="pyarrow",
     )
     return mapped.union(unmapped)
+
+
+def bellman_ford(edges, source: int, num_rounds: int = 6,
+                 u_col: str = "u", v_col: str = "v", w_col: str = "w",
+                 directed: bool = False):
+    """Single-source shortest paths by synchronous Bellman–Ford
+    relaxation rounds over integer weights — crawl-latency / hop-cost
+    modeling on the weighted host graph. Exactly ``num_rounds`` rounds
+    run (distances to all nodes within that many hops are final; a
+    round is also a no-op once converged), so the result is bit-exact
+    at any layout and SQL-replicable by unrolling the rounds — the
+    same fixed-round contract as pagerank/label_propagation. Min over
+    integer sums has no tie ambiguity, so no tiebreak machinery is
+    needed.
+
+    Shape per round: ONE :func:`..ops.segments.attach_lookup` ships
+    current distances onto edge tails (only REACHED nodes propagate —
+    frontier-proportional, not graph-proportional in early rounds),
+    then one ``groupby(node).min`` folds relaxed candidates with the
+    carried distances. Returns a Dataset ``(node, dist)`` over reached
+    nodes only.
+    """
+    from ray.data.aggregate import Min
+
+    import ray
+
+    can = sever_lineage(canonical_weighted_edges(edges, u_col, v_col, w_col))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        if directed:
+            return _int_cols(["src", "dst", "w"], [u, v, w])
+        return _int_cols(
+            ["src", "dst", "w"],
+            [np.concatenate([u, v]), np.concatenate([v, u]),
+             np.concatenate([w, w])],
+        )
+
+    adj = sever_lineage(can.map_batches(both_dirs, batch_format="pyarrow"))
+    dist = ray.data.from_arrow(
+        _int_cols(["node", "dist"], [np.array([source], np.int64),
+                                     np.array([0], np.int64)])
+    )
+    nb = max(1, adj.num_blocks())
+    for _ in range(num_rounds):
+        relaxed = attach_lookup(
+            adj.map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [b["src"], b["dst"], b["w"]], names=["node", "dst", "w"]
+                ),
+                batch_format="pyarrow",
+            ),
+            dist,
+            key_col="node",
+            val_cols=["dist"],
+            carry_cols=["dst", "w"],
+        ).map_batches(
+            lambda b: _int_cols(
+                ["node", "dist"],
+                [
+                    b["dst"].to_numpy(zero_copy_only=False),
+                    b["w"].to_numpy(zero_copy_only=False)
+                    + b["dist"].to_numpy(zero_copy_only=False),
+                ],
+            ),
+            batch_format="pyarrow",
+        )
+        dist = sever_lineage(
+            dist.union(relaxed)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .map_batches(
+                lambda t: t.rename_columns(["node", "dist"]),
+                batch_format="pyarrow",
+            ),
+            num_blocks=nb,
+        )
+    return dist

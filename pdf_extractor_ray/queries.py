@@ -12188,3 +12188,75 @@ FROM d LEFT JOIN (SELECT doc_id, max(nph) AS nph FROM walk GROUP BY doc_id) mx
     USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def q_sssp(sf_dir: str) -> pd.DataFrame:
+    """Single-source shortest paths from host 0 over the weighted host
+    graph (:func:`ops.mst.bellman_ford`): 6 synchronous Bellman–Ford
+    relaxation rounds, integer link-count weights, frontier-
+    proportional attach per round. Fixed rounds + integer min make the
+    distances bit-exact and the oracle a 6-round unrolled-CTE
+    relaxation."""
+    from .ops.links import link_graph
+    from .ops.mst import bellman_ford
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(_linkgraph_pages, batch_format="pyarrow")
+    edges = link_graph(pages)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        u = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["src_host"], r"site(?P<k>\d+)\."), "k"
+            ),
+            pa.int64(),
+        )
+        v = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["dst_host"], r"site(?P<k>\d+)\."), "k"
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [u, v, b["n_links"].combine_chunks().cast(pa.int64())],
+            names=["u", "v", "w"],
+        )
+
+    out = bellman_ford(
+        edges.map_batches(to_int, batch_format="pyarrow"), source=0
+    )
+    df = out.to_pandas()
+    return df.sort_values("node").reset_index(drop=True)
+
+
+QUERIES["sssp"] = q_sssp
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    parts = ["""
+WITH base AS (SELECT doc_id AS i FROM documents),
+ext AS (
+    SELECT i % 20 AS s, (i * 7 + j) % 20 AS d
+    FROM (SELECT i, unnest(range(i % 4)) AS j FROM base)),
+wedges AS MATERIALIZED (
+    SELECT least(s, d) AS u, greatest(s, d) AS v, count(*) AS w
+    FROM ext WHERE s <> d GROUP BY 1, 2),
+adj AS MATERIALIZED (
+    SELECT u AS src, v AS dst, w FROM wedges
+    UNION ALL SELECT v, u, w FROM wedges),
+d0 AS MATERIALIZED (SELECT 0 AS node, 0 AS dist)"""]
+    for r in range(rounds):
+        parts.append(f""",
+d{r + 1} AS MATERIALIZED (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{r}
+        UNION ALL
+        SELECT a.dst AS node, p.dist + a.w AS dist
+        FROM adj a JOIN d{r} p ON p.node = a.src
+    ) GROUP BY node)""")
+    parts.append(f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+ORACLE_SQL["sssp"] = _sssp_sql()
