@@ -12191,7 +12191,7 @@ ORDER BY doc_id
 
 
 def q_sssp(sf_dir: str) -> pd.DataFrame:
-    """Single-source shortest paths from host 0 over the weighted host
+    """Single-source shortest paths from host 1 over the weighted host
     graph (:func:`ops.mst.bellman_ford`): 6 synchronous Bellman–Ford
     relaxation rounds, integer link-count weights, frontier-
     proportional attach per round. Fixed rounds + integer min make the
@@ -12223,7 +12223,7 @@ def q_sssp(sf_dir: str) -> pd.DataFrame:
         )
 
     out = bellman_ford(
-        edges.map_batches(to_int, batch_format="pyarrow"), source=0
+        edges.map_batches(to_int, batch_format="pyarrow"), source=1
     )
     df = out.to_pandas()
     return df.sort_values("node").reset_index(drop=True)
@@ -12244,7 +12244,7 @@ wedges AS MATERIALIZED (
 adj AS MATERIALIZED (
     SELECT u AS src, v AS dst, w FROM wedges
     UNION ALL SELECT v, u, w FROM wedges),
-d0 AS MATERIALIZED (SELECT 0 AS node, 0 AS dist)"""]
+d0 AS MATERIALIZED (SELECT 1 AS node, 0 AS dist)"""]
     for r in range(rounds):
         parts.append(f""",
 d{r + 1} AS MATERIALIZED (
