@@ -2534,3 +2534,86 @@ def grouped_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def vocab_overlap(ds_a, ds_b, text_col: str = "text"):
+    """Exact vocabulary overlap between two corpus partitions — the
+    cheap drift/contamination screen run before expensive n-gram
+    decontamination (a high token-level Jaccard between a new crawl
+    slice and the training corpus flags near-identical sources).
+    Tokenization is THE corpus tokenization (:func:`split_words`).
+
+    Shape: per-block distinct-token partials tagged with a side bit,
+    ONE ``groupby(token).max/min`` over (token, side) rows computes
+    per-token membership (min side = 0 and max side = 1 ⟺ both), and
+    O(blocks) integer partials reduce to one row. Nothing
+    vocabulary-sized lands on the driver.
+
+    Returns a one-row pandas DataFrame ``(n_a, n_b, n_both,
+    jaccard_milli)`` with the Jaccard in floor milli-units.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def tokens(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch[text_col]
+            if pa.types.is_null(col.type):
+                col = pa.nulls(len(col), pa.string())
+            words = split_words(pc.fill_null(col, ""))
+            flat = pc.list_flatten(words)
+            u = np.unique(np.asarray(flat.to_pylist(), dtype=object))
+            u = u[u != ""]
+            return pa.Table.from_arrays(
+                [
+                    pa.array(u.astype(str), pa.string()),
+                    pa.array(np.full(len(u), side, np.int64)),
+                ],
+                names=["token", "side"],
+            )
+
+        return fn
+
+    both = ds_a.map_batches(tokens(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tokens(1), batch_format="pyarrow")
+    )
+    membership = (
+        both.groupby("token")
+        .aggregate(Min("side", alias_name="lo"), Max("side", alias_name="hi"))
+        .map_batches(
+            lambda t: t.rename_columns(["token", "lo", "hi"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        in_a = lo == 0
+        in_b = hi == 1
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(in_a.sum())], pa.int64()),
+                pa.array([int(in_b.sum())], pa.int64()),
+                pa.array([int((in_a & in_b).sum())], pa.int64()),
+            ],
+            names=["n_a", "n_b", "n_both"],
+        )
+
+    import pandas as pd
+
+    parts = membership.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    n_a = int(parts["n_a"].sum())
+    n_b = int(parts["n_b"].sum())
+    n_both = int(parts["n_both"].sum())
+    union = n_a + n_b - n_both
+    return pd.DataFrame(
+        {
+            "n_a": [n_a],
+            "n_b": [n_b],
+            "n_both": [n_both],
+            "jaccard_milli": [1000 * n_both // union if union else 0],
+        }
+    )

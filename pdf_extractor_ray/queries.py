@@ -12260,3 +12260,71 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds} ORDER BY node""")
 
 
 ORACLE_SQL["sssp"] = _sssp_sql()
+
+
+def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Exact vocabulary Jaccard between the English partition and the
+    rest of the corpus (:func:`ops.text.vocab_overlap`) — the cheap
+    drift screen before n-gram decontamination. Single-sourced
+    tokenization, one (token, side) groupby, O(blocks) integer
+    partials; milli Jaccard with floor division on both engines."""
+    from .ops.text import vocab_overlap
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    side_a = ds.filter(expr="lang == 'en'").select_columns(["text"])
+    side_b = ds.filter(expr="lang != 'en'").select_columns(["text"])
+    return vocab_overlap(side_a, side_b)
+
+
+QUERIES["vocab_overlap"] = q_vocab_overlap
+ORACLE_SQL["vocab_overlap"] = r"""
+WITH a AS (
+    SELECT DISTINCT token FROM (
+        SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+'))
+            AS token
+        FROM documents WHERE lang = 'en') WHERE token <> ''),
+b AS (
+    SELECT DISTINCT token FROM (
+        SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+'))
+            AS token
+        FROM documents WHERE lang <> 'en') WHERE token <> ''),
+i AS (SELECT count(*) AS n FROM a JOIN b USING (token)),
+na AS (SELECT count(*) AS n FROM a),
+nb AS (SELECT count(*) AS n FROM b)
+SELECT CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(i.n AS BIGINT) AS n_both,
+       CAST(CASE WHEN na.n + nb.n - i.n > 0
+            THEN 1000 * i.n // (na.n + nb.n - i.n) ELSE 0 END AS BIGINT)
+           AS jaccard_milli
+FROM na, nb, i
+"""
+
+
+def q_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """Long → wide pivot (:func:`ops.pivot.pivot_counts`): per-user
+    counts of every event type as one wide row — per-block (user,
+    type) partials, one pair groupby, vectorized scatter into the
+    fixed sorted-category schema. The oracle is the classic CASE-sum
+    pivot."""
+    from .ops.pivot import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    df = pivot_counts(ds, "user_id", "event_type").to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["pivot_events"] = q_pivot_events
+ORACLE_SQL["pivot_events"] = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""

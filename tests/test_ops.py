@@ -1794,3 +1794,83 @@ class TestLshRecall:
         df = minhash_lsh_recall(rd.from_items(rows),
                                 n_perm=8, bands=4, threshold=0.7)
         assert int(df.n_true[0]) == 0 and int(df.recall_milli[0]) == 0
+
+
+class TestVocabOverlap:
+    def test_exact_counts(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.text import vocab_overlap
+
+        a = ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(["the cat sat", "cat hat", None], pa.string())],
+                names=["text"],
+            )
+        )
+        b = ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(["the dog", "", "hat trick"], pa.string())],
+                names=["text"],
+            )
+        )
+        df = vocab_overlap(a, b)
+        # A = {the, cat, sat, hat}; B = {the, dog, hat, trick}; both = {the, hat}
+        assert df.iloc[0].tolist() == [4, 4, 2, 1000 * 2 // 6]
+
+    def test_disjoint_and_empty(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.text import vocab_overlap
+
+        a = ray.data.from_arrow(
+            pa.Table.from_arrays([pa.array(["aa bb"], pa.string())], names=["text"])
+        )
+        b = ray.data.from_arrow(
+            pa.Table.from_arrays([pa.array([""], pa.string())], names=["text"])
+        )
+        df = vocab_overlap(a, b)
+        assert df.iloc[0].tolist() == [2, 0, 0, 0]
+
+
+class TestPivotCounts:
+    def test_wide_counts_any_layout(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.pivot import pivot_counts
+
+        rng = np.random.RandomState(3)
+        keys = rng.randint(0, 7, 300)
+        cats = rng.choice(["x", "y", "zz"], 300)
+        tab = pa.Table.from_arrays(
+            [pa.array(keys, pa.int64()), pa.array(cats, pa.string())],
+            names=["k", "c"],
+        )
+        df = (
+            pivot_counts(ray.data.from_arrow(tab).repartition(6), "k", "c")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        import collections
+
+        exp = collections.Counter(zip(keys.tolist(), cats.tolist()))
+        assert list(df.columns) == ["k", "n_x", "n_y", "n_zz"]
+        for r in df.itertuples():
+            for c in ("x", "y", "zz"):
+                assert getattr(r, f"n_{c}") == exp.get((r.k, c), 0)
+
+    def test_cat_cap_raises(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.pivot import pivot_counts
+
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(list(range(10)), pa.int64()),
+                pa.array([f"c{i}" for i in range(10)], pa.string()),
+            ],
+            names=["k", "c"],
+        )
+        with pytest.raises(RuntimeError, match="cat_cap"):
+            pivot_counts(ray.data.from_arrow(tab), "k", "c", cat_cap=3)
