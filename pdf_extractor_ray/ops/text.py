@@ -2617,3 +2617,87 @@ def vocab_overlap(ds_a, ds_b, text_col: str = "text"):
             "jaccard_milli": [1000 * n_both // union if union else 0],
         }
     )
+
+
+def hapax_stats(ds, group_col: str = "lang", text_col: str = "text"):
+    """Per-group hapax-legomena census — the corpus-linguistics health
+    signal (a natural-language slice shows ~40-60% hapax TYPES; spam
+    and template farms collapse it, OCR noise inflates it). Counts are
+    token OCCURRENCES under THE corpus tokenization
+    (:func:`split_words`).
+
+    Shape: per-block (group, token, n) partials pre-combine before ONE
+    ``groupby(group, token).sum`` (vocabulary-pair cardinality), then
+    one :func:`..ops.segments.sorted_segment_apply` reduces each
+    group's type/token/hapax counts with prefix-sum gathers.
+
+    Returns a Dataset ``(group, n_types, n_tokens, n_hapax,
+    hapax_milli)`` with the hapax TYPE share in floor milli-units.
+    """
+    from ray.data.aggregate import Sum
+
+    from .segments import sorted_segment_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            col = pa.nulls(len(col), pa.string())
+        words = split_words(pc.fill_null(col, ""))
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object).astype(str)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(words).to_pylist(), dtype=object)
+        rep = np.repeat(groups, lens)
+        keep = flat != ""
+        comp = np.char.add(np.char.add(rep[keep].astype(str), "\x1f"),
+                           flat[keep].astype(str))
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        parts = np.char.partition(uniq.astype(str), "\x1f")
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(object), pa.string()),
+                pa.array(cnt, pa.int64()),
+            ],
+            names=["grp", "token", "n"],
+        )
+
+    pairs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["grp", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.rename_columns(["grp", "token", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def census(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        names = ["group", "n_types", "n_tokens", "n_hapax", "hapax_milli"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string())] + [pa.array([], pa.int64())] * 4,
+                names=names,
+            )
+        grp = batch["grp"].combine_chunks()
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(n)])
+        one = (n == 1).astype(np.int64)
+        cs1 = np.concatenate([[0], np.cumsum(one)])
+        types = (ends - starts).astype(np.int64)
+        toks = cs[ends] - cs[starts]
+        hapax = cs1[ends] - cs1[starts]
+        return pa.Table.from_arrays(
+            [
+                grp.take(pa.array(starts)),
+                pa.array(types, pa.int64()),
+                pa.array(toks, pa.int64()),
+                pa.array(hapax, pa.int64()),
+                pa.array(1000 * hapax // types, pa.int64()),
+            ],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        pairs, key_col="grp", block_fn=census, within_cols=["token"]
+    )

@@ -180,3 +180,86 @@ def out_of_order_stats(
         block_fn=census,
         within_cols=["seq"],
     )
+
+
+def burstiness_stats(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = HOUR_US,
+):
+    """Per-key traffic burstiness: the Fano factor (variance-to-mean
+    ratio) of per-bucket event counts — the classic dispersion
+    statistic separating steady crawl/user traffic (≈1, Poisson-like)
+    from bursty scrapers and flash crowds (≫1). Computed as the EXACT
+    RATIONAL ``(n·Σc² − (Σc)²) / (n·Σc)`` over the key's OCCUPIED
+    buckets, reported in floor milli-units — integer arithmetic end to
+    end, so the SQL oracle is bit-exact.
+
+    Shape: per-block (key, bucket) count partials pre-combine before
+    ONE ``groupby(key, bucket).sum`` (the exchange carries occupied
+    (key, bucket) pairs, never events), then one
+    :func:`..ops.segments.sorted_segment_apply` reduces each key's
+    moments with prefix-sum gathers.
+
+    Returns a Dataset ``(user_id, n_buckets, n_events, fano_milli)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from .segments import sorted_segment_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        buckets = ts.cast(pa.int64()).to_numpy() // bucket_us
+        comp = keys * np.int64(1 << 32) ^ (buckets & np.int64(0xFFFFFFFF))
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array((uniq >> np.int64(32)), pa.int64()),
+                pa.array(uniq & np.int64(0xFFFFFFFF), pa.int64()),
+                pa.array(cnt, pa.int64()),
+            ],
+            names=["key", "bucket", "n"],
+        )
+
+    pairs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["key", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.rename_columns(["key", "bucket", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def fano(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        names = ["user_id", "n_buckets", "n_events", "fano_milli"]
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4, names=names
+            )
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(n)])
+        cs2 = np.concatenate([[0], np.cumsum(n * n)])
+        tot = cs[ends] - cs[starts]
+        tot2 = cs2[ends] - cs2[starts]
+        nb = (ends - starts).astype(np.int64)
+        fano_milli = (1000 * (nb * tot2 - tot * tot)) // (nb * tot)
+        return pa.Table.from_arrays(
+            [
+                pa.array(key[starts], pa.int64()),
+                pa.array(nb, pa.int64()),
+                pa.array(tot, pa.int64()),
+                pa.array(fano_milli, pa.int64()),
+            ],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        pairs, key_col="key", block_fn=fano, within_cols=["bucket"]
+    )

@@ -12328,3 +12328,68 @@ SELECT user_id,
            AS n_view
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Per-user traffic burstiness (:func:`ops.windows.burstiness_stats`):
+    exact rational Fano factor of hourly event counts in floor milli —
+    steady traffic ≈ 1000, bursty scrapers ≫ 1000. One (user, hour)
+    pair groupby over pre-combined partials, prefix-sum moment
+    reduction; bit-exact in SQL."""
+    from .ops.windows import burstiness_stats
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    df = burstiness_stats(ds).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["burstiness"] = q_burstiness
+ORACLE_SQL["burstiness"] = """
+WITH b AS (
+    SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, count(*) AS n
+    FROM events GROUP BY 1, 2),
+a AS (
+    SELECT user_id, count(*) AS nb, sum(n) AS tot, sum(n * n) AS tot2
+    FROM b GROUP BY 1)
+SELECT user_id,
+       CAST(nb AS BIGINT) AS n_buckets,
+       CAST(tot AS BIGINT) AS n_events,
+       CAST((1000 * (nb * tot2 - tot * tot)) // (nb * tot) AS BIGINT)
+           AS fano_milli
+FROM a ORDER BY user_id
+"""
+
+
+def q_hapax_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-language hapax-legomena census (:func:`ops.text.hapax_stats`):
+    type/token/hapax counts and the hapax TYPE share in floor milli —
+    corpus-health fingerprinting per slice. One (lang, token) groupby
+    over pre-combined occurrence partials, prefix-sum reductions."""
+    from .ops.text import hapax_stats
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    df = hapax_stats(ds).to_pandas()
+    return df.sort_values("group").reset_index(drop=True)
+
+
+QUERIES["hapax_stats"] = q_hapax_stats
+ORACLE_SQL["hapax_stats"] = r"""
+WITH toks AS (
+    SELECT lang AS grp,
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+'))
+               AS token
+    FROM documents),
+cnt AS (
+    SELECT grp, token, count(*) AS n FROM toks WHERE token <> ''
+    GROUP BY 1, 2),
+a AS (
+    SELECT grp, count(*) AS types, sum(n) AS toks,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax
+    FROM cnt GROUP BY 1)
+SELECT grp AS "group",
+       CAST(types AS BIGINT) AS n_types,
+       CAST(toks AS BIGINT) AS n_tokens,
+       CAST(hapax AS BIGINT) AS n_hapax,
+       CAST(1000 * hapax // types AS BIGINT) AS hapax_milli
+FROM a ORDER BY "group"
+"""

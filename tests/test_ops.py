@@ -1874,3 +1874,28 @@ class TestPivotCounts:
         )
         with pytest.raises(RuntimeError, match="cat_cap"):
             pivot_counts(ray.data.from_arrow(tab), "k", "c", cat_cap=3)
+
+
+class TestHapaxStats:
+    def test_counts(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.text import hapax_stats
+
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(["en", "en", "de"], pa.string()),
+                pa.array(["the cat the", "cat dog", "der der"], pa.string()),
+            ],
+            names=["lang", "text"],
+        )
+        df = (
+            hapax_stats(ray.data.from_arrow(tab).repartition(2))
+            .to_pandas()
+            .sort_values("group")
+            .reset_index(drop=True)
+        )
+        # de: der×2 -> types 1, tokens 2, hapax 0
+        assert df.iloc[0].tolist() == ["de", 1, 2, 0, 0]
+        # en: the×2, cat×2, dog×1 -> types 3, tokens 5, hapax 1
+        assert df.iloc[1].tolist() == ["en", 3, 5, 1, 333]

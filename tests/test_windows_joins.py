@@ -249,3 +249,35 @@ class TestOutOfOrderStats:
         df = out_of_order_stats(ray.data.from_arrow(tab)).to_pandas()
         assert df["n_late"].tolist() == [0]
         assert df["max_skew_us"].tolist() == [0]
+
+
+class TestBurstinessStats:
+    def test_fano_exact(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.windows import burstiness_stats
+
+        HOUR = 3_600_000_000
+        # user 1: 3 buckets with counts [1, 1, 4]; user 2: [2, 2]
+        rows = (
+            [(1, 0), (1, HOUR), (1, 2 * HOUR)]
+            + [(1, 2 * HOUR + i + 1) for i in range(3)]
+            + [(2, 0), (2, 1), (2, HOUR), (2, HOUR + 1)]
+        )
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.int64()),
+                pa.array([r[1] for r in rows], pa.int64()),
+            ],
+            names=["user_id", "ts"],
+        )
+        df = (
+            burstiness_stats(ray.data.from_arrow(tab).repartition(3))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        # user1: n=3, tot=6, tot2=18 -> (3*18-36)*1000 // (3*6) = 1000
+        assert df.iloc[0].tolist() == [1, 3, 6, 1000]
+        # user2: n=2, tot=4, tot2=8 -> (16-16)*1000 // 8 = 0
+        assert df.iloc[1].tolist() == [2, 2, 4, 0]
