@@ -510,3 +510,129 @@ def proximity_topk(
             "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
         }
     )
+
+
+_RBO_DEN_LCM = 2520  # lcm(1..10)
+
+
+def rbo_milli_exact(rank_a: list, rank_b: list, k: int = 10) -> int:
+    """Truncated rank-biased overlap (Webber, Moffat, Zobel 2010) at
+    persistence p = 9/10, as an EXACT integer in floor milli-units:
+    ``RBO@k = (1−p) Σ_{d=1..k} p^{d-1} · |A[:d] ∩ B[:d]| / d`` with the
+    common denominator ``10^k · lcm(1..k)`` — pure integer arithmetic,
+    replayable in HUGEINT SQL with a literal coefficient table."""
+    if k != 10:
+        raise ValueError("rbo_milli_exact: coefficient table is built for k=10")
+    num = 0
+    seen_a: set = set()
+    seen_b: set = set()
+    for d in range(1, k + 1):
+        if d <= len(rank_a):
+            seen_a.add(rank_a[d - 1])
+        if d <= len(rank_b):
+            seen_b.add(rank_b[d - 1])
+        x_d = len(seen_a & seen_b)
+        num += x_d * (9 ** (d - 1)) * (10 ** (k - d)) * (_RBO_DEN_LCM // d)
+    den = (10**k) * _RBO_DEN_LCM
+    return (1000 * num) // den
+
+
+def ranking_overlap(ds, k: int = 10, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Eval-harness operator: how differently do two corpus term
+    rankings order the head? Ranking A = top-``k`` tokens by OCCURRENCE
+    count, ranking B = top-``k`` by DISTINCT-DOCUMENT count (the same
+    head under a different weighting — stopword-ish terms move), both
+    under THE corpus tokenization with (count desc, token) tiebreaks;
+    agreement scored by exact-integer truncated RBO (p = 9/10).
+
+    Shape: per-block (token, occ, one-per-doc) partials pre-combine
+    before ONE ``groupby(token).sum``; each output block reduces to its
+    local top-``k`` rows for BOTH weightings and the driver merges
+    O(blocks·k) rows — the word_topk partial-top-k regime, nothing
+    vocabulary-sized on the driver.
+
+    Returns a one-row pandas DataFrame ``(k, overlap_at_k,
+    rbo_milli)``.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .text import split_words
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            col = pa.nulls(len(col), pa.string())
+        words = split_words(pc.fill_null(col, ""))
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(words).to_pylist(), dtype=object)
+        ids = np.repeat(
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
+        keep = flat != ""
+        flat, ids = flat[keep], ids[keep]
+        # occurrences
+        occ_u, occ_c = np.unique(flat.astype(str), return_counts=True)
+        # distinct docs: unique (token, doc) pairs then count per token
+        comp = np.char.add(
+            np.char.add(flat.astype(str), "\x1f"), ids.astype(str)
+        )
+        pair_u = np.unique(comp)
+        toks = np.char.partition(pair_u, "\x1f")[:, 0]
+        doc_u, doc_c = np.unique(toks, return_counts=True)
+        # align: doc_u ⊆ occ_u
+        doc_counts = np.zeros(len(occ_u), np.int64)
+        doc_counts[np.searchsorted(occ_u, doc_u)] = doc_c
+        return pa.Table.from_arrays(
+            [
+                pa.array(occ_u.astype(object), pa.string()),
+                pa.array(occ_c.astype(np.int64), pa.int64()),
+                pa.array(doc_counts, pa.int64()),
+            ],
+            names=["token", "occ", "docs"],
+        )
+
+    totals = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("occ", alias_name="occ"), Sum("docs", alias_name="docs"))
+        .map_batches(
+            lambda t: t.rename_columns(["token", "occ", "docs"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch["token"].to_pylist(), dtype=object)
+        occ = batch["occ"].to_numpy(zero_copy_only=False)
+        docs = batch["docs"].to_numpy(zero_copy_only=False)
+        ia = np.lexsort((tok, -occ))[:k]
+        ib = np.lexsort((tok, -docs))[:k]
+        idx = np.unique(np.concatenate([ia, ib]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(tok[idx].astype(str), pa.string()),
+                pa.array(occ[idx], pa.int64()),
+                pa.array(docs[idx], pa.int64()),
+            ],
+            names=["token", "occ", "docs"],
+        )
+
+    head = totals.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    rank_a = head.sort_values(
+        ["occ", "token"], ascending=[False, True]
+    )["token"].head(k).tolist()
+    rank_b = head.sort_values(
+        ["docs", "token"], ascending=[False, True]
+    )["token"].head(k).tolist()
+    return pd.DataFrame(
+        {
+            "k": [k],
+            "overlap_at_k": [len(set(rank_a) & set(rank_b))],
+            "rbo_milli": [rbo_milli_exact(rank_a, rank_b, k)],
+        }
+    )

@@ -12393,3 +12393,55 @@ SELECT grp AS "group",
        CAST(1000 * hapax // types AS BIGINT) AS hapax_milli
 FROM a ORDER BY "group"
 """
+
+
+def q_rank_overlap(sf_dir: str) -> pd.DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, p = 9/10, k = 10)
+    between the corpus's occurrence-weighted and document-frequency-
+    weighted term-head rankings (:func:`ops.search.ranking_overlap`) —
+    the eval-harness statistic for "how different are two retrieval
+    weightings really". RBO is computed in exact integer arithmetic
+    over the common denominator 10^10·lcm(1..10), so the oracle
+    replays it with a literal coefficient table."""
+    from .ops.search import ranking_overlap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ranking_overlap(ds, k=10)
+
+
+def _rbo_coef_values() -> str:
+    rows = []
+    for d in range(1, 11):
+        coef = (9 ** (d - 1)) * (10 ** (10 - d)) * (2520 // d)
+        rows.append(f"({d}, {coef})")
+    return ", ".join(rows)
+
+
+QUERIES["rank_overlap"] = q_rank_overlap
+ORACLE_SQL["rank_overlap"] = rf"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS w
+    FROM documents),
+occ AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+docf AS (SELECT w, count(DISTINCT doc_id) AS c FROM words WHERE w <> ''
+         GROUP BY w),
+ra AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM occ
+       QUALIFY r <= 10),
+rb AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM docf
+       QUALIFY r <= 10),
+coef(d, cf) AS (VALUES {_rbo_coef_values()}),
+xd AS (
+    SELECT coef.d,
+           (SELECT count(*) FROM ra JOIN rb USING (w)
+            WHERE ra.r <= coef.d AND rb.r <= coef.d) AS x
+    FROM coef),
+agg AS (SELECT CAST(sum(CAST(x AS HUGEINT) * cf) AS HUGEINT) AS num FROM xd
+        JOIN coef USING (d)),
+ov AS (SELECT count(*) AS o FROM ra JOIN rb USING (w))
+SELECT 10 AS k,
+       CAST(ov.o AS BIGINT) AS overlap_at_k,
+       CAST(1000 * agg.num // (CAST(10000000000 AS HUGEINT) * 2520)
+            AS BIGINT) AS rbo_milli
+FROM agg, ov
+"""

@@ -266,3 +266,44 @@ class TestProximityTopk:
         ds = rd.from_items([{"doc_id": 1, "text": "QA z z QB qa"}])
         df = proximity_topk(ds, ["qa", "qb", "QA"], k=5)
         assert list(df.window) == [2]  # dedup terms; lowercase match
+
+
+class TestRankingOverlap:
+    def test_rbo_exact_values(self):
+        from pdf_extractor_ray.ops.search import rbo_milli_exact
+
+        a = list("abcdefghij")
+        # truncated RBO (no extrapolation) maxes at 1 − p^k = 1 − 0.9^10
+        assert rbo_milli_exact(a, a) == 651
+        assert rbo_milli_exact(a, list("qrstuvwxyz")) == 0
+        # brute-force rational comparison on partial overlap
+        from fractions import Fraction
+
+        b = list("abcxyzdefg")
+        sa, sb = set(), set()
+        r = Fraction(0)
+        for d in range(1, 11):
+            sa.add(a[d - 1]); sb.add(b[d - 1])
+            r += Fraction(1, 10) * Fraction(9, 10) ** (d - 1) * Fraction(
+                len(sa & sb), d
+            )
+        assert rbo_milli_exact(a, b) == (1000 * r.numerator) // r.denominator
+
+    def test_ranking_overlap_small_corpus(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.search import ranking_overlap
+
+        # 'cat' occurs 12x in one doc (occurrence head) but in only 1 doc;
+        # 'dog' occurs once in each of 6 docs (doc-frequency head).
+        texts = ["cat " * 12] + ["dog x%d" % i for i in range(6)]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(list(range(len(texts))), pa.int64()),
+                pa.array(texts, pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+        df = ranking_overlap(ray.data.from_arrow(tab).repartition(3), k=10)
+        assert df["k"][0] == 10
+        assert 0 < df["rbo_milli"][0] < 1000
