@@ -642,3 +642,86 @@ def global_ntile(
         )
 
     return ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def outlier_census(
+    ds,
+    group_col: str,
+    value_col: str,
+    group_cap: int = 100_000,
+):
+    """Per-group Tukey-fence outlier census over an INTEGER value
+    column: with q1/q3 the exact rank-``ceil(q·n)`` quartiles
+    (:func:`group_quantiles` convention), a value is an outlier when
+    ``2·v < 2·q1 − 3·IQR`` or ``2·v > 2·q3 + 3·IQR`` — the classic
+    1.5·IQR fences doubled into pure integer arithmetic, so the
+    window-function oracle is bit-exact (no 1.5 float anywhere).
+
+    Shape: one :func:`group_quantiles` sort for the quartiles (driver
+    collects 2 rows per group, gated by ``group_cap``; groups are
+    enum-like by contract), the bounds broadcast once, then ONE
+    shuffle-free counting pass with per-block partials into a
+    ``groupby(group).sum``. Returns a Dataset ``(group, n, n_low,
+    n_high)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    qdf = group_quantiles(ds, group_col, value_col, [0.25, 0.75]).to_pandas()
+    if qdf[group_col].nunique() > group_cap:
+        raise RuntimeError(
+            f"outlier_census: {qdf[group_col].nunique()} groups exceed "
+            f"group_cap={group_cap} — fence bounds are per-group driver "
+            "state; bound the group column"
+        )
+    bounds = {}
+    for g, sub in qdf.groupby(group_col):
+        q1 = int(sub.loc[sub["q"] == 0.25, "value"].iloc[0])
+        q3 = int(sub.loc[sub["q"] == 0.75, "value"].iloc[0])
+        iqr = q3 - q1
+        bounds[g] = (2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr)
+    bref = ray.put(bounds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bd = ray.get(bref)
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        ok = np.asarray(
+            [g is not None for g in groups], bool
+        ) & ~pa.compute.is_null(batch[value_col]).to_numpy(
+            zero_copy_only=False
+        )
+        out_g, n, lo, hi = [], [], [], []
+        for g in set(groups[ok].tolist()):
+            if g not in bd:
+                continue
+            lo2, hi2 = bd[g]
+            sel = ok & (groups == g)
+            v2 = 2 * vals[sel].astype(np.int64)
+            out_g.append(str(g))
+            n.append(int(sel.sum()))
+            lo.append(int((v2 < lo2).sum()))
+            hi.append(int((v2 > hi2).sum()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_g, pa.string()),
+                pa.array(n, pa.int64()),
+                pa.array(lo, pa.int64()),
+                pa.array(hi, pa.int64()),
+            ],
+            names=["group", "n", "n_low", "n_high"],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("group")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_low", alias_name="n_low"),
+            Sum("n_high", alias_name="n_high"),
+        )
+        .map_batches(
+            lambda t: t.rename_columns(["group", "n", "n_low", "n_high"]),
+            batch_format="pyarrow",
+        )
+    )

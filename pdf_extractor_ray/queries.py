@@ -12445,3 +12445,58 @@ SELECT 10 AS k,
             AS BIGINT) AS rbo_milli
 FROM agg, ov
 """
+
+
+def q_outlier_census(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Tukey-fence outlier census over transaction
+    values in integer cents (:func:`ops.quantiles.outlier_census`):
+    exact rank-quartiles, doubled-integer 1.5·IQR fences (no float
+    1.5 anywhere), one counting pass. Cents via
+    ``floor(value·100 + 0.5)`` — the identical IEEE expression on
+    both engines."""
+    from .ops.quantiles import outlier_census
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch["event_type"], pa.array(cents, pa.int64())],
+            names=["event_type", "cents"],
+        )
+
+    out = outlier_census(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "event_type", "cents"
+    )
+    df = out.to_pandas()
+    return df.sort_values("group").reset_index(drop=True)
+
+
+QUERIES["outlier_census"] = q_outlier_census
+ORACLE_SQL["outlier_census"] = """
+WITH c AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+ranked AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM c),
+q AS (
+    SELECT event_type,
+           max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+               THEN cents END) AS q1,
+           max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+               THEN cents END) AS q3
+    FROM ranked GROUP BY event_type)
+SELECT c.event_type AS "group",
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN 2 * cents < 2 * q1 - 3 * (q3 - q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN 2 * cents > 2 * q3 + 3 * (q3 - q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM c JOIN q USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""

@@ -815,3 +815,59 @@ class TestHyperBall:
         ds = rd.from_items([{"src": 1 << 33, "dst": 2}])
         with _pytest.raises(Exception, match="dense-rank|2\\^32"):
             hyperball(ds, radius=1).take_all()
+
+
+class TestOutlierCensus:
+    def test_fences_exact(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.quantiles import outlier_census
+
+        # group 'a': values 1..8 plus outliers -100 and 100
+        vals = list(range(1, 9)) + [-100, 100]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(["a"] * len(vals), pa.string()),
+                pa.array(vals, pa.int64()),
+            ],
+            names=["g", "v"],
+        )
+        df = (
+            outlier_census(ray.data.from_arrow(tab).repartition(3), "g", "v")
+            .to_pandas()
+        )
+        # n=10; ranks ceil(2.5)=3 -> sorted[-100,1..8,100][2]=2 =q1;
+        # ceil(7.5)=8 -> value 7 =q3; IQR=5; fences [2-7.5, 7+7.5]
+        assert df.iloc[0].tolist() == ["a", 10, 1, 1]
+
+    def test_brute_force_random(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.quantiles import outlier_census
+
+        rng = np.random.RandomState(8)
+        groups = rng.choice(["x", "y"], 400)
+        vals = rng.randint(-1000, 1000, 400)
+        tab = pa.Table.from_arrays(
+            [pa.array(groups, pa.string()), pa.array(vals, pa.int64())],
+            names=["g", "v"],
+        )
+        df = (
+            outlier_census(ray.data.from_arrow(tab).repartition(5), "g", "v")
+            .to_pandas()
+            .sort_values("group")
+            .reset_index(drop=True)
+        )
+        import math
+
+        for r in df.itertuples():
+            sub = np.sort(vals[groups == r.group])
+            n = len(sub)
+            q1 = int(sub[math.ceil(0.25 * n) - 1])
+            q3 = int(sub[math.ceil(0.75 * n) - 1])
+            lo, hi = 2 * q1 - 3 * (q3 - q1), 2 * q3 + 3 * (q3 - q1)
+            assert (int(r.n), int(r.n_low), int(r.n_high)) == (
+                n,
+                int((2 * sub < lo).sum()),
+                int((2 * sub > hi).sum()),
+            )
