@@ -20,6 +20,8 @@ oracle states ``CAST(min(col) AS VARCHAR)``.
 
 from __future__ import annotations
 
+import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -124,4 +126,93 @@ def profile_table(ds, cols: list[str]) -> pa.Table:
             ),
         ],
         names=["column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"],
+    )
+
+
+def chi_square_census(
+    ds,
+    col_a: str,
+    col_b: str,
+    cat_cap: int = 10_000,
+):
+    """Pearson chi-square independence census between two enum-like
+    columns, as an EXACT RATIONAL in floor milli-units: with N total
+    rows, row sums R_i, column sums C_j and observed O_ij,
+
+        chi2 = Σ_ij (O_ij·N − R_i·C_j)² / (N·R_i·C_j)
+
+    — the (O−E)²/E sum with every term over the common structure
+    N·R_i·C_j, computed in Python big-ints (the numerator squares
+    overflow int64 by design) and reported as ``1000·chi2`` floored.
+    The independence screen for corpus curation: language × quality
+    tier, host × status class, source × dedup fate.
+
+    Shape: per-block (a, b) pair-count partials pre-combine before ONE
+    ``groupby(a, b).sum``; the contingency table (bounded by
+    ``cat_cap`` cells, categories are enums by contract) is the only
+    driver collection. Returns a one-row pandas DataFrame
+    ``(n, n_rows_cat, n_cols_cat, dof, chi2_milli)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[col_a].to_pylist(), dtype=object)
+        b = np.asarray(batch[col_b].to_pylist(), dtype=object)
+        keep = np.array(
+            [x is not None and y is not None for x, y in zip(a, b)], bool
+        )
+        comp = np.char.add(
+            np.char.add(a[keep].astype(str), "\x1f"), b[keep].astype(str)
+        )
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        parts = np.char.partition(uniq.astype(str), "\x1f")
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(object), pa.string()),
+                pa.array(cnt, pa.int64()),
+            ],
+            names=["a", "b", "n"],
+        )
+
+    cells = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "n"]), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    if len(cells) > cat_cap:
+        raise RuntimeError(
+            f"chi_square_census: {len(cells)} contingency cells exceed "
+            f"cat_cap={cat_cap} — both columns must be enum-like"
+        )
+    n_total = int(cells["n"].sum())
+    r_sum = cells.groupby("a")["n"].sum().to_dict()
+    c_sum = cells.groupby("b")["n"].sum().to_dict()
+    # Per-cell floor-milli terms, summed as exact integers: SQL cannot
+    # sum exact rationals with heterogeneous denominators, so the
+    # metric is DEFINED as Σ_ij floor(1000·(O·N − R·C)² / (N·R_i·C_j))
+    # over the full category cross product — order-independent and
+    # bit-identical on both engines (each term is one HUGEINT floor).
+    obs = {(r.a, r.b): int(r.n) for r in cells.itertuples()}
+    chi2_milli = 0
+    for ra, rv in r_sum.items():
+        for cb, cv in c_sum.items():
+            o = obs.get((ra, cb), 0)
+            d = o * n_total - rv * cv
+            chi2_milli += (1000 * d * d) // (n_total * rv * cv)
+    dof = (len(r_sum) - 1) * (len(c_sum) - 1)
+    return pd.DataFrame(
+        {
+            "n": [n_total],
+            "n_rows_cat": [len(r_sum)],
+            "n_cols_cat": [len(c_sum)],
+            "dof": [dof],
+            "chi2_milli": [chi2_milli],
+        }
     )

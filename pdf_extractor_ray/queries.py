@@ -12500,3 +12500,62 @@ SELECT c.event_type AS "group",
 FROM c JOIN q USING (event_type)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def q_chi_square(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence census between event type and the
+    value's sign-of-deviation tercile (closed-form category from
+    cents % 3 — enum × enum by construction) via
+    :func:`ops.profile.chi_square_census`: per-cell floor-milli
+    (O·N − R·C)²/(N·R·C) terms summed as exact integers on both
+    engines. One pair groupby; the contingency table is the only
+    driver state."""
+    from .ops.profile import chi_square_census
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cat(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        tercile = np.abs(cents) % 3
+        return pa.Table.from_arrays(
+            [
+                batch["event_type"],
+                pa.array([f"t{t}" for t in tercile], pa.string()),
+            ],
+            names=["event_type", "tercile"],
+        )
+
+    return chi_square_census(
+        ds.map_batches(cat, batch_format="pyarrow"), "event_type", "tercile"
+    )
+
+
+QUERIES["chi_square"] = q_chi_square
+ORACLE_SQL["chi_square"] = """
+WITH c AS (
+    SELECT event_type AS a,
+           't' || CAST(abs(CAST(floor(value * 100 + 0.5) AS BIGINT)) % 3
+                       AS VARCHAR) AS b
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+cells AS (SELECT a, b, count(*) AS o FROM c GROUP BY 1, 2),
+rs AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+cs AS (SELECT b, sum(o) AS cc FROM cells GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+    SELECT rs.a, cs.b, rs.r, cs.cc, coalesce(cells.o, 0) AS o
+    FROM rs CROSS JOIN cs
+    LEFT JOIN cells ON cells.a = rs.a AND cells.b = cs.b),
+terms AS (
+    SELECT (1000 * CAST(o * n.n - r * cc AS HUGEINT)
+                 * CAST(o * n.n - r * cc AS HUGEINT))
+           // (CAST(n.n AS HUGEINT) * r * cc) AS t
+    FROM grid, n)
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM rs) AS BIGINT) AS n_rows_cat,
+       CAST((SELECT count(*) FROM cs) AS BIGINT) AS n_cols_cat,
+       CAST(((SELECT count(*) FROM rs) - 1)
+            * ((SELECT count(*) FROM cs) - 1) AS BIGINT) AS dof,
+       CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_milli
+FROM n
+"""

@@ -1899,3 +1899,37 @@ class TestHapaxStats:
         assert df.iloc[0].tolist() == ["de", 1, 2, 0, 0]
         # en: the×2, cat×2, dog×1 -> types 3, tokens 5, hapax 1
         assert df.iloc[1].tolist() == ["en", 3, 5, 1, 333]
+
+
+class TestChiSquareCensus:
+    def test_independent_uniform_is_zero(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.profile import chi_square_census
+
+        # perfectly independent 2x2 with equal counts: every d = 0
+        a = ["x"] * 50 + ["y"] * 50
+        b = (["p", "q"] * 25) * 2
+        tab = pa.Table.from_arrays(
+            [pa.array(a, pa.string()), pa.array(b, pa.string())],
+            names=["a", "b"],
+        )
+        df = chi_square_census(ray.data.from_arrow(tab).repartition(4), "a", "b")
+        assert df["chi2_milli"][0] == 0
+        assert df["dof"][0] == 1
+
+    def test_perfect_association(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.profile import chi_square_census
+
+        # x→p, y→q only: chi2 = N (per-cell floors of N/4 each)
+        a = ["x"] * 30 + ["y"] * 30
+        b = ["p"] * 30 + ["q"] * 30
+        tab = pa.Table.from_arrays(
+            [pa.array(a, pa.string()), pa.array(b, pa.string())],
+            names=["a", "b"],
+        )
+        df = chi_square_census(ray.data.from_arrow(tab), "a", "b")
+        assert df["chi2_milli"][0] == 60 * 1000
+        assert df["n"][0] == 60
