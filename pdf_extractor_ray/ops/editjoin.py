@@ -270,3 +270,49 @@ def edit_distance_join(
             batch_format="pyarrow",
         )
     )
+
+
+def blocking_recall(
+    ds,
+    key_col: str,
+    id_col: str = "doc_id",
+    k: int = 1,
+    window: int = 4,
+):
+    """Eval-harness operator: pair RECALL of Sorted-Neighborhood
+    blocking (:func:`..ops.dedup.sorted_neighborhood_pairs`, window
+    ``window``) against the FULL-recall Ed-Join ground truth
+    (:func:`edit_distance_join` at the same ``k``) — the standard
+    trade-off measurement entity-resolution pipelines publish before
+    choosing a blocking strategy. Both operands are this engine's own
+    audited operators; the pair sets are the matched minority and
+    reduce to three integers.
+
+    Returns a one-row pandas DataFrame ``(n_truth, n_found,
+    recall_milli)`` (floor milli; SN precision is 1000 by construction
+    — its kernel verifies distances).
+    """
+    import pandas as pd
+
+    from .dedup import sorted_neighborhood_pairs
+
+    truth = edit_distance_join(ds, key_col, id_col=id_col, k=k).to_pandas()
+    sn = sorted_neighborhood_pairs(
+        ds, key_col=key_col, id_col=id_col, window=window, max_dist=k
+    ).to_pandas()
+    t_pairs = {
+        (min(a, b), max(a, b)) for a, b in zip(truth["id_a"], truth["id_b"])
+    }
+    sn_pairs = {
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(sn["id_a"], sn["id_b"])
+    }
+    n_truth = len(t_pairs)
+    n_found = len(t_pairs & sn_pairs)
+    return pd.DataFrame(
+        {
+            "n_truth": [n_truth],
+            "n_found": [n_found],
+            "recall_milli": [1000 * n_found // n_truth if n_truth else 1000],
+        }
+    )

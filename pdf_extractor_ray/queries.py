@@ -12559,3 +12559,78 @@ SELECT CAST(n.n AS BIGINT) AS n,
        CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_milli
 FROM n
 """
+
+
+def q_blocking_recall(sf_dir: str) -> pd.DataFrame:
+    """Sorted-Neighborhood blocking recall vs the exact Ed-Join ground
+    truth (:func:`ops.editjoin.blocking_recall`) over the Q
+    ``edit_join`` fixture keys (window 4, k = 1) — the eval every
+    entity-resolution pipeline publishes before trusting a blocking
+    strategy. The oracle replays BOTH operators: a brute-force
+    levenshtein cross join for truth and a row_number rank-band
+    replay of the sorted-neighborhood candidate set."""
+    from .ops.editjoin import blocking_recall
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch["doc_id"].to_pylist()
+        keys = []
+        for i in ids:
+            g = i // 3
+            base = hashlib.md5(str(g).encode()).hexdigest()[:8] + "-" + str(g)
+            if i % 3 == 1:
+                base = base[:-1] + "x"
+            elif i % 3 == 2:
+                base = base[:-1]
+            keys.append(base)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(keys, pa.string())],
+            names=["doc_id", "key"],
+        )
+
+    return blocking_recall(
+        ds.map_batches(to_keys, batch_format="pyarrow"), "key", k=1, window=4
+    )
+
+
+QUERIES["blocking_recall"] = q_blocking_recall
+ORACLE_SQL["blocking_recall"] = """
+WITH names AS MATERIALIZED (
+    SELECT doc_id,
+           CASE doc_id % 3
+               WHEN 1 THEN substr(base, 1, length(base) - 1) || 'x'
+               WHEN 2 THEN substr(base, 1, length(base) - 1)
+               ELSE base END AS key
+    FROM (SELECT doc_id,
+                 substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 8)
+                     || '-' || CAST(doc_id // 3 AS VARCHAR) AS base
+          FROM documents)),
+truth AS MATERIALIZED (
+    SELECT least(a.doc_id, b.doc_id) AS ia,
+           greatest(a.doc_id, b.doc_id) AS ib
+    FROM names a JOIN names b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.key) - length(b.key)) <= 1
+     AND levenshtein(a.key, b.key) <= 1),
+ranked AS MATERIALIZED (
+    SELECT doc_id, key,
+           row_number() OVER (ORDER BY key, doc_id) AS rn
+    FROM names),
+sn AS MATERIALIZED (
+    SELECT least(a.doc_id, b.doc_id) AS ia,
+           greatest(a.doc_id, b.doc_id) AS ib
+    FROM ranked a JOIN ranked b
+      ON b.rn > a.rn AND b.rn <= a.rn + 4
+     AND abs(length(a.key) - length(b.key)) <= 1
+     AND levenshtein(a.key, b.key) <= 1),
+nt AS (SELECT count(*) AS n FROM truth),
+nf AS (SELECT count(*) AS n FROM truth JOIN sn USING (ia, ib))
+SELECT CAST(nt.n AS BIGINT) AS n_truth,
+       CAST(nf.n AS BIGINT) AS n_found,
+       CAST(CASE WHEN nt.n > 0 THEN 1000 * nf.n // nt.n
+            ELSE 1000 END AS BIGINT) AS recall_milli
+FROM nt, nf
+"""

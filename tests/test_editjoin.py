@@ -98,3 +98,24 @@ class TestEditDistanceJoin:
         ds = ray.data.from_arrow(tab)
         with pytest.raises(RuntimeError, match="vocab"):
             edit_distance_join(ds, "key", k=1, vocab_cap=3)
+
+
+class TestBlockingRecall:
+    def test_recall_bounds_and_exact_case(self, ray_session):
+        from pdf_extractor_ray.ops.editjoin import blocking_recall
+
+        # adjacent-when-sorted near-dups: SN at window 2 finds them all
+        items = [(i, f"team-{i // 2:03d}" + ("" if i % 2 == 0 else "x"))
+                 for i in range(40)]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([i for i, _ in items], pa.int64()),
+                pa.array([s for _, s in items], pa.string()),
+            ],
+            names=["doc_id", "key"],
+        )
+        ds = ray.data.from_arrow(tab).repartition(3)
+        df = blocking_recall(ds, "key", k=1, window=3)
+        assert df["n_truth"][0] >= 20
+        assert 0 <= df["n_found"][0] <= df["n_truth"][0]
+        assert df["recall_milli"][0] == 1000 * df["n_found"][0] // df["n_truth"][0]
