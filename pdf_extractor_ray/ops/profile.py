@@ -216,3 +216,97 @@ def chi_square_census(
             "chi2_milli": [chi2_milli],
         }
     )
+
+
+def benford_census(
+    ds,
+    group_col: str,
+    value_col: str,
+):
+    """Leading-significant-digit census per group (Benford screen —
+    fabricated or synthetic numeric columns drift from the log
+    distribution; the classic forensic-accounting signal applied to
+    crawl metrics): counts of first significant digits 1–9 of the
+    absolute INTEGER value column, zero values excluded, plus each
+    group's digit-1 share in floor milli.
+
+    Shape: per-block (group, digit) partials pre-combine before ONE
+    ``groupby(group, digit).sum``; one segment pass widens to the
+    fixed 9-digit schema. Returns a Dataset ``(group, d1..d9,
+    digit1_milli)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from .segments import sorted_segment_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        vals = np.abs(batch[value_col].to_numpy(zero_copy_only=False))
+        keep = np.array([g is not None for g in groups], bool) & (vals > 0)
+        groups, vals = groups[keep], vals[keep].astype(np.int64)
+        # first significant digit: strip trailing magnitude via log-free
+        # integer division (vectorized loop over <=19 decades)
+        v = vals.copy()
+        big = v >= 10
+        while big.any():
+            v[big] //= 10
+            big = v >= 10
+        comp = np.char.add(
+            np.char.add(groups.astype(str), "\x1f"), v.astype(str)
+        )
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        parts = np.char.partition(uniq.astype(str), "\x1f")
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(np.int64), pa.int64()),
+                pa.array(cnt, pa.int64()),
+            ],
+            names=["grp", "digit", "n"],
+        )
+
+    pairs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["grp", "digit"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.rename_columns(["grp", "digit", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    names = ["group"] + [f"d{d}" for d in range(1, 10)] + ["digit1_milli"]
+
+    def widen(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string())] + [pa.array([], pa.int64())] * 10,
+                names=names,
+            )
+        grp = batch["grp"].combine_chunks()
+        digit = batch["digit"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        seg = np.zeros(len(digit), np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1
+        ok = np.zeros(len(digit) + 1, np.int64)
+        ok[starts] += 1
+        ok[ends] -= 1
+        inside = np.cumsum(ok[:-1]) > 0
+        mat = np.zeros((len(starts), 9), np.int64)
+        np.add.at(
+            mat, (seg[inside], digit[inside] - 1), n[inside]
+        )
+        tot = mat.sum(axis=1)
+        d1m = np.where(tot > 0, 1000 * mat[:, 0] // np.maximum(tot, 1), 0)
+        return pa.Table.from_arrays(
+            [grp.take(pa.array(starts))]
+            + [pa.array(mat[:, j], pa.int64()) for j in range(9)]
+            + [pa.array(d1m.astype(np.int64), pa.int64())],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        pairs, key_col="grp", block_fn=widen, within_cols=["digit"]
+    )

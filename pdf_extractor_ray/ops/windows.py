@@ -263,3 +263,91 @@ def burstiness_stats(
     return sorted_segment_apply(
         pairs, key_col="key", block_fn=fano, within_cols=["bucket"]
     )
+
+
+def autocorrelation_stats(
+    ds,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    lags: tuple = (1, 2, 3, 24),
+    bucket_us: int = HOUR_US,
+    bucket_cap: int = 2_000_000,
+):
+    """Per-group integer autocorrelation of the hourly event-count
+    series at fixed lags — the periodicity screen that separates
+    scheduled crawlers/bots (strong lag-24 structure) from organic
+    traffic. Reported RAW (non-centered) in floor milli:
+    ``1000 · Σ_t c_t·c_{t+lag} // Σ_t c_t²`` — pure integers, missing
+    hours count as zero (only occupied-hour products contribute).
+
+    Shape: per-block (group, bucket) partials pre-combine before ONE
+    ``groupby(group, bucket).sum``; the occupied-bucket series
+    (time-range-bounded — hours × groups, NOT event-bounded; gated by
+    ``bucket_cap``) reduces on the driver with numpy dot products per
+    lag. Returns a pandas DataFrame ``(group, lag, num, den,
+    autocorr_milli)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        ts = batch[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        buckets = ts.cast(pa.int64()).to_numpy() // bucket_us
+        comp = np.char.add(
+            np.char.add(groups.astype(str), "\x1f"), buckets.astype(str)
+        )
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        parts = np.char.partition(uniq.astype(str), "\x1f")
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(np.int64), pa.int64()),
+                pa.array(cnt, pa.int64()),
+            ],
+            names=["grp", "bucket", "n"],
+        )
+
+    series_ds = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["grp", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.rename_columns(["grp", "bucket", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    n_rows = series_ds.count()
+    if n_rows > bucket_cap:
+        raise RuntimeError(
+            f"autocorrelation_stats: {n_rows} occupied (group, hour) "
+            f"buckets exceed bucket_cap={bucket_cap}"
+        )
+    series = series_ds.to_pandas()
+    out_g, out_l, out_num, out_den, out_m = [], [], [], [], []
+    for g, sub in series.groupby("grp"):
+        b = sub["bucket"].to_numpy()
+        c = sub["n"].to_numpy()
+        order = np.argsort(b)
+        b, c = b[order], c[order]
+        den = int((c.astype(object) * c).sum())
+        pos = {int(x): int(v) for x, v in zip(b, c)}
+        for lag in lags:
+            num = sum(v * pos.get(t + lag, 0) for t, v in pos.items())
+            out_g.append(str(g))
+            out_l.append(int(lag))
+            out_num.append(num)
+            out_den.append(den)
+            out_m.append(1000 * num // den if den else 0)
+    return pd.DataFrame(
+        {
+            "group": out_g,
+            "lag": out_l,
+            "num": out_num,
+            "den": out_den,
+            "autocorr_milli": out_m,
+        }
+    )

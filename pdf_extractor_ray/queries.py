@@ -12634,3 +12634,98 @@ SELECT CAST(nt.n AS BIGINT) AS n_truth,
             ELSE 1000 END AS BIGINT) AS recall_milli
 FROM nt, nf
 """
+
+
+def q_autocorrelation(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type hourly-series autocorrelation at lags 1/2/3/24
+    (:func:`ops.windows.autocorrelation_stats`): raw integer
+    lag-products over occupied hours in floor milli — the periodicity
+    screen for scheduled bots. One (type, hour) pair groupby; the
+    series is time-range-bounded driver state (gated)."""
+    from .ops.windows import autocorrelation_stats
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    df = autocorrelation_stats(ds)
+    return df.sort_values(["group", "lag"]).reset_index(drop=True)
+
+
+QUERIES["autocorrelation"] = q_autocorrelation
+ORACLE_SQL["autocorrelation"] = """
+WITH b AS (
+    SELECT event_type AS grp, epoch_us(ts) // 3600000000 AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2),
+den AS (SELECT grp, sum(n * n) AS den FROM b GROUP BY 1),
+lags(lag) AS (VALUES (1), (2), (3), (24)),
+num AS (
+    SELECT a.grp, lags.lag, coalesce(sum(a.n * c.n), 0) AS num
+    FROM b a CROSS JOIN lags
+    LEFT JOIN b c ON c.grp = a.grp AND c.bucket = a.bucket + lags.lag
+    GROUP BY 1, 2)
+SELECT num.grp AS "group", CAST(num.lag AS BIGINT) AS lag,
+       CAST(num.num AS BIGINT) AS num,
+       CAST(den.den AS BIGINT) AS den,
+       CAST(CASE WHEN den.den > 0 THEN 1000 * num.num // den.den
+            ELSE 0 END AS BIGINT) AS autocorr_milli
+FROM num JOIN den USING (grp)
+ORDER BY "group", lag
+"""
+
+
+def q_benford(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Benford first-digit census over transaction
+    cents (:func:`ops.profile.benford_census`): counts of leading
+    significant digits 1–9 (zero cents excluded) plus the digit-1
+    share in floor milli. One (type, digit) groupby, vectorized
+    scatter into the fixed 9-digit schema."""
+    from .ops.profile import benford_census
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch["event_type"], pa.array(cents, pa.int64())],
+            names=["event_type", "cents"],
+        )
+
+    out = benford_census(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "event_type", "cents"
+    )
+    df = out.to_pandas()
+    return df.sort_values("group").reset_index(drop=True)
+
+
+QUERIES["benford"] = q_benford
+ORACLE_SQL["benford"] = """
+WITH c AS (
+    SELECT event_type AS grp,
+           abs(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+d AS (
+    SELECT grp, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM c WHERE v > 0),
+cnt AS (SELECT grp, digit, count(*) AS n FROM d GROUP BY 1, 2),
+wide AS (
+    SELECT grp,
+           sum(CASE WHEN digit = 1 THEN n ELSE 0 END) AS d1,
+           sum(CASE WHEN digit = 2 THEN n ELSE 0 END) AS d2,
+           sum(CASE WHEN digit = 3 THEN n ELSE 0 END) AS d3,
+           sum(CASE WHEN digit = 4 THEN n ELSE 0 END) AS d4,
+           sum(CASE WHEN digit = 5 THEN n ELSE 0 END) AS d5,
+           sum(CASE WHEN digit = 6 THEN n ELSE 0 END) AS d6,
+           sum(CASE WHEN digit = 7 THEN n ELSE 0 END) AS d7,
+           sum(CASE WHEN digit = 8 THEN n ELSE 0 END) AS d8,
+           sum(CASE WHEN digit = 9 THEN n ELSE 0 END) AS d9
+    FROM cnt GROUP BY 1)
+SELECT grp AS "group",
+       CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(d3 AS BIGINT) AS d3, CAST(d4 AS BIGINT) AS d4,
+       CAST(d5 AS BIGINT) AS d5, CAST(d6 AS BIGINT) AS d6,
+       CAST(d7 AS BIGINT) AS d7, CAST(d8 AS BIGINT) AS d8,
+       CAST(d9 AS BIGINT) AS d9,
+       CAST(1000 * d1 // (d1+d2+d3+d4+d5+d6+d7+d8+d9) AS BIGINT)
+           AS digit1_milli
+FROM wide ORDER BY "group"
+"""

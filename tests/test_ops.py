@@ -1933,3 +1933,27 @@ class TestChiSquareCensus:
         df = chi_square_census(ray.data.from_arrow(tab), "a", "b")
         assert df["chi2_milli"][0] == 60 * 1000
         assert df["n"][0] == 60
+
+
+class TestBenfordCensus:
+    def test_digit_counts(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.profile import benford_census
+
+        vals = [1, 19, 23, 999, 100, 0, -250, 3]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(["g"] * len(vals), pa.string()),
+                pa.array(vals, pa.int64()),
+            ],
+            names=["grp", "v"],
+        )
+        df = benford_census(
+            ray.data.from_arrow(tab).repartition(3), "grp", "v"
+        ).to_pandas()
+        row = df.iloc[0]
+        # digits: 1,1,2,9,1,(skip 0),2,3 -> d1=3 d2=2 d3=1 d9=1; total 7
+        assert row["d1"] == 3 and row["d2"] == 2 and row["d3"] == 1
+        assert row["d9"] == 1 and row["d4"] == 0
+        assert row["digit1_milli"] == 1000 * 3 // 7

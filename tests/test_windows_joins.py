@@ -281,3 +281,44 @@ class TestBurstinessStats:
         assert df.iloc[0].tolist() == [1, 3, 6, 1000]
         # user2: n=2, tot=4, tot2=8 -> (16-16)*1000 // 8 = 0
         assert df.iloc[1].tolist() == [2, 2, 4, 0]
+
+
+class TestAutocorrelation:
+    def test_periodic_series(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.windows import autocorrelation_stats
+
+        HOUR = 3_600_000_000
+        # group 'a': 1 event at hours 0,2,4,6 (period 2)
+        rows = [("a", h * HOUR) for h in (0, 2, 4, 6)]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.int64()),
+            ],
+            names=["event_type", "ts"],
+        )
+        df = autocorrelation_stats(
+            ray.data.from_arrow(tab), lags=(1, 2)
+        ).sort_values("lag")
+        # den = 4; lag1 products all 0; lag2: hours 0,2,4 pair up -> 3
+        assert df[df["lag"] == 1]["autocorr_milli"].iloc[0] == 0
+        assert df[df["lag"] == 2]["autocorr_milli"].iloc[0] == 1000 * 3 // 4
+
+    def test_bucket_cap(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.windows import autocorrelation_stats
+
+        HOUR = 3_600_000_000
+        rows = [("a", h * HOUR) for h in range(10)]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.int64()),
+            ],
+            names=["event_type", "ts"],
+        )
+        with pytest.raises(RuntimeError, match="bucket_cap"):
+            autocorrelation_stats(ray.data.from_arrow(tab), bucket_cap=3)
