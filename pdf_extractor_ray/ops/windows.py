@@ -351,3 +351,89 @@ def autocorrelation_stats(
             "autocorr_milli": out_m,
         }
     )
+
+
+def cusum_alerts(
+    ds,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    drift: int = 0,
+    threshold_num: int = 3,
+    threshold_den: int = 2,
+    bucket_us: int = HOUR_US,
+    bucket_cap: int = 2_000_000,
+):
+    """Per-group CUSUM change detection on the hourly count series —
+    the classic upward-shift alarm (Page 1954) for traffic surges.
+    The recursive statistic ``S_t = max(0, S_{t-1} + (c_t − k))``
+    equals ``cumsum_t − min_{j<=t} cumsum_j`` (running sum minus its
+    running minimum), so it vectorizes as two prefix scans with no
+    sequential loop; ``k = drift`` and the alarm threshold is the
+    rational ``threshold_num/threshold_den × mean`` hourly count,
+    compared cross-multiplied in exact integers.
+
+    Series gaps count as zero-event hours (the full hour range per
+    group densifies between its min and max occupied hour). The
+    occupied range is time-bounded driver state gated by
+    ``bucket_cap`` — the same contract as
+    :func:`autocorrelation_stats`.
+
+    Returns a pandas DataFrame ``(group, n_hours, n_alert_hours,
+    max_stat)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        ts = batch[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        buckets = ts.cast(pa.int64()).to_numpy() // bucket_us
+        comp = np.char.add(
+            np.char.add(groups.astype(str), "\x1f"), buckets.astype(str)
+        )
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        parts = np.char.partition(uniq.astype(str), "\x1f")
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(np.int64), pa.int64()),
+                pa.array(cnt, pa.int64()),
+            ],
+            names=["grp", "bucket", "n"],
+        )
+
+    series_ds = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["grp", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.rename_columns(["grp", "bucket", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    if series_ds.count() > bucket_cap:
+        raise RuntimeError("cusum_alerts: occupied buckets exceed bucket_cap")
+    series = series_ds.to_pandas()
+    out = {"group": [], "n_hours": [], "n_alert_hours": [], "max_stat": []}
+    for g, sub in series.groupby("grp"):
+        b = sub["bucket"].to_numpy()
+        c = sub["n"].to_numpy()
+        lo, hi = int(b.min()), int(b.max())
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[b - lo] = c
+        x = dense - drift
+        cum = np.cumsum(x)
+        run_min = np.minimum.accumulate(np.concatenate([[0], cum]))[:-1]
+        s = cum - run_min  # S_t with S_0 = 0 before the first hour
+        n_hours = len(dense)
+        total = int(dense.sum())
+        # alert: S_t · den · n_hours > num · total  (threshold = num/den · mean)
+        alert = s * threshold_den * n_hours > threshold_num * total
+        out["group"].append(str(g))
+        out["n_hours"].append(n_hours)
+        out["n_alert_hours"].append(int(alert.sum()))
+        out["max_stat"].append(int(s.max()))
+    return pd.DataFrame(out)

@@ -12729,3 +12729,55 @@ SELECT grp AS "group",
            AS digit1_milli
 FROM wide ORDER BY "group"
 """
+
+
+def q_cusum_alerts(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type CUSUM surge alarm over hourly counts
+    (:func:`ops.windows.cusum_alerts`): the recursive Page statistic
+    rewritten as cumsum − running-min (two prefix scans, no loop),
+    drift 0, alarm when S_t exceeds 3/2 of the mean hourly count —
+    cross-multiplied exact integers. The oracle states the same
+    prefix-scan identity with window functions."""
+    from .ops.windows import cusum_alerts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    df = cusum_alerts(ds)
+    return df.sort_values("group").reset_index(drop=True)
+
+
+QUERIES["cusum_alerts"] = q_cusum_alerts
+ORACLE_SQL["cusum_alerts"] = """
+WITH b AS (
+    SELECT event_type AS grp, epoch_us(ts) // 3600000000 AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2),
+rng AS (SELECT grp, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+grid AS (
+    SELECT grp, unnest(range(lo, hi + 1)) AS bucket FROM rng),
+dense AS (
+    SELECT grid.grp, grid.bucket, coalesce(b.n, 0) AS n
+    FROM grid LEFT JOIN b ON b.grp = grid.grp AND b.bucket = grid.bucket),
+cums AS (
+    SELECT grp, bucket, n,
+           sum(n) OVER (PARTITION BY grp ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM dense),
+scan AS (
+    SELECT grp, bucket, n, cum,
+           least(0, min(cum) OVER (PARTITION BY grp ORDER BY bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) AS run_min
+    FROM cums),
+tot AS (SELECT grp, count(*) AS n_hours, sum(n) AS total FROM dense
+        GROUP BY 1),
+stat AS (
+    SELECT scan.grp, scan.cum - scan.run_min AS s, tot.n_hours, tot.total
+    FROM scan JOIN tot USING (grp))
+SELECT grp AS "group",
+       CAST(max(n_hours) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN s * 2 * n_hours > 3 * total THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alert_hours,
+       CAST(max(s) AS BIGINT) AS max_stat
+FROM stat GROUP BY 1 ORDER BY 1
+"""

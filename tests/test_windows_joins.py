@@ -322,3 +322,37 @@ class TestAutocorrelation:
         )
         with pytest.raises(RuntimeError, match="bucket_cap"):
             autocorrelation_stats(ray.data.from_arrow(tab), bucket_cap=3)
+
+
+class TestCusumAlerts:
+    def test_prefix_scan_equals_recursion(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.windows import cusum_alerts
+
+        HOUR = 3_600_000_000
+        # counts per hour: [1,1,1,1,10,10] -> surge at the end
+        rows = []
+        for h, c in enumerate([1, 1, 1, 1, 10, 10]):
+            rows += [("a", h * HOUR + i) for i in range(c)]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.int64()),
+            ],
+            names=["event_type", "ts"],
+        )
+        df = cusum_alerts(ray.data.from_arrow(tab).repartition(3))
+        # recursive reference with drift 0: S = cumsum (all positive)
+        counts = [1, 1, 1, 1, 10, 10]
+        s, smax, alerts = 0, 0, 0
+        total, n_hours = sum(counts), len(counts)
+        for c in counts:
+            s = max(0, s + c)
+            smax = max(smax, s)
+            if s * 2 * n_hours > 3 * total:
+                alerts += 1
+        row = df.iloc[0]
+        assert (row["n_hours"], row["n_alert_hours"], row["max_stat"]) == (
+            n_hours, alerts, smax
+        )
