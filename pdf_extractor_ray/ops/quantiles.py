@@ -725,3 +725,70 @@ def outlier_census(
             batch_format="pyarrow",
         )
     )
+
+
+def group_mad(
+    ds,
+    group_col: str,
+    value_col: str,
+    group_cap: int = 100_000,
+):
+    """Per-group median absolute deviation — the robust dispersion
+    companion to :func:`outlier_census` (MAD survives the exact heavy
+    tails that wreck a stddev): ``median`` is the rank-``ceil(n/2)``
+    value (:func:`group_quantiles` convention), ``mad`` the same rank
+    over ``|v − median|``, both exact integers.
+
+    Shape: one :func:`group_quantiles` sort for the medians (2 rows
+    per group on the driver, ``group_cap``-gated), the medians
+    broadcast once, one shuffle-free transform pass, then a SECOND
+    group_quantiles sort over the deviations — two honest exchanges,
+    the price of two order statistics. Returns a Dataset
+    ``(group, median, mad)``.
+    """
+    import ray
+
+    qdf = group_quantiles(ds, group_col, value_col, [0.5]).to_pandas()
+    if qdf[group_col].nunique() > group_cap:
+        raise RuntimeError(
+            f"group_mad: {qdf[group_col].nunique()} groups exceed group_cap"
+        )
+    med = {
+        r[group_col]: int(r["value"]) for _, r in qdf.iterrows()
+    }
+    mref = ray.put(med)
+
+    def deviations(batch: pa.Table) -> pa.Table:
+        md = ray.get(mref)
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        keep = np.array([g in md for g in groups], bool) & ~pa.compute.is_null(
+            batch[value_col]
+        ).to_numpy(zero_copy_only=False)
+        groups, vals = groups[keep], vals[keep].astype(np.int64)
+        meds = np.array([md[g] for g in groups], np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(groups.astype(str), pa.string()),
+                pa.array(np.abs(vals - meds), pa.int64()),
+            ],
+            names=["grp", "dev"],
+        )
+
+    mad_ds = group_quantiles(
+        ds.map_batches(deviations, batch_format="pyarrow"), "grp", "dev", [0.5]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        md = ray.get(mref)
+        groups = batch["grp"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([str(g) for g in groups], pa.string()),
+                pa.array([md[g] for g in groups], pa.int64()),
+                batch["value"].cast(pa.int64()),
+            ],
+            names=["group", "median", "mad"],
+        )
+
+    return mad_ds.map_batches(emit, batch_format="pyarrow")

@@ -12781,3 +12781,56 @@ SELECT grp AS "group",
        CAST(max(s) AS BIGINT) AS max_stat
 FROM stat GROUP BY 1 ORDER BY 1
 """
+
+
+def q_group_mad(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type median absolute deviation of transaction cents
+    (:func:`ops.quantiles.group_mad`): two exact order statistics
+    (rank-ceil(n/2) median, same rank over |v − median|), the robust
+    spread every anomaly pipeline wants next to quantiles."""
+    from .ops.quantiles import group_mad
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch["event_type"], pa.array(cents, pa.int64())],
+            names=["event_type", "cents"],
+        )
+
+    out = group_mad(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "event_type", "cents"
+    )
+    df = out.to_pandas()
+    return df.sort_values("group").reset_index(drop=True)
+
+
+QUERIES["group_mad"] = q_group_mad
+ORACLE_SQL["group_mad"] = """
+WITH c AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+r1 AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM c),
+med AS (
+    SELECT event_type, cents AS m FROM r1
+    WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+d AS (
+    SELECT c.event_type, abs(c.cents - med.m) AS dev, med.m
+    FROM c JOIN med USING (event_type)),
+r2 AS (
+    SELECT event_type, dev, m,
+           row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM d)
+SELECT event_type AS "group",
+       CAST(m AS BIGINT) AS median,
+       CAST(dev AS BIGINT) AS mad
+FROM r2 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+ORDER BY "group"
+"""

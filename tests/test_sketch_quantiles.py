@@ -871,3 +871,50 @@ class TestOutlierCensus:
                 int((2 * sub < lo).sum()),
                 int((2 * sub > hi).sum()),
             )
+
+
+class TestGroupMad:
+    def test_exact_values(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.quantiles import group_mad
+
+        vals = [1, 2, 3, 4, 100]  # median=3 (ceil(2.5)=3rd), devs [2,1,0,1,97]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(["a"] * 5, pa.string()),
+                pa.array(vals, pa.int64()),
+            ],
+            names=["g", "v"],
+        )
+        df = group_mad(ray.data.from_arrow(tab).repartition(2), "g", "v").to_pandas()
+        # devs sorted [0,1,1,2,97]; rank ceil(2.5)=3 -> 1
+        assert df.iloc[0].tolist() == ["a", 3, 1]
+
+    def test_brute_random(self, ray_session):
+        import math
+
+        import ray
+
+        from pdf_extractor_ray.ops.quantiles import group_mad
+
+        rng = np.random.RandomState(4)
+        groups = rng.choice(["x", "y", "z"], 300)
+        vals = rng.randint(-500, 500, 300)
+        tab = pa.Table.from_arrays(
+            [pa.array(groups, pa.string()), pa.array(vals, pa.int64())],
+            names=["g", "v"],
+        )
+        df = (
+            group_mad(ray.data.from_arrow(tab).repartition(4), "g", "v")
+            .to_pandas()
+            .sort_values("group")
+        )
+        for r in df.itertuples():
+            sub = np.sort(vals[groups == r.group])
+            n = len(sub)
+            m = int(sub[math.ceil(0.5 * n) - 1])
+            dev = np.sort(np.abs(vals[groups == r.group] - m))
+            assert (int(r.median), int(r.mad)) == (
+                m, int(dev[math.ceil(0.5 * n) - 1])
+            )
