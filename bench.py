@@ -195,6 +195,8 @@ def main() -> None:
         "proximity_search", "revisit_savings", "hard_negatives",
         "edit_join", "out_of_order", "substring_census", "lz_census",
         "association_rules", "scene_cuts", "spectral_probes",
+        "burstiness", "outlier_census", "benford", "vocab_overlap",
+        "hapax_stats", "cusum_alerts",
     )
     query_steal: dict[str, float] = {}
     for name in query_names:
