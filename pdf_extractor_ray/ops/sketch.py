@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .text import splitmix64_np
 
@@ -452,3 +453,132 @@ def hyperball(
         )
 
     return state.sort(["node", "reg"])
+
+
+def misra_gries_heavy_hitters(
+    ds,
+    k: int = 100,
+    text_col: str = "text",
+    candidate_cap: int = 5_000_000,
+):
+    """Deterministic φ-heavy hitters (φ = 1/k) in TWO passes with a
+    ``blocks·k``-sized exchange — the Misra–Gries (1982) summary
+    shape, the scale alternative to a vocabulary-sized ``groupby``
+    when only the head matters:
+
+    1. each block runs an exact-decrement Misra–Gries summary of size
+       ``k`` over its tokens (vectorized rounds: count the block's
+       distinct tokens, keep the top-``k`` by local count — a block
+       with its full count table IS a perfect MG summary, and the
+       pigeonhole guarantee survives the union: any token with global
+       frequency > n/k exceeds n_b/k in at least one block, so it
+       appears in that block's top-``k`` candidates with local count
+       > n_b/k).
+    2. the candidate union (≤ blocks·k rows, ``candidate_cap``-gated)
+       broadcasts once; a second exact counting pass over the corpus
+       restricted to candidates + one small ``groupby(token).sum``
+       yields EXACT counts, and tokens with ``cnt·k > n_total`` are
+       the certified heavy hitters — no false negatives by the
+       pigeonhole, no false positives after the recount.
+
+    Tokenization is THE corpus tokenization (:func:`..ops.text.
+    split_words`). Returns a pandas DataFrame ``(token, cnt)`` sorted
+    by (cnt desc, token) with the exact total in every row
+    (``n_total``) for auditability.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .text import split_words
+
+    def block_tokens(batch: pa.Table) -> np.ndarray:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            col = pa.nulls(len(col), pa.string())
+        words = pc.list_flatten(split_words(pc.fill_null(col, "")))
+        flat = np.asarray(words.to_pylist(), dtype=object)
+        return flat[flat != ""]
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        flat = block_tokens(batch)
+        total = np.int64(len(flat))
+        if len(flat) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["token", "n_part"],
+            )
+        u, c = np.unique(flat.astype(str), return_counts=True)
+        order = np.lexsort((u, -c))[:k]
+        # one sentinel row per block carries the block's token total so
+        # n_total needs no extra pass ('' never appears as a token).
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([u[order], ["" ]]).astype(object),
+                         pa.string()),
+                pa.array(np.concatenate([np.zeros(len(order), np.int64),
+                                         [total]]), pa.int64()),
+            ],
+            names=["token", "n_part"],
+        )
+
+    cand_rows = (
+        ds.map_batches(candidates, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .aggregate(Sum("n_part", alias_name="n_part"))
+        .to_pandas()
+    )
+    if len(cand_rows) > candidate_cap:
+        raise RuntimeError(
+            f"misra_gries_heavy_hitters: {len(cand_rows)} candidates exceed "
+            f"candidate_cap={candidate_cap}"
+        )
+    empty = pd.DataFrame(
+        {"token": pd.Series([], dtype=object),
+         "cnt": pd.Series([], dtype="int64"),
+         "n_total": pd.Series([], dtype="int64")}
+    )
+    if cand_rows.empty or "token" not in cand_rows.columns:
+        return empty
+    n_total = int(cand_rows.loc[cand_rows["token"] == "", "n_part"].sum())
+    cset = np.sort(
+        cand_rows.loc[cand_rows["token"] != "", "token"]
+        .to_numpy(dtype=object)
+        .astype(str)
+    )
+    if len(cset) == 0:
+        return empty
+    import ray
+
+    cref = ray.put(cset)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        flat = block_tokens(batch).astype(str)
+        hit = flat[np.isin(flat, cs)]
+        if len(hit) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["token", "cnt"],
+            )
+        u, c = np.unique(hit, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()),
+             pa.array(c.astype(np.int64), pa.int64())],
+            names=["token", "cnt"],
+        )
+
+    counts = (
+        ds.map_batches(recount, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    if counts.empty or "token" not in counts.columns:
+        return empty
+    counts = counts[counts["cnt"] * k > n_total].copy()
+    counts["cnt"] = counts["cnt"].astype("int64")
+    counts["n_total"] = n_total
+    return (
+        counts.sort_values(["cnt", "token"], ascending=[False, True])
+        .reset_index(drop=True)[["token", "cnt", "n_total"]]
+    )

@@ -12834,3 +12834,30 @@ SELECT event_type AS "group",
 FROM r2 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
 ORDER BY "group"
 """
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 1%-heavy hitters over the corpus tokens
+    (:func:`ops.sketch.misra_gries_heavy_hitters`, k=100): per-block
+    Misra–Gries-style top-k candidates (blocks·k exchange, never the
+    vocabulary), one broadcast, one exact recount — pigeonhole
+    no-false-negatives, recount no-false-positives. The oracle is the
+    plain exact count + threshold."""
+    from .ops.sketch import misra_gries_heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return misra_gries_heavy_hitters(ds, k=100)
+
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+ORACLE_SQL["heavy_hitters"] = r"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS t
+    FROM documents),
+t2 AS (SELECT t FROM toks WHERE t <> ''),
+n AS (SELECT count(*) AS n FROM t2),
+c AS (SELECT t AS token, count(*) AS cnt FROM t2 GROUP BY t)
+SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(n.n AS BIGINT) AS n_total
+FROM c, n WHERE cnt * 100 > n.n
+ORDER BY cnt DESC, token
+"""

@@ -918,3 +918,41 @@ class TestGroupMad:
             assert (int(r.median), int(r.mad)) == (
                 m, int(dev[math.ceil(0.5 * n) - 1])
             )
+
+
+class TestMisraGriesHeavyHitters:
+    def test_matches_exact_counts(self, ray_session):
+        import ray
+        from collections import Counter
+
+        from pdf_extractor_ray.ops.sketch import misra_gries_heavy_hitters
+
+        rng = np.random.RandomState(6)
+        # zipf-ish corpus: token t{i} appears ~ 1/(i+1)
+        toks = [f"t{i}" for i in range(50) for _ in range(200 // (i + 1))]
+        rng.shuffle(toks)
+        docs = [" ".join(toks[i::20]) for i in range(20)]
+        tab = pa.Table.from_arrays([pa.array(docs, pa.string())], names=["text"])
+        k = 10
+        got = misra_gries_heavy_hitters(
+            ray.data.from_arrow(tab).repartition(7), k=k
+        )
+        cnt = Counter(toks)
+        n = sum(cnt.values())
+        exp = sorted(
+            ((t, c) for t, c in cnt.items() if c * k > n),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert [(r.token, r.cnt) for r in got.itertuples()] == exp
+        assert (got["n_total"] == n).all()
+
+    def test_empty_corpus(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.sketch import misra_gries_heavy_hitters
+
+        tab = pa.Table.from_arrays(
+            [pa.array(["", None], pa.string())], names=["text"]
+        )
+        got = misra_gries_heavy_hitters(ray.data.from_arrow(tab), k=5)
+        assert len(got) == 0
