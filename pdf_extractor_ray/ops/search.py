@@ -629,10 +629,54 @@ def ranking_overlap(ds, k: int = 10, text_col: str = "text",
     rank_b = head.sort_values(
         ["docs", "token"], ascending=[False, True]
     )["token"].head(k).tolist()
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "k": [k],
             "overlap_at_k": [len(set(rank_a) & set(rank_b))],
             "rbo_milli": [rbo_milli_exact(rank_a, rank_b, k)],
         }
     )
+    out.attrs["rank_a"] = rank_a
+    out.attrs["rank_b"] = rank_b
+    return out
+
+
+def term_head_rankings(ds, k: int = 10, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """The two term-head rankings :func:`ranking_overlap` compares —
+    top-``k`` tokens by occurrence count and by distinct-document
+    count, (count desc, token) tiebreaks — exposed for other rank-
+    agreement metrics. Same exchange shape (one token groupby with
+    both weightings, per-block partial top-k, O(blocks·k) driver
+    merge). Returns ``(rank_a, rank_b)`` as lists."""
+    df = ranking_overlap(ds, k=k, text_col=text_col, id_col=id_col)
+    # ranking_overlap already computed them; recomputing twice would
+    # double the corpus passes — so it stashes the lists on the frame.
+    return df.attrs["rank_a"], df.attrs["rank_b"]
+
+
+def kendall_tau_milli(rank_a: list, rank_b: list) -> tuple[int, int, int]:
+    """Kendall tau-a between two rankings RESTRICTED to their common
+    items (distinct ranks, no ties): returns ``(n_common, n_pairs,
+    tau_milli)`` with ``tau_milli = 1000·(C − D) // pairs`` in
+    magnitude-truncating milli (SQL ``//`` convention via sign
+    factoring); fewer than two common items yields tau 0."""
+    common = [x for x in rank_a if x in set(rank_b)]
+    pa_ = {x: i for i, x in enumerate(rank_a)}
+    pb = {x: i for i, x in enumerate(rank_b)}
+    n = len(common)
+    pairs = n * (n - 1) // 2
+    if pairs == 0:
+        return n, 0, 0
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            a_ord = pa_[common[i]] < pa_[common[j]]
+            b_ord = pb[common[i]] < pb[common[j]]
+            if a_ord == b_ord:
+                conc += 1
+            else:
+                disc += 1
+    num = conc - disc
+    tau = (1000 * abs(num)) // pairs
+    return n, pairs, tau if num >= 0 else -tau

@@ -12861,3 +12861,53 @@ SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(n.n AS BIGINT) AS n_total
 FROM c, n WHERE cnt * 100 > n.n
 ORDER BY cnt DESC, token
 """
+
+
+def q_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-a between the occurrence- and doc-frequency-weighted
+    term-head rankings (:func:`ops.search.kendall_tau_milli` over
+    :func:`ops.search.term_head_rankings`) — the pairwise-order
+    companion to Q ``rank_overlap``, restricted to the common items,
+    exact integer milli with magnitude truncation."""
+    from .ops.search import kendall_tau_milli, term_head_rankings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    rank_a, rank_b = term_head_rankings(ds, k=10)
+    n, pairs, tau = kendall_tau_milli(rank_a, rank_b)
+    return pd.DataFrame(
+        {"n_common": [n], "n_pairs": [pairs], "tau_milli": [tau]}
+    )
+
+
+QUERIES["kendall_tau"] = q_kendall_tau
+ORACLE_SQL["kendall_tau"] = r"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS w
+    FROM documents),
+occ AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+docf AS (SELECT w, count(DISTINCT doc_id) AS c FROM words WHERE w <> ''
+         GROUP BY w),
+ra AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM occ
+       QUALIFY r <= 10),
+rb AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM docf
+       QUALIFY r <= 10),
+common AS (SELECT ra.w, ra.r AS r_a, rb.r AS r_b FROM ra JOIN rb USING (w)),
+pairs AS (
+    SELECT CASE WHEN (x.r_a < y.r_a) = (x.r_b < y.r_b)
+           THEN 1 ELSE -1 END AS s
+    FROM common x JOIN common y ON x.w < y.w),
+agg AS (
+    SELECT count(*) AS np,
+           coalesce(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0)
+               - coalesce(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END), 0) AS num
+    FROM pairs),
+nc AS (SELECT count(*) AS n FROM common)
+SELECT CAST(nc.n AS BIGINT) AS n_common,
+       CAST(agg.np AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN agg.np = 0 THEN 0
+                 WHEN agg.num >= 0 THEN 1000 * agg.num // agg.np
+                 ELSE -(1000 * (-agg.num) // agg.np) END AS BIGINT)
+           AS tau_milli
+FROM agg, nc
+"""

@@ -307,3 +307,43 @@ class TestRankingOverlap:
         df = ranking_overlap(ray.data.from_arrow(tab).repartition(3), k=10)
         assert df["k"][0] == 10
         assert 0 < df["rbo_milli"][0] < 1000
+
+
+class TestKendallTau:
+    def test_exact_values(self):
+        from pdf_extractor_ray.ops.search import kendall_tau_milli
+
+        a = list("abcde")
+        assert kendall_tau_milli(a, a) == (5, 10, 1000)
+        assert kendall_tau_milli(a, a[::-1]) == (5, 10, -1000)
+        assert kendall_tau_milli(a, list("vwxyz")) == (0, 0, 0)
+        # partial overlap: common = [a, b] ordered same way
+        assert kendall_tau_milli(list("abxyz"), list("abpqr")) == (2, 1, 1000)
+
+    def test_brute_random(self):
+        import itertools
+
+        import numpy as np
+
+        from pdf_extractor_ray.ops.search import kendall_tau_milli
+
+        rng = np.random.RandomState(2)
+        for _ in range(50):
+            pool = [f"i{j}" for j in range(12)]
+            a = list(rng.permutation(pool))[:8]
+            b = list(rng.permutation(pool))[:8]
+            n, pairs, tau = kendall_tau_milli(a, b)
+            common = [x for x in a if x in set(b)]
+            assert n == len(common)
+            pa_, pb = {x: i for i, x in enumerate(a)}, {x: i for i, x in enumerate(b)}
+            conc = disc = 0
+            for x, y in itertools.combinations(common, 2):
+                if (pa_[x] < pa_[y]) == (pb[x] < pb[y]):
+                    conc += 1
+                else:
+                    disc += 1
+            num = conc - disc
+            exp = 0 if pairs == 0 else (
+                (1000 * abs(num)) // pairs * (1 if num >= 0 else -1)
+            )
+            assert tau == exp
