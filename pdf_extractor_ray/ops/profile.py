@@ -310,3 +310,113 @@ def benford_census(
     return sorted_segment_apply(
         pairs, key_col="grp", block_fn=widen, within_cols=["digit"]
     )
+
+
+def source_rollup(
+    ds,
+    group_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+):
+    """Per-source corpus dashboard rollup — the summary every curation
+    run reports per provenance slice: document count, total characters,
+    floor mean characters, exact distinct language count, the majority
+    language (ties → lexicographically smallest) and its floor-milli
+    share. Language-skewed sources (majority share ≈ 1000) and
+    mixed-language sources separate at a glance.
+
+    Shape: per-block (source, lang) partials carrying doc and char
+    counts pre-combine before ONE ``groupby(source, lang).sum`` — the
+    exchange is source×lang cardinality, never rows — then one
+    :func:`..ops.segments.sorted_segment_apply` reduces each source's
+    totals, distinct-language count and argmax in vectorized gathers.
+
+    Returns a Dataset ``(source, n_docs, total_chars, mean_chars,
+    n_langs, major_lang, major_milli)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from .segments import sorted_segment_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        lang = np.asarray(batch[lang_col].to_pylist(), dtype=object)
+        chars = batch[chars_col].to_numpy(zero_copy_only=False)
+        keep = np.array(
+            [s is not None and l is not None for s, l in zip(src, lang)], bool
+        )
+        src, lang, chars = src[keep], lang[keep], chars[keep].astype(np.int64)
+        comp = np.char.add(np.char.add(src.astype(str), "\x1f"),
+                           lang.astype(str))
+        uniq, inv = np.unique(comp, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        ch = np.bincount(inv, weights=chars.astype(np.float64)).astype(np.int64)
+        parts = np.char.partition(uniq.astype(str), "\x1f")
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts[:, 0].astype(object), pa.string()),
+                pa.array(parts[:, 2].astype(object), pa.string()),
+                pa.array(n, pa.int64()),
+                pa.array(ch, pa.int64()),
+            ],
+            names=["src", "lang", "n", "chars"],
+        )
+
+    pairs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["src", "lang"])
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+        .map_batches(
+            lambda t: t.rename_columns(["src", "lang", "n", "chars"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    names = ["source", "n_docs", "total_chars", "mean_chars", "n_langs",
+             "major_lang", "major_milli"]
+
+    def rollup(batch: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if len(starts) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string())] + [pa.array([], pa.int64())] * 4
+                + [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=names,
+            )
+        src = batch["src"].combine_chunks()
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        ch = batch["chars"].to_numpy(zero_copy_only=False)
+        cs_n = np.concatenate([[0], np.cumsum(n)])
+        cs_c = np.concatenate([[0], np.cumsum(ch)])
+        n_docs = cs_n[ends] - cs_n[starts]
+        total = cs_c[ends] - cs_c[starts]
+        n_langs = (ends - starts).astype(np.int64)
+        # argmax per segment: rows are sorted by (src, lang); find the
+        # max count with min-lang tiebreak via a masked lexsort trick —
+        # within each segment take the first row after ordering by
+        # (-n, lang); rows are already lang-ascending, so a stable
+        # per-segment max scan suffices.
+        major_idx = np.empty(len(starts), np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):  # segments are
+            # source-cardinality, not row-cardinality; the inner argmax
+            # is vectorized
+            seg = n[s:e]
+            major_idx[i] = s + int(np.argmax(seg))
+        major_lang = lang[major_idx]
+        major_n = n[major_idx]
+        return pa.Table.from_arrays(
+            [
+                src.take(pa.array(starts)),
+                pa.array(n_docs, pa.int64()),
+                pa.array(total, pa.int64()),
+                pa.array(total // np.maximum(n_docs, 1), pa.int64()),
+                pa.array(n_langs, pa.int64()),
+                pa.array(major_lang.astype(str), pa.string()),
+                pa.array(1000 * major_n // np.maximum(n_docs, 1), pa.int64()),
+            ],
+            names=names,
+        )
+
+    return sorted_segment_apply(
+        pairs, key_col="src", block_fn=rollup, within_cols=["lang"]
+    )

@@ -12911,3 +12911,43 @@ SELECT CAST(nc.n AS BIGINT) AS n_common,
            AS tau_milli
 FROM agg, nc
 """
+
+
+def q_source_rollup(sf_dir: str) -> pd.DataFrame:
+    """Per-source curation dashboard (:func:`ops.profile.source_rollup`):
+    doc/char totals, floor mean, exact distinct languages, majority
+    language (ties → smallest) and its milli share — one (source,
+    lang) groupby over pre-combined partials plus a segment rollup."""
+    from .ops.profile import source_rollup
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    df = source_rollup(ds).to_pandas()
+    return df.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["source_rollup"] = q_source_rollup
+ORACLE_SQL["source_rollup"] = """
+WITH base AS (
+    SELECT source, lang, n_chars FROM documents
+    WHERE source IS NOT NULL AND lang IS NOT NULL),
+pairs AS (
+    SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
+    FROM base GROUP BY 1, 2),
+major AS (
+    SELECT source, lang AS major_lang, n AS major_n FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY n DESC, lang) = 1),
+tot AS (
+    SELECT source, sum(n) AS n_docs, sum(chars) AS total_chars,
+           count(*) AS n_langs
+    FROM pairs GROUP BY 1)
+SELECT tot.source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(total_chars // n_docs AS BIGINT) AS mean_chars,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       major.major_lang,
+       CAST(1000 * major.major_n // n_docs AS BIGINT) AS major_milli
+FROM tot JOIN major USING (source)
+ORDER BY source
+"""

@@ -1957,3 +1957,51 @@ class TestBenfordCensus:
         assert row["d1"] == 3 and row["d2"] == 2 and row["d3"] == 1
         assert row["d9"] == 1 and row["d4"] == 0
         assert row["digit1_milli"] == 1000 * 3 // 7
+
+
+class TestSourceRollup:
+    def test_rollup_exact(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.profile import source_rollup
+
+        rows = [
+            ("web", "en", 100), ("web", "en", 200), ("web", "de", 50),
+            ("books", "de", 10), ("books", "de", 20), ("books", "en", 5),
+            ("books", "fr", 5), (None, "en", 9), ("web", None, 9),
+        ]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.string()),
+                pa.array([r[2] for r in rows], pa.int64()),
+            ],
+            names=["source", "lang", "n_chars"],
+        )
+        df = (
+            source_rollup(ray.data.from_arrow(tab).repartition(3))
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        # books: 4 docs, 40 chars, 3 langs, majority de (2) = 500 milli
+        assert df.iloc[0].tolist() == ["books", 4, 40, 10, 3, "de", 500]
+        # web: 3 docs, 350 chars, 2 langs, majority en (2) = 666
+        assert df.iloc[1].tolist() == ["web", 3, 350, 116, 2, "en", 666]
+
+    def test_majority_tie_breaks_to_smallest_lang(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.profile import source_rollup
+
+        rows = [("s", "fr", 1), ("s", "de", 1)]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.string()),
+                pa.array([r[2] for r in rows], pa.int64()),
+            ],
+            names=["source", "lang", "n_chars"],
+        )
+        df = source_rollup(ray.data.from_arrow(tab)).to_pandas()
+        assert df["major_lang"][0] == "de"
