@@ -2441,3 +2441,63 @@ def minhash_lsh_recall(
         "recall_milli": [(1000 * n_hit) // n_true if n_true else 0],
         "precision_milli": [(1000 * n_hit) // n_cand if n_cand else 0],
     })
+
+
+def dup_size_histogram(ds, text_col: str = "text"):
+    """Corpus duplication profile: the histogram of exact-duplicate
+    cluster sizes — "how duplicated is this crawl" in one table
+    (size 1 = unique docs; the tail is the boilerplate mass). Counts
+    group by content hash (:func:`content_hash_batch`), so the only
+    exchanges carry (hash, cnt) partials and then (size, cnt) rows —
+    never text, the same exchange discipline as
+    :func:`exact_dedup_large`.
+
+    Returns a Dataset ``(cluster_size, n_clusters, n_docs)`` sorted by
+    size downstream of one tiny groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    def hash_partials(batch: pa.Table) -> pa.Table:
+        hashes = content_hash_batch(batch[text_col].to_pylist())
+        u, c = np.unique(np.asarray(hashes, dtype=object).astype(str),
+                         return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(object), pa.string()),
+             pa.array(c.astype(np.int64), pa.int64())],
+            names=["h", "n"],
+        )
+
+    sizes = (
+        ds.map_batches(hash_partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def size_partials(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(n, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64), pa.int64()),
+             pa.array(c.astype(np.int64), pa.int64())],
+            names=["cluster_size", "n_clusters"],
+        )
+
+    return (
+        sizes.map_batches(size_partials, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["cluster_size"].combine_chunks().cast(pa.int64()),
+                    t["n_clusters"].combine_chunks().cast(pa.int64()),
+                    pa.compute.multiply(
+                        t["cluster_size"].combine_chunks().cast(pa.int64()),
+                        t["n_clusters"].combine_chunks().cast(pa.int64()),
+                    ),
+                ],
+                names=["cluster_size", "n_clusters", "n_docs"],
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -12951,3 +12951,49 @@ SELECT tot.source,
 FROM tot JOIN major USING (source)
 ORDER BY source
 """
+
+
+def q_dup_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate cluster-size histogram over a corpus with
+    planted duplicates (every doc_id % 4 == 0 doc re-appears with id
+    +300000): :func:`ops.dedup.dup_size_histogram` — (hash, cnt) then
+    (size, cnt) exchanges only, never text. The oracle groups by the
+    text itself (hash ↔ text classes coincide)."""
+    from .ops.dedup import dup_size_histogram
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].combine_chunks()
+        texts = batch["text"].combine_chunks()
+        dup_mask = pc.equal(
+            pc.bit_wise_and(ids, pa.scalar(3, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        dup_texts = texts.filter(dup_mask)
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([texts, dup_texts])], names=["text"]
+        )
+
+    df = dup_size_histogram(
+        ds.map_batches(plant, batch_format="pyarrow")
+    ).to_pandas()
+    return df.sort_values("cluster_size").reset_index(drop=True)
+
+
+QUERIES["dup_size_histogram"] = q_dup_size_histogram
+ORACLE_SQL["dup_size_histogram"] = """
+WITH corpus AS (
+    SELECT text FROM documents
+    UNION ALL
+    SELECT text FROM documents WHERE doc_id % 4 = 0),
+cl AS (SELECT text, count(*) AS size FROM corpus GROUP BY text),
+h AS (SELECT size AS cluster_size, count(*) AS n_clusters FROM cl
+      GROUP BY size)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+FROM h ORDER BY cluster_size
+"""

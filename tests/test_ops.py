@@ -2005,3 +2005,22 @@ class TestSourceRollup:
         )
         df = source_rollup(ray.data.from_arrow(tab)).to_pandas()
         assert df["major_lang"][0] == "de"
+
+
+class TestDupSizeHistogram:
+    def test_histogram_exact(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.dedup import dup_size_histogram
+
+        texts = ["a"] * 3 + ["b"] * 2 + ["c", "d", "e"]
+        tab = pa.Table.from_arrays(
+            [pa.array(texts, pa.string())], names=["text"]
+        )
+        df = (
+            dup_size_histogram(ray.data.from_arrow(tab).repartition(4))
+            .to_pandas()
+            .sort_values("cluster_size")
+            .reset_index(drop=True)
+        )
+        assert df.values.tolist() == [[1, 3, 3], [2, 1, 2], [3, 1, 3]]
