@@ -196,7 +196,8 @@ def main() -> None:
         "edit_join", "out_of_order", "substring_census", "lz_census",
         "association_rules", "scene_cuts", "spectral_probes",
         "burstiness", "outlier_census", "benford", "vocab_overlap",
-        "hapax_stats", "cusum_alerts",
+        "hapax_stats", "cusum_alerts", "heavy_hitters", "source_rollup",
+        "dup_size_histogram",
     )
     query_steal: dict[str, float] = {}
     for name in query_names:
