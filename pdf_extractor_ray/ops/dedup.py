@@ -2501,3 +2501,125 @@ def dup_size_histogram(ds, text_col: str = "text"):
             batch_format="pyarrow",
         )
     )
+
+
+def dup_rate_by_source(ds, group_col: str = "source", text_col: str = "text"):
+    """Per-provenance duplication rate — which source is feeding the
+    crawl boilerplate: per group, document count, distinct-content
+    count (exact, by content hash) and the duplicate share in floor
+    milli. The exchanges carry (group, hash) pairs and (group)
+    partials, never text — the :func:`exact_dedup_large` discipline
+    applied to a rollup.
+
+    Returns a Dataset ``(source, n_docs, n_unique, dup_milli)``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        keep = np.array([s is not None for s in src], bool)
+        hashes = np.asarray(
+            content_hash_batch(batch[text_col].to_pylist()), dtype=object
+        )
+        src, hashes = src[keep], hashes[keep]
+        comp = np.unique(
+            np.char.add(np.char.add(src.astype(str), "\x1f"), hashes.astype(str))
+        )
+        parts = np.char.partition(comp, "\x1f")
+        # doc counts ride as per-block (source, n) sentinel rows with an
+        # empty hash ('' is never a sha1 hex digest).
+        u, c = np.unique(src.astype(str), return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    np.concatenate([parts[:, 0], u]).astype(object), pa.string()
+                ),
+                pa.array(
+                    np.concatenate([parts[:, 2], [""] * len(u)]).astype(object),
+                    pa.string(),
+                ),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(len(comp), np.int64), c.astype(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            ],
+            names=["src", "h", "n"],
+        )
+
+    pairs = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["src", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.rename_columns(["src", "h", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def rollup_partials(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"].to_pylist(), dtype=object)
+        h = np.asarray(batch["h"].to_pylist(), dtype=object)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        is_doc = h == ""
+        out_src, docs, uniq = [], [], []
+        for s in np.unique(src.astype(str)):
+            sel = src == s
+            out_src.append(str(s))
+            docs.append(int(n[sel & is_doc].sum()))
+            uniq.append(int((sel & ~is_doc).sum()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_src, pa.string()),
+                pa.array(docs, pa.int64()),
+                pa.array(uniq, pa.int64()),
+            ],
+            names=["source", "n_docs", "n_unique"],
+        )
+
+    return (
+        pairs.map_batches(rollup_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_unique", alias_name="n_unique"),
+        )
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["source"].combine_chunks(),
+                    t["sum(n_docs)"].combine_chunks().cast(pa.int64())
+                    if "sum(n_docs)" in t.schema.names
+                    else t["n_docs"].combine_chunks().cast(pa.int64()),
+                    t["sum(n_unique)"].combine_chunks().cast(pa.int64())
+                    if "sum(n_unique)" in t.schema.names
+                    else t["n_unique"].combine_chunks().cast(pa.int64()),
+                ],
+                names=["source", "n_docs", "n_unique"],
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["source"],
+                    t["n_docs"],
+                    t["n_unique"],
+                    pa.array(
+                        1000
+                        * (
+                            t["n_docs"].to_numpy(zero_copy_only=False)
+                            - t["n_unique"].to_numpy(zero_copy_only=False)
+                        )
+                        // np.maximum(
+                            t["n_docs"].to_numpy(zero_copy_only=False), 1
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["source", "n_docs", "n_unique", "dup_milli"],
+            ),
+            batch_format="pyarrow",
+        )
+    )

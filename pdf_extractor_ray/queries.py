@@ -12997,3 +12997,52 @@ SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
        CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
 FROM h ORDER BY cluster_size
 """
+
+
+def q_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source duplication rate over a planted-duplicate corpus
+    (every doc_id % 4 == 0 doc re-appears under its own source):
+    :func:`ops.dedup.dup_rate_by_source` — (source, hash) and
+    (source) exchanges only, never text; floor-milli duplicate
+    share."""
+    from .ops.dedup import dup_rate_by_source
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks()
+        src = batch["source"].combine_chunks()
+        texts = batch["text"].combine_chunks()
+        dup_mask = pc.equal(
+            pc.bit_wise_and(ids, pa.scalar(3, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([src, src.filter(dup_mask)]),
+                pa.concat_arrays([texts, texts.filter(dup_mask)]),
+            ],
+            names=["source", "text"],
+        )
+
+    df = dup_rate_by_source(
+        ds.map_batches(plant, batch_format="pyarrow")
+    ).to_pandas()
+    return df.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["dup_rate_by_source"] = q_dup_rate_by_source
+ORACLE_SQL["dup_rate_by_source"] = """
+WITH corpus AS (
+    SELECT source, text FROM documents
+    UNION ALL
+    SELECT source, text FROM documents WHERE doc_id % 4 = 0),
+a AS (
+    SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique
+    FROM corpus WHERE source IS NOT NULL GROUP BY 1)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST(1000 * (n_docs - n_unique) // n_docs AS BIGINT) AS dup_milli
+FROM a ORDER BY source
+"""

@@ -2024,3 +2024,34 @@ class TestDupSizeHistogram:
             .reset_index(drop=True)
         )
         assert df.values.tolist() == [[1, 3, 3], [2, 1, 2], [3, 1, 3]]
+
+
+class TestDupRateBySource:
+    def test_rates_exact(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.ops.dedup import dup_rate_by_source
+
+        rows = [
+            ("w", "a"), ("w", "a"), ("w", "b"),      # 3 docs, 2 unique
+            ("b", "x"), ("b", "y"), ("b", "z"),      # 3 docs, 3 unique
+            ("b", "x"),                                # now 4 docs, 3 unique
+            (None, "q"),
+        ]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.string()),
+            ],
+            names=["source", "text"],
+        )
+        df = (
+            dup_rate_by_source(ray.data.from_arrow(tab).repartition(3))
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert df.values.tolist() == [
+            ["b", 4, 3, 250],
+            ["w", 3, 2, 333],
+        ]
