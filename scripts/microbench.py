@@ -185,6 +185,51 @@ def main() -> None:
         repeat=20,
     )
 
+    # round-5: broadcast-regime PageRank contrib kernel — the vectorized
+    # dictionary-encode gather vs the retired per-edge dict loop, on one
+    # 200k-edge/10k-host batch (the web-graph broadcast regime's hot path).
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(5)
+    nh, ne = 10_000, 200_000
+    hosts = np.array([f"h{i:05d}.example.com" for i in range(nh)])
+    ebatch = pa.table(
+        {
+            "src": pa.array(hosts[rng.integers(0, nh, ne)]),
+            "dst": pa.array(hosts[rng.integers(0, nh, ne)]),
+            "w": pa.array(rng.integers(1, 50, ne).astype(np.int64)),
+        }
+    )
+    rk = rng.integers(1, 10**9, nh).astype(np.int64)
+    od = rng.integers(1, 10**4, nh).astype(np.int64)
+    dp = 85
+
+    def pr_contrib_vec(t: pa.Table):
+        w = t["w"].to_numpy(zero_copy_only=False)
+        senc = pc.dictionary_encode(t["src"].combine_chunks())
+        pos = np.searchsorted(
+            hosts, senc.dictionary.to_numpy(zero_copy_only=False).astype(str)
+        )
+        idx = senc.indices.to_numpy(zero_copy_only=False)
+        contrib = (dp * rk[pos][idx] * w) // (100 * od[pos][idx])
+        denc = pc.dictionary_encode(t["dst"].combine_chunks())
+        sums = np.zeros(len(denc.dictionary), np.int64)
+        np.add.at(sums, denc.indices.to_numpy(zero_copy_only=False), contrib)
+        return sums
+
+    def pr_contrib_dictloop(t: pa.Table):
+        rkd = dict(zip(hosts.tolist(), rk.tolist()))
+        odd = dict(zip(hosts.tolist(), od.tolist()))
+        acc: dict = {}
+        for si, di, wi in zip(
+            t["src"].to_pylist(), t["dst"].to_pylist(), t["w"].to_pylist()
+        ):
+            acc[di] = acc.get(di, 0) + (dp * rkd[si] * wi) // (100 * odd[si])
+        return acc
+
+    bench("pagerank_contrib_vec_200k_edges", pr_contrib_vec, [ebatch], repeat=5)
+    bench("pagerank_contrib_dictloop_200k_edges", pr_contrib_dictloop, [ebatch])
+
 
 if __name__ == "__main__":
     main()

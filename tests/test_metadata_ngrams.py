@@ -1094,17 +1094,40 @@ class TestFrequentPairs:
         got = frequent_pairs(ds, support=5, k=10)
         assert ("banana", "date") not in set(zip(got["t1"], got["t2"]))
 
-    def test_frequent_cap_raises_typed(self, ray_session):
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_forced_cap_semijoin_regime_identical(self, ray_session, nparts):
+        """frequent_cap=0 forces the distributed semi-join regime
+        (per-doc token rows → attach_lookup semi-join →
+        sorted_segment_apply pair emission); output must be
+        bit-identical to the broadcast regime."""
         import ray.data as rd
 
-        from pdf_extractor_ray.ops.itemsets import (
-            FrequentSetOverflow,
-            frequent_pairs,
-        )
+        from pdf_extractor_ray.ops.itemsets import frequent_pairs
 
-        ds = rd.from_items([{"text": t} for t in self.DOCS])
-        with pytest.raises(FrequentSetOverflow):
-            frequent_pairs(ds, support=2, k=5, frequent_cap=1)
+        ds = rd.from_items(
+            [{"text": t} for t in self.DOCS]
+        ).repartition(nparts)
+        want = frequent_pairs(ds, support=4, k=10)
+        got = frequent_pairs(ds, support=4, k=10, frequent_cap=0)
+        assert got.to_dict("records") == want.to_dict("records")
+
+    def test_forced_cap_semijoin_duplicate_docs_multiplicity(
+        self, ray_session
+    ):
+        """Duplicate texts collapse to one hash segment in the semi-join
+        regime; pair counts must still reflect per-document occurrence."""
+        import ray.data as rd
+
+        from pdf_extractor_ray.ops.itemsets import frequent_pairs
+
+        docs = ["x y z", "x y z", "x y", "x y z", "q r"]
+        ds = rd.from_items([{"text": t} for t in docs]).repartition(2)
+        want = frequent_pairs(ds, support=2, k=10)
+        got = frequent_pairs(ds, support=2, k=10, frequent_cap=0)
+        assert got.to_dict("records") == want.to_dict("records")
+        assert ("x", "y", 4) in {
+            (r.t1, r.t2, int(r.cnt)) for r in got.itertuples()
+        }
 
     def test_no_frequent_items_is_empty(self, ray_session):
         import ray.data as rd
@@ -1354,3 +1377,27 @@ class TestAssociationRules:
         df = association_rules(ray.data.from_arrow(tab), support=1)
         assert len(df) == 0
         assert df["pair_cnt"].dtype == "int64"
+
+    def test_forced_cap_semijoin_regime_identical(self, ray_session):
+        """frequent_cap=0 forces the distributed rules regime (semi-join
+        pair totals + two attach_lookup count exchanges); bit-identical
+        to the broadcast path."""
+        import ray
+
+        from pdf_extractor_ray.ops.itemsets import association_rules
+
+        docs = []
+        for i in range(60):
+            t = "alpha beta" if i % 2 == 0 else "alpha gamma"
+            if i % 3 == 0:
+                t += " beta delta"
+            docs.append(t)
+        tab = pa.Table.from_arrays(
+            [pa.array(docs, pa.string())], names=["text"]
+        )
+        ds = ray.data.from_arrow(tab).repartition(4)
+        want = association_rules(ds, support=10, min_conf_milli=100)
+        got = association_rules(
+            ds, support=10, min_conf_milli=100, frequent_cap=0
+        )
+        assert got.to_dict("records") == want.to_dict("records")
