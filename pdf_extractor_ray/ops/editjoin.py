@@ -22,10 +22,17 @@ Guarantees (exact, not probabilistic):
   frequency asc, gram bytes), so the prefixes are each string's
   RAREST grams. Pairs where BOTH keys are shorter than ``k·q`` can
   share zero grams at ``ed <= k`` (e.g. "b" vs "c" at k=1, q=2);
-  those keys additionally land in ONE dedicated short-key bucket
+  those keys additionally land in a dedicated short-key bucket
   compared all-pairs — sound because the short regime is bounded by
-  the alphabet (len < k·q), and size-gated (``short_cap``) so a
-  pathological corpus refuses loudly instead of going quadratic.
+  the alphabet (len < k·q). Up to ``short_cap`` short keys that is
+  ONE bucket; above it (round 5) the bucket splits into LENGTH BANDS:
+  ``|ed| <= k ⟹ |len_a − len_b| <= k``, so emitting each short key
+  into bands ``[len, min(len + k, k·q − 1)]`` co-locates every
+  admissible short×short pair in band ``max(len_a, len_b)`` — recall
+  unchanged (forced-cap equality test), per-band population replaces
+  the single bucket's, and the residual quadratic (many same-length
+  short keys) is the alphabet-bounded regime the module contract
+  documents, not a corpus-sized one.
   A short×long pair needs no special casing: the short side emits
   ALL its grams (fewer than the prefix budget), which covers any
   prefix the principle requires of it.
@@ -127,7 +134,10 @@ def edit_distance_join(
 
     Raises if the gram vocabulary exceeds ``vocab_cap`` — the
     short-key contract is the operator's partitioning assumption, and
-    a silent driver blow-up is worse than a typed refusal.
+    a silent driver blow-up is worse than a typed refusal. Above
+    ``short_cap`` short keys the single short bucket swaps for the
+    length-band regime (module docstring) instead of refusing —
+    bit-identical output, forced-cap equality tested.
     """
     import ray
     from ray.data.aggregate import Count, Sum
@@ -168,6 +178,20 @@ def edit_distance_join(
 
     short_len = k * q  # keys below this can miss all grams vs a short peer
 
+    def short_partial(batch: pa.Table) -> pa.Table:
+        n = sum(1 for s in batch[key_col].to_pylist() if len(str(s)) < short_len)
+        return pa.Table.from_arrays([pa.array([n], pa.int64())], names=["n"])
+
+    n_short = (
+        proj.map_batches(short_partial, batch_format="pyarrow").sum("n") or 0
+    )
+    # Over short_cap the single short bucket splits into length bands
+    # (band b holds keys with len in [b−k, b]; every short×short pair
+    # within distance k shares band max(len_a, len_b)) — see the module
+    # docstring's recall argument. Band ids encode as −(band + 1) to
+    # stay clear of the gram ranks (>= 0).
+    band_regime = n_short > short_cap
+
     def emit_prefix(batch: pa.Table) -> pa.Table:
         ranks = ray.get(rank_ref)
         ids = batch[id_col].to_pylist()
@@ -177,7 +201,13 @@ def edit_distance_join(
             key = str(key)
             gr = sorted(ranks[g] for g in _grams(key, q))[:prefix_len]
             if len(key) < short_len:
-                gr.append(-1)  # the single short-key bucket
+                if band_regime:
+                    for band in range(
+                        len(key), min(len(key) + k, short_len - 1) + 1
+                    ):
+                        gr.append(-(band + 1))
+                else:
+                    gr.append(-1)  # the single short-key bucket
             b_rank.extend(gr)
             b_id.extend([int(i)] * len(gr))
             b_key.extend([key] * len(gr))
@@ -188,20 +218,6 @@ def edit_distance_join(
                 pa.array(b_key, pa.string()),
             ],
             names=["bucket", "id", "key"],
-        )
-
-    def short_partial(batch: pa.Table) -> pa.Table:
-        n = sum(1 for s in batch[key_col].to_pylist() if len(str(s)) < short_len)
-        return pa.Table.from_arrays([pa.array([n], pa.int64())], names=["n"])
-
-    n_short = (
-        proj.map_batches(short_partial, batch_format="pyarrow").sum("n") or 0
-    )
-    if n_short > short_cap:
-        raise RuntimeError(
-            f"edit_distance_join: {n_short} keys shorter than k*q={short_len} "
-            f"exceed short_cap={short_cap} — the all-pairs short bucket "
-            "would go quadratic; pre-filter degenerate keys"
         )
 
     rows = proj.map_batches(emit_prefix, batch_format="pyarrow")

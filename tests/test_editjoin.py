@@ -86,6 +86,33 @@ class TestEditDistanceJoin:
         items = [(0, ""), (1, "a"), (2, "ab"), (3, ""), (4, "b")]
         assert _run(items, 1) == _brute_pairs(items, 1)
 
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_forced_short_cap_band_regime_identical(self, ray_session, k):
+        """short_cap=0 forces the length-band short-key regime; pairs
+        must match brute force (full recall) and the single-bucket
+        default bit-exactly."""
+        rng = np.random.RandomState(7)
+        items = [
+            (i, "".join(rng.choice(list("abc0"), rng.randint(0, 6))))
+            for i in range(80)
+        ]
+        tab = pa.Table.from_arrays(
+            [
+                pa.array([i for i, _ in items], pa.int64()),
+                pa.array([s for _, s in items], pa.string()),
+            ],
+            names=["doc_id", "key"],
+        )
+        ds = ray.data.from_arrow(tab).repartition(5)
+        forced = sorted(
+            (int(r.id_a), int(r.id_b), r.key_a, r.key_b, int(r.dist))
+            for r in edit_distance_join(ds, "key", k=k, short_cap=0)
+            .to_pandas()
+            .itertuples()
+        )
+        assert forced == _brute_pairs(items, k)
+        assert forced == _run(items, k)
+
     def test_vocab_cap_raises(self, ray_session):
         items = [(i, f"key-{i:04d}") for i in range(50)]
         tab = pa.Table.from_arrays(
