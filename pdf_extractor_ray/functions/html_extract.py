@@ -185,6 +185,8 @@ class _Tokenizer(HTMLParser):
                 self._first_row_th = False
             return
         if self._table is not None:
+            if self._table_depth > 1:
+                return  # nested table: structure flattens into the open cell
             if tag == "tr":
                 self._end_row()
                 self._row = []
@@ -231,6 +233,8 @@ class _Tokenizer(HTMLParser):
             self._table_depth = max(0, self._table_depth - 1)
             return
         if self._table is not None:
+            if self._table_depth > 1:
+                return  # nested table: see handle_starttag
             if tag == "tr":
                 self._end_row()
             elif tag in ("td", "th"):
@@ -286,6 +290,26 @@ class _Tokenizer(HTMLParser):
         self._table = None
         if table is None or not self._rows:
             return
+        if (
+            not self._first_row_th
+            and len(self._rows) == 1
+            and len(self._rows[0]) == 1
+        ):
+            # Layout table (single headerless cell — the classic old-web
+            # centering shell): unwrap to a plain text block.
+            text = self._rows[0][0]
+            self._rows = []
+            if text:
+                self.blocks.append(
+                    Block(
+                        kind="text",
+                        page=table.page,
+                        text=text,
+                        text_len=len(text),
+                        boilerplate=self._boiler_depth > 0,
+                    )
+                )
+            return
         if self._first_row_th:
             table.headers = self._rows[0]
             table.data_rows = self._rows[1:]
@@ -320,9 +344,10 @@ class _Tokenizer(HTMLParser):
 
 _FAST_TOKEN_RE = re.compile(
     r"<!--.*?-->"                        # comments
-    r"|<!\[CDATA\[.*?\]\]>"              # CDATA
+    r"|<!\[[A-Za-z]*\[.*?\]\]>"          # marked sections: CDATA/INCLUDE/…
     r"|<![^>]*>"                          # doctype / declarations
     r"|<\?[^>]*>"                         # processing instructions
+    r"|</(?:[^a-zA-Z>][^>]*)?>"          # bogus end tag (</ p>, </>): drop
     r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"    # tag open: slash + name
     # Attributes: quoted strings may contain '>', otherwise any non-'>'
     # char (lenient like html.parser — unpaired quotes are plain chars).

@@ -5937,6 +5937,178 @@ def q_extract_charset(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_WILD_TRAITS = [
+    "comments", "scripts", "markedsec", "misnest", "entities", "attrs",
+    "controls", "charset_lie", "deep_nest", "layout_tables", "double_doc",
+    "rawtext_traps",
+]
+
+_WILD_HEAD = "<head><title>doc</title></head>"
+_WILD_NAV = (
+    '<nav><a href="/h">Home</a> <a href="/a">About</a> '
+    '<a href="/c">Contact</a></nav>'
+)
+_WILD_FOOT = "<footer>(c) 2026 Example Corp legal privacy</footer>"
+
+
+def _wild_payload(i: int, t: str) -> bytes:
+    """Deterministic WILD-HTML payload for doc ``i``: twelve hostile
+    markup shapes real crawl pages exhibit (comment/script traps, marked
+    sections, misnesting, entity and attribute hazards, NUL/control
+    bytes, charset lies, deep nesting, layout tables, concatenated
+    documents, raw-text-element traps) — each built so that correct
+    main-content extraction recovers ``t`` byte-exactly. The engine's
+    analogue of the reference's real-PDF integration corpus
+    (reference: tests/test_pdfs/, run_integration_tests.py:1-188)."""
+    v = i % 12
+    if v == 0:
+        body = (
+            "<!-- <p>commented fake paragraph content long enough</p> -->"
+            f"<p>{t}</p>"
+            "<!--[if IE 6]><p>internet explorer six junk block</p>"
+            "<![endif]-->"
+        )
+    elif v == 1:
+        body = (
+            '<script type="text/javascript">document.write("<p>js junk '
+            'paragraph</p>");var s="<\\/script>";</script>'
+            '<style>p::before{content:"<b>sneak</b>"}</style>'
+            f"<p>{t}</p>"
+            "<script>/* trailing <div>commented markup</div> */</script>"
+        )
+    elif v == 2:
+        return (
+            '<?xml version="1.0" encoding="utf-8"?>'
+            '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" '
+            '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
+            f'<html xmlns="http://www.w3.org/1999/xhtml">{_WILD_HEAD}'
+            f"<body>{_WILD_NAV}"
+            "<![CDATA[ <p>cdata junk paragraph content here</p> ]]>"
+            f"<p>{t}</p>"
+            "<![INCLUDE[ <p>include junk paragraph content</p> ]]>"
+            f"{_WILD_FOOT}</body></html>"
+        ).encode()
+    elif v == 3:
+        body = (
+            "<div><nav><b>menu junk</b><p>unclosed nav paragraph junk"
+            f"</nav><p>{t}"
+            '<div class="footer">footer junk paragraph long enough</div>'
+        )
+    elif v == 4:
+        body = (
+            '<div class="menu">&amp; &#8212; &nbsp; &fake; & &lt;li&gt;'
+            f"</div><p>{t}</p>"
+            '<ul class="nav"><li>&copy;&copy;</li></ul>'
+        )
+    elif v == 5:
+        body = (
+            '<div class="a>b" data-x=\'q>r\'>'
+            f'<p title="<not a tag>" align=left align=right>{t}</p></div>'
+            '<div data-u="unquoted>gt" im=g>short</div>'
+        )
+    elif v == 6:
+        body = (
+            f'<p\x00 class="x">{t}</p>\x0c\x00'
+            '<div class="menu">junk\x00null</div>\x0b'
+        )
+    elif v == 7:
+        return (
+            '<html><head><meta charset="utf-8">'
+            "<title>Café résumé</title></head>"
+            f"<body>{_WILD_NAV}<p>{t}</p>"
+            "<footer>© 2026 Café Corp — règles</footer></body></html>"
+        ).encode("windows-1252")
+    elif v == 8:
+        body = "<div>" * 120 + f"<p>{t}</p>" + "</div>" * 120
+    elif v == 9:
+        body = (
+            "<table><tr><td><table><tr><td>"
+            f"<p>{t}</p>"
+            "</td></tr></table></td></tr></table>"
+        )
+    elif v == 10:
+        body = (
+            f"<p>{t}</p>{_WILD_FOOT}</body></html>"
+            "<html><head><title>dup</title></head><body>"
+            '<nav><a href="/m">menu one</a> <a href="/n">menu two</a></nav>'
+        )
+        return (f"<html>{_WILD_HEAD}<body>{_WILD_NAV}{body}").encode()
+    else:
+        body = (
+            "<form><textarea rows=3><p>textarea junk paragraph content</p>"
+            "</textarea></form>"
+            '<svg viewBox="0 0 10 10"><text x="1" y="1">svg junk</text></svg>'
+            "<template><p>template junk paragraph content</p></template>"
+            f"<p>{t}</p>"
+            '<iframe srcdoc="<p>iframe junk paragraph</p>"></iframe>'
+        )
+    return (
+        f"<html>{_WILD_HEAD}<body>{_WILD_NAV}{body}{_WILD_FOOT}"
+        "</body></html>"
+    ).encode()
+
+
+def q_wild_pages(sf_dir: str) -> pd.DataFrame:
+    """WILD-HTML integration shard (round 5): every document becomes one
+    of twelve genuinely hostile markup shapes (:func:`_wild_payload`),
+    travels the FULL crawl path — WARC gzip-member encode → WARC parse
+    (digest-checked) → charset sniff/decode → route → extract — and must
+    come back byte-identical to ``documents.text``. This mirrors the one
+    reference test tier not yet fixtured here: its real-PDF integration
+    corpus (reference: run_integration_tests.py:1-188). Oracle: the text
+    column plus the closed-form trait label."""
+    from .functions.charset import decode_pages_batch
+    from .sources.warc import warc_decode_batch, warc_encode_batch
+    from .stages.extract import extract_batch
+    from .stages.normalize import normalize_route
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(
+                    [1_767_225_600_000_000 + i * 1_000_000 for i in ids],
+                    pa.timestamp("us"),
+                ),
+                pa.array(
+                    [_wild_payload(i, t) for i, t in zip(ids, texts)],
+                    pa.binary(),
+                ),
+            ],
+            names=["url", "warc_ts", "html"],
+        )
+
+    out = (
+        ds.map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(
+            lambda b: warc_encode_batch(b, compress="mixed"),
+            batch_format="pyarrow",
+        )
+        .map_batches(warc_decode_batch, batch_format="pyarrow")
+        .map_batches(decode_pages_batch, batch_format="pyarrow")
+        .map_batches(normalize_route, batch_format="pyarrow")
+        .map_batches(extract_batch, batch_format="pyarrow")
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[-1]) for u in batch["url"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array([_WILD_TRAITS[i % 12] for i in ids], pa.string()),
+                batch["extracted_text"],
+            ],
+            names=["doc_id", "trait", "extracted_text"],
+        )
+
+    df = out.map_batches(project, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cdx_index(sf_dir: str) -> pd.DataFrame:
     """CDX-style crawl index: SURT keys (host labels reversed — the Common
     Crawl index key order) over the six messy-URL buckets, plus each row's
@@ -6903,6 +7075,7 @@ QUERIES = {
     "extraction_metrics": q_extraction_metrics,
     "warc_roundtrip": q_warc_roundtrip,
     "extract_charset": q_extract_charset,
+    "wild_pages": q_wild_pages,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
@@ -7849,6 +8022,19 @@ SELECT doc_id,
                        WHEN 2 THEN 'utf-16-be'
                        ELSE 'windows-1252' END AS charset,
        text || ' — résumé €' AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["wild_pages"] = """
+SELECT doc_id,
+       CASE doc_id % 12
+            WHEN 0 THEN 'comments'      WHEN 1 THEN 'scripts'
+            WHEN 2 THEN 'markedsec'     WHEN 3 THEN 'misnest'
+            WHEN 4 THEN 'entities'      WHEN 5 THEN 'attrs'
+            WHEN 6 THEN 'controls'      WHEN 7 THEN 'charset_lie'
+            WHEN 8 THEN 'deep_nest'     WHEN 9 THEN 'layout_tables'
+            WHEN 10 THEN 'double_doc'   ELSE 'rawtext_traps' END AS trait,
+       text AS extracted_text
 FROM documents ORDER BY doc_id
 """
 
