@@ -2305,6 +2305,61 @@ def q_g711_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "win"]).reset_index(drop=True)
 
 
+def q_mp3_features(sf_dir: str) -> pd.DataFrame:
+    """MP3 framing census (round 5, :mod:`ops.mp3`): each document
+    becomes a structurally complete, silent MPEG-1 Layer III stream with
+    closed-form shape — ``3 + doc_id%4`` frames, bitrate index cycling
+    ``1 + (doc_id+j)%14`` (held constant for ``doc_id%5==3`` → the CBR
+    bucket), padding ``(doc_id+j)%2``, CRC-protected frames for even
+    docs, an ID3v2 prefix (``doc_id%3==0``), an ID3v1 tail
+    (``doc_id%4==1``), a Xing VBR header frame (``doc_id%5==2``), and
+    leading junk bytes (``doc_id%5==4``, untagged docs) that force a
+    resync. The actor-pool stage walks sync/header/CRC/side-info/bit-
+    reservoir for real (the parser also validates against genuine
+    MPEG-2 files — LSF layouts implemented); every census field is
+    integer arithmetic the SQL oracle restates verbatim. Spectral decode
+    stays the typed-unsupported declared variant."""
+    from .ops.mp3 import encode_mp3, mp3_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_mp3(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            n = 3 + i % 4
+            bidx = [
+                1 + ((i + (0 if i % 5 == 3 else j)) % 14) for j in range(n)
+            ]
+            pads = [(i + j) % 2 for j in range(n)]
+            raw = encode_mp3(
+                bidx,
+                paddings=pads,
+                crc=i % 2 == 0,
+                anc_fill=lambda k, m, i=i: bytes(
+                    (i * 11 + k + t) % 256 for t in range(m)
+                ),
+                xing={"frames": n, "bytes": 0} if i % 5 == 2 else None,
+                id3v2_payload=(
+                    bytes((i + t) % 256 for t in range(23 + i % 50))
+                    if i % 3 == 0
+                    else None
+                ),
+                id3v1=i % 4 == 1,
+            )
+            if i % 5 == 4 and i % 3 != 0:
+                raw = b"\x00" * (i % 7) + raw
+            payloads.append(raw)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["media_id", "payload"],
+        )
+
+    out = mp3_pipeline(ds.map_batches(to_mp3, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
 def q_video_features(sf_dir: str) -> pd.DataFrame:
     """Video pipeline with an exact oracle over REAL containers: each
     document becomes a 6-frame 16×16 clip with per-pixel formula
@@ -4222,6 +4277,48 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id, win, CAST(sum(a) AS BIGINT) AS energy
         FROM s GROUP BY 1, 2 ORDER BY media_id, win
     """,
+    "mp3_features": """
+WITH f AS (
+    SELECT d.doc_id, j.j,
+           1 + ((d.doc_id + CASE WHEN d.doc_id % 5 = 3 THEN 0 ELSE j.j END)
+                % 14) AS bidx,
+           (d.doc_id + j.j) % 2 AS pad
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(0, 7)) AS j) j
+    WHERE j.j < 3 + d.doc_id % 4
+), br AS (
+    SELECT * FROM (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),(7,96),
+        (8,112),(9,128),(10,160),(11,192),(12,224),(13,256),(14,320))
+        t(bidx, kbps)
+), fr AS (
+    SELECT f.doc_id, br.kbps, f.pad,
+           (144000 * br.kbps) // 44100 + f.pad AS flen,
+           CASE WHEN f.doc_id % 2 = 0 THEN 2 ELSE 0 END AS crc2
+    FROM f JOIN br USING (bidx)
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(flen) AS BIGINT) AS frame_bytes,
+       CAST(sum(flen - 4 - crc2 - 17) AS BIGINT) AS anc_bytes,
+       CAST(CASE WHEN doc_id % 5 = 4 AND doc_id % 3 <> 0
+                 THEN doc_id % 7 ELSE 0 END AS BIGINT) AS junk_bytes,
+       CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+       CAST(min(kbps) AS BIGINT) AS kbps_min,
+       CAST(max(kbps) AS BIGINT) AS kbps_max,
+       CAST(sum(pad) AS BIGINT) AS n_padded,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN count(*) + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END
+                 ELSE 0 END AS BIGINT) AS n_crc,
+       CAST(1 AS BIGINT) AS crc_ok,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 33 + doc_id % 50
+                 ELSE 0 END AS BIGINT) AS id3v2_bytes,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS has_id3v1,
+       CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS has_xing,
+       CAST(CASE WHEN doc_id % 5 = 3 THEN 0 ELSE 1 END AS BIGINT) AS is_vbr
+FROM fr GROUP BY doc_id ORDER BY media_id
+""",
     "g711_features": """
 WITH raw AS (
     SELECT d.doc_id AS media_id,
@@ -7035,6 +7132,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "rasterize_pages": q_rasterize_pages,
     "audio_features": q_audio_features,
+    "mp3_features": q_mp3_features,
     "adpcm_features": q_adpcm_features,
     "g711_features": q_g711_features,
     "video_features": q_video_features,
