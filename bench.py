@@ -109,36 +109,50 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     if "--scaling" in sys.argv:
-        # N vs 4N CPUs in fresh processes on the same input. Defaults are
-        # 2→8: this sandbox exposes only ~9-10 effective cores regardless of
-        # num_cpus (see BASELINE.md "host capacity"), so the pair must sit
-        # inside physical capacity for the efficiency number to be
-        # meaningful. Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI.
-        lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
-        hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+        # CPU ladder in fresh processes on the same input — the sandbox
+        # stand-in for N-node vs 4N-node clusters. Default ladder 2→8→32
+        # (round 5; host capacity permitting — check per-leg steal before
+        # reading the 8→32 rung on a noisy host). GRAFT_SCALE_LO/HI
+        # preserve the two-leg round-4 form; GRAFT_SCALE_LADDER="2,8,32"
+        # overrides outright.
+        if "GRAFT_SCALE_LO" in os.environ or "GRAFT_SCALE_HI" in os.environ:
+            ladder = [
+                int(os.environ.get("GRAFT_SCALE_LO", "2")),
+                int(os.environ.get("GRAFT_SCALE_HI", "8")),
+            ]
+        else:
+            ladder = [
+                int(x)
+                for x in os.environ.get("GRAFT_SCALE_LADDER", "2,8,32").split(",")
+            ]
         results = {}
-        for ncpu in (lo, hi):
+        for ncpu in ladder:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
             out = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
                 env=env, capture_output=True, text=True, check=True,
             ).stdout
             results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        t_lo, t_hi = results[lo]["value"], results[hi]["value"]
-        eff = (t_lo / t_hi) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "metric": f"scaling_{lo}_to_{hi}_cpus",
-                    f"sec_{lo}": round(t_lo, 2),
-                    f"sec_{hi}": round(t_hi, 2),
-                    f"docs_per_sec_{lo}": results[lo]["docs_per_sec"],
-                    f"docs_per_sec_{hi}": results[hi]["docs_per_sec"],
-                    "scaling_efficiency": round(eff, 3),
-                    "sf": sf,
-                }
+        report: dict = {
+            "metric": "scaling_" + "_".join(str(n) for n in ladder) + "_cpus",
+            "sf": sf,
+        }
+        for ncpu in ladder:
+            report[f"sec_{ncpu}"] = round(results[ncpu]["value"], 2)
+            report[f"docs_per_sec_{ncpu}"] = results[ncpu]["docs_per_sec"]
+            report[f"steal_pct_{ncpu}"] = results[ncpu].get(
+                "headline_steal_pct", 0.0
             )
-        )
+        for lo, hi in zip(ladder, ladder[1:]):
+            t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+            report[f"efficiency_{lo}_to_{hi}"] = round(
+                (t_lo / t_hi) / (hi / lo), 3
+            )
+        # round-4-compatible headline number: the first rung's efficiency
+        report["scaling_efficiency"] = report[
+            f"efficiency_{ladder[0]}_to_{ladder[1]}"
+        ]
+        print(json.dumps(report))
         return
 
     import ray
@@ -174,6 +188,16 @@ def main() -> None:
                  stats_path=os.environ.get("GRAFT_STATS_PATH"))
     headline_sec = time.time() - t0
     headline_steal = steal_pct(steal_ticks() - s0, headline_sec)
+    headline_retry = None
+    if headline_steal > float(os.environ.get("GRAFT_STEAL_RETRY_PCT", "5")):
+        s0 = steal_ticks()
+        t0 = time.time()
+        run_headline(corpus_dir, "/tmp/graft_bench/out", num_cpus)
+        sec2 = time.time() - t0
+        headline_retry = {
+            "sec": round(sec2, 3),
+            "steal_pct": steal_pct(steal_ticks() - s0, sec2),
+        }
 
     # Representative queries over the sf dir (driver-style).
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -197,17 +221,31 @@ def main() -> None:
         "association_rules", "scene_cuts", "spectral_probes",
         "burstiness", "outlier_census", "benford", "vocab_overlap",
         "hapax_stats", "cusum_alerts", "heavy_hitters", "source_rollup",
-        "dup_size_histogram",
+        "dup_size_histogram", "wild_pages", "mp3_features", "pagerank",
+        "frequent_pairs",
     )
     query_steal: dict[str, float] = {}
-    for name in query_names:
+    query_retry: dict[str, dict] = {}
+    retry_threshold = float(os.environ.get("GRAFT_STEAL_RETRY_PCT", "5"))
+
+    def timed_query(name: str) -> tuple[float, float]:
         s0 = steal_ticks()
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
             res.to_pandas()
-        query_times[name] = round(time.time() - t0, 3)
-        query_steal[name] = steal_pct(steal_ticks() - s0, query_times[name])
+        sec = round(time.time() - t0, 3)
+        return sec, steal_pct(steal_ticks() - s0, sec)
+
+    for name in query_names:
+        query_times[name], query_steal[name] = timed_query(name)
+        if query_steal[name] > retry_threshold:
+            # Steal-contaminated measurement (round-4 postmortem: every
+            # apparent regression coincided with a steal spike): re-run
+            # once and record BOTH, so the quiet number is on file even
+            # when the host is noisy during the first pass.
+            sec2, steal2 = timed_query(name)
+            query_retry[name] = {"sec": sec2, "steal_pct": steal2}
 
     # Dedup-variant comparison at REAL payload size (the ~KB html column of
     # the bench corpus, string url ids): exact_dedup_large shuffles only
@@ -241,7 +279,9 @@ def main() -> None:
                 "docs_per_sec": round(rows / headline_sec, 1),
                 "input_mb_per_sec": round(in_bytes / 1e6 / headline_sec, 1),
                 "headline_steal_pct": headline_steal,
+                "headline_retry": headline_retry,
                 "query_steal_pct": query_steal,
+                "query_retry": query_retry,
             }
         )
     )

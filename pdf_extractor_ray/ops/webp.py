@@ -488,7 +488,8 @@ def decode_webp(payload: bytes) -> np.ndarray:
             break
         if tag == b"VP8 ":
             raise NotImplementedError(
-                "lossy VP8 WebP unsupported (DCT codec) — VP8L lossless only"
+                "lossy VP8 WebP pixel decode unsupported (DCT codec) — "
+                "VP8L lossless only; parse_vp8_header gives the framing census"
             )
         if tag == b"ANIM" or tag == b"ANMF":
             raise NotImplementedError("animated WebP unsupported")
@@ -600,3 +601,77 @@ def encode_webp_gray(img: np.ndarray) -> bytes:
         chunk += b"\x00"
     riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     return riff
+
+
+# ---------------------------------------------------------------------------
+# Lossy VP8 header census (round 5)
+# ---------------------------------------------------------------------------
+#
+# Full lossy-VP8 decode needs the RFC 6386 bool-coder default probability
+# tables — spec data in the near-distance-table class above, so sample
+# reconstruction stays typed-unsupported. The UNCOMPRESSED frame header,
+# though, is plain bit arithmetic, and it carries what a crawl audit wants
+# from a lossy WebP without decoding it: frame type, codec version,
+# dimensions, scaling, partition-0 size.
+
+
+def parse_vp8_header(payload: bytes) -> dict:
+    """Census over a lossy-WebP payload's VP8 uncompressed frame header
+    (RFC 6386 §9.1): 24-bit LE frame tag (keyframe bit, version,
+    show_frame, 19-bit first-partition size); for key frames the
+    0x9D012A start code and 14+2-bit width/height/scale words. The
+    bool-coded remainder is NOT validated (declared-unsupported codec
+    layer). Raises ``ValueError`` on malformed containers/headers."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8 ":
+            if len(body) < 3:
+                raise ValueError("VP8: truncated frame tag")
+            tag24 = body[0] | (body[1] << 8) | (body[2] << 16)
+            out = {
+                "keyframe": (tag24 & 1) == 0,
+                "version": (tag24 >> 1) & 0x7,
+                "show_frame": (tag24 >> 4) & 1,
+                "partition0_bytes": tag24 >> 5,
+                "chunk_bytes": size,
+                "width": 0, "height": 0, "xscale": 0, "yscale": 0,
+            }
+            if out["keyframe"]:
+                if body[3:6] != b"\x9d\x01\x2a":
+                    raise ValueError("VP8: bad keyframe start code")
+                (wraw,) = struct.unpack("<H", body[6:8])
+                (hraw,) = struct.unpack("<H", body[8:10])
+                out["width"] = wraw & 0x3FFF
+                out["xscale"] = wraw >> 14
+                out["height"] = hraw & 0x3FFF
+                out["yscale"] = hraw >> 14
+            return out
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP: no VP8 chunk")
+
+
+def encode_vp8_header_webp(
+    width: int, height: int, partition0: int = 77,
+    version: int = 0, xscale: int = 0, yscale: int = 0,
+    filler: bytes = b"",
+) -> bytes:
+    """Fixture builder: a lossy-WebP container whose VP8 chunk has a
+    spec-exact uncompressed keyframe header (the surface
+    :func:`parse_vp8_header` reads) over deterministic filler in place
+    of the bool-coded partitions — header-census fixtures only, NOT a
+    decodable VP8 stream (that layer is declared-unsupported)."""
+    tag24 = (0) | (version << 1) | (1 << 4) | (partition0 << 5)
+    body = bytes((tag24 & 0xFF, (tag24 >> 8) & 0xFF, (tag24 >> 16) & 0xFF))
+    body += b"\x9d\x01\x2a"
+    body += struct.pack("<H", (xscale << 14) | width)
+    body += struct.pack("<H", (yscale << 14) | height)
+    body += filler
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

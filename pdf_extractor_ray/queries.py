@@ -2360,6 +2360,46 @@ def q_mp3_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_id").reset_index(drop=True)
 
 
+def q_vp8_census(sf_dir: str) -> pd.DataFrame:
+    """Lossy-WebP (VP8) header census (round 5,
+    :func:`ops.webp.parse_vp8_header`): each document becomes a WebP
+    container whose VP8 chunk carries a spec-exact RFC 6386 uncompressed
+    keyframe header with closed-form fields — dimensions
+    ``16 + doc_id%320`` × ``16 + (doc_id·7)%240``, version ``doc_id%4``,
+    scales, partition-0 size ``50 + doc_id%1000``, filler ``doc_id%64``
+    bytes. The census stage reads exactly the header layer (the
+    bool-coded pixel layer stays typed-unsupported, like the MP3
+    spectral layer); SQL restates every field."""
+    from .ops.webp import encode_vp8_header_webp, parse_vp8_header
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def census(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        rows = {k: [] for k in (
+            "media_id", "width", "height", "xscale", "yscale", "version",
+            "partition0_bytes", "chunk_bytes",
+        )}
+        for i in ids:
+            p = encode_vp8_header_webp(
+                16 + i % 320, 16 + (i * 7) % 240,
+                partition0=50 + i % 1000, version=i % 4,
+                xscale=i % 4, yscale=(i // 4) % 4,
+                filler=bytes((i + t) % 256 for t in range(i % 64)),
+            )
+            c = parse_vp8_header(p)
+            rows["media_id"].append(i)
+            for k in ("width", "height", "xscale", "yscale", "version",
+                      "partition0_bytes", "chunk_bytes"):
+                rows[k].append(int(c[k]))
+        return pa.Table.from_arrays(
+            [pa.array(rows[k], pa.int64()) for k in rows], names=list(rows)
+        )
+
+    df = ds.map_batches(census, batch_format="pyarrow").to_pandas()
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
 def q_video_features(sf_dir: str) -> pd.DataFrame:
     """Video pipeline with an exact oracle over REAL containers: each
     document becomes a 6-frame 16×16 clip with per-pixel formula
@@ -4318,6 +4358,17 @@ SELECT doc_id AS media_id,
            AS has_xing,
        CAST(CASE WHEN doc_id % 5 = 3 THEN 0 ELSE 1 END AS BIGINT) AS is_vbr
 FROM fr GROUP BY doc_id ORDER BY media_id
+""",
+    "vp8_census": """
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 320 AS BIGINT) AS width,
+       CAST(16 + (doc_id * 7) % 240 AS BIGINT) AS height,
+       CAST(doc_id % 4 AS BIGINT) AS xscale,
+       CAST((doc_id // 4) % 4 AS BIGINT) AS yscale,
+       CAST(doc_id % 4 AS BIGINT) AS version,
+       CAST(50 + doc_id % 1000 AS BIGINT) AS partition0_bytes,
+       CAST(10 + doc_id % 64 AS BIGINT) AS chunk_bytes
+FROM documents ORDER BY media_id
 """,
     "g711_features": """
 WITH raw AS (
@@ -7133,6 +7184,7 @@ QUERIES = {
     "rasterize_pages": q_rasterize_pages,
     "audio_features": q_audio_features,
     "mp3_features": q_mp3_features,
+    "vp8_census": q_vp8_census,
     "adpcm_features": q_adpcm_features,
     "g711_features": q_g711_features,
     "video_features": q_video_features,

@@ -223,3 +223,57 @@ class TestContainment:
         bw.write(23, 5)
         with pytest.raises(NotImplementedError):
             decode_webp(_riff(bw.finish()))
+
+
+class TestVp8HeaderCensus:
+    """Round 5: lossy-VP8 uncompressed frame-header census (RFC 6386
+    §9.1) — the header layer parses for real; the bool-coded pixel
+    layer stays typed-unsupported."""
+
+    def test_roundtrip_fields(self):
+        from pdf_extractor_ray.ops.webp import (
+            encode_vp8_header_webp,
+            parse_vp8_header,
+        )
+
+        p = encode_vp8_header_webp(
+            320, 240, partition0=1234, version=2, xscale=1, yscale=3,
+            filler=b"z" * 33,
+        )
+        c = parse_vp8_header(p)
+        assert c == {
+            "keyframe": True, "version": 2, "show_frame": 1,
+            "partition0_bytes": 1234, "chunk_bytes": 10 + 33,
+            "width": 320, "height": 240, "xscale": 1, "yscale": 3,
+        }
+
+    def test_bad_start_code_raises(self):
+        from pdf_extractor_ray.ops.webp import (
+            encode_vp8_header_webp,
+            parse_vp8_header,
+        )
+
+        p = bytearray(encode_vp8_header_webp(8, 8))
+        p[12 + 8 + 3] ^= 0xFF  # the 0x9D of the keyframe start code
+        with pytest.raises(ValueError, match="start code"):
+            parse_vp8_header(bytes(p))
+
+    def test_lossless_payload_has_no_vp8_chunk(self):
+        import numpy as np
+
+        from pdf_extractor_ray.ops.webp import (
+            encode_webp_gray,
+            parse_vp8_header,
+        )
+
+        with pytest.raises(ValueError, match="no VP8 chunk"):
+            parse_vp8_header(encode_webp_gray(np.zeros((4, 4), np.uint8)))
+
+    def test_pixel_decode_still_typed_unsupported(self):
+        from pdf_extractor_ray.ops.webp import (
+            decode_webp,
+            encode_vp8_header_webp,
+        )
+
+        with pytest.raises(NotImplementedError, match="lossy VP8"):
+            decode_webp(encode_vp8_header_webp(8, 8))
