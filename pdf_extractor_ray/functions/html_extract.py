@@ -399,6 +399,12 @@ def _fast_feed(html: str, builder: "_Tokenizer") -> None:
                     text = _unescape(text)
                 builder.handle_data(text)
             elif text == "<":
+                nxt = html[pos : pos + 1]
+                if nxt and (nxt.isalpha() or nxt in "/!?") and ">" not in html[pos:]:
+                    # Truncated tag at EOF (crawl cut mid-payload): drop
+                    # the unterminated tail, per browser EOF-in-tag
+                    # handling, instead of leaking it as text.
+                    break
                 builder.handle_data("<")
             # comments/doctype/PI: dropped, same as the builder's stdlib path
             continue

@@ -6088,8 +6088,9 @@ def q_extract_charset(sf_dir: str) -> pd.DataFrame:
 _WILD_TRAITS = [
     "comments", "scripts", "markedsec", "misnest", "entities", "attrs",
     "controls", "charset_lie", "deep_nest", "layout_tables", "double_doc",
-    "rawtext_traps",
+    "rawtext_traps", "truncated", "bom_controls",
 ]
+_N_WILD = len(_WILD_TRAITS)
 
 _WILD_HEAD = "<head><title>doc</title></head>"
 _WILD_NAV = (
@@ -6104,11 +6105,12 @@ def _wild_payload(i: int, t: str) -> bytes:
     markup shapes real crawl pages exhibit (comment/script traps, marked
     sections, misnesting, entity and attribute hazards, NUL/control
     bytes, charset lies, deep nesting, layout tables, concatenated
-    documents, raw-text-element traps) — each built so that correct
-    main-content extraction recovers ``t`` byte-exactly. The engine's
-    analogue of the reference's real-PDF integration corpus
-    (reference: tests/test_pdfs/, run_integration_tests.py:1-188)."""
-    v = i % 12
+    documents, raw-text-element traps, EOF truncation, BOM/control
+    noise) — each built so that correct main-content extraction
+    recovers ``t`` byte-exactly. The engine's analogue of the
+    reference's real-PDF integration corpus (reference:
+    tests/test_pdfs/, run_integration_tests.py:1-188)."""
+    v = i % _N_WILD
     if v == 0:
         body = (
             "<!-- <p>commented fake paragraph content long enough</p> -->"
@@ -6181,6 +6183,26 @@ def _wild_payload(i: int, t: str) -> bytes:
             '<nav><a href="/m">menu one</a> <a href="/n">menu two</a></nav>'
         )
         return (f"<html>{_WILD_HEAD}<body>{_WILD_NAV}{body}").encode()
+    elif v == 12:
+        # crawl truncation: the payload ends mid-construct AFTER the
+        # content (rotating cut shapes: mid-footer text, mid-attribute,
+        # mid-tag-name, mid-entity).
+        cut = (
+            "<footer>(c) 2026 Example Corp le",
+            '<div class="trailing-junk-class-name',
+            "<foote",
+            "<p>&#40 &am",
+        )[(i // _N_WILD) % 4]
+        return (
+            f"<html>{_WILD_HEAD}<body>{_WILD_NAV}<p>{t}</p>{cut}"
+        ).encode()
+    elif v == 13:
+        page = (
+            f"<html>{_WILD_HEAD}<body>\r\n{_WILD_NAV}\r\n<p>{t}</p>\x7f"
+            '<div class="menu">j\x07unk&#0;</div>\r\n'
+            f"{_WILD_FOOT}</body></html>"
+        )
+        return b"\xef\xbb\xbf" + page.encode()
     else:
         body = (
             "<form><textarea rows=3><p>textarea junk paragraph content</p>"
@@ -6247,7 +6269,7 @@ def q_wild_pages(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_arrays(
             [
                 pa.array(ids, pa.int64()),
-                pa.array([_WILD_TRAITS[i % 12] for i in ids], pa.string()),
+                pa.array([_WILD_TRAITS[i % _N_WILD] for i in ids], pa.string()),
                 batch["extracted_text"],
             ],
             names=["doc_id", "trait", "extracted_text"],
@@ -8177,13 +8199,14 @@ FROM documents ORDER BY doc_id
 
 ORACLE_SQL["wild_pages"] = """
 SELECT doc_id,
-       CASE doc_id % 12
+       CASE doc_id % 14
             WHEN 0 THEN 'comments'      WHEN 1 THEN 'scripts'
             WHEN 2 THEN 'markedsec'     WHEN 3 THEN 'misnest'
             WHEN 4 THEN 'entities'      WHEN 5 THEN 'attrs'
             WHEN 6 THEN 'controls'      WHEN 7 THEN 'charset_lie'
             WHEN 8 THEN 'deep_nest'     WHEN 9 THEN 'layout_tables'
-            WHEN 10 THEN 'double_doc'   ELSE 'rawtext_traps' END AS trait,
+            WHEN 10 THEN 'double_doc'   WHEN 11 THEN 'rawtext_traps'
+            WHEN 12 THEN 'truncated'    ELSE 'bom_controls' END AS trait,
        text AS extracted_text
 FROM documents ORDER BY doc_id
 """

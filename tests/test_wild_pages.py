@@ -23,7 +23,7 @@ TEXT = (
 
 
 class TestWildPayloadRoundtrip:
-    @pytest.mark.parametrize("v", range(12))
+    @pytest.mark.parametrize("v", range(14))
     def test_variant_extracts_byte_identically(self, v):
         raw = _wild_payload(v, TEXT)
         decoded, _enc = decode_html_bytes(raw)
@@ -43,7 +43,7 @@ class TestWildPayloadRoundtrip:
         raw = _wild_payload(6, TEXT)
         assert b"\x00" in raw
 
-    @pytest.mark.parametrize("v", range(12))
+    @pytest.mark.parametrize("v", range(14))
     def test_variant_deterministic(self, v):
         assert _wild_payload(v, TEXT) == _wild_payload(v, TEXT)
 
@@ -75,6 +75,16 @@ class TestParserHardenings:
 
     def test_bogus_end_tags_drop(self):
         assert self._extract(f"<p>{TEXT}</ p></>") == TEXT
+
+    def test_eof_truncated_tag_drops(self):
+        # crawl cut mid-attribute: the unterminated tail must not leak
+        from pdf_extractor_ray.functions.html_extract import render_article
+
+        html = (
+            "<html><body><p>" + TEXT + '</p><div class="trailing-junk-name'
+        )
+        got = render_article(score_blocks(tokenize_blocks(html, "fast")))
+        assert got == TEXT
 
     def test_nested_table_flattens_into_cell(self):
         got = self._extract(
