@@ -366,3 +366,110 @@ def opengraph_batch(batch, html_col: str = "html", id_col: str = "doc_id"):
         ],
         names=[id_col, "n_og", "n_twitter", "og_complete"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Publish-date extraction (round 5 — htmldate/trafilatura-style precedence)
+# ---------------------------------------------------------------------------
+
+_PUB_META_RE = None
+_PUB_JSONLD_RE = None
+_PUB_TIME_RE = None
+_PUB_URL_RE = None
+
+
+def _norm_date(raw: str) -> str | None:
+    """ISO-ish date string → normalized ``YYYY-MM-DD`` (zero-padded), or
+    None when implausible (year outside 1990–2035, bad month/day)."""
+    import re
+
+    m = re.match(r"\s*(\d{4})-(\d{1,2})-(\d{1,2})", raw or "")
+    if not m:
+        return None
+    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not (1990 <= y <= 2035 and 1 <= mo <= 12 and 1 <= d <= 31):
+        return None
+    return f"{y:04d}-{mo:02d}-{d:02d}"
+
+
+def extract_publish_date(html: str, url: str = "") -> tuple[str, str]:
+    """Best-effort publication date with a DETERMINISTIC precedence
+    ladder (the htmldate/trafilatura shape, restated as an exact rule):
+
+    1. ``<meta property="article:published_time" content=...>`` (also
+       ``name=`` and the ``datePublished``/``date`` meta names);
+    2. JSON-LD ``"datePublished"`` (first block carrying one);
+    3. first ``<time datetime=...>`` element;
+    4. a ``/YYYY/MM/`` (or ``/YYYY-MM-DD``) path segment in the URL
+       (day defaults to 01);
+    5. none.
+
+    Returns ``(source, date)`` where source ∈ {meta, jsonld, time, url,
+    none} and date is ``YYYY-MM-DD`` or ``""``. Implausible candidates
+    (year outside 1990–2035, bad month/day) fall through to the next
+    rung rather than winning with garbage."""
+    global _PUB_META_RE, _PUB_JSONLD_RE, _PUB_TIME_RE, _PUB_URL_RE
+    import re
+
+    if _PUB_META_RE is None:
+        _PUB_META_RE = re.compile(
+            r"""<meta[^>]+(?:property|name)\s*=\s*["']?"""
+            r"""(?:article:published_time|datePublished|date)["']?[^>]*"""
+            r"""content\s*=\s*["']([^"'<>]+)""",
+            re.IGNORECASE,
+        )
+        _PUB_JSONLD_RE = re.compile(
+            r'"datePublished"\s*:\s*"([^"]+)"', re.IGNORECASE
+        )
+        _PUB_TIME_RE = re.compile(
+            r"""<time[^>]+datetime\s*=\s*["']([^"'<>]+)""", re.IGNORECASE
+        )
+        _PUB_URL_RE = re.compile(
+            r"/((?:19|20)\d{2})[/-](\d{1,2})(?:[/-](\d{1,2}))?(?=[/-]|$)"
+        )
+    html = html or ""
+    for source, rx in (
+        ("meta", _PUB_META_RE), ("jsonld", _PUB_JSONLD_RE),
+        ("time", _PUB_TIME_RE),
+    ):
+        for raw in rx.findall(html):
+            norm = _norm_date(raw)
+            if norm:
+                return source, norm
+    m = _PUB_URL_RE.search(url or "")
+    if m:
+        y, mo = int(m.group(1)), int(m.group(2))
+        d = int(m.group(3)) if m.group(3) else 1
+        if 1990 <= y <= 2035 and 1 <= mo <= 12 and 1 <= d <= 31:
+            return "url", f"{y:04d}-{mo:02d}-{d:02d}"
+    return "none", ""
+
+
+def publish_date_batch(batch, html_col: str = "html", url_col: str = "url",
+                       id_col: str = "doc_id"):
+    """Per-page publish-date rows ``(doc_id, date_source, pub_date)``."""
+    import pyarrow as pa
+
+    ids, sources, dates = [], [], []
+    for i, payload, url in zip(
+        batch[id_col].to_pylist(),
+        batch[html_col].to_pylist(),
+        batch[url_col].to_pylist(),
+    ):
+        text = (
+            payload.decode("utf-8", errors="replace")
+            if isinstance(payload, (bytes, bytearray))
+            else (payload or "")
+        )
+        src, date = extract_publish_date(text, url or "")
+        ids.append(i)
+        sources.append(src)
+        dates.append(date)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(sources, pa.string()),
+            pa.array(dates, pa.string()),
+        ],
+        names=[id_col, "date_source", "pub_date"],
+    )

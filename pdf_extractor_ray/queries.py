@@ -6279,6 +6279,76 @@ def q_wild_pages(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_publish_dates(sf_dir: str) -> pd.DataFrame:
+    """Publication-date extraction (round 5,
+    :func:`functions.metadata.extract_publish_date` — the htmldate/
+    trafilatura precedence ladder restated as an exact rule): six page
+    shapes per doc — meta article:published_time (with a CONFLICTING
+    ``<time>`` the ladder must outrank), JSON-LD datePublished, a
+    ``<time datetime>`` element, a date-bearing URL path, no date at
+    all, and an IMPLAUSIBLE meta date (year 3000) that must fall
+    through to the valid ``<time>`` rung. Dates are closed-form in
+    doc_id; the oracle restates ladder + dates in SQL."""
+    from .functions.metadata import publish_date_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        urls, htmls = [], []
+        for i in ids:
+            y, mo, d = 1995 + i % 30, 1 + i % 12, 1 + i % 28
+            date = f"{y:04d}-{mo:02d}-{d:02d}"
+            v = i % 6
+            url = f"https://news.example.com/p/{i}"
+            body = "<p>article body text</p>"
+            if v == 0:
+                page = (
+                    f'<html><head><meta property="article:published_time" '
+                    f'content="{date}T09:30:00Z"></head><body>'
+                    f'<time datetime="1999-01-01">wrong</time>{body}'
+                    "</body></html>"
+                )
+            elif v == 1:
+                page = (
+                    '<html><head><script type="application/ld+json">'
+                    f'{{"@type": "NewsArticle", "datePublished": "{date}"}}'
+                    f"</script></head><body>{body}</body></html>"
+                )
+            elif v == 2:
+                page = (
+                    f"<html><body><time datetime=\"{date}T07:00\">then"
+                    f"</time>{body}</body></html>"
+                )
+            elif v == 3:
+                url = f"https://news.example.com/{y:04d}/{mo:02d}/story-{i}"
+                page = f"<html><body>{body}</body></html>"
+            elif v == 4:
+                page = f"<html><body>{body}</body></html>"
+            else:
+                page = (
+                    '<html><head><meta name="date" content="3000-01-01">'
+                    f'</head><body><time datetime="{date}">ok</time>{body}'
+                    "</body></html>"
+                )
+            urls.append(url)
+            htmls.append(page.encode())
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(urls, pa.string()),
+                pa.array(htmls, pa.binary()),
+            ],
+            names=["doc_id", "url", "html"],
+        )
+
+    out = ds.map_batches(to_pages, batch_format="pyarrow").map_batches(
+        publish_date_batch, batch_format="pyarrow"
+    )
+    df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cdx_index(sf_dir: str) -> pd.DataFrame:
     """CDX-style crawl index: SURT keys (host labels reversed — the Common
     Crawl index key order) over the six messy-URL buckets, plus each row's
@@ -7248,6 +7318,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "extract_charset": q_extract_charset,
     "wild_pages": q_wild_pages,
+    "publish_dates": q_publish_dates,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
@@ -8208,6 +8279,20 @@ SELECT doc_id,
             WHEN 10 THEN 'double_doc'   WHEN 11 THEN 'rawtext_traps'
             WHEN 12 THEN 'truncated'    ELSE 'bom_controls' END AS trait,
        text AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["publish_dates"] = """
+SELECT doc_id,
+       CASE doc_id % 6
+            WHEN 0 THEN 'meta'   WHEN 1 THEN 'jsonld'
+            WHEN 2 THEN 'time'   WHEN 3 THEN 'url'
+            WHEN 4 THEN 'none'   ELSE 'time' END AS date_source,
+       CASE WHEN doc_id % 6 = 4 THEN ''
+            WHEN doc_id % 6 = 3 THEN printf('%04d-%02d-01',
+                 1995 + doc_id % 30, 1 + doc_id % 12)
+            ELSE printf('%04d-%02d-%02d', 1995 + doc_id % 30,
+                 1 + doc_id % 12, 1 + doc_id % 28) END AS pub_date
 FROM documents ORDER BY doc_id
 """
 

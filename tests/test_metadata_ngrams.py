@@ -1401,3 +1401,59 @@ class TestAssociationRules:
             ds, support=10, min_conf_milli=100, frequent_cap=0
         )
         assert got.to_dict("records") == want.to_dict("records")
+
+
+class TestPublishDates:
+    """Round 5: htmldate-style precedence ladder, exact rules."""
+
+    def test_precedence_meta_over_time(self):
+        from pdf_extractor_ray.functions.metadata import extract_publish_date
+
+        html = (
+            '<meta property="article:published_time" content="2024-03-07T10:00:00Z">'
+            '<time datetime="1999-01-01">wrong</time>'
+        )
+        assert extract_publish_date(html) == ("meta", "2024-03-07")
+
+    def test_implausible_falls_through(self):
+        from pdf_extractor_ray.functions.metadata import extract_publish_date
+
+        html = (
+            '<meta name="date" content="3000-01-01">'
+            '<time datetime="2020-05-06">ok</time>'
+        )
+        assert extract_publish_date(html) == ("time", "2020-05-06")
+
+    def test_url_fallback_and_none(self):
+        from pdf_extractor_ray.functions.metadata import extract_publish_date
+
+        assert extract_publish_date(
+            "", "https://ex.com/blog/2021/07/post"
+        ) == ("url", "2021-07-01")
+        assert extract_publish_date(
+            "", "https://ex.com/blog/3021/07/post"
+        ) == ("none", "")
+        assert extract_publish_date("no dates here") == ("none", "")
+
+    def test_jsonld_and_padding(self):
+        from pdf_extractor_ray.functions.metadata import extract_publish_date
+
+        html = '<script type="application/ld+json">{"datePublished": "2023-1-2"}</script>'
+        assert extract_publish_date(html) == ("jsonld", "2023-01-02")
+
+    def test_batch_shape(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.metadata import publish_date_batch
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([1, 2], pa.int64()),
+                pa.array(["https://e.com/2020/02/x", "https://e.com/a"], pa.string()),
+                pa.array([b"<p>x</p>", None], pa.binary()),
+            ],
+            names=["doc_id", "url", "html"],
+        )
+        rows = publish_date_batch(t).to_pylist()
+        assert rows[0] == {"doc_id": 1, "date_source": "url", "pub_date": "2020-02-01"}
+        assert rows[1] == {"doc_id": 2, "date_source": "none", "pub_date": ""}
