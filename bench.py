@@ -78,10 +78,13 @@ def run_headline(corpus_dir: str, out_dir: str, num_cpus: int = 32,
     from pdf_extractor_ray.pipelines.extract import extraction_pipeline
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    # ~8 blocks per CPU: enough waves that per-block extract-time skew
-    # (1-2x across the fixture mix) amortizes instead of stalling the tail
-    # (measured ~10% wall-time win over the default read split at 32 CPUs).
-    ds = rd.read_parquet(corpus_dir, override_num_blocks=num_cpus * 8)
+    # ~16 blocks per CPU: enough waves that per-block extract-time skew
+    # (1-2x across the fixture mix) amortizes instead of stalling the tail.
+    # Round 5 re-measure at 32 CPUs: ×8 ran the fused map stage as 4 waves
+    # of 32 tasks with a 1.7-3.0 s task spread → ~13 s wall; ×16 → ~11.5 s,
+    # which sits AT the host-capacity floor (307 s remote-wall / ~26
+    # effective cores); ×32 regresses (per-task overhead + file count).
+    ds = rd.read_parquet(corpus_dir, override_num_blocks=num_cpus * 16)
     result = extraction_pipeline(ds)
     result.write_parquet(out_dir)
     if stats_path:
