@@ -1230,7 +1230,14 @@ class PdfDocument:
 
     def __init__(self, data: bytes, password: bytes = b""):
         if not data.startswith(b"%PDF-"):
-            raise PdfError("missing %PDF header")
+            # Crawl payloads often carry junk before the header (HTTP
+            # fragments, BOMs); per the Adobe implementation note,
+            # readers scan the first 1024 bytes and RE-BASE the file at
+            # the header — xref offsets are relative to it.
+            idx = data[:1024].find(b"%PDF-")
+            if idx < 0:
+                raise PdfError("missing %PDF header")
+            data = data[idx:]
         self.data = data
         self._password = password
         self._cache: dict[int, object] = {}
@@ -1524,9 +1531,30 @@ class PdfDocument:
 
     def _scan_objects(self):
         """Damaged-xref fallback: brute-scan ``N G obj`` headers (last
-        occurrence of each object number wins — incremental-update order)."""
+        occurrence of each object number wins — incremental-update
+        order), then unpack any scanned /ObjStm so its compressed
+        objects (often the catalog itself in PDF 1.5 files) resolve
+        without a usable xref stream (round 5)."""
         for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.data):
             self.xref[int(m.group(1))] = m.start()
+        for num in list(self.xref):
+            try:
+                obj = self.get(num)
+            except (PdfError, ValueError, IndexError, KeyError):
+                continue
+            if (
+                isinstance(obj, dict)
+                and obj.get("Type") == "ObjStm"
+                and "__stream__" in obj
+            ):
+                try:
+                    toks = obj["__stream__"][: int(obj.get("First", 0))].split()
+                    for idx in range(min(int(obj.get("N", 0)), len(toks) // 2)):
+                        onum = int(toks[2 * idx])
+                        if onum not in self.xref and onum not in self._in_objstm:
+                            self._in_objstm[onum] = (num, idx)
+                except (ValueError, IndexError):
+                    continue
         m = re.search(rb"trailer\s*<<", self.data)
         if m:
             lex = _Lexer(self.data, m.end() - 2)
@@ -1536,8 +1564,11 @@ class PdfDocument:
                     self.trailer.setdefault(k, v)
         if "Root" not in self.trailer:
             # last resort: find the object whose dict is a /Catalog
-            for num in self.xref:
-                obj = self.get(num)
+            for num in list(self.xref) + list(self._in_objstm):
+                try:
+                    obj = self.get(num)
+                except (PdfError, ValueError, IndexError, KeyError):
+                    continue
                 if isinstance(obj, dict) and obj.get("Type") == "Catalog":
                     self.trailer["Root"] = _Ref((num, 0))
                     break

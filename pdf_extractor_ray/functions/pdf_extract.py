@@ -278,7 +278,7 @@ def decode_records(payload: bytes, password: bytes = b"") -> np.ndarray:
         body = payload[len(MAGIC):]
         usable = len(body) - len(body) % RECORD_DTYPE.itemsize
         return np.frombuffer(body[:usable], dtype=RECORD_DTYPE)
-    if payload.startswith(b"%PDF-"):
+    if b"%PDF-" in payload[:1024]:  # leading-junk tolerance (Adobe note)
         from .pdf_codec import parse_pdf_records
 
         return parse_pdf_records(payload, password=password)

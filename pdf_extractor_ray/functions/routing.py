@@ -44,11 +44,23 @@ KNOWN_WORKFLOWS = (
 
 def sniff_payload_route(payload: bytes | None) -> str:
     """Classify a raw payload: ``%PDF`` magic → pdf branch, empty → empty,
-    else html (reference: pdf_input_handler.py:88-92 magic check)."""
+    else html (reference: pdf_input_handler.py:88-92 magic check).
+
+    Round 5: a ``%PDF-`` header within the first 1024 bytes also routes
+    to the pdf branch (the Adobe implementation-note scan — crawl
+    payloads carry HTTP fragments/BOM junk before the header), UNLESS
+    the prefix already looks like HTML (``<html``/``<!doctype``) — an
+    HTML page merely mentioning ``%PDF-`` must not misroute."""
     if not payload:
         return ROUTE_EMPTY
     if payload[:4] == PDF_MAGIC:
         return ROUTE_PDF
+    head = payload[:1024]
+    idx = head.find(b"%PDF-")
+    if idx > 0:
+        prefix = head[:idx].lower()
+        if b"<html" not in prefix and b"<!doctype" not in prefix:
+            return ROUTE_PDF
     return ROUTE_HTML
 
 

@@ -6279,6 +6279,100 @@ def q_wild_pages(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_WILD_PDF_TRAITS = [
+    "clean", "trailing_garbage", "leading_junk", "comments",
+    "nul_padding", "truncated_xref", "bad_startxref",
+]
+
+
+def _wild_pdf_payload(i: int, text: str) -> bytes:
+    """Crawl-damaged-but-recoverable real-PDF payload for doc ``i``:
+    seven damage shapes harvested crawls exhibit, over a base PDF whose
+    compression / operator style / xref form rotate with the doc id.
+    Every shape must extract byte-identically (trailing garbage and
+    comments are ignored per spec; leading junk re-bases at the header
+    per the Adobe implementation note; offset-breaking NUL padding,
+    missing trailers, and bogus startxref all land in the brute-force
+    object-scan fallback)."""
+    from .functions.pdf_codec import build_pdf
+
+    base = build_pdf(
+        text,
+        compress=bool(i % 2),
+        style=("tm", "td", "tstar")[i % 3],
+        xref_kind=("table", "stream", "objstm")[(i // 7) % 3],
+    )
+    v = i % 7
+    if v == 1:
+        return base + b"\x00\x12<junk after eof>\xff" * 8
+    if v == 2:
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+            + base
+        )
+    if v == 3:
+        return base.replace(
+            b"endobj\n", b"endobj\n% crawl-inserted comment line\n", 3
+        )
+    if v == 4:
+        return base.replace(b"endobj\n", b"endobj\n\x00\x00\x00\x00\n", 2)
+    if v == 5:
+        return base[: base.rfind(b"startxref")]
+    if v == 6:
+        return base.replace(
+            b"startxref\n", b"startxref\n99999999\n% bogus\n", 1
+        )
+    return base
+
+
+def q_wild_pdfs(sf_dir: str) -> pd.DataFrame:
+    """Crawl-damaged real-PDF integration shard (round 5): every
+    document becomes one of seven damaged-but-recoverable PDF shapes
+    (:func:`_wild_pdf_payload`) and runs the FULL extraction pipeline;
+    output must equal ``documents.text`` byte-exactly — the PDF-route
+    twin of Q ``wild_pages``, and the closest analogue of the
+    reference's real-PDF integration corpus
+    (reference: run_integration_tests.py:1-188)."""
+    from .pipelines.extract import extraction_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(
+                    [1_767_225_600_000_000 + i * 1_000_000 for i in ids],
+                    pa.timestamp("us"),
+                ),
+                pa.array(
+                    [_wild_pdf_payload(i, t) for i, t in zip(ids, texts)],
+                    pa.binary(),
+                ),
+                pa.array(texts, pa.string()),
+                pa.array(langs, pa.string()),
+                pa.array(ids, pa.int64()),
+            ],
+            names=["url", "warc_ts", "html", "text", "lang", "doc_id"],
+        )
+
+    out = extraction_pipeline(
+        ds.map_batches(to_pages, batch_format="pyarrow")
+    )
+    df = out.select_columns(["doc_id", "extracted_text"]).to_pandas()
+    df["trait"] = [
+        _WILD_PDF_TRAITS[int(i) % 7] for i in df["doc_id"]
+    ]
+    return (
+        df[["doc_id", "trait", "extracted_text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_publish_dates(sf_dir: str) -> pd.DataFrame:
     """Publication-date extraction (round 5,
     :func:`functions.metadata.extract_publish_date` — the htmldate/
@@ -7318,6 +7412,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "extract_charset": q_extract_charset,
     "wild_pages": q_wild_pages,
+    "wild_pdfs": q_wild_pdfs,
     "publish_dates": q_publish_dates,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
@@ -8278,6 +8373,17 @@ SELECT doc_id,
             WHEN 8 THEN 'deep_nest'     WHEN 9 THEN 'layout_tables'
             WHEN 10 THEN 'double_doc'   WHEN 11 THEN 'rawtext_traps'
             WHEN 12 THEN 'truncated'    ELSE 'bom_controls' END AS trait,
+       text AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["wild_pdfs"] = """
+SELECT doc_id,
+       CASE doc_id % 7
+            WHEN 0 THEN 'clean'            WHEN 1 THEN 'trailing_garbage'
+            WHEN 2 THEN 'leading_junk'     WHEN 3 THEN 'comments'
+            WHEN 4 THEN 'nul_padding'      WHEN 5 THEN 'truncated_xref'
+            ELSE 'bad_startxref' END AS trait,
        text AS extracted_text
 FROM documents ORDER BY doc_id
 """

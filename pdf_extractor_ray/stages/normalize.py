@@ -53,6 +53,25 @@ def normalize_route(batch: pa.Table, config: EngineConfig | None = None) -> pa.T
             pc.fill_null(is_pdf, False), pa.scalar(ROUTE_PDF), pa.scalar(ROUTE_HTML)
         ),
     )
+    # Leading-junk PDFs (round 5): a %PDF- header within the first 1024
+    # bytes re-routes to the pdf branch unless the prefix looks like
+    # HTML — the Adobe implementation-note scan, mirrored by
+    # sniff_payload_route. The bytes-in pre-filter keeps this a cheap
+    # scan over the 1 KiB head; genuine HTML rows fail it immediately.
+    vals = route.to_pylist()
+    if ROUTE_HTML in vals:
+        from ..functions.routing import sniff_payload_route
+
+        heads = pc.binary_slice(payload, 0, 1024).to_pylist()
+        route = pa.array(
+            [
+                sniff_payload_route(h)
+                if (r == ROUTE_HTML and h and b"%PDF-" in h)
+                else r
+                for r, h in zip(vals, heads)
+            ],
+            pa.string(),
+        )
     partition_id = stable_hash_mod(
         batch["url"].to_pylist(), config.num_partitions
     )

@@ -900,3 +900,52 @@ class TestEncryptDictEdgeCases:
         assert k_signed == k_unsigned
         # full-range unsigned permission word must not escape the typed API
         _std_key(o, 0xFFFFFFFF, id0, 3, 16)
+
+
+class TestWildPdfShard:
+    """Round 5: crawl-damaged-but-recoverable payloads (Q wild_pdfs) —
+    every damage shape must extract byte-identically to the clean
+    build, and leading-junk payloads must ROUTE to the pdf branch."""
+
+    TEXT = " ".join(("the quick brown fox jumps over the lazy dog " * 9).split())
+
+    @pytest.mark.parametrize("v", range(7))
+    @pytest.mark.parametrize("seed", [0, 11])
+    def test_damage_shapes_extract_identically(self, v, seed):
+        from pdf_extractor_ray.functions.pdf_extract import extract_pdf
+        from pdf_extractor_ray.queries import _wild_pdf_payload
+
+        i = seed * 7 + v
+        clean = _wild_pdf_payload((i // 7) * 7, self.TEXT)
+        got = extract_pdf(_wild_pdf_payload(i, self.TEXT))
+        assert got == extract_pdf(clean), v
+
+    def test_leading_junk_routes_pdf(self):
+        from pdf_extractor_ray.functions.pdf_codec import build_pdf
+        from pdf_extractor_ray.functions.routing import sniff_payload_route
+
+        junked = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+            + build_pdf(self.TEXT)
+        )
+        assert sniff_payload_route(junked) == "pdf"
+
+    def test_html_mentioning_pdf_stays_html(self):
+        from pdf_extractor_ray.functions.routing import sniff_payload_route
+
+        assert (
+            sniff_payload_route(
+                b"<!DOCTYPE html><html><body>%PDF-1.4 is a format</body>"
+            )
+            == "html"
+        )
+
+    def test_junk_past_1024_bytes_not_rebased(self):
+        from pdf_extractor_ray.functions.pdf_codec import build_pdf
+        from pdf_extractor_ray.functions.pdf_extract import extract_pdf
+        from pdf_extractor_ray.functions.routing import sniff_payload_route
+
+        deep = b"\x00" * 1500 + build_pdf(self.TEXT)
+        assert sniff_payload_route(deep) == "html"
+        with pytest.raises(ValueError):
+            extract_pdf(deep)
