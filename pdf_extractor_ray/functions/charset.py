@@ -43,6 +43,41 @@ _LABELS = {
     "utf-16": "utf-16-le",
     "utf-16le": "utf-16-le",
     "utf-16be": "utf-16-be",
+    # Round 5 — the remaining crawl-significant WHATWG rows, decoded by
+    # the stdlib codecs they map to (all ASCII-superset, so the 1 KiB
+    # meta pre-scan stays valid for every one of them):
+    "windows-1251": "windows-1251",   # Cyrillic web default
+    "cp1251": "windows-1251",
+    "koi8-r": "koi8-r",
+    "koi8-u": "koi8-u",
+    "iso-8859-2": "iso-8859-2",       # Central European
+    "latin2": "iso-8859-2",
+    "iso-8859-5": "iso-8859-5",
+    "iso-8859-7": "iso-8859-7",       # Greek
+    "iso-8859-9": "windows-1254",     # WHATWG: 8859-9 IS windows-1254
+    "windows-1254": "windows-1254",
+    "iso-8859-15": "iso-8859-15",
+    "windows-1250": "windows-1250",
+    "windows-1253": "windows-1253",
+    "windows-1255": "windows-1255",   # Hebrew
+    "windows-1256": "windows-1256",   # Arabic
+    "windows-874": "cp874",           # Thai
+    "tis-620": "cp874",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "ms_kanji": "shift_jis",
+    "euc-jp": "euc_jp",
+    "gbk": "gbk",
+    "gb2312": "gbk",                  # WHATWG: gb2312 label decodes as GBK
+    "gb_2312": "gbk",
+    "chinese": "gbk",
+    "big5": "big5",
+    "big5-hkscs": "big5hkscs",
+    "euc-kr": "euc_kr",
+    "korean": "euc_kr",
+    "ks_c_5601-1987": "euc_kr",
 }
 
 _META_CHARSET = re.compile(rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.I)

@@ -6281,8 +6281,30 @@ def q_wild_pages(sf_dir: str) -> pd.DataFrame:
 
 _WILD_PDF_TRAITS = [
     "clean", "trailing_garbage", "leading_junk", "comments",
-    "nul_padding", "truncated_xref", "bad_startxref",
+    "nul_padding", "truncated_xref", "bad_startxref", "incremental",
 ]
+
+
+def _append_incremental_update(base: bytes) -> bytes:
+    """Append a spec-shaped incremental update (new object + classic
+    xref section with ``/Prev`` chaining to the previous table) — the
+    crawl shape edited-then-resaved PDFs have. Content untouched, so
+    extraction must not change."""
+    import re as _re
+
+    prev = int(list(_re.finditer(rb"startxref\s+(\d+)", base))[-1].group(1))
+    maxnum = max(
+        int(m.group(1)) for m in _re.finditer(rb"(\d+)\s+\d+\s+obj\b", base)
+    )
+    newnum = maxnum + 1
+    off = len(base)
+    obj = b"%d 0 obj\n<< /Type /CrawlNote /Seq 1 >>\nendobj\n" % newnum
+    xref_pos = off + len(obj)
+    return base + obj + (
+        b"xref\n0 1\n0000000000 65535 f \n%d 1\n%010d 00000 n \n"
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (newnum, off, newnum + 1, prev, xref_pos)
+    )
 
 
 def _wild_pdf_payload(i: int, text: str) -> bytes:
@@ -6296,13 +6318,18 @@ def _wild_pdf_payload(i: int, text: str) -> bytes:
     object-scan fallback)."""
     from .functions.pdf_codec import build_pdf
 
+    v = i % 8
     base = build_pdf(
         text,
         compress=bool(i % 2),
         style=("tm", "td", "tstar")[i % 3],
-        xref_kind=("table", "stream", "objstm")[(i // 7) % 3],
+        # incremental updates append a CLASSIC xref section, which the
+        # spec only chains onto table-form files.
+        xref_kind="table" if v == 7 else
+        ("table", "stream", "objstm")[(i // 8) % 3],
     )
-    v = i % 7
+    if v == 7:
+        return _append_incremental_update(base)
     if v == 1:
         return base + b"\x00\x12<junk after eof>\xff" * 8
     if v == 2:
@@ -6364,7 +6391,7 @@ def q_wild_pdfs(sf_dir: str) -> pd.DataFrame:
     )
     df = out.select_columns(["doc_id", "extracted_text"]).to_pandas()
     df["trait"] = [
-        _WILD_PDF_TRAITS[int(i) % 7] for i in df["doc_id"]
+        _WILD_PDF_TRAITS[int(i) % 8] for i in df["doc_id"]
     ]
     return (
         df[["doc_id", "trait", "extracted_text"]]
@@ -6440,6 +6467,80 @@ def q_publish_dates(sf_dir: str) -> pd.DataFrame:
         publish_date_batch, batch_format="pyarrow"
     )
     df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_WORLD_CHARSETS = [
+    # (meta label as pages write it, canonical decode, body probe)
+    ("shift_jis", "shift_jis", " 日本語のテキスト"),
+    ("EUC-JP", "euc_jp", " 日本語"),
+    ("gb2312", "gbk", " 中文网页"),  # WHATWG: gb2312 label decodes as GBK
+    ("Big5", "big5", " 中文字"),
+    ("euc-kr", "euc_kr", " 한국어 텍스트"),
+    ("windows-1251", "windows-1251", " Русский текст"),
+    ("KOI8-R", "koi8-r", " Русский"),
+    ("iso-8859-7", "iso-8859-7", " Ελληνικά"),
+    ("ISO-8859-9", "windows-1254", " Türkçe sayfa ğış"),
+    ("windows-1256", "windows-1256", " نص عربي"),
+]
+
+
+def q_charset_world(sf_dir: str) -> pd.DataFrame:
+    """World-charset decode (round 5): the crawl-significant WHATWG
+    label rows beyond the round-2 utf/cp1252 set — Shift_JIS, EUC-JP,
+    GBK (via the ``gb2312`` alias trap), Big5, EUC-KR, windows-1251,
+    KOI8-R, ISO-8859-7, the ISO-8859-9→windows-1254 WHATWG remap, and
+    windows-1256 — each page body carrying a native-script probe that a
+    wrong decode cannot reproduce. Same sniff→decode→extract chain as
+    Q ``extract_charset``; oracle restates label→canonical and
+    text+probe per bucket."""
+    from .functions.charset import decode_pages_batch, encode_html
+    from .stages.extract import extract_batch
+    from .stages.normalize import normalize_route
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            label, enc, probe = _WORLD_CHARSETS[i % 10]
+            body = (
+                f'<html><head><meta charset="{label}"><title>d</title>'
+                f"</head><body><article><p>{t}{probe}</p></article>"
+                "</body></html>"
+            )
+            payloads.append(encode_html(body, enc))
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["url", "html"],
+        )
+
+    out = (
+        ds.map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(decode_pages_batch, batch_format="pyarrow")
+        .map_batches(normalize_route, batch_format="pyarrow")
+        .map_batches(extract_batch, batch_format="pyarrow")
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    [int(u.rsplit("/", 1)[-1]) for u in urls], pa.int64()
+                ),
+                batch["charset"],
+                batch["extracted_text"],
+            ],
+            names=["doc_id", "charset", "extracted_text"],
+        )
+
+    df = out.map_batches(project, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -7414,6 +7515,7 @@ QUERIES = {
     "wild_pages": q_wild_pages,
     "wild_pdfs": q_wild_pdfs,
     "publish_dates": q_publish_dates,
+    "charset_world": q_charset_world,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
@@ -8377,13 +8479,31 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+ORACLE_SQL["charset_world"] = """
+SELECT doc_id,
+       CASE doc_id % 10
+            WHEN 0 THEN 'shift_jis'    WHEN 1 THEN 'euc_jp'
+            WHEN 2 THEN 'gbk'          WHEN 3 THEN 'big5'
+            WHEN 4 THEN 'euc_kr'       WHEN 5 THEN 'windows-1251'
+            WHEN 6 THEN 'koi8-r'       WHEN 7 THEN 'iso-8859-7'
+            WHEN 8 THEN 'windows-1254' ELSE 'windows-1256' END AS charset,
+       text || CASE doc_id % 10
+            WHEN 0 THEN ' 日本語のテキスト' WHEN 1 THEN ' 日本語'
+            WHEN 2 THEN ' 中文网页'        WHEN 3 THEN ' 中文字'
+            WHEN 4 THEN ' 한국어 텍스트'    WHEN 5 THEN ' Русский текст'
+            WHEN 6 THEN ' Русский'        WHEN 7 THEN ' Ελληνικά'
+            WHEN 8 THEN ' Türkçe sayfa ğış' ELSE ' نص عربي' END
+           AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
 ORACLE_SQL["wild_pdfs"] = """
 SELECT doc_id,
-       CASE doc_id % 7
+       CASE doc_id % 8
             WHEN 0 THEN 'clean'            WHEN 1 THEN 'trailing_garbage'
             WHEN 2 THEN 'leading_junk'     WHEN 3 THEN 'comments'
             WHEN 4 THEN 'nul_padding'      WHEN 5 THEN 'truncated_xref'
-            ELSE 'bad_startxref' END AS trait,
+            WHEN 6 THEN 'bad_startxref'    ELSE 'incremental' END AS trait,
        text AS extracted_text
 FROM documents ORDER BY doc_id
 """

@@ -99,3 +99,42 @@ class TestBatchStage:
         assert out["html"][0].as_py() == b"%PDF-1.4 binary"
         assert out["html"][1].as_py() == "<p>café</p>".encode()
         assert out["html"][2].as_py() is None
+
+
+class TestWorldCharsets:
+    """Round 5: crawl-significant WHATWG label rows beyond utf/cp1252,
+    decoded by the stdlib codecs they map to."""
+
+    @pytest.mark.parametrize(
+        "label,enc,probe",
+        [
+            ("shift_jis", "shift_jis", "日本語"),
+            ("EUC-JP", "euc_jp", "日本語"),
+            ("gb2312", "gbk", "中文网页"),  # alias trap: decodes as GBK
+            ("Big5", "big5", "中文字"),
+            ("euc-kr", "euc_kr", "한국어"),
+            ("windows-1251", "windows-1251", "Русский"),
+            ("KOI8-R", "koi8-r", "Русский"),
+            ("iso-8859-7", "iso-8859-7", "Ελληνικά"),
+            ("ISO-8859-9", "windows-1254", "ğış"),  # WHATWG remap
+            ("windows-1256", "windows-1256", "نص عربي"),
+        ],
+    )
+    def test_label_roundtrip(self, label, enc, probe):
+        from pdf_extractor_ray.functions.charset import (
+            decode_html_bytes,
+            encode_html,
+        )
+
+        body = f'<html><head><meta charset="{label}"></head><body><p>hi {probe}</p></body></html>'
+        raw = encode_html(body, enc)
+        text, used = decode_html_bytes(raw)
+        assert used == enc
+        assert probe in text and text == body
+
+    def test_unknown_label_defaults_utf8(self):
+        from pdf_extractor_ray.functions.charset import decode_html_bytes
+
+        raw = b'<html><head><meta charset="x-no-such-charset"></head><body>ok</body></html>'
+        _, used = decode_html_bytes(raw)
+        assert used == "utf-8"

@@ -909,14 +909,14 @@ class TestWildPdfShard:
 
     TEXT = " ".join(("the quick brown fox jumps over the lazy dog " * 9).split())
 
-    @pytest.mark.parametrize("v", range(7))
+    @pytest.mark.parametrize("v", range(8))
     @pytest.mark.parametrize("seed", [0, 11])
     def test_damage_shapes_extract_identically(self, v, seed):
         from pdf_extractor_ray.functions.pdf_extract import extract_pdf
         from pdf_extractor_ray.queries import _wild_pdf_payload
 
-        i = seed * 7 + v
-        clean = _wild_pdf_payload((i // 7) * 7, self.TEXT)
+        i = seed * 8 + v
+        clean = _wild_pdf_payload((i // 8) * 8, self.TEXT)
         got = extract_pdf(_wild_pdf_payload(i, self.TEXT))
         assert got == extract_pdf(clean), v
 
