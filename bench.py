@@ -225,7 +225,8 @@ def main() -> None:
         "burstiness", "outlier_census", "benford", "vocab_overlap",
         "hapax_stats", "cusum_alerts", "heavy_hitters", "source_rollup",
         "dup_size_histogram", "wild_pages", "mp3_features", "pagerank",
-        "frequent_pairs",
+        "frequent_pairs", "wild_pdfs", "charset_world", "publish_dates",
+        "vp8_census",
     )
     query_steal: dict[str, float] = {}
     query_retry: dict[str, dict] = {}

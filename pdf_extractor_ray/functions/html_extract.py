@@ -36,7 +36,7 @@ Two flavors mirror the reference's workflow routes
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from html import unescape as _unescape
 from html.parser import HTMLParser
 import re
@@ -78,6 +78,13 @@ class Block:
     boilerplate: bool = False
     heading_level: int = 0
     table: PageTable | None = None
+    # Raw-source char span [span_start, span_end) covering the block's
+    # text runs — provenance for span-level training-data alignment.
+    # Tracked by the fast engine (the regex scanner knows positions);
+    # stdlib-engine and synthetic runs carry -1 (SURVEY north star:
+    # "reconciles extracted spans against the provided text column").
+    span_start: int = field(default=-1, compare=False)
+    span_end: int = field(default=-1, compare=False)
 
     @property
     def link_density(self) -> float:
@@ -112,6 +119,12 @@ class _Tokenizer(HTMLParser):
         # Open block-element stack: (tag, is_boilerplate). Implicit end tags
         # (messy HTML) are handled by popping to the nearest matching tag.
         self._stack: list[tuple[str, bool]] = []
+        # Source-position tracking (fast engine sets these around
+        # handle_data; -1 = position unknown/synthetic).
+        self._cur_pos = -1
+        self._cur_end = -1
+        self._span_start = -1
+        self._span_end = -1
 
     # -- block accumulation -------------------------------------------------
     def _flush(self) -> None:
@@ -142,10 +155,14 @@ class _Tokenizer(HTMLParser):
                     link_len=min(self._link_chars, len(raw)),
                     boilerplate=self._boiler_depth > 0,
                     heading_level=level,
+                    span_start=self._span_start,
+                    span_end=self._span_end,
                 )
             )
         self._parts = []
         self._link_chars = 0
+        self._span_start = -1
+        self._span_end = -1
 
     @staticmethod
     def _is_boiler_attrs(attrs: list[tuple[str, str | None]]) -> bool:
@@ -268,6 +285,10 @@ class _Tokenizer(HTMLParser):
         if self._table is not None:
             return  # stray text between table cells is layout noise
         self._parts.append(data)
+        if self._cur_pos >= 0 and data.strip():
+            if self._span_start < 0:
+                self._span_start = self._cur_pos
+            self._span_end = self._cur_end
         if self._link_depth:
             self._link_chars += len(_WS_RE.sub(" ", data).strip())
 
@@ -397,7 +418,10 @@ def _fast_feed(html: str, builder: "_Tokenizer") -> None:
             if text[0] != "<":
                 if "&" in text:
                     text = _unescape(text)
+                builder._cur_pos = match.start()
+                builder._cur_end = match.end()
                 builder.handle_data(text)
+                builder._cur_pos = builder._cur_end = -1
             elif text == "<":
                 nxt = html[pos : pos + 1]
                 if nxt and (nxt.isalpha() or nxt in "/!?") and ">" not in html[pos:]:
@@ -405,7 +429,10 @@ def _fast_feed(html: str, builder: "_Tokenizer") -> None:
                     # the unterminated tail, per browser EOF-in-tag
                     # handling, instead of leaking it as text.
                     break
+                builder._cur_pos = match.start()
+                builder._cur_end = match.end()
                 builder.handle_data("<")
+                builder._cur_pos = builder._cur_end = -1
             # comments/doctype/PI: dropped, same as the builder's stdlib path
             continue
         tag = name.lower()
@@ -574,6 +601,23 @@ def extract_html(
         "n_pages": len({b.page for b in kept}) or 1,
     }
     return text, stats
+
+
+def extract_html_spans(
+    html: str,
+    min_block_text_len: int = 8,
+    max_link_density: float = 0.35,
+) -> list[tuple[str, int, int, str]]:
+    """Kept-block PROVENANCE SPANS over the raw source: one
+    ``(kind, span_start, span_end, text)`` tuple per kept block, where
+    ``html[span_start:span_end]`` covers the block's raw text runs —
+    the span-level alignment a training-data pipeline reconciles
+    against the provided text column (SURVEY north star). Fast-engine
+    feature; table blocks carry (-1, -1)."""
+    kept = score_blocks(
+        tokenize_blocks(html), min_block_text_len, max_link_density
+    )
+    return [(b.kind, b.span_start, b.span_end, b.text) for b in kept]
 
 
 def extract_html_pages(

@@ -6470,6 +6470,63 @@ def q_publish_dates(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_SPAN_PRE = (
+    '<html><head><title>d</title></head><body>'
+    '<nav><a href="/h">Home</a> <a href="/a">About</a></nav>'
+)
+_SPAN_SUF = "<footer>(c) 2026 Example Corp legal</footer></body></html>"
+
+
+def q_extract_spans(sf_dir: str) -> pd.DataFrame:
+    """Span-level extraction provenance (round 5,
+    :func:`functions.html_extract.extract_html_spans` — the north
+    star's "reconciles extracted SPANS against the provided text
+    column"): each document renders as two paragraphs (the sections_pdf
+    word split) inside the boilerplate shell; the extractor must report,
+    per kept block, the exact raw-source char span such that
+    ``html[start:end] == block text``. The query verifies the slice
+    identity in-stage (raising on any mismatch) and emits the offsets;
+    the oracle recomputes them arithmetically from the wrap shape."""
+    from .functions.html_extract import extract_html_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def spans(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_idx, out_s, out_e, out_c = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            ws = t.split()
+            mid = (len(ws) + 1) // 2
+            h1, h2 = " ".join(ws[:mid]), " ".join(ws[mid:])
+            html = f"{_SPAN_PRE}<p>{h1}</p><p>{h2}</p>{_SPAN_SUF}"
+            for idx, (kind, s, e, txt) in enumerate(
+                extract_html_spans(html)
+            ):
+                if html[s:e] != txt:  # provenance contract, enforced
+                    raise AssertionError(
+                        f"span mismatch doc {i}: {html[s:e]!r} != {txt!r}"
+                    )
+                out_id.append(i)
+                out_idx.append(idx)
+                out_s.append(s)
+                out_e.append(e)
+                out_c.append(txt)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_idx, pa.int32()),
+                pa.array(out_s, pa.int64()),
+                pa.array(out_e, pa.int64()),
+                pa.array(out_c, pa.string()),
+            ],
+            names=["doc_id", "block_idx", "span_start", "span_end", "content"],
+        )
+
+    df = ds.map_batches(spans, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "block_idx"]).reset_index(drop=True)
+
+
 _WORLD_CHARSETS = [
     # (meta label as pages write it, canonical decode, body probe)
     ("shift_jis", "shift_jis", " 日本語のテキスト"),
@@ -7516,6 +7573,7 @@ QUERIES = {
     "wild_pdfs": q_wild_pdfs,
     "publish_dates": q_publish_dates,
     "charset_world": q_charset_world,
+    "extract_spans": q_extract_spans,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
@@ -8478,6 +8536,32 @@ SELECT doc_id,
        text AS extracted_text
 FROM documents ORDER BY doc_id
 """
+
+ORACLE_SQL["extract_spans"] = r"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), h AS (
+    SELECT doc_id,
+           array_to_string(list_slice(ws, 1, (len(ws) + 1) // 2), ' ') AS h1,
+           array_to_string(
+               list_slice(ws, (len(ws) + 1) // 2 + 1, len(ws)), ' ') AS h2
+    FROM w
+), rows AS (
+    SELECT doc_id, 0 AS block_idx,
+           {P} + 3 AS span_start,
+           {P} + 3 + length(h1) AS span_end,
+           h1 AS content
+    FROM h WHERE length(h1) >= 8
+    UNION ALL
+    SELECT doc_id, 1,
+           {P} + 3 + length(h1) + 7,
+           {P} + 3 + length(h1) + 7 + length(h2),
+           h2
+    FROM h WHERE length(h2) >= 8
+)
+SELECT doc_id, block_idx, span_start, span_end, content
+FROM rows ORDER BY doc_id, block_idx
+""".replace("{P}", str(len(_SPAN_PRE)))
 
 ORACLE_SQL["charset_world"] = """
 SELECT doc_id,

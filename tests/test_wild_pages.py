@@ -129,3 +129,44 @@ class TestWildPagesQuery:
         assert len(df) == len(want)
         assert (df["extracted_text"].values == want["text"].values).all()
         assert set(df["trait"]) == set(_WILD_TRAITS)
+
+
+class TestExtractionSpans:
+    """Round 5: raw-source provenance spans (north star: 'reconciles
+    extracted spans against the provided text column')."""
+
+    def test_slice_identity(self):
+        from pdf_extractor_ray.functions.html_extract import (
+            extract_html_spans,
+        )
+
+        html = (
+            '<html><body><nav><a href="/x">Home link</a></nav>'
+            f"<p>{TEXT}</p><h2>Section heading here</h2>"
+            f"<p>{TEXT}</p></body></html>"
+        )
+        spans = extract_html_spans(html)
+        assert [k for k, *_ in spans] == ["text", "heading", "text"]
+        for _, s, e, txt in spans:
+            assert html[s:e] == txt
+
+    def test_whitespace_and_entities_span_raw_region(self):
+        from pdf_extractor_ray.functions.html_extract import (
+            extract_html_spans,
+        )
+
+        html = f"<html><body><p>  {TEXT}  </p></body></html>"
+        ((_, s, e, txt),) = extract_html_spans(html)
+        # raw region includes the uncollapsed whitespace run
+        assert html[s:e].strip() == txt == TEXT
+
+    def test_stdlib_engine_reports_unknown(self):
+        from pdf_extractor_ray.functions.html_extract import (
+            score_blocks,
+            tokenize_blocks,
+        )
+
+        blocks = score_blocks(
+            tokenize_blocks(f"<p>{TEXT}</p>", "stdlib")
+        )
+        assert blocks[0].span_start == -1 and blocks[0].span_end == -1
