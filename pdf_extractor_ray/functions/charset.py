@@ -113,12 +113,17 @@ def decode_html_bytes(raw: bytes) -> tuple[str, str]:
 
 def decode_pages_batch(batch: pa.Table) -> pa.Table:
     """Pages batch → same schema with ``html`` re-encoded utf-8 (+
-    ``charset`` lineage column). PDF payloads (binary magic) pass through
-    untouched — charset decoding is an HTML-route concern."""
+    ``charset`` lineage column). PDF payloads pass through untouched —
+    charset decoding is an HTML-route concern. Round 5: PDF detection
+    delegates to the routing sniff, so leading-junk PDFs (header within
+    the first 1024 bytes, Adobe note) also pass through instead of
+    being mojibake-re-encoded."""
+    from .routing import ROUTE_PDF, sniff_payload_route
+
     payloads = batch["html"].to_pylist()
     out, charsets = [], []
     for p in payloads:
-        if p is None or p[:4] == b"%PDF":
+        if p is None or sniff_payload_route(p) == ROUTE_PDF:
             out.append(p)
             charsets.append("binary" if p else "empty")
             continue

@@ -6601,6 +6601,78 @@ def q_charset_world(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_wild_mixed(sf_dir: str) -> pd.DataFrame:
+    """The capstone wild-crawl integration shard (round 5): ONE corpus
+    interleaving all three hostile families — wild-HTML markup
+    (``doc%3==0``, :func:`_wild_payload`), crawl-damaged real PDFs
+    (``doc%3==1``, :func:`_wild_pdf_payload`, incl. leading-junk
+    binaries the charset stage must NOT re-encode), and world-charset
+    pages (``doc%3==2``, native-script probes) — through one
+    decode → route → extract chain. Byte-identity per family; the
+    closest single-query analogue of pointing the engine at a real
+    crawl shard."""
+    from .functions.charset import decode_pages_batch
+    from .stages.extract import extract_batch
+    from .stages.normalize import normalize_route
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            m = i % 3
+            if m == 0:
+                payloads.append(_wild_payload(i, t))
+            elif m == 1:
+                payloads.append(_wild_pdf_payload(i, t))
+            else:
+                from .functions.charset import encode_html
+
+                label, enc, probe = _WORLD_CHARSETS[i % 10]
+                payloads.append(
+                    encode_html(
+                        f'<html><head><meta charset="{label}"></head>'
+                        f"<body><article><p>{t}{probe}</p></article>"
+                        "</body></html>",
+                        enc,
+                    )
+                )
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"doc://{i:08d}" for i in ids], pa.string()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["url", "html"],
+        )
+
+    out = (
+        ds.map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(decode_pages_batch, batch_format="pyarrow")
+        .map_batches(normalize_route, batch_format="pyarrow")
+        .map_batches(extract_batch, batch_format="pyarrow")
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        ids = [int(u.rsplit("/", 1)[-1]) for u in urls]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(
+                    [["html", "pdf", "charset"][i % 3] for i in ids],
+                    pa.string(),
+                ),
+                batch["extracted_text"],
+            ],
+            names=["doc_id", "family", "extracted_text"],
+        )
+
+    df = out.map_batches(project, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cdx_index(sf_dir: str) -> pd.DataFrame:
     """CDX-style crawl index: SURT keys (host labels reversed — the Common
     Crawl index key order) over the six messy-URL buckets, plus each row's
@@ -7574,6 +7646,7 @@ QUERIES = {
     "publish_dates": q_publish_dates,
     "charset_world": q_charset_world,
     "extract_spans": q_extract_spans,
+    "wild_mixed": q_wild_mixed,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
@@ -8534,6 +8607,21 @@ SELECT doc_id,
             WHEN 10 THEN 'double_doc'   WHEN 11 THEN 'rawtext_traps'
             WHEN 12 THEN 'truncated'    ELSE 'bom_controls' END AS trait,
        text AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["wild_mixed"] = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf'
+            ELSE 'charset' END AS family,
+       text || CASE WHEN doc_id % 3 <> 2 THEN ''
+            ELSE CASE doc_id % 10
+                 WHEN 0 THEN ' 日本語のテキスト' WHEN 1 THEN ' 日本語'
+                 WHEN 2 THEN ' 中文网页'        WHEN 3 THEN ' 中文字'
+                 WHEN 4 THEN ' 한국어 텍스트'    WHEN 5 THEN ' Русский текст'
+                 WHEN 6 THEN ' Русский'        WHEN 7 THEN ' Ελληνικά'
+                 WHEN 8 THEN ' Türkçe sayfa ğış' ELSE ' نص عربي' END END
+           AS extracted_text
 FROM documents ORDER BY doc_id
 """
 

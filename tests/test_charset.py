@@ -138,3 +138,24 @@ class TestWorldCharsets:
         raw = b'<html><head><meta charset="x-no-such-charset"></head><body>ok</body></html>'
         _, used = decode_html_bytes(raw)
         assert used == "utf-8"
+
+
+class TestPdfPassthrough:
+    def test_leading_junk_pdf_not_reencoded(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.charset import decode_pages_batch
+        from pdf_extractor_ray.functions.pdf_codec import build_pdf
+
+        pdf = build_pdf("hello world from a pdf")
+        junked = b"HTTP/1.1 200 OK\r\n\r\n" + pdf
+        t = pa.Table.from_arrays(
+            [
+                pa.array(["u1", "u2"], pa.string()),
+                pa.array([pdf, junked], pa.binary()),
+            ],
+            names=["url", "html"],
+        )
+        out = decode_pages_batch(t)
+        assert out["charset"].to_pylist() == ["binary", "binary"]
+        assert out["html"].to_pylist()[1] == junked  # byte-untouched
