@@ -6601,6 +6601,52 @@ def q_charset_world(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_HTTP_CODINGS = ["identity", "chunked", "gzip", "deflate", "gzip+chunked"]
+
+
+def q_http_codings(sf_dir: str) -> pd.DataFrame:
+    """As-captured HTTP response codings (round 5, :mod:`sources.warc`):
+    each document's text rides a WARC response record whose HTTP body is
+    stored exactly as a crawler captures it — identity, chunked
+    transfer framing, gzip or deflate content-encoding, or gzip THEN
+    chunked (the wire order) — rotating by ``doc_id%5``. The parser
+    verifies the payload digest over the STORED bytes (per spec), then
+    de-chunks and decompresses; the body must round-trip byte-exactly.
+    br/zstd stay typed-unsupported (no stdlib codec)."""
+    from .sources.warc import parse_warc, records_to_warc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        blob = records_to_warc(
+            [f"doc://{i:08d}" for i in ids],
+            [1_767_225_600_000_000 + i * 1_000_000 for i in ids],
+            [t.encode() for t in texts],
+            compress=True,
+            http_codings=[_HTTP_CODINGS[i % 5] for i in ids],
+        )
+        out_id, out_c, out_t = [], [], []
+        for rec in parse_warc(blob):
+            if not rec["digest_ok"]:
+                raise AssertionError(f"digest mismatch for {rec['url']}")
+            out_id.append(int(rec["url"].rsplit("/", 1)[-1]))
+            out_c.append(rec["http_coding"])
+            out_t.append(rec["payload"].decode())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_c, pa.string()),
+                pa.array(out_t, pa.string()),
+            ],
+            names=["doc_id", "coding", "body"],
+        )
+
+    df = ds.map_batches(roundtrip, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_wild_mixed(sf_dir: str) -> pd.DataFrame:
     """The capstone wild-crawl integration shard (round 5): ONE corpus
     interleaving all three hostile families — wild-HTML markup
@@ -7647,6 +7693,7 @@ QUERIES = {
     "charset_world": q_charset_world,
     "extract_spans": q_extract_spans,
     "wild_mixed": q_wild_mixed,
+    "http_codings": q_http_codings,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
@@ -8607,6 +8654,16 @@ SELECT doc_id,
             WHEN 10 THEN 'double_doc'   WHEN 11 THEN 'rawtext_traps'
             WHEN 12 THEN 'truncated'    ELSE 'bom_controls' END AS trait,
        text AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["http_codings"] = """
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
+            WHEN 2 THEN 'gzip'     WHEN 3 THEN 'deflate'
+            ELSE 'gzip+chunked' END AS coding,
+       text AS body
 FROM documents ORDER BY doc_id
 """
 

@@ -64,22 +64,56 @@ def _record_id(url: str, ts_us: int) -> str:
     )
 
 
+def _chunk_body(data: bytes, chunk: int = 100) -> bytes:
+    """HTTP/1.1 chunked framing with fixed chunk size (deterministic)."""
+    out = bytearray()
+    for i in range(0, len(data), chunk):
+        piece = data[i : i + chunk]
+        out += f"{len(piece):x}".encode() + _CRLF + piece + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
 def build_record(url: str, ts_us: int, payload: bytes,
                  content_type: str = "text/html; charset=utf-8",
                  record_type: str = "response",
-                 http_status: int = 200) -> bytes:
+                 http_status: int = 200,
+                 http_coding: str = "identity") -> bytes:
     """One uncompressed WARC record. ``record_type="response"`` wraps the
     payload in an HTTP/1.1 reply (the WARC crawl product);
     ``"conversion"`` carries it directly (the WET extracted-text
-    product)."""
+    product). ``http_coding`` applies the as-captured response codings
+    real crawls store: ``gzip`` / ``deflate`` (Content-Encoding),
+    ``chunked`` (Transfer-Encoding), or ``gzip+chunked`` (gzip, then
+    chunk-framed — the wire order). The WARC payload digest covers the
+    STORED (coded) bytes, per the spec."""
     if record_type == "response":
         reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
                   403: "Forbidden", 500: "Internal Server Error"}.get(
             http_status, "Unknown")
+        coded = payload
+        extra = b""
+        if http_coding in ("gzip", "gzip+chunked"):
+            coded = gzip.compress(coded, mtime=0)
+            extra += b"Content-Encoding: gzip" + _CRLF
+        elif http_coding == "deflate":
+            coded = zlib.compress(coded)
+            extra += b"Content-Encoding: deflate" + _CRLF
+        elif http_coding not in ("identity", "chunked"):
+            raise ValueError(f"unsupported http_coding {http_coding!r}")
+        if http_coding in ("chunked", "gzip+chunked"):
+            coded = _chunk_body(coded)
+            extra += b"Transfer-Encoding: chunked" + _CRLF
+            length_line = b""  # chunked responses omit Content-Length
+        else:
+            length_line = (
+                b"Content-Length: " + str(len(coded)).encode() + _CRLF
+            )
+        payload = coded
         body = (
             f"HTTP/1.1 {http_status} {reason}".encode() + _CRLF
             + b"Content-Type: " + content_type.encode("ascii") + _CRLF
-            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + extra + length_line
             + _CRLF
             + payload
         )
@@ -118,10 +152,11 @@ def _gzip_member(record: bytes) -> bytes:
 def records_to_warc(urls, ts_list, payloads, compress: bool = True,
                     record_type: str = "response",
                     content_type: str = "text/html; charset=utf-8",
-                    statuses=None, content_types=None) -> bytes:
+                    statuses=None, content_types=None,
+                    http_codings=None) -> bytes:
     """Rows → one WARC blob (gzip member per record when ``compress``).
-    ``statuses`` / ``content_types`` optionally vary the HTTP reply per
-    record (lists aligned with ``urls``)."""
+    ``statuses`` / ``content_types`` / ``http_codings`` optionally vary
+    the HTTP reply per record (lists aligned with ``urls``)."""
     out = []
     for i, (url, ts, payload) in enumerate(zip(urls, ts_list, payloads)):
         rec = build_record(
@@ -129,6 +164,7 @@ def records_to_warc(urls, ts_list, payloads, compress: bool = True,
             content_type=content_types[i] if content_types else content_type,
             record_type=record_type,
             http_status=statuses[i] if statuses else 200,
+            http_coding=http_codings[i] if http_codings else "identity",
         )
         out.append(_gzip_member(rec) if compress else rec)
     return b"".join(out)
@@ -168,6 +204,9 @@ def _parse_one(rec: bytes) -> dict:
     payload = body
     http_status = None
     http_content_type = None
+    http_coding = "identity"
+    transfer_chunked = False
+    content_encoding = ""
     if headers.get("content-type", "").startswith("application/http"):
         http_end = body.find(_CRLF + _CRLF)
         if http_end < 0:
@@ -178,20 +217,82 @@ def _parse_one(rec: bytes) -> dict:
             http_status = int(status_parts[1])
         for hl in http_lines[1:]:
             hk, hsep, hv = hl.partition(b":")
-            if hsep and hk.decode("ascii", "replace").strip().lower() == "content-type":
-                http_content_type = hv.decode("utf-8", "replace").strip()
-                break
+            if not hsep:
+                continue
+            key = hk.decode("ascii", "replace").strip().lower()
+            val = hv.decode("utf-8", "replace").strip()
+            if key == "content-type" and http_content_type is None:
+                http_content_type = val
+            elif key == "transfer-encoding":
+                transfer_chunked = "chunked" in val.lower()
+            elif key == "content-encoding":
+                content_encoding = val.lower()
         payload = body[http_end + 4 :]
+    # Digest covers the STORED payload (before any decoding), per spec.
+    digest_ok = headers.get("warc-payload-digest", "") in (
+        "", "sha1:" + hashlib.sha1(payload).hexdigest()
+    )
+    # As-captured response codings (round 5): de-chunk, then decompress.
+    if transfer_chunked:
+        payload = _dechunk(payload)
+        http_coding = "chunked"
+    if content_encoding in ("gzip", "x-gzip"):
+        try:
+            payload = gzip.decompress(payload)
+        except OSError as exc:
+            raise WarcError(f"bad gzip response body: {exc}") from exc
+        http_coding = (
+            "gzip+chunked" if transfer_chunked else "gzip"
+        )
+    elif content_encoding == "deflate":
+        try:  # zlib-wrapped first, raw-deflate fallback (both occur)
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            try:
+                payload = zlib.decompress(payload, -15)
+            except zlib.error as exc:
+                raise WarcError(f"bad deflate body: {exc}") from exc
+        http_coding = "deflate"
+    elif content_encoding in ("br", "zstd"):
+        raise NotImplementedError(
+            f"{content_encoding} content-encoding is declared-unsupported "
+            "(no stdlib codec); gzip/deflate/chunked are implemented"
+        )
     return {
         "http_status": http_status,
         "http_content_type": http_content_type,
+        "http_coding": http_coding,
         "url": headers.get("warc-target-uri", ""),
         "warc_ts": _parse_warc_date(headers["warc-date"]),
         "payload": payload,
         "warc_type": headers.get("warc-type", ""),
-        "digest_ok": headers.get("warc-payload-digest", "")
-        in ("", "sha1:" + hashlib.sha1(payload).hexdigest()),
+        "digest_ok": digest_ok,
     }
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked body (size lines in hex, optional
+    chunk extensions, terminating 0-chunk; trailers ignored)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(_CRLF, pos)
+        if nl < 0:
+            raise WarcError("chunked body: missing size line")
+        try:
+            size = int(body[pos:nl].split(b";")[0].strip() or b"0", 16)
+        except ValueError as exc:
+            raise WarcError("chunked body: bad size line") from exc
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        piece = body[pos : pos + size]
+        if len(piece) != size:
+            raise WarcError("chunked body: truncated chunk")
+        out += piece
+        if body[pos + size : pos + size + 2] != _CRLF:
+            raise WarcError("chunked body: chunk missing CRLF")
+        pos += size + 2
 
 
 def parse_warc(blob: bytes) -> list[dict]:

@@ -236,3 +236,57 @@ class TestHttpStats:
         out = http_stats_batch(pa.table({"warc": [blob]})).to_pylist()
         got = {(r["http_status"], r["mime"]): r["cnt"] for r in out}
         assert got == {(200, "text/html"): 2, (404, "text/plain"): 1}
+
+
+class TestHttpCodings:
+    """Round 5: as-captured HTTP response codings (chunked framing,
+    gzip/deflate content-encoding, gzip-then-chunked wire order)."""
+
+    @pytest.mark.parametrize(
+        "coding", ["identity", "chunked", "gzip", "deflate", "gzip+chunked"]
+    )
+    def test_roundtrip_and_digest(self, coding):
+        from pdf_extractor_ray.sources.warc import (
+            _gzip_member,
+            build_record,
+            parse_warc,
+        )
+
+        body = b"hello crawl body " * 40
+        rec = build_record(
+            "https://e.com/x", 1_700_000_000_000_000, body,
+            http_coding=coding,
+        )
+        (r,) = parse_warc(_gzip_member(rec))
+        assert r["payload"] == body
+        assert r["http_coding"] == coding
+        assert r["digest_ok"]  # digest covers the STORED (coded) bytes
+
+    def test_chunked_malformed_raises(self):
+        from pdf_extractor_ray.sources.warc import WarcError, _dechunk
+
+        with pytest.raises(WarcError, match="size line"):
+            _dechunk(b"zz\r\nabc")
+        with pytest.raises(WarcError, match="truncated"):
+            _dechunk(b"10\r\nshort\r\n0\r\n\r\n")
+
+    def test_brotli_typed_unsupported(self):
+        from pdf_extractor_ray.sources.warc import _CRLF, parse_warc
+
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/html" + _CRLF
+            + b"Content-Encoding: br" + _CRLF + _CRLF
+            + b"\x00fakebrotli"
+        )
+        rec = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: response" + _CRLF
+            + b"WARC-Date: 2026-01-01T00:00:00Z" + _CRLF
+            + b"WARC-Target-URI: https://e.com/b" + _CRLF
+            + b"Content-Type: application/http; msgtype=response" + _CRLF
+            + b"Content-Length: " + str(len(http)).encode() + _CRLF
+            + _CRLF + http + _CRLF + _CRLF
+        )
+        with pytest.raises(NotImplementedError, match="br"):
+            parse_warc(rec)
