@@ -226,7 +226,7 @@ def main() -> None:
         "hapax_stats", "cusum_alerts", "heavy_hitters", "source_rollup",
         "dup_size_histogram", "wild_pages", "mp3_features", "pagerank",
         "frequent_pairs", "wild_pdfs", "charset_world", "publish_dates",
-        "vp8_census",
+        "vp8_census", "wild_mixed", "extract_spans", "http_codings",
     )
     query_steal: dict[str, float] = {}
     query_retry: dict[str, dict] = {}
