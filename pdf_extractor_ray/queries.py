@@ -6647,6 +6647,67 @@ def q_http_codings(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_warc_salvage(sf_dir: str) -> pd.DataFrame:
+    """Corrupt-archive salvage (round 5,
+    :func:`sources.warc.parse_warc_salvage`): each document's 8-record
+    gzip-member WARC blob is damaged by bucket — clean, a bit-flip in
+    the middle of member 3 (CRC catches it), the final member truncated
+    halfway, or member 0's WARC version line mangled inside a valid
+    gzip member — and the tolerant walk must recover every intact
+    record (the Common-Crawl reality: archives contain rotten members;
+    a reader that dies on one loses the shard). Census per doc:
+    recovered/lost counts and recovered chars, closed form."""
+    from .sources.warc import _gzip_member, build_record, parse_warc_salvage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def salvage(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_ok, out_lost, out_chars = [], [], [], []
+        for i, t in zip(ids, texts):
+            recs = [
+                build_record(
+                    f"doc://{i:08d}/{j}",
+                    1_767_225_600_000_000 + i * 1_000_000 + j,
+                    t.encode(),
+                )
+                for j in range(8)
+            ]
+            members = [_gzip_member(r) for r in recs]
+            v = i % 4
+            if v == 1:
+                m = bytearray(members[3])
+                m[len(m) // 2] ^= 0xFF
+                members[3] = bytes(m)
+            elif v == 2:
+                members[7] = members[7][: len(members[7]) // 2]
+            elif v == 3:
+                members[0] = _gzip_member(
+                    recs[0].replace(b"WARC/1.0", b"WARC/9.9", 1)
+                )
+            got = parse_warc_salvage(b"".join(members))
+            for r in got:  # survivors must be byte-exact, not just counted
+                if r["payload"] != t.encode() or not r["digest_ok"]:
+                    raise AssertionError(f"salvaged record corrupt, doc {i}")
+            out_id.append(i)
+            out_ok.append(len(got))
+            out_lost.append(8 - len(got))
+            out_chars.append(sum(len(r["payload"]) for r in got))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_ok, pa.int64()),
+                pa.array(out_lost, pa.int64()),
+                pa.array(out_chars, pa.int64()),
+            ],
+            names=["doc_id", "n_ok", "n_lost", "recovered_chars"],
+        )
+
+    df = ds.map_batches(salvage, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_wild_mixed(sf_dir: str) -> pd.DataFrame:
     """The capstone wild-crawl integration shard (round 5): ONE corpus
     interleaving all three hostile families — wild-HTML markup
@@ -7694,6 +7755,7 @@ QUERIES = {
     "extract_spans": q_extract_spans,
     "wild_mixed": q_wild_mixed,
     "http_codings": q_http_codings,
+    "warc_salvage": q_warc_salvage,
     "latest_snapshot": q_latest_snapshot,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
@@ -8654,6 +8716,15 @@ SELECT doc_id,
             WHEN 10 THEN 'double_doc'   WHEN 11 THEN 'rawtext_traps'
             WHEN 12 THEN 'truncated'    ELSE 'bom_controls' END AS trait,
        text AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["warc_salvage"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 7 END AS BIGINT) AS n_ok,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_lost,
+       CAST((CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 7 END)
+            * length(text) AS BIGINT) AS recovered_chars
 FROM documents ORDER BY doc_id
 """
 

@@ -327,6 +327,51 @@ def parse_warc(blob: bytes) -> list[dict]:
 # Dataset-level source / sink
 # ---------------------------------------------------------------------------
 
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def parse_warc_salvage(blob: bytes) -> list[dict]:
+    """TOLERANT WARC walk for real crawl archives: corrupt gzip members
+    (bit rot, truncation) and malformed records are SKIPPED by scanning
+    to the next gzip-member magic (or ``WARC/1.0`` line for plain
+    streams) instead of failing the whole blob — every intact record
+    still parses with the same strictness as :func:`parse_warc`
+    (digest, lengths). Returns the recovered records; blob-level loss
+    is the caller's census (``expected − len(recovered)``)."""
+    records: list[dict] = []
+    pos, n = 0, len(blob)
+    compressed = blob[:2] == b"\x1f\x8b"
+    while pos < n:
+        try:
+            if compressed:
+                rec, nxt = _inflate_member(blob, pos)
+            else:
+                head_end = blob.find(_CRLF + _CRLF, pos)
+                if head_end < 0:
+                    break
+                clen = None
+                for line in blob[pos:head_end].split(_CRLF):
+                    if line.lower().startswith(b"content-length:"):
+                        clen = int(line.split(b":", 1)[1])
+                if clen is None:
+                    raise WarcError("missing/invalid Content-Length")
+                nxt = head_end + 4 + clen + 4
+                rec = blob[pos:nxt]
+            records.append(_parse_one(rec))
+            pos = nxt
+        except (WarcError, NotImplementedError, OSError, zlib.error,
+                ValueError, KeyError):
+            skip_to = (
+                blob.find(_GZ_MAGIC, pos + 1)
+                if compressed
+                else blob.find(b"WARC/1.0\r\n", pos + 1)
+            )
+            if skip_to < 0:
+                break
+            pos = skip_to
+    return records
+
+
 def warc_encode_batch(batch: pa.Table, records_per_blob: int = 8,
                       compress: bool | str = True,
                       payload_col: str = "html",

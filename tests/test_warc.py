@@ -290,3 +290,68 @@ class TestHttpCodings:
         )
         with pytest.raises(NotImplementedError, match="br"):
             parse_warc(rec)
+
+
+class TestWarcSalvage:
+    """Round 5: tolerant walk over corrupt archives — every intact
+    member recovers; rotten members are skipped, never fatal."""
+
+    def _members(self, n=8):
+        from pdf_extractor_ray.sources.warc import _gzip_member, build_record
+
+        recs = [
+            build_record(f"doc://x/{j}", 1_700_000_000_000_000 + j,
+                         b"payload body %d" % j)
+            for j in range(n)
+        ]
+        return recs, [_gzip_member(r) for r in recs]
+
+    def test_clean_blob_full_recovery(self):
+        from pdf_extractor_ray.sources.warc import parse_warc_salvage
+
+        _, m = self._members()
+        assert len(parse_warc_salvage(b"".join(m))) == 8
+
+    def test_bitflip_member_skipped(self):
+        from pdf_extractor_ray.sources.warc import parse_warc_salvage
+
+        _, m = self._members()
+        bad = bytearray(m[3])
+        bad[len(bad) // 2] ^= 0xFF
+        got = parse_warc_salvage(b"".join(m[:3] + [bytes(bad)] + m[4:]))
+        assert [r["url"][-1] for r in got] == ["0", "1", "2", "4", "5", "6", "7"]
+
+    def test_truncated_tail_member(self):
+        from pdf_extractor_ray.sources.warc import parse_warc_salvage
+
+        _, m = self._members()
+        got = parse_warc_salvage(b"".join(m[:7]) + m[7][: len(m[7]) // 2])
+        assert len(got) == 7
+
+    def test_bad_record_in_valid_member(self):
+        from pdf_extractor_ray.sources.warc import (
+            _gzip_member,
+            parse_warc_salvage,
+        )
+
+        recs, m = self._members()
+        m[0] = _gzip_member(recs[0].replace(b"WARC/1.0", b"WARC/9.9", 1))
+        assert len(parse_warc_salvage(b"".join(m))) == 7
+
+    def test_plain_stream_resync(self):
+        from pdf_extractor_ray.sources.warc import parse_warc_salvage
+
+        recs, _ = self._members(3)
+        blob = recs[0] + b"garbage not a record\r\n\r\n" + recs[1] + recs[2]
+        # plain stream: corrupt bytes between records resync on WARC/1.0
+        got = parse_warc_salvage(blob)
+        assert len(got) == 3
+
+    def test_strict_parse_still_raises(self):
+        from pdf_extractor_ray.sources.warc import WarcError, parse_warc
+
+        _, m = self._members()
+        bad = bytearray(m[3])
+        bad[len(bad) // 2] ^= 0xFF
+        with pytest.raises((WarcError, OSError, Exception)):
+            parse_warc(b"".join(m[:3] + [bytes(bad)] + m[4:]))
