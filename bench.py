@@ -227,6 +227,7 @@ def main() -> None:
         "dup_size_histogram", "wild_pages", "mp3_features", "pagerank",
         "frequent_pairs", "wild_pdfs", "charset_world", "publish_dates",
         "vp8_census", "wild_mixed", "extract_spans", "http_codings",
+        "warc_salvage",
     )
     query_steal: dict[str, float] = {}
     query_retry: dict[str, dict] = {}
