@@ -7027,7 +7027,11 @@ def q_sitemap_entries(sf_dir: str) -> pd.DataFrame:
     entries each; namespace'd root, XML-entity-escaped query strings,
     rotating lastmod/changefreq/priority) parsed back by the from-scratch
     tokenizer (:mod:`sources.sitemap`). Closed-form oracle from doc_id,
-    entity round-trip included."""
+    entity round-trip included. Round 5: blobs whose FIRST doc id is odd
+    serialize as ``sitemap.xml.gz`` (gzip, mtime 0) — the parser must
+    sniff the magic and decompress, same rows either way."""
+    import gzip as _gzip
+
     from .sources.sitemap import sitemap_rows_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
@@ -7048,14 +7052,17 @@ def q_sitemap_entries(sf_dir: str) -> pd.DataFrame:
                     f"<changefreq>{freq}</changefreq>"
                     f"<priority>0.{i % 10}</priority></url>"
                 )
-            blobs.append(
+            xml = (
                 '<?xml version="1.0" encoding="UTF-8"?>\n'
                 '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
                 + "".join(entries)
                 + "</urlset>"
-            )
+            ).encode()
+            if ids[s] % 2 == 1:
+                xml = _gzip.compress(xml, mtime=0)
+            blobs.append(xml)
         return pa.Table.from_arrays(
-            [pa.array(blobs, pa.string())], names=["xml"]
+            [pa.array(blobs, pa.binary())], names=["xml"]
         )
 
     rows = ds.map_batches(to_xml, batch_format="pyarrow").map_batches(

@@ -66,8 +66,14 @@ def iter_tags(xml: str):
 
 def parse_sitemap(xml: str | bytes) -> list[dict]:
     """→ rows ``{loc, lastmod, changefreq, priority, kind}``; kind is
-    'url' for urlset leaves, 'sitemap' for index children."""
+    'url' for urlset leaves, 'sitemap' for index children. Gzipped
+    payloads (``sitemap.xml.gz`` — the robots.txt-advertised norm for
+    large sites) are detected by magic and decompressed (round 5)."""
     if isinstance(xml, (bytes, bytearray)):
+        if bytes(xml[:2]) == b"\x1f\x8b":
+            import gzip
+
+            xml = gzip.decompress(bytes(xml))
         xml = xml.decode("utf-8", errors="replace")
     rows: list[dict] = []
     root: str | None = None

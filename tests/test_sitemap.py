@@ -85,3 +85,18 @@ class TestBatchStage:
         assert out.num_rows == 4
         assert out["src_idx"].to_pylist() == [0, 0, 1, 1]
         assert out["kind"].to_pylist() == ["url", "url", "sitemap", "sitemap"]
+
+
+class TestGzippedSitemap:
+    def test_gz_magic_sniffed(self):
+        import gzip
+
+        from pdf_extractor_ray.sources.sitemap import parse_sitemap
+
+        xml = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://e.com/a</loc></url></urlset>"
+        )
+        plain = parse_sitemap(xml.encode())
+        gz = parse_sitemap(gzip.compress(xml.encode(), mtime=0))
+        assert gz == plain and gz[0]["loc"] == "https://e.com/a"
