@@ -73,6 +73,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import struct
 import zlib
 
 import numpy as np
@@ -1956,19 +1957,47 @@ def _interpret_text(
         stack.clear()
 
 
+_MALFORMED_EXC = (
+    AttributeError, TypeError, IndexError, KeyError, ValueError,
+    zlib.error, struct.error, RecursionError,
+)
+
+
 def parse_pdf_records(payload: bytes, password: bytes = b"") -> np.ndarray:
     """Real-PDF decode: parse structure, run the text interpreter over every
     page, return the layout RECORD array the shared kernel consumes.
-    ``password`` opens standard-handler-encrypted files (user or owner)."""
-    doc = PdfDocument(payload, password=password)
-    records: list = []
-    for idx, page in enumerate(doc.pages()):
-        _interpret_text(
-            doc.page_content(page), idx, records, doc.page_font_maps(page)
-        )
-    return np.array(records, dtype=RECORD_DTYPE)
+    ``password`` opens standard-handler-encrypted files (user or owner).
+
+    Typed-error contract (round-5 mutation fuzz): malformed structures
+    that slip past the targeted checks — an object of the wrong type
+    where the graph walk expects a dict, corrupt Flate data, truncated
+    binary structs — surface as :class:`PdfError`, never a raw
+    AttributeError/TypeError/zlib.error; a crawl extract stage keys its
+    per-document containment on the typed error."""
+    try:
+        doc = PdfDocument(payload, password=password)
+        records: list = []
+        for idx, page in enumerate(doc.pages()):
+            _interpret_text(
+                doc.page_content(page), idx, records, doc.page_font_maps(page)
+            )
+        return np.array(records, dtype=RECORD_DTYPE)
+    except PdfError:
+        raise
+    except _MALFORMED_EXC as exc:
+        raise PdfError(
+            f"malformed PDF structure ({type(exc).__name__}: {exc})"
+        ) from exc
 
 
 def parse_pdf_outline(payload: bytes) -> list[tuple[str, int]]:
-    """Outline bookmarks ``[(title, page_index), ...]`` of a real PDF."""
-    return PdfDocument(payload).outline()
+    """Outline bookmarks ``[(title, page_index), ...]`` of a real PDF
+    (same typed-error contract as :func:`parse_pdf_records`)."""
+    try:
+        return PdfDocument(payload).outline()
+    except PdfError:
+        raise
+    except _MALFORMED_EXC as exc:
+        raise PdfError(
+            f"malformed PDF structure ({type(exc).__name__}: {exc})"
+        ) from exc

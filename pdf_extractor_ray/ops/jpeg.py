@@ -204,7 +204,23 @@ def _extend(value: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W) uint8 LUMA plane. See module docstring."""
+    """Baseline JPEG → (H, W) uint8 LUMA plane. See module docstring.
+
+    Typed-error contract (round-5 mutation fuzz): corrupt streams that
+    slip past the targeted marker checks (truncated segments, Huffman
+    table indices off the end) raise ``ValueError``, never a raw
+    IndexError — per-document containment keys on the typed error."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, TypeError, struct.error) as exc:
+        raise ValueError(
+            f"corrupt JPEG stream ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -171,9 +171,14 @@ def records_to_warc(urls, ts_list, payloads, compress: bool = True,
 
 
 def _inflate_member(blob: bytes, pos: int) -> tuple[bytes, int]:
-    """Inflate ONE gzip member starting at ``pos``; return (data, next_pos)."""
+    """Inflate ONE gzip member starting at ``pos``; return (data, next_pos).
+    Corrupt deflate data raises typed :class:`WarcError` (round-5 fuzz:
+    a raw ``zlib.error`` leaked to strict callers)."""
     d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-    data = d.decompress(blob[pos:])
+    try:
+        data = d.decompress(blob[pos:])
+    except zlib.error as exc:
+        raise WarcError(f"corrupt gzip member: {exc}") from exc
     if not d.eof:
         raise WarcError("truncated gzip member")
     consumed = len(blob) - pos - len(d.unused_data)
