@@ -1131,7 +1131,19 @@ def decode_gif(payload: bytes) -> "np.ndarray":
     """GIF87a/89a first image frame → (H, W) uint8 grayscale (integer
     (299r+587g+114b)/1000 luma over the palette). Supports global and
     local color tables, interlaced frames, extension-block skipping.
-    Animated GIFs decode their FIRST frame."""
+    Animated GIFs decode their FIRST frame. Corrupt streams raise
+    ``ValueError`` (typed-error contract, round-5 fuzz)."""
+    try:
+        return _decode_gif_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, TypeError, struct.error) as exc:
+        raise ValueError(
+            f"corrupt GIF ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_gif_impl(payload: bytes) -> "np.ndarray":
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     pos = 6
@@ -1308,8 +1320,10 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         raise ValueError("not a TIFF")
     try:
         return _decode_tiff_body(payload, bo)
-    except struct.error as exc:  # truncated header/IFD
-        raise ValueError(f"TIFF structure truncated: {exc}") from exc
+    except (struct.error, IndexError, KeyError, TypeError) as exc:
+        # truncated header/IFD or corrupt LZW/PackBits state (round-5
+        # fuzz): typed-error contract, never a raw IndexError.
+        raise ValueError(f"corrupt TIFF ({type(exc).__name__}: {exc})") from exc
 
 
 def _decode_tiff_body(payload: bytes, bo: str) -> "np.ndarray":
@@ -1325,12 +1339,19 @@ def _decode_tiff_body(payload: bytes, bo: str) -> "np.ndarray":
         (count,) = struct.unpack(bo + "I", payload[off + 4 : off + 8])
         if typ not in type_size:
             continue
+        # count is attacker-controlled up to 2^32: bound it by the bytes
+        # that can actually exist (round-5 fuzz: building a 4-billion-
+        # char struct format string was a multi-second spin per call).
+        if count > len(payload):
+            raise ValueError("TIFF: IFD value count exceeds file size")
         sz = type_size[typ] * count
         if sz <= 4:
             raw = payload[off + 8 : off + 8 + sz]
         else:
             (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
             raw = payload[voff : voff + sz]
+        if len(raw) != sz:
+            raise ValueError("TIFF: IFD value truncated")
         fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
         tags[tag] = list(struct.unpack(bo + fmt * count, raw))
 
@@ -1342,6 +1363,8 @@ def _decode_tiff_body(payload: bytes, bo: str) -> "np.ndarray":
         return default
 
     w, h = one(256), one(257)
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15 and w * h <= 1 << 26):
+        raise ValueError(f"TIFF: implausible dimensions {w}x{h}")
     bps = tags.get(258, [8])
     if any(b != 8 for b in bps):
         raise NotImplementedError("TIFF: 8 bits/sample only")

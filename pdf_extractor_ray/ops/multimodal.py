@@ -102,7 +102,20 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
 def decode_png(payload: bytes) -> np.ndarray:
     """From-scratch PNG decode (8-bit depth, color types 0/2/6,
     non-interlaced): chunk walk → concatenated-IDAT inflate → row
-    unfilter → grayscale via integer luma."""
+    unfilter → grayscale via integer luma. Corrupt streams raise
+    ``ValueError`` (typed-error contract, round-5 fuzz — zlib CRC
+    failures on rotted IDAT data included)."""
+    try:
+        return _decode_png_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (zlib.error, IndexError, KeyError, TypeError, struct.error) as exc:
+        raise ValueError(
+            f"corrupt PNG ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_png_impl(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8

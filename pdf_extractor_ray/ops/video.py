@@ -288,11 +288,20 @@ def encode_mjpeg_avi(jpeg_frames: list[bytes], w: int, h: int, fps: int = 25) ->
 
 
 def decode_video(payload: bytes) -> tuple[list[np.ndarray], float]:
-    """Decode a video payload → (grayscale luma frames, fps)."""
-    if payload[:9] == b"YUV4MPEG2":
-        return _decode_y4m(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        return _decode_avi(payload)
+    """Decode a video payload → (grayscale luma frames, fps). Corrupt
+    containers raise typed :class:`VideoError` (round-5 fuzz: a
+    truncated AVI chunk header leaked a raw ``struct.error``)."""
+    try:
+        if payload[:9] == b"YUV4MPEG2":
+            return _decode_y4m(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return _decode_avi(payload)
+    except (VideoError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, TypeError, ValueError) as exc:
+        raise VideoError(
+            f"corrupt video container ({type(exc).__name__}: {exc})"
+        ) from exc
     raise VideoError(
         "unrecognized video container — MP4/MKV/WebM need native demuxers; "
         "swap decode_video for a PyAV kernel in production"

@@ -184,3 +184,97 @@ class TestMutatedValidPayloads:
             decode_flac, _mutations(encode_flac(sig, blocksize=256), 50),
             (FlacError, ValueError),
         )
+
+
+class TestMutatedMediaPayloads:
+    """Round-5 second fuzz wave: the remaining media decoders. Each
+    wrap/bound here was forced by a finding (PNG zlib.error, GIF/TIFF
+    IndexError, a TIFF IFD count-field spin measured at multiple
+    seconds per call, AVI struct.error)."""
+
+    IMG = (np.arange(256) % 256).astype(np.uint8).reshape(16, 16)
+
+    def test_png_typed_only(self):
+        from pdf_extractor_ray.ops.multimodal import decode_png, encode_png
+
+        _assert_contained(
+            decode_png, _mutations(encode_png(self.IMG, 0, 2), 60),
+            (ValueError, NotImplementedError),
+        )
+
+    def test_gif_typed_only(self):
+        from pdf_extractor_ray.ops.jpeg import decode_gif, encode_gif_gray
+
+        _assert_contained(
+            decode_gif, _mutations(encode_gif_gray(self.IMG), 60),
+            (ValueError, NotImplementedError),
+        )
+
+    @pytest.mark.parametrize("compression", [1, 5, 32773])
+    def test_tiff_typed_only_and_bounded(self, compression):
+        import time
+
+        from pdf_extractor_ray.ops.jpeg import decode_tiff, encode_tiff_gray
+
+        base = encode_tiff_gray(
+            self.IMG, compression=compression,
+            predictor=2 if compression == 5 else 1,
+        )
+        t0 = time.time()
+        _assert_contained(
+            decode_tiff, _mutations(base, 60),
+            (ValueError, NotImplementedError),
+        )
+        # the IFD count-field spin fix: 60 corrupt files stay well
+        # under a second TOTAL (pre-fix a single call took seconds)
+        assert time.time() - t0 < 10
+
+    def test_tiff_huge_count_field_rejected_fast(self):
+        import time
+
+        from pdf_extractor_ray.ops.jpeg import decode_tiff, encode_tiff_gray
+
+        base = bytearray(encode_tiff_gray(self.IMG))
+        # first IFD entry's count dword → 0xFFFFFFFF
+        (ifd_off,) = np.frombuffer(base[4:8], np.uint32)
+        base[ifd_off + 2 + 4 : ifd_off + 2 + 8] = b"\xff\xff\xff\xff"
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            decode_tiff(bytes(base))
+        assert time.time() - t0 < 0.1
+
+    def test_video_typed_only(self):
+        from pdf_extractor_ray.ops.video import (
+            VideoError,
+            decode_video,
+            encode_avi,
+            encode_y4m,
+        )
+
+        frames = [
+            ((np.arange(256) + f) % 256).astype(np.uint8).reshape(16, 16)
+            for f in range(3)
+        ]
+        for enc in (encode_y4m, encode_avi):
+            _assert_contained(
+                decode_video, _mutations(enc(frames), 60),
+                (VideoError, NotImplementedError),
+            )
+
+    def test_adpcm_g711_typed_only(self):
+        from pdf_extractor_ray.ops.adpcm import decode_ima_wav, encode_ima_wav
+        from pdf_extractor_ray.ops.g711 import decode_g711_wav, encode_g711_wav
+
+        rng = np.random.default_rng(3)
+        a = encode_ima_wav(
+            np.arange(4) * 10, np.arange(4) % 89, rng.integers(0, 16, (4, 64))
+        )
+        _assert_contained(
+            decode_ima_wav, _mutations(a, 50),
+            (ValueError, NotImplementedError),
+        )
+        g = encode_g711_wav((np.arange(512) * 7) % 256, "mulaw")
+        _assert_contained(
+            decode_g711_wav, _mutations(g, 50),
+            (ValueError, NotImplementedError),
+        )
