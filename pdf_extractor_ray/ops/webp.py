@@ -644,6 +644,8 @@ def parse_vp8_header(payload: bytes) -> dict:
             if out["keyframe"]:
                 if body[3:6] != b"\x9d\x01\x2a":
                     raise ValueError("VP8: bad keyframe start code")
+                if len(body) < 10:
+                    raise ValueError("VP8: truncated dimension words")
                 (wraw,) = struct.unpack("<H", body[6:8])
                 (hraw,) = struct.unpack("<H", body[8:10])
                 out["width"] = wraw & 0x3FFF

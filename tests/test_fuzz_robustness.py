@@ -278,3 +278,38 @@ class TestMutatedMediaPayloads:
             decode_g711_wav, _mutations(g, 50),
             (ValueError, NotImplementedError),
         )
+
+
+class TestVp8HeaderFuzz:
+    def test_truncated_dimension_words_typed(self):
+        from pdf_extractor_ray.ops.webp import (
+            encode_vp8_header_webp,
+            parse_vp8_header,
+        )
+
+        full = encode_vp8_header_webp(64, 48)
+        # cut inside the 10-byte uncompressed header: always ValueError
+        for cut in range(12, 12 + 8 + 10):
+            blob = full[:cut]
+            # keep the RIFF size field consistent with the truncation
+            import struct as _s
+
+            if len(blob) >= 16:
+                body_len = max(0, len(blob) - 20)
+                blob = (
+                    blob[:4] + _s.pack("<I", len(blob) - 8) + blob[8:16]
+                    + _s.pack("<I", body_len) + blob[20:]
+                )
+            with pytest.raises(ValueError):
+                parse_vp8_header(blob)
+
+    def test_mutation_fuzz_typed_only(self):
+        from pdf_extractor_ray.ops.webp import (
+            encode_vp8_header_webp,
+            parse_vp8_header,
+        )
+
+        base = encode_vp8_header_webp(64, 48, filler=b"f" * 50)
+        _assert_contained(
+            parse_vp8_header, _mutations(base, 120, seed=202), (ValueError,)
+        )
